@@ -1,0 +1,31 @@
+"""Every registered query with an oracle must hash-match DuckDB.
+
+This mirrors the driver's t2 correctness gate (sf0.01); tests run at
+sf0.001 for speed — the queries are scale-independent by construction
+(exact decimal aggregation, deterministic orderings).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from quackml_spark.plans import REGISTRY, _load_all
+from quackml_spark.testing import compare
+
+_load_all()
+CASES = [name for name, qd in sorted(REGISTRY.items()) if qd.oracle is not None]
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_oracle_parity(name, spark, sf_dir, duck):
+    qd = REGISTRY[name]
+    df = qd.builder(spark, sf_dir)
+    ok, msg = compare(df, duck, qd.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+def test_queries_without_oracle_still_run(spark, sf_dir):
+    for name, qd in sorted(REGISTRY.items()):
+        if qd.oracle is None:
+            df = qd.builder(spark, sf_dir)
+            assert df.count() >= 0, name
