@@ -1,0 +1,235 @@
+"""Persistent model catalog — parquet-backed parity with schema.sql.
+
+The reference keeps its entire persistent state in six tables + three
+views inside the database (/root/reference/src/sql/schema.sql:46-209).
+Here the catalog is a directory of small parquet tables written by the
+driver. Catalog rows are metadata (a few KB per train run) — the data
+path (snapshots, model artifacts) goes to its own parquet/MLlib
+directories under the same warehouse; only pointers live in the catalog.
+
+At cluster scale the same layout works on any shared filesystem (S3/
+HDFS/DBFS): catalog writes are tiny, serialized through the driver, and
+atomically swapped via temp-file + rename. (A Delta table with MERGE
+would be the managed-platform upgrade; plain parquet keeps this
+container-friendly.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import threading
+from datetime import datetime, timezone
+
+import pandas as pd
+
+_TABLES = {
+    "projects": ["id", "name", "task", "created_at", "updated_at"],
+    "snapshots": [
+        "id",
+        "relation_name",
+        "y_column_name",
+        "test_size",
+        "test_sampling",
+        "status",
+        "columns",
+        "analysis",
+        "materialized_path",
+        "created_at",
+        "updated_at",
+    ],
+    "models": [
+        "id",
+        "project_id",
+        "snapshot_id",
+        "num_features",
+        "algorithm",
+        "hyperparams",
+        "status",
+        "metrics",
+        "search",
+        "search_params",
+        "search_args",
+        "created_at",
+        "updated_at",
+    ],
+    "deployments": ["id", "project_id", "model_id", "strategy", "created_at"],
+    "logs": ["id", "model_id", "project_id", "logs", "created_at"],
+    "files": ["id", "model_id", "path", "part", "created_at"],
+}
+
+
+def _now() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class Catalog:
+    """Driver-side catalog over a warehouse directory."""
+
+    def __init__(self, warehouse: str | None = None):
+        self.warehouse = warehouse or os.environ.get(
+            "QUACKML_WAREHOUSE", "/tmp/quackml_warehouse"
+        )
+        os.makedirs(self.warehouse, exist_ok=True)
+        self._lock = threading.RLock()
+
+    # -- storage primitives -------------------------------------------------
+    def _path(self, table: str) -> str:
+        return os.path.join(self.warehouse, f"{table}.parquet")
+
+    def read(self, table: str) -> pd.DataFrame:
+        cols = _TABLES[table]
+        path = self._path(table)
+        if not os.path.exists(path):
+            return pd.DataFrame(columns=cols)
+        return pd.read_parquet(path)
+
+    def _write(self, table: str, df: pd.DataFrame) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".parquet.tmp")
+        os.close(fd)
+        try:
+            df.to_parquet(tmp, index=False)
+            shutil.move(tmp, self._path(table))
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    def insert(self, table: str, row: dict) -> int:
+        """Append a row, allocating the next id (sequence parity,
+        schema.sql:47,61,79). Returns the new id."""
+        with self._lock:
+            df = self.read(table)
+            new_id = int(df["id"].max()) + 1 if len(df) else 1
+            row = dict(row)
+            row.setdefault("id", new_id)
+            row.setdefault("created_at", _now())
+            if "updated_at" in _TABLES[table]:
+                row.setdefault("updated_at", row["created_at"])
+            for c in _TABLES[table]:
+                row.setdefault(c, None)
+            df = pd.concat([df, pd.DataFrame([row])[_TABLES[table]]], ignore_index=True)
+            self._write(table, df)
+            return int(row["id"])
+
+    def update(self, table: str, row_id: int, values: dict) -> None:
+        with self._lock:
+            df = self.read(table)
+            mask = df["id"] == row_id
+            if not mask.any():
+                raise KeyError(f"{table} id {row_id} not found")
+            for k, v in values.items():
+                if isinstance(v, (dict, list)):
+                    v = json.dumps(v)
+                df.loc[mask, k] = v
+            if "updated_at" in df.columns:
+                df.loc[mask, "updated_at"] = _now()
+            self._write(table, df)
+
+    def get(self, table: str, row_id: int) -> dict | None:
+        df = self.read(table)
+        hit = df[df["id"] == row_id]
+        return hit.iloc[0].to_dict() if len(hit) else None
+
+    def find(self, table: str, **eq) -> pd.DataFrame:
+        df = self.read(table)
+        for k, v in eq.items():
+            df = df[df[k] == v]
+        return df
+
+    # -- artifact paths -----------------------------------------------------
+    def model_dir(self, model_id: int) -> str:
+        path = os.path.join(self.warehouse, "artifacts", f"model_{model_id}")
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def snapshot_dir(self, snapshot_id: int) -> str:
+        path = os.path.join(self.warehouse, "snapshots", f"snapshot_{snapshot_id}")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        return path
+
+    # -- views (schema.sql:146-209) ----------------------------------------
+    def overview(self) -> pd.DataFrame:
+        p = self.read("projects").rename(columns={"name": "project_name"})
+        m = self.read("models")
+        d = self.read("deployments")
+        s = self.read("snapshots")
+        out = (
+            d.merge(p, left_on="project_id", right_on="id", suffixes=("", "_p"))
+            .merge(m, left_on="model_id", right_on="id", suffixes=("", "_m"))
+            .merge(s, left_on="snapshot_id", right_on="id", suffixes=("", "_s"))
+        )
+        if not len(out):
+            return out
+        return out[
+            [
+                "project_name",
+                "task",
+                "algorithm",
+                "relation_name",
+                "y_column_name",
+                "test_sampling",
+                "test_size",
+                "created_at",
+            ]
+        ]
+
+    def deployed_models(self) -> pd.DataFrame:
+        """Latest deployment per project (DISTINCT ON parity,
+        schema.sql:193-209)."""
+        d = self.read("deployments")
+        if not len(d):
+            return d
+        latest = (
+            d.sort_values(["project_id", "created_at", "id"])
+            .groupby("project_id", as_index=False)
+            .last()[["project_id", "model_id", "created_at"]]
+        )
+        p = self.read("projects")
+        m = self.read("models")
+        out = latest.merge(
+            p.rename(columns={"id": "project_id", "name": "project_name"})[
+                ["project_id", "project_name", "task"]
+            ],
+            on="project_id",
+        ).merge(
+            m.rename(columns={"id": "model_id"})[
+                ["model_id", "algorithm", "metrics"]
+            ],
+            on="model_id",
+        )
+        return out[
+            ["project_id", "project_name", "task", "model_id", "algorithm", "metrics", "created_at"]
+        ]
+
+    def trained_models(self) -> pd.DataFrame:
+        m = self.read("models")
+        p = self.read("projects")
+        s = self.read("snapshots")
+        if not len(m):
+            return m
+        return (
+            m.merge(
+                p.rename(columns={"id": "project_id", "name": "project_name"}),
+                on="project_id",
+            )
+            .merge(
+                s.rename(columns={"id": "snapshot_id"})[
+                    ["snapshot_id", "relation_name", "y_column_name"]
+                ],
+                on="snapshot_id",
+            )[
+                [
+                    "id",
+                    "project_name",
+                    "task",
+                    "algorithm",
+                    "relation_name",
+                    "y_column_name",
+                    "status",
+                    "metrics",
+                    "created_at",
+                ]
+            ]
+        )

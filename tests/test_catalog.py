@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from quackml_spark.catalog import Catalog, Task
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(warehouse=str(tmp_path / "wh"))
+
+
+def test_insert_ids_and_roundtrip(catalog):
+    p1 = catalog.insert("projects", {"name": "a", "task": Task.regression.value})
+    p2 = catalog.insert("projects", {"name": "b", "task": Task.classification.value})
+    assert (p1, p2) == (1, 2)
+    row = catalog.get("projects", 1)
+    assert row["name"] == "a" and row["task"] == "regression"
+
+
+def test_update_and_find(catalog):
+    mid = catalog.insert(
+        "models",
+        {"project_id": 1, "snapshot_id": 1, "algorithm": "linear", "status": "in_progress"},
+    )
+    catalog.update("models", mid, {"status": "successful", "metrics": {"r2": 0.9}})
+    row = catalog.get("models", mid)
+    assert row["status"] == "successful"
+    assert json.loads(row["metrics"])["r2"] == 0.9
+    assert len(catalog.find("models", status="successful")) == 1
+
+
+def test_deployed_models_latest_per_project(catalog):
+    catalog.insert("projects", {"name": "p", "task": "regression"})
+    catalog.insert("snapshots", {"relation_name": "t", "y_column_name": "[]"})
+    m1 = catalog.insert("models", {"project_id": 1, "snapshot_id": 1, "algorithm": "linear", "metrics": "{}"})
+    m2 = catalog.insert("models", {"project_id": 1, "snapshot_id": 1, "algorithm": "ridge", "metrics": "{}"})
+    catalog.insert("deployments", {"project_id": 1, "model_id": m1, "strategy": "new_score"})
+    catalog.insert("deployments", {"project_id": 1, "model_id": m2, "strategy": "new_score"})
+    dm = catalog.deployed_models()
+    assert len(dm) == 1
+    assert int(dm.iloc[0]["model_id"]) == m2  # latest deployment wins
+
+
+def test_task_metric_directions():
+    assert Task.regression.default_target_metric == "r2"
+    assert Task.text_generation.value_is_better_when_higher is False
+    assert Task.classification.value_is_better_when_higher is True
