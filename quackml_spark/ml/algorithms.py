@@ -1,0 +1,198 @@
+"""Algorithm dispatch: (task, algorithm) -> estimator.
+
+Parity target: the reference's 45-algorithm inventory
+(/root/reference/src/orm/algorithm.rs:3-49, dispatch model.rs:370-448).
+Resolution order per algorithm:
+
+  1. **native** pyspark.ml estimator (distributed — strictly better than
+     the reference, which trains every algorithm single-node);
+  2. **xgboost.spark / sklearn** when importable (import-gated — absent
+     in this container);
+  3. **approx**: a documented MLlib stand-in with matching task semantics
+     (e.g. extra_trees -> RandomForest); recorded in the model's metrics
+     as ``backend`` so results are never silently misattributed;
+  4. otherwise an informative error listing what would make it available.
+
+Hyperparameters accept both sklearn/xgboost spellings and MLlib names
+via the alias table (xgboost.rs:59-style aliases).
+"""
+
+from __future__ import annotations
+
+import importlib
+from dataclasses import dataclass
+from typing import Any
+
+from quackml_spark.catalog import Algorithm, Task
+
+_ALIAS = {
+    "alpha": "regParam",
+    "reg_lambda": "regParam",
+    "l1_ratio": "elasticNetParam",
+    "max_iter": "maxIter",
+    "n_estimators": "_n_estimators",  # resolved per-estimator below
+    "num_boost_round": "_n_estimators",
+    "max_depth": "maxDepth",
+    "learning_rate": "stepSize",
+    "eta": "stepSize",
+    "n_clusters": "k",
+    "n_components": "k",
+    "subsample": "subsamplingRate",
+    "random_state": "seed",
+    "tol": "tol",
+}
+
+
+def _have(mod: str) -> bool:
+    try:
+        importlib.import_module(mod)
+        return True
+    except ImportError:
+        return False
+
+
+def _apply_params(est: Any, hyperparams: dict, seed: int) -> Any:
+    params = dict(hyperparams or {})
+    if est.hasParam("seed") and "seed" not in params and "random_state" not in params:
+        est.set(est.getParam("seed"), seed)
+    for k, v in params.items():
+        name = _ALIAS.get(k, k)
+        if name == "_n_estimators":
+            name = "numTrees" if est.hasParam("numTrees") else "maxIter"
+        if est.hasParam(name):
+            est.set(est.getParam(name), v)
+        # unknown params are passed over silently, like the reference's
+        # raw-JSON pass-through to the library (sklearn.py:118)
+    return est
+
+
+@dataclass
+class Resolved:
+    estimator: Any
+    backend: str  # "mllib" | "mllib-approx:<of>" | "xgboost-spark" | "sklearn"
+    prediction_cols: tuple[str, ...] = ("prediction",)
+
+
+def resolve(task: Task, algorithm: Algorithm, hyperparams: dict | None, seed: int) -> Resolved:
+    hp = hyperparams or {}
+    a, t = algorithm, task
+
+    from pyspark.ml.classification import (
+        GBTClassifier,
+        LinearSVC,
+        LogisticRegression,
+        OneVsRest,
+        RandomForestClassifier,
+    )
+    from pyspark.ml.clustering import BisectingKMeans, GaussianMixture, KMeans
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.regression import (
+        GBTRegressor,
+        LinearRegression,
+        RandomForestRegressor,
+    )
+
+    def mk(est, backend="mllib"):
+        return Resolved(_apply_params(est, hp, seed), backend)
+
+    if t == Task.regression:
+        lin = {"featuresCol": "features_vec", "labelCol": "label"}
+        if a == Algorithm.linear:
+            return mk(LinearRegression(**lin))
+        if a == Algorithm.ridge:
+            return mk(LinearRegression(elasticNetParam=0.0, regParam=hp.get("alpha", 1.0), **lin))
+        if a == Algorithm.lasso:
+            return mk(LinearRegression(elasticNetParam=1.0, regParam=hp.get("alpha", 1.0), **lin))
+        if a == Algorithm.elastic_net:
+            return mk(
+                LinearRegression(
+                    elasticNetParam=hp.get("l1_ratio", 0.5), regParam=hp.get("alpha", 1.0), **lin
+                )
+            )
+        if a == Algorithm.huber:
+            return mk(LinearRegression(loss="huber", **lin))
+        if a == Algorithm.random_forest:
+            return mk(RandomForestRegressor(**lin))
+        if a == Algorithm.extra_trees:
+            return mk(
+                RandomForestRegressor(featureSubsetStrategy="sqrt", **lin),
+                "mllib-approx:extra_trees->random_forest",
+            )
+        if a in (Algorithm.gradient_boosting_trees, Algorithm.hist_gradient_boosting):
+            return mk(GBTRegressor(**lin))
+        if a in (Algorithm.xgboost, Algorithm.xgboost_random_forest, Algorithm.lightgbm, Algorithm.catboost):
+            if a in (Algorithm.xgboost, Algorithm.xgboost_random_forest) and _have("xgboost.spark"):
+                from xgboost.spark import SparkXGBRegressor
+
+                est = SparkXGBRegressor(features_col="features_vec", label_col="label", **hp)
+                return Resolved(est, "xgboost-spark")
+            return mk(GBTRegressor(**lin), f"mllib-approx:{a.value}->gbt")
+        if a == Algorithm.stochastic_gradient_descent:
+            return mk(LinearRegression(solver="normal", **lin), "mllib-approx:sgd->linear")
+
+    if t == Task.classification:
+        lin = {"featuresCol": "features_vec", "labelCol": "label"}
+        if a in (Algorithm.linear, Algorithm.ridge):
+            extra = {"elasticNetParam": 0.0} if a == Algorithm.ridge else {}
+            return mk(LogisticRegression(**lin, **extra))
+        if a in (Algorithm.svm, Algorithm.linear_svm):
+            backend = "mllib" if a == Algorithm.linear_svm else "mllib-approx:svm->linear_svc"
+            return mk(LinearSVC(**lin), backend)
+        if a == Algorithm.random_forest:
+            return mk(RandomForestClassifier(**lin))
+        if a == Algorithm.extra_trees:
+            return mk(
+                RandomForestClassifier(featureSubsetStrategy="sqrt", **lin),
+                "mllib-approx:extra_trees->random_forest",
+            )
+        if a in (
+            Algorithm.gradient_boosting_trees,
+            Algorithm.hist_gradient_boosting,
+            Algorithm.xgboost,
+            Algorithm.xgboost_random_forest,
+            Algorithm.lightgbm,
+            Algorithm.catboost,
+        ):
+            if a in (Algorithm.xgboost, Algorithm.xgboost_random_forest) and _have("xgboost.spark"):
+                from xgboost.spark import SparkXGBClassifier
+
+                est = SparkXGBClassifier(features_col="features_vec", label_col="label", **hp)
+                return Resolved(est, "xgboost-spark")
+            # GBTClassifier is binary-only; multiclass goes through OneVsRest
+            # at fit time (train.py decides by label cardinality).
+            backend = "mllib" if a in (Algorithm.gradient_boosting_trees, Algorithm.hist_gradient_boosting) else f"mllib-approx:{a.value}->gbt"
+            return mk(GBTClassifier(**lin), backend)
+        if a == Algorithm.stochastic_gradient_descent:
+            return mk(LogisticRegression(**lin), "mllib-approx:sgd->logistic")
+
+    if t == Task.clustering:
+        kw = {"featuresCol": "features_vec"}
+        if a in (Algorithm.kmeans, Algorithm.mini_batch_kmeans):
+            backend = "mllib" if a == Algorithm.kmeans else "mllib-approx:mini_batch_kmeans->kmeans"
+            return mk(KMeans(**kw), backend)
+        if a in (Algorithm.agglomerative, Algorithm.birch):
+            return mk(BisectingKMeans(**kw), f"mllib-approx:{a.value}->bisecting_kmeans")
+        if a == Algorithm.gaussian_process:
+            return mk(GaussianMixture(**kw), "mllib-approx:gaussian_mixture")
+
+    if t == Task.decomposition:
+        if a == Algorithm.pca:
+            k = int(hp.get("n_components", hp.get("k", 2)))
+            return Resolved(
+                PCA(k=k, inputCol="features_vec", outputCol="pca_features"), "mllib"
+            )
+
+    # sklearn long-tail (import-gated; absent in this container)
+    if _have("sklearn"):
+        raise NotImplementedError(
+            f"sklearn fallback for {t.value}/{a.value} not yet wired; "
+            f"native algorithms: see quackml_spark/ml/algorithms.py"
+        )
+    raise NotImplementedError(
+        f"algorithm {a.value!r} for task {t.value!r} requires an optional "
+        f"backend (sklearn/xgboost) that is not installed; available native "
+        f"algorithms: linear, ridge, lasso, elastic_net, huber, random_forest, "
+        f"extra_trees, gradient_boosting_trees, hist_gradient_boosting, "
+        f"xgboost(approx), svm/linear_svm, sgd(approx), kmeans, "
+        f"mini_batch_kmeans, agglomerative/birch(approx), pca"
+    )

@@ -1,0 +1,201 @@
+"""ML lifecycle queries for the driver's correctness gate.
+
+train/predict are not ANSI-SQL-expressible, so these register without
+oracles (the driver records rows-only checks); the SQL-expressible core
+of linear regression IS oracle-checked separately (q11_ols_closed_form).
+Each query builds a throwaway warehouse so repeated driver runs are
+idempotent.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackml_spark.plans import register
+from quackml_spark.sources import load_table
+
+
+def _fresh_catalog():
+    from quackml_spark.catalog import Catalog
+
+    return Catalog(warehouse=tempfile.mkdtemp(prefix="qml_wh_"))
+
+
+def _lineitem_training_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice", "l_returnflag"
+    )
+
+
+@register(
+    "ml_train_regression",
+    doc="train(regression, linear) end-to-end: snapshot -> fit -> metrics "
+    "-> deploy; returns the reference's train() output row shape "
+    "(api.rs:364-376).",
+    tags=("ml", "bench"),
+)
+def ml_train_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import train
+
+    df = _lineitem_training_df(spark, sf_dir).drop("l_returnflag")
+    res = train(
+        spark,
+        "bench regression",
+        task="regression",
+        df=df,
+        y_column_name="l_extendedprice",
+        catalog=_fresh_catalog(),
+        test_sampling="random",
+    )
+    return spark.createDataFrame(
+        [(res.project, res.task, res.algorithm, bool(res.deployed))],
+        "project string, task string, algorithm string, deployed boolean",
+    )
+
+
+@register(
+    "ml_predict_regression",
+    doc="predict() on the deployed model — serve-time preprocessing "
+    "replay + distributed transform (api.rs:801-854).",
+    tags=("ml",),
+)
+def ml_predict_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import predict, train
+
+    catalog = _fresh_catalog()
+    df = _lineitem_training_df(spark, sf_dir).drop("l_returnflag")
+    train(
+        spark,
+        "pred regression",
+        task="regression",
+        df=df,
+        y_column_name="l_extendedprice",
+        catalog=catalog,
+        test_sampling="random",
+    )
+    out = predict(df.limit(100), "pred regression", catalog=catalog)
+    return out.select(
+        F.col("l_quantity"),
+        F.col("l_discount"),
+        F.col("prediction").isNotNull().alias("has_prediction"),
+    )
+
+
+@register(
+    "ml_train_classification",
+    doc="train(classification) on a categorical label with stratified "
+    "sampling; returns macro-f1 presence (api.rs:2979-3017 shape).",
+    tags=("ml",),
+)
+def ml_train_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import train
+
+    df = _lineitem_training_df(spark, sf_dir)
+    res = train(
+        spark,
+        "bench clf",
+        task="classification",
+        df=df,
+        y_column_name="l_returnflag",
+        catalog=_fresh_catalog(),
+    )
+    m = res.metrics
+    return spark.createDataFrame(
+        [
+            (
+                res.project,
+                res.algorithm,
+                bool(res.deployed),
+                all(k in m for k in ("f1", "accuracy", "mcc", "fit_time", "score_time")),
+            )
+        ],
+        "project string, algorithm string, deployed boolean, metrics_complete boolean",
+    )
+
+
+@register(
+    "ml_clustering_embeddings",
+    doc="kmeans over the 64-dim embeddings table; returns cluster sizes.",
+    tags=("ml",),
+)
+def ml_clustering_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import predict, train
+
+    catalog = _fresh_catalog()
+    df = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    train(
+        spark,
+        "emb clusters",
+        task="clustering",
+        df=df.select("embedding"),
+        catalog=catalog,
+        hyperparams={"k": 5},
+        test_size=0.2,
+    )
+    out = predict(df, "emb clusters", catalog=catalog)
+    return (
+        out.groupBy(F.col("prediction").cast("int").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "ml_decomposition_embeddings",
+    doc="PCA over embeddings: decompose() to 8 components "
+    "(model.rs:988-993).",
+    tags=("ml",),
+)
+def ml_decomposition_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import decompose, train
+
+    catalog = _fresh_catalog()
+    df = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    train(
+        spark,
+        "emb pca",
+        task="decomposition",
+        df=df.select("embedding"),
+        catalog=catalog,
+        hyperparams={"n_components": 8},
+        test_size=0.2,
+    )
+    out = decompose(df.limit(50), "emb pca", catalog=catalog)
+    return out.select(
+        "vec_id", F.size("decomposition").alias("n_components")
+    ).orderBy("vec_id")
+
+
+@register(
+    "ml_deploy_lifecycle",
+    doc="two models -> best_score/most_recent/rollback deploy strategies "
+    "(api.rs:695-799); returns the deployments ledger.",
+    tags=("ml",),
+)
+def ml_deploy_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import deploy, train
+
+    catalog = _fresh_catalog()
+    df = _lineitem_training_df(spark, sf_dir).drop("l_returnflag").limit(5000)
+    for algo in ("linear", "ridge"):
+        train(
+            spark,
+            "lifecycle",
+            task="regression",
+            df=df,
+            y_column_name="l_extendedprice",
+            algorithm=algo,
+            catalog=catalog,
+            test_sampling="random",
+        )
+    deploy("lifecycle", "best_score", catalog=catalog)
+    deploy("lifecycle", "most_recent", catalog=catalog)
+    deploy("lifecycle", "rollback", catalog=catalog)
+    deps = catalog.read("deployments")
+    return spark.createDataFrame(
+        [(int(r["id"]), r["strategy"]) for _, r in deps.iterrows()],
+        "deployment_id long, strategy string",
+    )

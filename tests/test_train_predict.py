@@ -1,0 +1,169 @@
+"""Lifecycle e2e tests — the reference's commented pg_tests made real
+(SURVEY.md §5: api.rs:2939-3057 shapes)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackml_spark.catalog import Catalog
+from quackml_spark.ml import (
+    decompose,
+    deploy,
+    load_dataset,
+    predict,
+    predict_joint,
+    predict_proba,
+    register_udfs,
+    train,
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(warehouse=str(tmp_path / "wh"))
+
+
+def test_train_regression_diabetes(spark, catalog):
+    df = load_dataset(spark, "diabetes")
+    res = train(
+        spark, "Test project", task="regression", df=df, y_column_name="target",
+        catalog=catalog, test_sampling="random",
+    )
+    assert res.deployed
+    m = res.metrics
+    assert {"r2", "mae", "mse", "fit_time", "score_time"} <= set(m)
+    assert m["r2"] > 0.3, m
+    out = predict(df, "Test project", catalog=catalog)
+    preds = out.select("prediction").limit(5).collect()
+    assert all(isinstance(r["prediction"], float) for r in preds)
+    # catalog rows exist
+    assert len(catalog.find("models", status="successful")) == 1
+    assert len(catalog.read("deployments")) == 1
+
+
+def test_train_classification_iris(spark, catalog):
+    df = load_dataset(spark, "iris")
+    res = train(
+        spark, "iris clf", task="classification", df=df, y_column_name="target",
+        algorithm="random_forest", catalog=catalog,
+    )
+    m = res.metrics
+    assert m["f1"] > 0.8, m
+    assert {"accuracy", "f1_micro", "precision", "recall", "mcc"} <= set(m)
+    out = predict_proba(df, "iris clf", catalog=catalog)
+    row = out.select("prediction", "probability_arr", "prediction_label").first()
+    assert len(row["probability_arr"]) == 3
+    assert abs(sum(row["probability_arr"]) - 1.0) < 1e-6
+    assert row["prediction_label"] is not None
+
+
+def test_train_binary_with_materialized_snapshot(spark, catalog):
+    df = load_dataset(spark, "breast_cancer")
+    res = train(
+        spark, "bc", task="classification", df=df, y_column_name="malignant",
+        algorithm="linear", catalog=catalog, materialize_snapshot=True,
+    )
+    m = res.metrics
+    assert {"roc_auc", "log_loss"} <= set(m), m
+    assert m["f1"] > 0.7
+    snap_row = catalog.get("snapshots", res.snapshot_id)
+    assert snap_row["materialized_path"]
+
+
+def test_train_multiclass_array_features_digits(spark, catalog):
+    df = load_dataset(spark, "digits", limit=500)
+    res = train(
+        spark, "digits", task="classification", df=df, y_column_name="target",
+        algorithm="random_forest", catalog=catalog,
+    )
+    assert res.metrics["f1"] > 0.5, res.metrics
+    mrow = catalog.get("models", res.model_id)
+    assert mrow["num_features"] == 64  # 8x8 flattened
+
+
+def test_clustering_and_decomposition(spark, catalog):
+    df = load_dataset(spark, "iris").drop("target")
+    res = train(spark, "clu", task="clustering", df=df, catalog=catalog,
+                hyperparams={"k": 3})
+    assert "silhouette" in res.metrics
+    out = predict(df, "clu", catalog=catalog)
+    assert out.select(F.count_distinct("prediction")).collect()[0][0] == 3
+
+    res2 = train(spark, "dec", task="decomposition", df=df, catalog=catalog,
+                 hyperparams={"n_components": 2})
+    assert res2.metrics["cumulative_explained_variance"] > 0.5
+    out2 = decompose(df, "dec", catalog=catalog)
+    assert len(out2.select("decomposition").first()["decomposition"]) == 2
+
+
+def test_joint_regression_linnerud(spark, catalog):
+    df = load_dataset(spark, "linnerud")
+    res = train(
+        spark, "joint", task="regression", df=df,
+        y_column_name=["weight", "waist", "pulse"],
+        catalog=catalog, test_sampling="random", test_size=0.2,
+    )
+    out = predict_joint(df, "joint", catalog=catalog)
+    row = out.select("predictions").first()
+    assert len(row["predictions"]) == 3
+
+
+def test_search_grid_cv(spark, catalog):
+    df = load_dataset(spark, "diabetes")
+    res = train(
+        spark, "searchy", task="regression", df=df, y_column_name="target",
+        algorithm="ridge", search="grid",
+        search_params={"alpha": [0.01, 1.0]}, search_args={"cv": 2},
+        catalog=catalog, test_sampling="random",
+    )
+    sr = res.metrics["search_results"]
+    assert len(sr["params"]) == 2
+    assert len(sr["split0_test_score"]) == 2
+    assert sr["rank_test_score"][sr["best_index"]] == 1
+    mrow = catalog.get("models", res.model_id)
+    assert json.loads(mrow["hyperparams"])["alpha"] in (0.01, 1.0)
+
+
+def test_deploy_strategies(spark, catalog):
+    df = load_dataset(spark, "diabetes")
+    r1 = train(spark, "dep", task="regression", df=df, y_column_name="target",
+               catalog=catalog, test_sampling="random")
+    r2 = train(spark, "dep", task="regression", df=df, y_column_name="target",
+               algorithm="random_forest", catalog=catalog, test_sampling="random")
+    best = deploy("dep", "best_score", catalog=catalog)
+    m1 = json.loads(catalog.get("models", r1.model_id)["metrics"])["r2"]
+    m2 = json.loads(catalog.get("models", r2.model_id)["metrics"])["r2"]
+    assert best == (r1.model_id if m1 >= m2 else r2.model_id)
+    recent = deploy("dep", "most_recent", catalog=catalog)
+    assert recent == r2.model_id
+    rolled = deploy("dep", "rollback", catalog=catalog)
+    assert rolled != recent
+    specific = deploy("dep", "specific", model_id=r1.model_id, catalog=catalog)
+    assert specific == r1.model_id
+
+
+def test_task_mismatch_raises(spark, catalog):
+    df = load_dataset(spark, "diabetes")
+    train(spark, "t1", task="regression", df=df, y_column_name="target",
+          catalog=catalog, test_sampling="random")
+    with pytest.raises(ValueError, match="already exists"):
+        train(spark, "t1", task="classification", df=df, y_column_name="target",
+              catalog=catalog)
+
+
+def test_sql_udf_predict(spark, catalog):
+    df = load_dataset(spark, "diabetes")
+    train(spark, "udfp", task="regression", df=df, y_column_name="target",
+          catalog=catalog, test_sampling="random")
+    register_udfs(spark, catalog)
+    feats = [c for c in df.columns if c != "target"]
+    df.select(
+        F.array(*[F.col(c).cast("double") for c in feats]).alias("features")
+    ).createOrReplaceTempView("udfp_input")
+    rows = spark.sql(
+        "SELECT quackml_predict('udfp', features) AS p FROM udfp_input LIMIT 5"
+    ).collect()
+    assert all(isinstance(r["p"], float) for r in rows)
