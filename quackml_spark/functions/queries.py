@@ -1,0 +1,151 @@
+"""LLM-operator queries for the driver's correctness gate.
+
+llm_chunk_fixed is fully SQL-expressible (fixed-width character windows)
+and oracle-checked; the neural-backed ops register rows-only (their
+fallback backends are deterministic, but not ANSI-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackml_spark.plans import register
+from quackml_spark.sources import load_table
+
+
+@register(
+    "llm_chunk_fixed",
+    doc="chunk(character, 200/0) == fixed substring windows; exact parity "
+    "with a pure-SQL oracle (api.rs:1309-1322 output shape).",
+    oracle="""
+SELECT doc_id, i AS chunk_index, substr(text, CAST(1 + 200*i AS INT), 200) AS chunk
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(CAST(ceil(length(text)/200.0) AS BIGINT), 1))) AS i
+  FROM documents
+)
+WHERE length(text) > 0
+ORDER BY doc_id, chunk_index
+""",
+    tags=("llm",),
+)
+def llm_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.functions import chunk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk(
+        docs,
+        "character",
+        "text",
+        {"chunk_size": 200, "chunk_overlap": 0, "separator": ""},
+    )
+    return out.select(
+        "doc_id", F.col("chunk_index").cast("bigint").alias("chunk_index"), "chunk"
+    ).orderBy("doc_id", "chunk_index")
+
+
+@register(
+    "llm_embed_documents",
+    doc="embed() over documents — deterministic hashing backend; 64-dim.",
+    tags=("llm", "bench"),
+)
+def llm_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.functions import embed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = embed(docs, "hash", "text", kwargs={"dimensions": 64})
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        (F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0.99).alias(
+            "unit_norm"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_transform_sentiment",
+    doc="transform(text-classification) JSON-out contract over documents.",
+    tags=("llm",),
+)
+def llm_transform_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.functions import transform
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    out = transform(docs, "text-classification", "text")
+    return out.select(
+        "doc_id",
+        F.get_json_object("transform_result", "$.result[0].label").alias("label"),
+        F.get_json_object("transform_result", "$.result[0].score")
+        .cast("double")
+        .isNotNull()
+        .alias("has_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_rank_documents",
+    doc="rank() cross-encoder contract: per-query doc reranking "
+    "(lexical fallback backend).",
+    tags=("llm",),
+)
+def llm_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.functions import rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    grouped = docs.agg(F.collect_list("text").alias("docs")).withColumn(
+        "query", F.lit("table scan query join")
+    )
+    out = rank(grouped, "jaccard", "query", "docs")
+    return out.select(F.posexplode("rank_result").alias("pos", "r")).select(
+        "pos",
+        F.col("r.corpus_id").alias("corpus_id"),
+        (F.col("r.score") >= 0.0).alias("scored"),
+    )
+
+
+@register(
+    "llm_finetune_langid",
+    doc="finetune(text_classification) lifecycle on documents(text->lang) "
+    "+ predict_text serving (api.rs:1723-2279).",
+    tags=("llm",),
+)
+def llm_finetune_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.ml.finetune import finetune, predict_text
+
+    catalog = Catalog(warehouse=tempfile.mkdtemp(prefix="qml_ft_"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("text"), F.col("lang").alias("class")
+    )
+    res = finetune(spark, "langid", "text_classification", df=docs, catalog=catalog)
+    serve = load_table(spark, sf_dir, "documents").limit(50)
+    out = predict_text(serve, "langid", "text", catalog=catalog)
+    return out.select(
+        "doc_id",
+        F.col("predicted_class").isNotNull().alias("classified"),
+        F.lit(bool(res.deployed)).alias("model_deployed"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_generate",
+    doc="generate() batch contract with deterministic fallback "
+    "(api.rs:1588-1662).",
+    tags=("llm",),
+)
+def llm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.functions import generate
+
+    catalog = Catalog(warehouse=tempfile.mkdtemp(prefix="qml_gen_"))
+    catalog.insert("projects", {"name": "gen", "task": "text_generation"})
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    prompts = docs.withColumn("prompt", F.substring("text", 1, 40))
+    out = generate(prompts, "gen", "prompt", config={"max_new_tokens": 8}, catalog=catalog)
+    return out.select(
+        "doc_id", F.startswith(F.col("generated"), F.col("prompt")).alias("continues_prompt")
+    ).orderBy("doc_id")

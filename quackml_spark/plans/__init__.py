@@ -80,6 +80,7 @@ def _load_all() -> None:
         "quackml_spark.operators.text",
         "quackml_spark.operators.similarity",
         "quackml_spark.operators.multimodal",
+        "quackml_spark.functions.queries",
         "quackml_spark.ml.queries",
         "quackml_spark.streaming.queries",
     ):
