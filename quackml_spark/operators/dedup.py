@@ -1,0 +1,274 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a first-class engine operator with a DuckDB oracle:
+
+  * exact       — md5 content hash, keep-min-doc_id per group;
+  * ngram-jaccard — word-3-gram shingles, sparse self-join on shingle,
+                  Jaccard >= threshold (the exact-verification stage of
+                  a MinHash pipeline, runnable standalone);
+  * minhash-LSH — 16 md5-seeded min-hashes, 4 bands x 4 rows; candidate
+                  pairs share >= 1 band bucket (the scalable candidate
+                  generator: |pairs| ~ collisions, not n^2);
+  * simhash     — 32-bit sign-aggregated token-hash fingerprint per doc
+                  (hamming-distance dedup primitive).
+
+Everything is hash-deterministic (md5 in both engines) and expressed as
+scans + explodes + group-bys + equi-joins: no UDFs, no driver loops.
+
+Scale notes: the shingle self-join caps shingle document-frequency
+(hot-shingle guard) like production MinHash pipelines; LSH bounds
+candidate generation to bucket collisions; at 100 TB the band-bucket
+join shuffles only (band_key) pairs, and AQE handles bucket skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackml_spark.operators.text import tokens_expr
+from quackml_spark.plans import register
+from quackml_spark.sources import load_table
+
+# shared shingle SQL (DuckDB side): word 3-grams, distinct per doc
+_SQL_SHINGLES = r"""
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+       unnest(range(1, greatest(length(toks) - 1, 2))) AS t(i)
+"""
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, word-3-gram shingle) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+@register(
+    "dedup_exact",
+    doc="Exact dedup: md5(lower(trim(text))) groups; keeper = min doc_id.",
+    oracle="""
+SELECT md5(lower(trim(text))) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY content_hash
+""",
+    tags=("dedup", "bench"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: one scan + one map-side-combined shuffle on the 16-byte hash.
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower(F.trim("text"))).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    doc="Near-dup candidate pairs by word-3-gram Jaccard >= 0.2 via a "
+    "sparse shingle self-join (document-frequency-capped at 100).",
+    oracle=f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+capped AS (
+  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 100
+),
+s AS (SELECT sh.* FROM shingles sh JOIN capped USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(ROUND(CAST(c AS DECIMAL(18,6)) / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DECIMAL(18,6)) / (sa.n + sb.n - c) >= 0.2
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = shingles_df(spark, sf_dir)
+    capped = (
+        s.groupBy("shingle").count().where(F.col("count") <= 100).select("shingle")
+    )
+    s = s.join(capped, "shingle")
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = s.alias("a")
+    b = s.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("decimal(18,6)") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("c")
+    )
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.2)
+        .select(
+            "doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_K = 16  # minhash functions
+_BANDS = 4  # bands of 4 rows each
+_R = _K // _BANDS
+
+
+def _minhash_aggs():
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(_K)
+    ]
+
+
+@register(
+    "dedup_minhash_lsh",
+    doc="MinHash(16) + LSH(4 bands x 4 rows) candidate pairs: "
+    "shingle->minhash->band->bucket-join (SURVEY.md §7 step 10).",
+    oracle=f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+sigs AS (
+  SELECT doc_id,
+    {", ".join(f"MIN(md5('{i}|' || shingle)) AS mh{i}" for i in range(_K))}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_id, md5("
+      + " || ".join(f"mh{b * _R + r}" for r in range(_R))
+      + ") AS band_key FROM sigs"
+      for b in range(_BANDS)
+  )}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS shared_bands
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "bench"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = shingles_df(spark, sf_dir)
+    sigs = s.groupBy("doc_id").agg(*_minhash_aggs())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(*[F.col(f"mh{b * _R + r}") for r in range(_R)])
+                ).alias("band_key"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    doc="32-bit SimHash per document: sign-aggregated md5 token hashes "
+    "(hamming-distance near-dup primitive).",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+), vals AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS v FROM toks
+), bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM vals, unnest(range(0, 32)) AS t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+FROM bits
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("v"),
+    )
+    bits = F.broadcast(
+        spark.createDataFrame([(b,) for b in range(32)], "b int")
+    )
+    contrib = (
+        vals.crossJoin(bits)
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(v >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << b")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,210 @@
+"""Similarity search over embedding columns (array<float>).
+
+Operators:
+  * ann_cosine_topk — brute-force cosine top-k per query vector: the
+    exactness baseline. Dot products via sequential fold (F.aggregate /
+    zip_with) — the same left-to-right double accumulation DuckDB's
+    list_dot_product performs, so scores are bit-identical and the
+    oracle checks exact values.
+  * ann_lsh_topk — random-hyperplane LSH: 16 deterministic md5-derived
+    hyperplanes -> sign-bit bucket; candidates share a bucket (multi-
+    probe over 4 bands of 4 bits), then exact cosine re-rank within
+    candidates. The 100 TB path: candidate generation is an equi-join on
+    bucket keys instead of an n x m cross join.
+  * embedding_cosine_dedup — near-dup pairs with cosine >= 0.99 (the
+    embedding-based dedup family of SURVEY.md §7 step 10).
+
+Scale notes: brute-force is O(n_queries x n_vectors) — fine for reranks
+of small query sets; the LSH variant bounds work by bucket collisions.
+Both keep vectors distributed; queries broadcast (they are the small
+side by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quackml_spark.plans import register
+from quackml_spark.sources import load_table
+
+# DOUBLE[] casts matter: DuckDB's list_dot_product accumulates FLOAT[]
+# inputs in float, while Spark's fold accumulates in double — casting
+# both sides to double makes the sums bit-identical.
+_SQL_COSINE = (
+    "list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])))"
+)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@register(
+    "ann_cosine_topk",
+    doc="Brute-force cosine top-10 for the first 5 vectors as queries; "
+    "exact-value oracle via DuckDB list_dot_product.",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE) AS cosine
+  FROM q, embeddings v
+  WHERE q.vec_id <> v.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+ORDER BY query_id, rnk
+""",
+    tags=("similarity", "bench"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = F.broadcast(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    scored = (
+        emb.join(queries, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_expr(F.col("q_emb"), F.col("embedding")).cast("decimal(18,9)"),
+                6,
+            )
+            .cast("double")
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    doc="LSH-bucketed ANN: 16 md5-derived hyperplanes, 4 bands; exact "
+    "re-rank within candidates (rows-only check; recall vs brute force "
+    "is pytest-asserted).",
+    tags=("similarity",),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = _hyperplanes(spark, n_planes=16, dim=dim)
+
+    def bucket_bits(df: DataFrame) -> DataFrame:
+        with_planes = df.crossJoin(F.broadcast(planes))
+        signs = with_planes.select(
+            *df.columns,
+            "plane_id",
+            (_dot(F.col("embedding"), F.col("plane")) > 0).cast("int").alias("bit"),
+        )
+        # 4 bands of 4 bits -> band bucket keys
+        return (
+            signs.withColumn("band_id", (F.col("plane_id") / 4).cast("int"))
+            .groupBy(*df.columns, "band_id")
+            .agg(
+                F.sum(
+                    F.col("bit")
+                    * F.pow(F.lit(2.0), F.col("plane_id") % 4).cast("long")
+                ).alias("band_key")
+            )
+        )
+
+    vecs_b = bucket_bits(emb)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    queries_b = bucket_bits(
+        queries.select(F.col("query_id").alias("vec_id"), F.col("q_emb").alias("embedding"))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("band_id").alias("q_band"),
+        F.col("band_key").alias("q_key"),
+    )
+    cand = (
+        vecs_b.join(
+            queries_b,
+            (F.col("band_id") == F.col("q_band"))
+            & (F.col("band_key") == F.col("q_key"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", "vec_id", "embedding")
+        .distinct()
+    )
+    q_emb = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    scored = cand.join(q_emb, "query_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _hyperplanes(spark: SparkSession, n_planes: int, dim: int) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible
+    across drivers/executors with no RNG state."""
+    import hashlib
+
+    rows = []
+    for p in range(n_planes):
+        vec = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}|{d}".encode()).digest()
+            vec.append((int.from_bytes(h[:4], "big") % 2001 - 1000) / 1000.0)
+        rows.append((p, vec))
+    return spark.createDataFrame(rows, "plane_id int, plane array<double>")
+
+
+@register(
+    "embedding_cosine_dedup",
+    doc="Embedding near-dup pairs: cosine >= 0.99 over the embeddings "
+    "table (exact oracle; LSH candidate path is ann_lsh_topk).",
+    oracle=f"""
+SELECT q.vec_id AS vec_a, v.vec_id AS vec_b,
+  CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE) AS cosine
+FROM embeddings q, embeddings v
+WHERE q.vec_id < v.vec_id
+  AND CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE) >= 0.99
+ORDER BY vec_a, vec_b
+""",
+    tags=("similarity",),
+)
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = F.round(
+        cosine_expr(F.col("ea"), F.col("eb")).cast("decimal(18,9)"), 6
+    ).cast("double")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.99)
+        .orderBy("vec_a", "vec_b")
+    )

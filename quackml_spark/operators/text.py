@@ -1,0 +1,251 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID
+(stopword-lexicon heuristic), quality scoring (length/punctuation/
+stopword ratios), token counting, and document fingerprinting (k-gram
+min-hash). Every operator is pure Spark SQL expressions — no UDFs, fully
+pushdown/codegen-friendly — and every one is oracle-checked against
+DuckDB with bit-identical results (md5-based hashing, single-row double
+arithmetic, exact decimal aggregation only).
+
+Scale: all four are embarrassingly parallel scans (token explosion is
+per-row, re-aggregated by doc_id with map-side combine). No driver
+collects; at 100 TB these are single-stage jobs plus one small shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackml_spark.plans import register
+from quackml_spark.sources import load_table
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+# tiny deterministic marker lexicons per language (heuristic langid)
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "fast", "slow"],
+    "de": ["der", "die", "das", "und", "nicht", "schnell"],
+    "fr": ["le", "la", "et", "les", "une", "vite"],
+    "es": ["el", "la", "y", "los", "una", "rápido"],
+}
+
+
+def tokens_expr(col: str):
+    return F.regexp_extract_all(F.lower(F.col(col)), F.lit(r"\S+"), 0)
+
+
+@register(
+    "text_token_stats",
+    doc="Token counting: whitespace tokens, distinct tokens, chars, mean "
+    "token length (exact decimal).",
+    oracle=r"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  length(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+  length(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS n_distinct_tokens,
+  CAST(ROUND(CAST(length(replace(lower(text), ' ', '')) AS DECIMAL(18,6))
+       / greatest(length(regexp_extract_all(lower(text), '\S+')), 1), 6) AS DOUBLE)
+    AS mean_token_len
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("textops", "bench"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.length(F.replace(F.lower(F.col("text")), F.lit(" "), F.lit("")))
+            .cast("decimal(18,6)")
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    doc="Quality scoring: stopword ratio, type-token ratio, length-band "
+    "flag, composite score — the C4/Gopher-style signals as one scan.",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars,
+    length(toks) AS n_tokens,
+    length(list_filter(toks, x -> list_contains({STOPWORDS!r}, x))) AS n_stop,
+    length(list_distinct(toks)) AS n_distinct
+  FROM t
+)
+SELECT doc_id,
+  CAST(ROUND(CAST(n_stop AS DECIMAL(18,6)) / greatest(n_tokens, 1), 6) AS DOUBLE) AS stopword_ratio,
+  CAST(ROUND(CAST(n_distinct AS DECIMAL(18,6)) / greatest(n_tokens, 1), 6) AS DOUBLE) AS type_token_ratio,
+  (n_chars BETWEEN 50 AND 10000) AS length_ok,
+  CAST(ROUND(
+      CAST(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1 ELSE 0 END AS DECIMAL(18,6)) * 0.4
+    + CAST(n_stop AS DECIMAL(18,6)) / greatest(n_tokens, 1) * 0.3
+    + CAST(n_distinct AS DECIMAL(18,6)) / greatest(n_tokens, 1) * 0.3, 6) AS DOUBLE) AS quality_score
+FROM m
+ORDER BY doc_id
+""",
+    tags=("textops",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    n_tok = F.greatest(F.col("n_tokens"), F.lit(1))
+    stop_ratio = F.col("n_stop").cast("decimal(18,6)") / n_tok
+    ttr = F.col("n_distinct").cast("decimal(18,6)") / n_tok
+    length_ok = F.col("n_chars").between(50, 10000)
+    return m.select(
+        "doc_id",
+        F.round(stop_ratio, 6).cast("double").alias("stopword_ratio"),
+        F.round(ttr, 6).cast("double").alias("type_token_ratio"),
+        length_ok.alias("length_ok"),
+        F.round(
+            F.when(length_ok, 1).otherwise(0).cast("decimal(18,6)") * 0.4
+            + stop_ratio * 0.3
+            + ttr * 0.3,
+            6,
+        )
+        .cast("double")
+        .alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_langid",
+    doc="Heuristic language ID: marker-lexicon hit counts per language, "
+    "argmax with deterministic tiebreak.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) AS tok
+  FROM documents
+), lex AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"('{lang}', '{w}')" for lang, ws in sorted(LANG_MARKERS.items()) for w in ws)}
+  ) AS t(lang, word)
+), hits AS (
+  SELECT t.doc_id, l.lang, COUNT(*) AS n
+  FROM toks t JOIN lex l ON t.tok = l.word
+  GROUP BY t.doc_id, l.lang
+), ranked AS (
+  SELECT doc_id, lang, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       COALESCE(r.lang, 'unknown') AS predicted_lang,
+       COALESCE(r.n, 0) AS marker_hits
+FROM documents d
+LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+ORDER BY d.doc_id
+""",
+    tags=("textops",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # letters-only tokens (both engines use the same regex class)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-zà-ÿ]+"), 0)
+        ).alias("tok"),
+    )
+    lex_rows = [
+        (lang, w) for lang, ws in sorted(LANG_MARKERS.items()) for w in ws
+    ]
+    lex = F.broadcast(
+        docs.sparkSession.createDataFrame(lex_rows, "lang string, word string")
+    )
+    hits = (
+        toks.join(lex, toks.tok == lex.word)
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("lang"))
+    ranked = hits.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        docs.select("doc_id")
+        .join(ranked, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang", F.lit("unknown")).alias("predicted_lang"),
+            F.coalesce("n", F.lit(0)).alias("marker_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint",
+    doc="Document fingerprinting: min-hash over word 3-gram shingles "
+    "(rolling-window k-grams), md5-based — the winnowing primitive.",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents
+), shingles AS (
+  SELECT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM toks, unnest(range(1, greatest(length(toks) - 1, 2))) AS t(i)
+)
+SELECT doc_id,
+       MIN(md5(shingle)) AS fingerprint,
+       COUNT(DISTINCT shingle) AS n_shingles
+FROM shingles
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("textops", "bench"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    # word 3-gram shingles via a rolling window over the token array
+    shingled = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0))
+                ),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("toks")[i],
+                    F.col("toks")[i + 1],
+                    F.col("toks")[i + 2],
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return (
+        shingled.groupBy("doc_id")
+        .agg(
+            F.min(F.md5("shingle")).alias("fingerprint"),
+            F.count_distinct("shingle").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )

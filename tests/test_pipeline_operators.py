@@ -1,0 +1,104 @@
+"""Semantic tests for the data-pipeline operators: do they actually find
+duplicates / neighbors (beyond the oracle-parity value checks)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackml_spark.operators.dedup import shingles_df
+from quackml_spark.operators.similarity import cosine_expr
+from quackml_spark.plans import REGISTRY, _load_all
+
+_load_all()
+
+
+@pytest.fixture()
+def docs_with_dups(spark, tmp_path):
+    """documents parquet dir with planted exact + near duplicates."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "sf"
+    dst.mkdir()
+    shutil.copy(f"{src}/embeddings.parquet", dst / "embeddings.parquet")
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    base = docs.limit(3).collect()
+    extra = []
+    for i, r in enumerate(base):
+        extra.append((1000 + i, r["text"], r["lang"], r["source"], r["n_chars"]))  # exact dup
+        near = r["text"].rsplit(" ", 2)[0] + " zzz yyy"  # near dup
+        extra.append((2000 + i, near, r["lang"], r["source"], len(near)))
+    extra_df = spark.createDataFrame(
+        extra, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.unionByName(extra_df).write.mode("overwrite").parquet(
+        str(dst / "documents.parquet")
+    )
+    return str(dst)
+
+
+def test_dedup_exact_finds_planted(spark, docs_with_dups):
+    out = REGISTRY["dedup_exact"].builder(spark, docs_with_dups)
+    dups = out.where(F.col("n_copies") > 1).collect()
+    assert len(dups) == 3
+    assert all(r["keeper_doc_id"] < 1000 for r in dups)
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs_with_dups):
+    out = REGISTRY["dedup_ngram_jaccard"].builder(spark, docs_with_dups)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    # exact dups have jaccard 1.0; near dups high jaccard
+    for i in range(3):
+        exact_pair = [p for p in pairs if 1000 + i in p]
+        assert exact_pair, f"exact dup {1000+i} not found"
+        assert any(abs(pairs[p] - 1.0) < 1e-9 for p in exact_pair)
+        near_pair = [p for p in pairs if 2000 + i in p]
+        assert near_pair, f"near dup {2000+i} not found"
+
+
+def test_minhash_lsh_candidates_cover_exact_dups(spark, docs_with_dups):
+    out = REGISTRY["dedup_minhash_lsh"].builder(spark, docs_with_dups)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    for i in range(3):
+        assert any(1000 + i in p for p in pairs)  # exact dup always collides
+
+
+def test_simhash_close_for_near_dups(spark, docs_with_dups):
+    out = REGISTRY["dedup_simhash"].builder(spark, docs_with_dups)
+    h = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    for i in range(3):
+        orig_id = sorted(k for k in h if k < 1000)[i]
+        assert h[orig_id] == h[1000 + i]  # exact dup -> same simhash
+        hd = bin(h[orig_id] ^ h[2000 + i]).count("1")
+        assert hd <= 10, f"near dup hamming {hd}"
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    brute = REGISTRY["ann_cosine_topk"].builder(spark, sf_dir)
+    lsh = REGISTRY["ann_lsh_topk"].builder(spark, sf_dir)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.where(F.col("rnk") <= 5).collect()}
+    l = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    recall = len(b & l) / len(b)
+    assert recall >= 0.2, f"LSH recall {recall} suspiciously low"
+
+
+def test_multimodal_decode_stub_raises(spark, sf_dir):
+    from quackml_spark.operators.multimodal import decode_image, media_table
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(media_table(spark, sf_dir))
+
+
+def test_shingles_shape(spark, sf_dir):
+    s = shingles_df(spark, sf_dir)
+    row = s.first()
+    assert len(row["shingle"].split(" ")) == 3
+
+
+def test_cosine_expr_self_similarity(spark, sf_dir):
+    from quackml_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(5)
+    out = emb.select(cosine_expr(F.col("embedding"), F.col("embedding")).alias("c"))
+    assert all(abs(r["c"] - 1.0) < 1e-9 for r in out.collect())
