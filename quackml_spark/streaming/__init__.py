@@ -1,0 +1,15 @@
+from quackml_spark.streaming.events import (
+    read_event_stream,
+    run_to_completion,
+    sessionize,
+    streaming_hourly_aggregate,
+    streaming_transform,
+)
+
+__all__ = [
+    "read_event_stream",
+    "streaming_hourly_aggregate",
+    "streaming_transform",
+    "sessionize",
+    "run_to_completion",
+]

@@ -1,0 +1,111 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY.md §2.13) — this is the
+beyond-reference extension the north star asks for: the same engine
+operators (windowed aggregation, LLM transform, model predict) applied
+to an unbounded stream with watermark-managed late data.
+
+Design:
+  * ``read_event_stream`` treats the events parquet as a file-source
+    stream (the local twin of a Kafka/Kinesis source at cluster scale);
+    nanosecond timestamps are read as longs and converted, like the
+    batch reader.
+  * ``streaming_hourly_aggregate`` is the streaming twin of
+    q07_events_hourly — with trigger(availableNow) its complete-mode
+    output EQUALS the batch result, which is how the driver's oracle
+    checks it (same DuckDB SQL as q07).
+  * ``sessionize`` uses session_window (native stateful operator) —
+    no custom state management needed for gap-based sessions.
+  * watermarks bound state: 2h on a 1h window at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_hourly_aggregate(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate with a late-data watermark —
+    the streaming twin of q07_events_hourly (identical output columns)."""
+    from quackml_spark.plans._exact import dec, out_double
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            out_double(F.sum(dec("value"))).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-based) — native stateful streaming
+    operator; state is bounded by the watermark."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_transform(events: DataFrame, task: str, input_col: str) -> DataFrame:
+    """LLM transform over a stream — the pandas UDF applies per
+    micro-batch; per-worker pipeline caches persist across batches."""
+    from quackml_spark.functions import make_transform_udf
+
+    return events.withColumn(
+        "transform_result", make_transform_udf(task)(F.col(input_col))
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain all available input (trigger availableNow) into a memory
+    sink and return the result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,68 @@
+"""Streaming queries for the driver gate.
+
+streaming_events_hourly drains the event stream with
+trigger(availableNow) in complete mode — its output equals the batch
+aggregate, so it shares q07's oracle SQL shape (count-distinct is
+replaced by approx_count_distinct in the stream, so the oracle checks
+the exact columns only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackml_spark.plans import register
+from quackml_spark.plans._exact import sql_out
+from quackml_spark.streaming.events import (
+    read_event_stream,
+    run_to_completion,
+    sessionize,
+    streaming_hourly_aggregate,
+)
+
+
+@register(
+    "streaming_events_hourly",
+    doc="Structured Streaming tumbling-window aggregate drained with "
+    "availableNow; output equals the batch twin (q07), oracle-checked.",
+    oracle=f"""
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_out("SUM(CAST(value AS DECIMAL(18,6)))")} AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("streaming",),
+)
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir)
+    agg = streaming_hourly_aggregate(stream)
+    out = run_to_completion(agg, f"qml_stream_hourly_{abs(hash(sf_dir)) % 99999}")
+    return out.select("hour", "event_type", "n_events", "sum_value").orderBy(
+        "hour", "event_type"
+    )
+
+
+@register(
+    "streaming_sessionize",
+    doc="Gap-based per-user session windows (session_window stateful "
+    "operator) drained with availableNow.",
+    tags=("streaming",),
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir)
+    sessions = sessionize(stream, gap="10 minutes")
+    out = run_to_completion(
+        sessions, f"qml_stream_sessions_{abs(hash(sf_dir)) % 99999}"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
