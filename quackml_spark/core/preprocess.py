@@ -213,9 +213,12 @@ def numeric_stats_exprs(col: str) -> list[F.Column]:
         F.variance(c).alias(f"{col}__variance"),
         F.stddev(c).alias(f"{col}__std_dev"),
         F.sum(F.when(c.isNull() | F.isnan(c), 1).otherwise(0)).alias(f"{col}__missing"),
-        F.count_distinct(c).alias(f"{col}__distinct"),
-        F.percentile(
-            c, F.array(*[F.lit((i + 1) / 20.0) for i in range(19)])
+        # approx variants: exact count_distinct/percentile need a full
+        # shuffle / per-group value materialization — unusable at 100 TB.
+        # HLL + QuantileSummaries keep this a single map-side-combined pass.
+        F.approx_count_distinct(c).alias(f"{col}__distinct"),
+        F.percentile_approx(
+            c, F.array(*[F.lit((i + 1) / 20.0) for i in range(19)]), 10000
         ).alias(f"{col}__ventiles"),
     ]
 

@@ -15,11 +15,15 @@ Parity with /root/reference/src/orm/snapshot.rs:
     JSON parameters, so serve-time preprocessing replays train-time
     preprocessing exactly (predict_row parity, api.rs:1017-1058).
 
-Scale notes: the sampled ordering uses a global row_number to reproduce
-the reference's exact head/tail cut semantics; this is a full sort, the
-same work the reference's ORDER BY RANDOM() does. For cluster-scale
-training sets where exact-count cuts don't matter, ``sampling='hash'``
-assigns splits via a seeded hash — shuffle-free and deterministic.
+Scale notes: the sampled ordering reproduces the reference's exact
+head/tail cut semantics WITHOUT a single-partition global sort. We
+range-partition on the sampling key, sort within partitions, and
+reconstruct the exact global rank as partition-offset + local position
+(decomposed from monotonically_increasing_id); offsets come from one
+tiny per-partition count aggregate. Every stage is distributed — the
+same pattern holds on a 1000-executor cluster, where a
+``Window.orderBy`` global row_number would funnel all rows through one
+task.
 """
 
 from __future__ import annotations
@@ -63,22 +67,56 @@ def _column_specs(df: DataFrame, y_columns: list[str]) -> list[ColumnSpec]:
     return specs
 
 
-def _ordered(df: DataFrame, sampling: Sampling, y_columns: list[str], seed: int) -> DataFrame:
-    """Attach the reference's sampled ordering as a global rank column."""
+_KEY = "__qml_key"
+_MID = "__qml_mid"
+_MID_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid<<33 | row-in-partition
+
+
+def _ordered(df: DataFrame, sampling: Sampling, y_columns: list[str], seed: int) -> tuple[DataFrame, int]:
+    """Attach the reference's sampled ordering as an exact global rank.
+
+    Two-phase distributed ranking: range-partition on the sampling key,
+    sort within partitions, then global rank = partition offset + local
+    position (decomposed from monotonically_increasing_id). Returns the
+    ranked, CACHED DataFrame and the total row count (free from the
+    offset aggregate). No single-partition window anywhere.
+    """
     if sampling == Sampling.random:
         # ORDER BY RANDOM() (sampling.rs:48-50), seeded for determinism.
-        key = [F.rand(seed)]
+        df = df.withColumn(_KEY, F.rand(seed))
     elif sampling == Sampling.last:
-        # plain SELECT * — natural order (sampling.rs:51-53).
-        df = df.withColumn("__qml_nat", F.monotonically_increasing_id())
-        key = [F.col("__qml_nat")]
+        # plain SELECT * — natural order (sampling.rs:51-53); the natural
+        # order IS monotonically_increasing_id order, so no shuffle at all.
+        df = df.withColumn(_KEY, F.monotonically_increasing_id())
     else:
-        # stratified round-robin (sampling.rs:54-68).
+        # stratified round-robin (sampling.rs:54-68): rn is the per-class
+        # round index; rand(seed+1) in [0,1) tie-breaks between classes,
+        # so rn + rand sorts exactly like ORDER BY (rn, RANDOM()).
         w = Window.partitionBy(*[F.col(c) for c in y_columns]).orderBy(F.rand(seed))
         df = df.withColumn("__qml_rn", F.row_number().over(w))
-        key = [F.col("__qml_rn"), F.rand(seed + 1)]
-    df = df.withColumn(ORDER_COL, F.row_number().over(Window.orderBy(*key)))
-    return df.drop("__qml_nat", "__qml_rn")
+        df = df.withColumn(_KEY, F.col("__qml_rn") + F.rand(seed + 1)).drop("__qml_rn")
+    if sampling != Sampling.last:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        df = df.repartitionByRange(n_part, F.col(_KEY)).sortWithinPartitions(_KEY)
+    df = df.withColumn(_MID, F.monotonically_increasing_id()).cache()
+
+    # one tiny aggregate: rows per physical partition → cumulative offsets
+    pid = F.shiftright(_MID, 33)
+    counts = sorted(
+        (r["p"], r["n"])
+        for r in df.groupBy(pid.alias("p")).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for p, n in counts:
+        offsets[p] = acc
+        acc += n
+    off_expr = F.create_map(
+        *[F.lit(x) for p_off in offsets.items() for x in p_off]
+    )[pid] if offsets else F.lit(0)
+    df = df.withColumn(
+        ORDER_COL, off_expr + F.col(_MID).bitwiseAND(F.lit(_MID_MASK)) + 1
+    ).drop(_KEY, _MID)
+    return df, acc
 
 
 @dataclass
@@ -132,16 +170,13 @@ class Snapshot:
                     f"first, e.g. WHERE {y} IS NOT NULL"
                 )
 
-        ordered = _ordered(df, sampling, y_columns, seed)
-        num_rows = ordered.count()
+        ordered, num_rows = _ordered(df, sampling, y_columns, seed)
         num_test = int(test_size) if test_size > 1.0 else round(num_rows * test_size)
         num_train = num_rows - num_test
         if num_train <= 0:
             raise ValueError(
                 f"test_size {test_size} leaves no training rows (n={num_rows})"
             )
-        # Cache: the split feeds many stat/fit jobs below.
-        ordered = ordered.cache()
         train = ordered.where(F.col(ORDER_COL) <= num_train)
         test = ordered.where(F.col(ORDER_COL) > num_train)
 
@@ -262,6 +297,7 @@ class Snapshot:
             num_train_rows=num_train,
             num_test_rows=num_test,
         )
+        snap._cached = ordered  # unpersist() releases the split cache
         if materialize:
             path = catalog.snapshot_dir(snap_id)
             train.write.mode("overwrite").parquet(path + "/train")
@@ -270,6 +306,13 @@ class Snapshot:
             train = spark.read.parquet(path + "/train")
             test = spark.read.parquet(path + "/test")
         return snap, train, test
+
+    def unpersist(self) -> None:
+        """Release the cached split (call when training is done)."""
+        cached = getattr(self, "_cached", None)
+        if cached is not None:
+            cached.unpersist()
+            self._cached = None
 
     # ------------------------------------------------------------------
     @classmethod

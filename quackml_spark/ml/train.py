@@ -264,6 +264,7 @@ def train(
     finally:
         train_vec.unpersist()
         test_vec.unpersist()
+        snap.unpersist()
 
     # --- deploy decision (api.rs:626-679) ---
     deployed = False
