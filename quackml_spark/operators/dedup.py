@@ -186,6 +186,13 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "bench"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One pass, no self-join: group docs into (band_id, band_key) buckets
+    # and generate pairs INSIDE each bucket. A bands⋈bands self-join would
+    # run the shingle→minhash pipeline twice (no exchange reuse across a
+    # broadcast boundary); here it runs once with a single shuffle on the
+    # bucket key. Hot buckets (near-identical doc clusters) are the skew
+    # point — their pair fan-out is inherent to LSH; cap bucket size in
+    # production if clusters can be huge.
     s = shingles_df(spark, sf_dir)
     sigs = s.groupBy("doc_id").agg(*_minhash_aggs())
     band_structs = F.array(
@@ -202,16 +209,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(band_structs).alias("band")
     ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_bands"))
         .orderBy("doc_a", "doc_b")
     )

@@ -73,7 +73,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     # Imported for registration side effects.
-    from quackml_spark.plans import relational  # noqa: F401
+    from quackml_spark.plans import relational, relational_ext  # noqa: F401
 
     for mod in (
         "quackml_spark.operators.dedup",

@@ -1,0 +1,287 @@
+"""Extended relational surface: anti-join, as-of join, pivot, JSON
+extraction, batch sessionization, and an embed-UDF parity check.
+
+These widen the oracle-checked operator inventory beyond the §2.6 core:
+
+  * as-of join — the classic time-series operator Spark lacks natively;
+    implemented as the scalable union+window pattern (one shuffle on the
+    join key, linear scan — no range-explosion), DuckDB oracle uses its
+    native ASOF JOIN.
+  * batch sessionization — the batch twin of streaming.sessionize, so
+    the stateful streaming operator has an oracle-checked reference
+    semantics.
+  * llm_embed_parity — re-derives the deterministic hash-embedding in
+    pure SQL and cross-checks the pandas-UDF output, turning the embed
+    path from a rows-only check into a value-checked one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quackml_spark.plans import register
+from quackml_spark.plans._exact import dec, out_double, sql_out
+from quackml_spark.sources import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q14 — anti join (NOT EXISTS).
+# ---------------------------------------------------------------------------
+@register(
+    "q14_customers_without_orders",
+    doc="Anti join (NOT EXISTS) + grouped count — Spark LEFT ANTI join.",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("relational",),
+)
+def q14_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: left-anti shuffles both sides on the key; the orders side is
+    # pruned to the single join column before the exchange.
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — as-of join: latest order at-or-before each event.
+# ---------------------------------------------------------------------------
+@register(
+    "q15_asof_latest_order",
+    doc="As-of join (events -> most recent order per user at ts): "
+    "union+window pattern — one shuffle on the key, linear scan, no "
+    "range-join explosion. DuckDB oracle uses native ASOF LEFT JOIN.",
+    oracle="""
+SELECT e.event_id, o.o_orderdate AS asof_orderdate
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+""",
+    tags=("relational", "bench"),
+)
+def q15_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tag orders 0 / events 1 so an order at exactly ts sorts first
+    # (as-of is >=); last_value(ignorenulls) then carries the most
+    # recent order date onto each event row.
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("at"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("ord_date"),
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("at"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderdate").alias("ord_date"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("at", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.unionByName(orders)
+        .withColumn("asof_orderdate", F.last("ord_date", ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+        .select("event_id", "asof_orderdate")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — pivot via conditional aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_pivot_status_revenue",
+    doc="Pivot (orderstatus -> columns) as conditional DECIMAL aggregates; "
+    "explicit CASE aggregates keep column names engine-independent.",
+    oracle=f"""
+SELECT o_orderpriority,
+  {sql_out("SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END)")} AS total_f,
+  {sql_out("SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END)")} AS total_o,
+  {sql_out("SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE 0 END)")} AS total_p,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("relational",),
+)
+def q16_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+
+    def piv(status: str):
+        return out_double(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == status, dec("o_totalprice")
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            )
+        )
+
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            piv("F").alias("total_f"),
+            piv("O").alias("total_o"),
+            piv("P").alias("total_p"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — JSON extraction (reference force-loads DuckDB's json extension).
+# ---------------------------------------------------------------------------
+@register(
+    "q17_events_json_extract",
+    doc="JSON path extraction + integer aggregate over events.props "
+    "(reference JSON reliance: lib.rs:38-39, task.rs:116-126).",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("relational",),
+)
+def q17_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — batch sessionization (gap-based), twin of streaming.sessionize.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_sessionize_batch",
+    doc="Gap-based sessionization (30-min gap) via lag + running sum — the "
+    "oracle-checked batch semantics for streaming.sessionize.",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       DATE_DIFF('second', MIN(ts), MAX(ts)) AS duration_s
+FROM sess
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+""",
+    tags=("relational",),
+)
+def q18_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: both windows and the final aggregate share one hash
+    # partitioning on user_id — a single shuffle end to end.
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm_embed_parity — value-checks the hash-embedding UDF against SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_embed_parity",
+    doc="Cross-checks the deterministic hash-embedding pandas UDF "
+    "(functions/embed.py) against a pure-SQL re-derivation: per-doc "
+    "non-zero dimension count and argmax bucket are exact integers, "
+    "robust to float32-vs-double normalization.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+  FROM documents
+), vals AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+         CASE WHEN (('0x' || substr(md5(tok), 9, 2))::INT & 1) = 1
+              THEN 1 ELSE -1 END AS sign
+  FROM toks
+), bux AS (
+  SELECT doc_id, bucket, SUM(sign) AS c FROM vals GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE c <> 0) AS nnz,
+         MAX(ABS(c)) AS mx
+  FROM bux GROUP BY 1
+)
+SELECT a.doc_id, a.nnz,
+       CASE WHEN a.mx = 0 THEN -1
+            ELSE (SELECT MIN(b.bucket) FROM bux b
+                  WHERE b.doc_id = a.doc_id AND ABS(b.c) = a.mx)
+       END AS top_bucket
+FROM agg a
+ORDER BY a.doc_id
+""",
+    tags=("llm",),
+)
+def llm_embed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.functions import embed
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = embed(docs, "hash", "text", {"dimensions": 64})
+    absv = F.transform("embedding", lambda x: F.abs(x))
+    amax = F.array_max(absv)
+    return emb.select(
+        "doc_id",
+        F.size(F.filter("embedding", lambda x: x != 0)).cast("bigint").alias("nnz"),
+        F.when(amax == 0, F.lit(-1))
+        .otherwise(F.array_position(absv, amax) - 1)
+        .cast("bigint")
+        .alias("top_bucket"),
+    ).orderBy("doc_id")
