@@ -199,3 +199,68 @@ def ml_deploy_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r["id"]), r["strategy"]) for _, r in deps.iterrows()],
         "deployment_id long, strategy string",
     )
+
+
+@register(
+    "ml_search_grid",
+    doc="grid search + 3-fold CV over regParam (model.rs:454-506, "
+    ":747-763); returns per-combination mean CV scores from the "
+    "sklearn-style search_results payload (model.rs:768-872).",
+    tags=("ml",),
+)
+def ml_search_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import train
+
+    df = _lineitem_training_df(spark, sf_dir).drop("l_returnflag").limit(4000)
+    res = train(
+        spark,
+        "bench search",
+        task="regression",
+        df=df,
+        y_column_name="l_extendedprice",
+        catalog=_fresh_catalog(),
+        test_sampling="random",
+        search="grid",
+        search_params={"regParam": [0.0, 0.1]},
+        search_args={"cv": 3},
+    )
+    sr = res.metrics["search_results"]
+    rows = [
+        (i, json_dumps(p), float(s))
+        for i, (p, s) in enumerate(zip(sr["params"], sr["mean_test_score"]))
+    ]
+    return spark.createDataFrame(
+        rows, "combo_id long, params string, mean_test_score double"
+    )
+
+
+@register(
+    "ml_predict_proba",
+    doc="predict_proba(): full per-class probability vector — consciously "
+    "fixes the reference's truncation to class 0 (api.rs:894-898).",
+    tags=("ml",),
+)
+def ml_predict_proba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import predict_proba, train
+
+    catalog = _fresh_catalog()
+    df = _lineitem_training_df(spark, sf_dir).limit(4000)
+    train(
+        spark,
+        "proba clf",
+        task="classification",
+        df=df,
+        y_column_name="l_returnflag",
+        catalog=catalog,
+    )
+    out = predict_proba(df.limit(100), "proba clf", catalog=catalog)
+    return out.select(
+        F.size("probability_arr").alias("n_classes"),
+        (F.abs(F.aggregate("probability_arr", F.lit(0.0), lambda a, x: a + x) - 1.0) < 1e-6).alias("sums_to_one"),
+    ).groupBy("n_classes", "sums_to_one").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def json_dumps(obj) -> str:
+    import json
+
+    return json.dumps(obj, sort_keys=True)
