@@ -23,6 +23,32 @@ def test_streaming_equals_batch(spark, sf_dir):
     assert s == b
 
 
+def test_sessionize_equals_batch_oracle(spark, sf_dir):
+    """The stateful streaming sessionizer must match q18_sessionize_batch
+    (which is itself DuckDB-oracle-checked) — so the streaming operator's
+    semantics are transitively oracle-verified."""
+    from quackml_spark.streaming.events import (
+        read_event_stream,
+        run_to_completion,
+        sessionize,
+    )
+
+    q18 = REGISTRY["q18_sessionize_batch"].builder(spark, sf_dir)
+    batch = q18.groupBy("user_id").agg(
+        F.max("session_no").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+    s_out = run_to_completion(
+        sessionize(read_event_stream(spark, sf_dir), gap="30 minutes"),
+        "qml_test_sess_eq",
+    )
+    stream = s_out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+    assert {tuple(r) for r in batch.collect()} == {tuple(r) for r in stream.collect()}
+
+
 def test_sessionize_counts(spark, sf_dir):
     out = REGISTRY["streaming_sessionize"].builder(spark, sf_dir)
     rows = out.collect()
