@@ -233,3 +233,31 @@ class Catalog:
                 ]
             ]
         )
+
+    # ------------------------------------------------------------------
+    # catalog dump/load (api.rs:2319-2392 parity: COPY quackml.* to CSV)
+    # ------------------------------------------------------------------
+    def dump(self, path: str) -> list[str]:
+        """Write every catalog table as CSV under ``path``; returns the
+        files written."""
+        os.makedirs(path, exist_ok=True)
+        written = []
+        for table in _TABLES:
+            out = os.path.join(path, f"{table}.csv")
+            self.read(table).to_csv(out, index=False)
+            written.append(out)
+        return written
+
+    @classmethod
+    def load_dump(cls, path: str, warehouse: str | None = None) -> "Catalog":
+        """Rebuild a catalog from a ``dump()`` directory."""
+        cat = cls(warehouse=warehouse)
+        for table, cols in _TABLES.items():
+            src = os.path.join(path, f"{table}.csv")
+            if os.path.exists(src):
+                df = pd.read_csv(src)
+                for c in cols:
+                    if c not in df.columns:
+                        df[c] = None
+                cat._write(table, df[cols])
+        return cat

@@ -48,3 +48,23 @@ def test_task_metric_directions():
     assert Task.regression.default_target_metric == "r2"
     assert Task.text_generation.value_is_better_when_higher is False
     assert Task.classification.value_is_better_when_higher is True
+
+
+def test_dump_load_roundtrip(catalog, tmp_path):
+    pid = catalog.insert("projects", {"name": "dumpme", "task": "regression"})
+    catalog.insert("models", {"project_id": pid, "snapshot_id": 1,
+                              "algorithm": "linear", "status": "successful"})
+    d = str(tmp_path / "dump")
+    files = catalog.dump(d)
+    assert len(files) == 6
+    back = type(catalog).load_dump(d, warehouse=str(tmp_path / "wh2"))
+    assert back.get("projects", pid)["name"] == "dumpme"
+    assert len(back.read("models")) == len(catalog.read("models"))
+
+
+def test_validate_dependencies(spark):
+    from quackml_spark.env import validate_dependencies
+
+    r = validate_dependencies(spark)
+    assert r["driver"]["numpy"] is not None
+    assert r["mismatch"] == []
