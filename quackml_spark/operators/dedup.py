@@ -147,13 +147,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K = 16  # minhash functions
 _BANDS = 4  # bands of 4 rows each
 _R = _K // _BANDS
+_P = 2147483647  # Mersenne prime 2^31-1; universal-hash modulus
+
+# One md5 per shingle, 16 derived hashes: g_i = (a + i*b) mod p with
+# (a, b) the two 60-bit halves of the digest reduced mod p. 16x less
+# hashing CPU than md5("i|"||shingle) per function, identical in both
+# engines (exact bigint arithmetic, no overflow: a,b < 2^31, i <= 15).
 
 
 def _minhash_aggs():
     return [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min((F.col("a") + F.lit(i) * F.col("b")) % F.lit(_P)).alias(f"mh{i}")
         for i in range(_K)
     ]
+
+
+def _hashed_shingles(s: DataFrame) -> DataFrame:
+    h = s.select("doc_id", F.md5("shingle").alias("h"))
+    return h.select(
+        "doc_id",
+        (F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint") % _P).alias("a"),
+        (F.conv(F.substring("h", 17, 15), 16, 10).cast("bigint") % _P).alias("b"),
+    )
 
 
 @register(
@@ -162,15 +177,21 @@ def _minhash_aggs():
     "shingle->minhash->band->bucket-join (SURVEY.md §7 step 10).",
     oracle=f"""
 WITH shingles AS ({_SQL_SHINGLES}),
+hashed AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_P} AS a,
+    ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {_P} AS b
+  FROM shingles
+),
 sigs AS (
   SELECT doc_id,
-    {", ".join(f"MIN(md5('{i}|' || shingle)) AS mh{i}" for i in range(_K))}
-  FROM shingles GROUP BY doc_id
+    {", ".join(f"MIN((a + {i} * b) % {_P}) AS mh{i}" for i in range(_K))}
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
   {" UNION ALL ".join(
       f"SELECT doc_id, {b} AS band_id, md5("
-      + " || ".join(f"mh{b * _R + r}" for r in range(_R))
+      + " || ".join(f"mh{b * _R + r}::VARCHAR" for r in range(_R))
       + ") AS band_key FROM sigs"
       for b in range(_BANDS)
   )}
@@ -193,14 +214,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket key. Hot buckets (near-identical doc clusters) are the skew
     # point — their pair fan-out is inherent to LSH; cap bucket size in
     # production if clusters can be huge.
-    s = shingles_df(spark, sf_dir)
+    s = _hashed_shingles(shingles_df(spark, sf_dir))
     sigs = s.groupBy("doc_id").agg(*_minhash_aggs())
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
                 F.md5(
-                    F.concat(*[F.col(f"mh{b * _R + r}") for r in range(_R)])
+                    F.concat(
+                        *[
+                            F.col(f"mh{b * _R + r}").cast("string")
+                            for r in range(_R)
+                        ]
+                    )
                 ).alias("band_key"),
             )
             for b in range(_BANDS)

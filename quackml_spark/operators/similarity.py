@@ -50,6 +50,18 @@ def cosine_expr(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def cosine_with_norms(a, b, norm_a, norm_b):
+    """Cosine with per-vector norms precomputed BEFORE the pair join —
+    O(pairs) work instead of O(pairs × 3) folds. sqrt(dot(x,x)) is the
+    same double-op sequence either way, so scores stay bit-identical to
+    cosine_expr (and to the DuckDB oracle)."""
+    return _dot(a, b) / (norm_a * norm_b)
+
+
+def _with_norm(df: DataFrame, emb_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, F.sqrt(_dot(F.col(emb_col), F.col(emb_col))))
+
+
 @register(
     "ann_cosine_topk",
     doc="Brute-force cosine top-10 for the first 5 vectors as queries; "
@@ -73,10 +85,16 @@ ORDER BY query_id, rnk
     tags=("similarity", "bench"),
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "embedding",
+        "v_norm",
+    )
     queries = F.broadcast(
         emb.where(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("v_norm").alias("q_norm"),
         )
     )
     scored = (
@@ -85,7 +103,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                cosine_expr(F.col("q_emb"), F.col("embedding")).cast("decimal(18,9)"),
+                cosine_with_norms(
+                    F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("v_norm")
+                ).cast("decimal(18,9)"),
                 6,
             )
             .cast("double")
@@ -196,11 +216,26 @@ ORDER BY vec_a, vec_b
     tags=("similarity",),
 )
 def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "embedding",
+        "nrm",
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     cos = F.round(
-        cosine_expr(F.col("ea"), F.col("eb")).cast("decimal(18,9)"), 6
+        cosine_with_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).cast(
+            "decimal(18,9)"
+        ),
+        6,
     ).cast("double")
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
