@@ -182,12 +182,13 @@ def resolve(task: Task, algorithm: Algorithm, hyperparams: dict | None, seed: in
                 PCA(k=k, inputCol="features_vec", outputCol="pca_features"), "mllib"
             )
 
-    # sklearn long-tail (import-gated; absent in this container)
-    if _have("sklearn"):
-        raise NotImplementedError(
-            f"sklearn fallback for {t.value}/{a.value} not yet wired; "
-            f"native algorithms: see quackml_spark/ml/algorithms.py"
-        )
+    # sklearn long-tail (import-gated; absent in this container) — the
+    # reference runs ALL of these single-node via PyO3, so a driver-side
+    # fit with distributed pandas-UDF serving is fidelity-equal.
+    from quackml_spark.ml.sklearn_backend import SklearnEstimator, available
+
+    if available(t, a):
+        return Resolved(SklearnEstimator(t, a, hp, seed), "sklearn")
     raise NotImplementedError(
         f"algorithm {a.value!r} for task {t.value!r} requires an optional "
         f"backend (sklearn/xgboost) that is not installed; available native "

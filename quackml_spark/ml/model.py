@@ -106,6 +106,7 @@ class TrainedModel:
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+        classes = None
         if self.is_joint:
             classes = []
             for i, sub in enumerate(self.spark_model):
@@ -113,11 +114,15 @@ class TrainedModel:
                 c = type(sub)
                 classes.append(f"{c.__module__}:{c.__name__}")
             model_class = None
+        elif self.backend == "sklearn":
+            # pickled estimator (the reference stores pickle bytes in
+            # quackml.files, sklearn.py:200-209 / model.rs:877-894)
+            self.spark_model.save_pickle(os.path.join(path, "sklearn.pkl"))
+            model_class = "sklearn"
         else:
             self.spark_model.write().overwrite().save(os.path.join(path, "mllib"))
             c = type(self.spark_model)
             model_class = f"{c.__module__}:{c.__name__}"
-            classes = None
         meta = {
             "task": self.task.value,
             "algorithm": self.algorithm,
@@ -145,6 +150,10 @@ class TrainedModel:
                 _load_one(spec, f"mllib_{i}")
                 for i, spec in enumerate(meta["joint_classes"])
             ]
+        elif meta.get("model_class") == "sklearn":
+            from quackml_spark.ml.sklearn_backend import SklearnModel
+
+            spark_model = SklearnModel.load_pickle(os.path.join(path, "sklearn.pkl"))
         else:
             spark_model = _load_one(meta["model_class"], "mllib")
         reserved = {

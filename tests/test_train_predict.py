@@ -167,3 +167,84 @@ def test_sql_udf_predict(spark, catalog):
         "SELECT quackml_predict('udfp', features) AS p FROM udfp_input LIMIT 5"
     ).collect()
     assert all(isinstance(r["p"], float) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# sklearn long-tail backend (import-gated; plumbing testable without sklearn)
+# ---------------------------------------------------------------------------
+
+
+def test_sklearn_map_covers_survey_long_tail():
+    from quackml_spark.catalog import Algorithm, Task
+    from quackml_spark.ml.sklearn_backend import SKLEARN_MAP
+
+    long_tail = [
+        Algorithm.least_angle, Algorithm.lasso_least_angle,
+        Algorithm.orthogonal_matching_pursuit, Algorithm.bayesian_ridge,
+        Algorithm.automatic_relevance_determination, Algorithm.passive_aggressive,
+        Algorithm.ransac, Algorithm.theil_sen, Algorithm.quantile,
+        Algorithm.kernel_ridge, Algorithm.gaussian_process, Algorithm.nu_svm,
+        Algorithm.ada_boost, Algorithm.bagging,
+    ]
+    for a in long_tail:
+        assert (Task.regression, a) in SKLEARN_MAP or (
+            Task.classification, a) in SKLEARN_MAP, a
+    for spec in SKLEARN_MAP.values():
+        module, name = spec.split(":")
+        assert module and name
+
+
+def test_unavailable_backend_raises_actionable(spark):
+    import pytest as _pytest
+
+    from quackml_spark.catalog import Algorithm, Task
+    from quackml_spark.ml.algorithms import resolve
+    from quackml_spark.ml.sklearn_backend import available
+
+    if available(Task.regression, Algorithm.theil_sen):
+        _pytest.skip("sklearn installed; backend resolves")
+    with _pytest.raises(NotImplementedError, match="optional backend"):
+        resolve(Task.regression, Algorithm.theil_sen, {}, 42)
+
+
+def test_sklearn_model_serving_plumbing(spark):
+    """The pandas-UDF serving path works with any predict()-shaped model
+    — validated with a stub so it runs without sklearn installed."""
+    import numpy as np
+
+    from quackml_spark.catalog import Task
+    from quackml_spark.ml.sklearn_backend import SklearnModel
+
+    class StubModel:
+        def predict(self, X):
+            return X.sum(axis=1)
+
+        def predict_proba(self, X):
+            n = len(X)
+            return np.tile([0.25, 0.75], (n, 1))
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0, 4.0],)], "features array<double>"
+    )
+    out = SklearnModel(Task.classification, StubModel()).transform(df).collect()
+    assert [r["prediction"] for r in out] == [3.0, 7.0]
+    assert out[0]["probability_arr"] == [0.25, 0.75]
+
+
+def test_sklearn_pickle_roundtrip(tmp_path):
+    from quackml_spark.catalog import Task
+    from quackml_spark.ml.sklearn_backend import SklearnModel
+
+    class StubModel:
+        coef_ = [1.0, 2.0]
+
+        def predict(self, X):
+            return X[:, 0]
+
+    p = str(tmp_path / "m.pkl")
+    SklearnModel(Task.regression, StubModel()).save_pickle(p)
+    # stub classes defined in a test can't unpickle in another module's
+    # namespace; here the module is the same, so the roundtrip is real
+    back = SklearnModel.load_pickle(p)
+    assert back.task == Task.regression
+    assert back.model.coef_ == [1.0, 2.0]
