@@ -4,6 +4,7 @@ from quackml_spark.functions.generate import generate
 from quackml_spark.functions.rank import rank
 from quackml_spark.functions.transform import (
     extract_text_from_json,
+    get_model_from,
     make_transform_udf,
     transform,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "transform",
     "make_transform_udf",
     "extract_text_from_json",
+    "get_model_from",
     "rank",
     "generate",
 ]

@@ -161,3 +161,35 @@ def transform(
 ) -> DataFrame:
     """Add a JSON-string result column from the task pipeline."""
     return df.withColumn(output_col, make_transform_udf(task, args)(F.col(input_col)))
+
+
+# defaults from transformers.pipelines when importable; static fallback
+# mirrors the reference's lookup (transformers/mod.rs:84-94,
+# transformers.py:436-444)
+_DEFAULT_MODELS = {
+    "text-classification": "distilbert-base-uncased-finetuned-sst-2-english",
+    "sentiment-analysis": "distilbert-base-uncased-finetuned-sst-2-english",
+    "question-answering": "distilbert-base-cased-distilled-squad",
+    "summarization": "sshleifer/distilbart-cnn-12-6",
+    "translation": "google-t5/t5-base",
+    "text-generation": "openai-community/gpt2",
+    "text2text-generation": "google-t5/t5-small",
+    "fill-mask": "distilbert/distilroberta-base",
+    "zero-shot-classification": "facebook/bart-large-mnli",
+    "ner": "dbmdz/bert-large-cased-finetuned-conll03-english",
+    "token-classification": "dbmdz/bert-large-cased-finetuned-conll03-english",
+}
+
+
+def get_model_from(task: str) -> str | None:
+    """Default model for an HF task (transformers.py:436-444 parity)."""
+    if _have_transformers():
+        try:
+            from transformers.pipelines import SUPPORTED_TASKS
+
+            t = SUPPORTED_TASKS.get(task)
+            if t:
+                return t["default"]["model"]["pt"][0]
+        except Exception:
+            pass
+    return _DEFAULT_MODELS.get(task)

@@ -285,3 +285,40 @@ def llm_embed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("top_bucket"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q19 — range-frame window (self-range-join expressed scalably).
+# ---------------------------------------------------------------------------
+@register(
+    "q19_events_lookback_window",
+    doc="Per event: count + value-sum of the same user's events in the "
+    "preceding 30 minutes. A self-range-join ('events within t-30m of "
+    "each other') expressed as a RANGE-frame window — one shuffle on "
+    "user_id and a linear scan, instead of a bucketed self-join's "
+    "candidate explosion.",
+    oracle="""
+SELECT event_id,
+       COUNT(*) OVER w AS n_prior_30m,
+       COALESCE(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 0)::DOUBLE AS prior_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND 1 PRECEDING)
+ORDER BY event_id
+""",
+    tags=("relational",),
+)
+def q19_events_lookback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1800 * 1000 * 1000, -1)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_prior_30m"),
+        F.coalesce(F.sum(dec("value")).over(w), F.lit(0).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("prior_value"),
+    ).orderBy("event_id")
