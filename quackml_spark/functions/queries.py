@@ -149,3 +149,102 @@ def llm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.startswith(F.col("generated"), F.col("prompt")).alias("continues_prompt")
     ).orderBy("doc_id")
+
+
+_PARITY_QUERY = "the model data pipeline is good and fast"
+
+
+@register(
+    "llm_transform_parity",
+    doc="Value-checks the transform() UDF path end-to-end: the "
+    "deterministic sentiment backend's label is re-derived in pure SQL "
+    "from the same word lists and compared against the JSON the UDF "
+    "emits (full pipeline: batching, cache, JSON shape).",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         trim(unnest(regexp_extract_all(lower(text), '\\S+')), '.,!?') AS w
+  FROM documents
+), counts AS (
+  SELECT doc_id,
+    COUNT(*) FILTER (WHERE w IN ('good','great','excellent','love','happy',
+      'rallied','up','gain','best','fast','win','positive','strong')) AS pos,
+    COUNT(*) FILTER (WHERE w IN ('bad','terrible','hate','sad','down','loss',
+      'worst','slow','fail','negative','weak','error')) AS neg
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN pos >= neg THEN 'POSITIVE' ELSE 'NEGATIVE' END AS label
+FROM counts
+ORDER BY doc_id
+""",
+    tags=("llm",),
+)
+def llm_transform_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.functions import make_transform_udf, transform as _  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = docs.withColumn(
+        "res", make_transform_udf("text-classification")(F.col("text"))
+    )
+    return out.select(
+        "doc_id",
+        F.get_json_object("res", "$.result[0].label").alias("label"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_rank_parity",
+    doc="Value-checks rank()'s deterministic backend end-to-end: Jaccard "
+    "scores and the (score desc, corpus_id) ordering re-derived in pure "
+    "SQL; float score is a single int/int division, bit-identical.",
+    oracle=f"""
+WITH docs AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS corpus_id, text
+  FROM documents WHERE doc_id < 40
+), q AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower('{_PARITY_QUERY}'), '\\S+')) AS w
+), dt AS (
+  SELECT corpus_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+  FROM docs
+), dtd AS (SELECT DISTINCT corpus_id, w FROM dt),
+sizes AS (
+  SELECT corpus_id, COUNT(*) AS nd,
+         COUNT(*) FILTER (WHERE w IN (SELECT w FROM q)) AS inter
+  FROM dtd GROUP BY corpus_id
+), scored AS (
+  SELECT corpus_id,
+         CASE WHEN nd = 0 THEN 0.0
+              ELSE inter::DOUBLE / (nd + (SELECT COUNT(*) FROM q) - inter)
+         END AS score
+  FROM sizes
+)
+SELECT ROW_NUMBER() OVER (ORDER BY score DESC, corpus_id) - 1 AS rank_pos,
+       corpus_id, score
+FROM scored
+ORDER BY rank_pos
+""",
+    tags=("llm",),
+)
+def llm_rank_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.functions import rank
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    arr = (
+        docs.select(F.struct("doc_id", "text").alias("s"))
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            F.transform("ss", lambda s: s.getField("text")).alias("documents")
+        )
+        .withColumn("query", F.lit(_PARITY_QUERY))
+    )
+    out = rank(arr, "jaccard", "query", "documents")
+    return (
+        out.select(F.posexplode("rank_result").alias("rank_pos", "r"))
+        .select(
+            F.col("rank_pos").cast("bigint"),
+            F.col("r.corpus_id").cast("bigint").alias("corpus_id"),
+            F.col("r.score").alias("score"),
+        )
+        .orderBy("rank_pos")
+    )
