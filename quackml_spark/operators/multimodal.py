@@ -160,3 +160,54 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "frame_idx", "frame_ts")
         .orderBy("doc_id", "frame_idx")
     )
+
+
+def resize_image(df: DataFrame, max_dim: int = 224) -> DataFrame:
+    """STUB: actual pixel resampling needs a codec (PIL). The plan step
+    (target geometry) is real Spark; see resize_plan."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "resize_image requires Pillow; resize_plan computes the "
+            "target geometry without a codec"
+        ) from e
+    raise NotImplementedError("codec present but resample not implemented yet")
+
+
+def resize_plan(df: DataFrame, max_dim: int = 224) -> DataFrame:
+    """Aspect-preserving resize targets for image rows (integer math so
+    the plan is engine-exact): the long side becomes max_dim."""
+    w, h = F.col("width").cast("bigint"), F.col("height").cast("bigint")
+    long_side = F.greatest(w, h)
+    tw = (w * max_dim) / long_side
+    th = (h * max_dim) / long_side
+    return df.where(F.col("modality") == "image").select(
+        "doc_id",
+        F.col("width").cast("bigint"),
+        F.col("height").cast("bigint"),
+        F.floor(tw).cast("bigint").alias("target_w"),
+        F.floor(th).cast("bigint").alias("target_h"),
+    )
+
+
+@register(
+    "multimodal_resize_plan",
+    doc="Aspect-preserving resize geometry for image rows (the resample "
+    "itself is the codec-gated stub, resize_image).",
+    oracle="""
+SELECT doc_id, width, height,
+       (width * 224) // greatest(width, height) AS target_w,
+       (height * 224) // greatest(width, height) AS target_h
+FROM (
+  SELECT doc_id,
+         (doc_id % 8 + 1) * 64 AS width,
+         (doc_id % 4 + 1) * 64 AS height
+  FROM documents WHERE doc_id % 3 = 0
+)
+ORDER BY doc_id
+""",
+    tags=("multimodal",),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_plan(media_table(spark, sf_dir)).orderBy("doc_id")
