@@ -248,3 +248,36 @@ def llm_rank_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank_pos")
     )
+
+
+@register(
+    "llm_generate_parity",
+    doc="Value-checks the generate() UDF batch path: the deterministic "
+    "fallback's md5-seeded token continuation is re-derived in pure SQL "
+    "and string-compared.",
+    oracle="""
+WITH seeds AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT AS seed
+  FROM documents
+), toks AS (
+  SELECT doc_id, i, 'tok' || ((seed + i) % 997) AS tok
+  FROM seeds, unnest(range(0, 8)) AS t(i)
+)
+SELECT s.doc_id,
+       trim(s.text || ' ' ||
+            (SELECT string_agg(tok, ' ' ORDER BY i) FROM toks k
+             WHERE k.doc_id = s.doc_id)) AS generated
+FROM seeds s
+ORDER BY s.doc_id
+""",
+    tags=("llm",),
+)
+def llm_generate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.functions.generate import make_generate_udf
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    udf = make_generate_udf(None, {"max_new_tokens": 8})
+    return docs.select("doc_id", udf(F.col("text")).alias("generated")).orderBy(
+        "doc_id"
+    )

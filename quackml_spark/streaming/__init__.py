@@ -3,6 +3,7 @@ from quackml_spark.streaming.events import (
     run_to_completion,
     sessionize,
     streaming_hourly_aggregate,
+    streaming_predict,
     streaming_transform,
 )
 
@@ -10,6 +11,7 @@ __all__ = [
     "read_event_stream",
     "streaming_hourly_aggregate",
     "streaming_transform",
+    "streaming_predict",
     "sessionize",
     "run_to_completion",
 ]

@@ -21,6 +21,8 @@ Design:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -109,3 +111,42 @@ def run_to_completion(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def streaming_predict(
+    stream_df: DataFrame, project_name: str, catalog=None
+) -> DataFrame:
+    """Score an unbounded stream with the project's deployed model.
+
+    The snapshot's frozen preprocessing replays as pure column
+    expressions + stream-static broadcast joins (both streaming-legal),
+    then the portable parameter dump evaluates in an Arrow-batched
+    pandas UDF — stateless, per-partition parallel, no watermark needed.
+    Model resolution happens once on the driver at plan time; a deploy
+    takes effect on stream restart (like the reference's per-connection
+    model cache, model.rs:31-33)."""
+    import numpy as np
+
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.ml.predict import _portable_predict_fn, resolve_deployed
+
+    catalog = catalog or Catalog()
+    spark = stream_df.sparkSession
+    _, trained, snap = resolve_deployed(spark, catalog, project_name)
+    if trained.portable is None:
+        raise ValueError(
+            f"streaming_predict serves portable models (linear/logistic/"
+            f"kmeans/pca families); project {project_name!r} deployed a "
+            f"{trained.algorithm} model — serve it in batch via predict()"
+        )
+    fn = _portable_predict_fn(trained.portable)
+    prepped = snap.transform(stream_df, with_label=False)
+
+    @F.pandas_udf("double")
+    def _pred(feats: pd.Series) -> pd.Series:
+        if not len(feats):
+            return pd.Series([], dtype="float64")
+        mat = np.vstack(feats.map(lambda a: np.asarray(a, dtype="float64")))
+        return pd.Series(fn(mat).astype("float64"))
+
+    return prepped.withColumn("prediction", _pred(F.col("features")))

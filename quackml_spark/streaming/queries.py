@@ -66,3 +66,56 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_predict_events",
+    doc="Deployed-model scoring over the event stream: train a regression "
+    "on the batch events table, then stream-score with snapshot-replay "
+    "preprocessing + portable-parameter pandas UDF (stateless).",
+    tags=("streaming",),
+)
+def streaming_predict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.ml import train
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import (
+        read_event_stream,
+        run_to_completion,
+        streaming_predict,
+    )
+
+    catalog = Catalog(warehouse=tempfile.mkdtemp(prefix="qml_wh_"))
+    batch = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("double").alias("f_user"),
+        F.hour("ts").cast("double").alias("f_hour"),
+        F.col("value").alias("value"),
+    )
+    train(
+        spark,
+        "stream scorer",
+        task="regression",
+        df=batch,
+        y_column_name="value",
+        catalog=catalog,
+        test_sampling="random",
+    )
+    stream = read_event_stream(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").cast("double").alias("f_user"),
+        F.hour("ts").cast("double").alias("f_hour"),
+    )
+    scored = streaming_predict(stream, "stream scorer", catalog=catalog)
+    out = run_to_completion(
+        scored.select("event_id", "prediction"),
+        "qml_stream_predict",
+        output_mode="append",
+    )
+    return out.select(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.count(F.when(F.col("prediction").isNotNull(), 1)).alias("n_not_null"),
+    )

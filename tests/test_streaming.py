@@ -68,3 +68,44 @@ def test_streaming_transform(spark, sf_dir):
     )
     assert out.count() > 0
     assert out.where(F.col("transform_result").isNull()).count() == 0
+
+
+def test_streaming_predict_equals_batch(spark, sf_dir, tmp_path):
+    """Stream scoring (portable UDF) must match batch predict() (MLlib
+    transform) on the same rows."""
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.ml import predict, train
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import (
+        read_event_stream,
+        run_to_completion,
+        streaming_predict,
+    )
+
+    catalog = Catalog(warehouse=str(tmp_path / "wh"))
+    feats = lambda df: df.select(
+        "event_id" if "event_id" in df.columns else F.lit(None).alias("event_id"),
+        F.col("user_id").cast("double").alias("f_user"),
+        F.hour("ts").cast("double").alias("f_hour"),
+        *([F.col("value")] if "value" in df.columns else []),
+    )
+    batch = load_table(spark, sf_dir, "events")
+    train(
+        spark, "sp eq", task="regression",
+        df=feats(batch).drop("event_id"), y_column_name="value",
+        catalog=catalog, test_sampling="random",
+    )
+    scored_stream = run_to_completion(
+        streaming_predict(
+            feats(read_event_stream(spark, sf_dir)).drop("value"),
+            "sp eq", catalog=catalog,
+        ).select("event_id", "prediction"),
+        "qml_sp_eq", output_mode="append",
+    )
+    scored_batch = predict(
+        feats(batch).drop("value"), "sp eq", catalog=catalog
+    ).select("event_id", F.col("prediction").alias("bpred"))
+    joined = scored_stream.join(scored_batch, "event_id")
+    bad = joined.where(F.abs(F.col("prediction") - F.col("bpred")) > 1e-6).count()
+    assert bad == 0
+    assert scored_stream.count() == batch.count()
