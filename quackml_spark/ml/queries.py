@@ -264,3 +264,40 @@ def json_dumps(obj) -> str:
     import json
 
     return json.dumps(obj, sort_keys=True)
+
+
+@register(
+    "ml_train_gbt",
+    doc="tree-family lifecycle: GBT regression (distributed MLlib fit) "
+    "+ DataFrame-path serving — trees have no portable dump, so this "
+    "exercises the MLlib transform serve path (model.rs:370-448 "
+    "gradient_boosting arm).",
+    tags=("ml",),
+)
+def ml_train_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import predict, train
+
+    catalog = _fresh_catalog()
+    df = _lineitem_training_df(spark, sf_dir).drop("l_returnflag").limit(8000)
+    res = train(
+        spark,
+        "bench gbt",
+        task="regression",
+        df=df,
+        y_column_name="l_extendedprice",
+        algorithm="gradient_boosting_trees",
+        hyperparams={"maxIter": 5, "maxDepth": 3},
+        catalog=catalog,
+        test_sampling="random",
+    )
+    out = predict(df.limit(200), "bench gbt", catalog=catalog)
+    return spark.createDataFrame(
+        [
+            (
+                res.algorithm,
+                "r2" in res.metrics,
+                int(out.where(F.col("prediction").isNotNull()).count()),
+            )
+        ],
+        "algorithm string, has_r2 boolean, n_scored int",
+    )
