@@ -100,12 +100,22 @@ def _ordered(df: DataFrame, sampling: Sampling, y_columns: list[str], seed: int)
         df = df.repartitionByRange(n_part, F.col(_KEY)).sortWithinPartitions(_KEY)
     df = df.withColumn(_MID, F.monotonically_increasing_id()).cache()
 
-    # one tiny aggregate: rows per physical partition → cumulative offsets
+    # one tiny aggregate: rows per physical partition → cumulative
+    # offsets; label NULL counts piggyback on the same pass (the
+    # reference errors on NULL labels during analyze, snapshot.rs:297-299)
     pid = F.shiftright(_MID, 33)
-    counts = sorted(
-        (r["p"], r["n"])
-        for r in df.groupBy(pid.alias("p")).agg(F.count(F.lit(1)).alias("n")).collect()
-    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.when(F.col(y).isNull(), 1).otherwise(0)).alias(f"__nl_{i}")
+        for i, y in enumerate(y_columns)
+    ]
+    rows = df.groupBy(pid.alias("p")).agg(*aggs).collect()
+    for i, y in enumerate(y_columns):
+        if sum(int(r[f"__nl_{i}"] or 0) for r in rows):
+            raise ValueError(
+                f"label column {y!r} contains NULL values; filter them "
+                f"first, e.g. WHERE {y} IS NOT NULL"
+            )
+    counts = sorted((r["p"], r["n"]) for r in rows)
     offsets, acc = {}, 0
     for p, n in counts:
         offsets[p] = acc
@@ -161,15 +171,7 @@ class Snapshot:
         specs = _column_specs(df, y_columns)
         parse_preprocess_spec(preprocess, specs)
 
-        # label NULLs are an error with actionable advice (snapshot.rs:297-299)
-        for y in y_columns:
-            n_null = df.where(F.col(y).isNull()).limit(1).count()
-            if n_null:
-                raise ValueError(
-                    f"label column {y!r} contains NULL values; filter them "
-                    f"first, e.g. WHERE {y} IS NOT NULL"
-                )
-
+        # label-NULL validation happens inside _ordered's counts pass
         ordered, num_rows = _ordered(df, sampling, y_columns, seed)
         num_test = int(test_size) if test_size > 1.0 else round(num_rows * test_size)
         num_train = num_rows - num_test

@@ -31,15 +31,27 @@ STANDARD_TABLES = [
 ]
 
 
+_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; the (immutable) DataFrame handle is cached per
+    session so repeated queries skip parquet footer/schema inference."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _HANDLES:
+        return _HANDLES[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if len(_HANDLES) > 256:
+        _HANDLES.clear()
+    _HANDLES[key] = df
+    return _HANDLES[key]
 
 
 def load_tables(
