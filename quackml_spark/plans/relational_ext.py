@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quackml_spark.plans import register
-from quackml_spark.plans._exact import dec, out_double, sql_out
+from quackml_spark.plans._exact import SQL_DISC_PRICE, dec, disc_price, out_double, sql_out
 from quackml_spark.sources import load_table
 
 
@@ -322,3 +322,97 @@ def q19_events_lookback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("prior_value"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q20 — set operations (INTERSECT / EXCEPT).
+# ---------------------------------------------------------------------------
+@register(
+    "q20_customer_set_ops",
+    doc="INTERSECT / EXCEPT between yearly buyer cohorts — Spark "
+    "intersect()/exceptAll() distinct set semantics.",
+    oracle="""
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+), y97 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT 'both' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+UNION ALL
+SELECT 'only_96', COUNT(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+UNION ALL
+SELECT 'only_97', COUNT(*) FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96)
+ORDER BY cohort
+""",
+    tags=("relational",),
+)
+def q20_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+
+    def cohort(y0: str, y1: str) -> DataFrame:
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96 = cohort("1996-01-01", "1997-01-01")
+    y97 = cohort("1997-01-01", "1998-01-01")
+    rows = [
+        ("both", y96.intersect(y97)),
+        ("only_96", y96.exceptAll(y97.intersect(y96))),
+        ("only_97", y97.exceptAll(y96.intersect(y97))),
+    ]
+    out = None
+    for name, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("cohort"), "n"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# q21 — scalar subquery / grouped HAVING over a global aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_above_average_parts",
+    doc="Scalar subquery: parts whose revenue exceeds 2x the average "
+    "part revenue (global aggregate joined back — Catalyst turns the "
+    "scalar subquery into a broadcast).",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey, {sql_out(f"SUM({SQL_DISC_PRICE})")} AS revenue
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_parts,
+       {sql_out("SUM(CAST(revenue AS DECIMAL(18,6)))")} AS total_rev
+FROM rev
+WHERE CAST(revenue AS DECIMAL(18,6)) * (SELECT COUNT(*) FROM rev)
+      > 2 * (SELECT SUM(CAST(revenue AS DECIMAL(18,6))) FROM rev)
+""",
+    tags=("relational",),
+)
+def q21_above_average_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "revenue > 2*avg" compared as revenue*count > 2*sum — all-DECIMAL
+    # (exact, order-independent), so the cohort boundary cannot flip on
+    # a floating-point ulp between engines.
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(out_double(F.sum(disc_price())).alias("revenue"))
+    rev.createOrReplaceTempView("__qml_rev")
+    return li.sparkSession.sql(
+        """
+        SELECT COUNT(*) AS n_parts,
+               CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,6))), 6) AS DOUBLE) AS total_rev
+        FROM __qml_rev
+        WHERE CAST(revenue AS DECIMAL(18,6)) * (SELECT COUNT(*) FROM __qml_rev)
+              > 2 * (SELECT SUM(CAST(revenue AS DECIMAL(18,6))) FROM __qml_rev)
+        """
+    )
