@@ -109,20 +109,18 @@ def binary_extra_metrics(
 def regression_metrics(
     pred: DataFrame, label_col: str = "label", pred_col: str = "prediction"
 ) -> dict:
+    # single pass: ss_tot via var_pop (Welford merge — stable) so the
+    # model transform over the test split evaluates once, not twice
     agg = pred.select(
         F.col(label_col).cast("double").alias("y"),
         F.col(pred_col).cast("double").alias("p"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg("y").alias("my"),
         F.sum((F.col("y") - F.col("p")) ** 2).alias("ss_res"),
         F.avg(F.abs(F.col("y") - F.col("p"))).alias("mae"),
+        F.var_pop("y").alias("vy"),
     ).collect()[0]
-    ss_tot = pred.select(
-        F.sum(
-            (F.col(label_col).cast("double") - F.lit(agg["my"])) ** 2
-        ).alias("ss_tot")
-    ).collect()[0]["ss_tot"]
+    ss_tot = (agg["vy"] or 0.0) * agg["n"] if agg["n"] else None
     mse = agg["ss_res"] / agg["n"] if agg["n"] else None
     return {
         "r2": 1.0 - agg["ss_res"] / ss_tot if ss_tot else 0.0,

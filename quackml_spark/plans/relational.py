@@ -114,15 +114,22 @@ def q02_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = F.broadcast(t(spark, sf_dir, "nation"))
     region = F.broadcast(t(spark, sf_dir, "region"))
+    # Partial aggregation below the join: lineitem collapses to one
+    # (DECIMAL revenue, line count) row per order before shuffling —
+    # exact under re-aggregation (DECIMAL sums are associative), and the
+    # join moves |orders| rows instead of |lineitem|.
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.sum(disc_price()).alias("__rev"), F.count(F.lit(1)).alias("__nl")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_agg.join(orders, li_agg.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            out_double(F.sum(disc_price())).alias("revenue"),
-            F.count(F.lit(1)).alias("line_count"),
+            out_double(F.sum("__rev")).alias("revenue"),
+            F.sum("__nl").alias("line_count"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -158,11 +165,19 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
     cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    # Pre-aggregate lineitem revenue per orderkey before the joins: the
+    # join input shrinks |lineitem| -> |orders| and the shuffle moves
+    # one DECIMAL per order instead of every line (map-side combine).
+    li_rev = li.groupBy("l_orderkey").agg(F.sum(disc_price()).alias("__rev"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_rev.join(orders, li_rev.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(out_double(F.sum(disc_price())).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            out_double(F.col("__rev")).alias("revenue"),
+        )
         .select(
             "o_orderkey",
             "revenue",
@@ -549,10 +564,13 @@ def q12_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window input is |parts|, not |lineitem|.
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # Pre-aggregate lineitem to |parts| rows BEFORE the join — the join
+    # then moves 30× fewer rows, and the partkey grouping is exact
+    # because p_partkey is part's key (brand is functionally dependent).
+    li_rev = li.groupBy("l_partkey").agg(F.sum(disc_price()).alias("__rev"))
     rev = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_partkey")
-        .agg(out_double(F.sum(disc_price())).alias("revenue"))
+        li_rev.join(part, li_rev.l_partkey == part.p_partkey)
+        .select("p_brand", "p_partkey", out_double(F.col("__rev")).alias("revenue"))
     )
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
     return (
