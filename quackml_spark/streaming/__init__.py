@@ -1,4 +1,5 @@
 from quackml_spark.streaming.events import (
+    ewma_stream,
     read_event_stream,
     run_to_completion,
     sessionize,
@@ -8,6 +9,7 @@ from quackml_spark.streaming.events import (
 )
 
 __all__ = [
+    "ewma_stream",
     "read_event_stream",
     "streaming_hourly_aggregate",
     "streaming_transform",

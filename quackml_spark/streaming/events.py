@@ -150,3 +150,67 @@ def streaming_predict(
         return pd.Series(fn(mat).astype("float64"))
 
     return prepped.withColumn("prediction", _pred(F.col("features")))
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value`` —
+    a CUSTOM stateful operator via applyInPandasWithState (the escape
+    hatch for semantics session_window/tumbling aggregates can't
+    express: a per-event recurrence whose state must survive across
+    micro-batches).
+
+    State per user = (last_ewma,). Each batch sorts its rows by
+    (ts, event_id), continues the recurrence from the stored state, and
+    emits one output row per event. Scale: state is O(1) per key, the
+    shuffle is one hash exchange on user_id, and batches stream through
+    Arrow.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_type = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_type = StructType([StructField("last", DoubleType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        rows = _pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        last = state.get[0] if state.exists else None
+        out = []
+        for v in rows["value"]:
+            v = float(v)
+            last = v if last is None else alpha * v + (1.0 - alpha) * last
+            out.append(last)
+        state.update((last,))
+        yield _pd.DataFrame(
+            {
+                "user_id": rows["user_id"],
+                "event_id": rows["event_id"],
+                "ts": rows["ts"],
+                "value": rows["value"],
+                "ewma": out,
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -119,3 +119,31 @@ def streaming_predict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_scored"),
         F.count(F.when(F.col("prediction").isNotNull(), 1)).alias("n_not_null"),
     )
+
+
+@register(
+    "streaming_ewma",
+    doc="Custom stateful operator via applyInPandasWithState: per-user "
+    "EWMA recurrence whose state survives across micro-batches "
+    "(cross-batch continuity is pytest-asserted against a single-pass "
+    "batch computation).",
+    tags=("streaming",),
+)
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from quackml_spark.streaming.events import (
+        ewma_stream,
+        read_event_stream,
+        run_to_completion,
+    )
+
+    out = run_to_completion(
+        ewma_stream(read_event_stream(spark, sf_dir), alpha=0.3),
+        "qml_streaming_ewma",
+        output_mode="append",
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("ewma"), 6).alias("avg_ewma"),
+    ).orderBy("user_id")

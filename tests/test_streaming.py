@@ -109,3 +109,59 @@ def test_streaming_predict_equals_batch(spark, sf_dir, tmp_path):
     bad = joined.where(F.abs(F.col("prediction") - F.col("bpred")) > 1e-6).count()
     assert bad == 0
     assert scored_stream.count() == batch.count()
+
+
+def test_ewma_cross_batch_state(spark, sf_dir, tmp_path):
+    """applyInPandasWithState must carry per-user state ACROSS
+    micro-batches: the stream is split into two time-ordered files
+    processed one per trigger, and the resulting EWMAs must equal a
+    single-pass batch computation."""
+    import time as _time
+
+    import pandas as pd
+
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import EVENTS_SCHEMA, ewma_stream
+
+    events = load_table(spark, sf_dir, "events")
+    pdf = events.select("user_id", "event_id", "ts", "value").toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    cut = pdf["ts"].median()
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    spark.createDataFrame(pdf[pdf.ts <= cut]).coalesce(1).write.parquet(
+        str(d / "part0")
+    )
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    spark.createDataFrame(pdf[pdf.ts > cut]).coalesce(1).write.parquet(
+        str(d / "part1")
+    )
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d) + "/part*")
+    )
+    q = (
+        ewma_stream(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("qml_ewma_2batch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.table("qml_ewma_2batch").collect()
+    }
+    # single-pass batch expectation
+    exp = {}
+    last: dict = {}
+    for _, row in pdf.iterrows():
+        u, v = row["user_id"], float(row["value"])
+        last[u] = v if u not in last else 0.3 * v + 0.7 * last[u]
+        exp[row["event_id"]] = last[u]
+    assert len(got) == len(exp)
+    bad = [k for k in exp if abs(got[k] - exp[k]) > 1e-9]
+    assert not bad, f"{len(bad)} mismatches, e.g. {bad[:3]}"
