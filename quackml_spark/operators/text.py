@@ -249,3 +249,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs,
+# digit runs, punctuation runs (no lookbehind — valid in both Java
+# regex (Spark) and RE2 (DuckDB), same greedy left-to-right matching).
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
+@register(
+    "text_bpe_token_count",
+    doc="BPE-ish token counting (GPT-2 pre-tokenizer regex shape) next "
+    "to the whitespace count — the token-budget estimator a training-"
+    "data pipeline uses; one scan, no shuffle until the output sort.",
+    oracle="""
+SELECT doc_id,
+  length(regexp_extract_all(lower(text), '\\S+')) AS ws_tokens,
+  length(regexp_extract_all(lower(text),
+    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+')) AS bpe_tokens
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("textops",),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(r"\S+"), 0)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(_BPE_RE), 0)).alias("bpe_tokens"),
+    ).orderBy("doc_id")
