@@ -314,3 +314,99 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# shared SQL for the LSH candidate-pair edge list (doc_a < doc_b)
+_SQL_MINHASH_EDGES = f"""
+  WITH shingles AS ({_SQL_SHINGLES}),
+  hashed AS (
+    SELECT doc_id,
+      ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_P} AS a,
+      ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {_P} AS b
+    FROM shingles
+  ),
+  sigs AS (
+    SELECT doc_id,
+      {", ".join(f"MIN((a + {i} * b) % {_P}) AS mh{i}" for i in range(_K))}
+    FROM hashed GROUP BY doc_id
+  ),
+  bands AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5("
+        + " || ".join(f"mh{b * _R + r}::VARCHAR" for r in range(_R))
+        + ") AS band_key FROM sigs"
+        for b in range(_BANDS)
+    )}
+  )
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+"""
+
+
+@register(
+    "dedup_connected_components",
+    doc="Duplicate-CLUSTER resolution: LSH candidate pairs as an "
+    "undirected graph; connected components via iterative min-label "
+    "propagation (O(diameter) join rounds, each a key-partitioned "
+    "shuffle — the distributed union-find). Oracle: DuckDB recursive "
+    "CTE transitive closure. keeper = min doc_id per component.",
+    oracle=f"""
+WITH RECURSIVE
+edges AS ({_SQL_MINHASH_EDGES}),
+und AS (
+  SELECT doc_a AS s, doc_b AS d FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach(node, label) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, r.label FROM und u JOIN reach r ON r.node = u.d
+)
+SELECT MIN(label) AS component, node AS doc_id
+FROM reach GROUP BY node
+ORDER BY component, doc_id
+""",
+    tags=("dedup",),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reuse the registered LSH pair generator as the edge list
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    und = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    und = und.cache()
+    labels = und.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).cache()
+    # min-label propagation: each round, every node takes the min of its
+    # own label and its neighbors' labels; converges in O(diameter).
+    for _ in range(64):  # hard bound; real diameter is tiny
+        nbr = (
+            und.join(labels, und.d == labels.node)
+            .select(F.col("s").alias("node"), "label")
+        )
+        new = (
+            labels.select("node", "label").unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).cache()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if not changed:
+            break
+    out = labels.select(
+        F.col("label").alias("component"), F.col("node").alias("doc_id")
+    ).orderBy("component", "doc_id")
+    und.unpersist()
+    return out

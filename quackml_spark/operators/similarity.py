@@ -243,3 +243,75 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") >= 0.99)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "ann_ivf_topk",
+    doc="IVF ANN: k-means coarse quantizer (MLlib, distributed) -> "
+    "assign vectors to nearest centroid (inverted lists) -> probe the "
+    "nprobe closest centroids per query -> exact cosine re-rank within "
+    "probed lists. The 100 TB path: candidate generation is an "
+    "equi-join on centroid id (shuffle bounded by list sizes), never "
+    "an n x m cross join; recall vs brute force is pytest-asserted.",
+    tags=("similarity",),
+)
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, n_lists: int = 8, nprobe: int = 3
+) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "embedding",
+        "v_norm",
+    )
+    vec = emb.withColumn("fv", array_to_vector(F.col("embedding").cast("array<double>")))
+    km = KMeans(k=n_lists, seed=42, featuresCol="fv", predictionCol="list_id")
+    model = km.fit(vec)
+    assigned = model.transform(vec).select("vec_id", "embedding", "v_norm", "list_id")
+
+    # centroid table is tiny (n_lists rows) — broadcast for probing
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id int, center array<double>",
+    )
+    queries = assigned.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
+    )
+    # nprobe closest centroids per query (|queries| x n_lists is tiny)
+    q_probe = (
+        queries.crossJoin(F.broadcast(centers))
+        .withColumn("c_dist", _dot(F.col("q_emb"), F.col("center")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("c_dist"), F.asc("list_id")
+                )
+            ),
+        )
+        .where(F.col("rnk") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "list_id")
+    )
+    cand = assigned.join(
+        F.broadcast(q_probe), "list_id"
+    ).where(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            cosine_with_norms(
+                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("v_norm")
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .orderBy("query_id", "rnk")
+    )

@@ -102,3 +102,15 @@ def test_cosine_expr_self_similarity(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(5)
     out = emb.select(cosine_expr(F.col("embedding"), F.col("embedding")).alias("c"))
     assert all(abs(r["c"] - 1.0) < 1e-9 for r in out.collect())
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=3/8 lists must recover most of the exact top-10."""
+    from quackml_spark.operators.similarity import ann_cosine_topk, ann_ivf_topk
+
+    exact = ann_cosine_topk(spark, sf_dir)
+    ivf = ann_ivf_topk(spark, sf_dir)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    v = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(e & v) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
