@@ -154,3 +154,23 @@ def test_finetune_missing_columns_raises(spark, catalog):
     df = spark.createDataFrame([("a",)], "text string")
     with pytest.raises(ValueError, match="missing"):
         finetune(spark, "bad-ft", "text_classification", df=df, catalog=catalog)
+
+
+def test_sql_registered_llm_functions(spark, docs):
+    from quackml_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    docs.createOrReplaceTempView("__qml_docs_sql")
+    row = spark.sql(
+        """
+        SELECT size(quackml_embed(text)) AS dim,
+               get_json_object(quackml_transform(text), '$.result[0].label') AS label,
+               size(quackml_chunk(text)) AS n_chunks,
+               length(quackml_generate(text)) > length(text) AS generated
+        FROM __qml_docs_sql LIMIT 1
+        """
+    ).collect()[0]
+    assert row["dim"] == 384
+    assert row["label"] in ("POSITIVE", "NEGATIVE")
+    assert row["n_chunks"] >= 1
+    assert row["generated"]
