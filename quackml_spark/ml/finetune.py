@@ -6,9 +6,11 @@ Four task shapes, column contracts from dataset.rs:77-186:
   summarization (text, summary).
 
 Backend resolution:
-  * HF Trainer/SFTTrainer when ``transformers`` is importable (driver-
-    side, like the reference; TorchDistributor would be the cluster
-    path) — absent in this container;
+  * the HF Trainer/SFTTrainer path (driver-side like the reference;
+    TorchDistributor as the cluster path) is the gated integration
+    point marked in ``finetune`` — transformers is absent in this
+    container, so it is NOT yet wired and the recorded backend is
+    always the fallback;
   * a deterministic fallback trainer so the LIFECYCLE is real: for the
     classification shapes, a multinomial naive-bayes bag-of-words model
     (pure numpy) that genuinely learns and serves; for conversation /
@@ -253,7 +255,10 @@ def finetune(
         {
             "fit_time": fit_time,
             "score_time": 0.0,
-            "backend": "hf-trainer" if _hf_available() else "deterministic-fallback",
+            # the HF Trainer/SFTTrainer integration point is this branch
+            # (gated on transformers); until wired, the recorded backend
+            # is always the fallback — never claim a backend that didn't run
+            "backend": "deterministic-fallback",
         }
     )
 
