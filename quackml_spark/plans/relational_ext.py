@@ -416,3 +416,67 @@ def q21_above_average_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
               > 2 * (SELECT SUM(CAST(revenue AS DECIMAL(18,6))) FROM __qml_rev)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q22 — time-hierarchy rollup (hypertable-style continuous aggregate).
+# ---------------------------------------------------------------------------
+@register(
+    "q22_time_rollup",
+    doc="Hypertable-style rollup: event counts/value at (day, hour) and "
+    "(day) and grand-total granularities in ONE grouping-sets pass — "
+    "the shape a continuous aggregate materializes.",
+    oracle="""
+SELECT COALESCE(STRFTIME(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       COALESCE(STRFTIME(date_trunc('hour', ts), '%H:00'), 'ALL') AS hour,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                        (date_trunc('day', ts)), ())
+ORDER BY day, hour
+""",
+    tags=("relational",),
+)
+def q22_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    return (
+        ev.rollup(day.alias("d"), hour.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            out_double(F.sum(dec("value"))).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.date_format("h", "HH:00"), F.lit("ALL")).alias("hour"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("day", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch_distinct_users — HLL sketch next to the exact answer.
+# ---------------------------------------------------------------------------
+@register(
+    "sketch_distinct_users",
+    doc="Distinct-user counts per event_type: exact (oracle-checked) "
+    "next to the HLL sketch the 100 TB path would use; sketch accuracy "
+    "vs exact is pytest-asserted (approx values are engine-specific, so "
+    "only exact columns face the oracle).",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("relational",),
+)
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users_exact"))
+        .orderBy("event_type")
+    )

@@ -114,3 +114,23 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     v = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
     recall = len(e & v) / len(e)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_hll_sketch_accuracy(spark, sf_dir):
+    """The HLL scale path must stay within 5% of exact distinct counts."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("hll"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["hll"] - r["exact"]) <= max(0.05 * r["exact"], 2), r
