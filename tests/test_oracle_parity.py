@@ -29,3 +29,20 @@ def test_queries_without_oracle_still_run(spark, sf_dir):
         if qd.oracle is None:
             df = qd.builder(spark, sf_dir)
             assert df.count() >= 0, name
+
+
+def test_results_partitioning_independent(spark, sf_dir):
+    """The DECIMAL aggregation discipline must make results identical
+    under different shuffle widths (the property that lets a 1-partition
+    DuckDB oracle check a 32-partition Spark run)."""
+    name = "q01_pricing_summary"
+    qd = REGISTRY[name]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = [tuple(r) for r in qd.builder(spark, sf_dir).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = [tuple(r) for r in qd.builder(spark, sf_dir).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b
