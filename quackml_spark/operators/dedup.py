@@ -39,11 +39,15 @@ _SQL_SHINGLES = r"""
 """
 
 
-def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, word-3-gram shingle) rows."""
+def shingles_df(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, word-3-gram shingle) rows; ``distinct=False`` skips the
+    dedup shuffle for consumers whose aggregate is duplicate-insensitive
+    (MIN for MinHash signatures) — Jaccard counting NEEDS the distinct."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
-    return toks.select(
+    out = toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -53,7 +57,8 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("shingle"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 @register(
@@ -214,7 +219,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket key. Hot buckets (near-identical doc clusters) are the skew
     # point — their pair fan-out is inherent to LSH; cap bucket size in
     # production if clusters can be huge.
-    s = _hashed_shingles(shingles_df(spark, sf_dir))
+    # distinct=False: MIN is duplicate-insensitive, so the signatures
+    # are identical without the shingle-dedup shuffle
+    s = _hashed_shingles(shingles_df(spark, sf_dir, distinct=False))
     sigs = s.groupBy("doc_id").agg(*_minhash_aggs())
     band_structs = F.array(
         *[
