@@ -211,7 +211,9 @@ class Catalog:
             return m
         return (
             m.merge(
-                p.rename(columns={"id": "project_id", "name": "project_name"}),
+                p.rename(columns={"id": "project_id", "name": "project_name"})[
+                    ["project_id", "project_name", "task"]
+                ],
                 on="project_id",
             )
             .merge(
@@ -261,3 +263,29 @@ class Catalog:
                         df[c] = None
                 cat._write(table, df[cols])
         return cat
+
+    def register_views(self, spark) -> list[str]:
+        """Register the catalog tables AND the reference's three views
+        (schema.sql:146-209) as Spark temp views: quackml_projects, ...,
+        quackml_overview / quackml_trained_models / quackml_deployed_models
+        — so `spark.sql('SELECT * FROM quackml_overview')` works."""
+        registered = []
+        for table in _TABLES:
+            pdf = self.read(table)
+            name = f"quackml_{table}"
+            df = spark.createDataFrame(pdf) if len(pdf) else spark.createDataFrame(
+                [], ", ".join(f"`{c}` string" for c in _TABLES[table])
+            )
+            df.createOrReplaceTempView(name)
+            registered.append(name)
+        for view, pdf in (
+            ("quackml_overview", self.overview()),
+            ("quackml_trained_models", self.trained_models()),
+            ("quackml_deployed_models", self.deployed_models()),
+        ):
+            if len(pdf):
+                spark.createDataFrame(pdf).createOrReplaceTempView(view)
+            else:
+                spark.sql("SELECT NULL AS empty WHERE 1=0").createOrReplaceTempView(view)
+            registered.append(view)
+        return registered

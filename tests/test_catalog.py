@@ -68,3 +68,23 @@ def test_validate_dependencies(spark):
     r = validate_dependencies(spark)
     assert r["driver"]["numpy"] is not None
     assert r["mismatch"] == []
+
+
+def test_register_views_queryable(spark, catalog):
+    pid = catalog.insert("projects", {"name": "view proj", "task": "regression"})
+    mid = catalog.insert(
+        "models",
+        {"project_id": pid, "snapshot_id": 1, "algorithm": "linear",
+         "status": "successful", "metrics": '{"r2": 0.9}'},
+    )
+    catalog.insert(
+        "deployments", {"project_id": pid, "model_id": mid, "strategy": "new_score"}
+    )
+    names = catalog.register_views(spark)
+    assert "quackml_overview" in names
+    rows = spark.sql(
+        "SELECT name FROM quackml_projects WHERE name = 'view proj'"
+    ).collect()
+    assert len(rows) == 1
+    dep = spark.sql("SELECT * FROM quackml_deployed_models").collect()
+    assert any(r["project_name"] == "view proj" for r in dep)
