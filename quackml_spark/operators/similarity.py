@@ -267,7 +267,7 @@ def ann_ivf_topk(
         "v_norm",
     )
     vec = emb.withColumn("fv", array_to_vector(F.col("embedding").cast("array<double>")))
-    km = KMeans(k=n_lists, seed=42, featuresCol="fv", predictionCol="list_id")
+    km = KMeans(k=n_lists, seed=42, maxIter=10, featuresCol="fv", predictionCol="list_id")
     model = km.fit(vec)
     assigned = model.transform(vec).select("vec_id", "embedding", "v_norm", "list_id")
 
