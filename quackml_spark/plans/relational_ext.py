@@ -208,8 +208,10 @@ ORDER BY user_id, session_no
     tags=("relational",),
 )
 def q18_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale: both windows and the final aggregate share one hash
-    # partitioning on user_id — a single shuffle end to end.
+    # Scale: both windows run on one hash partitioning of user_id; the
+    # session aggregate keys on (user_id, session_no), which that
+    # partitioning already co-locates; the tail sort exists only for
+    # deterministic oracle output.
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
