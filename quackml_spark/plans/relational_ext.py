@@ -482,3 +482,39 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users_exact"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q23 — salted two-phase aggregation (skew pattern, identical results).
+# ---------------------------------------------------------------------------
+@register(
+    "q23_salted_aggregate",
+    doc="Skew-safe aggregation: phase 1 groups on (key, salt) so a hot "
+    "key spreads over 16 reducers, phase 2 merges the partials per key. "
+    "DECIMAL partials are exact under re-aggregation, so the result is "
+    "IDENTICAL to the direct GROUP BY the oracle runs — the salt only "
+    "changes the physical distribution.",
+    oracle=f"""
+SELECT l_returnflag,
+  {sql_out(f"SUM({SQL_DISC_PRICE})")} AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("relational",),
+)
+def q23_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    salted = li.withColumn("__salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.sum(disc_price()).alias("__rev"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            out_double(F.sum("__rev")).alias("revenue"),
+            F.sum("__n").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
