@@ -165,3 +165,66 @@ def test_ewma_cross_batch_state(spark, sf_dir, tmp_path):
     assert len(got) == len(exp)
     bad = [k for k in exp if abs(got[k] - exp[k]) > 1e-9]
     assert not bad, f"{len(bad)} mismatches, e.g. {bad[:3]}"
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed aggregation must DROP an event that arrives
+    after the watermark passed its window. Two separate runs share a
+    checkpoint, so the watermark persists between them like a restarted
+    production stream."""
+    import pandas as pd
+
+    from quackml_spark.streaming.events import streaming_hourly_aggregate
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": [base + pd.Timedelta(minutes=m) for m, _ in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [v for _, v in rows],
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    src = tmp_path / "late_in"
+    src.mkdir()
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(str(src))
+        q = (
+            streaming_hourly_aggregate(stream, watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: 10:05..11:55 -> watermark persists at 11:25; the [10:00,11:00)
+    # window finalizes and is emitted
+    spark.createDataFrame(
+        mk([(5, 1.0), (20, 1.0), (65, 1.0), (115, 1.0)])
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    # run 2: one LATE event at 09:30 — its window closed when the
+    # watermark passed 10:00 — plus an on-time event at 12:05
+    spark.createDataFrame(mk([(-30, 99.0), (125, 1.0)])).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run_once()
+
+    out = {
+        r["hour"]: r["n_events"] for r in spark.read.parquet(out_dir).collect()
+    }
+    assert "2024-01-01 09:00:00" not in out, out
+    assert out.get("2024-01-01 10:00:00") == 2, out
