@@ -109,7 +109,14 @@ class Catalog:
                 row.setdefault("updated_at", row["created_at"])
             for c in _TABLES[table]:
                 row.setdefault(c, None)
-            df = pd.concat([df, pd.DataFrame([row])[_TABLES[table]]], ignore_index=True)
+            row_df = pd.DataFrame([row])[_TABLES[table]]
+            if len(df):
+                # drop row columns that are entirely NA before concat —
+                # same aligned result, avoids the pandas FutureWarning
+                row_df = row_df.dropna(axis=1, how="all")
+                df = pd.concat([df, row_df], ignore_index=True)[_TABLES[table]]
+            else:
+                df = row_df
             self._write(table, df)
             return int(row["id"])
 
