@@ -301,3 +301,33 @@ def ml_train_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "algorithm string, has_r2 boolean, n_scored int",
     )
+
+
+@register(
+    "ml_predict_joint",
+    doc="joint (multi-target) regression: one submodel per target, "
+    "predictions packed as array<double> (model.rs:967-979).",
+    tags=("ml",),
+)
+def ml_predict_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import predict_joint, train
+
+    catalog = _fresh_catalog()
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    ).limit(4000)
+    train(
+        spark,
+        "joint reg",
+        task="regression",
+        df=df,
+        y_column_name=["l_extendedprice", "l_tax"],
+        catalog=catalog,
+        test_sampling="random",
+    )
+    out = predict_joint(df.limit(100), "joint reg", catalog=catalog)
+    return (
+        out.select(F.size("predictions").alias("n_targets"))
+        .groupBy("n_targets")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
