@@ -88,3 +88,21 @@ def test_register_views_queryable(spark, catalog):
     assert len(rows) == 1
     dep = spark.sql("SELECT * FROM quackml_deployed_models").collect()
     assert any(r["project_name"] == "view proj" for r in dep)
+
+
+def test_concurrent_inserts_unique_ids(catalog):
+    import threading
+
+    ids = []
+
+    def worker(i):
+        for j in range(10):
+            ids.append(
+                catalog.insert("projects", {"name": f"c{i}_{j}", "task": "regression"})
+            )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert len(ids) == 80
+    assert len(set(ids)) == 80  # sequence allocation is race-free

@@ -174,3 +174,32 @@ def test_sql_registered_llm_functions(spark, docs):
     assert row["label"] in ("POSITIVE", "NEGATIVE")
     assert row["n_chunks"] >= 1
     assert row["generated"]
+
+
+def test_finetune_text_pair_classification(spark, catalog):
+    from quackml_spark.ml.finetune import finetune
+
+    rows = [
+        ("the cat sat", "a cat was sitting", "same"),
+        ("stocks fell", "market dropped", "same"),
+        ("the cat sat", "stocks fell", "different"),
+        ("blue sky today", "market dropped", "different"),
+    ] * 6
+    df = spark.createDataFrame(rows, "text1 string, text2 string, class string")
+    res = finetune(
+        spark, "pair clf", task="text_pair_classification", df=df, catalog=catalog
+    )
+    assert res.deployed
+    assert "accuracy" in res.metrics and "fit_time" in res.metrics
+
+
+def test_finetune_conversation(spark, catalog):
+    from quackml_spark.ml.finetune import finetune
+
+    rows = [("be helpful", "hi", "hello!"), ("be brief", "sum this", "ok")] * 4
+    df = spark.createDataFrame(rows, "system string, user string, assistant string")
+    res = finetune(spark, "conv", task="conversation", df=df, catalog=catalog)
+    assert res.deployed
+    assert res.metrics["backend"] == "deterministic-fallback"
+    logs = catalog.read("logs")
+    assert len(logs[logs["model_id"] == res.model_id]) >= 1  # QuackMLCallback parity
