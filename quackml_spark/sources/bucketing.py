@@ -26,6 +26,15 @@ def write_bucketed(
     """Materialize a bucketed, bucket-sorted copy of a parquet table as
     a catalog-managed table; returns the table name."""
     name = name or f"{table}_bucketed"
+    # a managed-table location can survive from a previous session whose
+    # in-memory catalog entry is gone — drop both before writing
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
     df = load_table(spark, sf_dir, table)
     (
         df.write.mode("overwrite")
