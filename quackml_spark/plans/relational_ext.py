@@ -205,7 +205,7 @@ FROM sess
 GROUP BY user_id, session_no
 ORDER BY user_id, session_no
 """,
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q18_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: both windows run on one hash partitioning of user_id; the
@@ -438,7 +438,7 @@ GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
                         (date_trunc('day', ts)), ())
 ORDER BY day, hour
 """,
-    tags=("relational",),
+    tags=("relational", "bench"),
 )
 def q22_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")

@@ -176,3 +176,44 @@ def test_preprocess_matches_numpy(spark, catalog, data):
     assert got.shape == exp.shape, (got.shape, exp.shape)
     np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True)
     snap.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# dedup property: identical documents ALWAYS collide in every MinHash band
+# ---------------------------------------------------------------------------
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "omega"]),
+            min_size=4,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_identical_docs_always_minhash_candidates(spark, word_lists):
+    """An exact duplicate shares every shingle, hence every MinHash
+    signature and every band — LSH must always emit the pair."""
+    import tempfile
+
+    from quackml_spark.operators.dedup import dedup_minhash_lsh
+
+    texts = [" ".join(ws) for ws in word_lists]
+    dup_id = len(texts)  # duplicate of doc 0 appended last
+    rows = [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)]
+    rows.append((dup_id, texts[0], "en", "test", len(texts[0])))
+    d = tempfile.mkdtemp(prefix="qml_mh_prop_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    pairs = {
+        (r["doc_a"], r["doc_b"], r["shared_bands"])
+        for r in dedup_minhash_lsh(spark, d).collect()
+    }
+    assert (0, dup_id, 4) in pairs, pairs  # all 4 bands collide
