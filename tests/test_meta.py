@@ -1,0 +1,41 @@
+"""Guardrails: docs must match the registry; scale rules stay enforced."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from quackml_spark.plans import REGISTRY, _load_all
+
+_load_all()
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_coverage_md_query_names_exist():
+    """Every `backticked_name` in COVERAGE.md that looks like a registry
+    query must actually be registered (no doc rot)."""
+    text = (REPO / "COVERAGE.md").read_text()
+    referenced = {
+        m
+        for m in re.findall(r"`([a-z0-9_]+)`", text)
+        if re.match(r"^(q\d+_|ml_|llm_|dedup_|ann_|text_|multimodal_|streaming_|sketch_)", m)
+    }
+    missing = sorted(r for r in referenced if r not in REGISTRY)
+    assert not missing, f"COVERAGE.md references unregistered queries: {missing}"
+
+
+def test_no_global_window_orderby_in_engine():
+    """SCALE.md rule 1: a Window.orderBy without partitionBy funnels all
+    rows through one task — banned from the engine source."""
+    offenders = []
+    for p in (REPO / "quackml_spark").rglob("*.py"):
+        src = p.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            if "Window.orderBy(" in line.replace(" ", ""):
+                offenders.append(f"{p.relative_to(REPO)}:{i}")
+    assert not offenders, offenders
+
+
+def test_every_query_has_doc():
+    undocumented = [n for n, q in sorted(REGISTRY.items()) if not q.doc]
+    assert not undocumented, undocumented
