@@ -1,0 +1,151 @@
+"""SQL front-end: the reference's table-function statements on Spark.
+
+A user of the reference writes ``SELECT * FROM train('My Project',
+task => 'regression', relation_name => 'tbl', y_column_name => 'y')``.
+This module gives that surface without a Catalyst parser extension
+(SURVEY §4.3 v1 decision): ``execute(spark, sql)`` recognizes the
+quackml table functions — train / finetune / load_dataset / deploy —
+parses the DuckDB-style named arguments (``name => value``), dispatches
+to the Python API, and returns the reference-shaped one-row result.
+Any other statement passes through to ``spark.sql`` unchanged (where
+the registered scalar UDFs — quackml_predict / quackml_embed / ... —
+already provide the scalar surface).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from quackml_spark.catalog import Catalog
+
+_FN_RE = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+(train|finetune|load_dataset|deploy)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split on top-level commas, respecting quotes and {}/[]/() nesting."""
+    parts, depth, in_str, cur = [], 0, False, []
+    i = 0
+    while i < len(argstr):
+        ch = argstr[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < len(argstr) and argstr[i + 1] == "'":  # escaped ''
+                    cur.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch in "{[(":
+            depth += 1
+            cur.append(ch)
+        elif ch in "}])":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _parse_value(v: str):
+    v = v.strip()
+    if v.startswith("'") and v.endswith("'"):
+        s = v[1:-1].replace("''", "'")
+        # JSON payloads (hyperparams, search_params, preprocess) arrive
+        # as string literals in the reference too — decode when they
+        # parse as JSON objects/arrays
+        t = s.strip()
+        if t[:1] in "{[":
+            try:
+                return json.loads(t)
+            except json.JSONDecodeError:
+                return s
+        return s
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none"):
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    return v
+
+
+def _parse_call(argstr: str) -> tuple[list, dict]:
+    args, kwargs = [], {}
+    for part in _split_args(argstr):
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=>\s*(.*)$", part, re.DOTALL)
+        if m:
+            kwargs[m.group(1).lower()] = _parse_value(m.group(2))
+        else:
+            args.append(_parse_value(part))
+    return args, kwargs
+
+
+def execute(
+    spark: SparkSession, sql: str, catalog: Catalog | None = None
+) -> DataFrame:
+    """Run one statement; quackml table functions dispatch to the Python
+    API, everything else goes to ``spark.sql``."""
+    m = _FN_RE.match(sql)
+    if not m:
+        return spark.sql(sql)
+    fn, argstr = m.group(1).lower(), m.group(2)
+    args, kw = _parse_call(argstr)
+    catalog = catalog or Catalog()
+
+    if fn == "train":
+        from quackml_spark.ml import train
+
+        res = train(spark, args[0] if args else kw.pop("project"), catalog=catalog, **kw)
+        return spark.createDataFrame(
+            [(res.project, res.task, res.algorithm, bool(res.deployed))],
+            "project string, task string, algorithm string, deployed boolean",
+        )
+    if fn == "finetune":
+        from quackml_spark.ml.finetune import finetune
+
+        res = finetune(
+            spark, args[0] if args else kw.pop("project"), catalog=catalog, **kw
+        )
+        return spark.createDataFrame(
+            [("OK", res.task, res.algorithm, bool(res.deployed))],
+            "status string, task string, algorithm string, deployed boolean",
+        )
+    if fn == "load_dataset":
+        from quackml_spark.ml import load_dataset
+
+        df = load_dataset(spark, args[0] if args else kw.pop("source"), **kw)
+        return spark.createDataFrame([(df.count(),)], "rows bigint")
+    # deploy(project, strategy[, model_id])
+    from quackml_spark.ml import deploy
+
+    dep_kw = dict(kw)
+    if len(args) > 1:
+        dep_kw.setdefault("strategy", args[1])
+    if len(args) > 2:
+        dep_kw.setdefault("model_id", args[2])
+    model_id = deploy(args[0], catalog=catalog, **dep_kw)
+    return spark.createDataFrame(
+        [(args[0], int(model_id))], "project string, model_id long"
+    )

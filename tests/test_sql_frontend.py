@@ -1,0 +1,70 @@
+"""The reference's literal SQL surface: SELECT * FROM train(...) etc."""
+
+from __future__ import annotations
+
+import pytest
+
+from quackml_spark import sql as qsql
+from quackml_spark.catalog import Catalog
+from quackml_spark.sources import load_table
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(warehouse=str(tmp_path / "wh"))
+
+
+def test_train_statement(spark, sf_dir, catalog):
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    ).limit(2000).createOrReplaceTempView("li_small")
+    out = qsql.execute(
+        spark,
+        """SELECT * FROM train('sql proj', task => 'regression',
+           relation_name => 'li_small', y_column_name => 'l_extendedprice',
+           algorithm => 'linear', test_sampling => 'random',
+           hyperparams => '{"maxIter": 5}')""",
+        catalog=catalog,
+    )
+    row = out.collect()[0]
+    assert row["project"] == "sql proj"
+    assert row["task"] == "regression"
+    assert row["deployed"] is True
+
+    # the scalar surface composes: quackml_predict over SQL
+    from quackml_spark.ml import register_udfs
+
+    register_udfs(spark, catalog)
+    preds = qsql.execute(
+        spark,
+        """SELECT quackml_predict('sql proj',
+                  array(l_quantity, l_discount, l_tax)) AS p
+           FROM li_small LIMIT 5""",
+    ).collect()
+    assert len(preds) == 5 and all(r["p"] is not None for r in preds)
+
+
+def test_load_dataset_and_deploy_statements(spark, sf_dir, catalog):
+    rows = qsql.execute(
+        spark, "SELECT * FROM load_dataset('iris')", catalog=catalog
+    ).collect()[0]["rows"]
+    assert rows == 150
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).limit(1500).createOrReplaceTempView("li_dep")
+    for algo in ("linear", "ridge"):
+        qsql.execute(
+            spark,
+            f"""SELECT * FROM train('dep proj', task => 'regression',
+               relation_name => 'li_dep', y_column_name => 'l_extendedprice',
+               algorithm => '{algo}', test_sampling => 'random')""",
+            catalog=catalog,
+        )
+    out = qsql.execute(
+        spark, "SELECT * FROM deploy('dep proj', 'best_score')", catalog=catalog
+    ).collect()[0]
+    assert out["project"] == "dep proj" and out["model_id"] >= 1
+
+
+def test_passthrough(spark):
+    assert qsql.execute(spark, "SELECT 1 AS one").collect()[0]["one"] == 1
