@@ -102,14 +102,40 @@ def _parse_call(argstr: str) -> tuple[list, dict]:
     return args, kwargs
 
 
+_SCALAR_REWRITES = {
+    "predict": "quackml_predict",
+    "embed": "quackml_embed",
+    "transform": "quackml_transform",
+    "generate": "quackml_generate",
+    "chunk": "quackml_chunk",
+}
+_SCALAR_RE = re.compile(
+    r"\b(" + "|".join(_SCALAR_REWRITES) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_scalars(sql: str) -> str:
+    """Map the reference's bare scalar names (predict(...), embed(...))
+    onto the registered quackml_* UDFs, skipping string literals."""
+    out, last = [], 0
+    for m in re.finditer(r"'(?:[^']|'')*'", sql):  # protect literals
+        seg = sql[last : m.start()]
+        out.append(_SCALAR_RE.sub(lambda g: _SCALAR_REWRITES[g.group(1).lower()] + "(", seg))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(_SCALAR_RE.sub(lambda g: _SCALAR_REWRITES[g.group(1).lower()] + "(", sql[last:]))
+    return "".join(out)
+
+
 def execute(
     spark: SparkSession, sql: str, catalog: Catalog | None = None
 ) -> DataFrame:
     """Run one statement; quackml table functions dispatch to the Python
-    API, everything else goes to ``spark.sql``."""
+    API, everything else goes to ``spark.sql`` with the reference's bare
+    scalar names rewritten onto the registered quackml_* UDFs."""
     m = _FN_RE.match(sql)
     if not m:
-        return spark.sql(sql)
+        return spark.sql(_rewrite_scalars(sql))
     fn, argstr = m.group(1).lower(), m.group(2)
     args, kw = _parse_call(argstr)
     catalog = catalog or Catalog()

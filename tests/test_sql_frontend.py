@@ -68,3 +68,31 @@ def test_load_dataset_and_deploy_statements(spark, sf_dir, catalog):
 
 def test_passthrough(spark):
     assert qsql.execute(spark, "SELECT 1 AS one").collect()[0]["one"] == 1
+
+
+def test_reference_scalar_names_rewritten(spark, sf_dir, catalog):
+    """The reference's bare scalar spellings run as-is."""
+    from quackml_spark.functions import register_sql_functions
+    from quackml_spark.ml import register_udfs, train
+
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).limit(1500).createOrReplaceTempView("li_scal")
+    train(
+        spark, "scal proj", task="regression",
+        relation_name="li_scal", y_column_name="l_extendedprice",
+        catalog=catalog, test_sampling="random",
+    )
+    register_udfs(spark, catalog)
+    register_sql_functions(spark)
+    rows = qsql.execute(
+        spark,
+        """SELECT predict('scal proj', array(l_quantity, l_discount)) AS p,
+                  size(embed('some text')) AS dim
+           FROM li_scal LIMIT 3""",
+    ).collect()
+    assert len(rows) == 3
+    assert all(r["p"] is not None and r["dim"] == 384 for r in rows)
+    # names inside string literals are untouched
+    lit = qsql.execute(spark, "SELECT 'call predict(x)' AS s").collect()[0]["s"]
+    assert lit == "call predict(x)"
