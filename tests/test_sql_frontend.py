@@ -96,3 +96,19 @@ def test_reference_scalar_names_rewritten(spark, sf_dir, catalog):
     # names inside string literals are untouched
     lit = qsql.execute(spark, "SELECT 'call predict(x)' AS s").collect()[0]["s"]
     assert lit == "call predict(x)"
+
+
+def test_finetune_statement(spark, catalog):
+    rows = [("good stuff here", "pos"), ("bad awful thing", "neg")] * 8
+    spark.createDataFrame(rows, "text string, class string").createOrReplaceTempView(
+        "ft_corpus"
+    )
+    out = qsql.execute(
+        spark,
+        """SELECT * FROM finetune('ft sql', task => 'text_classification',
+           relation_name => 'ft_corpus', model_name => 'distilbert-base-uncased')""",
+        catalog=catalog,
+    ).collect()[0]
+    assert out["status"] == "OK"
+    assert out["task"] == "text_classification"
+    assert out["deployed"] is True
