@@ -248,3 +248,17 @@ def test_sklearn_pickle_roundtrip(tmp_path):
     back = SklearnModel.load_pickle(p)
     assert back.task == Task.regression
     assert back.model.coef_ == [1.0, 2.0]
+
+
+def test_random_search_subsampling_deterministic():
+    from quackml_spark.catalog import Search
+    from quackml_spark.ml.search import build_combinations
+
+    params = {"a": [1, 2, 3, 4], "b": [0.1, 0.2, 0.3]}
+    c1 = build_combinations(Search.random, params, {}, {"n_iter": 5}, seed=42)
+    c2 = build_combinations(Search.random, params, {}, {"n_iter": 5}, seed=42)
+    c3 = build_combinations(Search.random, params, {}, {"n_iter": 5}, seed=7)
+    assert len(c1) == 5 and c1 == c2  # seeded determinism
+    assert c1 != c3  # seed actually varies the sample
+    full = build_combinations(Search.grid, params, {}, None, seed=42)
+    assert len(full) == 12  # cartesian product
