@@ -262,3 +262,25 @@ def test_random_search_subsampling_deterministic():
     assert c1 != c3  # seed actually varies the sample
     full = build_combinations(Search.grid, params, {}, None, seed=42)
     assert len(full) == 12  # cartesian product
+
+
+def test_hyperparam_aliases_map_to_mllib(spark):
+    """sklearn/xgboost spellings must reach the MLlib estimator params
+    (xgboost.rs:59-style alias table)."""
+    from quackml_spark.catalog import Algorithm, Task
+    from quackml_spark.ml.algorithms import resolve
+
+    r = resolve(
+        Task.regression,
+        Algorithm.random_forest,
+        {"n_estimators": 7, "max_depth": 3, "seed": 1},
+        42,
+    )
+    est = r.estimator
+    assert est.getOrDefault("numTrees") == 7
+    assert est.getOrDefault("maxDepth") == 3
+
+    r2 = resolve(
+        Task.regression, Algorithm.linear, {"max_iter": 11, "alpha": 0.5}, 42
+    )
+    assert r2.estimator.getOrDefault("maxIter") == 11
