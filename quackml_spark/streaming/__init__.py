@@ -1,5 +1,6 @@
 from quackml_spark.streaming.events import (
     ewma_stream,
+    streaming_dedup,
     read_event_stream,
     run_to_completion,
     sessionize,
@@ -10,6 +11,7 @@ from quackml_spark.streaming.events import (
 
 __all__ = [
     "ewma_stream",
+    "streaming_dedup",
     "read_event_stream",
     "streaming_hourly_aggregate",
     "streaming_transform",

@@ -214,3 +214,18 @@ def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
             fn, out_type, state_type, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first event per key, with state
+    bounded by the watermark (dropDuplicatesWithinWatermark) — the
+    streaming twin of dedup_exact for continuous ingestion. At 100 TB/day
+    the state store holds only keys younger than the watermark."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -147,3 +147,29 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("ewma"), 6).alias("avg_ewma"),
     ).orderBy("user_id")
+
+
+@register(
+    "streaming_dedup_events",
+    doc="Streaming exact dedup (first event per (user_id, event_type), "
+    "watermark-bounded state) — kept-row count equals the batch "
+    "first-per-key count, which is how the test verifies it.",
+    tags=("streaming",),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from quackml_spark.streaming.events import (
+        read_event_stream,
+        run_to_completion,
+        streaming_dedup,
+    )
+
+    out = run_to_completion(
+        streaming_dedup(
+            read_event_stream(spark, sf_dir), ["user_id", "event_type"]
+        ).select("user_id", "event_type"),
+        "qml_streaming_dedup",
+        output_mode="append",
+    )
+    return out.agg(F.count(F.lit(1)).alias("n_kept"))

@@ -228,3 +228,20 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     assert "2024-01-01 09:00:00" not in out, out
     assert out.get("2024-01-01 10:00:00") == 2, out
+
+
+def test_streaming_dedup_equals_batch_first_per_key(spark, sf_dir):
+    from quackml_spark.plans import REGISTRY
+
+    n_stream = REGISTRY["streaming_dedup_events"].builder(spark, sf_dir).collect()[0][
+        "n_kept"
+    ]
+    from quackml_spark.sources import load_table
+
+    n_batch = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert n_stream == n_batch
