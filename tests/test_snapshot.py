@@ -164,3 +164,22 @@ def test_snapshot_persist_and_load(spark, catalog, mixed_df):
     assert loaded.num_train_rows == snap.num_train_rows
     fc = next(f for f in loaded.fitted if f.spec.name == "color")
     assert fc.encode_map["__NULL__"] == 0.0
+
+
+def test_last_sampling_split_has_no_shuffle(spark, catalog):
+    """SCALE.md rule 1: the 'last' split ranks in natural order —
+    no range repartition, no exchange on the data path."""
+    import pandas as pd
+
+    from quackml_spark.core.snapshot import Snapshot
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": range(100), "y": [float(i) for i in range(100)]})
+    )
+    snap, train_df, _ = Snapshot.create(
+        spark, catalog, df, "y", test_size=0.2, test_sampling="last"
+    )
+    train_df.count()
+    plan = train_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    snap.unpersist()
