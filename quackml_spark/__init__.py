@@ -25,8 +25,43 @@ from quackml_spark.session import get_spark, configure_for_scale
 
 __version__ = "0.1.0"
 
+# the user-facing API, importable from the package root; resolved
+# lazily so `import quackml_spark` stays light
+_LAZY = {
+    "train": ("quackml_spark.ml", "train"),
+    "predict": ("quackml_spark.ml", "predict"),
+    "predict_proba": ("quackml_spark.ml", "predict_proba"),
+    "predict_joint": ("quackml_spark.ml", "predict_joint"),
+    "decompose": ("quackml_spark.ml", "decompose"),
+    "deploy": ("quackml_spark.ml", "deploy"),
+    "load_dataset": ("quackml_spark.ml", "load_dataset"),
+    "register_udfs": ("quackml_spark.ml", "register_udfs"),
+    "finetune": ("quackml_spark.ml.finetune", "finetune"),
+    "predict_text": ("quackml_spark.ml.finetune", "predict_text"),
+    "embed": ("quackml_spark.functions", "embed"),
+    "transform": ("quackml_spark.functions", "transform"),
+    "generate": ("quackml_spark.functions", "generate"),
+    "rank": ("quackml_spark.functions", "rank"),
+    "chunk": ("quackml_spark.functions", "chunk"),
+    "register_sql_functions": ("quackml_spark.functions", "register_sql_functions"),
+    "execute": ("quackml_spark.sql", "execute"),
+    "Catalog": ("quackml_spark.catalog", "Catalog"),
+    "validate_dependencies": ("quackml_spark.env", "validate_dependencies"),
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'quackml_spark' has no attribute {name!r}")
+
+
 __all__ = [
     "get_spark",
     "configure_for_scale",
     "__version__",
+    *_LAZY,
 ]
