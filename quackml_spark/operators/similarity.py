@@ -315,3 +315,54 @@ def ann_ivf_topk(
         .where(F.col("rnk") <= 10)
         .orderBy("query_id", "rnk")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    doc="Symmetric int8 quantization of embeddings (per-vector scale = "
+    "max_abs/127) — the 4x memory reduction an ANN index applies at "
+    "scale. Quantized codes are exact integers, so the checksum oracle "
+    "value-checks the full quantizer; floor() avoids engine-specific "
+    "round-half-to-even differences.",
+    oracle="""
+WITH mx AS (
+  SELECT vec_id, MAX(abs(x)) AS max_abs
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+  GROUP BY vec_id
+), q AS (
+  SELECT e.vec_id,
+         CAST(floor(x * 127.0 / NULLIF(m.max_abs, 0)) AS BIGINT) AS code
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x FROM embeddings) e
+  JOIN mx m USING (vec_id)
+)
+SELECT vec_id,
+       COUNT(*) AS dim,
+       SUM(code) AS code_sum,
+       MIN(code) AS code_min,
+       MAX(code) AS code_max
+FROM q GROUP BY vec_id ORDER BY vec_id
+""",
+    tags=("similarity",),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    xs = emb.select(
+        "vec_id", F.explode(F.col("embedding").cast("array<double>")).alias("x")
+    )
+    mx = xs.groupBy("vec_id").agg(F.max(F.abs("x")).alias("max_abs"))
+    q = xs.join(mx, "vec_id").select(
+        "vec_id",
+        F.floor(
+            F.col("x") * 127.0 / F.nullif(F.col("max_abs"), F.lit(0.0))
+        ).cast("bigint").alias("code"),
+    )
+    return (
+        q.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("dim"),
+            F.sum("code").alias("code_sum"),
+            F.min("code").alias("code_min"),
+            F.max("code").alias("code_max"),
+        )
+        .orderBy("vec_id")
+    )

@@ -280,3 +280,46 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(low, F.lit(r"\S+"), 0)).alias("ws_tokens"),
         F.size(F.regexp_extract_all(low, F.lit(_BPE_RE), 0)).alias("bpe_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_unigram_logprob",
+    doc="Language-model-ish quality signal: per-document mean unigram "
+    "log-probability under the corpus distribution. Two aggregations "
+    "sharing the token key + one broadcast-sized frequency join; "
+    "round(.,6) absorbs libm log ulp differences between engines.",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), total AS (SELECT SUM(c) AS n FROM freq)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(ROUND(AVG(ln(f.c / (SELECT n FROM total))), 6) AS DOUBLE)
+         AS mean_logprob
+FROM toks t JOIN freq f USING (tok)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    tags=("textops",),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.lit(float(total)))), 6)
+            .cast("double")
+            .alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
