@@ -323,3 +323,61 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_tfidf_top_term",
+    doc="TF-IDF: corpus document frequencies -> per-doc top-scoring "
+    "term (row_number over score desc, term asc). Two token-keyed "
+    "aggregations + a broadcast DF join; the idf factor is shared per "
+    "term so cross-engine argmax agrees.",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), df_ AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * ln((SELECT n_docs FROM n) / df_.df) AS score
+  FROM tf JOIN df_ USING (tok)
+)
+SELECT doc_id, tok AS top_term,
+       CAST(ROUND(score, 6) AS DOUBLE) AS tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+  FROM scored
+)
+WHERE rn = 1
+ORDER BY doc_id
+""",
+    tags=("textops",),
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count_distinct("doc_id")).collect()[0][0]
+    toks = docs.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("tok").alias("top_term"),
+            F.round("score", 6).cast("double").alias("tfidf"),
+        )
+        .orderBy("doc_id")
+    )
