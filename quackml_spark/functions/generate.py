@@ -13,7 +13,6 @@ path, and batch plumbing stay real.
 from __future__ import annotations
 
 import hashlib
-import json
 
 import pandas as pd
 

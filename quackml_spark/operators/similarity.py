@@ -259,7 +259,7 @@ def ann_ivf_topk(
     spark: SparkSession, sf_dir: str, n_lists: int = 8, nprobe: int = 3
 ) -> DataFrame:
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     emb = _with_norm(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),

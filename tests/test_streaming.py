@@ -121,7 +121,7 @@ def test_ewma_cross_batch_state(spark, sf_dir, tmp_path):
     import pandas as pd
 
     from quackml_spark.sources import load_table
-    from quackml_spark.streaming.events import EVENTS_SCHEMA, ewma_stream
+    from quackml_spark.streaming.events import ewma_stream
 
     events = load_table(spark, sf_dir, "events")
     pdf = events.select("user_id", "event_id", "ts", "value").toPandas()
