@@ -1,0 +1,58 @@
+"""Skew-safe aggregation: the salted two-phase groupBy as an operator.
+
+For a hot grouping key (one customer with 10% of all events, one
+near-duplicate cluster, ...) a direct groupBy funnels the hot group
+through one reducer. Salting splits phase 1 over ``n_salts`` reducers
+and merges the partials in phase 2. The caller supplies RE-AGGREGATABLE
+aggregate specs (sum/count/min/max — DECIMAL sums stay exact), so the
+result is IDENTICAL to the direct groupBy; only the physical
+distribution changes. q23_salted_aggregate is the oracle-checked
+instance of this pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# merge function per phase-1 aggregate kind
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts re-aggregate by summing
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_groupby(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column]],
+    n_salts: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase grouped aggregation.
+
+    ``aggs`` maps output name -> (kind, expression) with kind in
+    {sum, count, min, max}. ``salt_on`` picks the salting hash input
+    (defaults to a uniform random-ish hash of all key columns plus
+    spark_partition_id, which spreads even a single hot key)."""
+    unknown = {k for k, (kind, _) in aggs.items() if kind not in _MERGE}
+    if unknown:
+        raise ValueError(f"non-re-aggregatable kinds for {sorted(unknown)}")
+    salt = (
+        F.pmod(F.xxhash64(salt_on), F.lit(n_salts))
+        if salt_on
+        else F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    phase1 = df.withColumn("__qml_salt", salt).groupBy(*keys, "__qml_salt")
+    p1_aggs = []
+    for name, (kind, expr) in aggs.items():
+        fn = F.count if kind == "count" else getattr(F, kind)
+        p1_aggs.append(fn(expr).alias(f"__p1_{name}"))
+    partial = phase1.agg(*p1_aggs)
+    p2_aggs = [
+        _MERGE[kind](F.col(f"__p1_{name}")).alias(name)
+        for name, (kind, _) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*p2_aggs)

@@ -33,3 +33,40 @@ def test_aqe_splits_skewed_join_partition(spark):
     assert len(rows) == 205000
     assert "isFinalPlan=true" in plan
     assert plan.count("skew=true") >= 1, "AQE skew split did not engage"
+
+
+def test_salted_groupby_equals_direct(spark, sf_dir):
+    from quackml_spark.operators.skew import salted_groupby
+    from quackml_spark.plans._exact import dec, disc_price
+    from quackml_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_groupby(
+        li,
+        ["l_returnflag"],
+        {
+            "revenue": ("sum", disc_price()),
+            "n": ("count", F.lit(1)),
+            "min_qty": ("min", dec("l_quantity")),
+            "max_qty": ("max", dec("l_quantity")),
+        },
+        n_salts=8,
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.sum(disc_price()).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(dec("l_quantity")).alias("min_qty"),
+        F.max(dec("l_quantity")).alias("max_qty"),
+    )
+    s = {tuple(r) for r in salted.collect()}
+    d = {tuple(r) for r in direct.collect()}
+    assert s == d  # DECIMAL partials make the two-phase result identical
+
+
+def test_salted_groupby_rejects_non_reaggregatable():
+    import pytest as _pytest
+
+    from quackml_spark.operators.skew import salted_groupby
+
+    with _pytest.raises(ValueError, match="non-re-aggregatable"):
+        salted_groupby(None, ["k"], {"bad": ("avg", F.lit(1))})
