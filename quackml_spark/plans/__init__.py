@@ -89,3 +89,16 @@ def _load_all() -> None:
         except ImportError:
             pass
     _LOADED = True
+
+
+def describe(spark: SparkSession) -> DataFrame:
+    """The registered operator surface as a DataFrame: one row per
+    query with its doc line, tags, and whether it is oracle-checked."""
+    _load_all()
+    rows = [
+        (qd.name, qd.doc, ",".join(qd.tags), qd.oracle is not None)
+        for qd in REGISTRY.values()
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "name string, doc string, tags string, oracle_checked boolean"
+    )
