@@ -39,3 +39,13 @@ def test_no_global_window_orderby_in_engine():
 def test_every_query_has_doc():
     undocumented = [n for n, q in sorted(REGISTRY.items()) if not q.doc]
     assert not undocumented, undocumented
+
+
+def test_describe_matches_registry(spark):
+    from quackml_spark.plans import describe
+
+    df = describe(spark)
+    assert df.count() == len(REGISTRY)
+    assert df.where("oracle_checked").count() == sum(
+        1 for q in REGISTRY.values() if q.oracle
+    )
