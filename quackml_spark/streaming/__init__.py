@@ -1,5 +1,6 @@
 from quackml_spark.streaming.events import (
     ewma_stream,
+    stream_stream_lookback_join,
     streaming_dedup,
     read_event_stream,
     run_to_completion,
@@ -12,6 +13,7 @@ from quackml_spark.streaming.events import (
 __all__ = [
     "ewma_stream",
     "streaming_dedup",
+    "stream_stream_lookback_join",
     "read_event_stream",
     "streaming_hourly_aggregate",
     "streaming_transform",

@@ -229,3 +229,31 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def stream_stream_lookback_join(
+    events: DataFrame, lookback: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream self-join: pair each event with the same user's
+    PRIOR events inside the lookback interval — the streaming twin of
+    q19_events_lookback_window. Both sides carry watermarks and the
+    time-range join condition, so Spark bounds the join state to the
+    lookback+watermark horizon (state cleanup is what makes
+    stream-stream joins viable at 100 TB/day)."""
+    left = events.select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    right = events.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", watermark)
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") < F.col("l_ts")),
+    )

@@ -245,3 +245,31 @@ def test_streaming_dedup_equals_batch_first_per_key(spark, sf_dir):
         .count()
     )
     assert n_stream == n_batch
+
+
+def test_stream_stream_join_equals_batch_lookback(spark, sf_dir):
+    """The stream-stream lookback self-join must produce exactly the
+    pair counts that the oracle-checked batch RANGE-frame window (q19)
+    reports per event."""
+    from quackml_spark.plans import REGISTRY
+    from quackml_spark.streaming.events import (
+        read_event_stream,
+        run_to_completion,
+        stream_stream_lookback_join,
+    )
+
+    joined = stream_stream_lookback_join(read_event_stream(spark, sf_dir))
+    out = run_to_completion(
+        joined.select("l_event", "r_event"), "qml_ss_join", output_mode="append"
+    )
+    stream_counts = {
+        r["l_event"]: r["n"]
+        for r in out.groupBy("l_event").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch = REGISTRY["q19_events_lookback_window"].builder(spark, sf_dir)
+    batch_counts = {
+        r["event_id"]: r["n_prior_30m"]
+        for r in batch.collect()
+        if r["n_prior_30m"] > 0
+    }
+    assert stream_counts == batch_counts
