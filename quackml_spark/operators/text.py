@@ -381,3 +381,71 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_winnow_fingerprint",
+    doc="Winnowing fingerprints (MOSS): char 5-gram rolling hashes, "
+    "min per sliding window of 4 positions, distinct mins = the doc's "
+    "fingerprint set. Pure expressions (posexplode + window frame); "
+    "output is each doc's fingerprint count + min/max hash — exact "
+    "integers in both engines.",
+    oracle=r"""
+WITH pos AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(substr(lower(text), CAST(i AS INT), 5)), 1, 8))::BIGINT AS h
+  FROM documents,
+       unnest(range(1, greatest(length(text) - 3, 2))) AS t(i)
+  WHERE length(text) >= 5
+), wins AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM pos
+), fp AS (
+  SELECT DISTINCT doc_id, wmin FROM wins WHERE i + 3 <= n
+)
+SELECT doc_id, COUNT(*) AS n_fingerprints,
+       MIN(wmin) AS min_fp, MAX(wmin) AS max_fp
+FROM fp GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("textops",),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") >= 5)
+    low = F.lower(F.col("text"))
+    # one row per 5-gram position (1-based, parity with SQL substr)
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 4, 1)), "
+                "i -> substr(lower(text), i, 5))"
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("i"),
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    n = Window.partitionBy("doc_id")
+    wins = pos.select(
+        "doc_id",
+        "i",
+        F.min("h").over(w).alias("wmin"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    ).where(F.col("i") + 3 <= F.col("n"))
+    fp = wins.select("doc_id", "wmin").distinct()
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.min("wmin").alias("min_fp"),
+            F.max("wmin").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
