@@ -518,3 +518,118 @@ def q23_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q24 — rank-family window functions.
+# ---------------------------------------------------------------------------
+@register(
+    "q24_customer_value_ranks",
+    doc="percent_rank + cume_dist + ntile over per-customer order value "
+    "within market segment — the analytic rank family in one pass.",
+    oracle=f"""
+WITH cust_val AS (
+  SELECT c_custkey, c_mktsegment,
+         {sql_out("SUM(CAST(o_totalprice AS DECIMAL(18,6)))")} AS total
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_mktsegment
+)
+SELECT c_custkey, c_mktsegment,
+       CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+       CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cume,
+       NTILE(4) OVER w AS quartile
+FROM cust_val
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY total, c_custkey)
+ORDER BY c_custkey
+""",
+    tags=("relational",),
+)
+def q24_customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    cv = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(out_double(F.sum(dec("o_totalprice"))).alias("total"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("total", "c_custkey")
+    return cv.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q25 — ratio-to-report (share of parent group).
+# ---------------------------------------------------------------------------
+@register(
+    "q25_nation_revenue_share",
+    doc="Ratio-to-report: each nation's share of its region's revenue — "
+    "grouped aggregate + windowed sum over the parent group; the share "
+    "is one DECIMAL/DECIMAL division, bit-identical across engines.",
+    oracle=f"""
+WITH nat AS (
+  SELECT r_name, n_name,
+         {sql_out(f"SUM({SQL_DISC_PRICE})")} AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(ROUND(CAST(revenue AS DECIMAL(18,6))
+            / SUM(CAST(revenue AS DECIMAL(18,6))) OVER (PARTITION BY r_name), 6)
+            AS DOUBLE) AS region_share
+FROM nat
+ORDER BY r_name, n_name
+""",
+    tags=("relational",),
+)
+def q25_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    region = F.broadcast(t(spark, sf_dir, "region"))
+    nat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(out_double(F.sum(disc_price())).alias("revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    share = F.col("revenue").cast("decimal(18,6)") / F.sum(
+        F.col("revenue").cast("decimal(18,6)")
+    ).over(w)
+    return nat.select(
+        "r_name", "n_name", F.round(share, 6).cast("double").alias("region_share")
+    ).orderBy("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# q26 — fuzzy matching via edit distance.
+# ---------------------------------------------------------------------------
+@register(
+    "q26_fuzzy_nation_match",
+    doc="Fuzzy-matching primitive: Levenshtein distance from every "
+    "nation name to a probe string — exact integer in both engines; "
+    "the broadcast-dim pattern a fuzzy join builds on.",
+    oracle="""
+SELECT n_name, levenshtein(n_name, 'UNITED STATS') AS dist
+FROM nation
+ORDER BY dist, n_name
+""",
+    tags=("relational",),
+)
+def q26_fuzzy_nation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_name", F.levenshtein("n_name", F.lit("UNITED STATS")).alias("dist")
+    ).orderBy("dist", "n_name")
