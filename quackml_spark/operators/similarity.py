@@ -366,3 +366,41 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "embedding_label_centroids",
+    doc="Per-label centroid of the embedding vectors in long form "
+    "(label, dim, mean) — posexplode + DECIMAL mean per (label, dim), "
+    "so values are partitioning-independent and engine-exact. The "
+    "nearest-centroid classifier / IVF coarse-quantizer primitive.",
+    oracle="""
+SELECT label, i - 1 AS dim,
+       CAST(ROUND(SUM(CAST(x AS DECIMAL(18,9))) / COUNT(*), 6) AS DOUBLE)
+         AS mean_val
+FROM (
+  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY label, i
+ORDER BY label, dim
+""",
+    tags=("similarity",),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    xs = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    return (
+        xs.groupBy("label", "dim")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(18,9)")) / F.count(F.lit(1)))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("mean_val"),
+        )
+        .orderBy("label", "dim")
+    )
