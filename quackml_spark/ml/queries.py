@@ -331,3 +331,53 @@ def ml_predict_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_targets")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "ml_ols_training_parity",
+    doc="Oracle-checks the TRAINING path itself: train() fits MLlib "
+    "linear regression (distributed WLS) on the deterministic "
+    "'last'-sampling head split; the fitted slope/intercept must equal "
+    "DuckDB's closed-form regr_slope/regr_intercept on the same rows. "
+    "Absolute test row count avoids rounding-boundary drift; round(4) "
+    "absorbs summation-order ulps in the normal equations.",
+    oracle="""
+WITH t AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+  LIMIT (SELECT COUNT(*) - 2000 FROM lineitem)
+)
+SELECT CAST(ROUND(regr_slope(y, x), 4) AS DOUBLE) AS slope,
+       CAST(ROUND(regr_intercept(y, x), 4) AS DOUBLE) AS intercept
+FROM t
+""",
+    tags=("ml",),
+)
+def ml_ols_training_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import train
+    from quackml_spark.ml.predict import resolve_deployed
+
+    catalog = _fresh_catalog()
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    train(
+        spark,
+        "ols parity",
+        task="regression",
+        df=df,
+        y_column_name="l_extendedprice",
+        catalog=catalog,
+        test_sampling="last",
+        test_size=2000,
+        hyperparams={"regParam": 0.0},
+    )
+    _, trained, _ = resolve_deployed(spark, catalog, "ols parity")
+    return spark.createDataFrame(
+        [
+            (
+                round(float(trained.portable["coef"][0]), 4),
+                round(float(trained.portable["intercept"]), 4),
+            )
+        ],
+        "slope double, intercept double",
+    )
