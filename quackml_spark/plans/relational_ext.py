@@ -633,3 +633,35 @@ def q26_fuzzy_nation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.select(
         "n_name", F.levenshtein("n_name", F.lit("UNITED STATS")).alias("dist")
     ).orderBy("dist", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# q27 — calendar extraction battery.
+# ---------------------------------------------------------------------------
+@register(
+    "q27_orders_by_calendar",
+    doc="EXTRACT battery: orders by (year, quarter, ISO weekday) — "
+    "engines disagree on weekday numbering (DuckDB dow Sunday=0, Spark "
+    "dayofweek Sunday=1), so both sides use ISO day-of-week explicitly.",
+    oracle="""
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       EXTRACT(quarter FROM o_orderdate) AS qtr,
+       EXTRACT(isodow FROM o_orderdate) AS iso_dow,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY yr, qtr, iso_dow
+""",
+    tags=("relational",),
+)
+def q27_orders_by_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+            (F.weekday("o_orderdate") + 1).cast("bigint").alias("iso_dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("yr", "qtr", "iso_dow")
+    )
