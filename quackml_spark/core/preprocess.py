@@ -327,9 +327,12 @@ def transform_columns(df: DataFrame, fitted: FittedColumn) -> tuple[DataFrame, l
         return df, out_names
 
     if spec.encode == "one_hot":
-        # k-1 indicators over the native first-seen map, skipping __NULL__
-        # and dropping the last category (OneHotEncoder dropLast parity).
-        cats = sorted(
+        # Reference indicator layout (snapshot.rs:220-245): the category
+        # list starts with the __NULL__ slot, then first-seen categories,
+        # and emits len(categories)-1 indicators by dropping only the
+        # FINAL category — so index 0 is always the "was NULL" indicator
+        # and snapshots stay feature-compatible with the reference.
+        cats = [NULL_CATEGORY] + sorted(
             (k for k in fitted.encode_map if k != NULL_CATEGORY),
             key=lambda k: fitted.encode_map[k],
         )

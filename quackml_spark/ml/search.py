@@ -58,8 +58,14 @@ def run_search(
 ) -> tuple[dict, dict]:
     """k-fold CV over contiguous slices; returns (best_params,
     search_results JSON)."""
-    if cv <= 1 or len(combos) == 1 and cv <= 1:
+    if len(combos) == 1:
         return combos[0], {}
+    # cv<=1 with multiple candidates still has to *choose*: score every
+    # combo on one contiguous 25% holdout (folds 0-2 train, fold 3
+    # scores) instead of silently returning combos[0].
+    holdout_only = cv <= 1
+    if holdout_only:
+        cv = 4
 
     # contiguous folds over the sampled ordering (dataset.rs:38-74)
     fold_col = F.floor(
@@ -76,12 +82,13 @@ def run_search(
         "mean_test_score": [],
         "std_test_score": [],
     }
-    for k in range(cv):
+    fold_ids = [cv - 1] if holdout_only else list(range(cv))
+    for k in fold_ids:
         results[f"split{k}_test_score"] = []
 
     for combo in combos:
         fit_times, score_times, scores = [], [], []
-        for k in range(cv):
+        for k in fold_ids:
             cv_train = folded.where(F.col("__qml_fold") != k)
             cv_test = folded.where(F.col("__qml_fold") == k)
             t0 = time.perf_counter()

@@ -283,7 +283,8 @@ WITH toks AS (
   GROUP BY doc_id, b
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM bits
 GROUP BY doc_id
 ORDER BY doc_id

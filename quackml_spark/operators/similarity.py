@@ -337,7 +337,7 @@ WITH mx AS (
 )
 SELECT vec_id,
        COUNT(*) AS dim,
-       SUM(code) AS code_sum,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
        MIN(code) AS code_min,
        MAX(code) AS code_max
 FROM q GROUP BY vec_id ORDER BY vec_id

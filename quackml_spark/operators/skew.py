@@ -35,16 +35,15 @@ def salted_groupby(
 
     ``aggs`` maps output name -> (kind, expression) with kind in
     {sum, count, min, max}. ``salt_on`` picks the salting hash input
-    (defaults to a uniform random-ish hash of all key columns plus
-    spark_partition_id, which spreads even a single hot key)."""
+    (defaults to a content hash of ALL columns: deterministic across
+    task retries — a partition-id/monotonic-id salt could re-bucket rows
+    when a failed map task recomputes, double-counting phase-1 partials
+    against an earlier partial fetch)."""
     unknown = {k for k, (kind, _) in aggs.items() if kind not in _MERGE}
     if unknown:
         raise ValueError(f"non-re-aggregatable kinds for {sorted(unknown)}")
-    salt = (
-        F.pmod(F.xxhash64(salt_on), F.lit(n_salts))
-        if salt_on
-        else F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
-    )
+    salt_input = [salt_on] if salt_on else [F.col(c) for c in df.columns]
+    salt = F.pmod(F.xxhash64(*salt_input), F.lit(n_salts))
     phase1 = df.withColumn("__qml_salt", salt).groupBy(*keys, "__qml_salt")
     p1_aggs = []
     for name, (kind, expr) in aggs.items():

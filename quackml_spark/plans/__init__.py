@@ -66,6 +66,16 @@ def all_oracles() -> dict[str, str]:
 
 _LOADED = False
 
+_QUERY_MODULES = (
+    "quackml_spark.operators.dedup",
+    "quackml_spark.operators.text",
+    "quackml_spark.operators.similarity",
+    "quackml_spark.operators.multimodal",
+    "quackml_spark.functions.queries",
+    "quackml_spark.ml.queries",
+    "quackml_spark.streaming.queries",
+)
+
 
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
@@ -75,19 +85,20 @@ def _load_all() -> None:
     # Imported for registration side effects.
     from quackml_spark.plans import relational, relational_ext  # noqa: F401
 
-    for mod in (
-        "quackml_spark.operators.dedup",
-        "quackml_spark.operators.text",
-        "quackml_spark.operators.similarity",
-        "quackml_spark.operators.multimodal",
-        "quackml_spark.functions.queries",
-        "quackml_spark.ml.queries",
-        "quackml_spark.streaming.queries",
-    ):
+    # A module that fails to import would silently remove its whole
+    # query family from the scored registry — collect every failure and
+    # raise so the shrinkage is loud, not invisible.
+    errors: list[str] = []
+    for mod in _QUERY_MODULES:
         try:
             __import__(mod)
-        except ImportError:
-            pass
+        except Exception as e:  # ImportError or a module-level bug
+            errors.append(f"{mod}: {type(e).__name__}: {e}")
+    if errors:
+        raise ImportError(
+            "query-registry modules failed to load (their queries would "
+            "be silently unscored): " + "; ".join(errors)
+        )
     _LOADED = True
 
 

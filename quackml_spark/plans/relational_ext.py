@@ -158,7 +158,8 @@ def q16_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reference JSON reliance: lib.rs:38-39, task.rs:116-126).",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type
@@ -199,7 +200,8 @@ WITH marked AS (
                              ROWS UNBOUNDED PRECEDING) AS session_no
   FROM marked
 )
-SELECT user_id, session_no, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       COUNT(*) AS n_events,
        DATE_DIFF('second', MIN(ts), MAX(ts)) AS duration_s
 FROM sess
 GROUP BY user_id, session_no

@@ -140,10 +140,23 @@ def execute(
     args, kw = _parse_call(argstr)
     catalog = catalog or Catalog()
 
+    def _first(*names: str) -> str:
+        """First positional arg, else the first matching named arg
+        (the reference accepts both call shapes); loud error otherwise."""
+        if args:
+            return args[0]
+        for n in names:
+            if n in kw:
+                return kw.pop(n)
+        raise ValueError(
+            f"{fn}(...) needs a {' / '.join(names)} argument, positional "
+            f"or named; got args={args} kwargs={sorted(kw)}"
+        )
+
     if fn == "train":
         from quackml_spark.ml import train
 
-        res = train(spark, args[0] if args else kw.pop("project"), catalog=catalog, **kw)
+        res = train(spark, _first("project", "project_name"), catalog=catalog, **kw)
         return spark.createDataFrame(
             [(res.project, res.task, res.algorithm, bool(res.deployed))],
             "project string, task string, algorithm string, deployed boolean",
@@ -152,7 +165,7 @@ def execute(
         from quackml_spark.ml.finetune import finetune
 
         res = finetune(
-            spark, args[0] if args else kw.pop("project"), catalog=catalog, **kw
+            spark, _first("project", "project_name"), catalog=catalog, **kw
         )
         return spark.createDataFrame(
             [("OK", res.task, res.algorithm, bool(res.deployed))],
@@ -161,17 +174,18 @@ def execute(
     if fn == "load_dataset":
         from quackml_spark.ml import load_dataset
 
-        df = load_dataset(spark, args[0] if args else kw.pop("source"), **kw)
+        df = load_dataset(spark, _first("source", "source_name", "name"), **kw)
         return spark.createDataFrame([(df.count(),)], "rows bigint")
-    # deploy(project, strategy[, model_id])
+    # deploy(project, strategy[, model_id]) — positional or named args
     from quackml_spark.ml import deploy
 
+    project = _first("project", "project_name")
     dep_kw = dict(kw)
     if len(args) > 1:
         dep_kw.setdefault("strategy", args[1])
     if len(args) > 2:
         dep_kw.setdefault("model_id", args[2])
-    model_id = deploy(args[0], catalog=catalog, **dep_kw)
+    model_id = deploy(project, catalog=catalog, **dep_kw)
     return spark.createDataFrame(
-        [(args[0], int(model_id))], "project string, model_id long"
+        [(project, int(model_id))], "project string, model_id long"
     )

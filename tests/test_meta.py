@@ -49,3 +49,59 @@ def test_describe_matches_registry(spark):
     assert df.where("oracle_checked").count() == sum(
         1 for q in REGISTRY.values() if q.oracle
     )
+
+
+def test_oracle_outputs_never_hugeint():
+    """Driver hazard: DuckDB types SUM(BIGINT) as HUGEINT, which pandas
+    renders as float64/object and defeats the driver's value hash even
+    when every cell matches (burned us on dedup_simhash and
+    embedding_quantize_int8 in round 1). Every oracle's *output* columns
+    must resolve to driver-hashable types — wrap integer SUMs in
+    CAST(... AS BIGINT)."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for tname in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {tname} AS "
+            f"SELECT * FROM read_parquet('{sf}/{tname}.parquet')"
+        )
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if not q.oracle:
+            continue
+        try:
+            rel = con.sql(q.oracle)
+        except Exception as e:  # surfaced separately by parity tests
+            offenders.append((name, f"oracle does not parse: {e}"))
+            continue
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ) in ("HUGEINT", "UHUGEINT"):
+                offenders.append((name, f"{col} is {typ}"))
+    assert not offenders, offenders
+
+
+def test_load_all_reports_broken_module(monkeypatch):
+    """A query module that fails to import must abort loudly, not
+    silently shrink the scored registry (plans/__init__ collects and
+    raises)."""
+    import quackml_spark.plans as plans
+
+    monkeypatch.setattr(plans, "_LOADED", False)
+    monkeypatch.setattr(
+        plans, "_QUERY_MODULES",
+        plans._QUERY_MODULES + ("quackml_spark.__no_such_module__",),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ImportError, match="no_such_module"):
+        plans._load_all()
+    # un-poison for subsequent tests
+    monkeypatch.undo()
+    plans._LOADED = False
+    plans._load_all()
+    assert plans._LOADED

@@ -125,7 +125,10 @@ def _np_categorical(train_cats, all_cats, train_y, encode):
             nxt += 1.0
     if encode == "native":
         return np.array([[emap.get(k, np.nan)] for k in keys])
-    cats = sorted((k for k in emap if k != "__NULL__"), key=lambda k: emap[k])
+    # reference layout: __NULL__ slot first, drop only the final category
+    cats = ["__NULL__"] + sorted(
+        (k for k in emap if k != "__NULL__"), key=lambda k: emap[k]
+    )
     kept = cats[:-1] if len(cats) > 1 else cats
     return np.array([[1.0 if k == c else 0.0 for c in kept] for k in keys])
 

@@ -284,3 +284,20 @@ def test_hyperparam_aliases_map_to_mllib(spark):
         Task.regression, Algorithm.linear, {"max_iter": 11, "alpha": 0.5}, 42
     )
     assert r2.estimator.getOrDefault("maxIter") == 11
+
+
+def test_search_grid_cv1_still_scores(spark, catalog):
+    """ADVICE r01: search with cv<=1 used to silently return combos[0]
+    with empty search_results; it must still score every combo (single
+    25% holdout) and pick a winner."""
+    df = load_dataset(spark, "diabetes")
+    res = train(
+        spark, "searchy1", task="regression", df=df, y_column_name="target",
+        algorithm="ridge", search="grid",
+        search_params={"alpha": [0.01, 1.0]}, search_args={"cv": 1},
+        catalog=catalog, test_sampling="random",
+    )
+    sr = res.metrics["search_results"]
+    assert len(sr["params"]) == 2
+    assert len(sr["mean_test_score"]) == 2
+    assert sr["rank_test_score"][sr["best_index"]] == 1
