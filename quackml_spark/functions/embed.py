@@ -5,7 +5,9 @@ Parity with the reference's SentenceTransformer-backed scalar
 keyed by transformer name, instructor-style ``prompt`` kwarg honored.
 Backends:
 
-  * sentence-transformers, when importable (not in this container);
+  * sentence-transformers, when importable (not in this container) —
+    requesting a named model WITHOUT the package raises an actionable
+    ImportError rather than silently substituting the hash backend;
   * ``hash`` — a deterministic feature-hashing embedding (md5 token
     buckets, +/- sign bit, L2-normalized). Clearly a stand-in for a
     neural encoder, but distribution-friendly, reproducible across
@@ -64,7 +66,17 @@ def make_embed_udf(transformer: str = "hash", kwargs: dict | None = None):
     kwargs = dict(kwargs or {})
     dim = int(kwargs.pop("dimensions", DEFAULT_DIM))
     prompt = kwargs.pop("prompt", None)
-    use_st = transformer != "hash" and _have_sentence_transformers()
+    use_st = transformer != "hash"
+    if use_st and not _have_sentence_transformers():
+        # Never silently claim a backend that didn't run: asking for a
+        # named neural model must not hand back feature-hash vectors.
+        raise ImportError(
+            f"embed(transformer={transformer!r}) needs the "
+            "sentence-transformers package, which is not importable in "
+            "this environment. Install sentence-transformers (and torch) "
+            "for neural embeddings, or request transformer='hash' "
+            "explicitly for the deterministic feature-hashing backend."
+        )
     kw_json = json.dumps(kwargs, sort_keys=True)
 
     @F.pandas_udf(ArrayType(FloatType()))

@@ -55,7 +55,17 @@ def _jaccard(a: str, b: str) -> float:
 def make_rank_udf(transformer: str, kwargs: dict | None = None):
     kwargs = dict(kwargs or {})
     return_documents = bool(kwargs.pop("return_documents", True))
-    use_ce = transformer != "jaccard" and _have_cross_encoder()
+    use_ce = transformer != "jaccard"
+    if use_ce and not _have_cross_encoder():
+        # Same policy as embed(): a named CrossEncoder must never be
+        # silently served by the lexical fallback.
+        raise ImportError(
+            f"rank(transformer={transformer!r}) needs the "
+            "sentence-transformers package (CrossEncoder), which is not "
+            "importable in this environment. Install it for neural "
+            "reranking, or request transformer='jaccard' explicitly for "
+            "the deterministic lexical backend."
+        )
 
     @F.pandas_udf(RANK_RESULT_TYPE)
     def rank_udf(queries: pd.Series, documents: pd.Series) -> pd.Series:

@@ -6,11 +6,11 @@ Four task shapes, column contracts from dataset.rs:77-186:
   summarization (text, summary).
 
 Backend resolution:
-  * the HF Trainer/SFTTrainer path (driver-side like the reference;
-    TorchDistributor as the cluster path) is the gated integration
-    point marked in ``finetune`` — transformers is absent in this
-    container, so it is NOT yet wired and the recorded backend is
-    always the fallback;
+  * the HF Trainer/SFTTrainer path lives in
+    :mod:`quackml_spark.ml.hf_trainer` (transformers.py:1234-1733
+    shape: per-task tokenization, LoRA defaults for conversation, the
+    trainer-log callback writing quackml.logs) and activates whenever
+    transformers is importable — recorded backend ``hf-trainer``;
   * a deterministic fallback trainer so the LIFECYCLE is real: for the
     classification shapes, a multinomial naive-bayes bag-of-words model
     (pure numpy) that genuinely learns and serves; for conversation /
@@ -116,16 +116,6 @@ class NaiveBayesTextModel:
         return cls(d["class_log_prior"], d["token_log_prob"], d["vocab"], d["classes"])
 
 
-def _rouge1_f1(pred: str, ref: str) -> float:
-    p, r = Counter(_tokenize(pred)), Counter(_tokenize(ref))
-    overlap = sum((p & r).values())
-    if not overlap:
-        return 0.0
-    prec = overlap / max(sum(p.values()), 1)
-    rec = overlap / max(sum(r.values()), 1)
-    return 2 * prec * rec / (prec + rec)
-
-
 def finetune(
     spark: SparkSession,
     project_name: str,
@@ -203,6 +193,34 @@ def finetune(
     t0 = time.perf_counter()
     metrics: dict = {}
     artifact: dict = {"task": task.value, "model_name": model_name}
+
+    # HF Trainer path (transformers.py:1234-1733) — runs when the gated
+    # packages are importable; the trainer's own callback streams log
+    # rows, so the synthetic epoch loop below belongs to the fallback.
+    from quackml_spark.ml.hf_trainer import hf_available, run_hf_finetune
+
+    if hf_available() and not hp.pop("force_fallback", False):
+        hf_metrics, hf_artifact = run_hf_finetune(
+            task.value,
+            model_name,
+            hp,
+            train_rows,
+            test_rows,
+            cols[-1],
+            catalog.model_dir(model_id),
+            catalog,
+            project_id,
+            model_id,
+        )
+        metrics.update(hf_metrics)
+        artifact.update(hf_artifact)
+        metrics.setdefault("score_time", 0.0)
+        metrics["backend"] = "hf-trainer"
+        return _finish_finetune(
+            catalog, project_name, task, model_id, snap_id, project_id,
+            artifact, metrics, automatic_deploy,
+        )
+
     for epoch in range(epochs):  # QuackMLCallback -> logs parity
         catalog.insert(
             "logs",
@@ -237,30 +255,66 @@ def finetune(
             f1s.append(2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0)
         metrics.update({"accuracy": accuracy, "f1": float(np.mean(f1s))})
     elif task == Task.summarization:
-        scores = [
-            _rouge1_f1(" ".join(_tokenize(r["text"])[:30]), r["summary"])
-            for r in test_rows
-        ]
-        metrics["rouge_ngram_f1"] = float(np.mean(scores)) if scores else 0.0
+        # lead-30 extractive baseline scored with the reference's full
+        # summarization metric dict (BLEU + ROUGE-1/2, metrics.py)
+        from quackml_spark.ml.metrics import generation_text_metrics
+
+        preds = [" ".join(_tokenize(r["text"])[:30]) for r in test_rows]
+        refs = [r["summary"] for r in test_rows]
+        if preds:
+            metrics.update(generation_text_metrics(preds, refs))
         artifact["strategy"] = "lead-30-words"
     else:  # conversation
+        # unigram LM over train assistant turns -> true held-out
+        # perplexity, the reference's text-generation metric family
+        from quackml_spark.ml.metrics import perplexity_from_logprobs
+
         artifact["prompt_template"] = hp.get(
             "prompt_template", "{system}\nUser: {user}\nAssistant:"
         )
-        refs = [r["assistant"] for r in test_rows]
-        metrics["bleu"] = 0.0 if refs else None
+        freq = Counter(
+            tok for r in train_rows for tok in _tokenize(r["assistant"])
+        )
+        total = sum(freq.values())
+        v = len(freq) + 1
+        logprobs = [
+            math.log((freq.get(tok, 0) + 1) / (total + v))
+            for r in test_rows
+            for tok in _tokenize(r["assistant"])
+        ]
+        metrics["perplexity"] = (
+            perplexity_from_logprobs(logprobs) if logprobs else None
+        )
+        artifact["unigram_vocab_size"] = v - 1
 
-    fit_time = time.perf_counter() - t0
     metrics.update(
         {
-            "fit_time": fit_time,
+            "fit_time": time.perf_counter() - t0,
             "score_time": 0.0,
-            # the HF Trainer/SFTTrainer integration point is this branch
-            # (gated on transformers); until wired, the recorded backend
-            # is always the fallback — never claim a backend that didn't run
+            # never claim a backend that didn't run
             "backend": "deterministic-fallback",
         }
     )
+    return _finish_finetune(
+        catalog, project_name, task, model_id, snap_id, project_id,
+        artifact, metrics, automatic_deploy,
+    )
+
+
+def _finish_finetune(
+    catalog: Catalog,
+    project_name: str,
+    task: Task,
+    model_id: int,
+    snap_id: int,
+    project_id: int,
+    artifact: dict,
+    metrics: dict,
+    automatic_deploy: bool,
+):
+    """Shared tail of both finetune backends: checkpoint + meta files,
+    catalog rows, deploy decision."""
+    from quackml_spark.ml.train import TrainResult
 
     path = catalog.model_dir(model_id)
     with open(path + "/checkpoint.json", "w") as f:
@@ -299,15 +353,6 @@ def finetune(
         metrics=metrics,
         deployed=deployed,
     )
-
-
-def _hf_available() -> bool:
-    try:
-        import transformers  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
 
 
 def predict_text(

@@ -203,3 +203,26 @@ def test_finetune_conversation(spark, catalog):
     assert res.metrics["backend"] == "deterministic-fallback"
     logs = catalog.read("logs")
     assert len(logs[logs["model_id"] == res.model_id]) >= 1  # QuackMLCallback parity
+
+
+def test_embed_named_model_without_backend_raises():
+    """VERDICT r01: embed('all-MiniLM-L6-v2') must not silently return
+    feature-hash vectors when sentence-transformers is absent."""
+    from quackml_spark.functions.embed import (
+        _have_sentence_transformers,
+        make_embed_udf,
+    )
+
+    if _have_sentence_transformers():
+        pytest.skip("neural backend present; silent-substitution moot")
+    with pytest.raises(ImportError, match="sentence-transformers"):
+        make_embed_udf("all-MiniLM-L6-v2")
+
+
+def test_rank_named_model_without_backend_raises():
+    from quackml_spark.functions.rank import _have_cross_encoder, make_rank_udf
+
+    if _have_cross_encoder():
+        pytest.skip("neural backend present; silent-substitution moot")
+    with pytest.raises(ImportError, match="CrossEncoder"):
+        make_rank_udf("cross-encoder/ms-marco-MiniLM-L-6-v2")

@@ -1,0 +1,110 @@
+"""Fixture parity for the text-generation metric families (§2.10 tail).
+
+The reference scores summarization/translation finetunes with sacrebleu
+corpus BLEU + the `rouge` package (transformers.py:650-770), QA with
+SQuAD-style EM/F1 helpers (transformers.py:791-810), and text
+generation with exp(mean NLL) perplexity (transformers.py:836-880).
+Expected values below are hand-computed from those published
+definitions, NOT from re-running this module's own code.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from quackml_spark.ml.metrics import (
+    bleu_corpus,
+    bleu_sufficient_stats,
+    generation_metrics_df,
+    generation_text_metrics,
+    normalize_text,
+    perplexity_from_logprobs,
+    qa_exact_match,
+    qa_f1,
+    question_answering_metrics,
+    _rouge_pair,
+)
+
+
+def test_bleu_identical_is_100():
+    assert bleu_corpus(["the cat sat on the mat"], ["the cat sat on the mat"]) == pytest.approx(100.0)
+
+
+def test_bleu_hand_computed():
+    # pred 5 tokens vs ref 6: clipped precisions 5/5, 3/4, 2/3, 1/2;
+    # BP = exp(1 - 6/5). Hand value: 57.89300674674101.
+    got = bleu_corpus(["the cat sat on mat"], ["the cat sat on the mat"])
+    assert got == pytest.approx(57.89300674674101, abs=1e-9)
+
+
+def test_bleu_sufficient_stats_shape():
+    st = bleu_sufficient_stats("the cat sat on mat", "the cat sat on the mat")
+    assert st == [5, 3, 2, 1, 5, 4, 3, 2, 5, 6]
+
+
+def test_bleu_13a_punctuation_split():
+    # 13a tokenizes punctuation: "cat." == "cat ." as 2 tokens
+    st = bleu_sufficient_stats("cat.", "cat .")
+    assert st[8] == 2 and st[9] == 2 and st[0] == 2
+
+
+def test_bleu_corpus_pools_counts():
+    # corpus BLEU pools counts across pairs; one perfect + one empty
+    # pred still scores below 100 but above the empty-only corpus
+    mixed = bleu_corpus(["a b c d", ""], ["a b c d", "a b c d"])
+    assert 0.0 < mixed < 100.0
+
+
+def test_rouge_hand_computed():
+    rp = _rouge_pair("the cat sat", "the cat slept")
+    eps = 1e-8
+    p = r = 2 / 3
+    assert rp["rouge-1"]["p"] == pytest.approx(p)
+    assert rp["rouge-1"]["f"] == pytest.approx(2 * p * r / (p + r + eps))
+    assert rp["rouge-2"]["p"] == pytest.approx(0.5)
+    assert rp["rouge-l"]["r"] == pytest.approx(2 / 3)
+
+
+def test_generation_text_metrics_keys_match_reference():
+    out = generation_text_metrics(["a b"], ["a b"])
+    # exact key set the reference returns (transformers.py:673-682),
+    # plus the rouge_lcs_* extension
+    for k in (
+        "bleu",
+        "rouge_ngram_f1", "rouge_ngram_precision", "rouge_ngram_recall",
+        "rouge_bigram_f1", "rouge_bigram_precision", "rouge_bigram_recall",
+    ):
+        assert k in out
+    assert out["rouge_ngram_f1"] == pytest.approx(1.0, abs=1e-7)
+
+
+def test_normalize_text_squad():
+    assert normalize_text("The  Cat, sat!") == "cat sat"
+    assert normalize_text("An apple a day") == "apple day"
+
+
+def test_qa_em_f1_hand_computed():
+    assert qa_exact_match("The Cat.", "the cat") == 1
+    assert qa_f1("The cat sat", "a cat sat on mat") == pytest.approx(2 * 1.0 * 0.5 / 1.5)
+    # empty-vs-empty agreement = 1; empty-vs-nonempty = 0
+    assert qa_f1("", "") == 1.0
+    assert qa_f1("", "cat") == 0.0
+    m = question_answering_metrics(["the cat", "dog"], ["cat", "bird"])
+    assert m["exact_match"] == pytest.approx(0.5)
+
+
+def test_perplexity_from_logprobs():
+    assert perplexity_from_logprobs([-math.log(2)] * 8) == pytest.approx(2.0)
+    assert perplexity_from_logprobs([0.0, 0.0]) == pytest.approx(1.0)
+
+
+def test_generation_metrics_df_matches_pure(spark):
+    preds = ["the cat sat on mat", "a quick brown fox jumps", "hello world . ."]
+    refs = ["the cat sat on the mat", "the quick brown fox jumped", "hello there world"]
+    df = spark.createDataFrame(list(zip(preds, refs)), "pred string, ref string")
+    got = generation_metrics_df(df, "pred", "ref")
+    want = generation_text_metrics(preds, refs)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
