@@ -49,7 +49,15 @@ def llm_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_embed_documents",
-    doc="embed() over documents — deterministic hashing backend; 64-dim.",
+    doc="embed() over documents — deterministic hashing backend; 64-dim. "
+    "Oracle: dim is fixed and the vector is unit-norm exactly when the "
+    "doc has at least one token (values themselves are value-checked "
+    "by llm_embed_parity).",
+    oracle=r"""
+SELECT doc_id, CAST(64 AS INT) AS dim,
+       len(regexp_extract_all(lower(text), '\S+')) > 0 AS unit_norm
+FROM documents ORDER BY doc_id
+""",
     tags=("llm", "bench"),
 )
 def llm_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,13 +76,38 @@ def llm_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_transform_sentiment",
-    doc="transform(text-classification) JSON-out contract over documents.",
+    doc="transform(text-classification) JSON-out contract over documents "
+    "— label re-derived in SQL from the deterministic backend's word "
+    "lists (the full-table twin is llm_transform_parity).",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         trim(unnest(regexp_extract_all(lower(text), '\\S+')), '.,!?') AS w
+  FROM documents WHERE doc_id < 100
+), counts AS (
+  SELECT doc_id,
+    COUNT(*) FILTER (WHERE w IN ('good','great','excellent','love','happy',
+      'rallied','up','gain','best','fast','win','positive','strong')) AS pos,
+    COUNT(*) FILTER (WHERE w IN ('bad','terrible','hate','sad','down','loss',
+      'worst','slow','fail','negative','weak','error')) AS neg
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN pos >= neg THEN 'POSITIVE' ELSE 'NEGATIVE' END AS label,
+       true AS has_score
+FROM counts
+ORDER BY doc_id
+""",
     tags=("llm",),
 )
 def llm_transform_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.functions import transform
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 100)
+    )
     out = transform(docs, "text-classification", "text")
     return out.select(
         "doc_id",
@@ -110,7 +143,13 @@ def llm_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_finetune_langid",
     doc="finetune(text_classification) lifecycle on documents(text->lang) "
-    "+ predict_text serving (api.rs:1723-2279).",
+    "+ predict_text serving (api.rs:1723-2279). Every served row must "
+    "classify and the model must auto-deploy — deterministic, so the "
+    "oracle derives the expected ledger from the documents table.",
+    oracle="""
+SELECT doc_id, true AS classified, true AS model_deployed
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""",
     tags=("llm",),
 )
 def llm_finetune_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +161,7 @@ def llm_finetune_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"), F.col("lang").alias("class")
     )
     res = finetune(spark, "langid", "text_classification", df=docs, catalog=catalog)
-    serve = load_table(spark, sf_dir, "documents").limit(50)
+    serve = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     out = predict_text(serve, "langid", "text", catalog=catalog)
     return out.select(
         "doc_id",
@@ -134,7 +173,12 @@ def llm_finetune_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_generate",
     doc="generate() batch contract with deterministic fallback "
-    "(api.rs:1588-1662).",
+    "(api.rs:1588-1662): every generation continues its prompt, which "
+    "the oracle derives per served doc.",
+    oracle="""
+SELECT doc_id, true AS continues_prompt
+FROM documents WHERE doc_id < 20 ORDER BY doc_id
+""",
     tags=("llm",),
 )
 def llm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,7 +187,11 @@ def llm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     catalog = Catalog(warehouse=tempfile.mkdtemp(prefix="qml_gen_"))
     catalog.insert("projects", {"name": "gen", "task": "text_generation"})
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 20)
+    )
     prompts = docs.withColumn("prompt", F.substring("text", 1, 40))
     out = generate(prompts, "gen", "prompt", config={"max_new_tokens": 8}, catalog=catalog)
     return out.select(

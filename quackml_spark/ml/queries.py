@@ -34,7 +34,12 @@ def _lineitem_training_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_train_regression",
     doc="train(regression, linear) end-to-end: snapshot -> fit -> metrics "
     "-> deploy; returns the reference's train() output row shape "
-    "(api.rs:364-376).",
+    "(api.rs:364-376). The outcome row is fully deterministic, so the "
+    "oracle pins it as ground-truth constants.",
+    oracle="""
+SELECT 'bench regression' AS project, 'regression' AS task,
+       'linear' AS algorithm, true AS deployed
+""",
     tags=("ml", "bench"),
 )
 def ml_train_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,36 +63,65 @@ def ml_train_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_predict_regression",
-    doc="predict() on the deployed model — serve-time preprocessing "
-    "replay + distributed transform (api.rs:801-854).",
+    doc="VALUE-checks the full serve path (deployed-model resolution + "
+    "snapshot preprocessing replay + distributed transform, "
+    "api.rs:801-854): train OLS on the exactly-linear target "
+    "y = 2*l_quantity + 3 over the deterministic 'last'-sampling head "
+    "split, then predict every distinct quantity — predictions must "
+    "equal DuckDB's closed-form regr_slope/intercept line. round(3) "
+    "absorbs ~1e-10 solver ulps (predictions land on integers).",
+    oracle="""
+WITH t AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(2 * l_quantity + 3 AS DOUBLE) AS y
+  FROM lineitem
+  LIMIT (SELECT COUNT(*) - 2000 FROM lineitem)
+), fit AS (
+  SELECT regr_slope(y, x) AS s, regr_intercept(y, x) AS i FROM t
+)
+SELECT x AS l_quantity,
+       CAST(ROUND(s * x + i, 3) AS DOUBLE) AS prediction
+FROM (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS x FROM lineitem), fit
+ORDER BY l_quantity
+""",
     tags=("ml",),
 )
 def ml_predict_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.ml import predict, train
 
     catalog = _fresh_catalog()
-    df = _lineitem_training_df(spark, sf_dir).drop("l_returnflag")
+    df = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        (F.col("l_quantity").cast("double") * 2 + 3).alias("y"),
+    )
     train(
         spark,
         "pred regression",
         task="regression",
         df=df,
-        y_column_name="l_extendedprice",
+        y_column_name="y",
         catalog=catalog,
-        test_sampling="random",
+        test_sampling="last",
+        test_size=2000,
+        hyperparams={"regParam": 0.0},
     )
-    out = predict(df.limit(100), "pred regression", catalog=catalog)
+    qs = df.select("l_quantity").distinct()
+    out = predict(qs, "pred regression", catalog=catalog)
     return out.select(
-        F.col("l_quantity"),
-        F.col("l_discount"),
-        F.col("prediction").isNotNull().alias("has_prediction"),
-    )
+        "l_quantity",
+        F.round(F.col("prediction"), 3).alias("prediction"),
+    ).orderBy("l_quantity")
 
 
 @register(
     "ml_train_classification",
     doc="train(classification) on a categorical label with stratified "
-    "sampling; returns macro-f1 presence (api.rs:2979-3017 shape).",
+    "sampling; returns macro-f1 presence (api.rs:2979-3017 shape). "
+    "Deterministic outcome row -> constant ground-truth oracle.",
+    oracle="""
+SELECT 'bench clf' AS project, 'linear' AS algorithm,
+       true AS deployed, true AS metrics_complete
+""",
     tags=("ml",),
 )
 def ml_train_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,7 +152,13 @@ def ml_train_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_clustering_embeddings",
-    doc="kmeans over the 64-dim embeddings table; returns cluster sizes.",
+    doc="kmeans over the 64-dim embeddings table; the oracle pins the "
+    "deterministic facts — exactly k=5 clusters exist and every one is "
+    "non-empty on this data.",
+    oracle="""
+SELECT CAST(range AS INT) AS cluster, true AS nonempty
+FROM range(5) ORDER BY cluster
+""",
     tags=("ml",),
 )
 def ml_clustering_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,7 +178,7 @@ def ml_clustering_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = predict(df, "emb clusters", catalog=catalog)
     return (
         out.groupBy(F.col("prediction").cast("int").alias("cluster"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg((F.count(F.lit(1)) > 0).alias("nonempty"))
         .orderBy("cluster")
     )
 
@@ -146,7 +186,12 @@ def ml_clustering_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_decomposition_embeddings",
     doc="PCA over embeddings: decompose() to 8 components "
-    "(model.rs:988-993).",
+    "(model.rs:988-993); width per input vector is deterministic, so "
+    "the oracle derives the expected rows from the embeddings table.",
+    oracle="""
+SELECT vec_id, CAST(8 AS INT) AS n_components
+FROM embeddings WHERE vec_id < 50 ORDER BY vec_id
+""",
     tags=("ml",),
 )
 def ml_decomposition_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,7 +208,7 @@ def ml_decomposition_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         hyperparams={"n_components": 8},
         test_size=0.2,
     )
-    out = decompose(df.limit(50), "emb pca", catalog=catalog)
+    out = decompose(df.where(F.col("vec_id") < 50), "emb pca", catalog=catalog)
     return out.select(
         "vec_id", F.size("decomposition").alias("n_components")
     ).orderBy("vec_id")
@@ -172,92 +217,161 @@ def ml_decomposition_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_deploy_lifecycle",
     doc="two models -> best_score/most_recent/rollback deploy strategies "
-    "(api.rs:695-799); returns the deployments ledger.",
+    "(api.rs:695-799); returns the deployments ledger WITH model ids. "
+    "Model 1 is OLS on the exactly-linear target (r2 == 1, unbeatable), "
+    "model 2 a shallow GBT (r2 < 1) — so every deploy decision is "
+    "deterministic and the oracle pins the full ledger: auto-deploy of "
+    "m1, no auto-deploy of the worse m2, best_score -> m1, "
+    "most_recent -> m2, rollback -> m1.",
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 1, 'new_score'),
+  (2, 1, 'best_score'),
+  (3, 2, 'most_recent'),
+  (4, 1, 'rollback')
+) AS t(deployment_id, model_id, strategy)
+ORDER BY deployment_id
+""",
     tags=("ml",),
 )
 def ml_deploy_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.ml import deploy, train
 
     catalog = _fresh_catalog()
-    df = _lineitem_training_df(spark, sf_dir).drop("l_returnflag").limit(5000)
-    for algo in ("linear", "ridge"):
+    df = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        (F.col("l_quantity").cast("double") * 2 + 3).alias("y"),
+    ).limit(5000)
+    for algo, hp in (
+        ("linear", {"regParam": 0.0}),
+        ("gradient_boosting_trees", {"maxIter": 3, "maxDepth": 2}),
+    ):
         train(
             spark,
             "lifecycle",
             task="regression",
             df=df,
-            y_column_name="l_extendedprice",
+            y_column_name="y",
             algorithm=algo,
+            hyperparams=hp,
             catalog=catalog,
-            test_sampling="random",
+            test_sampling="last",
+            test_size=1000,
         )
     deploy("lifecycle", "best_score", catalog=catalog)
     deploy("lifecycle", "most_recent", catalog=catalog)
     deploy("lifecycle", "rollback", catalog=catalog)
     deps = catalog.read("deployments")
     return spark.createDataFrame(
-        [(int(r["id"]), r["strategy"]) for _, r in deps.iterrows()],
-        "deployment_id long, strategy string",
-    )
+        [
+            (int(r["id"]), int(r["model_id"]), r["strategy"])
+            for _, r in deps.iterrows()
+        ],
+        "deployment_id int, model_id int, strategy string",
+    ).orderBy("deployment_id")
 
 
 @register(
     "ml_search_grid",
     doc="grid search + 3-fold CV over regParam (model.rs:454-506, "
-    ":747-763); returns per-combination mean CV scores from the "
-    "sklearn-style search_results payload (model.rs:768-872).",
+    ":747-763). On the exactly-linear target the un-regularized combo "
+    "must win with mean CV r2 == 1 while ridge(10) shrinks the slope "
+    "and scores strictly worse — the oracle pins the search decision "
+    "(winning combo, its rounded score, candidate/fold counts) as "
+    "ground truth the search has to discover.",
+    oracle="""
+SELECT CAST(0.0 AS DOUBLE) AS best_regparam,
+       CAST(1.0 AS DOUBLE) AS best_mean_r2,
+       2 AS n_combos, 3 AS n_folds
+""",
     tags=("ml",),
 )
 def ml_search_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.ml import train
 
-    df = _lineitem_training_df(spark, sf_dir).drop("l_returnflag").limit(4000)
+    df = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        (F.col("l_quantity").cast("double") * 2 + 3).alias("y"),
+    ).limit(4000)
     res = train(
         spark,
         "bench search",
         task="regression",
         df=df,
-        y_column_name="l_extendedprice",
+        y_column_name="y",
         catalog=_fresh_catalog(),
-        test_sampling="random",
+        test_sampling="last",
         search="grid",
-        search_params={"regParam": [0.0, 0.1]},
+        search_params={"regParam": [0.0, 10.0]},
         search_args={"cv": 3},
     )
     sr = res.metrics["search_results"]
-    rows = [
-        (i, json_dumps(p), float(s))
-        for i, (p, s) in enumerate(zip(sr["params"], sr["mean_test_score"]))
-    ]
+    best = sr["best_index"]
+    n_folds = sum(1 for k in sr if k.endswith("_test_score") and k.startswith("split"))
     return spark.createDataFrame(
-        rows, "combo_id long, params string, mean_test_score double"
+        [
+            (
+                float(sr["params"][best]["regParam"]),
+                round(float(sr["mean_test_score"][best]), 3),
+                len(sr["params"]),
+                n_folds,
+            )
+        ],
+        "best_regparam double, best_mean_r2 double, n_combos int, n_folds int",
     )
 
 
 @register(
     "ml_predict_proba",
     doc="predict_proba(): full per-class probability vector — consciously "
-    "fixes the reference's truncation to class 0 (api.rs:894-898).",
+    "fixes the reference's truncation to class 0 (api.rs:894-898). "
+    "VALUE-checked via the saturated-model identity: logistic MLE over "
+    "one binary feature fits each group's empirical positive rate "
+    "exactly, so DuckDB can compute the expected probabilities with "
+    "GROUP BY + AVG. max(p, 1-p) sidesteps class-index mapping; "
+    "round(3) absorbs LBFGS tolerance.",
+    oracle="""
+WITH t AS (
+  SELECT CAST(CAST(l_quantity > 25 AS INT) AS DOUBLE) AS xf,
+         CAST(l_discount > 0.05 AS INT) AS y
+  FROM lineitem
+  LIMIT (SELECT COUNT(*) - 2000 FROM lineitem)
+), g AS (
+  SELECT xf, AVG(y) AS rate FROM t GROUP BY xf
+)
+SELECT xf, 2 AS n_classes,
+       CAST(ROUND(GREATEST(rate, 1 - rate), 3) AS DOUBLE) AS p_max
+FROM g ORDER BY xf
+""",
     tags=("ml",),
 )
 def ml_predict_proba(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.ml import predict_proba, train
 
     catalog = _fresh_catalog()
-    df = _lineitem_training_df(spark, sf_dir).limit(4000)
+    df = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") > 25).cast("int").cast("double").alias("xf"),
+        (F.col("l_discount") > 0.05).alias("y"),
+    )
     train(
         spark,
         "proba clf",
         task="classification",
         df=df,
-        y_column_name="l_returnflag",
+        y_column_name="y",
         catalog=catalog,
+        test_sampling="last",
+        test_size=2000,
+        hyperparams={"regParam": 0.0, "maxIter": 500, "tol": 1e-12},
     )
-    out = predict_proba(df.limit(100), "proba clf", catalog=catalog)
+    qs = df.select("xf").distinct()
+    out = predict_proba(qs, "proba clf", catalog=catalog)
+    p_max = F.array_max(F.col("probability_arr"))
     return out.select(
+        "xf",
         F.size("probability_arr").alias("n_classes"),
-        (F.abs(F.aggregate("probability_arr", F.lit(0.0), lambda a, x: a + x) - 1.0) < 1e-6).alias("sums_to_one"),
-    ).groupBy("n_classes", "sums_to_one").agg(F.count(F.lit(1)).alias("n_rows"))
+        F.round(p_max, 3).alias("p_max"),
+    ).orderBy("xf")
 
 
 def json_dumps(obj) -> str:
@@ -271,7 +385,12 @@ def json_dumps(obj) -> str:
     doc="tree-family lifecycle: GBT regression (distributed MLlib fit) "
     "+ DataFrame-path serving — trees have no portable dump, so this "
     "exercises the MLlib transform serve path (model.rs:370-448 "
-    "gradient_boosting arm).",
+    "gradient_boosting arm). Deterministic outcome row -> constant "
+    "ground-truth oracle.",
+    oracle="""
+SELECT 'gradient_boosting_trees' AS algorithm, true AS has_r2,
+       CAST(200 AS INT) AS n_scored
+""",
     tags=("ml",),
 )
 def ml_train_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +425,11 @@ def ml_train_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_predict_joint",
     doc="joint (multi-target) regression: one submodel per target, "
-    "predictions packed as array<double> (model.rs:967-979).",
+    "predictions packed as array<double> (model.rs:967-979). "
+    "Deterministic shape row -> constant ground-truth oracle.",
+    oracle="""
+SELECT CAST(2 AS INT) AS n_targets, CAST(100 AS BIGINT) AS n_rows
+""",
     tags=("ml",),
 )
 def ml_predict_joint(spark: SparkSession, sf_dir: str) -> DataFrame:

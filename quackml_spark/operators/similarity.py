@@ -148,8 +148,50 @@ def _band_keys(
 @register(
     "ann_lsh_topk",
     doc="LSH-bucketed ANN: 16 md5-derived hyperplanes, 4 bands; exact "
-    "re-rank within candidates (rows-only check; recall vs brute force "
-    "is pytest-asserted).",
+    "re-rank within candidates. The md5 plane construction is "
+    "re-derivable in SQL, so the FULL pipeline (signatures -> band "
+    "buckets -> candidate equi-join -> cosine re-rank) is value-checked "
+    "against DuckDB; recall vs brute force is additionally "
+    "pytest-asserted.",
+    oracle=f"""
+WITH planes AS (
+  SELECT CAST(p AS INT) AS plane_id,
+         list_transform(range(0, 64), d ->
+           ((('0x' || substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 8))::BIGINT
+             % 2001) - 1000) / 1000.0
+         ) AS plane
+  FROM (SELECT unnest(range(0, 16)) AS p)
+),
+bits AS (
+  SELECT e.vec_id, pl.plane_id,
+         CAST(list_dot_product(e.embedding::DOUBLE[], pl.plane) > 0 AS INT) AS bit
+  FROM embeddings e, planes pl
+),
+bands AS (
+  SELECT vec_id, CAST(plane_id // 4 AS INT) AS band_id,
+         CAST(SUM(bit * (1 << (plane_id % 4))) AS BIGINT) AS band_key
+  FROM bits GROUP BY vec_id, band_id
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id AS neighbor_id
+  FROM bands qb JOIN bands vb USING (band_id, band_key)
+  WHERE qb.vec_id < 5 AND vb.vec_id <> qb.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE) AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings v ON v.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+ORDER BY query_id, rnk
+""",
     tags=("similarity",),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,7 +227,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.join(q_emb, "query_id").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine_expr(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"),
+        F.round(
+            cosine_expr(F.col("q_emb"), F.col("embedding")).cast("decimal(18,9)"), 6
+        )
+        .cast("double")
+        .alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
