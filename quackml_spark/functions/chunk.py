@@ -64,10 +64,50 @@ def _split_recursive(text: str, separators: list[str], size: int, overlap: int) 
     return _split_fixed(text, size, overlap)
 
 
-def _split_sentences_nltk(text: str) -> list[str]:
-    import nltk
+def _merge_sentences(sentences: list[str], size: int, sep: str = "\n\n") -> list[str]:
+    """LangChain sentence-splitter semantics: sentence-tokenize, then
+    greedily merge sentences into chunks of at most ``size`` characters
+    joined by ``sep`` (NLTKTextSplitter / SpacyTextSplitter both do
+    this merge after their tokenizers)."""
+    chunks: list[str] = []
+    buf: list[str] = []
+    buf_len = 0
+    for s in sentences:
+        extra = len(s) + (len(sep) if buf else 0)
+        if buf and buf_len + extra > size:
+            chunks.append(sep.join(buf))
+            buf, buf_len = [], 0
+            extra = len(s)
+        buf.append(s)
+        buf_len += extra
+    if buf:
+        chunks.append(sep.join(buf))
+    return [c for c in chunks if c]
 
-    return nltk.sent_tokenize(text)
+
+def _split_sentences_nltk(text: str, size: int) -> list[str]:
+    try:
+        import nltk
+    except ImportError as e:
+        raise NotImplementedError(
+            "chunk(splitter='nltk') requires the nltk package "
+            "(langchain.py NLTKTextSplitter parity)"
+        ) from e
+    return _merge_sentences(nltk.sent_tokenize(text), size)
+
+
+def _split_sentences_spacy(text: str, size: int, pipeline: str) -> list[str]:
+    try:
+        import spacy
+    except ImportError as e:
+        raise NotImplementedError(
+            "chunk(splitter='spacy') requires the spacy package "
+            "(langchain.py SpacyTextSplitter parity)"
+        ) from e
+    from quackml_spark.functions._cache import get_or_create
+
+    nlp = get_or_create("spacy_pipelines", pipeline, lambda: spacy.load(pipeline))
+    return _merge_sentences([s.text for s in nlp(text).sents], size)
 
 
 def split_text(splitter: str, text: str, kwargs: dict) -> list[str]:
@@ -81,9 +121,11 @@ def split_text(splitter: str, text: str, kwargs: dict) -> list[str]:
     if splitter in _SEPARATORS:
         return _split_recursive(text or "", _SEPARATORS[splitter], size, overlap)
     if splitter == "nltk":
-        return _split_sentences_nltk(text or "")
+        return _split_sentences_nltk(text or "", size)
     if splitter == "spacy":
-        raise NotImplementedError("spacy splitter requires the spacy package")
+        return _split_sentences_spacy(
+            text or "", size, kwargs.get("pipeline", "en_core_web_sm")
+        )
     raise ValueError(
         f"unknown splitter {splitter!r}; supported: character, "
         f"recursive_character, markdown, latex, python, nltk, spacy"

@@ -106,11 +106,13 @@ def make_transform_udf(task: str | dict, args: dict | None = None):
     def transform_udf(texts: pd.Series) -> pd.Series:
         if use_hf:
             def load():
-                from transformers import pipeline
+                # routing (GGML by name, device placement, GPTQ) lives
+                # in model_loading.create_hf_pipeline
+                from quackml_spark.functions.model_loading import (
+                    create_hf_pipeline,
+                )
 
-                cfg = dict(json.loads(task_key))
-                name = cfg.pop("task")
-                return pipeline(name, **cfg)
+                return create_hf_pipeline(dict(json.loads(task_key)))
 
             pipe = get_or_create("hf_pipelines", task_key, load)
             results = pipe(list(texts.fillna("")), **args)

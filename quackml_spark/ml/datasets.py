@@ -94,6 +94,56 @@ _BUILTINS = {
     "linnerud": load_linnerud,
 }
 
+# HF dataset dtype -> Spark SQL type, mirroring the reference's
+# dtype->postgres map (transformers/mod.rs:577-589). dict/list map to a
+# JSON string column (the JSONB analog).
+HF_DTYPE_TO_SPARK = {
+    "string": "string",
+    "large_string": "string",
+    "dict": "string",
+    "list": "string",
+    "int64": "bigint",
+    "int32": "int",
+    "int16": "smallint",
+    "int8": "smallint",
+    "float64": "double",
+    "float32": "float",
+    "float16": "float",
+    "bool": "boolean",
+}
+
+
+def _coerce_hf_dataframe(pdf: pd.DataFrame, dtypes: dict[str, str]) -> tuple[pd.DataFrame, str]:
+    """Apply the reference's dtype map: returns (coerced pandas frame,
+    spark DDL schema). Unknown dtypes raise, like mod.rs:588 bails."""
+    ddl_parts = []
+    pdf = pdf.copy()
+    for col, dt in dtypes.items():
+        if dt not in HF_DTYPE_TO_SPARK:
+            raise ValueError(
+                f"unhandled dataset feature dtype {dt!r} for column {col!r} "
+                "(transformers/mod.rs:588 parity)"
+            )
+        spark_t = HF_DTYPE_TO_SPARK[dt]
+        if dt in ("dict", "list"):
+            pdf[col] = pdf[col].map(
+                lambda v: json.dumps(v, default=str) if v is not None else None
+            )
+        ddl_parts.append(f"`{col}` {spark_t}")
+    return pdf, ", ".join(ddl_parts)
+
+
+def _hf_feature_dtype(feature) -> str:
+    """Best-effort dtype name for an HF feature (Value.dtype, else
+    dict/list for nested features)."""
+    dtype = getattr(feature, "dtype", None)
+    if isinstance(dtype, str):
+        return dtype
+    name = type(feature).__name__.lower()
+    if "sequence" in name or "list" in name:
+        return "list"
+    return "dict"
+
 
 def load_dataset(
     spark: SparkSession,
@@ -118,6 +168,18 @@ def load_dataset(
         ds = hf_datasets.load_dataset(source, subset, **(kwargs or {}))
         split = next(iter(ds.values())) if hasattr(ds, "values") else ds
         pdf = split.to_pandas()
+        dtypes = {
+            name: _hf_feature_dtype(feat)
+            for name, feat in getattr(split, "features", {}).items()
+        }
+        if dtypes:
+            pdf, ddl = _coerce_hf_dataframe(pdf, dtypes)
+            if limit:
+                pdf = pdf.head(limit)
+            df = spark.createDataFrame(pdf, schema=ddl)
+            view = register_as or f"quackml_{source.replace('/', '_').replace('-', '_')}"
+            df.createOrReplaceTempView(view)
+            return df
     if limit:
         pdf = pdf.head(limit)
     df = spark.createDataFrame(pdf)

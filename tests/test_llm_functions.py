@@ -226,3 +226,41 @@ def test_rank_named_model_without_backend_raises():
         pytest.skip("neural backend present; silent-substitution moot")
     with pytest.raises(ImportError, match="CrossEncoder"):
         make_rank_udf("cross-encoder/ms-marco-MiniLM-L-6-v2")
+
+
+def test_merge_sentences_langchain_semantics():
+    """nltk/spacy splitters merge sentences into <=chunk_size chunks
+    joined by blank lines (NLTKTextSplitter/SpacyTextSplitter shape)."""
+    from quackml_spark.functions.chunk import _merge_sentences
+
+    sents = ["one two.", "three four.", "five six seven eight nine ten."]
+    out = _merge_sentences(sents, size=25)
+    assert out == ["one two.\n\nthree four.", "five six seven eight nine ten."]
+    # one giant sentence still emits (never splits mid-sentence)
+    assert _merge_sentences(["x" * 100], size=10) == ["x" * 100]
+    assert _merge_sentences([], size=10) == []
+
+
+def test_sentence_splitters_gated(monkeypatch):
+    """Without nltk/spacy the sentence splitters raise the actionable
+    gate error; with a (mocked) tokenizer they split+merge."""
+    import sys
+    import types
+
+    from quackml_spark.functions.chunk import split_text
+
+    for pkg, splitter in (("nltk", "nltk"), ("spacy", "spacy")):
+        if pkg not in sys.modules:
+            try:
+                __import__(pkg)
+            except ImportError:
+                with pytest.raises(NotImplementedError, match=pkg):
+                    split_text(splitter, "a b. c d.", {"chunk_size": 10})
+
+    fake_nltk = types.ModuleType("nltk")
+    fake_nltk.sent_tokenize = lambda t: [s + "." for s in t.split(". ") if s]
+    monkeypatch.setitem(sys.modules, "nltk", fake_nltk)
+    out = split_text("nltk", "one two. three four", {"chunk_size": 100})
+    assert out == ["one two.\n\nthree four."]
+    out = split_text("nltk", "one two. three four", {"chunk_size": 10})
+    assert out == ["one two.", "three four."]

@@ -323,3 +323,57 @@ def test_builtin_datasets_canonical_values(spark):
     assert digits["image"][0][2] == 5 and len(digits["image"]) == 8
     bc = load_dataset(spark, "breast_cancer").limit(1).collect()[0]
     assert bc["mean radius"] == pytest.approx(17.99) and bc["malignant"] is True
+
+
+def test_hf_load_dataset_dtype_map(spark, monkeypatch):
+    """HF ingestion applies the reference's dtype map
+    (transformers/mod.rs:577-589): ints/floats sized exactly,
+    dict/list serialized to JSON strings, unknown dtypes rejected."""
+    import sys
+    import types as _types
+
+    import pandas as _pd
+
+    from quackml_spark.ml.datasets import _coerce_hf_dataframe
+
+    class _Value:
+        def __init__(self, dtype):
+            self.dtype = dtype
+
+    class _Sequence:
+        pass
+
+    class _FakeSplit:
+        features = {
+            "text": _Value("string"),
+            "label": _Value("int64"),
+            "score": _Value("float32"),
+            "meta": _Sequence(),
+        }
+
+        def to_pandas(self):
+            return _pd.DataFrame(
+                {
+                    "text": ["a", "b"],
+                    "label": [1, 2],
+                    "score": [0.5, 1.5],
+                    "meta": [[1, 2], [3]],
+                }
+            )
+
+    fake = _types.ModuleType("datasets")
+    fake.load_dataset = lambda *a, **k: {"train": _FakeSplit()}
+    monkeypatch.setitem(sys.modules, "datasets", fake)
+
+    from quackml_spark.ml import load_dataset
+
+    df = load_dataset(spark, "some/hub-dataset")
+    schema = dict(df.dtypes)
+    assert schema == {
+        "text": "string", "label": "bigint", "score": "float", "meta": "string",
+    }
+    row = df.orderBy("label").first()
+    assert row["meta"] == "[1, 2]"
+
+    with pytest.raises(ValueError, match="unhandled dataset feature"):
+        _coerce_hf_dataframe(_pd.DataFrame({"x": [1]}), {"x": "timestamp64"})
