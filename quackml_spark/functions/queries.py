@@ -121,22 +121,77 @@ def llm_transform_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_rank_documents",
-    doc="rank() cross-encoder contract: per-query doc reranking "
-    "(lexical fallback backend).",
+    doc="rank() batch contract: several query rows reranked against one "
+    "shared 20-doc corpus inside a single Arrow batch (the multi-row "
+    "path llm_rank_parity's 1-row shape doesn't cover). Jaccard scores "
+    "and (score desc, corpus_id) order re-derived in SQL; each score is "
+    "one int/int division, bit-identical.",
+    oracle="""
+WITH docs AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS corpus_id, text
+  FROM documents WHERE doc_id < 20
+), queries AS (
+  SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 5
+), qw AS (
+  SELECT DISTINCT query_id, w FROM (
+    SELECT query_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+    FROM queries)
+), dw AS (
+  SELECT DISTINCT corpus_id, w FROM (
+    SELECT corpus_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+    FROM docs)
+), qsize AS (SELECT query_id, COUNT(*) AS nq FROM qw GROUP BY query_id),
+dsize AS (SELECT corpus_id, COUNT(*) AS nd FROM dw GROUP BY corpus_id),
+inter AS (
+  SELECT qw.query_id, dw.corpus_id, COUNT(*) AS ni
+  FROM qw JOIN dw USING (w) GROUP BY qw.query_id, dw.corpus_id
+), scored AS (
+  SELECT q.query_id, d.corpus_id,
+         CASE WHEN COALESCE(qs.nq, 0) = 0 OR d.nd = 0 THEN 0.0
+              ELSE COALESCE(i.ni, 0)::DOUBLE
+                   / (d.nd + qs.nq - COALESCE(i.ni, 0))
+         END AS score
+  FROM queries q
+  CROSS JOIN dsize d
+  LEFT JOIN qsize qs ON qs.query_id = q.query_id
+  LEFT JOIN inter i ON i.query_id = q.query_id AND i.corpus_id = d.corpus_id
+)
+SELECT query_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, corpus_id) - 1 AS rank_pos,
+       corpus_id, score
+FROM scored
+ORDER BY query_id, rank_pos
+""",
     tags=("llm",),
 )
 def llm_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.functions import rank
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
-    grouped = docs.agg(F.collect_list("text").alias("docs")).withColumn(
-        "query", F.lit("table scan query join")
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    corpus = (
+        docs.select(F.struct("doc_id", "text").alias("s"))
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(F.transform("ss", lambda s: s.getField("text")).alias("docs"))
     )
-    out = rank(grouped, "jaccard", "query", "docs")
-    return out.select(F.posexplode("rank_result").alias("pos", "r")).select(
-        "pos",
-        F.col("r.corpus_id").alias("corpus_id"),
-        (F.col("r.score") >= 0.0).alias("scored"),
+    queries = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("query_id"), F.col("text").alias("query"))
+    )
+    # one corpus row broadcast against a handful of query rows
+    out = rank(queries.crossJoin(F.broadcast(corpus)), "jaccard", "query", "docs")
+    return (
+        out.select(
+            "query_id", F.posexplode("rank_result").alias("rank_pos", "r")
+        )
+        .select(
+            "query_id",
+            F.col("rank_pos").cast("bigint"),
+            F.col("r.corpus_id").cast("bigint").alias("corpus_id"),
+            F.col("r.score").alias("score"),
+        )
+        .orderBy("query_id", "rank_pos")
     )
 
 

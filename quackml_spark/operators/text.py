@@ -251,6 +251,151 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_filters",
+    doc="Gopher-style repetition quality filters (Rae et al. 2021 §A1.1) "
+    "re-based on token n-grams (the synthetic docs have no newlines, so "
+    "line/paragraph fractions would be degenerate): duplicate-token and "
+    "duplicate-2gram fractions (pure array ops, zero shuffle), the most-"
+    "frequent-2gram character fraction, duplicated-3gram character "
+    "fraction (chars counted with multiplicity over distinct grams "
+    "occurring >1 time), and the composite keep flag. One scan + one "
+    "map-side-combined shuffle keyed (doc_id, gram); joins are all on "
+    "doc_id. Divisions are single DECIMAL ops, bit-identical.",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+  WHERE length(regexp_extract_all(lower(text), '\S+')) >= 3
+), grams AS (
+  SELECT doc_id, n_chars,
+         length(toks) AS n_tok,
+         length(list_distinct(toks)) AS nd_tok,
+         [toks[i] || ' ' || toks[i+1]
+          FOR i IN range(1, length(toks))] AS g2,
+         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          FOR i IN range(1, length(toks) - 1)] AS g3
+  FROM base
+), arrstats AS (
+  SELECT doc_id, n_chars, n_tok, nd_tok,
+         length(g2) AS n2, length(list_distinct(g2)) AS nd2
+  FROM grams
+), g2top AS (
+  SELECT doc_id, c * length(gram) AS top2_chars FROM (
+    SELECT doc_id, gram, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY COUNT(*) DESC, gram) AS rn
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM grams)
+    GROUP BY doc_id, gram
+  ) WHERE rn = 1
+), g3dup AS (
+  SELECT doc_id, SUM(c * length(gram)) AS dup3_chars FROM (
+    SELECT doc_id, gram, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(g3) AS gram FROM grams)
+    GROUP BY doc_id, gram HAVING COUNT(*) > 1
+  ) GROUP BY doc_id
+)
+SELECT a.doc_id,
+  CAST(ROUND(CAST(a.n_tok - a.nd_tok AS DECIMAL(18,6)) / a.n_tok, 6) AS DOUBLE)
+    AS dup_token_frac,
+  CAST(ROUND(CAST(a.n2 - a.nd2 AS DECIMAL(18,6)) / a.n2, 6) AS DOUBLE)
+    AS dup_2gram_frac,
+  CAST(ROUND(CAST(t.top2_chars AS DECIMAL(18,6)) / a.n_chars, 6) AS DOUBLE)
+    AS top_2gram_char_frac,
+  CAST(ROUND(CAST(COALESCE(d.dup3_chars, 0) AS DECIMAL(18,6)) / a.n_chars, 6) AS DOUBLE)
+    AS dup_3gram_char_frac,
+  (CAST(t.top2_chars AS DECIMAL(18,6)) / a.n_chars <= 0.20
+   AND CAST(COALESCE(d.dup3_chars, 0) AS DECIMAL(18,6)) / a.n_chars <= 0.60)
+    AS keep_doc
+FROM arrstats a
+JOIN g2top t USING (doc_id)
+LEFT JOIN g3dup d USING (doc_id)
+ORDER BY a.doc_id
+""",
+    tags=("textops", "bench"),
+)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    base = docs.select(
+        "doc_id", F.length("text").alias("n_chars"), toks.alias("toks")
+    ).where(F.size("toks") >= 3)
+    grams = base.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tok"),
+        F.size(F.array_distinct("toks")).alias("nd_tok"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
+        ).alias("g2"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(
+                " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
+            ),
+        ).alias("g3"),
+    )
+    arrstats = grams.select(
+        "doc_id",
+        "n_chars",
+        "n_tok",
+        "nd_tok",
+        F.size("g2").alias("n2"),
+        F.size(F.array_distinct("g2")).alias("nd2"),
+    )
+    g2counts = (
+        grams.select("doc_id", F.explode("g2").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+    g2top = (
+        g2counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", (F.col("c") * F.length("gram")).alias("top2_chars"))
+    )
+    g3dup = (
+        grams.select("doc_id", F.explode("g3").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.length("gram")).alias("dup3_chars"))
+    )
+    top2_frac = F.col("top2_chars").cast("decimal(18,6)") / F.col("n_chars")
+    dup3_frac = (
+        F.coalesce(F.col("dup3_chars"), F.lit(0)).cast("decimal(18,6)")
+        / F.col("n_chars")
+    )
+    return (
+        arrstats.join(g2top, "doc_id")
+        .join(g3dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("n_tok") - F.col("nd_tok")).cast("decimal(18,6)")
+                / F.col("n_tok"),
+                6,
+            )
+            .cast("double")
+            .alias("dup_token_frac"),
+            F.round(
+                (F.col("n2") - F.col("nd2")).cast("decimal(18,6)") / F.col("n2"), 6
+            )
+            .cast("double")
+            .alias("dup_2gram_frac"),
+            F.round(top2_frac, 6).cast("double").alias("top_2gram_char_frac"),
+            F.round(dup3_frac, 6).cast("double").alias("dup_3gram_char_frac"),
+            ((top2_frac <= 0.20) & (dup3_frac <= 0.60)).alias("keep_doc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs,
 # digit runs, punctuation runs (no lookbehind — valid in both Java
 # regex (Spark) and RE2 (DuckDB), same greedy left-to-right matching).
