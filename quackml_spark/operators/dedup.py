@@ -249,6 +249,25 @@ def dedup_minhash_lsh(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    return (
+        buckets.select(F.explode(_bucket_pairs(max_bucket_size)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _bucket_pairs(max_bucket_size: int):
+    """Pair-array expression over a sorted ``ids`` bucket column.
+
+    Giant-cluster guard: a bucket of n near-identical docs fans out
+    C(n,2) pairs — quadratic, the one LSH scale hazard. Past
+    ``max_bucket_size`` the bucket degrades to a STAR (everyone pairs
+    with the min doc_id): O(n) pairs that preserve exactly the
+    connectivity dedup_connected_components needs. Test corpora never
+    hit the cap, so oracles (which enumerate all pairs) stay exact.
+    """
     ids = F.col("ids")
     full_pairs = F.flatten(
         F.transform(
@@ -259,26 +278,81 @@ def dedup_minhash_lsh(
             ),
         )
     )
-    # Giant-cluster guard: a bucket of n near-identical docs fans out
-    # C(n,2) pairs — quadratic, the one LSH scale hazard. Past
-    # max_bucket_size the bucket degrades to a STAR (everyone pairs with
-    # the min doc_id): O(n) pairs that preserve exactly the connectivity
-    # dedup_connected_components needs. Test corpora never hit the cap,
-    # so the oracle (which enumerates all pairs) stays exact.
     star_pairs = F.transform(
         F.slice(ids, 2, F.size(ids)),
         lambda y: F.struct(
             F.element_at(ids, 1).alias("doc_a"), y.alias("doc_b")
         ),
     )
-    pair_arr = F.when(
-        F.size(ids) <= F.lit(max_bucket_size), full_pairs
-    ).otherwise(star_pairs)
+    return F.when(F.size(ids) <= F.lit(max_bucket_size), full_pairs).otherwise(
+        star_pairs
+    )
+
+
+_WIN_K = 8  # exact-substring window length in tokens
+
+
+@register(
+    "dedup_exact_substring",
+    doc="Exact-substring dedup (Lee et al. 2022, 'Deduplicating Training "
+    "Data Makes Language Models Better', window-hash formulation): "
+    "every 8-token rolling window is hashed; documents sharing >=1 "
+    "distinct window are emitted as pairs with the shared-window count. "
+    "Scale shape: one scan + one shuffle on the 16-byte window hash; "
+    "pairs generated INSIDE buckets (no self-join) with the same "
+    "star-degrade giant-bucket guard as dedup_minhash_lsh; windows in "
+    ">100 docs (boilerplate) are dropped before pairing, identically in "
+    "the oracle.",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), wins AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(toks[i:i+{_WIN_K - 1}], 'string_agg', ' ')) AS wh
+  FROM toks, unnest(range(1, length(toks) - {_WIN_K - 2})) AS t(i)
+  WHERE length(toks) >= {_WIN_K}
+), capped AS (
+  SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) BETWEEN 2 AND 100
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_shared_windows
+FROM wins a
+JOIN capped ON capped.wh = a.wh
+JOIN wins b ON b.wh = a.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup", "bench"),
+)
+def dedup_exact_substring(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int = 1024
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_expr("text").alias("toks")
+    ).where(F.size("toks") >= _WIN_K)
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - _WIN_K),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("toks", i + F.lit(1), _WIN_K))
+                ),
+            )
+        ).alias("wh"),
+    ).distinct()
+    buckets = (
+        wins.groupBy("wh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids").between(2, 100))
+    )
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        buckets.select(F.explode(_bucket_pairs(max_bucket_size)).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
         .orderBy("doc_a", "doc_b")
     )
 
