@@ -396,6 +396,133 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns — shared Java-regex/RE2 subset (no lookbehind, no
+# backreferences; \b is an ASCII word boundary in both engines).
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{4}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str, preview_len: int = 48) -> DataFrame:
+    """Per-row PII pattern counts + a redacted tail preview.
+
+    Pure regexp expressions over one scan — no UDFs, no shuffle; at
+    100 TB this is a map-only stage that pushes column pruning to the
+    parquet reader. Redaction replaces matches with <EMAIL>/<IPV4>/
+    <PHONE> markers (applied in that order).
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    red = t
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    has_pii = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        has_pii = c if has_pii is None else (has_pii | c)
+    return df.select(
+        "*", *counts, red.alias("__red")
+    ).select(
+        *df.columns,
+        *[f"n_{n}" for n in PII_PATTERNS],
+        has_pii.alias("has_pii"),
+        F.substring(
+            F.col("__red"),
+            F.greatest(F.length("__red") - (preview_len - 1), F.lit(1)),
+            preview_len,
+        ).alias("redacted_tail"),
+    )
+
+
+@register(
+    "text_pii_scan",
+    doc="PII scan + redaction: email/IPv4/phone regexp counts and a "
+    "redacted preview. The synthetic corpus holds no PII, so the query "
+    "plants deterministic markers (doc_id-derived, identical SQL in "
+    "both engines) before scanning — the scan itself is one map-only "
+    "regexp pass, no shuffle.",
+    oracle=rf"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 192.168.' || (doc_id % 256) || '.' || (doc_id % 100)
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, t,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+        '{PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+      '{PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS r
+  FROM aug
+)
+SELECT doc_id,
+  length(regexp_extract_all(t, '{PII_PATTERNS["email"]}')) AS n_email,
+  length(regexp_extract_all(t, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+  length(regexp_extract_all(t, '{PII_PATTERNS["phone"]}')) AS n_phone,
+  (length(regexp_extract_all(t, '{PII_PATTERNS["email"]}')) > 0
+   OR length(regexp_extract_all(t, '{PII_PATTERNS["ipv4"]}')) > 0
+   OR length(regexp_extract_all(t, '{PII_PATTERNS["phone"]}')) > 0) AS has_pii,
+  substr(r, greatest(length(r) - 47, 1), 48) AS redacted_tail
+FROM red
+ORDER BY doc_id
+""",
+    tags=("textops",),
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 192.168."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("t"),
+    )
+    return pii_scan(aug, "t").select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "has_pii",
+        "redacted_tail",
+    ).orderBy("doc_id")
+
+
 # GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs,
 # digit runs, punctuation runs (no lookbehind — valid in both Java
 # regex (Spark) and RE2 (DuckDB), same greedy left-to-right matching).
