@@ -396,6 +396,93 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_K = 5  # decontamination n-gram length in tokens
+
+
+def decontaminate(
+    train_grams: DataFrame, bench_grams: DataFrame, doc_col: str = "doc_id"
+) -> DataFrame:
+    """Per-training-doc overlap counts against a benchmark n-gram set.
+
+    The benchmark side (eval suites) is tiny next to a 100 TB corpus, so
+    it is explicitly broadcast — the contamination check is a map-side
+    hash probe, no shuffle of the corpus; the only shuffle is the
+    per-doc count re-aggregation."""
+    overlap = (
+        train_grams.join(F.broadcast(bench_grams.select("gram").distinct()), "gram")
+        .groupBy(doc_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap_grams"))
+    )
+    return overlap
+
+
+@register(
+    "text_decontaminate",
+    doc="Benchmark decontamination (the n-gram-overlap check used for "
+    "eval-set leakage, e.g. GPT-3 appendix C / Gopher §A2): docs with "
+    "doc_id %% 97 == 0 play the benchmark; every other doc is flagged "
+    "when it shares a distinct 5-token n-gram with the benchmark set. "
+    "Benchmark grams are broadcast (map-side probe; corpus never "
+    "shuffles on the gram key).",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(toks[i:i+{_DECON_K - 1}], 'string_agg', ' ')) AS gram
+  FROM toks, unnest(range(1, length(toks) - {_DECON_K - 2})) AS t(i)
+  WHERE length(toks) >= {_DECON_K}
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), overlap AS (
+  SELECT g.doc_id, COUNT(*) AS n
+  FROM grams g JOIN bench USING (gram)
+  WHERE g.doc_id % 97 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(o.n, 0) AS n_overlap_grams,
+       COALESCE(o.n, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN overlap o ON o.doc_id = d.doc_id
+WHERE d.doc_id % 97 <> 0
+ORDER BY d.doc_id
+""",
+    tags=("textops", "bench"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks")).where(
+        F.size("toks") >= _DECON_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - _DECON_K),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("toks", i + F.lit(1), _DECON_K))
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+    bench = grams.where(F.col("doc_id") % 97 == 0)
+    train = grams.where(F.col("doc_id") % 97 != 0)
+    overlap = decontaminate(train, bench)
+    return (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap_grams", F.lit(0)).alias("n_overlap_grams"),
+            (F.coalesce("n_overlap_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # PII patterns — shared Java-regex/RE2 subset (no lookbehind, no
 # backreferences; \b is an ASCII word boundary in both engines).
 PII_PATTERNS = {
