@@ -1,0 +1,145 @@
+"""CSV / JSONL sources+sinks, small-file compaction, and sorted writes.
+
+The reference engine reads whatever DuckDB reads (CSV, JSON, parquet —
+duckdb's read_csv/read_json surface); this module is the Spark twin,
+with three scale rules baked in:
+
+* **Schema is explicit.** At 100 TB, schema inference is a full extra
+  pass over the data (CSV) or a sampled guess that can flip types
+  between runs (JSON). Readers here take a DDL schema string; inference
+  is an opt-in for exploration only.
+* **File count is a first-class output.** Thousands of small files
+  destroy scan throughput (footer/open overhead, task scheduling) and
+  NameNode-style metadata stores. ``compact_parquet`` rewrites a
+  directory to size-targeted files; ``write_sorted`` range-partitions +
+  sorts so parquet row-group min/max stats actually skip.
+* **Sorted layout is a data-skipping index.** ``write_sorted`` gives
+  each output file a disjoint key range (repartitionByRange), so a
+  point/range filter on the sort key prunes entire files via footer
+  stats — the poor man's z-order, free at write time.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV source. ``schema`` is a DDL string ("a INT, b STRING");
+    omitting it falls back to inference (an extra full pass — fine for
+    exploration, wrong for production)."""
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.options(header=header).mode(mode).csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None, **options
+) -> DataFrame:
+    """JSON-lines source with an explicit DDL schema (sampled inference
+    when omitted)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def _dir_bytes_files(path: str, suffix: str = ".parquet") -> tuple[int, int]:
+    total, n = 0, 0
+    for root, _dirs, names in os.walk(path):
+        for f in names:
+            if f.endswith(suffix):
+                total += os.path.getsize(os.path.join(root, f))
+                n += 1
+    return total, n
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 512,
+) -> dict:
+    """Rewrite a parquet directory to ~``target_file_mb``-sized files.
+
+    File count is computed from the source's on-disk bytes, then the
+    data is coalesced — not repartitioned — so compaction is a
+    shuffle-free read+write (each output task concatenates whole input
+    files). Returns before/after stats so pipelines can assert the
+    effect."""
+    bytes_before, files_before = _dir_bytes_files(src)
+    n_out = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst)
+    bytes_after, files_after = _dir_bytes_files(dst)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+        "target_files": n_out,
+    }
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partition on ``sort_cols`` into ``n_files`` tasks and sort
+    within each, so every output file covers a disjoint sort-key range
+    and row-group min/max stats prune files for key filters."""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_key_ranges(path: str, column: str) -> list[tuple]:
+    """(min, max) of ``column`` per parquet file under ``path`` — the
+    footer statistics a reader uses for skipping; lets tests assert the
+    sorted layout actually landed disjoint."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for root, _dirs, names in os.walk(path):
+        for f in sorted(names):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    if col.path_in_schema == column and col.statistics:
+                        s = col.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                ranges.append((lo, hi))
+    return ranges

@@ -1,0 +1,71 @@
+"""CSV/JSONL round trips, small-file compaction, sorted-write layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quackml_spark.sources import load_table
+from quackml_spark.sources.files import (
+    compact_parquet,
+    file_key_ranges,
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+    write_sorted,
+)
+
+DOC_SCHEMA = "doc_id BIGINT, lang STRING, n_chars BIGINT"
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def test_csv_round_trip_explicit_schema(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "docs_csv")
+    write_csv(docs, out)
+    back = read_csv(spark, out, schema=DOC_SCHEMA)
+    assert dict(back.dtypes) == dict(docs.dtypes)
+    assert back.count() == docs.count()
+    assert (
+        back.agg(F.sum("n_chars")).first()[0]
+        == docs.agg(F.sum("n_chars")).first()[0]
+    )
+
+
+def test_jsonl_round_trip_explicit_schema(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, schema=DOC_SCHEMA)
+    assert dict(back.dtypes) == dict(docs.dtypes)
+    assert back.orderBy("doc_id").collect() == docs.orderBy("doc_id").collect()
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    fragmented = str(tmp_path / "fragmented")
+    docs.repartition(16).write.parquet(fragmented)
+    compacted = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, fragmented, compacted, target_file_mb=512)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 1  # tiny data -> one 512MB-target file
+    assert spark.read.parquet(compacted).count() == docs.count()
+
+
+def test_sorted_write_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "sorted")
+    write_sorted(docs, out, ["doc_id"], n_files=4)
+    ranges = sorted(file_key_ranges(out, "doc_id"))
+    assert len(ranges) == 4
+    # each file's footer stats cover a disjoint doc_id range -> a
+    # doc_id filter can skip whole files
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
