@@ -121,21 +121,25 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_keys(
-    df: DataFrame, planes: DataFrame, band_bits: int = 4
+    df: DataFrame, planes: DataFrame, band_bits: int = 4, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Random-hyperplane signature -> (band_id, band_key) rows: the LSH
-    bucket keys candidate generation equi-joins on. One broadcast of the
-    constant-size plane table + one groupBy per input row — no
-    data-data shuffle."""
+    """Random-hyperplane signature -> (id, band_id, band_key) rows: the
+    LSH bucket keys candidate generation equi-joins on. One broadcast of
+    the constant-size plane table + one groupBy per input row — no
+    data-data shuffle. Only the ID survives into the groupBy: the band
+    exchange moves (id, band_id, band_key) triples, never the embedding
+    array (re-rank joins vectors back by id later), so the shuffle
+    payload is ~24 bytes/row instead of dim x 8 and the partition hash
+    never touches a float array."""
     with_planes = df.crossJoin(F.broadcast(planes))
     signs = with_planes.select(
-        *df.columns,
+        id_col,
         "plane_id",
         (_dot(F.col("embedding"), F.col("plane")) > 0).cast("int").alias("bit"),
     )
     return (
         signs.withColumn("band_id", (F.col("plane_id") / band_bits).cast("int"))
-        .groupBy(*df.columns, "band_id")
+        .groupBy(id_col, "band_id")
         .agg(
             F.sum(
                 F.col("bit")
@@ -203,16 +207,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _band_keys(df, planes, band_bits=4)
 
     vecs_b = bucket_bits(emb)
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    queries_b = bucket_bits(
-        queries.select(F.col("query_id").alias("vec_id"), F.col("q_emb").alias("embedding"))
-    ).select(
+    queries_b = bucket_bits(emb.where(F.col("vec_id") < 5)).select(
         F.col("vec_id").alias("query_id"),
         F.col("band_id").alias("q_band"),
         F.col("band_key").alias("q_key"),
     )
+    # id-only candidates: the distinct dedupes (query_id, vec_id) pairs
+    # without ever shuffling an embedding
     cand = (
         vecs_b.join(
             queries_b,
@@ -220,18 +221,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("band_key") == F.col("q_key"))
             & (F.col("query_id") != F.col("vec_id")),
         )
-        .select("query_id", "vec_id", "embedding")
+        .select("query_id", "vec_id")
         .distinct()
     )
-    q_emb = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    scored = cand.join(q_emb, "query_id").select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            cosine_expr(F.col("q_emb"), F.col("embedding")).cast("decimal(18,9)"), 6
+    n_emb = emb.select(F.col("vec_id"), F.col("embedding").alias("n_emb"))
+    q_emb = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand.join(n_emb, "vec_id")
+        .join(F.broadcast(q_emb.where(F.col("query_id") < 5)), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_expr(F.col("q_emb"), F.col("n_emb")).cast("decimal(18,9)"),
+                6,
+            )
+            .cast("double")
+            .alias("cosine"),
         )
-        .cast("double")
-        .alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
