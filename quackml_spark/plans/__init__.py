@@ -69,6 +69,7 @@ _LOADED = False
 _QUERY_MODULES = (
     "quackml_spark.operators.dedup",
     "quackml_spark.operators.text",
+    "quackml_spark.operators.sampling",
     "quackml_spark.operators.similarity",
     "quackml_spark.operators.multimodal",
     "quackml_spark.functions.queries",

@@ -1,0 +1,54 @@
+"""Deterministic mixture sampling: reproducibility + budget behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quackml_spark.operators.sampling import (
+    PPM,
+    budget_rates,
+    hash_ppm,
+    mixture_sample,
+)
+from quackml_spark.sources import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def test_sample_is_reproducible(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    rates = budget_rates(docs, 3000)
+    a = sorted(r["doc_id"] for r in mixture_sample(docs, rates).collect())
+    b = sorted(r["doc_id"] for r in mixture_sample(docs, rates).collect())
+    assert a == b and len(a) > 0
+
+
+def test_seed_changes_membership(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    rates = budget_rates(docs, 3000)
+    a = set(r["doc_id"] for r in mixture_sample(docs, rates, seed=0).collect())
+    b = set(r["doc_id"] for r in mixture_sample(docs, rates, seed=1).collect())
+    assert a != b  # different deterministic draws
+
+
+def test_budget_rates_bounds(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    for row in budget_rates(docs, 10**9).collect():
+        assert row["rate_ppm"] == PPM  # budget >> totals -> keep all
+    for row in budget_rates(docs, 3000).collect():
+        assert 0 < row["rate_ppm"] < PPM
+        assert row["rate_ppm"] == PPM * 3000 // row["total_chars"]
+
+
+def test_hash_ppm_uniformity(spark, sf_dir):
+    # crude sanity: draws spread over [0, 1e6), mean near 500k
+    docs = _docs(spark, sf_dir)
+    stats = docs.select(hash_ppm("doc_id").alias("h")).agg(
+        F.min("h"), F.max("h"), F.avg("h")
+    ).first()
+    assert 0 <= stats[0] and stats[1] < PPM
+    assert 350_000 < stats[2] < 650_000
