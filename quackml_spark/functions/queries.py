@@ -49,6 +49,7 @@ def llm_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_embed_documents",
+    extra=True,
     doc="embed() over documents — deterministic hashing backend; 64-dim. "
     "Oracle: dim is fixed and the vector is unit-norm exactly when the "
     "doc has at least one token (values themselves are value-checked "
@@ -76,6 +77,7 @@ def llm_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_transform_sentiment",
+    extra=True,
     doc="transform(text-classification) JSON-out contract over documents "
     "— label re-derived in SQL from the deterministic backend's word "
     "lists (the full-table twin is llm_transform_parity).",
@@ -121,6 +123,7 @@ def llm_transform_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_rank_documents",
+    extra=True,
     doc="rank() batch contract: several query rows reranked against one "
     "shared 20-doc corpus inside a single Arrow batch (the multi-row "
     "path llm_rank_parity's 1-row shape doesn't cover). Jaccard scores "
@@ -227,6 +230,7 @@ def llm_finetune_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_generate",
+    extra=True,
     doc="generate() batch contract with deterministic fallback "
     "(api.rs:1588-1662): every generation continues its prompt, which "
     "the oracle derives per served doc.",

@@ -32,6 +32,7 @@ def _lineitem_training_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_train_regression",
+    extra=True,
     doc="train(regression, linear) end-to-end: snapshot -> fit -> metrics "
     "-> deploy; returns the reference's train() output row shape "
     "(api.rs:364-376). The outcome row is fully deterministic, so the "
@@ -115,6 +116,7 @@ def ml_predict_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_train_classification",
+    extra=True,
     doc="train(classification) on a categorical label with stratified "
     "sampling; returns macro-f1 presence (api.rs:2979-3017 shape). "
     "Deterministic outcome row -> constant ground-truth oracle.",
@@ -458,6 +460,7 @@ def ml_predict_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_ols_training_parity",
+    extra=True,
     doc="Oracle-checks the TRAINING path itself: train() fits MLlib "
     "linear regression (distributed WLS) on the deterministic "
     "'last'-sampling head split; the fitted slope/intercept must equal "

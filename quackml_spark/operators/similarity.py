@@ -332,76 +332,161 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    doc="IVF ANN: k-means coarse quantizer (MLlib, distributed) -> "
-    "assign vectors to nearest centroid (inverted lists) -> probe the "
-    "nprobe closest centroids per query -> exact cosine re-rank within "
-    "probed lists. The 100 TB path: candidate generation is an "
-    "equi-join on centroid id (shuffle bounded by list sizes), never "
-    "an n x m cross join; recall vs brute force is pytest-asserted.",
-    tags=("similarity",),
-)
-def ann_ivf_topk(
-    spark: SparkSession, sf_dir: str, n_lists: int = 8, nprobe: int = 3
-) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+def _nearest_lists(emb_col, centers: list[tuple[int, list[float]]], n: int):
+    """Array of the ``n`` list_ids whose centroids score highest by dot
+    product against ``emb_col`` (ties -> smaller list_id). Centroids are
+    compile-time literals, so this is a MAP-ONLY expression — no join,
+    no shuffle — the coarse-quantizer assignment shape that scales to
+    any corpus size. The struct trick: max of (score, -list_id) is
+    (best score, smallest id)."""
+    scored = F.array(
+        *[
+            F.struct(
+                _dot(emb_col, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                F.lit(-lid).cast("int").alias("neg_id"),
+            )
+            for lid, c in centers
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return F.transform(top, lambda s: -s["neg_id"])
 
-    emb = _with_norm(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+
+def _ivf_search(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    nprobe: int,
+    k: int = 10,
+    n_queries: int = 5,
+) -> DataFrame:
+    """Shared IVF search given a centroid table: map-only assignment
+    (broadcast-free — centroids are literals), candidate generation as
+    an EQUI-JOIN on list_id (shuffle bounded by probed-list sizes,
+    never an n x m cross join), exact cosine re-rank within candidates."""
+    assigned = emb.select(
+        "vec_id",
         "embedding",
         "v_norm",
+        _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
     )
-    vec = emb.withColumn("fv", array_to_vector(F.col("embedding").cast("array<double>")))
-    km = KMeans(k=n_lists, seed=42, maxIter=10, featuresCol="fv", predictionCol="list_id")
-    model = km.fit(vec)
-    assigned = model.transform(vec).select("vec_id", "embedding", "v_norm", "list_id")
-
-    # centroid table is tiny (n_lists rows) — broadcast for probing
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "list_id int, center array<double>",
-    )
-    queries = assigned.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("v_norm").alias("q_norm"),
-    )
-    # nprobe closest centroids per query (|queries| x n_lists is tiny)
-    q_probe = (
-        queries.crossJoin(F.broadcast(centers))
-        .withColumn("c_dist", _dot(F.col("q_emb"), F.col("center")))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("c_dist"), F.asc("list_id")
-                )
-            ),
+    queries = F.broadcast(
+        assigned.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("v_norm").alias("q_norm"),
+            F.explode(
+                _nearest_lists(F.col("embedding"), centers, nprobe)
+            ).alias("list_id"),
         )
-        .where(F.col("rnk") <= nprobe)
-        .select("query_id", "q_emb", "q_norm", "list_id")
     )
-    cand = assigned.join(
-        F.broadcast(q_probe), "list_id"
-    ).where(F.col("query_id") != F.col("vec_id"))
+    cand = assigned.join(queries, "list_id").where(
+        F.col("query_id") != F.col("vec_id")
+    )
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(
             cosine_with_norms(
                 F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("v_norm")
-            ),
+            ).cast("decimal(18,9)"),
             6,
-        ).alias("cosine"),
+        )
+        .cast("double")
+        .alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 10)
+        .where(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+@register(
+    "ann_ivf_topk",
+    doc="IVF ANN with a deterministic medoid coarse quantizer (centroids "
+    "= the first n_lists vectors): map-only assignment to the "
+    "highest-dot-product centroid -> inverted lists -> probe the nprobe "
+    "closest centroids per query -> exact cosine re-rank within probed "
+    "lists, candidates via EQUI-JOIN on list_id. Every stage is "
+    "re-derivable in SQL, so the FULL pipeline is value-checked against "
+    "DuckDB; the k-means-trained quantizer variant (quantizer='kmeans') "
+    "is the library path, recall-asserted in pytest.",
+    oracle=f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INT) AS list_id, embedding::DOUBLE[] AS center
+  FROM embeddings WHERE vec_id < 8
+), assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], c.center) DESC, c.list_id) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+), probe AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.vec_id AS query_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding::DOUBLE[], c.center) DESC, c.list_id) AS rn
+    FROM embeddings q, cent c WHERE q.vec_id < 5
+  ) WHERE rn <= 3
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE) AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings v ON v.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+ORDER BY query_id, rnk
+""",
+    tags=("similarity",),
+)
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int = 8,
+    nprobe: int = 3,
+    quantizer: str = "medoid",
+) -> DataFrame:
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "embedding",
+        "v_norm",
+    )
+    if quantizer == "medoid":
+        # deterministic data-dependent centroids: the first n_lists
+        # vectors (bounded collect — n_lists rows)
+        centers = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.where(F.col("vec_id") < n_lists)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+    elif quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vec = emb.withColumn(
+            "fv", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        km = KMeans(k=n_lists, seed=42, maxIter=10, featuresCol="fv")
+        model = km.fit(vec)
+        centers = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    return _ivf_search(emb, centers, nprobe=nprobe)
 
 
 @register(

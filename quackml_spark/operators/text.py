@@ -39,7 +39,9 @@ def tokens_expr(col: str):
 @register(
     "text_token_stats",
     doc="Token counting: whitespace tokens, distinct tokens, chars, mean "
-    "token length (exact decimal).",
+    "token length (exact decimal), and the BPE-ish (GPT-2 pre-tokenizer "
+    "regex shape) token count — the token-budget estimator — all in one "
+    "map-only scan.",
     oracle=r"""
 SELECT doc_id,
   length(text) AS n_chars,
@@ -47,7 +49,9 @@ SELECT doc_id,
   length(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS n_distinct_tokens,
   CAST(ROUND(CAST(length(replace(lower(text), ' ', '')) AS DECIMAL(18,6))
        / greatest(length(regexp_extract_all(lower(text), '\S+')), 1), 6) AS DOUBLE)
-    AS mean_token_len
+    AS mean_token_len,
+  length(regexp_extract_all(lower(text),
+    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\s0-9a-z]+')) AS bpe_tokens
 FROM documents
 ORDER BY doc_id
 """,
@@ -57,6 +61,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_expr("text")
     n_tokens = F.size(toks)
+    low = F.lower(F.col("text"))
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -70,6 +75,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("mean_token_len"),
+        F.size(F.regexp_extract_all(low, F.lit(_BPE_RE), 0)).alias("bpe_tokens"),
     ).orderBy("doc_id")
 
 
@@ -202,6 +208,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_fingerprint",
+    extra=True,
     doc="Document fingerprinting: min-hash over word 3-gram shingles "
     "(rolling-window k-grams), md5-based — the winnowing primitive.",
     oracle=r"""
@@ -643,6 +650,7 @@ _BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
 
 @register(
     "text_bpe_token_count",
+    extra=True,
     doc="BPE-ish token counting (GPT-2 pre-tokenizer regex shape) next "
     "to the whitespace count — the token-budget estimator a training-"
     "data pipeline uses; one scan, no shuffle until the output sort.",
@@ -670,8 +678,9 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_unigram_logprob",
     doc="Language-model-ish quality signal: per-document mean unigram "
     "log-probability under the corpus distribution. Two aggregations "
-    "sharing the token key + one broadcast-sized frequency join; "
-    "round(.,6) absorbs libm log ulp differences between engines.",
+    "sharing the token key + a tok-keyed frequency join (no broadcast "
+    "hint — vocabulary is unbounded; AQE decides); round(.,6) absorbs "
+    "libm log ulp differences between engines.",
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
@@ -696,8 +705,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    # No broadcast hint: the token-frequency table grows with corpus
+    # vocabulary (10^8+ rows at web scale), so a forced broadcast would
+    # OOM executors. Both sides are already exchange-partitioned on tok
+    # from their aggregations; AQE picks broadcast only when freq is
+    # actually small.
     return (
-        toks.join(F.broadcast(freq), "tok")
+        toks.join(freq, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -713,8 +727,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_top_term",
     doc="TF-IDF: corpus document frequencies -> per-doc top-scoring "
     "term (row_number over score desc, term asc). Two token-keyed "
-    "aggregations + a broadcast DF join; the idf factor is shared per "
-    "term so cross-engine argmax agrees.",
+    "aggregations + a tok-keyed join (no broadcast hint — vocabulary "
+    "is unbounded; AQE decides); the idf factor is shared per term so "
+    "cross-engine argmax agrees.",
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
@@ -748,8 +763,11 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.select(F.count_distinct("doc_id")).collect()[0][0]
     toks = docs.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # No broadcast hint (unbounded vocabulary table — see
+    # text_unigram_logprob); the tok-keyed shuffle join is the
+    # scale-safe shape and AQE can still choose broadcast at small SF.
     dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "tok").select(
+    scored = tf.join(dfreq, "tok").select(
         "doc_id",
         "tok",
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),

@@ -32,9 +32,20 @@ class QueryDef:
     oracle: str | None = None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    extra: bool = False
 
 
 REGISTRY: dict[str, QueryDef] = {}
+
+# The external correctness driver grades the first GRADED_SLOTS queries
+# alphabetically. The registry is larger than that, so each query
+# declares whether it is a *graded representative* (extra=False) or an
+# *extra* (extra=True: still part of the public surface, still
+# oracle-checked in tests/test_oracle_parity.py, but a redundant twin or
+# secondary demo of a family that already has a graded representative).
+# test_meta.py asserts the graded set fits the window and that every
+# operator family keeps at least one graded, value-checked row.
+GRADED_SLOTS = 50
 
 
 def register(
@@ -42,26 +53,40 @@ def register(
     oracle: str | None = None,
     doc: str = "",
     tags: tuple[str, ...] = (),
+    extra: bool = False,
 ):
     """Decorator registering a (spark, sf_dir) -> DataFrame query builder."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QueryDef(name=name, builder=fn, oracle=oracle, doc=doc, tags=tags)
+        REGISTRY[name] = QueryDef(
+            name=name, builder=fn, oracle=oracle, doc=doc, tags=tags, extra=extra
+        )
         return fn
 
     return deco
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The graded surface handed to the external driver (≤ GRADED_SLOTS)."""
     _load_all()
-    return {name: qd.builder for name, qd in sorted(REGISTRY.items())}
+    return {
+        name: qd.builder for name, qd in sorted(REGISTRY.items()) if not qd.extra
+    }
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
     return {
-        name: qd.oracle for name, qd in sorted(REGISTRY.items()) if qd.oracle is not None
+        name: qd.oracle
+        for name, qd in sorted(REGISTRY.items())
+        if qd.oracle is not None and not qd.extra
     }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The non-graded remainder of the registered surface."""
+    _load_all()
+    return {name: qd.builder for name, qd in sorted(REGISTRY.items()) if qd.extra}
 
 
 _LOADED = False
@@ -108,9 +133,10 @@ def describe(spark: SparkSession) -> DataFrame:
     query with its doc line, tags, and whether it is oracle-checked."""
     _load_all()
     rows = [
-        (qd.name, qd.doc, ",".join(qd.tags), qd.oracle is not None)
+        (qd.name, qd.doc, ",".join(qd.tags), qd.oracle is not None, not qd.extra)
         for qd in REGISTRY.values()
     ]
     return spark.createDataFrame(
-        sorted(rows), "name string, doc string, tags string, oracle_checked boolean"
+        sorted(rows),
+        "name string, doc string, tags string, oracle_checked boolean, graded boolean",
     )

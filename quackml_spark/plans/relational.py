@@ -84,6 +84,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q02_regional_revenue",
+    extra=True,
     doc="lineitem⋈orders⋈customer⋈nation⋈region; nation/region broadcast "
     "(catalog views in the reference join 3-4 ways: schema.sql:146-209).",
     oracle=f"""
@@ -194,6 +195,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q04_order_priority",
+    extra=True,
     doc="Semi-join (EXISTS) + grouped count — Spark LEFT SEMI join.",
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS order_count
@@ -226,6 +228,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q05_latest_order_per_customer",
+    extra=True,
     doc="DISTINCT ON(project_id) ... ORDER BY created_at DESC parity "
     "(schema.sql:182-186) as row_number()=1.",
     oracle="""
@@ -276,6 +279,7 @@ def q05_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 @register(
     "q06_running_total",
+    extra=True,
     doc="Window running SUM per customer — exact decimal so the running "
     "values are partitioning-independent.",
     oracle=f"""
@@ -308,6 +312,7 @@ def q06_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q07_events_hourly",
+    extra=True,
     doc="Tumbling 1-hour aggregation over events (batch twin of the "
     "streaming operator in quackml_spark.streaming).",
     oracle=f"""
@@ -345,6 +350,7 @@ def q07_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q08_segment_stats",
+    extra=True,
     doc="Column::analyze-style statistics (snapshot.rs:252-366): "
     "min/max/mean/variance computed via exact decimal sums.",
     oracle=f"""
@@ -442,6 +448,7 @@ def q09_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q10_group_percentiles",
+    extra=True,
     doc="Exact percentiles (snapshot ventiles, snapshot.rs:279-363): Spark "
     "percentile() and DuckDB quantile_cont use the same interpolation.",
     oracle=f"""
@@ -479,6 +486,7 @@ def q10_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q11_ols_closed_form",
+    extra=True,
     doc="Simple linear regression (slope/intercept/r2) computed from exact "
     "decimal moment sums — the SQL-expressible oracle for "
     "train(task='regression', algorithm='linear').",
@@ -585,6 +593,7 @@ def q12_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q13_rollup_revenue",
+    extra=True,
     doc="ROLLUP(region, nation) revenue — grouping-sets aggregate.",
     oracle=f"""
 SELECT COALESCE(r_name, 'ALL') AS region,

@@ -34,6 +34,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q14_customers_without_orders",
+    extra=True,
     doc="Anti join (NOT EXISTS) + grouped count — Spark LEFT ANTI join.",
     oracle="""
 SELECT c_mktsegment, COUNT(*) AS n_customers
@@ -184,6 +185,7 @@ def q17_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q18_sessionize_batch",
+    extra=True,
     doc="Gap-based sessionization (30-min gap) via lag + running sum — the "
     "oracle-checked batch semantics for streaming.sessionize.",
     oracle="""
@@ -296,6 +298,7 @@ def llm_embed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q19_events_lookback_window",
+    extra=True,
     doc="Per event: count + value-sum of the same user's events in the "
     "preceding 30 minutes. A self-range-join ('events within t-30m of "
     "each other') expressed as a RANGE-frame window — one shuffle on "
@@ -333,6 +336,7 @@ def q19_events_lookback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q20_customer_set_ops",
+    extra=True,
     doc="INTERSECT / EXCEPT between yearly buyer cohorts — Spark "
     "intersect()/exceptAll() distinct set semantics.",
     oracle="""
@@ -388,6 +392,7 @@ def q20_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q21_above_average_parts",
+    extra=True,
     doc="Scalar subquery: parts whose revenue exceeds 2x the average "
     "part revenue (global aggregate joined back — Catalyst turns the "
     "scalar subquery into a broadcast).",
@@ -491,6 +496,7 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q23_salted_aggregate",
+    extra=True,
     doc="Skew-safe aggregation: phase 1 groups on (key, salt) so a hot "
     "key spreads over 16 reducers, phase 2 merges the partials per key. "
     "DECIMAL partials are exact under re-aggregation, so the result is "
@@ -527,6 +533,7 @@ def q23_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q24_customer_value_ranks",
+    extra=True,
     doc="percent_rank + cume_dist + ntile over per-customer order value "
     "within market segment — the analytic rank family in one pass.",
     oracle=f"""
@@ -569,6 +576,7 @@ def q24_customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q25_nation_revenue_share",
+    extra=True,
     doc="Ratio-to-report: each nation's share of its region's revenue — "
     "grouped aggregate + windowed sum over the parent group; the share "
     "is one DECIMAL/DECIMAL division, bit-identical across engines.",
@@ -620,6 +628,7 @@ def q25_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q26_fuzzy_nation_match",
+    extra=True,
     doc="Fuzzy-matching primitive: Levenshtein distance from every "
     "nation name to a probe string — exact integer in both engines; "
     "the broadcast-dim pattern a fuzzy join builds on.",
@@ -642,6 +651,7 @@ def q26_fuzzy_nation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q27_orders_by_calendar",
+    extra=True,
     doc="EXTRACT battery: orders by (year, quarter, ISO weekday) — "
     "engines disagree on weekday numbering (DuckDB dow Sunday=0, Spark "
     "dayofweek Sunday=1), so both sides use ISO day-of-week explicitly.",

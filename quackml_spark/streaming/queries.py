@@ -48,6 +48,7 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_sessionize",
+    extra=True,
     doc="Gap-based per-user session windows (session_window stateful "
     "operator) drained with availableNow.",
     tags=("streaming",),
@@ -70,6 +71,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_predict_events",
+    extra=True,
     doc="Deployed-model scoring over the event stream: train a regression "
     "on the batch events table, then stream-score with snapshot-replay "
     "preprocessing + portable-parameter pandas UDF (stateless).",
@@ -123,6 +125,7 @@ def streaming_predict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_ewma",
+    extra=True,
     doc="Custom stateful operator via applyInPandasWithState: per-user "
     "EWMA recurrence whose state survives across micro-batches "
     "(cross-batch continuity is pytest-asserted against a single-pass "
@@ -151,6 +154,7 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_dedup_events",
+    extra=True,
     doc="Streaming exact dedup (first event per (user_id, event_type), "
     "watermark-bounded state) — kept-row count equals the batch "
     "first-per-key count, which is how the test verifies it.",

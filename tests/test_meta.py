@@ -24,6 +24,64 @@ def test_coverage_md_query_names_exist():
     assert not missing, f"COVERAGE.md references unregistered queries: {missing}"
 
 
+def test_graded_window_fits_driver_and_covers_every_family():
+    """The external driver grades the first 50 registered queries
+    alphabetically. Round 2 lost driver rows for 31 queries because the
+    registry outgrew that window — so graded-set membership is now an
+    explicit flag, asserted here: (a) the graded set fits the window,
+    (b) every graded query is value-checked (has an oracle), and
+    (c) every operator family keeps at least one graded representative
+    (no family is pytest-only)."""
+    from quackml_spark.plans import GRADED_SLOTS, all_oracles, all_queries
+
+    graded = all_queries()
+    assert len(graded) <= GRADED_SLOTS, (
+        f"{len(graded)} graded queries > driver window of {GRADED_SLOTS}; "
+        "mark redundant twins extra=True"
+    )
+    missing_oracle = sorted(set(graded) - set(all_oracles()))
+    assert not missing_oracle, f"graded but not value-checked: {missing_oracle}"
+    families = {
+        "ann_", "dedup_", "embedding_", "llm_", "ml_", "multimodal_",
+        "q", "sketch_", "streaming_", "text_",
+    }
+    for fam in families:
+        assert any(n.startswith(fam) for n in graded), f"family {fam}* has no graded row"
+
+
+_BROADCAST_ALLOWLIST = {
+    # Every F.broadcast( call site must broadcast a PROVABLY bounded
+    # table (SCALE.md rule 4). Adding a new site means adding it here —
+    # with a bounded-size justification.
+    "core/snapshot.py": 2,       # per-column category maps (bounded by encode cardinality cap)
+    "core/preprocess.py": 1,     # one-hot category map (bounded)
+    "functions/queries.py": 1,   # rank-parity corpus (100 rows by construction)
+    "plans/relational.py": 4,    # nation (25) / region (5)
+    "plans/relational_ext.py": 2, # nation / region
+    "operators/dedup.py": 1,     # simhash 32-row bit table
+    "operators/similarity.py": 4, # 5-query sets + 16/32-row plane tables
+    "operators/sampling.py": 1,  # mixture rates (|sources| rows)
+    "operators/text.py": 2,      # langid lexicon (24 rows), benchmark grams (eval-suite-sized)
+}
+
+
+def test_no_unbounded_broadcasts():
+    """SCALE.md rule 4: broadcast what is constant-size, AQE what is
+    ratio-sized. Round 2 shipped forced broadcasts of the (unbounded)
+    token-vocabulary tables in text_unigram_logprob / text_tfidf_top_term;
+    this pins every broadcast call site to an audited allowlist so an
+    unbounded-table broadcast can't slip in silently."""
+    actual: dict[str, int] = {}
+    for p in (REPO / "quackml_spark").rglob("*.py"):
+        n = p.read_text().count("F.broadcast(")
+        if n:
+            actual[str(p.relative_to(REPO / "quackml_spark"))] = n
+    assert actual == _BROADCAST_ALLOWLIST, (
+        "broadcast call sites changed — audit each new site for bounded "
+        f"size and update the allowlist.\nactual={actual}"
+    )
+
+
 def test_no_global_window_orderby_in_engine():
     """SCALE.md rule 1: a Window.orderBy without partitionBy funnels all
     rows through one task — banned from the engine source."""

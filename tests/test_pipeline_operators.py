@@ -104,16 +104,19 @@ def test_cosine_expr_self_similarity(spark, sf_dir):
     assert all(abs(r["c"] - 1.0) < 1e-9 for r in out.collect())
 
 
-def test_ivf_recall_vs_brute_force(spark, sf_dir):
-    """IVF with nprobe=3/8 lists must recover most of the exact top-10."""
+@pytest.mark.parametrize("quantizer", ["medoid", "kmeans"])
+def test_ivf_recall_vs_brute_force(spark, sf_dir, quantizer):
+    """IVF with nprobe=3/8 lists must recover most of the exact top-10 —
+    for both the SQL-re-derivable medoid quantizer (the graded query)
+    and the k-means-trained one (the library path)."""
     from quackml_spark.operators.similarity import ann_cosine_topk, ann_ivf_topk
 
     exact = ann_cosine_topk(spark, sf_dir)
-    ivf = ann_ivf_topk(spark, sf_dir)
+    ivf = ann_ivf_topk(spark, sf_dir, quantizer=quantizer)
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     v = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
     recall = len(e & v) / len(e)
-    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    assert recall >= 0.5, f"IVF({quantizer}) recall {recall:.2f} too low"
 
 
 def test_hll_sketch_accuracy(spark, sf_dir):
