@@ -154,12 +154,20 @@ def ml_train_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_clustering_embeddings",
-    doc="kmeans over the 64-dim embeddings table; the oracle pins the "
-    "deterministic facts — exactly k=5 clusters exist and every one is "
-    "non-empty on this data.",
+    doc="kmeans VALUE check: a feature with 5 well-separated groups "
+    "((vec_id %% 5)*1000 + embedding[0], gap ~1000 vs intra-spread ~2) "
+    "forces the converged partition to equal the true grouping, so the "
+    "oracle derives every cluster's membership — purity (min==max of "
+    "the group key) and exact member counts — from the data with GROUP "
+    "BY. Cluster ids are arbitrary; reporting per-cluster group-key "
+    "bounds makes the check id-invariant.",
     oracle="""
-SELECT CAST(range AS INT) AS cluster, true AS nonempty
-FROM range(5) ORDER BY cluster
+SELECT CAST(vec_id % 5 AS INT) AS grp_lo,
+       CAST(vec_id % 5 AS INT) AS grp_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM embeddings
+GROUP BY vec_id % 5
+ORDER BY grp_lo
 """,
     tags=("ml",),
 )
@@ -167,31 +175,46 @@ def ml_clustering_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.ml import predict, train
 
     catalog = _fresh_catalog()
-    df = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    df = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        ((F.col("vec_id") % 5) * 1000.0 + F.col("embedding")[0]).alias("x"),
+    )
     train(
         spark,
         "emb clusters",
         task="clustering",
-        df=df.select("embedding"),
+        df=df.select("x"),
         catalog=catalog,
         hyperparams={"k": 5},
         test_size=0.2,
     )
     out = predict(df, "emb clusters", catalog=catalog)
     return (
-        out.groupBy(F.col("prediction").cast("int").alias("cluster"))
-        .agg((F.count(F.lit(1)) > 0).alias("nonempty"))
-        .orderBy("cluster")
+        out.groupBy("prediction")
+        .agg(
+            F.min(F.col("vec_id") % 5).cast("int").alias("grp_lo"),
+            F.max(F.col("vec_id") % 5).cast("int").alias("grp_hi"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .drop("prediction")
+        .orderBy("grp_lo")
     )
 
 
 @register(
     "ml_decomposition_embeddings",
-    doc="PCA over embeddings: decompose() to 8 components "
-    "(model.rs:988-993); width per input vector is deterministic, so "
-    "the oracle derives the expected rows from the embeddings table.",
+    doc="PCA VALUE check (model.rs:988-993 decompose): a rank-1 feature "
+    "matrix row_i = vec_id * (1, 2, 2) has a unique first principal "
+    "component (up to sign), so |projection onto PC1| must equal "
+    "vec_id * ||(1,2,2)|| = 3*vec_id exactly — the oracle computes it "
+    "in SQL. Spark's PCA projects UNcentered rows onto covariance "
+    "eigenvectors; abs() absorbs the eigenvector sign ambiguity and "
+    "the degenerate-PC2 projection is identically 0 for rank-1 data.",
     oracle="""
-SELECT vec_id, CAST(8 AS INT) AS n_components
+SELECT vec_id,
+       CAST(2 AS INT) AS n_components,
+       CAST(ROUND(vec_id * 3.0, 3) AS DOUBLE) AS pc1_abs,
+       CAST(0.0 AS DOUBLE) AS pc2_abs
 FROM embeddings WHERE vec_id < 50 ORDER BY vec_id
 """,
     tags=("ml",),
@@ -200,19 +223,27 @@ def ml_decomposition_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.ml import decompose, train
 
     catalog = _fresh_catalog()
-    df = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    df = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("vec_id") * 1.0).alias("f1"),
+        (F.col("vec_id") * 2.0).alias("f2"),
+        (F.col("vec_id") * 2.0).alias("f3"),
+    )
     train(
         spark,
         "emb pca",
         task="decomposition",
-        df=df.select("embedding"),
+        df=df.drop("vec_id"),
         catalog=catalog,
-        hyperparams={"n_components": 8},
+        hyperparams={"n_components": 2},
         test_size=0.2,
     )
     out = decompose(df.where(F.col("vec_id") < 50), "emb pca", catalog=catalog)
     return out.select(
-        "vec_id", F.size("decomposition").alias("n_components")
+        "vec_id",
+        F.size("decomposition").alias("n_components"),
+        F.abs(F.round(F.col("decomposition")[0], 3)).alias("pc1_abs"),
+        F.abs(F.round(F.col("decomposition")[1], 3)).alias("pc2_abs"),
     ).orderBy("vec_id")
 
 
@@ -384,14 +415,20 @@ def json_dumps(obj) -> str:
 
 @register(
     "ml_train_gbt",
-    doc="tree-family lifecycle: GBT regression (distributed MLlib fit) "
-    "+ DataFrame-path serving — trees have no portable dump, so this "
-    "exercises the MLlib transform serve path (model.rs:370-448 "
-    "gradient_boosting arm). Deterministic outcome row -> constant "
-    "ground-truth oracle.",
+    doc="tree-family VALUE check: GBT regression on an exactly-"
+    "representable step target y = 10*(l_quantity%4)+10. A depth-2 "
+    "tree reproduces a 4-level step function over 4 distinct feature "
+    "values exactly (MLlib's first boosting tree carries weight 1.0, "
+    "so maxIter=1 GBT == that tree), and the exact test-split r2 is 1 "
+    "— DuckDB computes the expected predictions with arithmetic. "
+    "Exercises the MLlib transform serve path (model.rs:370-448 "
+    "gradient_boosting arm: trees have no portable dump).",
     oracle="""
-SELECT 'gradient_boosting_trees' AS algorithm, true AS has_r2,
-       CAST(200 AS INT) AS n_scored
+SELECT x, CAST(ROUND(x * 10 + 10, 6) AS DOUBLE) AS prediction,
+       'gradient_boosting_trees' AS algorithm,
+       CAST(1.0 AS DOUBLE) AS r2
+FROM (SELECT DISTINCT CAST(l_quantity % 4 AS DOUBLE) AS x FROM lineitem)
+ORDER BY x
 """,
     tags=("ml",),
 )
@@ -399,38 +436,46 @@ def ml_train_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.ml import predict, train
 
     catalog = _fresh_catalog()
-    df = _lineitem_training_df(spark, sf_dir).drop("l_returnflag").limit(8000)
+    df = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") % 4).cast("double").alias("x"),
+        ((F.col("l_quantity") % 4) * 10 + 10).cast("double").alias("y"),
+    )
     res = train(
         spark,
         "bench gbt",
         task="regression",
         df=df,
-        y_column_name="l_extendedprice",
+        y_column_name="y",
         algorithm="gradient_boosting_trees",
-        hyperparams={"maxIter": 5, "maxDepth": 3},
+        hyperparams={"maxIter": 1, "maxDepth": 2},
         catalog=catalog,
-        test_sampling="random",
+        test_sampling="last",
+        test_size=1000,
     )
-    out = predict(df.limit(200), "bench gbt", catalog=catalog)
-    return spark.createDataFrame(
-        [
-            (
-                res.algorithm,
-                "r2" in res.metrics,
-                int(out.where(F.col("prediction").isNotNull()).count()),
-            )
-        ],
-        "algorithm string, has_r2 boolean, n_scored int",
-    )
+    out = predict(df.select("x").distinct(), "bench gbt", catalog=catalog)
+    return out.select(
+        "x",
+        F.round("prediction", 6).alias("prediction"),
+        F.lit(res.algorithm).alias("algorithm"),
+        F.round(F.lit(float(res.metrics["r2"])), 6).alias("r2"),
+    ).orderBy("x")
 
 
 @register(
     "ml_predict_joint",
-    doc="joint (multi-target) regression: one submodel per target, "
-    "predictions packed as array<double> (model.rs:967-979). "
-    "Deterministic shape row -> constant ground-truth oracle.",
+    doc="joint (multi-target) regression VALUE check: one submodel per "
+    "target, predictions packed as array<double> (model.rs:967-979). "
+    "Targets y1 = 2x+3 and y2 = 7-x are exactly linear, so each "
+    "submodel's OLS fit is exact and DuckDB computes both expected "
+    "predictions per distinct quantity with arithmetic; round(3) "
+    "absorbs ~1e-10 solver ulps.",
     oracle="""
-SELECT CAST(2 AS INT) AS n_targets, CAST(100 AS BIGINT) AS n_rows
+SELECT x AS l_quantity,
+       CAST(2 AS INT) AS n_targets,
+       CAST(ROUND(2 * x + 3, 3) AS DOUBLE) AS pred_y1,
+       CAST(ROUND(7 - x, 3) AS DOUBLE) AS pred_y2
+FROM (SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS x FROM lineitem)
+ORDER BY l_quantity
 """,
     tags=("ml",),
 )
@@ -439,23 +484,30 @@ def ml_predict_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     catalog = _fresh_catalog()
     df = load_table(spark, sf_dir, "lineitem").select(
-        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
-    ).limit(4000)
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        (F.col("l_quantity").cast("double") * 2 + 3).alias("y1"),
+        (7 - F.col("l_quantity").cast("double")).alias("y2"),
+    )
     train(
         spark,
         "joint reg",
         task="regression",
         df=df,
-        y_column_name=["l_extendedprice", "l_tax"],
+        y_column_name=["y1", "y2"],
         catalog=catalog,
-        test_sampling="random",
+        test_sampling="last",
+        test_size=2000,
+        hyperparams={"regParam": 0.0},
     )
-    out = predict_joint(df.limit(100), "joint reg", catalog=catalog)
-    return (
-        out.select(F.size("predictions").alias("n_targets"))
-        .groupBy("n_targets")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+    out = predict_joint(
+        df.select("l_quantity").distinct(), "joint reg", catalog=catalog
     )
+    return out.select(
+        "l_quantity",
+        F.size("predictions").alias("n_targets"),
+        F.round(F.col("predictions")[0], 3).alias("pred_y1"),
+        F.round(F.col("predictions")[1], 3).alias("pred_y2"),
+    ).orderBy("l_quantity")
 
 
 @register(
@@ -507,3 +559,89 @@ def ml_ols_training_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "slope double, intercept double",
     )
+
+
+@register(
+    "ml_predict_row_replay",
+    doc="snapshot-replay serve path VALUE check (api.rs:1017-1058, the "
+    "reference's most semantically loaded serve route): train with "
+    "impute(mean) + scale(standard) + one_hot (category map including "
+    "the __NULL__ slot), then predict from RAW rows containing NULLs "
+    "in both the numeric and categorical features. The target is "
+    "exactly linear in the preprocessed features (y = 2*q + "
+    "case(flag)), so OLS is exact and every serve-time prediction — "
+    "including NULL-imputed and __NULL__-encoded rows — is computable "
+    "in SQL: DuckDB replays the impute mean over the same train split "
+    "and the case arithmetic. Linear-model affine invariance makes the "
+    "check scaling-replay-sensitive but scaling-value-free.",
+    oracle="""
+WITH src AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         l_returnflag AS flag,
+         CAST(2 * l_quantity
+              + CASE l_returnflag WHEN 'A' THEN 5 WHEN 'N' THEN 11
+                ELSE 17 END AS DOUBLE) AS y
+  FROM lineitem WHERE l_quantity <> 25
+), tr AS (
+  SELECT * FROM src LIMIT (SELECT COUNT(*) - 2000 FROM src)
+), m AS (SELECT AVG(x) AS mean_x FROM tr),
+serve AS (
+  SELECT DISTINCT NULLIF(CAST(l_quantity AS DOUBLE), 25.0) AS x,
+         NULLIF(l_returnflag, 'R') AS flag_n
+  FROM lineitem
+)
+SELECT COALESCE(x, -1.0) AS x_key,
+       COALESCE(flag_n, '<NULL>') AS flag_key,
+       CAST(ROUND(2 * COALESCE(x, (SELECT mean_x FROM m))
+            + CASE WHEN flag_n IS NULL THEN 17
+                   WHEN flag_n = 'A' THEN 5 ELSE 11 END, 3) AS DOUBLE)
+         AS prediction
+FROM serve
+ORDER BY x_key, flag_key
+""",
+    tags=("ml",),
+)
+def ml_predict_row_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import predict, train
+
+    catalog = _fresh_catalog()
+    li = load_table(spark, sf_dir, "lineitem")
+    # training frame: NO numeric NULLs (q==25 rows excluded so the
+    # impute stat is clean), categorical NULLs present (R -> NULL) so
+    # the one_hot map genuinely contains the __NULL__ slot
+    df = li.where(F.col("l_quantity") != 25).select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.nullif(F.col("l_returnflag"), F.lit("R")).alias("flag_n"),
+        (
+            F.col("l_quantity").cast("double") * 2
+            + F.when(F.col("l_returnflag") == "A", 5)
+            .when(F.col("l_returnflag") == "N", 11)
+            .otherwise(17)
+        ).alias("y"),
+    )
+    train(
+        spark,
+        "row replay",
+        task="regression",
+        df=df,
+        y_column_name="y",
+        catalog=catalog,
+        test_sampling="last",
+        test_size=2000,
+        hyperparams={"regParam": 0.0},
+        preprocess={
+            "x": {"impute": "mean", "scale": "standard"},
+            "flag_n": {"encode": "one_hot"},
+        },
+    )
+    # raw serve rows WITH nulls in both features
+    serve = li.select(
+        F.nullif(F.col("l_quantity").cast("double"), F.lit(25.0)).alias("x"),
+        F.nullif(F.col("l_returnflag"), F.lit("R")).alias("flag_n"),
+    ).distinct()
+    out = predict(serve, "row replay", catalog=catalog)
+    return out.select(
+        F.coalesce("x", F.lit(-1.0)).alias("x_key"),
+        F.coalesce("flag_n", F.lit("<NULL>")).alias("flag_key"),
+        F.round("prediction", 3).alias("prediction"),
+    ).orderBy("x_key", "flag_key")
