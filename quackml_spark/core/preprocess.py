@@ -336,7 +336,10 @@ def transform_columns(df: DataFrame, fitted: FittedColumn) -> tuple[DataFrame, l
             (k for k in fitted.encode_map if k != NULL_CATEGORY),
             key=lambda k: fitted.encode_map[k],
         )
-        for cat in cats[:-1] if len(cats) > 1 else cats:
+        # cats[:-1] UNCONDITIONALLY: an all-null training column has the
+        # single category __NULL__ and must emit 0 indicators, matching
+        # the reference's encoded_width = len - 1 (snapshot.rs:222).
+        for cat in cats[:-1]:
             feat = f"{name}_{cat}"
             c = F.when(_cat_key(name) == F.lit(cat), 1.0).otherwise(0.0)
             df = df.withColumn(feat, _apply_impute_scale(c, fitted))

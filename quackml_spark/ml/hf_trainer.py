@@ -239,11 +239,21 @@ def run_hf_finetune(
                 "hyperparams"
             )
 
+        # GPT-2-family tokenizers ship no pad token; padding=True would
+        # raise without one. Standard causal-LM practice: reuse EOS.
+        if getattr(tokenizer, "pad_token", None) is None:
+            tokenizer.pad_token = tokenizer.eos_token
+
         def encode(rows):
             enc = dict(
                 tokenizer([fmt(r) for r in rows], truncation=True, padding=True)
             )
-            enc["labels"] = [list(ids) for ids in enc["input_ids"]]
+            # mask padding positions to -100 so they don't contribute to
+            # the LM loss/perplexity (attention_mask==0 marks padding)
+            enc["labels"] = [
+                [tok if keep else -100 for tok, keep in zip(ids, mask)]
+                for ids, mask in zip(enc["input_ids"], enc["attention_mask"])
+            ]
             return enc
 
         model = tf.AutoModelForCausalLM.from_pretrained(model_name)

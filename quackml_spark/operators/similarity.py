@@ -285,14 +285,25 @@ ORDER BY vec_a, vec_b
     tags=("similarity",),
 )
 def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _with_norm(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
-        "embedding",
-        "nrm",
-    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_dedup_pairs(emb, threshold=0.99)
+
+
+def cosine_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 32,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Near-dup (vec_a, vec_b, cosine) pairs over a (vec_id, embedding)
+    frame: LSH band equi-join candidates + exact cosine re-rank — the
+    reusable core of ``embedding_cosine_dedup`` (recall is positively
+    exercised by a planted-pair test, not just the corpus oracle)."""
+    spark = emb.sparkSession
+    emb = _with_norm(emb, "embedding", "nrm")
     dim = len(emb.select("embedding").first()["embedding"])
-    planes = _hyperplanes(spark, n_planes=32, dim=dim)
-    keys = _band_keys(emb.select("vec_id", "embedding"), planes, band_bits=4)
+    planes = _hyperplanes(spark, n_planes=n_planes, dim=dim)
+    keys = _band_keys(emb.select("vec_id", "embedding"), planes, band_bits=band_bits)
 
     left = keys.select(
         F.col("vec_id").alias("vec_a"), "band_id", "band_key"
@@ -327,7 +338,7 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(a, "vec_a")
         .join(b, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
-        .where(F.col("cosine") >= 0.99)
+        .where(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
 

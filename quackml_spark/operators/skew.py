@@ -29,7 +29,7 @@ def salted_groupby(
     keys: list[str],
     aggs: dict[str, tuple[str, Column]],
     n_salts: int = 16,
-    salt_on: str | None = None,
+    salt_on: str | Column | None = None,
 ) -> DataFrame:
     """Two-phase grouped aggregation.
 
@@ -38,11 +38,21 @@ def salted_groupby(
     (defaults to a content hash of ALL columns: deterministic across
     task retries — a partition-id/monotonic-id salt could re-bucket rows
     when a failed map task recomputes, double-counting phase-1 partials
-    against an earlier partial fetch)."""
+    against an earlier partial fetch).
+
+    LIMITATION of the default content-hash salt: EXACTLY-duplicate rows
+    (and any df whose columns equal the group keys) hash to one salt
+    bucket, so the hot-key mitigation silently disappears for the
+    classic duplicate-row hot key. When the input is a direct file scan,
+    pass a retry-stable per-row ordinal instead, e.g.
+    ``salt_on=F.col("_metadata.row_index")`` (the parquet row index —
+    stable per (file, row) across task retries, unlike
+    monotonically_increasing_id / spark_partition_id); otherwise pass
+    any unique id column."""
     unknown = {k for k, (kind, _) in aggs.items() if kind not in _MERGE}
     if unknown:
         raise ValueError(f"non-re-aggregatable kinds for {sorted(unknown)}")
-    salt_input = [salt_on] if salt_on else [F.col(c) for c in df.columns]
+    salt_input = [salt_on] if salt_on is not None else [F.col(c) for c in df.columns]
     salt = F.pmod(F.xxhash64(*salt_input), F.lit(n_salts))
     phase1 = df.withColumn("__qml_salt", salt).groupBy(*keys, "__qml_salt")
     p1_aggs = []

@@ -219,3 +219,52 @@ def test_finetune_uses_hf_backend_when_available(monkeypatch, spark, catalog):
     assert rec.trained
     mrow = catalog.get("models", res.model_id)
     assert json.loads(mrow["metrics"])["backend"] == "hf-trainer"
+
+
+def test_conversation_sets_pad_token_and_masks_labels(monkeypatch):
+    """ADVICE r02: GPT-2-family tokenizers have no pad token — the
+    conversation path must set pad_token = eos_token before padding,
+    and label positions under padding must be masked to -100 so they
+    don't inflate loss/perplexity."""
+    rec = _Recorder()
+    seen = {}
+
+    class _PaddingTokenizer(_FakeTokenizer):
+        pad_token = None  # like GPT-2
+
+        def __call__(self, texts, second=None, **kw):
+            if isinstance(texts, str):
+                texts = [texts]
+            ids = [[hash(w) % 100 for w in str(t).split()] for t in texts]
+            width = max(len(i) for i in ids)
+            return _FakeBatch(
+                input_ids=[i + [0] * (width - len(i)) for i in ids],
+                attention_mask=[[1] * len(i) + [0] * (width - len(i)) for i in ids],
+            )
+
+    tok = _PaddingTokenizer()
+    fake = _fake_transformers(rec, {"eval_loss": 0.0})
+    fake.AutoTokenizer = types.SimpleNamespace(from_pretrained=lambda name, **kw: tok)
+
+    class _SpyTrainer(fake.Trainer):
+        def __init__(self, train_dataset=None, **kw):
+            seen["labels"] = [train_dataset[i]["labels"] for i in range(len(train_dataset))]
+            super().__init__(train_dataset=train_dataset, **kw)
+
+    fake.Trainer = _SpyTrainer
+    monkeypatch.setattr(hf_trainer, "_import_transformers", lambda: fake)
+    rows = [
+        {"system": "s", "user": "u", "assistant": "short"},
+        {"system": "s", "user": "u", "assistant": "a much longer reply here"},
+    ]
+    hf_trainer.run_hf_finetune(
+        "conversation", "gpt2", {}, rows, rows[:1], "assistant",
+        "/tmp/qml-hf-test", _MemCatalog(), 1, 2,
+    )
+    assert tok.pad_token == tok.eos_token
+    padded = [lab for lab in seen["labels"] if -100 in lab]
+    assert padded, "no label sequence carries -100 masking for pad positions"
+    for lab in seen["labels"]:
+        # masking is a suffix (right padding)
+        if -100 in lab:
+            assert lab[lab.index(-100):] == [-100] * (len(lab) - lab.index(-100))

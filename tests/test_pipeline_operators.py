@@ -192,3 +192,59 @@ def test_minhash_bucket_cap_degrades_to_star(spark):
     docs_full = full.selectExpr("doc_a as d").union(full.selectExpr("doc_b as d")).distinct()
     docs_capped = capped.selectExpr("doc_a as d").union(capped.selectExpr("doc_b as d")).distinct()
     assert docs_full.exceptAll(docs_capped).count() == 0
+
+
+def test_cosine_dedup_planted_pair_survives_lsh(spark):
+    """Positive recall check for embedding_cosine_dedup's candidate
+    path: a planted >=0.99-cosine pair must survive the LSH band
+    equi-join and reach the output — guarding against a candidate-
+    generation bug that silently drops all matches (the corpus oracle
+    is vacuously green when no near-dups exist)."""
+    import hashlib
+
+    from quackml_spark.operators.similarity import cosine_dedup_pairs
+
+    def vec(seed: int, dim: int = 16) -> list[float]:
+        return [
+            (int.from_bytes(hashlib.md5(f"{seed}|{d}".encode()).digest()[:4], "big")
+             % 2001 - 1000) / 1000.0
+            for d in range(dim)
+        ]
+
+    base = vec(7)
+    near = [x + 0.001 * ((i % 3) - 1) for i, x in enumerate(base)]  # cos > 0.9999
+    rows = [(0, base), (1, near)] + [(i, vec(i * 31 + 11)) for i in range(2, 40)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in cosine_dedup_pairs(emb, threshold=0.99).collect()}
+    assert (0, 1) in pairs, "planted near-dup pair lost by LSH candidates"
+    assert pairs[(0, 1)] >= 0.99
+    # the random fillers must NOT produce spurious pairs
+    assert all(p == (0, 1) for p in pairs)
+
+
+def test_salted_groupby_row_index_salt_spreads_duplicates(spark, sf_dir):
+    """The documented duplicate-row escape hatch: salting on the parquet
+    _metadata.row_index (retry-stable per file row) spreads identical
+    rows over multiple phase-1 buckets while keeping the result equal
+    to the direct groupBy."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators.skew import salted_groupby
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_regionkey", F.lit(1).alias("one"), F.col("_metadata.row_index").alias("ri"))
+    )
+    # duplicate-heavy frame: only the group key + a constant
+    out = salted_groupby(
+        df,
+        ["n_regionkey"],
+        {"n": ("count", F.col("one")), "s": ("sum", F.col("one"))},
+        n_salts=4,
+        salt_on=F.col("ri"),
+    )
+    direct = df.groupBy("n_regionkey").agg(
+        F.count("one").alias("n"), F.sum("one").alias("s")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, direct.collect()))

@@ -129,7 +129,9 @@ def _np_categorical(train_cats, all_cats, train_y, encode):
     cats = ["__NULL__"] + sorted(
         (k for k in emap if k != "__NULL__"), key=lambda k: emap[k]
     )
-    kept = cats[:-1] if len(cats) > 1 else cats
+    # unconditional drop: an all-null column ([__NULL__] only) emits 0
+    # indicators, matching reference encoded_width = len - 1
+    kept = cats[:-1]
     return np.array([[1.0 if k == c else 0.0 for c in kept] for k in keys])
 
 

@@ -183,3 +183,34 @@ def test_last_sampling_split_has_no_shuffle(spark, catalog):
     plan = train_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     snap.unpersist()
+
+
+def test_one_hot_all_null_column_emits_zero_indicators(spark, catalog):
+    """ADVICE r02: a one_hot column whose training values are ALL NULL
+    has the single category __NULL__ and must emit 0 indicator features
+    (reference encoded_width = len(categories) - 1, snapshot.rs:222),
+    not 1 — feature width must match the reference exactly."""
+    import pandas as pd
+
+    from quackml_spark.core.snapshot import Snapshot
+
+    pdf = pd.DataFrame(
+        {
+            "num": [float(i) for i in range(8)],
+            "cat": [None] * 8,
+            "y": [float(2 * i) for i in range(8)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    snap, train_df, _ = Snapshot.create(
+        spark,
+        catalog,
+        df,
+        "y",
+        test_size=0.25,
+        test_sampling="last",
+        preprocess={"cat": {"encode": "one_hot"}},
+    )
+    assert snap.feature_names == ["num__f"], snap.feature_names
+    out = snap.transform(train_df)
+    assert [c for c in out.columns if c.startswith("cat_")] == []
