@@ -41,9 +41,13 @@ def main() -> None:
 
     # min of 2 timed runs per query: container CPU contention adds
     # multi-second noise to single samples; the minimum reports the
-    # reproducible floor (standard microbenchmark practice).
+    # reproducible floor (standard microbenchmark practice). A JVM GC
+    # before each query isolates it from garbage accumulated by earlier
+    # queries in the shared session (r2 showed uniform +20-30% drift on
+    # UNCHANGED queries from exactly this cross-query pressure).
     timings: dict[str, float] = {}
     for name, qd in bench.items():
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -58,6 +62,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "methodology": "per-query: JVM GC, warmup pass, min of 2 timed runs",
     }
     print(json.dumps(out))
     spark.stop()
