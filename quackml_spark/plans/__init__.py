@@ -67,14 +67,36 @@ def register(
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The graded surface handed to the external driver (≤ GRADED_SLOTS)."""
+    """The FULL registered query surface (graded + extra).
+
+    This is the general public API: every registered builder, no
+    curation. The external correctness driver uses the narrower
+    :func:`graded_queries` window instead (opt-in at the call site —
+    see __spark_entry__.py)."""
+    _load_all()
+    return {name: qd.builder for name, qd in sorted(REGISTRY.items())}
+
+
+def all_oracles() -> dict[str, str]:
+    """DuckDB oracle SQL for every oracled query in the full registry."""
+    _load_all()
+    return {
+        name: qd.oracle
+        for name, qd in sorted(REGISTRY.items())
+        if qd.oracle is not None
+    }
+
+
+def graded_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The graded surface handed to the external driver (≤ GRADED_SLOTS):
+    one value-checked representative per operator family, extras omitted."""
     _load_all()
     return {
         name: qd.builder for name, qd in sorted(REGISTRY.items()) if not qd.extra
     }
 
 
-def all_oracles() -> dict[str, str]:
+def graded_oracles() -> dict[str, str]:
     _load_all()
     return {
         name: qd.oracle

@@ -32,14 +32,14 @@ def test_graded_window_fits_driver_and_covers_every_family():
     (b) every graded query is value-checked (has an oracle), and
     (c) every operator family keeps at least one graded representative
     (no family is pytest-only)."""
-    from quackml_spark.plans import GRADED_SLOTS, all_oracles, all_queries
+    from quackml_spark.plans import GRADED_SLOTS, graded_oracles, graded_queries
 
-    graded = all_queries()
+    graded = graded_queries()
     assert len(graded) <= GRADED_SLOTS, (
         f"{len(graded)} graded queries > driver window of {GRADED_SLOTS}; "
         "mark redundant twins extra=True"
     )
-    missing_oracle = sorted(set(graded) - set(all_oracles()))
+    missing_oracle = sorted(set(graded) - set(graded_oracles()))
     assert not missing_oracle, f"graded but not value-checked: {missing_oracle}"
     families = {
         "ann_", "dedup_", "embedding_", "llm_", "ml_", "multimodal_",
@@ -47,6 +47,19 @@ def test_graded_window_fits_driver_and_covers_every_family():
     }
     for fam in families:
         assert any(n.startswith(fam) for n in graded), f"family {fam}* has no graded row"
+
+
+def test_all_queries_is_the_full_registry():
+    """Round-3 advice: all_queries() must mean what it says — the FULL
+    registered surface. The driver window is the separate, explicitly
+    named graded_queries() (wired in __spark_entry__.py), so curation is
+    opt-in at the call site, not a semantic change to the public API."""
+    from quackml_spark.plans import all_queries, extra_queries, graded_queries
+
+    full, graded, extra = all_queries(), graded_queries(), extra_queries()
+    assert set(full) == set(REGISTRY)
+    assert set(graded) | set(extra) == set(full)
+    assert not set(graded) & set(extra)
 
 
 _BROADCAST_ALLOWLIST = {

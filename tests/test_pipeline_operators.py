@@ -116,7 +116,26 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir, quantizer):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     v = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
     recall = len(e & v) / len(e)
-    assert recall >= 0.5, f"IVF({quantizer}) recall {recall:.2f} too low"
+    assert recall >= 0.5, f"IVF({quantizer}) recall {recall:.2f} < 0.5"
+    if quantizer == "kmeans":
+        # The trained path is guarded ONLY here (the graded query
+        # defaults to the SQL-re-derivable medoid quantizer, a round-3
+        # behavior change noted in COVERAGE.md), so it gets the
+        # stricter bounds (round-3 advice): >=0.7 at nprobe=4, and
+        # EXACT top-10 at nprobe=n_lists — probing every list makes IVF
+        # structurally equivalent to brute force, so any deviation is a
+        # pipeline bug, not quantizer noise.
+        v4 = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_ivf_topk(spark, sf_dir, quantizer="kmeans", nprobe=4).collect()
+        }
+        r4 = len(e & v4) / len(e)
+        assert r4 >= 0.7, f"IVF(kmeans, nprobe=4) recall {r4:.2f} < 0.7"
+        v8 = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_ivf_topk(spark, sf_dir, quantizer="kmeans", nprobe=8).collect()
+        }
+        assert v8 == e, "IVF with nprobe=n_lists must equal brute force"
 
 
 def test_hll_sketch_accuracy(spark, sf_dir):
@@ -248,3 +267,16 @@ def test_salted_groupby_row_index_salt_spreads_duplicates(spark, sf_dir):
         F.count("one").alias("n"), F.sum("one").alias("s")
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, direct.collect()))
+    # POSITIVELY verify the mitigation (round-3 advice): the row_index
+    # salt must actually spread a hot key's identical rows over >1
+    # phase-1 bucket — result equality alone would also pass if the
+    # salt were a silent no-op.
+    salt = F.pmod(F.xxhash64(F.col("ri")), F.lit(4))
+    spread = (
+        df.withColumn("salt", salt)
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("salt").alias("buckets"))
+        .agg(F.max("buckets").alias("mx"))
+        .first()["mx"]
+    )
+    assert spread > 1, "row_index salt never split any group: mitigation is a no-op"

@@ -377,3 +377,22 @@ def test_hf_load_dataset_dtype_map(spark, monkeypatch):
 
     with pytest.raises(ValueError, match="unhandled dataset feature"):
         _coerce_hf_dataframe(_pd.DataFrame({"x": [1]}), {"x": "timestamp64"})
+
+
+def test_clustering_purity_is_interpretable(spark, sf_dir):
+    """ml_clustering_embeddings' oracle pins the exact 5-group k-means
+    partition — deterministic per seed, but an MLlib init/version bump
+    could land a merged/split partition and the graded query would fail
+    with nothing but a hash diff. This asserts cluster PURITY directly
+    (per predicted cluster, min == max of the true group key) so that
+    failure mode surfaces as a named assertion (round-3 advice)."""
+    from quackml_spark.plans import REGISTRY
+
+    rows = REGISTRY["ml_clustering_embeddings"].builder(spark, sf_dir).collect()
+    assert len(rows) == 5, f"expected 5 clusters, got {len(rows)}: k-means merged/split groups"
+    for r in rows:
+        assert r["grp_lo"] == r["grp_hi"], (
+            f"cluster mixing groups {r['grp_lo']}..{r['grp_hi']} — "
+            "MLlib k-means no longer converges to the true partition; "
+            "re-derive the oracle or reseed"
+        )
