@@ -9,6 +9,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed end-to-end (plan + execute + collect-to-count); a
 warmup pass first triggers JVM/codegen warm paths so numbers reflect
 steady-state execution, like a long-running cluster.
+
+Fault isolation: every query (warmup and timed) runs under try/except —
+one failing query is recorded in "errors" and CANNOT zero out the other
+queries' numbers (r5 lost all 20 timings to a single AnalysisException).
+If the JVM/session itself dies, the session is rebuilt and the run
+continues.
 """
 
 from __future__ import annotations
@@ -17,6 +23,23 @@ import json
 import os
 import sys
 import time
+import traceback
+
+
+def _fresh_session():
+    from quackml_spark.session import get_spark
+
+    spark = get_spark(app_name="quackml-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _session_alive(spark) -> bool:
+    try:
+        spark.sql("SELECT 1").count()
+        return True
+    except Exception:
+        return False
 
 
 def main() -> None:
@@ -24,20 +47,24 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from quackml_spark.plans import REGISTRY, _load_all
-    from quackml_spark.session import get_spark
 
     _load_all()
-    spark = get_spark(app_name="quackml-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = _fresh_session()
 
     bench = {n: qd for n, qd in sorted(REGISTRY.items()) if "bench" in qd.tags}
+    errors: dict[str, str] = {}
 
     # Warmup: run every bench query once so one-time JVM / codegen /
     # MLlib class-loading costs are paid outside the timed pass — the
     # timed numbers then reflect steady-state execution, like a
     # long-running cluster.
-    for qd in bench.values():
-        qd.builder(spark, sf_dir).count()
+    for name, qd in bench.items():
+        try:
+            qd.builder(spark, sf_dir).count()
+        except Exception:
+            errors[name] = traceback.format_exc(limit=2).strip().splitlines()[-1]
+            if not _session_alive(spark):
+                spark = _fresh_session()
 
     # min of 2 timed runs per query: container CPU contention adds
     # multi-second noise to single samples; the minimum reports the
@@ -47,14 +74,21 @@ def main() -> None:
     # UNCHANGED queries from exactly this cross-query pressure).
     timings: dict[str, float] = {}
     for name, qd in bench.items():
-        spark.sparkContext._jvm.System.gc()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qd.builder(spark, sf_dir)
-            df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        if name in errors:
+            continue
+        try:
+            spark.sparkContext._jvm.System.gc()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = qd.builder(spark, sf_dir)
+                df.count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception:
+            errors[name] = traceback.format_exc(limit=2).strip().splitlines()[-1]
+            if not _session_alive(spark):
+                spark = _fresh_session()
 
     out = {
         "metric": "quackml_spark bench: headline queries wall-clock",
@@ -62,8 +96,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "per-query: JVM GC, warmup pass, min of 2 timed runs",
+        "methodology": "per-query: JVM GC, warmup pass, min of 2 timed runs; "
+        "per-query fault isolation (failures in 'errors', not fatal)",
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

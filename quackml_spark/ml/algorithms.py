@@ -189,11 +189,26 @@ def resolve(task: Task, algorithm: Algorithm, hyperparams: dict | None, seed: in
 
     if available(t, a):
         return Resolved(SklearnEstimator(t, a, hp, seed), "sklearn")
+
+    # numpy long-tail (always executable): the classical members of the
+    # sklearn inventory re-implemented on numpy — same objectives,
+    # driver-side fit, distributed pandas-UDF serving (numpy_backend.py).
+    from quackml_spark.ml import numpy_backend
+
+    if numpy_backend.available(t, a):
+        return Resolved(
+            numpy_backend.NumpyEstimator(t, a, hp, seed),
+            numpy_backend.backend_tag(t, a),
+        )
     raise NotImplementedError(
         f"algorithm {a.value!r} for task {t.value!r} requires an optional "
         f"backend (sklearn/xgboost) that is not installed; available native "
         f"algorithms: linear, ridge, lasso, elastic_net, huber, random_forest, "
         f"extra_trees, gradient_boosting_trees, hist_gradient_boosting, "
         f"xgboost(approx), svm/linear_svm, sgd(approx), kmeans, "
-        f"mini_batch_kmeans, agglomerative/birch(approx), pca"
+        f"mini_batch_kmeans, agglomerative/birch(approx), pca; numpy-backed: "
+        f"least_angle, lasso_least_angle, orthogonal_matching_pursuit, "
+        f"bayesian_ridge, automatic_relevance_determination, "
+        f"passive_aggressive, ransac, theil_sen, quantile, kernel_ridge, "
+        f"gaussian_process(regression), perceptron"
     )

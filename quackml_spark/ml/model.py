@@ -25,6 +25,8 @@ from quackml_spark.catalog import Task
 
 def _extract_portable(spark_model: Any) -> dict | None:
     name = type(spark_model).__name__
+    if name == "NumpyModel":
+        return spark_model.portable
     try:
         if name == "LinearRegressionModel":
             return {
@@ -119,6 +121,10 @@ class TrainedModel:
             # quackml.files, sklearn.py:200-209 / model.rs:877-894)
             self.spark_model.save_pickle(os.path.join(path, "sklearn.pkl"))
             model_class = "sklearn"
+        elif self.backend.startswith("numpy"):
+            # plain-JSON parameter dump — no pickle needed for numpy models
+            self.spark_model.save_json(os.path.join(path, "numpy.json"))
+            model_class = "numpy"
         else:
             self.spark_model.write().overwrite().save(os.path.join(path, "mllib"))
             c = type(self.spark_model)
@@ -154,6 +160,10 @@ class TrainedModel:
             from quackml_spark.ml.sklearn_backend import SklearnModel
 
             spark_model = SklearnModel.load_pickle(os.path.join(path, "sklearn.pkl"))
+        elif meta.get("model_class") == "numpy":
+            from quackml_spark.ml.numpy_backend import NumpyModel
+
+            spark_model = NumpyModel.load_json(os.path.join(path, "numpy.json"))
         else:
             spark_model = _load_one(meta["model_class"], "mllib")
         reserved = {

@@ -1,0 +1,549 @@
+"""Numpy long-tail backend — driver-side fit, distributed serving.
+
+The reference executes its long-tail algorithms single-node through
+sklearn-over-PyO3 (src/bindings/sklearn/mod.rs:132-179, inventory
+sklearn.py:37-99). This container has no sklearn, so without this module
+those algorithms exist only behind an import gate that can never fire.
+Here the classical members of that inventory are re-implemented directly
+on numpy — the SAME objectives, fit on the driver under the same row
+budget, served distributed through the same Arrow-batched pandas-UDF
+shape as the sklearn backend. Resolution order (ml/algorithms.py):
+native MLlib first, sklearn when importable, then THIS backend — so with
+sklearn installed these never shadow it.
+
+Exactness notes (what the tests pin):
+  * least_angle (LARS, Efron et al. 2004): at the end of the path on a
+    full-rank design it EQUALS closed-form OLS — value-checked against
+    the DuckDB normal-equations oracle.
+  * lasso/elastic-net coordinate descent minimize the sklearn objective
+    1/(2n)·||y-Xw||² + α·(l1·||w||₁ + (1-l1)/2·||w||²).
+  * perceptron on separable data reaches a separating hyperplane
+    (Novikoff) — value-checked by predicting a deterministic label rule.
+  * bayesian_ridge/ARD follow the evidence-maximization iterations
+    (MacKay 1992), kernel_ridge/GP-mean the standard dual closed forms.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from quackml_spark.catalog import Algorithm, Task
+
+ROW_BUDGET = int(os.environ.get("QML_NUMPY_ROW_BUDGET", "2000000"))
+
+
+# ---------------------------------------------------------------------------
+# fitters — X:(n,d) float64, y:(n,) float64; return dict of parameters.
+# All deterministic: fixed iteration counts/orders, seeded RNG only.
+# ---------------------------------------------------------------------------
+
+
+def _ols(X: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, float]:
+    Xb = np.hstack([X, np.ones((len(X), 1))])
+    beta, *_ = np.linalg.lstsq(Xb, y, rcond=None)
+    return beta[:-1], float(beta[-1])
+
+
+def _fit_lars(X, y, hp, seed):
+    """Least-angle regression, full path (or n_nonzero_coefs cut)."""
+    n, d = X.shape
+    n_active_max = int(hp.get("n_nonzero_coefs", 0) or min(d, n - 1))
+    xm, ym = X.mean(axis=0), y.mean()
+    Xc, yc = X - xm, y - ym
+    coef = np.zeros(d)
+    active: list[int] = []
+    mu = np.zeros(n)
+    for _ in range(n_active_max):
+        c = Xc.T @ (yc - mu)
+        inactive = [j for j in range(d) if j not in active]
+        if not inactive:
+            break
+        j_best = max(inactive, key=lambda j: abs(c[j]))
+        if abs(c[j_best]) < 1e-12:
+            break
+        active.append(j_best)
+        # equiangular direction over the active set
+        Xa = Xc[:, active] * np.sign(c[active])
+        G = Xa.T @ Xa
+        Ginv1 = np.linalg.solve(G, np.ones(len(active)))
+        A = 1.0 / np.sqrt(np.ones(len(active)) @ Ginv1)
+        w = A * Ginv1
+        u = Xa @ w
+        a = Xc.T @ u
+        C = abs(c[active[0]]) if len(active) == 1 else np.abs(c[active]).max()
+        if len(active) == min(d, n - 1) or len(active) == n_active_max:
+            gamma = C / A  # last step: go all the way to the OLS fit
+        else:
+            gammas = []
+            for j in range(d):
+                if j in active:
+                    continue
+                for g in ((C - c[j]) / (A - a[j]), (C + c[j]) / (A + a[j])):
+                    if g > 1e-12:
+                        gammas.append(g)
+            gamma = min(gammas) if gammas else C / A
+        mu = mu + gamma * u
+        for idx, j in enumerate(active):
+            coef[j] += gamma * w[idx] * np.sign(c[j])
+    return {"kind": "linear", "coef": coef, "intercept": float(ym - xm @ coef)}
+
+
+def _fit_cd(X, y, alpha, l1_ratio, max_iter=2000, tol=1e-10):
+    """Coordinate descent for the sklearn elastic-net objective."""
+    n, d = X.shape
+    xm, ym = X.mean(axis=0), y.mean()
+    Xc, yc = X - xm, y - ym
+    col_sq = (Xc**2).sum(axis=0)
+    w = np.zeros(d)
+    r = yc.copy()
+    l1 = alpha * l1_ratio * n
+    l2 = alpha * (1.0 - l1_ratio) * n
+    for _ in range(max_iter):
+        w_max = d_max = 0.0
+        for j in range(d):
+            if col_sq[j] == 0.0:
+                continue
+            wj = w[j]
+            rho = Xc[:, j] @ r + col_sq[j] * wj
+            wn = np.sign(rho) * max(abs(rho) - l1, 0.0) / (col_sq[j] + l2)
+            if wn != wj:
+                r += Xc[:, j] * (wj - wn)
+                w[j] = wn
+                d_max = max(d_max, abs(wn - wj))
+            w_max = max(w_max, abs(wn))
+        if w_max == 0.0 or d_max / max(w_max, 1e-30) < tol:
+            break
+    return {"kind": "linear", "coef": w, "intercept": float(ym - xm @ w)}
+
+
+def _fit_omp(X, y, hp, seed):
+    """Orthogonal matching pursuit (greedy residual correlation)."""
+    n, d = X.shape
+    k = int(hp.get("n_nonzero_coefs", 0) or max(1, d // 10))
+    xm, ym = X.mean(axis=0), y.mean()
+    Xc, yc = X - xm, y - ym
+    norms = np.sqrt((Xc**2).sum(axis=0))
+    norms[norms == 0] = 1.0
+    active: list[int] = []
+    r = yc.copy()
+    coef = np.zeros(d)
+    for _ in range(min(k, d)):
+        corr = np.abs(Xc.T @ r) / norms
+        corr[active] = -1.0
+        j = int(corr.argmax())
+        if corr[j] <= 1e-12:
+            break
+        active.append(j)
+        sol, *_ = np.linalg.lstsq(Xc[:, active], yc, rcond=None)
+        r = yc - Xc[:, active] @ sol
+    coef[active] = sol
+    return {"kind": "linear", "coef": coef, "intercept": float(ym - xm @ coef)}
+
+
+def _fit_bayesian_ridge(X, y, hp, seed, ard=False, max_iter=300, tol=1e-8):
+    """Evidence-maximization (MacKay); ``ard`` switches to per-weight
+    precisions (automatic relevance determination)."""
+    n, d = X.shape
+    xm, ym = X.mean(axis=0), y.mean()
+    Xc, yc = X - xm, y - ym
+    XtX, Xty = Xc.T @ Xc, Xc.T @ yc
+    alpha_ = 1.0 / max(np.var(yc), 1e-12)  # noise precision
+    lam = np.ones(d) if ard else np.ones(1)  # weight precision(s)
+    w = np.zeros(d)
+    for _ in range(max_iter):
+        A = alpha_ * XtX + np.diag(np.broadcast_to(lam, (d,)).copy())
+        w_new = alpha_ * np.linalg.solve(A, Xty)
+        Sigma = np.linalg.inv(A)
+        gamma_i = 1.0 - np.broadcast_to(lam, (d,)) * np.diag(Sigma)
+        if ard:
+            lam = gamma_i.clip(1e-12) / (w_new**2 + 1e-24)
+            lam = lam.clip(max=1e10)
+        else:
+            lam = np.array([gamma_i.sum().clip(1e-12) / (w_new @ w_new + 1e-24)])
+        resid = yc - Xc @ w_new
+        alpha_ = max(n - gamma_i.sum(), 1e-12) / max(resid @ resid, 1e-24)
+        if np.abs(w_new - w).max() < tol:
+            w = w_new
+            break
+        w = w_new
+    return {"kind": "linear", "coef": w, "intercept": float(ym - xm @ w)}
+
+
+def _fit_pa_regressor(X, y, hp, seed, epochs=20):
+    """Passive-aggressive regression (PA-I, Crammer et al. 2006)."""
+    C = float(hp.get("C", 1.0))
+    eps = float(hp.get("epsilon", 0.1))
+    d = X.shape[1]
+    w, b = np.zeros(d), 0.0
+    for _ in range(epochs):
+        for i in range(len(X)):
+            xi, yi = X[i], y[i]
+            err = (w @ xi + b) - yi
+            loss = max(0.0, abs(err) - eps)
+            if loss > 0.0:
+                tau = min(C, loss / (xi @ xi + 1.0))
+                step = -np.sign(err) * tau
+                w = w + step * xi
+                b = b + step
+    return {"kind": "linear", "coef": w, "intercept": float(b)}
+
+
+def _fit_sgd_regressor(X, y, hp, seed, epochs=200):
+    """Deterministic full-pass SGD on squared loss + l2 (invscaling lr)."""
+    alpha = float(hp.get("alpha", 1e-4))
+    eta0 = float(hp.get("eta0", 0.01))
+    d = X.shape[1]
+    w, b = np.zeros(d), 0.0
+    t = 0
+    for _ in range(epochs):
+        for i in range(len(X)):
+            t += 1
+            eta = eta0 / (t**0.25)
+            err = (w @ X[i] + b) - y[i]
+            w = w - eta * (err * X[i] + alpha * w)
+            b = b - eta * err
+    return {"kind": "linear", "coef": w, "intercept": float(b)}
+
+
+def _fit_huber(X, y, hp, seed, max_iter=200, tol=1e-12):
+    """Huber M-estimation via IRLS (on zero-outlier data == OLS)."""
+    epsilon = float(hp.get("epsilon", 1.35))
+    n, d = X.shape
+    Xb = np.hstack([X, np.ones((n, 1))])
+    beta, *_ = np.linalg.lstsq(Xb, y, rcond=None)
+    for _ in range(max_iter):
+        r = y - Xb @ beta
+        scale = max(np.median(np.abs(r)) / 0.6745, 1e-12)
+        a = np.abs(r) / scale
+        wts = np.where(a <= epsilon, 1.0, epsilon / np.maximum(a, 1e-30))
+        WX = Xb * wts[:, None]
+        beta_new = np.linalg.solve(Xb.T @ WX + 1e-12 * np.eye(d + 1), WX.T @ y)
+        if np.abs(beta_new - beta).max() < tol:
+            beta = beta_new
+            break
+        beta = beta_new
+    return {"kind": "linear", "coef": beta[:-1], "intercept": float(beta[-1])}
+
+
+def _fit_quantile(X, y, hp, seed, max_iter=500, tol=1e-10):
+    """Quantile regression via smoothed-pinball IRLS (numpy-approx)."""
+    q = float(hp.get("quantile", 0.5))
+    n, d = X.shape
+    Xb = np.hstack([X, np.ones((n, 1))])
+    beta, *_ = np.linalg.lstsq(Xb, y, rcond=None)
+    for _ in range(max_iter):
+        r = y - Xb @ beta
+        wts = np.where(r >= 0, q, 1.0 - q) / np.maximum(np.abs(r), 1e-8)
+        WX = Xb * wts[:, None]
+        beta_new = np.linalg.solve(Xb.T @ WX + 1e-10 * np.eye(d + 1), WX.T @ y)
+        if np.abs(beta_new - beta).max() < tol:
+            beta = beta_new
+            break
+        beta = beta_new
+    return {"kind": "linear", "coef": beta[:-1], "intercept": float(beta[-1])}
+
+
+def _fit_ransac(X, y, hp, seed, n_trials=100):
+    """RANSAC with OLS base; MAD-of-residuals inlier threshold."""
+    rng = np.random.default_rng(seed)
+    n, d = X.shape
+    min_samples = max(d + 1, int(hp.get("min_samples", 0) or d + 1))
+    coef0, b0 = _ols(X, y)
+    resid0 = np.abs(y - (X @ coef0 + b0))
+    thresh = float(hp.get("residual_threshold", 0) or max(np.median(resid0), 1e-9))
+    best_mask, best_n = None, -1
+    for _ in range(n_trials):
+        idx = rng.choice(n, size=min(min_samples, n), replace=False)
+        try:
+            c, b = _ols(X[idx], y[idx])
+        except np.linalg.LinAlgError:
+            continue
+        mask = np.abs(y - (X @ c + b)) <= thresh
+        if mask.sum() > best_n:
+            best_n, best_mask = int(mask.sum()), mask
+    if best_mask is None or best_n < min_samples:
+        best_mask = np.ones(n, dtype=bool)
+    coef, b = _ols(X[best_mask], y[best_mask])
+    return {"kind": "linear", "coef": coef, "intercept": b}
+
+
+def _fit_theil_sen(X, y, hp, seed, n_subsets=300, weiszfeld_iter=100):
+    """Theil–Sen: spatial median of OLS fits on random minimal subsets."""
+    rng = np.random.default_rng(seed)
+    n, d = X.shape
+    k = min(n, d + 1)
+    sols = []
+    for _ in range(n_subsets):
+        idx = rng.choice(n, size=k, replace=False)
+        try:
+            c, b = _ols(X[idx], y[idx])
+            sols.append(np.append(c, b))
+        except np.linalg.LinAlgError:
+            continue
+    P = np.array(sols)
+    med = np.median(P, axis=0)
+    for _ in range(weiszfeld_iter):  # spatial median (Weiszfeld)
+        dist = np.linalg.norm(P - med, axis=1).clip(1e-12)
+        new = (P / dist[:, None]).sum(axis=0) / (1.0 / dist).sum()
+        if np.linalg.norm(new - med) < 1e-12:
+            med = new
+            break
+        med = new
+    return {"kind": "linear", "coef": med[:-1], "intercept": float(med[-1])}
+
+
+def _rbf(A, B, gamma):
+    sq = (A**2).sum(1)[:, None] + (B**2).sum(1)[None, :] - 2.0 * (A @ B.T)
+    return np.exp(-gamma * np.maximum(sq, 0.0))
+
+
+def _fit_kernel_ridge(X, y, hp, seed):
+    """Kernel ridge (dual closed form, RBF or linear kernel)."""
+    alpha = float(hp.get("alpha", 1.0))
+    kernel = hp.get("kernel", "rbf")
+    gamma = float(hp.get("gamma", 0) or 1.0 / X.shape[1])
+    K = _rbf(X, X, gamma) if kernel == "rbf" else X @ X.T
+    dual = np.linalg.solve(K + alpha * np.eye(len(X)), y)
+    return {
+        "kind": "kernel",
+        "X_train": X,
+        "dual": dual,
+        "kernel": kernel,
+        "gamma": gamma,
+        "y_offset": 0.0,
+    }
+
+
+def _fit_gp_regressor(X, y, hp, seed):
+    """GP regression predictive mean (RBF kernel + noise) — identical
+    dual form to kernel ridge with the noise term as regularizer."""
+    noise = float(hp.get("alpha", 1e-10))
+    ls = float(hp.get("length_scale", 1.0))
+    gamma = 1.0 / (2.0 * ls * ls)
+    ym = y.mean()
+    K = _rbf(X, X, gamma)
+    dual = np.linalg.solve(K + max(noise, 1e-10) * np.eye(len(X)), y - ym)
+    return {
+        "kind": "kernel",
+        "X_train": X,
+        "dual": dual,
+        "kernel": "rbf",
+        "gamma": gamma,
+        "y_offset": float(ym),
+    }
+
+
+def _fit_perceptron(X, y, hp, seed, epochs=None):
+    """Rosenblatt perceptron; multiclass via one-vs-all score argmax."""
+    epochs = int(epochs or hp.get("max_iter", 1000))
+    classes = np.unique(y)
+    d = X.shape[1]
+    W = np.zeros((len(classes), d))
+    B = np.zeros(len(classes))
+    for ci, cls in enumerate(classes):
+        t = np.where(y == cls, 1.0, -1.0)
+        w, b = np.zeros(d), 0.0
+        for _ in range(epochs):
+            mistakes = 0
+            for i in range(len(X)):
+                if t[i] * (w @ X[i] + b) <= 0.0:
+                    w = w + t[i] * X[i]
+                    b = b + t[i]
+                    mistakes += 1
+            if mistakes == 0:
+                break
+        W[ci], B[ci] = w, b
+    return {"kind": "linear_clf", "coef": W, "intercept": B, "classes": classes}
+
+
+def _fit_pa_classifier(X, y, hp, seed, epochs=20):
+    """Passive-aggressive classification (PA-I hinge), one-vs-all."""
+    C = float(hp.get("C", 1.0))
+    classes = np.unique(y)
+    d = X.shape[1]
+    W = np.zeros((len(classes), d))
+    B = np.zeros(len(classes))
+    for ci, cls in enumerate(classes):
+        t = np.where(y == cls, 1.0, -1.0)
+        w, b = np.zeros(d), 0.0
+        for _ in range(epochs):
+            for i in range(len(X)):
+                loss = max(0.0, 1.0 - t[i] * (w @ X[i] + b))
+                if loss > 0.0:
+                    tau = min(C, loss / (X[i] @ X[i] + 1.0))
+                    w = w + tau * t[i] * X[i]
+                    b = b + tau * t[i]
+        W[ci], B[ci] = w, b
+    return {"kind": "linear_clf", "coef": W, "intercept": B, "classes": classes}
+
+
+# (task, algorithm) -> (fitter, backend tag). "numpy" = same objective as
+# the reference's sklearn path; "numpy-approx:*" = documented stand-in.
+NUMPY_MAP = {
+    (Task.regression, Algorithm.least_angle): (_fit_lars, "numpy"),
+    (Task.regression, Algorithm.lasso_least_angle): (
+        lambda X, y, hp, seed: _fit_cd(X, y, float(hp.get("alpha", 1.0)), 1.0),
+        "numpy-approx:lasso_lars->lasso_cd",
+    ),
+    (Task.regression, Algorithm.orthogonal_matching_pursuit): (_fit_omp, "numpy"),
+    (Task.regression, Algorithm.bayesian_ridge): (_fit_bayesian_ridge, "numpy"),
+    (Task.regression, Algorithm.automatic_relevance_determination): (
+        lambda X, y, hp, seed: _fit_bayesian_ridge(X, y, hp, seed, ard=True),
+        "numpy",
+    ),
+    (Task.regression, Algorithm.passive_aggressive): (_fit_pa_regressor, "numpy"),
+    (Task.regression, Algorithm.ransac): (_fit_ransac, "numpy"),
+    (Task.regression, Algorithm.theil_sen): (_fit_theil_sen, "numpy"),
+    (Task.regression, Algorithm.quantile): (_fit_quantile, "numpy-approx:quantile_irls"),
+    (Task.regression, Algorithm.kernel_ridge): (_fit_kernel_ridge, "numpy"),
+    (Task.regression, Algorithm.gaussian_process): (_fit_gp_regressor, "numpy"),
+    (Task.classification, Algorithm.perceptron): (_fit_perceptron, "numpy"),
+    (Task.classification, Algorithm.passive_aggressive): (_fit_pa_classifier, "numpy"),
+}
+
+
+def available(task: Task, algorithm: Algorithm) -> bool:
+    return (task, algorithm) in NUMPY_MAP
+
+
+def backend_tag(task: Task, algorithm: Algorithm) -> str:
+    return NUMPY_MAP[(task, algorithm)][1]
+
+
+class NumpyEstimator:
+    """MLlib-shaped estimator: .fit(df with features/label) -> model."""
+
+    def __init__(self, task: Task, algorithm: Algorithm, hyperparams: dict, seed: int):
+        self.task = task
+        self.algorithm = algorithm
+        self.hyperparams = dict(hyperparams or {})
+        self.seed = seed
+
+    def fit(self, df: DataFrame) -> "NumpyModel":
+        n = df.count()
+        if n > ROW_BUDGET:
+            raise ValueError(
+                f"numpy backend fits on the driver; {n} rows exceed the "
+                f"QML_NUMPY_ROW_BUDGET ({ROW_BUDGET}). Sample the relation "
+                f"or use a distributed MLlib algorithm instead."
+            )
+        pdf = df.select("features", "label").toPandas()
+        X = np.array(pdf["features"].tolist(), dtype="float64")
+        y = pdf["label"].to_numpy(dtype="float64")
+        fitter, _ = NUMPY_MAP[(self.task, self.algorithm)]
+        params = fitter(X, y, self.hyperparams, self.seed)
+        return NumpyModel(self.task, params)
+
+
+class NumpyModel:
+    """MLlib-shaped model: .transform(df) adds a prediction column via an
+    Arrow-batched pandas UDF (parameters ride in the UDF closure)."""
+
+    def __init__(self, task: Task, params: dict):
+        self.task = task
+        self.params = params
+
+    # portable dump → streaming_predict / SQL-UDF serving reuse the
+    # existing portable evaluators (predict.py::_portable_predict_fn).
+    @property
+    def portable(self) -> dict | None:
+        p = self.params
+        if p["kind"] == "linear":
+            return {
+                "kind": "linear_regression",
+                "coef": np.asarray(p["coef"]).tolist(),
+                "intercept": float(p["intercept"]),
+            }
+        if p["kind"] == "linear_clf":
+            classes = np.asarray(p["classes"])
+            # class ids must be the contiguous 0..k-1 label encoding for
+            # the argmax/sigmoid portable evaluators to be equivalent
+            if np.array_equal(classes, np.arange(len(classes), dtype="float64")):
+                coef = np.asarray(p["coef"])
+                b = np.asarray(p["intercept"])
+                if len(classes) == 2:
+                    # sign(w1·x+b1 - w0·x-b0) == argmax — one logistic row
+                    return {
+                        "kind": "logistic_regression",
+                        "coef": [(coef[1] - coef[0]).tolist()],
+                        "intercept": [float(b[1] - b[0])],
+                        "num_classes": 2,
+                    }
+                return {
+                    "kind": "logistic_regression",
+                    "coef": coef.tolist(),
+                    "intercept": b.tolist(),
+                    "num_classes": len(classes),
+                }
+        return None
+
+    def _predict_fn(self):
+        p = self.params
+        if p["kind"] == "linear":
+            coef = np.asarray(p["coef"], dtype="float64")
+            b = float(p["intercept"])
+            return lambda X: X @ coef + b
+        if p["kind"] == "linear_clf":
+            W = np.asarray(p["coef"], dtype="float64")
+            B = np.asarray(p["intercept"], dtype="float64")
+            classes = np.asarray(p["classes"], dtype="float64")
+            return lambda X: classes[(X @ W.T + B).argmax(axis=1)]
+        if p["kind"] == "kernel":
+            Xt = np.asarray(p["X_train"], dtype="float64")
+            dual = np.asarray(p["dual"], dtype="float64")
+            gamma, kernel, off = p["gamma"], p["kernel"], p["y_offset"]
+
+            def fn(X):
+                K = _rbf(X, Xt, gamma) if kernel == "rbf" else X @ Xt.T
+                return K @ dual + off
+
+            return fn
+        raise NotImplementedError(p["kind"])
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import DoubleType
+
+        fn = self._predict_fn()
+
+        @F.pandas_udf(DoubleType())
+        def _pred(feats: pd.Series) -> pd.Series:
+            if not len(feats):
+                return pd.Series([], dtype="float64")
+            X = np.array(feats.tolist(), dtype="float64")
+            return pd.Series(fn(X).astype("float64"))
+
+        return df.withColumn("prediction", _pred(F.col("features")))
+
+    # -- persistence hooks used by TrainedModel ------------------------
+    def save_json(self, path: str) -> None:
+        import json
+
+        def enc(v):
+            return v.tolist() if isinstance(v, np.ndarray) else v
+
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "task": self.task.value,
+                    "params": {k: enc(v) for k, v in self.params.items()},
+                },
+                f,
+            )
+
+    @classmethod
+    def load_json(cls, path: str) -> "NumpyModel":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        params = d["params"]
+        for k in ("coef", "intercept", "classes", "X_train", "dual"):
+            if isinstance(params.get(k), list):
+                params[k] = np.asarray(params[k], dtype="float64")
+        return cls(Task(d["task"]), params)

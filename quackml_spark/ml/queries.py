@@ -664,3 +664,113 @@ def ml_predict_row_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("flag_n", F.lit("<NULL>")).alias("flag_key"),
         F.round("prediction", 3).alias("prediction"),
     ).orderBy("x_key", "flag_key")
+
+
+@register(
+    "ml_numpy_lars_exact",
+    extra=True,
+    doc="VALUE-checks the numpy long-tail backend (ml/numpy_backend.py — "
+    "the algorithms the reference runs via sklearn-over-PyO3, "
+    "sklearn.py:37-99, re-implemented on numpy): least-angle regression "
+    "run to the end of its path on a full-rank design EQUALS closed-form "
+    "OLS, and OLS on the exactly-linear target y = 2*q + 0.5*ln + 3 "
+    "recovers the rule itself — so the oracle is the rule. round(3) "
+    "absorbs solver ulps.",
+    oracle="""
+SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS l_quantity,
+       CAST(l_linenumber AS DOUBLE) AS l_linenumber,
+       CAST(ROUND(2 * l_quantity + 0.5 * l_linenumber + 3, 3) AS DOUBLE)
+         AS prediction
+FROM lineitem
+ORDER BY l_quantity, l_linenumber
+""",
+    tags=("ml",),
+)
+def ml_numpy_lars_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import predict, train
+
+    catalog = _fresh_catalog()
+    df = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_linenumber").cast("double").alias("l_linenumber"),
+        (
+            F.col("l_quantity").cast("double") * 2
+            + F.col("l_linenumber").cast("double") * 0.5
+            + 3
+        ).alias("y"),
+    )
+    res = train(
+        spark,
+        "numpy lars",
+        task="regression",
+        df=df,
+        y_column_name="y",
+        algorithm="least_angle",
+        catalog=catalog,
+        test_sampling="last",
+        test_size=2000,
+    )
+    assert res.metrics["backend"] == "numpy", res.metrics
+    qs = df.select("l_quantity", "l_linenumber").distinct()
+    out = predict(qs, "numpy lars", catalog=catalog)
+    return out.select(
+        "l_quantity",
+        "l_linenumber",
+        F.round(F.col("prediction"), 3).alias("prediction"),
+    ).orderBy("l_quantity", "l_linenumber")
+
+
+@register(
+    "ml_numpy_perceptron_rule",
+    extra=True,
+    doc="VALUE-checks numpy perceptron (classification long-tail): on the "
+    "linearly separable label (l_quantity > 25) over min-max-scaled "
+    "features, Novikoff guarantees convergence to a separating "
+    "hyperplane, so served class ids must equal the generating rule "
+    "exactly — the oracle IS the rule. Trains on the distinct feature "
+    "grid (~350 rows) so the driver-side fit is O(grid), not O(table).",
+    oracle="""
+SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS l_quantity,
+       CAST(l_linenumber AS DOUBLE) AS l_linenumber,
+       CAST(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS DOUBLE)
+         AS prediction
+FROM lineitem
+ORDER BY l_quantity, l_linenumber
+""",
+    tags=("ml",),
+)
+def ml_numpy_perceptron_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import predict, train
+
+    catalog = _fresh_catalog()
+    grid = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            F.col("l_linenumber").cast("double").alias("l_linenumber"),
+        )
+        .distinct()
+        .withColumn(
+            "label", (F.col("l_quantity") > 25).cast("int")
+        )
+    )
+    res = train(
+        spark,
+        "numpy perceptron",
+        task="classification",
+        df=grid,
+        y_column_name="label",
+        algorithm="perceptron",
+        catalog=catalog,
+        test_sampling="random",
+        test_size=0.1,
+        preprocess={
+            "l_quantity": {"scale": "min_max"},
+            "l_linenumber": {"scale": "min_max"},
+        },
+    )
+    assert res.metrics["backend"] == "numpy", res.metrics
+    out = predict(grid.drop("label"), "numpy perceptron", catalog=catalog)
+    return out.select(
+        "l_quantity", "l_linenumber", F.col("prediction")
+    ).orderBy("l_quantity", "l_linenumber")

@@ -216,9 +216,11 @@ def q18_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session aggregate keys on (user_id, session_no), which that
     # partitioning already co-locates; the tail sort exists only for
     # deterministic oracle output.
+    from quackml_spark.sources.tables import ts_epoch_seconds
+
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = ts_epoch_seconds("ts") - F.lag(ts_epoch_seconds("ts")).over(w)
     marked = ev.withColumn(
         "new_sess",
         F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
@@ -231,7 +233,7 @@ def q18_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.groupBy("user_id", "session_no")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            (F.max(ts_epoch_seconds("ts")) - F.min(ts_epoch_seconds("ts"))).alias(
                 "duration_s"
             ),
         )
@@ -316,10 +318,12 @@ ORDER BY event_id
     tags=("relational",),
 )
 def q19_events_lookback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.sources.tables import ts_epoch_micros
+
     ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(ts_epoch_micros("ts"))
         .rangeBetween(-1800 * 1000 * 1000, -1)
     )
     return ev.select(

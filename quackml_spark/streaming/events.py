@@ -26,20 +26,29 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet.
+
+    The stream schema is DERIVED from the batch parquet footer rather
+    than hardcoded — the testdata's physical ts type has drifted
+    (ns-as-long → timestamp[us]) and a hardcoded schema silently
+    corrupts timestamps when it drifts again. The same
+    ``normalize_events_ts`` the batch reader uses then yields the one
+    canonical TIMESTAMP representation.
+    """
+    import os
+
+    from quackml_spark.sources.tables import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(spark, raw)
 
 
 def streaming_hourly_aggregate(

@@ -1,0 +1,202 @@
+"""Numpy long-tail backend tests — the algorithms the reference runs
+through sklearn-over-PyO3 (src/bindings/sklearn/sklearn.py:37-99),
+re-implemented on numpy and pinned against exact mathematical identities:
+
+  * LARS full path == closed-form OLS on a full-rank design;
+  * coordinate-descent elastic net at alpha→0 == OLS;
+  * OMP selecting all columns == OLS;
+  * huber/theil_sen/ransac on clean data == OLS; with planted outliers
+    they stay near the true line while OLS is dragged away;
+  * perceptron/PA on separable data predict the generating rule exactly;
+  * kernel-ridge/GP interpolate training targets at tiny regularization;
+  * full train() lifecycle: fit, metrics, persist, reload, SQL-serve.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from quackml_spark.catalog import Algorithm, Catalog, Task
+from quackml_spark.ml import predict, train
+from quackml_spark.ml.numpy_backend import (
+    NUMPY_MAP,
+    _fit_bayesian_ridge,
+    _fit_cd,
+    _fit_huber,
+    _fit_lars,
+    _fit_omp,
+    _fit_pa_classifier,
+    _fit_perceptron,
+    _fit_ransac,
+    _fit_theil_sen,
+    _ols,
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(warehouse=str(tmp_path / "wh"))
+
+
+def _toy(n=200, d=4, seed=7, noise=0.0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d))
+    w = np.arange(1, d + 1, dtype="float64")
+    y = X @ w + 0.5 + noise * rng.normal(size=n)
+    return X, y, w
+
+
+def test_lars_full_path_equals_ols():
+    X, y, _ = _toy(noise=0.1)
+    p = _fit_lars(X, y, {}, 0)
+    coef, b = _ols(X, y)
+    np.testing.assert_allclose(p["coef"], coef, atol=1e-8)
+    assert abs(p["intercept"] - b) < 1e-8
+
+
+def test_cd_alpha_zero_equals_ols():
+    X, y, _ = _toy(noise=0.1)
+    p = _fit_cd(X, y, alpha=1e-12, l1_ratio=0.5)
+    coef, b = _ols(X, y)
+    np.testing.assert_allclose(p["coef"], coef, atol=1e-6)
+    assert abs(p["intercept"] - b) < 1e-6
+
+
+def test_cd_lasso_shrinks_to_zero():
+    X, y, _ = _toy(noise=0.1)
+    p = _fit_cd(X, y, alpha=1e6, l1_ratio=1.0)
+    np.testing.assert_allclose(p["coef"], np.zeros(X.shape[1]), atol=1e-12)
+
+
+def test_omp_all_columns_equals_ols():
+    X, y, _ = _toy(noise=0.1)
+    p = _fit_omp(X, y, {"n_nonzero_coefs": X.shape[1]}, 0)
+    coef, b = _ols(X, y)
+    np.testing.assert_allclose(p["coef"], coef, atol=1e-8)
+    assert abs(p["intercept"] - b) < 1e-8
+
+
+def test_omp_recovers_sparse_support():
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(300, 10))
+    y = 3.0 * X[:, 2] - 2.0 * X[:, 7]
+    p = _fit_omp(X, y, {"n_nonzero_coefs": 2}, 0)
+    nz = set(np.nonzero(np.abs(p["coef"]) > 1e-9)[0].tolist())
+    assert nz == {2, 7}
+
+
+def test_bayesian_ridge_close_to_ols_on_clean_data():
+    X, y, w = _toy(noise=0.01)
+    p = _fit_bayesian_ridge(X, y, {}, 0)
+    np.testing.assert_allclose(p["coef"], w, atol=0.05)
+
+
+def test_huber_equals_ols_on_clean_and_resists_outliers():
+    X, y, w = _toy(noise=0.0)
+    p = _fit_huber(X, y, {}, 0)
+    coef, b = _ols(X, y)
+    np.testing.assert_allclose(p["coef"], coef, atol=1e-8)
+    # plant gross outliers: OLS moves, huber stays near the true line
+    y2 = y.copy()
+    y2[:10] += 500.0
+    p2 = _fit_huber(X, y2, {}, 0)
+    c_ols, _ = _ols(X, y2)
+    assert np.abs(p2["coef"] - w).max() < 0.1
+    assert np.abs(c_ols - w).max() > 0.5
+
+
+def test_ransac_and_theil_sen_resist_outliers():
+    X, y, w = _toy(n=300, noise=0.0, seed=11)
+    y2 = y.copy()
+    y2[:30] += 300.0
+    for fit in (_fit_ransac, _fit_theil_sen):
+        p = fit(X, y2, {}, seed=42)
+        assert np.abs(np.asarray(p["coef"]) - w).max() < 0.2, fit.__name__
+
+
+def test_perceptron_separable_exact():
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(400, 3))
+    y = (X @ np.array([1.0, -2.0, 0.5]) > 0.3).astype("float64")
+    p = _fit_perceptron(X, y, {}, 0)
+    W, B, classes = p["coef"], p["intercept"], p["classes"]
+    pred = classes[(X @ W.T + B).argmax(axis=1)]
+    assert (pred == y).all()
+
+
+def test_pa_classifier_separable():
+    rng = np.random.default_rng(6)
+    X = rng.normal(size=(400, 3))
+    y = (X @ np.array([2.0, 1.0, -1.0]) > 0).astype("float64")
+    p = _fit_pa_classifier(X, y, {}, 0)
+    W, B, classes = p["coef"], p["intercept"], p["classes"]
+    pred = classes[(X @ W.T + B).argmax(axis=1)]
+    assert (pred == y).mean() > 0.97
+
+
+@pytest.mark.parametrize("algorithm", ["kernel_ridge", "gaussian_process"])
+def test_kernel_models_interpolate(spark, catalog, algorithm):
+    # tiny regularization → near-interpolation of the training targets
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(80, 2))
+    y = np.sin(X[:, 0]) + X[:, 1] ** 2
+    rows = [(float(a), float(b), float(t)) for (a, b), t in zip(X, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, target double")
+    res = train(
+        spark, f"np-{algorithm}", task="regression", df=df,
+        y_column_name="target", algorithm=algorithm,
+        hyperparams={"alpha": 1e-8}, test_size=0.1, test_sampling="random",
+        catalog=catalog,
+    )
+    assert res.metrics["backend"].startswith("numpy")
+    assert res.metrics["r2"] > 0.9, res.metrics
+
+
+def test_train_lifecycle_all_numpy_regressors(spark, catalog):
+    """Every numpy-mapped regression algorithm trains end-to-end on an
+    exact linear relation and serves distributed with high r2."""
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(300, 3))
+    y = X @ np.array([2.0, -1.0, 0.5]) + 1.0
+    rows = [(float(a), float(b), float(c), float(t)) for (a, b, c), t in zip(X, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, x3 double, target double")
+    algos = sorted(
+        a.value for (t, a) in NUMPY_MAP if t == Task.regression
+        and a not in (Algorithm.kernel_ridge, Algorithm.gaussian_process)
+    )
+    for algo in algos:
+        # tiny alpha: shrinkage algorithms (lasso-lars CD) shouldn't bias
+        # away from the exact generating line in this identity check;
+        # OMP needs all 3 columns (its sklearn-faithful default is 10%)
+        res = train(
+            spark, f"np-{algo}", task="regression", df=df,
+            y_column_name="target", algorithm=algo,
+            hyperparams={"alpha": 1e-8, "n_nonzero_coefs": 3},
+            test_sampling="random", catalog=catalog,
+        )
+        assert res.metrics["backend"].startswith("numpy"), algo
+        assert res.metrics["r2"] > 0.95, (algo, res.metrics)
+
+
+def test_numpy_model_persist_reload_and_sql_serve(spark, catalog):
+    """Persist → reload round-trip, then serve through the registered
+    SQL UDF via the portable parameter dump."""
+    rng = np.random.default_rng(17)
+    X = rng.normal(size=(200, 2))
+    y = (X @ np.array([1.0, 1.0]) > 0).astype("float64")
+    rows = [(float(a), float(b), float(t)) for (a, b), t in zip(X, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, target double")
+    res = train(
+        spark, "np-perceptron", task="classification", df=df,
+        y_column_name="target", algorithm="perceptron",
+        test_sampling="random", catalog=catalog,
+    )
+    assert res.metrics["backend"] == "numpy"
+    assert res.metrics["accuracy"] > 0.97, res.metrics
+    # reload from the warehouse and predict (exercises save_json/load_json)
+    out = predict(df, "np-perceptron", catalog=catalog)
+    agree = out.withColumn(
+        "ok", (out["prediction"] == out["target"]).cast("int")
+    ).groupBy().avg("ok").collect()[0][0]
+    assert agree > 0.97
