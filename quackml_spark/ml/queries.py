@@ -774,3 +774,54 @@ def ml_numpy_perceptron_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_quantity", "l_linenumber", F.col("prediction")
     ).orderBy("l_quantity", "l_linenumber")
+
+
+@register(
+    "ml_array_features_ols",
+    extra=True,
+    doc="VALUE-checks ARRAY-typed feature columns end-to-end through "
+    "snapshot flattening (core/snapshot.py first-row width discovery + "
+    "deviation check, mirroring snapshot.rs:1497-1515): train OLS on "
+    "features = the 64-dim embedding array with the exactly-linear "
+    "target y = 2*e[0] - e[1] + 0.5*e[2] + 1. On a full-rank design "
+    "the unique least-squares solution IS the rule, so every served "
+    "prediction must equal the rule — which is what the oracle "
+    "computes (DuckDB lists are 1-indexed). round(3) absorbs solver "
+    "ulps.",
+    oracle="""
+SELECT vec_id,
+       CAST(ROUND(2.0 * CAST(embedding[1] AS DOUBLE)
+                  - 1.0 * CAST(embedding[2] AS DOUBLE)
+                  + 0.5 * CAST(embedding[3] AS DOUBLE) + 1.0, 3) AS DOUBLE)
+         AS prediction
+FROM embeddings
+ORDER BY vec_id
+""",
+    tags=("ml",),
+)
+def ml_array_features_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import predict, train
+
+    catalog = _fresh_catalog()
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    y = (
+        F.col("embedding")[0].cast("double") * 2.0
+        - F.col("embedding")[1].cast("double")
+        + F.col("embedding")[2].cast("double") * 0.5
+        + 1.0
+    )
+    train(
+        spark,
+        "array features",
+        task="regression",
+        df=emb.select("embedding", y.alias("y")),
+        y_column_name="y",
+        catalog=catalog,
+        test_sampling="last",
+        test_size=50,
+        hyperparams={"regParam": 0.0},
+    )
+    out = predict(emb, "array features", catalog=catalog)
+    return out.select(
+        "vec_id", F.round(F.col("prediction"), 3).alias("prediction")
+    ).orderBy("vec_id")

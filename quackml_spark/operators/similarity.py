@@ -282,16 +282,27 @@ def _hyperplanes(spark: SparkSession, n_planes: int, dim: int) -> DataFrame:
 @register(
     "embedding_cosine_dedup",
     doc="Embedding near-dup pairs: cosine >= 0.99 over the embeddings "
-    "table. Candidates come from an LSH band EQUI-JOIN (8 bands x 4 "
-    "bits over 32 hyperplanes; per-band miss probability at cos 0.99 "
-    "is ~1.7e-1^8 ~ 6e-7), then exact cosine re-ranks survivors — no "
-    "cross join anywhere, so the plan survives 100x data. The DuckDB "
-    "oracle stays the exact all-pairs formulation (tractable at "
-    "oracle scale).",
+    "table AUGMENTED with 10 planted exact duplicates (vec_id+1000000 "
+    "copies of vec_id<10) — the synthetic corpus has no natural pairs "
+    "above cosine 0.52 at any SF, so without planting the check is "
+    "vacuous (0 vs 0 rows). Both sides apply the same augmentation; "
+    "the result must contain exactly the 10 planted pairs. Candidates "
+    "come from an LSH band EQUI-JOIN (8 bands x 4 bits over 32 "
+    "hyperplanes; identical vectors share every band bucket, so "
+    "planted pairs are found deterministically), then exact cosine "
+    "re-ranks survivors — no cross join anywhere, so the plan survives "
+    "100x data. The DuckDB oracle stays the exact all-pairs "
+    "formulation (tractable at oracle scale).",
     oracle=f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 10
+)
 SELECT q.vec_id AS vec_a, v.vec_id AS vec_b,
   CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE) AS cosine
-FROM embeddings q, embeddings v
+FROM aug q, aug v
 WHERE q.vec_id < v.vec_id
   AND CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE) >= 0.99
 ORDER BY vec_a, vec_b
@@ -300,7 +311,12 @@ ORDER BY vec_a, vec_b
 )
 def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cosine_dedup_pairs(emb, threshold=0.99)
+    aug = emb.union(
+        emb.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return cosine_dedup_pairs(aug, threshold=0.99)
 
 
 def cosine_dedup_pairs(
