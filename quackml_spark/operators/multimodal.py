@@ -4,15 +4,21 @@ Design (BASELINE.json north star): media travels as a ``binary`` column
 plus typed metadata (modality, mime, width/height/duration). The
 Spark-side contracts — schema, partition-friendly batch shapes,
 mapInPandas feature extraction, Pandas-UDF signatures — are real and
-tested. The actual codec step is import-gated (PIL/librosa/av are not
-in this container): ``decode_image`` raises NotImplementedError unless
-a codec library is present, while ``extract_binary_features`` computes
-real byte-level features (length, entropy-ish byte histogram stats,
-md5) that need no codec.
+tested.
 
-The test data has no media files, so ``media_table`` synthesizes
-deterministic binary payloads from document text (md5-keyed bytes) —
-the pipeline downstream of decode is identical either way.
+The decode step is REAL for the container-native formats: PPM (P6)
+images, WAV (PCM16) audio, and concatenated-PPM 'video' decode through
+the zero-dependency pure-Python codecs in operators/codecs.py —
+``decode_image`` / ``decode_audio`` / ``decode_video_frames`` /
+``resize_image`` actually parse bytes into pixel/sample arrays and the
+oracle queries value-check the decoded statistics. Formats that need a
+codec library (JPEG/PNG/MP3) stay import-gated behind PIL/librosa.
+
+The test data has no media files, so two fixtures synthesize payloads:
+``media_table`` (md5-keyed opaque bytes, for byte-level ops) and
+``codec_media_table`` (real PPM/WAV/multi-frame-PPM payloads whose
+content follows a deterministic integer formula the DuckDB oracles
+replay).
 """
 
 from __future__ import annotations
@@ -52,18 +58,184 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def codec_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic media with REAL decodable payloads: PPM images, WAV
+    audio, concatenated-PPM video. Content follows integer formulas
+    (pixel_i = (doc_id*31 + i*7) % 256; sample_i = (doc_id*7 + i*13) %
+    2001 - 1000) so DuckDB oracles can replay the decoded statistics.
+    Generation runs distributed in mapInPandas — one Arrow batch pass,
+    exactly where a real media-ingest decode/transcode step would sit."""
+    import numpy as np
+
+    from quackml_spark.operators.codecs import PPM_MIME, WAV_MIME, encode_ppm, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                m = doc_id % 3
+                if m == 0:  # image: one PPM
+                    w, h = (doc_id % 8 + 1) * 2, (doc_id % 4 + 1) * 2
+                    i = np.arange(w * h * 3, dtype=np.int64)
+                    px = ((doc_id * 31 + i * 7) % 256).astype(np.uint8)
+                    rows.append(
+                        (doc_id, "image", PPM_MIME, w, h, None,
+                         encode_ppm(px.reshape(h, w, 3)))
+                    )
+                elif m == 1:  # audio: WAV PCM16 mono
+                    n = (doc_id % 30 + 1) * 100
+                    i = np.arange(n, dtype=np.int64)
+                    s = ((doc_id * 7 + i * 13) % 2001 - 1000).astype(np.int16)
+                    rows.append(
+                        (doc_id, "audio", WAV_MIME, None, None, n / 8000.0,
+                         encode_wav(s, 8000))
+                    )
+                else:  # video: concatenated PPM frames
+                    w, h = 4, 2
+                    n_frames = doc_id % 5 + 2
+                    payload = b""
+                    for f in range(n_frames):
+                        i = np.arange(w * h * 3, dtype=np.int64)
+                        px = ((doc_id * 31 + f * 97 + i * 7) % 256).astype(np.uint8)
+                        payload += encode_ppm(px.reshape(h, w, 3))
+                    rows.append(
+                        (doc_id, "video", "video/x-concat-ppm", w, h,
+                         float(n_frames), payload)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "modality", "mime", "width", "height",
+                         "duration_s", "payload"],
+            )
+
+    return docs.mapInPandas(gen, schema)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB: decode binary -> pixel array. Requires a codec library
-    (PIL); the Spark plumbing (schema, Arrow batching) is the contract."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "decode_image requires Pillow, which is not installed in this "
-            "environment; byte-level ops (extract_binary_features) work "
-            "without a codec"
-        ) from e
-    raise NotImplementedError("codec present but decode not implemented yet")
+    """Decode image payloads to pixel statistics. REAL for PPM (pure
+    Python, operators/codecs.py); other formats require Pillow
+    (import-gated). Arrow-batched mapInPandas: one decode pass per
+    partition, rows without an image mime are passed over."""
+    from quackml_spark.operators.codecs import PPM_MIME, decode_ppm
+
+    schema = (
+        "doc_id bigint, width int, height int, n_pixels bigint, "
+        "mean_pixel double, pixel_md5 string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["modality"] != "image":
+                    continue
+                data = bytes(r[payload_col])
+                if r["mime"] == PPM_MIME or data[:2] == b"P6":
+                    px = decode_ppm(data)
+                else:
+                    try:
+                        import io
+
+                        import numpy as np
+                        import PIL.Image
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            f"decoding {r['mime']!r} requires Pillow, which "
+                            f"is not installed; PPM decodes natively"
+                        ) from e
+                    px = np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+                h, w, _ = px.shape
+                rows.append(
+                    (
+                        int(r["doc_id"]), w, h, int(px.size),
+                        float(px.astype("float64").mean()),
+                        hashlib.md5(px.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels",
+                         "mean_pixel", "pixel_md5"],
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode audio payloads to sample statistics. REAL for WAV/PCM16
+    (pure Python); compressed formats require librosa (import-gated)."""
+    from quackml_spark.operators.codecs import WAV_MIME, decode_wav
+
+    schema = (
+        "doc_id bigint, sample_rate int, n_samples bigint, "
+        "mean_sample double, max_abs_sample int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["modality"] != "audio":
+                    continue
+                data = bytes(r[payload_col])
+                if r["mime"] == WAV_MIME or data[:4] == b"RIFF":
+                    samples, rate = decode_wav(data)
+                else:
+                    try:
+                        import librosa  # noqa: F401
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            f"decoding {r['mime']!r} requires librosa, which "
+                            f"is not installed; WAV/PCM16 decodes natively"
+                        ) from e
+                    raise NotImplementedError("non-WAV decode unreached here")
+                rows.append(
+                    (
+                        int(r["doc_id"]), int(rate), len(samples),
+                        float(samples.astype("float64").mean()),
+                        int(abs(samples.astype("int64")).max()) if len(samples) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "mean_sample",
+                         "max_abs_sample"],
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+def decode_video_frames(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Split concatenated-PPM 'video' payloads into per-frame rows with
+    decoded statistics — the real analog of frame_sample's plan step."""
+    from quackml_spark.operators.codecs import ppm_frames
+
+    schema = (
+        "doc_id bigint, frame_idx int, width int, height int, mean_pixel double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["modality"] != "video":
+                    continue
+                for f, px in enumerate(ppm_frames(bytes(r[payload_col]))):
+                    h, w, _ = px.shape
+                    rows.append(
+                        (int(r["doc_id"]), f, w, h,
+                         float(px.astype("float64").mean()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "mean_pixel"],
+            )
+
+    return df.mapInPandas(run, schema)
 
 
 def extract_binary_features(df: DataFrame) -> DataFrame:
@@ -163,16 +335,51 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_image(df: DataFrame, max_dim: int = 224) -> DataFrame:
-    """STUB: actual pixel resampling needs a codec (PIL). The plan step
-    (target geometry) is real Spark; see resize_plan."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "resize_image requires Pillow; resize_plan computes the "
-            "target geometry without a codec"
-        ) from e
-    raise NotImplementedError("codec present but resample not implemented yet")
+    """Aspect-preserving resample of image payloads. REAL for PPM:
+    decode -> nearest-neighbor resample (integer index math, fully
+    deterministic) -> re-encode PPM. Other formats require Pillow.
+    Returns the media schema with payload/width/height replaced."""
+    from quackml_spark.operators.codecs import (
+        PPM_MIME,
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["modality"] != "image":
+                    continue
+                data = bytes(r["payload"])
+                if r["mime"] == PPM_MIME or data[:2] == b"P6":
+                    px = decode_ppm(data)
+                else:
+                    try:
+                        import PIL.Image  # noqa: F401
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            f"resizing {r['mime']!r} requires Pillow; PPM "
+                            f"resamples natively"
+                        ) from e
+                    raise NotImplementedError("non-PPM resize unreached here")
+                h, w, _ = px.shape
+                long_side = max(w, h)
+                tw = max(w * max_dim // long_side, 1)
+                th = max(h * max_dim // long_side, 1)
+                out = resize_nearest(px, tw, th)
+                rows.append(
+                    (int(r["doc_id"]), "image", PPM_MIME, tw, th, None,
+                     encode_ppm(out))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "modality", "mime", "width", "height",
+                         "duration_s", "payload"],
+            )
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def resize_plan(df: DataFrame, max_dim: int = 224) -> DataFrame:
@@ -211,3 +418,106 @@ ORDER BY doc_id
 )
 def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(media_table(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_decode_image_stats",
+    extra=True,
+    doc="REAL image decode value check: codec_media_table synthesizes P6 "
+    "PPM payloads whose pixel bytes follow (doc_id*31 + i*7) %% 256; "
+    "decode_image parses the actual bytes (pure-Python codec, "
+    "operators/codecs.py) and the oracle replays the decoded width/"
+    "height/mean-pixel from the formula — if the codec mis-parses a "
+    "single byte the means diverge.",
+    oracle="""
+SELECT d.doc_id,
+       CAST((d.doc_id % 8 + 1) * 2 AS INT) AS width,
+       CAST((d.doc_id % 4 + 1) * 2 AS INT) AS height,
+       CAST(ROUND((
+         SELECT AVG((d.doc_id * 31 + t.i * 7) % 256)
+         FROM unnest(range((d.doc_id % 8 + 1) * 2
+                           * (d.doc_id % 4 + 1) * 2 * 3)) AS t(i)
+       ), 6) AS DOUBLE) AS mean_pixel
+FROM documents d
+WHERE d.doc_id % 3 = 0
+ORDER BY d.doc_id
+""",
+    tags=("multimodal",),
+)
+def multimodal_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = codec_media_table(spark, sf_dir)
+    return (
+        decode_image(media)
+        .select(
+            "doc_id", "width", "height",
+            F.round(F.col("mean_pixel"), 6).alias("mean_pixel"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_decode_audio_stats",
+    extra=True,
+    doc="REAL audio decode value check: WAV/PCM16 payloads with samples "
+    "(doc_id*7 + i*13) %% 2001 - 1000; decode_wav walks the RIFF chunks "
+    "and the oracle replays n_samples/mean/max-abs from the formula.",
+    oracle="""
+SELECT d.doc_id,
+       8000 AS sample_rate,
+       CAST((d.doc_id % 30 + 1) * 100 AS BIGINT) AS n_samples,
+       CAST(ROUND((
+         SELECT AVG((d.doc_id * 7 + t.i * 13) % 2001 - 1000)
+         FROM unnest(range((d.doc_id % 30 + 1) * 100)) AS t(i)
+       ), 6) AS DOUBLE) AS mean_sample,
+       CAST((
+         SELECT MAX(ABS((d.doc_id * 7 + t.i * 13) % 2001 - 1000))
+         FROM unnest(range((d.doc_id % 30 + 1) * 100)) AS t(i)
+       ) AS INT) AS max_abs_sample
+FROM documents d
+WHERE d.doc_id % 3 = 1
+ORDER BY d.doc_id
+""",
+    tags=("multimodal",),
+)
+def multimodal_decode_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = codec_media_table(spark, sf_dir)
+    return (
+        decode_audio(media)
+        .select(
+            "doc_id", "sample_rate", "n_samples",
+            F.round(F.col("mean_sample"), 6).alias("mean_sample"),
+            "max_abs_sample",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_decode_video_frames",
+    extra=True,
+    doc="REAL video-frame decode value check: concatenated-PPM payloads "
+    "split into frames (pixel formula adds f*97 per frame); the oracle "
+    "replays per-frame means with a correlated unnest.",
+    oracle="""
+SELECT d.doc_id, CAST(t.f AS INT) AS frame_idx,
+       CAST(ROUND((
+         SELECT AVG((d.doc_id * 31 + t.f * 97 + u.i * 7) % 256)
+         FROM unnest(range(24)) AS u(i)
+       ), 6) AS DOUBLE) AS mean_pixel
+FROM documents d, unnest(range(d.doc_id % 5 + 2)) AS t(f)
+WHERE d.doc_id % 3 = 2
+ORDER BY d.doc_id, frame_idx
+""",
+    tags=("multimodal",),
+)
+def multimodal_decode_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = codec_media_table(spark, sf_dir)
+    return (
+        decode_video_frames(media)
+        .select(
+            "doc_id", "frame_idx",
+            F.round(F.col("mean_pixel"), 6).alias("mean_pixel"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )

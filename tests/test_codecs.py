@@ -1,0 +1,96 @@
+"""Pure-Python codec tests (operators/codecs.py): byte-exact round
+trips, header-edge handling, and the Spark-side resize path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from quackml_spark.operators.codecs import (
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    ppm_frames,
+    resize_nearest,
+)
+
+
+def test_ppm_round_trip():
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(7, 13, 3), dtype=np.uint8)
+    out = decode_ppm(encode_ppm(px))
+    np.testing.assert_array_equal(out, px)
+
+
+def test_ppm_comments_and_whitespace():
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    raw = b"P6\n# a comment\n 4\t2 \n# another\n255\n" + px.tobytes()
+    np.testing.assert_array_equal(decode_ppm(raw), px)
+
+
+def test_ppm_truncated_raises():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(encode_ppm(px)[:-5])
+
+
+def test_ppm_frames_concat():
+    frames = [
+        np.full((2, 4, 3), i * 10, dtype=np.uint8) for i in range(5)
+    ]
+    payload = b"".join(encode_ppm(f) for f in frames)
+    out = list(ppm_frames(payload))
+    assert len(out) == 5
+    for got, want in zip(out, frames):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_wav_round_trip():
+    rng = np.random.default_rng(2)
+    s = rng.integers(-32768, 32767, size=999, dtype=np.int16)
+    out, rate = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(out, s)
+
+
+def test_wav_extra_chunk_skipped():
+    s = np.arange(10, dtype=np.int16)
+    data = encode_wav(s, 8000)
+    # splice a LIST chunk between fmt and data (odd size → word-aligned)
+    head, tail = data[:36], data[36:]
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    out, rate = decode_wav(head + extra + tail)
+    np.testing.assert_array_equal(out, s)
+
+
+def test_wav_rejects_stereo():
+    s = np.zeros(10, dtype=np.int16)
+    data = bytearray(encode_wav(s, 8000))
+    data[22] = 2  # channels field
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav(bytes(data))
+
+
+def test_resize_nearest_identity_and_downscale():
+    px = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    np.testing.assert_array_equal(resize_nearest(px, 4, 2), px)
+    half = resize_nearest(px, 2, 1)
+    assert half.shape == (1, 2, 3)
+    np.testing.assert_array_equal(half[0, 0], px[0, 0])
+    np.testing.assert_array_equal(half[0, 1], px[0, 2])
+
+
+def test_spark_resize_image_path(spark, sf_dir):
+    from quackml_spark.operators.multimodal import codec_media_table, resize_image
+
+    media = codec_media_table(spark, sf_dir)
+    resized = resize_image(media, max_dim=8)
+    rows = resized.limit(20).collect()
+    assert rows
+    for r in rows:
+        assert max(r["width"], r["height"]) == 8
+        px = decode_ppm(bytes(r["payload"]))
+        assert px.shape == (r["height"], r["width"], 3)
