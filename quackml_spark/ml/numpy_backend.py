@@ -338,6 +338,77 @@ def _fit_gp_regressor(X, y, hp, seed):
     }
 
 
+def _fit_affinity_propagation(X, y, hp, seed, max_iter=500, damping=0.9):
+    """Affinity propagation (Frey & Dueck 2007): responsibility/
+    availability message passing over the negative-squared-distance
+    similarity matrix; preference = median similarity. Damping 0.9:
+    0.5 oscillates on symmetric blob data (message-passing limit
+    cycles); 0.9 converges to the exemplar-per-cluster fixed point.
+    Stops once the exemplar set is stable for 15 iterations. O(n²) —
+    bounded by the driver row budget, like the reference's sklearn
+    path."""
+    n = len(X)
+    sq = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    S = -sq
+    pref = float(hp.get("preference", 0) or np.median(S[~np.eye(n, dtype=bool)]))
+    np.fill_diagonal(S, pref)
+    damping = float(hp.get("damping", damping))
+    R = np.zeros((n, n))
+    A = np.zeros((n, n))
+    last: frozenset | None = None
+    stable = 0
+    for _ in range(max_iter):
+        AS = A + S
+        idx = AS.argmax(axis=1)
+        first = AS[np.arange(n), idx].copy()
+        AS[np.arange(n), idx] = -np.inf
+        second = AS.max(axis=1)
+        R_new = S - first[:, None]
+        R_new[np.arange(n), idx] = S[np.arange(n), idx] - second
+        R = damping * R + (1 - damping) * R_new
+        Rp = np.maximum(R, 0)
+        np.fill_diagonal(Rp, R.diagonal())
+        A_new = np.minimum(0, Rp.sum(axis=0)[None, :] - Rp)
+        np.fill_diagonal(A_new, Rp.sum(axis=0) - Rp.diagonal())
+        A = damping * A + (1 - damping) * A_new
+        ex = frozenset(np.where((R + A).diagonal() > 0)[0].tolist())
+        stable = stable + 1 if (ex and ex == last) else 0
+        last = ex
+        if stable >= 15:
+            break
+    exemplars = np.array(sorted(last)) if last else np.array(
+        [int(sq.sum(axis=1).argmin())]
+    )
+    centers = X[exemplars]
+    return {"kind": "centers", "centers": centers}
+
+
+def _fit_mean_shift(X, y, hp, seed, max_iter=300, tol=1e-7):
+    """Flat-kernel mean shift; bandwidth defaults to the median
+    pairwise distance scaled like sklearn's estimate_bandwidth. Modes
+    within one bandwidth merge (deterministic order)."""
+    n = len(X)
+    dists = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2))
+    bw = float(hp.get("bandwidth", 0) or np.quantile(dists[~np.eye(n, dtype=bool)], 0.3))
+    pts = X.copy()
+    for _ in range(max_iter):
+        moved = 0.0
+        for i in range(n):
+            d = np.sqrt(((X - pts[i]) ** 2).sum(axis=1))
+            mask = d <= bw
+            new = X[mask].mean(axis=0)
+            moved = max(moved, float(np.abs(new - pts[i]).max()))
+            pts[i] = new
+        if moved < tol:
+            break
+    # merge converged points into modes (first-come order = deterministic)
+    modes: list[np.ndarray] = []
+    for p in pts:
+        if not any(np.sqrt(((p - m) ** 2).sum()) <= bw / 2 for m in modes):
+            modes.append(p)
+    return {"kind": "centers", "centers": np.array(modes)}
+
+
 def _fit_perceptron(X, y, hp, seed, epochs=None):
     """Rosenblatt perceptron; multiclass via one-vs-all score argmax."""
     epochs = int(epochs or hp.get("max_iter", 1000))
@@ -404,6 +475,11 @@ NUMPY_MAP = {
     (Task.regression, Algorithm.gaussian_process): (_fit_gp_regressor, "numpy"),
     (Task.classification, Algorithm.perceptron): (_fit_perceptron, "numpy"),
     (Task.classification, Algorithm.passive_aggressive): (_fit_pa_classifier, "numpy"),
+    (Task.clustering, Algorithm.affinity_propagation): (
+        _fit_affinity_propagation,
+        "numpy",
+    ),
+    (Task.clustering, Algorithm.mean_shift): (_fit_mean_shift, "numpy"),
 }
 
 
@@ -432,9 +508,10 @@ class NumpyEstimator:
                 f"QML_NUMPY_ROW_BUDGET ({ROW_BUDGET}). Sample the relation "
                 f"or use a distributed MLlib algorithm instead."
             )
-        pdf = df.select("features", "label").toPandas()
+        cols = ["features"] + (["label"] if "label" in df.columns else [])
+        pdf = df.select(*cols).toPandas()
         X = np.array(pdf["features"].tolist(), dtype="float64")
-        y = pdf["label"].to_numpy(dtype="float64")
+        y = pdf["label"].to_numpy(dtype="float64") if "label" in pdf else None
         fitter, _ = NUMPY_MAP[(self.task, self.algorithm)]
         params = fitter(X, y, self.hyperparams, self.seed)
         return NumpyModel(self.task, params)
@@ -458,6 +535,13 @@ class NumpyModel:
                 "kind": "linear_regression",
                 "coef": np.asarray(p["coef"]).tolist(),
                 "intercept": float(p["intercept"]),
+            }
+        if p["kind"] == "centers":
+            # same evaluator shape as MLlib kmeans → SQL-UDF/streaming
+            # serving reuse the existing kmeans portable evaluator
+            return {
+                "kind": "kmeans",
+                "centers": np.asarray(p["centers"]).tolist(),
             }
         if p["kind"] == "linear_clf":
             classes = np.asarray(p["classes"])
@@ -493,6 +577,11 @@ class NumpyModel:
             B = np.asarray(p["intercept"], dtype="float64")
             classes = np.asarray(p["classes"], dtype="float64")
             return lambda X: classes[(X @ W.T + B).argmax(axis=1)]
+        if p["kind"] == "centers":
+            C = np.asarray(p["centers"], dtype="float64")
+            return lambda X: (
+                ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            ).astype("float64")
         if p["kind"] == "kernel":
             Xt = np.asarray(p["X_train"], dtype="float64")
             dual = np.asarray(p["dual"], dtype="float64")
@@ -543,7 +632,7 @@ class NumpyModel:
         with open(path) as f:
             d = json.load(f)
         params = d["params"]
-        for k in ("coef", "intercept", "classes", "X_train", "dual"):
+        for k in ("coef", "intercept", "classes", "X_train", "dual", "centers"):
             if isinstance(params.get(k), list):
                 params[k] = np.asarray(params[k], dtype="float64")
         return cls(Task(d["task"]), params)

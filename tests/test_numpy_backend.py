@@ -200,3 +200,48 @@ def test_numpy_model_persist_reload_and_sql_serve(spark, catalog):
         "ok", (out["prediction"] == out["target"]).cast("int")
     ).groupBy().avg("ok").collect()[0][0]
     assert agree > 0.97
+
+
+def test_affinity_propagation_recovers_blobs():
+    from quackml_spark.ml.numpy_backend import _fit_affinity_propagation
+
+    rng = np.random.default_rng(21)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 8.0]])
+    X = np.vstack([c + 0.3 * rng.normal(size=(40, 2)) for c in centers])
+    p = _fit_affinity_propagation(X, None, {}, 0)
+    C = np.asarray(p["centers"])
+    assert len(C) == 3
+    # every true center has an exemplar within the blob radius
+    for c in centers:
+        assert np.sqrt(((C - c) ** 2).sum(axis=1)).min() < 1.5
+
+
+def test_mean_shift_recovers_blobs():
+    from quackml_spark.ml.numpy_backend import _fit_mean_shift
+
+    rng = np.random.default_rng(22)
+    centers = np.array([[0.0, 0.0], [12.0, 12.0]])
+    X = np.vstack([c + 0.4 * rng.normal(size=(60, 2)) for c in centers])
+    p = _fit_mean_shift(X, None, {}, 0)
+    C = np.asarray(p["centers"])
+    assert len(C) == 2
+    for c in centers:
+        assert np.sqrt(((C - c) ** 2).sum(axis=1)).min() < 1.0
+
+
+@pytest.mark.parametrize("algo", ["affinity_propagation", "mean_shift"])
+def test_train_lifecycle_numpy_clustering(spark, catalog, algo):
+    rng = np.random.default_rng(23)
+    blobs = np.vstack([
+        np.array([0.0, 0.0]) + 0.3 * rng.normal(size=(50, 2)),
+        np.array([8.0, 8.0]) + 0.3 * rng.normal(size=(50, 2)),
+    ])
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in blobs], "x1 double, x2 double"
+    )
+    res = train(
+        spark, f"np-clu-{algo}", task="clustering", df=df, algorithm=algo,
+        test_sampling="random", catalog=catalog,
+    )
+    assert res.metrics["backend"] == "numpy"
+    assert res.metrics["silhouette"] > 0.8, res.metrics

@@ -205,10 +205,16 @@ def test_unavailable_backend_raises_actionable(spark):
     from quackml_spark.ml.algorithms import resolve
     from quackml_spark.ml.sklearn_backend import available
 
-    if available(Task.regression, Algorithm.theil_sen):
+    # theil_sen used to be the sklearn-gated example; it now resolves
+    # through the numpy backend even without sklearn
+    res = resolve(Task.regression, Algorithm.theil_sen, {}, 42)
+    if not available(Task.regression, Algorithm.theil_sen):
+        assert res.backend.startswith("numpy")
+    # kernel SVM regression has no numpy implementation: still gated
+    if available(Task.regression, Algorithm.svm):
         _pytest.skip("sklearn installed; backend resolves")
     with _pytest.raises(NotImplementedError, match="optional backend"):
-        resolve(Task.regression, Algorithm.theil_sen, {}, 42)
+        resolve(Task.regression, Algorithm.svm, {}, 42)
 
 
 def test_sklearn_model_serving_plumbing(spark):
