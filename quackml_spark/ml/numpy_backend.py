@@ -338,6 +338,245 @@ def _fit_gp_regressor(X, y, hp, seed):
     }
 
 
+# ---------------------------------------------------------------------------
+# CART (greedy binary tree, vectorized threshold scan) — the weak/base
+# learner for the ada_boost and bagging ensembles, mirroring sklearn's
+# tree defaults (stumps for SAMME, depth-3 for AdaBoost.R2, deep trees
+# for bagging). Trees serialize to plain dicts for JSON persistence.
+# ---------------------------------------------------------------------------
+
+
+def _cart_fit(X, y, w, max_depth, min_leaf=1):
+    """Weighted greedy CART minimizing weighted squared error (for
+    classification callers pass ±1/one-hot targets — variance reduction
+    equals gini up to constants for binary targets)."""
+
+    def build(idx, depth):
+        yi, wi = y[idx], w[idx]
+        wsum = wi.sum()
+        mean = float((wi * yi).sum() / wsum)
+        if depth == 0 or len(idx) < 2 * min_leaf:
+            return {"leaf": mean}
+        base_err = float((wi * (yi - mean) ** 2).sum())
+        best = None
+        for j in range(X.shape[1]):
+            xv = X[idx, j]
+            order = np.argsort(xv, kind="stable")
+            xs, ys, ws = xv[order], yi[order], wi[order]
+            cw = np.cumsum(ws)
+            cwy = np.cumsum(ws * ys)
+            cwy2 = np.cumsum(ws * ys * ys)
+            tot_w, tot_wy, tot_wy2 = cw[-1], cwy[-1], cwy2[-1]
+            # candidate splits between distinct consecutive values
+            cut = np.nonzero(xs[1:] > xs[:-1])[0]
+            if len(cut) == 0:
+                continue
+            lw, lwy, lwy2 = cw[cut], cwy[cut], cwy2[cut]
+            rw, rwy, rwy2 = tot_w - lw, tot_wy - lwy, tot_wy2 - lwy2
+            ok = (lw > 0) & (rw > 0)
+            err = (lwy2 - lwy**2 / np.maximum(lw, 1e-300)) + (
+                rwy2 - rwy**2 / np.maximum(rw, 1e-300)
+            )
+            err = np.where(ok, err, np.inf)
+            k = int(err.argmin())
+            if err[k] < base_err - 1e-12 and (best is None or err[k] < best[0]):
+                thr = (xs[cut[k]] + xs[cut[k] + 1]) / 2.0
+                best = (float(err[k]), j, float(thr))
+        if best is None:
+            return {"leaf": mean}
+        _, j, thr = best
+        mask = X[idx, j] <= thr
+        return {
+            "f": j,
+            "t": thr,
+            "l": build(idx[mask], depth - 1),
+            "r": build(idx[~mask], depth - 1),
+        }
+
+    return build(np.arange(len(X)), max_depth)
+
+
+def _cart_predict(tree, X):
+    out = np.empty(len(X))
+
+    def walk(node, idx):
+        if "leaf" in node:
+            out[idx] = node["leaf"]
+            return
+        mask = X[idx, node["f"]] <= node["t"]
+        walk(node["l"], idx[mask])
+        walk(node["r"], idx[~mask])
+
+    walk(tree, np.arange(len(X)))
+    return out
+
+
+def _fit_ada_boost_clf(X, y, hp, seed, n_estimators=None):
+    """SAMME AdaBoost with stump weak learners (sklearn's default
+    base), one-vs-all on the ±1 encoding per class pair via the
+    two-class SAMME special case."""
+    n_estimators = int(n_estimators or hp.get("n_estimators", 50))
+    classes = np.unique(y)
+    n = len(X)
+    stumps, alphas = [], []
+    if len(classes) == 2:
+        t = np.where(y == classes[1], 1.0, -1.0)
+        w = np.full(n, 1.0 / n)
+        for _ in range(n_estimators):
+            tree = _cart_fit(X, t, w, max_depth=1)
+            pred = np.sign(_cart_predict(tree, X))
+            pred[pred == 0] = 1.0
+            err = float(w[pred != t].sum())
+            if err <= 1e-12:
+                stumps.append(tree)
+                alphas.append(10.0)  # perfect stump: dominate the vote
+                break
+            if err >= 0.5:
+                break
+            a = 0.5 * np.log((1 - err) / err)
+            stumps.append(tree)
+            alphas.append(float(a))
+            w = w * np.exp(-a * t * pred)
+            w = w / w.sum()
+        return {
+            "kind": "ensemble",
+            "mode": "adaboost_binary",
+            "trees": stumps,
+            "weights": alphas,
+            "classes": classes,
+        }
+    # multiclass: one-vs-all binary boosters, argmax of scores
+    boosters = []
+    for cls in classes:
+        sub = _fit_ada_boost_clf(
+            X, np.where(y == cls, 1.0, 0.0), hp, seed, n_estimators
+        )
+        boosters.append({"trees": sub["trees"], "weights": sub["weights"]})
+    return {
+        "kind": "ensemble",
+        "mode": "adaboost_ova",
+        "boosters": boosters,
+        "classes": classes,
+    }
+
+
+def _fit_ada_boost_reg(X, y, hp, seed):
+    """AdaBoost.R2 (Drucker 1997) with depth-3 trees, linear loss."""
+    n_estimators = int(hp.get("n_estimators", 50))
+    n = len(X)
+    rng = np.random.default_rng(seed)
+    w = np.full(n, 1.0 / n)
+    trees, betas = [], []
+    for _ in range(n_estimators):
+        idx = rng.choice(n, size=n, replace=True, p=w)
+        tree = _cart_fit(X[idx], y[idx], np.full(n, 1.0 / n), max_depth=3)
+        pred = _cart_predict(tree, X)
+        ae = np.abs(pred - y)
+        denom = ae.max()
+        if denom <= 1e-12:
+            trees.append(tree)
+            betas.append(1e-12)
+            break
+        L = ae / denom
+        Lbar = float((w * L).sum())
+        if Lbar >= 0.5:
+            break
+        beta = Lbar / (1 - Lbar)
+        trees.append(tree)
+        betas.append(float(beta))
+        w = w * beta ** (1 - L)
+        w = w / w.sum()
+    if not trees:  # single tree fallback
+        trees = [_cart_fit(X, y, np.full(n, 1.0 / n), max_depth=3)]
+        betas = [1.0]
+    return {"kind": "ensemble", "mode": "adaboost_r2", "trees": trees, "weights": betas}
+
+
+def _fit_bagging(X, y, hp, seed, classification=False):
+    """Bootstrap-aggregated deep CARTs (sklearn's default base is an
+    unpruned tree; depth 10 approximates it under the row budget)."""
+    n_estimators = int(hp.get("n_estimators", 10))
+    max_depth = int(hp.get("max_depth", 10))
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    trees = []
+    classes = np.unique(y) if classification else None
+    for _ in range(n_estimators):
+        idx = rng.choice(n, size=n, replace=True)
+        w = np.full(len(idx), 1.0 / len(idx))
+        trees.append(_cart_fit(X[idx], y[idx], w, max_depth=max_depth))
+    return {
+        "kind": "ensemble",
+        "mode": "bagging_clf" if classification else "bagging_reg",
+        "trees": trees,
+        "weights": [1.0] * len(trees),
+        **({"classes": classes} if classification else {}),
+    }
+
+
+def _ensemble_predict_fn(p):
+    mode = p["mode"]
+    trees, weights = p["trees"], np.asarray(p["weights"], dtype="float64")
+    if mode == "adaboost_binary":
+        classes = np.asarray(p["classes"], dtype="float64")
+
+        def fn(X):
+            score = np.zeros(len(X))
+            for t, a in zip(trees, weights):
+                s = np.sign(_cart_predict(t, X))
+                s[s == 0] = 1.0
+                score += a * s
+            return np.where(score >= 0, classes[1], classes[0])
+
+        return fn
+    if mode == "adaboost_ova":
+        classes = np.asarray(p["classes"], dtype="float64")
+        boosters = p["boosters"]
+
+        def fn(X):
+            scores = np.zeros((len(X), len(boosters)))
+            for ci, b in enumerate(boosters):
+                for t, a in zip(b["trees"], b["weights"]):
+                    s = np.sign(_cart_predict(t, X))
+                    s[s == 0] = 1.0
+                    scores[:, ci] += a * s
+            return classes[scores.argmax(axis=1)]
+
+        return fn
+    if mode == "adaboost_r2":
+        # weighted-median combination (Drucker 1997)
+        lw = np.log(1.0 / np.maximum(weights, 1e-300))
+
+        def fn(X):
+            preds = np.column_stack([_cart_predict(t, X) for t in trees])
+            order = np.argsort(preds, axis=1)
+            sorted_w = lw[order]
+            cum = np.cumsum(sorted_w, axis=1)
+            k = (cum >= 0.5 * cum[:, -1:]).argmax(axis=1)
+            return preds[np.arange(len(X)), order[np.arange(len(X)), k]]
+
+        return fn
+    if mode == "bagging_reg":
+
+        def fn(X):
+            return np.mean([_cart_predict(t, X) for t in trees], axis=0)
+
+        return fn
+    if mode == "bagging_clf":
+        classes = np.asarray(p["classes"], dtype="float64")
+
+        def fn(X):
+            votes = np.zeros((len(X), len(classes)))
+            for t in trees:
+                pred = _cart_predict(t, X)
+                nearest = np.abs(pred[:, None] - classes[None, :]).argmin(axis=1)
+                votes[np.arange(len(X)), nearest] += 1
+            return classes[votes.argmax(axis=1)]
+
+        return fn
+    raise NotImplementedError(mode)
+
+
 def _fit_affinity_propagation(X, y, hp, seed, max_iter=500, damping=0.9):
     """Affinity propagation (Frey & Dueck 2007): responsibility/
     availability message passing over the negative-squared-distance
@@ -480,6 +719,13 @@ NUMPY_MAP = {
         "numpy",
     ),
     (Task.clustering, Algorithm.mean_shift): (_fit_mean_shift, "numpy"),
+    (Task.regression, Algorithm.ada_boost): (_fit_ada_boost_reg, "numpy"),
+    (Task.classification, Algorithm.ada_boost): (_fit_ada_boost_clf, "numpy"),
+    (Task.regression, Algorithm.bagging): (_fit_bagging, "numpy"),
+    (Task.classification, Algorithm.bagging): (
+        lambda X, y, hp, seed: _fit_bagging(X, y, hp, seed, classification=True),
+        "numpy",
+    ),
 }
 
 
@@ -577,6 +823,9 @@ class NumpyModel:
             B = np.asarray(p["intercept"], dtype="float64")
             classes = np.asarray(p["classes"], dtype="float64")
             return lambda X: classes[(X @ W.T + B).argmax(axis=1)]
+        if p["kind"] == "ensemble":
+            fn = _ensemble_predict_fn(p)
+            return lambda X: fn(X).astype("float64")
         if p["kind"] == "centers":
             C = np.asarray(p["centers"], dtype="float64")
             return lambda X: (

@@ -163,7 +163,12 @@ def test_train_lifecycle_all_numpy_regressors(spark, catalog):
     df = spark.createDataFrame(rows, "x1 double, x2 double, x3 double, target double")
     algos = sorted(
         a.value for (t, a) in NUMPY_MAP if t == Task.regression
-        and a not in (Algorithm.kernel_ridge, Algorithm.gaussian_process)
+        # kernel/tree models approximate rather than recover a linear
+        # rule exactly; they have their own dedicated tests
+        and a not in (
+            Algorithm.kernel_ridge, Algorithm.gaussian_process,
+            Algorithm.ada_boost, Algorithm.bagging,
+        )
     )
     for algo in algos:
         # tiny alpha: shrinkage algorithms (lasso-lars CD) shouldn't bias
@@ -245,3 +250,92 @@ def test_train_lifecycle_numpy_clustering(spark, catalog, algo):
     )
     assert res.metrics["backend"] == "numpy"
     assert res.metrics["silhouette"] > 0.8, res.metrics
+
+
+def test_cart_fits_step_function_exactly():
+    from quackml_spark.ml.numpy_backend import _cart_fit, _cart_predict
+
+    rng = np.random.default_rng(31)
+    X = rng.uniform(-1, 1, size=(500, 2))
+    y = np.where(X[:, 0] > 0.2, 5.0, -3.0)
+    tree = _cart_fit(X, y, np.full(500, 1 / 500), max_depth=2)
+    np.testing.assert_allclose(_cart_predict(tree, X), y)
+
+
+def test_ada_boost_classifier_or_rule():
+    from quackml_spark.ml.numpy_backend import (
+        _ensemble_predict_fn,
+        _fit_ada_boost_clf,
+    )
+
+    rng = np.random.default_rng(32)
+    X = rng.uniform(-1, 1, size=(600, 2))
+    y = ((X[:, 0] > 0.3) | (X[:, 1] > 0.7)).astype("float64")
+    p = _fit_ada_boost_clf(X, y, {}, 0)
+    pred = _ensemble_predict_fn(p)(X)
+    assert (pred == y).mean() > 0.98
+
+
+def test_ada_boost_regressor_piecewise():
+    from quackml_spark.ml.numpy_backend import (
+        _ensemble_predict_fn,
+        _fit_ada_boost_reg,
+    )
+
+    rng = np.random.default_rng(33)
+    X = rng.uniform(-1, 1, size=(600, 2))
+    y = np.where(X[:, 0] > 0, 4.0, -4.0) + np.where(X[:, 1] > 0.5, 2.0, 0.0)
+    p = _fit_ada_boost_reg(X, y, {}, 0)
+    pred = _ensemble_predict_fn(p)(X)
+    ss = ((pred - y) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert 1 - ss > 0.95, 1 - ss
+
+
+def test_bagging_classifier_and_regressor_lifecycle(spark, catalog):
+    rng = np.random.default_rng(34)
+    X = rng.uniform(-1, 1, size=(400, 2))
+    yc = ((X[:, 0] + X[:, 1]) > 0).astype("float64")
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(t)) for (a, b), t in zip(X, yc)],
+        "x1 double, x2 double, target double",
+    )
+    res = train(
+        spark, "np-bag-clf", task="classification", df=df,
+        y_column_name="target", algorithm="bagging",
+        test_sampling="random", catalog=catalog,
+    )
+    assert res.metrics["backend"] == "numpy"
+    assert res.metrics["accuracy"] > 0.9, res.metrics
+
+    yr = 3.0 * X[:, 0] ** 2 + X[:, 1]
+    dfr = spark.createDataFrame(
+        [(float(a), float(b), float(t)) for (a, b), t in zip(X, yr)],
+        "x1 double, x2 double, target double",
+    )
+    resr = train(
+        spark, "np-bag-reg", task="regression", df=dfr,
+        y_column_name="target", algorithm="bagging",
+        test_sampling="random", catalog=catalog,
+    )
+    assert resr.metrics["backend"] == "numpy"
+    assert resr.metrics["r2"] > 0.8, resr.metrics
+
+
+def test_ada_boost_persist_reload(spark, catalog):
+    """Ensemble params survive the JSON round trip (nested tree dicts)."""
+    rng = np.random.default_rng(35)
+    X = rng.uniform(-1, 1, size=(300, 2))
+    y = (X[:, 0] > 0.1).astype("float64")
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(t)) for (a, b), t in zip(X, y)],
+        "x1 double, x2 double, target double",
+    )
+    train(
+        spark, "np-ada", task="classification", df=df, y_column_name="target",
+        algorithm="ada_boost", test_sampling="random", catalog=catalog,
+    )
+    out = predict(df, "np-ada", catalog=catalog)
+    agree = out.withColumn(
+        "ok", (out["prediction"] == out["target"]).cast("int")
+    ).groupBy().avg("ok").collect()[0][0]
+    assert agree > 0.97, agree
