@@ -135,9 +135,11 @@ def resolve(task: Task, algorithm: Algorithm, hyperparams: dict | None, seed: in
         if a in (Algorithm.linear, Algorithm.ridge):
             extra = {"elasticNetParam": 0.0} if a == Algorithm.ridge else {}
             return mk(LogisticRegression(**lin, **extra))
-        if a in (Algorithm.svm, Algorithm.linear_svm):
-            backend = "mllib" if a == Algorithm.linear_svm else "mllib-approx:svm->linear_svc"
-            return mk(LinearSVC(**lin), backend)
+        if a == Algorithm.linear_svm:
+            return mk(LinearSVC(**lin), "mllib")
+        # kernel svm falls through: sklearn SVC when importable, else the
+        # numpy simplified-SMO SVC (exact kernel semantics, unlike the
+        # former linear_svc stand-in)
         if a == Algorithm.random_forest:
             return mk(RandomForestClassifier(**lin))
         if a == Algorithm.extra_trees:

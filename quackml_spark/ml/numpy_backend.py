@@ -338,6 +338,100 @@ def _fit_gp_regressor(X, y, hp, seed):
     }
 
 
+def _fit_svc(X, y, hp, seed, max_passes=8, tol=1e-4):
+    """C-SVM classification via simplified SMO (Platt 1998 as in the
+    CS229 simplification, with deterministic j-selection by max
+    |E_i−E_j|). Kernel: rbf (default) or linear. Multiclass one-vs-all.
+    Stores support vectors + duals; O(n²) kernel — driver row budget."""
+    C = float(hp.get("C", 1.0))
+    kernel = hp.get("kernel", "rbf")
+    gamma = float(hp.get("gamma", 0) or 1.0 / (X.shape[1] * max(X.var(), 1e-12)))
+    classes = np.unique(y)
+
+    def kmat(A, B):
+        return _rbf(A, B, gamma) if kernel == "rbf" else A @ B.T
+
+    def smo_binary(t):
+        n = len(X)
+        K = kmat(X, X)
+        alpha = np.zeros(n)
+        b = 0.0
+        passes = 0
+        while passes < max_passes:
+            changed = 0
+            E = (alpha * t) @ K + b - t
+            for i in range(n):
+                Ei = float((alpha * t) @ K[:, i] + b - t[i])
+                if (t[i] * Ei < -tol and alpha[i] < C) or (t[i] * Ei > tol and alpha[i] > 0):
+                    j = int(np.abs(E - Ei).argmax())
+                    if j == i:
+                        continue
+                    Ej = float((alpha * t) @ K[:, j] + b - t[j])
+                    ai_old, aj_old = alpha[i], alpha[j]
+                    if t[i] != t[j]:
+                        L, H = max(0.0, aj_old - ai_old), min(C, C + aj_old - ai_old)
+                    else:
+                        L, H = max(0.0, ai_old + aj_old - C), min(C, ai_old + aj_old)
+                    if L >= H:
+                        continue
+                    eta = 2.0 * K[i, j] - K[i, i] - K[j, j]
+                    if eta >= 0:
+                        continue
+                    aj = np.clip(aj_old - t[j] * (Ei - Ej) / eta, L, H)
+                    if abs(aj - aj_old) < 1e-7:
+                        continue
+                    ai = ai_old + t[i] * t[j] * (aj_old - aj)
+                    alpha[i], alpha[j] = ai, aj
+                    b1 = b - Ei - t[i] * (ai - ai_old) * K[i, i] - t[j] * (aj - aj_old) * K[i, j]
+                    b2 = b - Ej - t[i] * (ai - ai_old) * K[i, j] - t[j] * (aj - aj_old) * K[j, j]
+                    if 0 < ai < C:
+                        b = b1
+                    elif 0 < aj < C:
+                        b = b2
+                    else:
+                        b = (b1 + b2) / 2.0
+                    E = (alpha * t) @ K + b - t
+                    changed += 1
+            passes = passes + 1 if changed == 0 else 0
+        sv = alpha > 1e-8
+        return X[sv], (alpha * t)[sv], float(b)
+
+    machines = []
+    # binary: one machine (positive class = classes[1]); multiclass: OvA
+    targets = [classes[1]] if len(classes) == 2 else classes
+    for cls in targets:
+        t = np.where(y == cls, 1.0, -1.0)
+        sv, coef, b = smo_binary(t)
+        machines.append({"sv": sv, "coef": coef, "b": b})
+    return {
+        "kind": "svm",
+        "machines": machines,
+        "classes": classes,
+        "kernel": kernel,
+        "gamma": gamma,
+    }
+
+
+def _fit_linear_svr(X, y, hp, seed, epochs=500):
+    """LinearSVR primal: epsilon-insensitive loss + L2, deterministic
+    full-batch subgradient descent with decaying step."""
+    C = float(hp.get("C", 1.0))
+    eps = float(hp.get("epsilon", 0.0))
+    n, d = X.shape
+    w, b = np.zeros(d), 0.0
+    coef0, b0 = _ols(X, y)  # warm start at OLS (inside the eps tube when clean)
+    w, b = coef0.copy(), b0
+    for t in range(1, epochs + 1):
+        r = X @ w + b - y
+        g = np.where(r > eps, 1.0, np.where(r < -eps, -1.0, 0.0))
+        gw = w / (C * n) + (g @ X) / n
+        gb = g.mean()
+        step = 0.5 / np.sqrt(t)
+        w -= step * gw
+        b -= step * gb
+    return {"kind": "linear", "coef": w, "intercept": float(b)}
+
+
 # ---------------------------------------------------------------------------
 # CART (greedy binary tree, vectorized threshold scan) — the weak/base
 # learner for the ada_boost and bagging ensembles, mirroring sklearn's
@@ -726,6 +820,20 @@ NUMPY_MAP = {
         lambda X, y, hp, seed: _fit_bagging(X, y, hp, seed, classification=True),
         "numpy",
     ),
+    (Task.classification, Algorithm.svm): (_fit_svc, "numpy"),
+    (Task.classification, Algorithm.nu_svm): (
+        _fit_svc,
+        "numpy-approx:nu_svm->c_svm",
+    ),
+    (Task.regression, Algorithm.svm): (
+        _fit_kernel_ridge,
+        "numpy-approx:svr->kernel_ridge",
+    ),
+    (Task.regression, Algorithm.nu_svm): (
+        _fit_kernel_ridge,
+        "numpy-approx:nu_svr->kernel_ridge",
+    ),
+    (Task.regression, Algorithm.linear_svm): (_fit_linear_svr, "numpy"),
 }
 
 
@@ -826,6 +934,24 @@ class NumpyModel:
         if p["kind"] == "ensemble":
             fn = _ensemble_predict_fn(p)
             return lambda X: fn(X).astype("float64")
+        if p["kind"] == "svm":
+            classes = np.asarray(p["classes"], dtype="float64")
+            machines = p["machines"]
+            kernel, gamma = p["kernel"], p["gamma"]
+
+            def fn(X):
+                scores = np.zeros((len(X), len(machines)))
+                for ci, m in enumerate(machines):
+                    sv = np.asarray(m["sv"], dtype="float64")
+                    coef = np.asarray(m["coef"], dtype="float64")
+                    K = _rbf(X, sv, gamma) if kernel == "rbf" else X @ sv.T
+                    scores[:, ci] = K @ coef + m["b"]
+                if len(classes) == 2:
+                    # single machine, positive class = classes[1]
+                    return np.where(scores[:, 0] >= 0, classes[1], classes[0])
+                return classes[scores.argmax(axis=1)]
+
+            return fn
         if p["kind"] == "centers":
             C = np.asarray(p["centers"], dtype="float64")
             return lambda X: (
@@ -863,7 +989,13 @@ class NumpyModel:
         import json
 
         def enc(v):
-            return v.tolist() if isinstance(v, np.ndarray) else v
+            if isinstance(v, np.ndarray):
+                return v.tolist()
+            if isinstance(v, dict):
+                return {k: enc(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [enc(x) for x in v]
+            return v
 
         with open(path, "w") as f:
             json.dump(
@@ -884,4 +1016,7 @@ class NumpyModel:
         for k in ("coef", "intercept", "classes", "X_train", "dual", "centers"):
             if isinstance(params.get(k), list):
                 params[k] = np.asarray(params[k], dtype="float64")
+        for m in params.get("machines", []):
+            m["sv"] = np.asarray(m["sv"], dtype="float64")
+            m["coef"] = np.asarray(m["coef"], dtype="float64")
         return cls(Task(d["task"]), params)

@@ -339,3 +339,52 @@ def test_ada_boost_persist_reload(spark, catalog):
         "ok", (out["prediction"] == out["target"]).cast("int")
     ).groupBy().avg("ok").collect()[0][0]
     assert agree > 0.97, agree
+
+
+def test_svc_nonlinear_circle():
+    """RBF SMO-SVC separates a circle-in-ring dataset a linear model
+    cannot — the exact capability the old linear_svc stand-in lacked."""
+    from quackml_spark.ml.numpy_backend import _fit_svc
+
+    rng = np.random.default_rng(41)
+    r = np.concatenate([0.5 * np.sqrt(rng.uniform(size=150)),
+                        1.5 + 0.5 * rng.uniform(size=150)])
+    th = rng.uniform(0, 2 * np.pi, size=300)
+    X = np.column_stack([r * np.cos(th), r * np.sin(th)])
+    y = (r > 1.0).astype("float64")
+    p = _fit_svc(X, y, {"C": 5.0}, 0)
+    from quackml_spark.ml.numpy_backend import NumpyModel
+
+    fn = NumpyModel(Task.classification, p)._predict_fn()
+    assert (fn(X) == y).mean() > 0.97
+
+
+def test_svc_multiclass_blobs(spark, catalog):
+    rng = np.random.default_rng(42)
+    centers = np.array([[0.0, 0.0], [6.0, 6.0], [-6.0, 5.0]])
+    X = np.vstack([c + 0.5 * rng.normal(size=(60, 2)) for c in centers])
+    y = np.repeat([0.0, 1.0, 2.0], 60)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(t)) for (a, b), t in zip(X, y)],
+        "x1 double, x2 double, target double",
+    )
+    res = train(
+        spark, "np-svc", task="classification", df=df, y_column_name="target",
+        algorithm="svm", test_sampling="random", catalog=catalog,
+    )
+    assert res.metrics["backend"] == "numpy"
+    assert res.metrics["accuracy"] > 0.95, res.metrics
+    out = predict(df, "np-svc", catalog=catalog)  # exercises sv persistence
+    agree = out.withColumn(
+        "ok", (out["prediction"] == out["target"]).cast("int")
+    ).groupBy().avg("ok").collect()[0][0]
+    assert agree > 0.95
+
+
+def test_linear_svr_matches_ols_on_clean_data():
+    from quackml_spark.ml.numpy_backend import _fit_linear_svr
+
+    X, y, w = _toy(noise=0.0)
+    p = _fit_linear_svr(X, y, {"epsilon": 0.0}, 0)
+    # warm-started at OLS and the OLS point is a minimizer on clean data
+    np.testing.assert_allclose(p["coef"], w, atol=0.05)
