@@ -338,6 +338,39 @@ def _fit_gp_regressor(X, y, hp, seed):
     }
 
 
+def _fit_kernel_logistic(X, y, hp, seed, iters=300):
+    """Kernel logistic regression (RBF) — the numpy stand-in for GP
+    classification (the GP posterior mode under a logistic likelihood
+    IS penalized kernel logistic regression; we fit it by functional
+    gradient descent instead of the Laplace approximation)."""
+    lam = float(hp.get("alpha", 1e-3))
+    ls = float(hp.get("length_scale", 1.0))
+    gamma = 1.0 / (2.0 * ls * ls)
+    classes = np.unique(y)
+    K = _rbf(X, X, gamma)
+    machines = []
+    targets = [classes[1]] if len(classes) == 2 else classes
+    for cls in targets:
+        t = np.where(y == cls, 1.0, -1.0)
+        beta = np.zeros(len(X))
+        b = 0.0
+        for i in range(1, iters + 1):
+            f = K @ beta + b
+            sig = 1.0 / (1.0 + np.exp(np.clip(t * f, -500, 500)))
+            g = -t * sig  # d loss / d f
+            step = 2.0 / (i**0.5 + 10.0)
+            beta -= step * (g / len(X) + lam * beta)
+            b -= step * float(g.mean())
+        machines.append({"sv": X, "coef": beta, "b": b})
+    return {
+        "kind": "svm",  # same serving shape: kernel expansion + sign/argmax
+        "machines": machines,
+        "classes": classes,
+        "kernel": "rbf",
+        "gamma": gamma,
+    }
+
+
 def _fit_svc(X, y, hp, seed, max_passes=8, tol=1e-4):
     """C-SVM classification via simplified SMO (Platt 1998 as in the
     CS229 simplification, with deterministic j-selection by max
@@ -834,6 +867,10 @@ NUMPY_MAP = {
         "numpy-approx:nu_svr->kernel_ridge",
     ),
     (Task.regression, Algorithm.linear_svm): (_fit_linear_svr, "numpy"),
+    (Task.classification, Algorithm.gaussian_process): (
+        _fit_kernel_logistic,
+        "numpy-approx:gp_clf->kernel_logistic",
+    ),
 }
 
 

@@ -388,3 +388,17 @@ def test_linear_svr_matches_ols_on_clean_data():
     p = _fit_linear_svr(X, y, {"epsilon": 0.0}, 0)
     # warm-started at OLS and the OLS point is a minimizer on clean data
     np.testing.assert_allclose(p["coef"], w, atol=0.05)
+
+
+def test_kernel_logistic_gp_classifier_circle():
+    from quackml_spark.ml.numpy_backend import NumpyModel, _fit_kernel_logistic
+
+    rng = np.random.default_rng(43)
+    r = np.concatenate([0.5 * np.sqrt(rng.uniform(size=150)),
+                        1.5 + 0.5 * rng.uniform(size=150)])
+    th = rng.uniform(0, 2 * np.pi, size=300)
+    X = np.column_stack([r * np.cos(th), r * np.sin(th)])
+    y = (r > 1.0).astype("float64")
+    p = _fit_kernel_logistic(X, y, {}, 0)
+    fn = NumpyModel(Task.classification, p)._predict_fn()
+    assert (fn(X) == y).mean() > 0.95
