@@ -94,3 +94,55 @@ def test_spark_resize_image_path(spark, sf_dir):
         assert max(r["width"], r["height"]) == 8
         px = decode_ppm(bytes(r["payload"]))
         assert px.shape == (r["height"], r["width"], 3)
+
+
+# ---------------------------------------------------------------------------
+# property tests: ANY image/sample content round-trips byte-exactly
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ppm_round_trip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(px)), px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(0, 4096),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_round_trip_property(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    out, r = decode_wav(encode_wav(s, rate))
+    assert r == rate
+    np.testing.assert_array_equal(out, s)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_frames=st.integers(1, 8),
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ppm_frames_property(n_frames, w, h, seed):
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    out = list(ppm_frames(b"".join(encode_ppm(f) for f in frames)))
+    assert len(out) == n_frames
+    for got, want in zip(out, frames):
+        np.testing.assert_array_equal(got, want)
