@@ -8,8 +8,10 @@ to an unbounded stream with watermark-managed late data.
 Design:
   * ``read_event_stream`` treats the events parquet as a file-source
     stream (the local twin of a Kafka/Kinesis source at cluster scale);
-    nanosecond timestamps are read as longs and converted, like the
-    batch reader.
+    the stream schema derives from the batch parquet footer and the ts
+    column normalizes through the same ``normalize_events_ts`` the
+    batch reader uses (the physical ts type has drifted across testdata
+    generations — ns-as-long, then timestamp[us]).
   * ``streaming_hourly_aggregate`` is the streaming twin of
     q07_events_hourly — with trigger(availableNow) its complete-mode
     output EQUALS the batch result, which is how the driver's oracle

@@ -402,3 +402,26 @@ def test_kernel_logistic_gp_classifier_circle():
     p = _fit_kernel_logistic(X, y, {}, 0)
     fn = NumpyModel(Task.classification, p)._predict_fn()
     assert (fn(X) == y).mean() > 0.95
+
+
+def test_grid_search_over_numpy_backend(spark, catalog):
+    """Hyperparameter search composes with driver-fit numpy estimators:
+    grid over lasso-CD alpha, k-fold CV, search_results recorded."""
+    rng = np.random.default_rng(51)
+    X = rng.normal(size=(240, 3))
+    y = X @ np.array([2.0, -1.0, 0.5]) + 1.0 + 0.01 * rng.normal(size=240)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(t)) for (a, b, c), t in zip(X, y)],
+        "x1 double, x2 double, x3 double, target double",
+    )
+    res = train(
+        spark, "np-search", task="regression", df=df, y_column_name="target",
+        algorithm="lasso_least_angle", search="grid",
+        search_params={"alpha": [1e-6, 1.0]}, search_args={"cv": 3},
+        test_sampling="random", catalog=catalog,
+    )
+    assert res.metrics["backend"].startswith("numpy")
+    sr = res.metrics["search_results"]
+    assert len(sr["params"]) == 2
+    # tiny alpha wins on near-noiseless linear data
+    assert res.metrics["r2"] > 0.99, res.metrics
