@@ -15,7 +15,7 @@ collects; at 100 TB these are single-stage jobs plus one small shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quackml_spark.plans import register
@@ -851,3 +851,92 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — GPT-style concat-and-chunk for training-example
+# assembly: the whitespace-token stream (docs concatenated in doc_id
+# order) is cut into fixed seq_len blocks; each doc reports the block
+# range it lands in. The global token cumsum is computed SCALABLY:
+# shard by doc_id range, aggregate per-shard sums (tiny driver
+# collect), broadcast cumulative offsets back, finish with an
+# intra-shard window — no single-partition window anywhere, the same
+# two-phase shape as the snapshot's distributed rank.
+# ---------------------------------------------------------------------------
+
+
+def sequence_pack(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_size: int = 1000,
+) -> DataFrame:
+    n_tok = F.size(tokens_expr(text_col))
+    base = docs.select(
+        F.col(id_col), n_tok.alias("n_tokens"),
+        (F.col(id_col) / shard_size).cast("bigint").alias("__shard"),
+    )
+    shard_sums = (
+        base.groupBy("__shard").agg(F.sum("n_tokens").alias("s")).orderBy("__shard")
+    ).collect()
+    offsets, running = {}, 0
+    for r in shard_sums:
+        offsets[r["__shard"]] = running
+        running += int(r["s"])
+    spark = docs.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in offsets.items()], "__shard bigint, __off bigint"
+        )
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.col("__off") + F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return (
+        base.join(off_df, "__shard")
+        .select(
+            id_col,
+            "n_tokens",
+            start.alias("start_tok"),
+            (start / seq_len).cast("bigint").alias("first_bin"),
+            F.greatest((cum - 1) / seq_len, start / seq_len)
+            .cast("bigint")
+            .alias("last_bin"),
+        )
+    )
+
+
+@register(
+    "text_sequence_pack",
+    extra=True,
+    doc="GPT-style sequence packing (concat docs in doc_id order, chunk "
+    "the token stream into 512-token training blocks): per doc, its "
+    "token count, global stream offset, and the [first_bin, last_bin] "
+    "block range it spans. Global cumsum runs as the two-phase "
+    "shard-offset pattern (scale-safe); the oracle is the plain "
+    "window-cumsum formulation DuckDB can run at oracle scale.",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         length(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+         SUM(length(regexp_extract_all(lower(text), '\S+')))
+           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       cum - n_tokens AS start_tok,
+       (cum - n_tokens) // 512 AS first_bin,
+       greatest((cum - 1) // 512, (cum - n_tokens) // 512) AS last_bin
+FROM t
+ORDER BY doc_id
+""",
+    tags=("textops",),
+)
+def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sequence_pack(docs, seq_len=512).orderBy("doc_id")
