@@ -206,15 +206,15 @@ def test_unavailable_backend_raises_actionable(spark):
     from quackml_spark.ml.sklearn_backend import available
 
     # theil_sen used to be the sklearn-gated example; it now resolves
-    # through the numpy backend even without sklearn
+    # through the numpy backend even without sklearn — as does every
+    # reachable (task, algorithm) pair in the reference's dispatch
     res = resolve(Task.regression, Algorithm.theil_sen, {}, 42)
     if not available(Task.regression, Algorithm.theil_sen):
         assert res.backend.startswith("numpy")
-    # kernel SVM regression has no numpy implementation: still gated
-    if available(Task.regression, Algorithm.svm):
-        _pytest.skip("sklearn installed; backend resolves")
+    # dbscan clustering has no predict() and is unreachable in the
+    # reference's dispatch too (model.rs:435-441 todo!): still raises
     with _pytest.raises(NotImplementedError, match="optional backend"):
-        resolve(Task.regression, Algorithm.svm, {}, 42)
+        resolve(Task.clustering, Algorithm.dbscan, {}, 42)
 
 
 def test_sklearn_model_serving_plumbing(spark):
