@@ -273,3 +273,33 @@ def test_stream_stream_join_equals_batch_lookback(spark, sf_dir):
         if r["n_prior_30m"] > 0
     }
     assert stream_counts == batch_counts
+
+
+def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting a checkpointed file-sink stream over the same source
+    emits NOTHING new: the checkpoint records the processed files, so a
+    crash/redeploy cannot double-write output — the exactly-once
+    contract a production ingest job relies on."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        ev = read_event_stream(spark, sf_dir).select(
+            "event_id", "user_id", "value"
+        )
+        q = (
+            ev.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    run_once()  # same checkpoint, no new source files -> no new rows
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1
