@@ -681,3 +681,62 @@ def q27_orders_by_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("yr", "qtr", "iso_dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# q28 — rolling z-score anomaly detection over the events stream.
+# ---------------------------------------------------------------------------
+@register(
+    "q28_events_zscore_anomaly",
+    extra=True,
+    doc="Per event: z-score of `value` against the same user's preceding "
+    "20 events (ROWS frame, excluding current) — the classic streaming "
+    "ops-metric anomaly rule, batch-expressed. One shuffle on user_id; "
+    "the window's sum/sum-of-squares accumulate in DECIMAL(19,6) "
+    "(19 so DuckDB's decimal multiply stays off the int64 overflow "
+    "path) making the double-valued z bit-identical across engines.",
+    oracle="""
+WITH w AS (
+  SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
+    COUNT(*) OVER win AS n,
+    CAST(SUM(CAST(value AS DECIMAL(19,6))) OVER win AS DOUBLE) AS s,
+    CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+         OVER win AS DOUBLE) AS sq
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id,
+  CAST(n AS BIGINT) AS n_window,
+  CAST(ROUND((v - s / n) / sqrt((sq - s * s / n) / (n - 1)), 6) AS DOUBLE) AS z
+FROM w
+WHERE n >= 5 AND (sq - s * s / n) / (n - 1) > 0
+ORDER BY event_id
+""",
+    tags=("relational",),
+)
+def q28_events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    d = F.col("value").cast("decimal(19,6)")
+    n = F.count(F.lit(1)).over(win)
+    s = F.sum(d).over(win).cast("double")
+    sq = F.sum(d * d).over(win).cast("double")
+    v = F.col("value").cast("double")
+    var = (sq - s * s / n) / (n - 1)
+    z = (v - s / n) / F.sqrt(var)
+    return (
+        ev.select(
+            "event_id",
+            n.cast("bigint").alias("n_window"),
+            var.alias("__var"),
+            F.round(z, 6).alias("z"),
+        )
+        .where((F.col("n_window") >= 5) & (F.col("__var") > 0))
+        .drop("__var")
+        .orderBy("event_id")
+    )
