@@ -512,3 +512,69 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("component", "doc_id")
     und.unpersist()
     return out
+
+
+@register(
+    "dedup_cluster_keep",
+    extra=True,
+    doc="The step AFTER dedup: per duplicate cluster (connected "
+    "components over the LSH pair graph), select ONE canonical "
+    "representative — longest document, ties to the smallest doc_id — "
+    "and mark the rest for dropping. This is the keep/drop manifest a "
+    "training-data pipeline actually consumes; singleton documents "
+    "(no duplicates) are all kept. Oracle: the recursive-CTE closure "
+    "plus a window rank over (n_chars DESC, doc_id).",
+    oracle=f"""
+WITH RECURSIVE
+edges AS ({{edges}}),
+und AS (
+  SELECT doc_a AS s, doc_b AS d FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach(node, label) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, r.label FROM und u JOIN reach r ON r.node = u.d
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+),
+with_comp AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS component,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, component,
+       (ROW_NUMBER() OVER (PARTITION BY component
+                           ORDER BY n_chars DESC, doc_id) = 1) AS keep
+FROM with_comp
+ORDER BY doc_id
+""",
+    tags=("dedup",),
+)
+def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    comp = dedup_connected_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    with_comp = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+        "n_chars",
+    )
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        with_comp.withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "component", "keep")
+        .orderBy("doc_id")
+    )
+
+
+# splice the shared edge SQL into the oracle template (f-string braces
+# would mangle the regex escapes inside _SQL_MINHASH_EDGES)
+from quackml_spark.plans import REGISTRY as _REG  # noqa: E402
+
+_REG["dedup_cluster_keep"].oracle = _REG["dedup_cluster_keep"].oracle.replace(
+    "{edges}", _SQL_MINHASH_EDGES
+)
