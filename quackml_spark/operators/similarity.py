@@ -632,3 +632,110 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index — build once, search many. The missing piece
+# between the per-query ann_ivf_topk demo and a production ANN service:
+# the inverted lists land in parquet PARTITIONED BY list_id, so a
+# search's scan statically prunes to the probed partitions (verified in
+# tests via inputFiles) — at 100 TB a 16-of-1024-list probe reads
+# ~1.6% of the index, no shuffle of the unprobed remainder.
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_build(
+    emb: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    quantizer: str = "kmeans",
+    seed: int = 42,
+) -> None:
+    """Build a persistent IVF index at ``path``: centroids.parquet
+    (tiny) + lists/ partitioned by list_id (vec_id, embedding, norm)."""
+    spark = emb.sparkSession
+    emb = _with_norm(emb.select("vec_id", "embedding"), "embedding", "v_norm")
+    if quantizer == "medoid":
+        rows = emb.orderBy("vec_id").limit(n_lists).collect()
+        centers = [(i, list(r["embedding"])) for i, r in enumerate(rows)]
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        km = KMeans(k=n_lists, seed=seed, featuresCol="__v")
+        model = km.fit(emb.withColumn("__v", array_to_vector("embedding")))
+        centers = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+    spark.createDataFrame(
+        [(lid, c) for lid, c in centers], "list_id int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        "v_norm",
+        _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
+    )
+    (
+        assigned.repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+
+
+def ivf_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a persistent IVF index: centroids load driver-side (tiny),
+    probe lists compute map-only per query, and the lists scan carries
+    a partition filter over the UNION of probed list_ids — Spark prunes
+    the unprobed partitions at planning time (PartitionFilters)."""
+    centers = [
+        (int(r["list_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
+    ]
+    centers.sort()
+    q = _with_norm(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        ),
+        "q_emb",
+        "q_norm",
+    ).withColumn(
+        "probe_lists", _nearest_lists(F.col("q_emb"), centers, nprobe)
+    )
+    probed = sorted(
+        {int(lid) for r in q.select("probe_lists").collect() for lid in r[0]}
+    )
+    lists = spark.read.parquet(f"{path}/lists").where(
+        F.col("list_id").isin(probed)
+    )
+    qx = F.broadcast(
+        q.select(
+            "query_id", "q_emb", "q_norm", F.explode("probe_lists").alias("list_id")
+        )
+    )
+    cand = lists.join(qx, "list_id").where(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            cosine_with_norms(
+                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("v_norm")
+            ).cast("decimal(18,9)"),
+            6,
+        )
+        .cast("double")
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

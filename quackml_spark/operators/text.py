@@ -929,9 +929,10 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, n_tokens,
-       cum - n_tokens AS start_tok,
-       (cum - n_tokens) // 512 AS first_bin,
-       greatest((cum - 1) // 512, (cum - n_tokens) // 512) AS last_bin
+       CAST(cum - n_tokens AS BIGINT) AS start_tok,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS first_bin,
+       CAST(greatest((cum - 1) // 512, (cum - n_tokens) // 512) AS BIGINT)
+         AS last_bin
 FROM t
 ORDER BY doc_id
 """,

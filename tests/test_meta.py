@@ -72,9 +72,9 @@ _BROADCAST_ALLOWLIST = {
     "plans/relational.py": 4,    # nation (25) / region (5)
     "plans/relational_ext.py": 2, # nation / region
     "operators/dedup.py": 1,     # simhash 32-row bit table
-    "operators/similarity.py": 4, # 5-query sets + 16/32-row plane tables
+    "operators/similarity.py": 5, # 5-query sets + 16/32-row plane tables + IVF probe set (|queries|·nprobe rows)
     "operators/sampling.py": 1,  # mixture rates (|sources| rows)
-    "operators/text.py": 2,      # langid lexicon (24 rows), benchmark grams (eval-suite-sized)
+    "operators/text.py": 3,      # langid lexicon (24 rows), benchmark grams (eval-suite-sized), sequence-pack shard offsets (|shards| rows)
 }
 
 
