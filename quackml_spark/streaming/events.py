@@ -144,13 +144,20 @@ def streaming_predict(
     catalog = catalog or Catalog()
     spark = stream_df.sparkSession
     _, trained, snap = resolve_deployed(spark, catalog, project_name)
-    if trained.portable is None:
+    if trained.portable is not None:
+        fn = _portable_predict_fn(trained.portable)
+    elif type(trained.spark_model).__name__ == "NumpyModel":
+        # numpy-backend models without a portable dump (SVM, CART
+        # ensembles, kernel machines) still serve on streams: their
+        # parameters ride in the pandas-UDF closure, stateless and
+        # streaming-legal exactly like the portable path
+        fn = trained.spark_model._predict_fn()
+    else:
         raise ValueError(
-            f"streaming_predict serves portable models (linear/logistic/"
-            f"kmeans/pca families); project {project_name!r} deployed a "
-            f"{trained.algorithm} model — serve it in batch via predict()"
+            f"streaming_predict serves portable or numpy-backend models; "
+            f"project {project_name!r} deployed a {trained.algorithm} "
+            f"MLlib model — serve it in batch via predict()"
         )
-    fn = _portable_predict_fn(trained.portable)
     prepped = snap.transform(stream_df, with_label=False)
 
     @F.pandas_udf("double")

@@ -303,3 +303,47 @@ def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
     run_once()  # same checkpoint, no new source files -> no new rows
     n2 = spark.read.parquet(out).count()
     assert n2 == n1
+
+
+def test_streaming_predict_numpy_ensemble(spark, sf_dir, tmp_path):
+    """Non-portable numpy-backend models (CART bagging here) also score
+    streams: the parameter dump rides the pandas-UDF closure. Stream
+    output must equal batch predict row-for-row."""
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.ml import predict, train
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import (
+        read_event_stream,
+        run_to_completion,
+        streaming_predict,
+    )
+
+    catalog = Catalog(warehouse=str(tmp_path / "wh"))
+    feats = lambda df: df.select(
+        "event_id" if "event_id" in df.columns else F.lit(None).alias("event_id"),
+        F.col("user_id").cast("double").alias("f_user"),
+        F.hour("ts").cast("double").alias("f_hour"),
+        *([F.col("value")] if "value" in df.columns else []),
+    )
+    batch = load_table(spark, sf_dir, "events")
+    res = train(
+        spark, "sp np", task="regression",
+        df=feats(batch).drop("event_id"), y_column_name="value",
+        algorithm="bagging", hyperparams={"n_estimators": 3, "max_depth": 4},
+        catalog=catalog, test_sampling="random",
+    )
+    assert res.metrics["backend"] == "numpy"
+    scored_stream = run_to_completion(
+        streaming_predict(
+            feats(read_event_stream(spark, sf_dir)).drop("value"),
+            "sp np", catalog=catalog,
+        ).select("event_id", "prediction"),
+        "qml_sp_np", output_mode="append",
+    )
+    scored_batch = predict(
+        feats(batch).drop("value"), "sp np", catalog=catalog
+    ).select("event_id", F.col("prediction").alias("bpred"))
+    joined = scored_stream.join(scored_batch, "event_id")
+    bad = joined.where(F.abs(F.col("prediction") - F.col("bpred")) > 1e-9).count()
+    assert bad == 0
+    assert scored_stream.count() == batch.count()
