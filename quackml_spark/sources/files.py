@@ -64,6 +64,16 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC source (columnar like parquet: predicate pushdown + column
+    pruning apply; schema travels in the file footer)."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def _dir_bytes_files(path: str, suffix: str = ".parquet") -> tuple[int, int]:
     total, n = 0, 0
     for root, _dirs, names in os.walk(path):

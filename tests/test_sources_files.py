@@ -46,6 +46,24 @@ def test_jsonl_round_trip_explicit_schema(spark, sf_dir, tmp_path):
     assert back.orderBy("doc_id").collect() == docs.orderBy("doc_id").collect()
 
 
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    from quackml_spark.sources.files import read_orc, write_orc
+
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out)
+    back = read_orc(spark, out)
+    assert dict(back.dtypes) == dict(docs.dtypes)
+    assert back.orderBy("doc_id").collect() == docs.orderBy("doc_id").collect()
+    # columnar contract: a filtered two-column projection pushes down
+    jvm = spark.sparkContext._jvm
+    q = back.where(F.col("n_chars") > 100).select("doc_id", "n_chars")
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "text" not in plan.split("ReadSchema",1)[1][:200]
+
+
 def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     fragmented = str(tmp_path / "fragmented")
