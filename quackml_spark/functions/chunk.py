@@ -110,6 +110,28 @@ def _split_sentences_spacy(text: str, size: int, pipeline: str) -> list[str]:
     return _merge_sentences([s.text for s in nlp(text).sents], size)
 
 
+_SENT_RE = None
+
+
+def _split_sentences_regex(text: str, size: int) -> list[str]:
+    """Dependency-free sentence splitter: break after [.!?]+ followed by
+    whitespace and an upper-case/digit/quote sentence opener, protecting
+    common abbreviations. Always executable — the fallback the nltk/
+    spacy splitters gate down to in a bare container."""
+    import re
+
+    global _SENT_RE
+    if _SENT_RE is None:
+        _SENT_RE = re.compile(
+            r"(?<!\b[A-Z])"            # not single-initial "J. Smith"
+            r"(?<!\bDr)(?<!\bMr)(?<!\bMs)(?<!\bMrs)(?<!\bSt)"
+            r"(?<!\be\.g)(?<!\bi\.e)(?<!\betc)(?<!\bvs)"
+            r"(?<=[.!?])[\"')\]]*\s+(?=[\"'(\[]?[A-Z0-9])"
+        )
+    sentences = [s for s in _SENT_RE.split(text) if s.strip()]
+    return _merge_sentences(sentences, size, sep=" ")
+
+
 def split_text(splitter: str, text: str, kwargs: dict) -> list[str]:
     size = int(kwargs.get("chunk_size", 4000))
     overlap = int(kwargs.get("chunk_overlap", 200))
@@ -120,6 +142,8 @@ def split_text(splitter: str, text: str, kwargs: dict) -> list[str]:
         return _split_fixed(text or "", size, overlap)
     if splitter in _SEPARATORS:
         return _split_recursive(text or "", _SEPARATORS[splitter], size, overlap)
+    if splitter == "sentence":
+        return _split_sentences_regex(text or "", size)
     if splitter == "nltk":
         return _split_sentences_nltk(text or "", size)
     if splitter == "spacy":
@@ -128,7 +152,7 @@ def split_text(splitter: str, text: str, kwargs: dict) -> list[str]:
         )
     raise ValueError(
         f"unknown splitter {splitter!r}; supported: character, "
-        f"recursive_character, markdown, latex, python, nltk, spacy"
+        f"recursive_character, markdown, latex, python, sentence, nltk, spacy"
     )
 
 

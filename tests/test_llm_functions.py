@@ -264,3 +264,37 @@ def test_sentence_splitters_gated(monkeypatch):
     assert out == ["one two.\n\nthree four."]
     out = split_text("nltk", "one two. three four", {"chunk_size": 10})
     assert out == ["one two.", "three four."]
+
+
+def test_chunk_sentence_regex_splitter():
+    """Dependency-free sentence splitter: abbreviation-safe breaks,
+    greedy merge up to chunk_size — executable without nltk/spacy."""
+    from quackml_spark.functions.chunk import split_text
+
+    t = (
+        'Dr. Smith went home. He was tired! "Really?" she asked. '
+        "The answer, i.e. the truth, was no. Mr. J. Jones left at 5. Done."
+    )
+    out = split_text("sentence", t, {"chunk_size": 60})
+    assert all(len(c) <= 60 for c in out)
+    # no abbreviation was split mid-"sentence"
+    joined = " ".join(out)
+    assert "Dr. Smith went home." in joined and "i.e. the truth" in joined
+    # chunk_size larger than the text -> one chunk
+    assert len(split_text("sentence", t, {"chunk_size": 10000})) == 1
+
+
+def test_chunk_sentence_on_documents(spark, docs):
+    from quackml_spark.functions.chunk import chunk
+
+    out = chunk(docs.limit(20), "sentence", "text", {"chunk_size": 80})
+    rows = out.select("doc_id", "chunk_index", "chunk").collect()
+    assert rows
+    # oversize chunks are allowed only when they are a single
+    # unsplittable sentence (LangChain merge semantics) — i.e. they
+    # contain no internal sentence boundary
+    import re
+
+    for r in rows:
+        if len(r["chunk"]) > 80:
+            assert not re.search(r"[.!?]\s+\S", r["chunk"]), r["chunk"][:120]
