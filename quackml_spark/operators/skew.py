@@ -65,3 +65,39 @@ def salted_groupby(
         for name, (kind, _) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*p2_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_on: str | Column | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the BIG side's hot keys across
+    ``n_salts`` reducers and replicate the SMALL side once per salt, so
+    one hot join key no longer funnels through a single task. Results
+    are row-identical to ``big.join(small, key, how)``; only the
+    physical distribution changes. Use when AQE's runtime skew split
+    can't engage (e.g. the skewed stage feeds a window) or when the
+    skew is known up front.
+
+    Supported ``how``: inner / left (the replicated-small shapes where
+    per-row multiplicity is preserved). The salt input defaults to a
+    content hash of the big side's columns — deterministic across task
+    retries; pass a unique id column when big-side rows can be exact
+    duplicates (same caveat as salted_groupby)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt_input = (
+        [salt_on] if salt_on is not None else [F.col(c) for c in big.columns]
+    )
+    salt = F.pmod(F.xxhash64(*salt_input), F.lit(n_salts))
+    big_s = big.withColumn("__qml_salt", salt)
+    small_s = small.withColumn(
+        "__qml_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    out = big_s.join(small_s, [key, "__qml_salt"], how)
+    return out.drop("__qml_salt")

@@ -941,3 +941,60 @@ ORDER BY doc_id
 def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sequence_pack(docs, seq_len=512).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text cleaning — pre-training normalization: strip URLs/emails,
+# collapse runs of whitespace, trim. Pure JVM regexp_replace chain
+# (map-only, codegen-friendly); the oracle replays the identical regex
+# chain in DuckDB and compares md5(cleaned) — one char of divergence
+# fails the hash.
+# ---------------------------------------------------------------------------
+
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def clean_text_expr(col):
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _URL_RE, " ")
+    c = F.regexp_replace(c, _EMAIL_RE, " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def text_clean(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("clean_text", clean_text_expr(text_col))
+
+
+@register(
+    "text_clean_normalize",
+    extra=True,
+    doc="Pre-training text normalization (URL/email strip, whitespace "
+    "collapse, trim) as a pure regexp_replace chain; value-checked by "
+    "md5 of the cleaned text against the identical chain in DuckDB.",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+             '\s+', ' ', 'g'))) AS clean_md5,
+       length(trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+             '\s+', ' ', 'g'))) AS clean_len
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("textops",),
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = text_clean(docs)
+    return cleaned.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+    ).orderBy("doc_id")

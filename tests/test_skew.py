@@ -70,3 +70,35 @@ def test_salted_groupby_rejects_non_reaggregatable():
 
     with _pytest.raises(ValueError, match="non-re-aggregatable"):
         salted_groupby(None, ["k"], {"bad": ("avg", F.lit(1))})
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted join must be row-identical to the plain join on a
+    deliberately skewed key distribution (90% of big rows on one key)."""
+    from quackml_spark.operators.skew import salted_join
+
+    big = spark.range(10_000).selectExpr(
+        "id", "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 7 END AS k",
+        "id * 2 AS payload"
+    )
+    small = spark.range(7).selectExpr("id AS k", "id * 100 AS dim")
+    plain = big.join(small, "k", "inner").selectExpr("id", "k", "payload", "dim")
+    salted = salted_join(big, small, "k", n_salts=8).selectExpr(
+        "id", "k", "payload", "dim"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from quackml_spark.operators.skew import salted_join
+
+    big = spark.range(100).selectExpr("id", "id % 13 AS k")
+    small = spark.range(5).selectExpr("id AS k", "id AS dim")
+    plain = big.join(small, "k", "left").selectExpr("id", "k", "dim")
+    salted = salted_join(big, small, "k", n_salts=4, how="left").selectExpr(
+        "id", "k", "dim"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
