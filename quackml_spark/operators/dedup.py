@@ -524,9 +524,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training-data pipeline actually consumes; singleton documents "
     "(no duplicates) are all kept. Oracle: the recursive-CTE closure "
     "plus a window rank over (n_chars DESC, doc_id).",
-    oracle=f"""
+    oracle="""
 WITH RECURSIVE
-edges AS ({{edges}}),
+edges AS (""" + _SQL_MINHASH_EDGES + """),
 und AS (
   SELECT doc_a AS s, doc_b AS d FROM edges
   UNION SELECT doc_b, doc_a FROM edges
@@ -571,10 +571,4 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# splice the shared edge SQL into the oracle template (f-string braces
-# would mangle the regex escapes inside _SQL_MINHASH_EDGES)
-from quackml_spark.plans import REGISTRY as _REG  # noqa: E402
 
-_REG["dedup_cluster_keep"].oracle = _REG["dedup_cluster_keep"].oracle.replace(
-    "{edges}", _SQL_MINHASH_EDGES
-)
