@@ -825,3 +825,59 @@ def ml_array_features_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.round(F.col("prediction"), 3).alias("prediction")
     ).orderBy("vec_id")
+
+
+@register(
+    "ml_feature_drift_psi",
+    extra=True,
+    doc="Model-monitoring drift detection: Population Stability Index "
+    "per feature between a reference window (1996-) and a current "
+    "window (1997+) of orders, over 10 equal-width bins spanning the "
+    "combined min/max. PSI = sum over bins of (cur%% - ref%%) * "
+    "ln(cur%%/ref%%) with the standard 1e-6 zero-floor. Pure "
+    "bucketize+groupBy (two map-side-combined aggregates — the shape "
+    "that monitors a 100 TB serving log); DuckDB replays the identical "
+    "binning and log arithmetic, round(6).",
+    oracle="""
+WITH spans AS (
+  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS hi
+  FROM orders
+), tagged AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 0 ELSE 1 END AS win
+  FROM orders
+), binned AS (
+  SELECT win,
+         LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 10.0)) AS INT), 9) AS bin
+  FROM tagged, spans
+), counts AS (
+  SELECT bin,
+         SUM(CASE WHEN win = 0 THEN 1 ELSE 0 END) AS ref_n,
+         SUM(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS cur_n
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT SUM(ref_n) AS ref_t, SUM(cur_n) AS cur_t FROM counts
+), rates AS (
+  SELECT bin,
+         GREATEST(ref_n / ref_t, 1e-6) AS r,
+         GREATEST(cur_n / cur_t, 1e-6) AS c
+  FROM counts, tot
+)
+SELECT 'o_totalprice' AS feature,
+       CAST(ROUND(SUM((c - r) * LN(c / r)), 6) AS DOUBLE) AS psi,
+       CAST(COUNT(*) AS BIGINT) AS n_bins
+FROM rates
+""",
+    tags=("ml",),
+)
+def ml_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml.monitor import feature_drift_psi
+
+    orders = load_table(spark, sf_dir, "orders")
+    return feature_drift_psi(
+        orders,
+        features=["o_totalprice"],
+        window_col=(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")),
+        n_bins=10,
+    )

@@ -402,3 +402,22 @@ def test_clustering_purity_is_interpretable(spark, sf_dir):
             "MLlib k-means no longer converges to the true partition; "
             "re-derive the oracle or reseed"
         )
+
+
+def test_feature_drift_psi_detects_shift(spark):
+    """PSI ≈ 0 when both windows share a distribution; large when the
+    current window shifts."""
+    from quackml_spark.ml.monitor import feature_drift_psi
+
+    same = spark.range(4000).selectExpr(
+        "cast(id % 100 as double) as x", "id % 2 = 1 as is_cur"
+    )
+    psi_same = feature_drift_psi(same, ["x"], F.col("is_cur")).first()["psi"]
+    assert abs(psi_same) < 0.01, psi_same
+
+    shifted = spark.range(4000).selectExpr(
+        "cast(id % 100 as double) + case when id % 2 = 1 then 50 else 0 end as x",
+        "id % 2 = 1 as is_cur",
+    )
+    psi_shift = feature_drift_psi(shifted, ["x"], F.col("is_cur")).first()["psi"]
+    assert psi_shift > 0.25, psi_shift
