@@ -37,6 +37,11 @@ PLAN_PINNED = [
     "llm_embed_documents",
     "ann_cosine_topk",
     "embedding_cosine_dedup",
+    # round-6 additions
+    "q28_events_zscore_anomaly",
+    "text_sequence_pack",
+    "text_clean_normalize",
+    "ml_feature_drift_psi",
 ]
 
 # intentional broadcast nested-loop joins, all with CONSTANT-size build
