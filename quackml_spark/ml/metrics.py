@@ -386,3 +386,55 @@ def generation_metrics_df(df: DataFrame, pred_col: str, ref_col: str) -> dict:
         "rouge_lcs_precision": float(agg["rlp"] or 0.0),
         "rouge_lcs_recall": float(agg["rlr"] or 0.0),
     }
+
+
+def confusion_matrix_df(pred: DataFrame) -> DataFrame:
+    """(label, prediction, n) counts — the confusion matrix AS a
+    DataFrame (one groupBy, stays distributed; the tuple-returning
+    ``confusion_matrix`` above is the driver-side variant the scorer
+    uses)."""
+    return (
+        pred.groupBy(
+            F.col("label").cast("double").alias("label"),
+            F.col("prediction").cast("double").alias("prediction"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "prediction")
+    )
+
+
+def classification_report(pred: DataFrame) -> DataFrame:
+    """Per-class precision/recall/f1/support from one confusion-matrix
+    pass (sklearn.metrics.classification_report shape, distributed)."""
+    cm = confusion_matrix_df(pred).cache()
+    support = cm.groupBy(F.col("label").alias("cls")).agg(
+        F.sum("n").alias("support")
+    )
+    predicted = cm.groupBy(F.col("prediction").alias("cls")).agg(
+        F.sum("n").alias("predicted_n")
+    )
+    tp = cm.where(F.col("label") == F.col("prediction")).select(
+        F.col("label").alias("cls"), F.col("n").alias("tp")
+    )
+    out = (
+        support.join(predicted, "cls", "full")
+        .join(tp, "cls", "left")
+        .na.fill({"tp": 0, "support": 0, "predicted_n": 0})
+        .select(
+            "cls",
+            (F.col("tp") / F.greatest("predicted_n", F.lit(1))).alias("precision"),
+            (F.col("tp") / F.greatest("support", F.lit(1))).alias("recall"),
+            "support",
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("cls")
+    )
+    cm.unpersist()
+    return out

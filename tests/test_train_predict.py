@@ -392,7 +392,9 @@ def test_clustering_purity_is_interpretable(spark, sf_dir):
     with nothing but a hash diff. This asserts cluster PURITY directly
     (per predicted cluster, min == max of the true group key) so that
     failure mode surfaces as a named assertion (round-3 advice)."""
-    from quackml_spark.plans import REGISTRY
+    from quackml_spark.plans import REGISTRY, _load_all
+
+    _load_all()
 
     rows = REGISTRY["ml_clustering_embeddings"].builder(spark, sf_dir).collect()
     assert len(rows) == 5, f"expected 5 clusters, got {len(rows)}: k-means merged/split groups"
@@ -421,3 +423,18 @@ def test_feature_drift_psi_detects_shift(spark):
     )
     psi_shift = feature_drift_psi(shifted, ["x"], F.col("is_cur")).first()["psi"]
     assert psi_shift > 0.25, psi_shift
+
+
+def test_classification_report_matches_sklearn_shape(spark):
+    from quackml_spark.ml.metrics import classification_report, confusion_matrix_df
+
+    rows = [(0.0, 0.0)] * 40 + [(0.0, 1.0)] * 10 + [(1.0, 1.0)] * 30 + [(1.0, 0.0)] * 20
+    pred = spark.createDataFrame(rows, "label double, prediction double")
+    cm = {(r["label"], r["prediction"]): r["n"] for r in confusion_matrix_df(pred).collect()}
+    assert cm == {(0.0, 0.0): 40, (0.0, 1.0): 10, (1.0, 1.0): 30, (1.0, 0.0): 20}
+    rep = {r["cls"]: r for r in classification_report(pred).collect()}
+    assert abs(rep[0.0]["precision"] - 40 / 60) < 1e-12
+    assert abs(rep[0.0]["recall"] - 40 / 50) < 1e-12
+    assert abs(rep[1.0]["precision"] - 30 / 40) < 1e-12
+    assert abs(rep[1.0]["recall"] - 30 / 50) < 1e-12
+    assert rep[0.0]["support"] == 50 and rep[1.0]["support"] == 50
