@@ -71,3 +71,45 @@ def feature_drift_psi(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def feature_drift_ks(
+    df: DataFrame,
+    feature: str,
+    window_col: Column,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    reference (window_col==false) and current (window_col==true)
+    windows: max |F_ref(v) − F_cur(v)| over observed values.
+
+    Scale shape: groupBy(value) first (map-side combine shrinks the
+    relation to |distinct values| rows), THEN the CDF window runs over
+    that small grouped relation — so the single ordering window never
+    sees raw data. For high-cardinality continuous features, bin first
+    (PSI's equal-width binning); KS over binned values is the discrete
+    KS of the binned distributions."""
+    v = F.col(feature).cast("double")
+    win = window_col.cast("int")
+    counts = (
+        df.select(v.alias("v"), win.alias("win"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("win") == 0, 1).otherwise(0)).alias("ref_n"),
+            F.sum(F.when(F.col("win") == 1, 1).otherwise(0)).alias("cur_n"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("ref_n").alias("rt"), F.sum("cur_n").alias("ct")
+    ).collect()[0]
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cdfs = counts.select(
+        "v",
+        (F.sum("ref_n").over(w) / F.lit(float(tot["rt"]))).alias("ref_cdf"),
+        (F.sum("cur_n").over(w) / F.lit(float(tot["ct"]))).alias("cur_cdf"),
+    )
+    return cdfs.agg(
+        F.lit(feature).alias("feature"),
+        F.round(F.max(F.abs(F.col("ref_cdf") - F.col("cur_cdf"))), 6).alias("ks"),
+    )

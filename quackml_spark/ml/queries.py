@@ -881,3 +881,46 @@ def ml_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_col=(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")),
         n_bins=10,
     )
+
+
+@register(
+    "ml_feature_drift_ks",
+    extra=True,
+    doc="Exact two-sample KS statistic between serving windows over "
+    "l_quantity (50 distinct values): groupBy(value) shrinks the "
+    "relation before the CDF window, so the ordering window runs over "
+    "|distinct| rows, never raw data. Oracle replays grouped counts + "
+    "window CDFs in DuckDB.",
+    oracle="""
+WITH tagged AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v,
+         CASE WHEN l_shipdate < TIMESTAMP '1997-01-01' THEN 0 ELSE 1 END AS win
+  FROM lineitem
+), counts AS (
+  SELECT v,
+         SUM(CASE WHEN win = 0 THEN 1 ELSE 0 END) AS ref_n,
+         SUM(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS cur_n
+  FROM tagged GROUP BY v
+), tot AS (
+  SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM counts
+), cdfs AS (
+  SELECT v,
+         SUM(ref_n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / rt AS ref_cdf,
+         SUM(cur_n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / ct AS cur_cdf
+  FROM counts, tot
+)
+SELECT 'l_quantity' AS feature,
+       CAST(ROUND(MAX(ABS(ref_cdf - cur_cdf)), 6) AS DOUBLE) AS ks
+FROM cdfs
+""",
+    tags=("ml",),
+)
+def ml_feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml.monitor import feature_drift_ks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return feature_drift_ks(
+        li,
+        "l_quantity",
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"),
+    )

@@ -438,3 +438,22 @@ def test_classification_report_matches_sklearn_shape(spark):
     assert abs(rep[1.0]["precision"] - 30 / 40) < 1e-12
     assert abs(rep[1.0]["recall"] - 30 / 50) < 1e-12
     assert rep[0.0]["support"] == 50 and rep[1.0]["support"] == 50
+
+
+def test_feature_drift_ks_detects_shift(spark):
+    from quackml_spark.ml.monitor import feature_drift_ks
+
+    same = spark.range(4000).selectExpr(
+        "cast(id % 100 as double) as x", "id % 2 = 1 as is_cur"
+    )
+    # even ids land in ref, odd in cur → supports interleave, so the
+    # CDFs differ by at most one value-step (1/50 = 0.02) when the
+    # distributions match
+    ks_same = feature_drift_ks(same, "x", F.col("is_cur")).first()["ks"]
+    assert ks_same <= 0.02, ks_same
+    shifted = spark.range(4000).selectExpr(
+        "cast(id % 100 as double) + case when id % 2 = 1 then 50 else 0 end as x",
+        "id % 2 = 1 as is_cur",
+    )
+    ks_shift = feature_drift_ks(shifted, "x", F.col("is_cur")).first()["ks"]
+    assert ks_shift > 0.4, ks_shift
