@@ -122,11 +122,17 @@ def _split_sentences_regex(text: str, size: int) -> list[str]:
 
     global _SENT_RE
     if _SENT_RE is None:
+        # Split on whitespace ONLY (zero-width assertions around it), so
+        # closing quotes/brackets after terminal punctuation stay in the
+        # chunk text. Each abbreviation guard includes the trailing
+        # period — the lookbehind position is AFTER the punctuation, so
+        # a guard without the dot can never match.
         _SENT_RE = re.compile(
-            r"(?<!\b[A-Z])"            # not single-initial "J. Smith"
-            r"(?<!\bDr)(?<!\bMr)(?<!\bMs)(?<!\bMrs)(?<!\bSt)"
-            r"(?<!\be\.g)(?<!\bi\.e)(?<!\betc)(?<!\bvs)"
-            r"(?<=[.!?])[\"')\]]*\s+(?=[\"'(\[]?[A-Z0-9])"
+            r"(?<!\b[A-Z]\.)"            # not single-initial "J. Smith"
+            r"(?<!\bDr\.)(?<!\bMr\.)(?<!\bMs\.)(?<!\bMrs\.)(?<!\bSt\.)"
+            r"(?<!\be\.g\.)(?<!\bi\.e\.)(?<!\betc\.)(?<!\bvs\.)"
+            r"(?:(?<=[.!?])|(?<=[.!?][\"')\]]))"
+            r"\s+(?=[\"'(\[]?[A-Z0-9])"
         )
     sentences = [s for s in _SENT_RE.split(text) if s.strip()]
     return _merge_sentences(sentences, size, sep=" ")

@@ -407,6 +407,10 @@ def classification_report(pred: DataFrame) -> DataFrame:
     """Per-class precision/recall/f1/support from one confusion-matrix
     pass (sklearn.metrics.classification_report shape, distributed)."""
     cm = confusion_matrix_df(pred).cache()
+    cm.count()  # materialize: the cache must be live when the three
+    # downstream branches (support/predicted/tp) evaluate; the cached
+    # relation is tiny (k² rows for k classes) so we leave eviction to
+    # Spark's LRU rather than unpersisting under the returned plan.
     support = cm.groupBy(F.col("label").alias("cls")).agg(
         F.sum("n").alias("support")
     )
@@ -436,5 +440,4 @@ def classification_report(pred: DataFrame) -> DataFrame:
         )
         .orderBy("cls")
     )
-    cm.unpersist()
     return out

@@ -141,7 +141,8 @@ def _fit_omp(X, y, hp, seed):
         active.append(j)
         sol, *_ = np.linalg.lstsq(Xc[:, active], yc, rcond=None)
         r = yc - Xc[:, active] @ sol
-    coef[active] = sol
+    if active:
+        coef[active] = sol
     return {"kind": "linear", "coef": coef, "intercept": float(ym - xm @ coef)}
 
 

@@ -33,9 +33,10 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
-def decode_ppm(data: bytes) -> np.ndarray:
-    """P6 bytes -> (h, w, 3) uint8. Handles comment lines and any
-    whitespace between header tokens (the format's full generality)."""
+def _parse_ppm_header(data: bytes) -> tuple[int, int, int]:
+    """Parse a P6 header; returns (w, h, pixel_data_start_offset).
+    Handles comment lines and any whitespace between header tokens
+    (the format's full generality)."""
     if not data.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     pos = 2
@@ -55,6 +56,12 @@ def decode_ppm(data: bytes) -> np.ndarray:
     w, h, maxval = vals
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    return w, h, pos
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """P6 bytes -> (h, w, 3) uint8."""
+    w, h, pos = _parse_ppm_header(data)
     n = w * h * 3
     raw = data[pos : pos + n]
     if len(raw) < n:
@@ -64,17 +71,22 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 def ppm_frames(data: bytes):
     """Parse CONCATENATED P6 frames (the synthetic 'video' container):
-    yields (h, w, 3) arrays until the buffer is exhausted."""
+    yields (h, w, 3) arrays until the buffer is exhausted.
+
+    The next-frame offset comes from the header parse itself — never
+    from searching for a byte pattern, which would misfire on a frame
+    whose width/height token happens to be 255."""
     pos = 0
     while pos < len(data):
         if data[pos : pos + 2] != b"P6":
             raise ValueError(f"bad frame magic at offset {pos}")
-        # find the end of this frame by decoding its header
-        frame = decode_ppm(data[pos:])
-        h, w, _ = frame.shape
-        header_end = data.index(b"255\n", pos) + 4
-        pos = header_end + w * h * 3
-        yield frame
+        w, h, data_start = _parse_ppm_header(data[pos:])
+        n = w * h * 3
+        raw = data[pos + data_start : pos + data_start + n]
+        if len(raw) < n:
+            raise ValueError("truncated PPM frame")
+        pos += data_start + n
+        yield np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
 def resize_nearest(pixels: np.ndarray, tw: int, th: int) -> np.ndarray:

@@ -146,3 +146,19 @@ def test_ppm_frames_property(n_frames, w, h, seed):
     assert len(out) == n_frames
     for got, want in zip(out, frames):
         np.testing.assert_array_equal(got, want)
+
+
+def test_ppm_frames_width_255_regression():
+    """A frame whose width token is 255 used to break the next-frame
+    offset (the old code searched for the literal b"255\n", which the
+    header token "255 2\n" also contains). The offset now comes from
+    the header parse itself."""
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, size=(2, 255, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8),
+    ]
+    out = list(ppm_frames(b"".join(encode_ppm(f) for f in frames)))
+    assert len(out) == 2
+    for got, want in zip(out, frames):
+        np.testing.assert_array_equal(got, want)

@@ -298,3 +298,28 @@ def test_chunk_sentence_on_documents(spark, docs):
     for r in rows:
         if len(r["chunk"]) > 80:
             assert not re.search(r"[.!?]\s+\S", r["chunk"]), r["chunk"][:120]
+
+
+def test_sentence_splitter_preserves_closing_quotes():
+    """The separator consumes only whitespace — closing quotes/brackets
+    after terminal punctuation stay in the text (the old regex deleted
+    them from chunk output)."""
+    from quackml_spark.functions.chunk import _split_sentences_regex
+
+    out = _split_sentences_regex('He said "Stop." Then he left.', 10)
+    assert out == ['He said "Stop."', "Then he left."]
+    assert "".join(out).count('"') == 2
+
+
+def test_sentence_splitter_abbreviation_guards():
+    """Abbreviation guards include the trailing period (a lookbehind at
+    the post-punctuation position without the dot can never match)."""
+    from quackml_spark.functions.chunk import _split_sentences_regex
+
+    text = "Dr. Smith arrived. See e.g. the appendix. J. Smith concurs."
+    out = _split_sentences_regex(text, 20)
+    assert out == [
+        "Dr. Smith arrived.",
+        "See e.g. the appendix.",
+        "J. Smith concurs.",
+    ]

@@ -86,6 +86,18 @@ def test_omp_recovers_sparse_support():
     assert nz == {2, 7}
 
 
+def test_omp_constant_target_intercept_only():
+    """Zero-variance target: the first iteration finds no correlated
+    column and breaks before any least-squares solve — must return the
+    intercept-only fit, not raise NameError."""
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(50, 4))
+    y = np.full(50, 3.25)
+    p = _fit_omp(X, y, {"n_nonzero_coefs": 2}, 0)
+    np.testing.assert_allclose(p["coef"], np.zeros(4))
+    assert abs(p["intercept"] - 3.25) < 1e-12
+
+
 def test_bayesian_ridge_close_to_ols_on_clean_data():
     X, y, w = _toy(noise=0.01)
     p = _fit_bayesian_ridge(X, y, {}, 0)

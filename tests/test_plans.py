@@ -42,6 +42,7 @@ PLAN_PINNED = [
     "text_sequence_pack",
     "text_clean_normalize",
     "ml_feature_drift_psi",
+    "ml_feature_drift_ks",
 ]
 
 # intentional broadcast nested-loop joins, all with CONSTANT-size build
@@ -118,6 +119,45 @@ def test_q19_single_window_shuffle(spark, sf_dir):
     # one hash exchange for the window + one range/single exchange for
     # the deterministic ORDER BY tail is acceptable; more is a regression
     assert len(exchanges) <= 2, plan[:3000]
+
+
+def _partitionless_windows(plan: str) -> list[str]:
+    """Return the argument lists of window specs with an EMPTY partition
+    clause. In `windowspecdefinition(part..., ord ASC/DESC, frame)` the
+    partition columns come first; if the FIRST top-level argument is
+    already a sort spec (contains ASC/DESC) the window is global — a
+    single-reducer serialization point at scale."""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        i, depth, start = m.end(), 1, m.end()
+        while depth and i < len(plan):
+            depth += plan[i] == "("
+            depth -= plan[i] == ")"
+            i += 1
+        args = plan[start : i - 1]
+        first, d = "", 0
+        for ch in args:
+            if ch == "," and d == 0:
+                break
+            d += ch == "("
+            d -= ch == ")"
+            first += ch
+        if " ASC" in first or " DESC" in first:
+            out.append(args)
+    return out
+
+
+@pytest.mark.parametrize("name", PLAN_PINNED)
+def test_no_partitionless_window(spark, sf_dir, name):
+    """No pinned query may contain a window with an empty partition
+    spec — Spark funnels those through a SinglePartition exchange, a
+    one-reducer bottleneck a 100 TB input cannot pass (the shape the
+    r6 verdict flagged in feature_drift_ks, now two-phase)."""
+    plan = _plan(spark, name, sf_dir)
+    bad = _partitionless_windows(plan)
+    assert not bad, f"{name}: global window(s): {bad[:2]}\n{plan[:2000]}"
 
 
 def test_dedup_minhash_no_embedding_in_shuffle(spark, sf_dir):

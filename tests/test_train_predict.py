@@ -457,3 +457,84 @@ def test_feature_drift_ks_detects_shift(spark):
     )
     ks_shift = feature_drift_ks(shifted, "x", F.col("is_cur")).first()["ks"]
     assert ks_shift > 0.4, ks_shift
+
+
+def test_feature_drift_psi_multi_feature_single_pass(spark):
+    """One call covers k features (stacked single pass): a stable and a
+    shifted feature computed together report per-feature PSI."""
+    from quackml_spark.ml.monitor import feature_drift_psi
+
+    df = spark.range(4000).selectExpr(
+        "cast(id % 100 as double) as stable",
+        "cast(id % 100 as double) + case when id % 2 = 1 then 50 else 0 end"
+        " as drifted",
+        "id % 2 = 1 as is_cur",
+    )
+    rows = {
+        r["feature"]: r["psi"]
+        for r in feature_drift_psi(
+            df, ["stable", "drifted"], F.col("is_cur")
+        ).collect()
+    }
+    assert set(rows) == {"stable", "drifted"}
+    assert abs(rows["stable"]) < 0.01, rows
+    assert rows["drifted"] > 0.25, rows
+
+
+def test_feature_drift_psi_null_and_empty_inputs(spark):
+    """All-null features yield no row (not a TypeError crash); null
+    values are excluded from binning rather than forming a hidden bin."""
+    from quackml_spark.ml.monitor import feature_drift_psi
+
+    df = spark.range(100).selectExpr(
+        "cast(null as double) as all_null",
+        "cast(id % 10 as double) as x",
+        "id % 2 = 1 as is_cur",
+    )
+    rows = feature_drift_psi(df, ["all_null", "x"], F.col("is_cur")).collect()
+    assert [r["feature"] for r in rows] == ["x"]
+
+    with_nulls = spark.range(1000).selectExpr(
+        "case when id % 7 = 0 then null else cast((id div 2) % 10 as double)"
+        " end as x",
+        "id % 2 = 1 as is_cur",
+    )
+    psi = feature_drift_psi(with_nulls, ["x"], F.col("is_cur")).first()["psi"]
+    assert abs(psi) < 0.05, psi
+
+
+def test_feature_drift_ks_auto_bins_high_cardinality(spark):
+    """Above max_distinct the grouped relation is auto-binned before the
+    CDF — the statistic stays within bin resolution of the exact one."""
+    from quackml_spark.ml.monitor import feature_drift_ks
+
+    df = spark.range(20_000).selectExpr(
+        "cast(id as double) / 20000 + case when id % 2 = 1 then 0.25 else 0 end"
+        " as x",
+        "id % 2 = 1 as is_cur",
+    )
+    exact = feature_drift_ks(df, "x", F.col("is_cur")).first()["ks"]
+    binned = feature_drift_ks(
+        df, "x", F.col("is_cur"), max_distinct=1000, auto_bins=500
+    ).first()["ks"]
+    assert abs(exact - binned) < 0.01, (exact, binned)
+    assert binned > 0.2  # true KS of a 0.25 shift on U[0,1] is 0.25
+
+
+def test_feature_drift_ks_empty_window_raises(spark):
+    """KS against an empty sample is undefined — clear error, not a
+    float(None) TypeError."""
+    import pytest as _pytest
+
+    from quackml_spark.ml.monitor import feature_drift_ks
+
+    one_sided = spark.range(100).selectExpr(
+        "cast(id as double) as x", "false as is_cur"
+    )
+    with _pytest.raises(ValueError, match="current window"):
+        feature_drift_ks(one_sided, "x", F.col("is_cur"))
+    empty = spark.range(100).selectExpr(
+        "cast(null as double) as x", "id % 2 = 1 as is_cur"
+    )
+    with _pytest.raises(ValueError, match="no non-null"):
+        feature_drift_ks(empty, "x", F.col("is_cur"))
