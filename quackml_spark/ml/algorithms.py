@@ -8,9 +8,13 @@ Resolution order per algorithm:
      the reference, which trains every algorithm single-node);
   2. **xgboost.spark / sklearn** when importable (import-gated — absent
      in this container);
-  3. **approx**: a documented MLlib stand-in with matching task semantics
-     (e.g. extra_trees -> RandomForest); recorded in the model's metrics
-     as ``backend`` so results are never silently misattributed;
+  3. **numpy** exact re-implementations for the classical long tail
+     (numpy_backend.py — includes extra_trees and
+     hist_gradient_boosting with true random-threshold / histogram-GBDT
+     semantics), else **approx**: a documented MLlib stand-in with
+     matching task semantics (e.g. birch -> BisectingKMeans); recorded
+     in the model's metrics as ``backend`` so results are never
+     silently misattributed;
   4. otherwise an informative error listing what would make it available.
 
 Hyperparameters accept both sklearn/xgboost spellings and MLlib names
@@ -113,12 +117,11 @@ def resolve(task: Task, algorithm: Algorithm, hyperparams: dict | None, seed: in
             return mk(LinearRegression(loss="huber", **lin))
         if a == Algorithm.random_forest:
             return mk(RandomForestRegressor(**lin))
-        if a == Algorithm.extra_trees:
-            return mk(
-                RandomForestRegressor(featureSubsetStrategy="sqrt", **lin),
-                "mllib-approx:extra_trees->random_forest",
-            )
-        if a in (Algorithm.gradient_boosting_trees, Algorithm.hist_gradient_boosting):
+        # extra_trees / hist_gradient_boosting fall through to the numpy
+        # backend below: exact Geurts random-threshold / histogram-GBDT
+        # semantics (driver-fit, like the reference's sklearn path)
+        # instead of the former mllib-approx stand-ins.
+        if a == Algorithm.gradient_boosting_trees:
             return mk(GBTRegressor(**lin))
         if a in (Algorithm.xgboost, Algorithm.xgboost_random_forest, Algorithm.lightgbm, Algorithm.catboost):
             if a in (Algorithm.xgboost, Algorithm.xgboost_random_forest) and _have("xgboost.spark"):
@@ -142,14 +145,11 @@ def resolve(task: Task, algorithm: Algorithm, hyperparams: dict | None, seed: in
         # former linear_svc stand-in)
         if a == Algorithm.random_forest:
             return mk(RandomForestClassifier(**lin))
-        if a == Algorithm.extra_trees:
-            return mk(
-                RandomForestClassifier(featureSubsetStrategy="sqrt", **lin),
-                "mllib-approx:extra_trees->random_forest",
-            )
+        # extra_trees / hist_gradient_boosting fall through to the numpy
+        # backend below (exact random-threshold / histogram-GBDT
+        # semantics, like the reference's sklearn path).
         if a in (
             Algorithm.gradient_boosting_trees,
-            Algorithm.hist_gradient_boosting,
             Algorithm.xgboost,
             Algorithm.xgboost_random_forest,
             Algorithm.lightgbm,
@@ -162,7 +162,7 @@ def resolve(task: Task, algorithm: Algorithm, hyperparams: dict | None, seed: in
                 return Resolved(est, "xgboost-spark")
             # GBTClassifier is binary-only; multiclass goes through OneVsRest
             # at fit time (train.py decides by label cardinality).
-            backend = "mllib" if a in (Algorithm.gradient_boosting_trees, Algorithm.hist_gradient_boosting) else f"mllib-approx:{a.value}->gbt"
+            backend = "mllib" if a == Algorithm.gradient_boosting_trees else f"mllib-approx:{a.value}->gbt"
             return mk(GBTClassifier(**lin), backend)
         if a == Algorithm.stochastic_gradient_descent:
             return mk(LogisticRegression(**lin), "mllib-approx:sgd->logistic")

@@ -642,6 +642,272 @@ def _fit_bagging(X, y, hp, seed, classification=False):
     }
 
 
+def _gini(y):
+    _, cnt = np.unique(y, return_counts=True)
+    p = cnt / cnt.sum()
+    return float(1.0 - (p**2).sum())
+
+
+def _ert_build(X, y, idx, depth, rng, n_feats, min_leaf, classification):
+    """One node of an Extremely Randomized Tree (Geurts et al. 2006):
+    draw ``n_feats`` candidate features, ONE uniform-random threshold
+    per feature between the node's min/max, keep the best-scoring cut
+    (gini for classification, variance for regression). No bootstrap —
+    each tree sees the full sample; the randomness is in the splits."""
+    yi = y[idx]
+    if classification:
+        vals, cnts = np.unique(yi, return_counts=True)
+        leaf = float(vals[cnts.argmax()])
+        pure = len(vals) == 1
+    else:
+        leaf = float(yi.mean())
+        pure = bool(np.all(yi == yi[0]))
+    if depth == 0 or len(idx) < 2 * min_leaf or pure:
+        return {"leaf": leaf}
+    feats = rng.permutation(X.shape[1])[:n_feats]
+    best = None
+    for j in feats:
+        xv = X[idx, j]
+        lo, hi = float(xv.min()), float(xv.max())
+        if hi <= lo:
+            continue
+        thr = float(rng.uniform(lo, hi))
+        mask = xv <= thr
+        nl = int(mask.sum())
+        nr = len(idx) - nl
+        if nl < min_leaf or nr < min_leaf:
+            continue
+        if classification:
+            score = _gini(yi[mask]) * nl + _gini(yi[~mask]) * nr
+        else:
+            score = float(yi[mask].var()) * nl + float(yi[~mask].var()) * nr
+        if best is None or score < best[0]:
+            best = (score, int(j), thr, mask)
+    if best is None:
+        return {"leaf": leaf}
+    _, j, thr, mask = best
+    return {
+        "f": j,
+        "t": thr,
+        "l": _ert_build(X, y, idx[mask], depth - 1, rng, n_feats, min_leaf,
+                        classification),
+        "r": _ert_build(X, y, idx[~mask], depth - 1, rng, n_feats, min_leaf,
+                        classification),
+    }
+
+
+def _fit_extra_trees(X, y, hp, seed, classification=False):
+    """ExtraTrees{Regressor,Classifier} with the reference's sklearn
+    defaults (sklearn.py:37-99): n_estimators=100, no bootstrap,
+    max_features=sqrt(d) for classification / all features for
+    regression, uniform-random thresholds. Exact algorithm semantics —
+    not the random-forest stand-in MLlib offers."""
+    n_estimators = int(hp.get("n_estimators", 100))
+    max_depth = int(hp.get("max_depth", 0) or 30)
+    min_leaf = int(hp.get("min_samples_leaf", 1))
+    d = X.shape[1]
+    if "max_features" in hp:
+        n_feats = max(1, int(hp["max_features"]))
+    else:
+        n_feats = max(1, int(round(np.sqrt(d)))) if classification else d
+    rng = np.random.default_rng(seed)
+    idx = np.arange(len(X))
+    trees = [
+        _ert_build(X, y, idx, max_depth, rng, n_feats, min_leaf, classification)
+        for _ in range(n_estimators)
+    ]
+    out = {
+        "kind": "ensemble",
+        "mode": "extra_trees_clf" if classification else "extra_trees_reg",
+        "trees": trees,
+        "weights": [1.0] * len(trees),
+    }
+    if classification:
+        out["classes"] = np.unique(y)
+    return out
+
+
+def _hist_bin_edges(X, max_bins):
+    """Per-feature bin edges, midpoints between distinct values when
+    the feature has <= max_bins distinct values, else quantile edges —
+    the binning sklearn's _BinMapper applies before any boosting."""
+    edges = []
+    for j in range(X.shape[1]):
+        u = np.unique(X[:, j])
+        if len(u) <= max_bins:
+            e = (u[1:] + u[:-1]) / 2.0
+        else:
+            e = np.unique(
+                np.quantile(X[:, j], np.linspace(0, 1, max_bins + 1)[1:-1])
+            )
+        edges.append(e)
+    return edges
+
+
+def _hgb_tree(B, X_shape_d, g, h, edges, max_depth, min_leaf, lam):
+    """One histogram tree: per node, per feature, accumulate gradient/
+    hessian sums PER BIN (np.bincount — the histogram trick), scan the
+    <=max_bins candidate cuts vectorized, take the best Newton gain.
+    Nodes store the ORIGINAL-space threshold (the bin's upper edge), so
+    the fitted tree serves through the ordinary _cart_predict walker."""
+
+    def leaf_val(idx):
+        return float(-g[idx].sum() / (h[idx].sum() + lam + 1e-300))
+
+    def build(idx, depth):
+        if depth == 0 or len(idx) < 2 * min_leaf:
+            return {"leaf": leaf_val(idx)}
+        G, H = float(g[idx].sum()), float(h[idx].sum())
+        base = G * G / (H + lam + 1e-300)
+        best = None
+        for j in range(X_shape_d):
+            nb = len(edges[j]) + 1
+            if nb < 2:
+                continue
+            bj = B[idx, j]
+            cg = np.bincount(bj, weights=g[idx], minlength=nb)
+            ch = np.bincount(bj, weights=h[idx], minlength=nb)
+            cn = np.bincount(bj, minlength=nb)
+            Gl, Hl = np.cumsum(cg)[:-1], np.cumsum(ch)[:-1]
+            Nl = np.cumsum(cn)[:-1]
+            Gr, Hr, Nr = G - Gl, H - Hl, len(idx) - Nl
+            ok = (Nl >= min_leaf) & (Nr >= min_leaf)
+            gain = (
+                Gl**2 / (Hl + lam + 1e-300)
+                + Gr**2 / (Hr + lam + 1e-300)
+                - base
+            )
+            gain = np.where(ok, gain, -np.inf)
+            k = int(gain.argmax())
+            if gain[k] > 1e-12 and (best is None or gain[k] > best[0]):
+                best = (float(gain[k]), j, k)
+        if best is None:
+            return {"leaf": leaf_val(idx)}
+        _, j, k = best
+        mask = B[idx, j] <= k
+        return {
+            "f": j,
+            "t": float(edges[j][k]),
+            "l": build(idx[mask], depth - 1),
+            "r": build(idx[~mask], depth - 1),
+        }
+
+    return build(np.arange(len(B)), max_depth)
+
+
+def _hgb_bin(X, edges):
+    # side='left' makes bin(x) <= k exactly equivalent to x <= edges[k],
+    # so the binned split and the stored threshold agree on train data.
+    return np.column_stack(
+        [np.searchsorted(edges[j], X[:, j], side="left") for j in range(X.shape[1])]
+    )
+
+
+def _fit_hist_gb_reg(X, y, hp, seed):
+    """HistGradientBoostingRegressor semantics: quantile-bin the
+    features once (max_bins), then L2 gradient boosting where every
+    split is found by scanning per-bin gradient histograms. Leaf values
+    are Newton steps; learning_rate and min_samples_leaf follow the
+    sklearn defaults the reference uses (sklearn.py:37-99)."""
+    n_iter = int(hp.get("n_estimators", hp.get("max_iter", 100)))
+    lr = float(hp.get("learning_rate", 0.1))
+    max_depth = int(hp.get("max_depth", 0) or 6)
+    min_leaf = int(hp.get("min_samples_leaf", 20))
+    max_bins = int(hp.get("max_bins", 255))
+    lam = float(hp.get("l2_regularization", 0.0))
+    edges = _hist_bin_edges(X, max_bins)
+    B = _hgb_bin(X, edges)
+    init = float(y.mean())
+    pred = np.full(len(y), init)
+    ones = np.ones(len(y))
+    trees = []
+    for _ in range(n_iter):
+        g = pred - y  # L2 loss gradient; hessian == 1
+        if np.abs(g).max() < 1e-12:
+            break
+        tree = _hgb_tree(B, X.shape[1], g, ones, edges, max_depth, min_leaf, lam)
+        pred += lr * _cart_predict(tree, X)
+        trees.append(tree)
+    return {"kind": "gbdt", "mode": "reg", "init": init, "lr": lr, "trees": trees}
+
+
+def _fit_hist_gb_clf(X, y, hp, seed):
+    """HistGradientBoostingClassifier: binary via logistic loss on the
+    log-odds raw score (grad = p − y, hess = p(1−p), Newton leaves);
+    multiclass via one-vs-all binary boosters, argmax of raw scores."""
+    classes = np.unique(y)
+    if len(classes) > 2:
+        boosters = [
+            _fit_hist_gb_clf(X, np.where(y == c, 1.0, 0.0), hp, seed)
+            for c in classes
+        ]
+        return {
+            "kind": "gbdt",
+            "mode": "ova",
+            "boosters": boosters,
+            "classes": classes,
+        }
+    n_iter = int(hp.get("n_estimators", hp.get("max_iter", 100)))
+    lr = float(hp.get("learning_rate", 0.1))
+    max_depth = int(hp.get("max_depth", 0) or 6)
+    min_leaf = int(hp.get("min_samples_leaf", 20))
+    max_bins = int(hp.get("max_bins", 255))
+    lam = float(hp.get("l2_regularization", 0.0))
+    t = np.where(y == classes[-1], 1.0, 0.0)
+    edges = _hist_bin_edges(X, max_bins)
+    B = _hgb_bin(X, edges)
+    p0 = min(max(float(t.mean()), 1e-6), 1 - 1e-6)
+    init = float(np.log(p0 / (1 - p0)))
+    raw = np.full(len(y), init)
+    trees = []
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-raw))
+        g = p - t
+        h = np.maximum(p * (1 - p), 1e-12)
+        if np.abs(g).max() < 1e-9:
+            break
+        tree = _hgb_tree(B, X.shape[1], g, h, edges, max_depth, min_leaf, lam)
+        raw += lr * _cart_predict(tree, X)
+        trees.append(tree)
+    return {
+        "kind": "gbdt",
+        "mode": "binary",
+        "init": init,
+        "lr": lr,
+        "trees": trees,
+        "classes": classes,
+    }
+
+
+def _gbdt_predict_fn(p):
+    if p["mode"] == "ova":
+        classes = np.asarray(p["classes"], dtype="float64")
+        subs = [_gbdt_raw_fn(b) for b in p["boosters"]]
+
+        def fn(X):
+            scores = np.column_stack([s(X) for s in subs])
+            return classes[scores.argmax(axis=1)]
+
+        return fn
+    raw = _gbdt_raw_fn(p)
+    if p["mode"] == "reg":
+        return raw
+    classes = np.asarray(p["classes"], dtype="float64")
+    return lambda X: np.where(raw(X) >= 0.0, classes[-1], classes[0])
+
+
+def _gbdt_raw_fn(p):
+    trees, lr, init = p["trees"], float(p["lr"]), float(p["init"])
+
+    def raw(X):
+        out = np.full(len(X), init)
+        for t in trees:
+            out += lr * _cart_predict(t, X)
+        return out
+
+    return raw
+
+
 def _ensemble_predict_fn(p):
     mode = p["mode"]
     trees, weights = p["trees"], np.asarray(p["weights"], dtype="float64")
@@ -684,10 +950,24 @@ def _ensemble_predict_fn(p):
             return preds[np.arange(len(X)), order[np.arange(len(X)), k]]
 
         return fn
-    if mode == "bagging_reg":
+    if mode in ("bagging_reg", "extra_trees_reg"):
 
         def fn(X):
             return np.mean([_cart_predict(t, X) for t in trees], axis=0)
+
+        return fn
+    if mode == "extra_trees_clf":
+        classes = np.asarray(p["classes"], dtype="float64")
+
+        def fn(X):
+            # ERT leaves store exact class values — a plain majority
+            # vote over trees (no nearest-class snapping needed)
+            votes = np.zeros((len(X), len(classes)))
+            for t in trees:
+                pred = _cart_predict(t, X)
+                ci = np.abs(pred[:, None] - classes[None, :]).argmin(axis=1)
+                votes[np.arange(len(X)), ci] += 1
+            return classes[votes.argmax(axis=1)]
 
         return fn
     if mode == "bagging_clf":
@@ -868,6 +1148,16 @@ NUMPY_MAP = {
         "numpy-approx:nu_svr->kernel_ridge",
     ),
     (Task.regression, Algorithm.linear_svm): (_fit_linear_svr, "numpy"),
+    (Task.regression, Algorithm.extra_trees): (_fit_extra_trees, "numpy"),
+    (Task.classification, Algorithm.extra_trees): (
+        lambda X, y, hp, seed: _fit_extra_trees(X, y, hp, seed, classification=True),
+        "numpy",
+    ),
+    (Task.regression, Algorithm.hist_gradient_boosting): (_fit_hist_gb_reg, "numpy"),
+    (Task.classification, Algorithm.hist_gradient_boosting): (
+        _fit_hist_gb_clf,
+        "numpy",
+    ),
     (Task.classification, Algorithm.gaussian_process): (
         _fit_kernel_logistic,
         "numpy-approx:gp_clf->kernel_logistic",
@@ -972,6 +1262,9 @@ class NumpyModel:
         if p["kind"] == "ensemble":
             fn = _ensemble_predict_fn(p)
             return lambda X: fn(X).astype("float64")
+        if p["kind"] == "gbdt":
+            fn = _gbdt_predict_fn(p)
+            return lambda X: np.asarray(fn(X), dtype="float64")
         if p["kind"] == "svm":
             classes = np.asarray(p["classes"], dtype="float64")
             machines = p["machines"]
@@ -1057,4 +1350,7 @@ class NumpyModel:
         for m in params.get("machines", []):
             m["sv"] = np.asarray(m["sv"], dtype="float64")
             m["coef"] = np.asarray(m["coef"], dtype="float64")
+        for b in params.get("boosters", []):
+            if isinstance(b.get("classes"), list):
+                b["classes"] = np.asarray(b["classes"], dtype="float64")
         return cls(Task(d["task"]), params)

@@ -858,11 +858,20 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assembly: the whitespace-token stream (docs concatenated in doc_id
 # order) is cut into fixed seq_len blocks; each doc reports the block
 # range it lands in. The global token cumsum is computed SCALABLY:
-# shard by doc_id range, aggregate per-shard sums (tiny driver
-# collect), broadcast cumulative offsets back, finish with an
-# intra-shard window — no single-partition window anywhere, the same
-# two-phase shape as the snapshot's distributed rank.
+# shard by doc_id range (shard_size auto-grown so the shard count never
+# exceeds max_shards — the offset collect is bounded at any corpus
+# size), aggregate per-shard sums, broadcast cumulative offsets back,
+# finish with an intra-shard window — no single-partition window
+# anywhere, the same two-phase shape as the snapshot's distributed rank.
 # ---------------------------------------------------------------------------
+
+
+def _effective_shard_size(max_id: int, shard_size: int, max_shards: int) -> int:
+    """Grow shard_size so the per-shard-sum driver collect stays bounded
+    at ``max_shards`` rows no matter how large the doc_id range is (the
+    shard count is (max_id // size) + 1, so size >= ceil((max_id+1) /
+    max_shards) caps it)."""
+    return max(shard_size, -(-(max_id + 1) // max_shards))
 
 
 def sequence_pack(
@@ -871,7 +880,13 @@ def sequence_pack(
     id_col: str = "doc_id",
     text_col: str = "text",
     shard_size: int = 1000,
+    max_shards: int = 100_000,
 ) -> DataFrame:
+    # One column-pruned aggregate (often answered from parquet stats)
+    # sizes the shards: a fixed shard_size would collect doc_count /
+    # shard_size rows — a driver OOM at 10^10+ docs.
+    hi = docs.agg(F.max(F.col(id_col)).alias("m")).collect()[0]["m"]
+    shard_size = _effective_shard_size(int(hi or 0), shard_size, max_shards)
     n_tok = F.size(tokens_expr(text_col))
     base = docs.select(
         F.col(id_col), n_tok.alias("n_tokens"),

@@ -180,6 +180,7 @@ def test_train_lifecycle_all_numpy_regressors(spark, catalog):
         and a not in (
             Algorithm.kernel_ridge, Algorithm.gaussian_process,
             Algorithm.ada_boost, Algorithm.bagging,
+            Algorithm.extra_trees, Algorithm.hist_gradient_boosting,
         )
     )
     for algo in algos:
@@ -437,3 +438,122 @@ def test_grid_search_over_numpy_backend(spark, catalog):
     assert len(sr["params"]) == 2
     # tiny alpha wins on near-noiseless linear data
     assert res.metrics["r2"] > 0.99, res.metrics
+
+
+def test_extra_trees_step_function_exact():
+    """ERT regression (random-threshold splits, no bootstrap) fits a
+    pure partition target exactly: every leaf ends pure, so the
+    tree-average reproduces the step function on the training set."""
+    from quackml_spark.ml.numpy_backend import NumpyModel, _fit_extra_trees
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-1, 1, size=(400, 3))
+    y = np.where(X[:, 0] <= 0.2, 1.5, -2.0)
+    p = _fit_extra_trees(X, y, {"n_estimators": 30}, 0)
+    assert p["mode"] == "extra_trees_reg"
+    pred = NumpyModel(Task.regression, p)._predict_fn()(X)
+    np.testing.assert_allclose(pred, y)
+
+
+def test_extra_trees_classifier_blobs_exact():
+    from quackml_spark.ml.numpy_backend import NumpyModel, _fit_extra_trees
+
+    rng = np.random.default_rng(1)
+    centers = np.array([[0.0, 0.0], [5.0, 5.0], [-5.0, 5.0]])
+    X = np.vstack([rng.normal(c, 0.4, size=(60, 2)) for c in centers])
+    y = np.repeat([0.0, 1.0, 2.0], 60)
+    p = _fit_extra_trees(X, y, {"n_estimators": 30}, 0, classification=True)
+    pred = NumpyModel(Task.classification, p)._predict_fn()(X)
+    assert (pred == y).mean() == 1.0
+
+
+def test_hist_gb_regressor_converges():
+    """Histogram-GBDT drives the L2 training residual near zero on a
+    smooth target (fixed seed, deterministic bins and splits)."""
+    from quackml_spark.ml.numpy_backend import NumpyModel, _fit_hist_gb_reg
+
+    rng = np.random.default_rng(2)
+    X = rng.uniform(0, 1, size=(500, 2))
+    y = 3 * X[:, 0] - 2 * X[:, 1] ** 2
+    p = _fit_hist_gb_reg(X, y, {"min_samples_leaf": 5}, 0)
+    pred = NumpyModel(Task.regression, p)._predict_fn()(X)
+    rmse = float(np.sqrt(((pred - y) ** 2).mean()))
+    assert rmse < 0.05, rmse
+
+
+def test_hist_gb_classifier_binary_and_multiclass():
+    from quackml_spark.ml.numpy_backend import NumpyModel, _fit_hist_gb_clf
+
+    rng = np.random.default_rng(3)
+    X = rng.uniform(0, 1, size=(500, 2))
+    yb = (X[:, 0] + X[:, 1] > 1.0).astype("float64")
+    pb = _fit_hist_gb_clf(X, yb, {"min_samples_leaf": 5}, 0)
+    assert pb["mode"] == "binary"
+    assert (NumpyModel(Task.classification, pb)._predict_fn()(X) == yb).mean() == 1.0
+
+    centers = np.array([[0.0, 0.0], [5.0, 5.0], [-5.0, 5.0]])
+    Xm = np.vstack([rng.normal(c, 0.4, size=(60, 2)) for c in centers])
+    ym = np.repeat([0.0, 1.0, 2.0], 60)
+    pm = _fit_hist_gb_clf(Xm, ym, {"min_samples_leaf": 5, "n_estimators": 30}, 0)
+    assert pm["mode"] == "ova"
+    assert (NumpyModel(Task.classification, pm)._predict_fn()(Xm) == ym).mean() == 1.0
+
+
+def test_extra_trees_and_hist_gb_resolve_to_numpy_exact():
+    """r6 verdict ask: these four (task, algorithm) pairs must resolve
+    to the exact numpy backend, not an mllib-approx stand-in."""
+    from quackml_spark.ml.algorithms import resolve
+
+    for t, a in [
+        (Task.regression, Algorithm.extra_trees),
+        (Task.classification, Algorithm.extra_trees),
+        (Task.regression, Algorithm.hist_gradient_boosting),
+        (Task.classification, Algorithm.hist_gradient_boosting),
+    ]:
+        assert resolve(t, a, {}, 42).backend == "numpy", (t, a)
+
+
+def test_hist_gb_and_extra_trees_persist_reload(tmp_path):
+    """JSON round-trip preserves gbdt and ERT predictions bit-exactly."""
+    from quackml_spark.ml.numpy_backend import (
+        NumpyModel,
+        _fit_extra_trees,
+        _fit_hist_gb_clf,
+    )
+
+    rng = np.random.default_rng(4)
+    X = rng.uniform(0, 1, size=(300, 2))
+    y = (X[:, 0] > 0.5).astype("float64")
+    for p in (
+        _fit_hist_gb_clf(X, y, {"min_samples_leaf": 5, "n_estimators": 20}, 0),
+        _fit_extra_trees(X, y, {"n_estimators": 10}, 0, classification=True),
+    ):
+        m = NumpyModel(Task.classification, p)
+        path = str(tmp_path / f"{p['mode']}.json")
+        m.save_json(path)
+        m2 = NumpyModel.load_json(path)
+        np.testing.assert_array_equal(
+            m._predict_fn()(X), m2._predict_fn()(X)
+        )
+
+
+def test_train_lifecycle_extra_trees_and_hist_gb(spark, catalog):
+    """Full train() surface over the new exact tree backends: fit,
+    metrics tagged backend=numpy, distributed serving."""
+    rng = np.random.default_rng(23)
+    X = rng.uniform(-1, 1, size=(400, 3))
+    y = np.where(X[:, 0] + 0.3 * X[:, 1] > 0.1, 1.0, 0.0)
+    rows = [
+        (float(a), float(b), float(c), float(t))
+        for (a, b, c), t in zip(X, y)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, x3 double, target double")
+    for algo in ("extra_trees", "hist_gradient_boosting"):
+        res = train(
+            spark, f"np-{algo}-clf", task="classification", df=df,
+            y_column_name="target", algorithm=algo,
+            hyperparams={"min_samples_leaf": 2},
+            test_sampling="random", catalog=catalog,
+        )
+        assert res.metrics["backend"] == "numpy", (algo, res.metrics)
+        assert res.metrics["accuracy"] > 0.9, (algo, res.metrics)
