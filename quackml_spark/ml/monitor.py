@@ -18,7 +18,7 @@ Scale shape (all features in ONE pass): the features are stacked into a
 aggregate + one bucketize+groupBy over the serving log — two
 map-side-combined jobs total, independent of k, with zero driver
 collects. Works identically as a batch audit or a foreachBatch hook on
-a scoring stream (see streaming.events.monitored_predict_stream).
+a scoring stream (see streaming.events.drift_monitor_stream).
 
 ``feature_drift_ks`` is the exact two-sample Kolmogorov–Smirnov
 statistic. Its CDF cumsum runs as the two-phase shard-offset pattern

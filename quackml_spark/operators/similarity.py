@@ -682,6 +682,16 @@ def ivf_index_build(
         .partitionBy("list_id")
         .parquet(f"{path}/lists")
     )
+    # freshness manifest, written LAST: a search validates shape against
+    # it, so a half-built or stale index fails loudly instead of
+    # silently returning wrong neighbors. Parquet (not a sidecar file)
+    # so it rides any Hadoop-compatible filesystem.
+    dim = int(emb.select(F.size("embedding")).first()[0])
+    n_rows = int(emb.count())
+    spark.createDataFrame(
+        [(n_lists, dim, n_rows, quantizer, seed)],
+        "n_lists int, dim int, n_rows bigint, quantizer string, seed int",
+    ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
 
 
 def ivf_index_search(
@@ -694,12 +704,36 @@ def ivf_index_search(
     """Search a persistent IVF index: centroids load driver-side (tiny),
     probe lists compute map-only per query, and the lists scan carries
     a partition filter over the UNION of probed list_ids — Spark prunes
-    the unprobed partitions at planning time (PartitionFilters)."""
+    the unprobed partitions at planning time (PartitionFilters).
+
+    The index manifest (written last at build time) is validated before
+    any scan: a missing manifest (half-built or pre-manifest index) or
+    a query/index dimension mismatch raises ValueError instead of
+    silently returning wrong neighbors."""
+    try:
+        man = spark.read.parquet(f"{path}/manifest.parquet").first()
+    except Exception as e:
+        raise ValueError(
+            f"IVF index at {path!r} has no readable manifest — it is "
+            f"half-built, stale (pre-manifest), or not an index; rebuild "
+            f"with ivf_index_build"
+        ) from e
     centers = [
         (int(r["list_id"]), list(r["centroid"]))
         for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
     ]
     centers.sort()
+    if len(centers) != int(man["n_lists"]):
+        raise ValueError(
+            f"IVF index at {path!r} is inconsistent: manifest says "
+            f"{man['n_lists']} lists, centroids file has {len(centers)}"
+        )
+    q_dim_row = queries.select(F.size("embedding").alias("d")).first()
+    if q_dim_row is not None and int(q_dim_row["d"]) != int(man["dim"]):
+        raise ValueError(
+            f"query embedding dimension {q_dim_row['d']} does not match "
+            f"index dimension {man['dim']} (index at {path!r})"
+        )
     q = _with_norm(
         queries.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

@@ -170,6 +170,61 @@ def streaming_predict(
     return prepped.withColumn("prediction", _pred(F.col("features")))
 
 
+def drift_monitor_stream(
+    scored: DataFrame,
+    reference: DataFrame,
+    features: list[str],
+    threshold: float = 0.25,
+    n_bins: int = 10,
+    sink: list | None = None,
+    query_name: str = "qml_drift_monitor",
+):
+    """Hook PSI feature-drift monitoring onto a scoring stream: a
+    ``foreachBatch`` over ``scored`` (typically ``streaming_predict``
+    output) computes per-feature PSI of each micro-batch against the
+    static ``reference`` window and appends one record per (batch,
+    feature) to ``sink`` — {batch_id, feature, psi, drift} with
+    ``drift`` set when PSI crosses ``threshold`` (0.25 = the standard
+    "action" level).
+
+    The per-batch check is the same single-pass stacked PSI as the
+    batch auditor (two map-side-combined jobs per micro-batch, driver
+    state limited to the tiny per-feature result rows), so the hook
+    adds no stateful operator to the stream itself. Returns the started
+    StreamingQuery; callers drive it (awaitTermination for
+    availableNow drains, or leave it running as a live monitor).
+    """
+    from quackml_spark.ml.monitor import feature_drift_psi
+
+    results = sink if sink is not None else []
+    ref = reference.select(*features)
+
+    def _check(batch_df, batch_id):
+        cur = batch_df.select(*features)
+        if not cur.take(1):
+            return
+        both = ref.withColumn("__cur", F.lit(False)).unionByName(
+            cur.withColumn("__cur", F.lit(True))
+        )
+        for r in feature_drift_psi(both, features, F.col("__cur"), n_bins).collect():
+            results.append(
+                {
+                    "batch_id": int(batch_id),
+                    "feature": r["feature"],
+                    "psi": float(r["psi"]),
+                    "drift": bool(r["psi"] > threshold),
+                }
+            )
+
+    return (
+        scored.writeStream.foreachBatch(_check)
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     """Per-user exponentially-weighted moving average of ``value`` —
     a CUSTOM stateful operator via applyInPandasWithState (the escape

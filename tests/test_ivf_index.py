@@ -51,3 +51,38 @@ def test_ivf_search_prunes_partitions(spark, sf_dir, tmp_path):
     full = spark.read.parquet(f"{path}/lists")
     expect = full.where(F.col("list_id").isin([0, 1, 2])).count()
     assert pruned.count() == expect > 0
+
+
+def test_ivf_manifest_guard(spark, sf_dir, tmp_path):
+    """The search validates the build manifest: dimension mismatch and
+    missing manifest both fail loudly instead of returning wrong
+    neighbors from a stale/foreign index."""
+    import pytest as _pytest
+
+    from quackml_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from quackml_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_guard")
+    ivf_index_build(emb, path, n_lists=4)
+
+    # dimension mismatch: queries with a different embedding width
+    bad_q = emb.limit(2).select(
+        "vec_id", F.slice("embedding", 1, 3).alias("embedding")
+    )
+    with _pytest.raises(ValueError, match="dimension"):
+        ivf_index_search(spark, path, bad_q, k=2, nprobe=2)
+
+    # matching queries still work
+    ok = ivf_index_search(spark, path, emb.limit(2), k=2, nprobe=2)
+    assert ok.count() > 0
+
+    # missing manifest (pre-manifest or half-built index)
+    import shutil
+
+    shutil.rmtree(f"{path}/manifest.parquet")
+    with _pytest.raises(ValueError, match="manifest"):
+        ivf_index_search(spark, path, emb.limit(2), k=2, nprobe=2)

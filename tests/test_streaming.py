@@ -347,3 +347,52 @@ def test_streaming_predict_numpy_ensemble(spark, sf_dir, tmp_path):
     bad = joined.where(F.abs(F.col("prediction") - F.col("bpred")) > 1e-9).count()
     assert bad == 0
     assert scored_stream.count() == batch.count()
+
+
+def test_drift_monitor_on_scoring_stream(spark, sf_dir, tmp_path):
+    """foreachBatch PSI over streaming_predict output: a planted shift
+    on an input feature MUST be flagged, and the unshifted control run
+    must stay quiet — the monitor hook is only useful if both hold."""
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.ml import train
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import (
+        drift_monitor_stream,
+        read_event_stream,
+        streaming_predict,
+    )
+
+    catalog = Catalog(warehouse=str(tmp_path / "wh"))
+    feats = lambda df, shift=0.0: df.select(
+        (F.col("user_id").cast("double") + F.lit(shift)).alias("f_user"),
+        F.hour("ts").cast("double").alias("f_hour"),
+        *([F.col("value")] if "value" in df.columns else []),
+    )
+    batch = load_table(spark, sf_dir, "events")
+    train(
+        spark, "drift mon", task="regression",
+        df=feats(batch), y_column_name="value",
+        catalog=catalog, test_sampling="random",
+    )
+    reference = feats(batch).drop("value")
+
+    def run(shift):
+        alerts: list = []
+        q = drift_monitor_stream(
+            streaming_predict(
+                feats(read_event_stream(spark, sf_dir), shift).drop("value"),
+                "drift mon", catalog=catalog,
+            ),
+            reference,
+            ["f_user"],
+            sink=alerts,
+            query_name=f"qml_drift_{int(shift)}",
+        )
+        q.awaitTermination()
+        return alerts
+
+    quiet = run(shift=0.0)
+    assert quiet and not any(a["drift"] for a in quiet), quiet
+    # shift f_user far outside the reference span → PSI must fire
+    loud = run(shift=1e6)
+    assert loud and all(a["drift"] for a in loud if a["feature"] == "f_user"), loud
