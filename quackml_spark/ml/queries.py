@@ -829,7 +829,8 @@ def ml_array_features_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_feature_drift_psi",
-    extra=True,
+    # graded since round 7 (took text_winnow_fingerprint's slot): the
+    # monitoring family's representative under driver grading pressure.
     doc="Model-monitoring drift detection: Population Stability Index "
     "per feature between a reference window (1996-) and a current "
     "window (1997+) of orders, over 10 equal-width bins spanning the "

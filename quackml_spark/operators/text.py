@@ -787,6 +787,10 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_winnow_fingerprint",
+    # extra since round 7: hash-twin of the graded text_fingerprint
+    # family; its graded slot went to ml_feature_drift_psi so the
+    # round-6 monitoring surface is under driver grading pressure.
+    extra=True,
     doc="Winnowing fingerprints (MOSS): char 5-gram rolling hashes, "
     "min per sliding window of 4 positions, distinct mins = the doc's "
     "fingerprint set. Pure expressions (posexplode + window frame); "

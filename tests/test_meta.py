@@ -74,6 +74,8 @@ _BROADCAST_ALLOWLIST = {
     "operators/dedup.py": 1,     # simhash 32-row bit table
     "operators/similarity.py": 5, # 5-query sets + 16/32-row plane tables + IVF probe set (|queries|·nprobe rows)
     "operators/sampling.py": 1,  # mixture rates (|sources| rows)
+    "ml/monitor.py": 3,          # PSI per-feature span/total tables (k rows
+                                 # each) + KS shard offsets (≤ n_shards rows)
     "operators/text.py": 3,      # langid lexicon (24 rows), benchmark grams (eval-suite-sized), sequence-pack shard offsets (|shards| rows)
 }
 
