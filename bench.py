@@ -72,6 +72,7 @@ def main() -> None:
     # before each query isolates it from garbage accumulated by earlier
     # queries in the shared session (r2 showed uniform +20-30% drift on
     # UNCHANGED queries from exactly this cross-query pressure).
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name, qd in bench.items():
         if name in errors:
@@ -79,7 +80,7 @@ def main() -> None:
         try:
             spark.sparkContext._jvm.System.gc()
             best = float("inf")
-            for _ in range(2):
+            for _ in range(repeats):
                 t0 = time.perf_counter()
                 df = qd.builder(spark, sf_dir)
                 df.count()
@@ -96,8 +97,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "per-query: JVM GC, warmup pass, min of 2 timed runs; "
-        "per-query fault isolation (failures in 'errors', not fatal)",
+        "methodology": f"per-query: JVM GC, warmup pass, min of {repeats} "
+        "timed runs; per-query fault isolation (failures in 'errors', not "
+        "fatal)",
+        "repeats": repeats,
     }
     if errors:
         out["errors"] = errors
