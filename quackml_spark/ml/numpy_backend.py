@@ -1100,6 +1100,277 @@ def _fit_pa_classifier(X, y, hp, seed, epochs=20):
     return {"kind": "linear_clf", "coef": W, "intercept": B, "classes": classes}
 
 
+# ---------------------------------------------------------------------------
+# The reference-unreachable seven (model.rs:435-441 `todo!`): dbscan,
+# knn, optics, spectral, spectral_bi, spectral_co,
+# feature_agglomeration. The reference DECLARES these in its algorithm
+# enum but its dispatch arm is unreachable — implementing them here
+# makes every declared algorithm except transformers executable.
+# Serving on NEW rows (these sklearn clusterers are fit_predict-only)
+# uses the standard extensions: nearest core point within eps for
+# dbscan/optics, nearest labeled training point for the spectral
+# family — training-set predictions reproduce the fit labels exactly.
+# ---------------------------------------------------------------------------
+
+
+def _sq_dists(A, B):
+    """Pairwise squared euclidean distances (n_a, n_b)."""
+    return (
+        (A**2).sum(axis=1)[:, None]
+        + (B**2).sum(axis=1)[None, :]
+        - 2.0 * (A @ B.T)
+    ).clip(min=0.0)
+
+
+def _fit_knn(X, y, hp, seed, classification=False):
+    """k-nearest-neighbors (exact, brute-force): the model IS the
+    training set; prediction is the majority vote (classification) or
+    mean (regression) of the k nearest points. Bounded by the driver
+    row budget like every driver-fit model; serving is Arrow-batched
+    and distributed (the training matrix rides the UDF closure)."""
+    k = int(hp.get("n_neighbors", 5))
+    out = {
+        "kind": "knn",
+        "X_train": X,
+        "y_train": np.asarray(y, dtype="float64"),
+        "k": min(k, len(X)),
+        "clf": bool(classification),
+    }
+    if classification:
+        out["classes"] = np.unique(y)
+    return out
+
+
+def _dbscan_core(X, eps, min_samples):
+    """Exact DBSCAN (Ester et al. 1996) via the full distance matrix:
+    returns (labels with -1 noise, core-point mask)."""
+    n = len(X)
+    sq = _sq_dists(X, X)
+    neigh = sq <= eps * eps
+    core = neigh.sum(axis=1) >= min_samples
+    labels = np.full(n, -1)
+    cid = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        stack = [i]
+        labels[i] = cid
+        while stack:
+            p = stack.pop()
+            if not core[p]:
+                continue
+            for q in np.nonzero(neigh[p])[0]:
+                if labels[q] == -1:
+                    labels[q] = cid
+                    stack.append(q)
+        cid += 1
+    return labels, core
+
+
+def _fit_dbscan(X, y, hp, seed):
+    eps = float(hp.get("eps", 0.5))
+    min_samples = int(hp.get("min_samples", 5))
+    labels, core = _dbscan_core(X, eps, min_samples)
+    return {
+        "kind": "dbscan",
+        "core_pts": X[core],
+        "core_labels": labels[core].astype("float64"),
+        "eps": eps,
+    }
+
+
+def _fit_optics(X, y, hp, seed):
+    """OPTICS (Ankerst et al. 1999): exact reachability ordering, then
+    cluster extraction at a flat eps cut — sklearn's documented
+    ``cluster_method='dbscan'`` mode (the default xi-steepness
+    extraction is approximated by this flat cut, hence the approx
+    tag). Output equals DBSCAN at the extraction eps, with the
+    reachability computation bounding eps by ``max_eps``."""
+    min_samples = int(hp.get("min_samples", 5))
+    max_eps = float(hp.get("max_eps", np.inf))
+    eps = float(hp.get("eps", 0.5))
+    n = len(X)
+    sq = np.sqrt(_sq_dists(X, X))
+    core_dist = np.sort(sq, axis=1)[:, min_samples - 1] if n >= min_samples else np.full(n, np.inf)
+    core_dist = np.where(core_dist <= max_eps, core_dist, np.inf)
+    # reachability ordering (priority expansion)
+    reach = np.full(n, np.inf)
+    seen = np.zeros(n, dtype=bool)
+    order = []
+    for start in range(n):
+        if seen[start]:
+            continue
+        seeds = {start}
+        while seeds:
+            p = min(seeds, key=lambda i: (reach[i], i))
+            seeds.discard(p)
+            if seen[p]:
+                continue
+            seen[p] = True
+            order.append(p)
+            if np.isfinite(core_dist[p]):
+                newreach = np.maximum(core_dist[p], sq[p])
+                upd = (~seen) & (sq[p] <= max_eps) & (newreach < reach)
+                reach[upd] = newreach[upd]
+                seeds.update(np.nonzero(upd)[0].tolist())
+    # flat-eps extraction over the ordering (ExtractDBSCAN)
+    labels = np.full(n, -1)
+    cid = -1
+    for p in order:
+        if reach[p] > eps:
+            if core_dist[p] <= eps:
+                cid += 1
+                labels[p] = cid
+        else:
+            labels[p] = cid
+    core = (core_dist <= eps) & (labels >= 0)
+    return {
+        "kind": "dbscan",
+        "core_pts": X[core],
+        "core_labels": labels[core].astype("float64"),
+        "eps": eps,
+    }
+
+
+def _np_kmeans(P, k, seed, n_iter=100):
+    """Lloyd's algorithm with kmeans++ seeding (deterministic rng)."""
+    rng = np.random.default_rng(seed)
+    n = len(P)
+    k = min(k, n)
+    centers = [P[rng.integers(n)]]
+    for _ in range(1, k):
+        d2 = np.min(_sq_dists(P, np.asarray(centers)), axis=1)
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+        centers.append(P[rng.choice(n, p=probs)])
+    C = np.asarray(centers)
+    for _ in range(n_iter):
+        lab = _sq_dists(P, C).argmin(axis=1)
+        newC = np.array(
+            [P[lab == j].mean(axis=0) if (lab == j).any() else C[j] for j in range(k)]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return _sq_dists(P, C).argmin(axis=1)
+
+
+def _fit_spectral(X, y, hp, seed):
+    """Spectral clustering (Ng–Jordan–Weiss 2002): RBF affinity,
+    symmetric-normalized Laplacian, k smallest eigenvectors,
+    row-normalize, k-means on the embedding."""
+    k = int(hp.get("n_clusters", hp.get("k", 2)))
+    gamma = float(hp.get("gamma", 1.0))
+    A = np.exp(-gamma * _sq_dists(X, X))
+    np.fill_diagonal(A, 0.0)
+    d = A.sum(axis=1).clip(min=1e-12)
+    Dm = 1.0 / np.sqrt(d)
+    L = np.eye(len(X)) - Dm[:, None] * A * Dm[None, :]
+    _, vecs = np.linalg.eigh(L)
+    U = vecs[:, :k]
+    U = U / np.sqrt((U**2).sum(axis=1)).clip(min=1e-12)[:, None]
+    labels = _np_kmeans(U, k, seed)
+    return {"kind": "nn_labels", "X_train": X, "labels": labels.astype("float64")}
+
+
+def _sinkhorn_bistochastic(A, n_iter=200, tol=1e-8):
+    """Scale A to (approximately) doubly-stochastic row/col sums by
+    alternating row/column normalization (Sinkhorn–Knopp)."""
+    r = np.ones(A.shape[0])
+    c = np.ones(A.shape[1])
+    for _ in range(n_iter):
+        r_new = 1.0 / (A @ c).clip(min=1e-12)
+        c_new = 1.0 / (A.T @ r_new).clip(min=1e-12)
+        if np.abs(r_new - r).max() < tol and np.abs(c_new - c).max() < tol:
+            r, c = r_new, c_new
+            break
+        r, c = r_new, c_new
+    return A * np.outer(r, c)
+
+
+def _spectral_matrix_labels(X, k, seed, bistochastic):
+    """Shared core of spectral_co/spectral_bi: normalize the (shifted
+    nonnegative) data matrix, SVD, k-means the projected row embedding.
+    spectral_co uses Dhillon (2001) D1^-1/2 A D2^-1/2; spectral_bi uses
+    Kluger (2003) bistochastization."""
+    A = X - X.min() + 1e-9  # bipartite-graph view needs nonnegative entries
+    if bistochastic:
+        An = _sinkhorn_bistochastic(A)
+        d1 = np.ones(A.shape[0])
+    else:
+        d1 = 1.0 / np.sqrt(A.sum(axis=1).clip(min=1e-12))
+        d2 = 1.0 / np.sqrt(A.sum(axis=0).clip(min=1e-12))
+        An = d1[:, None] * A * d2[None, :]
+    # l = ceil(log2 k) singular vectors, starting at u2 (u1 is the
+    # trivial constant direction of the normalized matrix)
+    n_sv = max(1, int(np.ceil(np.log2(max(k, 2)))))
+    U, _, _ = np.linalg.svd(An, full_matrices=False)
+    Z = (d1[:, None] * U[:, 1 : n_sv + 1]) if not bistochastic else U[:, 1 : n_sv + 1]
+    if Z.shape[1] == 0:
+        Z = U[:, :1]
+    return _np_kmeans(Z, k, seed)
+
+
+def _fit_spectral_co(X, y, hp, seed):
+    k = int(hp.get("n_clusters", hp.get("k", 2)))
+    labels = _spectral_matrix_labels(X, k, seed, bistochastic=False)
+    return {"kind": "nn_labels", "X_train": X, "labels": labels.astype("float64")}
+
+
+def _fit_spectral_bi(X, y, hp, seed):
+    k = int(hp.get("n_clusters", hp.get("k", 2)))
+    labels = _spectral_matrix_labels(X, k, seed, bistochastic=True)
+    return {"kind": "nn_labels", "X_train": X, "labels": labels.astype("float64")}
+
+
+def _ward_agglomerate(P, k):
+    """Exact Ward agglomerative clustering via the Lance–Williams
+    recurrence on the pairwise distance matrix; O(n³) worst case,
+    driver-side under the row budget (or feature count for
+    feature_agglomeration). Returns integer labels 0..k-1."""
+    n = len(P)
+    k = max(1, min(k, n))
+    D = _sq_dists(P, P)
+    size = np.ones(n)
+    active = list(range(n))
+    members: dict[int, list[int]] = {i: [i] for i in range(n)}
+    np.fill_diagonal(D, np.inf)
+    while len(active) > k:
+        sub = D[np.ix_(active, active)]
+        flat = int(sub.argmin())
+        ai, aj = divmod(flat, len(active))
+        if ai > aj:
+            ai, aj = aj, ai
+        i, j = active[ai], active[aj]
+        si, sj = size[i], size[j]
+        # Lance-Williams (Ward): d(i∪j, h) update
+        for h in active:
+            if h in (i, j):
+                continue
+            sh = size[h]
+            D[i, h] = D[h, i] = (
+                (si + sh) * D[i, h] + (sj + sh) * D[j, h] - sh * D[i, j]
+            ) / (si + sj + sh)
+        size[i] = si + sj
+        members[i].extend(members.pop(j))
+        D[j, :] = D[:, j] = np.inf
+        active.remove(j)
+    labels = np.empty(n, dtype=int)
+    for cid, root in enumerate(sorted(active)):
+        labels[members[root]] = cid
+    return labels
+
+
+def _fit_feature_agglomeration(X, y, hp, seed):
+    """FeatureAgglomeration: Ward-cluster the FEATURE columns (each
+    feature is a point in sample space), then transform pools each
+    cluster's features by their mean — a decomposition-task transformer
+    like PCA, output dim = n_clusters."""
+    k = int(hp.get("n_clusters", hp.get("k", 2)))
+    labels = _ward_agglomerate(X.T, k)
+    return {"kind": "feature_map", "labels": labels, "k": int(labels.max() + 1)}
+
+
 # (task, algorithm) -> (fitter, backend tag). "numpy" = same objective as
 # the reference's sklearn path; "numpy-approx:*" = documented stand-in.
 NUMPY_MAP = {
@@ -1148,6 +1419,25 @@ NUMPY_MAP = {
         "numpy-approx:nu_svr->kernel_ridge",
     ),
     (Task.regression, Algorithm.linear_svm): (_fit_linear_svr, "numpy"),
+    # the reference-unreachable seven (model.rs:435-441) — see section
+    # comment above; executable here, beyond reference parity
+    (Task.classification, Algorithm.knn): (
+        lambda X, y, hp, seed: _fit_knn(X, y, hp, seed, classification=True),
+        "numpy",
+    ),
+    (Task.regression, Algorithm.knn): (_fit_knn, "numpy"),
+    (Task.clustering, Algorithm.dbscan): (_fit_dbscan, "numpy"),
+    (Task.clustering, Algorithm.optics): (
+        _fit_optics,
+        "numpy-approx:optics->flat_eps_extraction",
+    ),
+    (Task.clustering, Algorithm.spectral): (_fit_spectral, "numpy"),
+    (Task.clustering, Algorithm.spectral_co): (_fit_spectral_co, "numpy"),
+    (Task.clustering, Algorithm.spectral_bi): (_fit_spectral_bi, "numpy"),
+    (Task.decomposition, Algorithm.feature_agglomeration): (
+        _fit_feature_agglomeration,
+        "numpy",
+    ),
     (Task.regression, Algorithm.extra_trees): (_fit_extra_trees, "numpy"),
     (Task.classification, Algorithm.extra_trees): (
         lambda X, y, hp, seed: _fit_extra_trees(X, y, hp, seed, classification=True),
@@ -1288,6 +1578,39 @@ class NumpyModel:
             return lambda X: (
                 ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
             ).astype("float64")
+        if p["kind"] == "knn":
+            Xt = np.asarray(p["X_train"], dtype="float64")
+            yt = np.asarray(p["y_train"], dtype="float64")
+            k = int(p["k"])
+
+            def fn(X):
+                idx = np.argsort(_sq_dists(X, Xt), axis=1)[:, :k]
+                nb = yt[idx]
+                if p["clf"]:
+                    classes = np.asarray(p["classes"], dtype="float64")
+                    votes = (nb[:, :, None] == classes[None, None, :]).sum(axis=1)
+                    return classes[votes.argmax(axis=1)]
+                return nb.mean(axis=1)
+
+            return fn
+        if p["kind"] == "dbscan":
+            core = np.asarray(p["core_pts"], dtype="float64")
+            core_lab = np.asarray(p["core_labels"], dtype="float64")
+            eps = float(p["eps"])
+
+            def fn(X):
+                if len(core) == 0:
+                    return np.full(len(X), -1.0)
+                d = _sq_dists(X, core)
+                j = d.argmin(axis=1)
+                hit = d[np.arange(len(X)), j] <= eps * eps
+                return np.where(hit, core_lab[j], -1.0)
+
+            return fn
+        if p["kind"] == "nn_labels":
+            Xt = np.asarray(p["X_train"], dtype="float64")
+            lab = np.asarray(p["labels"], dtype="float64")
+            return lambda X: lab[_sq_dists(X, Xt).argmin(axis=1)]
         if p["kind"] == "kernel":
             Xt = np.asarray(p["X_train"], dtype="float64")
             dual = np.asarray(p["dual"], dtype="float64")
@@ -1302,7 +1625,25 @@ class NumpyModel:
 
     def transform(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
-        from pyspark.sql.types import DoubleType
+        from pyspark.sql.types import ArrayType, DoubleType
+
+        if self.params["kind"] == "feature_map":
+            # decomposition transformer: pool each feature cluster's
+            # columns by mean → array output (PCA's serving shape)
+            labels = np.asarray(self.params["labels"], dtype=int)
+            k = int(self.params["k"])
+
+            @F.pandas_udf(ArrayType(DoubleType()))
+            def _pool(feats: pd.Series) -> pd.Series:
+                if not len(feats):
+                    return pd.Series([], dtype="object")
+                X = np.array(feats.tolist(), dtype="float64")
+                out = np.column_stack(
+                    [X[:, labels == j].mean(axis=1) for j in range(k)]
+                )
+                return pd.Series(list(out))
+
+            return df.withColumn("decomposition", _pool(F.col("features")))
 
         fn = self._predict_fn()
 
@@ -1344,7 +1685,10 @@ class NumpyModel:
         with open(path) as f:
             d = json.load(f)
         params = d["params"]
-        for k in ("coef", "intercept", "classes", "X_train", "dual", "centers"):
+        for k in (
+            "coef", "intercept", "classes", "X_train", "dual", "centers",
+            "y_train", "core_pts", "core_labels", "labels",
+        ):
             if isinstance(params.get(k), list):
                 params[k] = np.asarray(params[k], dtype="float64")
         for m in params.get("machines", []):

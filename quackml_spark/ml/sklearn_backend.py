@@ -14,8 +14,10 @@ mirrors that inventory for the algorithms MLlib lacks:
 
 Everything is import-gated: without sklearn installed, resolve() raises
 the actionable error instead. Clusterers without a predict() method
-(dbscan/optics/spectral*/feature_agglomeration) are unmapped — they are
-unreachable in the reference's dispatch too (model.rs:435-441 todo!).
+(dbscan/optics/spectral*/feature_agglomeration) are unmapped HERE —
+they are unreachable in the reference's dispatch (model.rs:435-441
+todo!) — but the numpy backend implements them anyway (numpy_backend.py
+"reference-unreachable seven"), so they execute in this container.
 """
 
 from __future__ import annotations

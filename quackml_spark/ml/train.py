@@ -86,8 +86,15 @@ def _score(task, trained: TrainedModel, test_vec: DataFrame) -> dict:
         pred = trained.transform(test_vec)
         return clustering_metrics(pred)
     if task == Task.decomposition:
-        ev = trained.spark_model.explainedVariance.toArray().tolist()
-        return {"cumulative_explained_variance": float(sum(ev))}
+        if hasattr(trained.spark_model, "explainedVariance"):
+            ev = trained.spark_model.explainedVariance.toArray().tolist()
+            return {"cumulative_explained_variance": float(sum(ev))}
+        # non-PCA decomposition (feature_agglomeration): report the
+        # reduced dimensionality instead of a variance ratio
+        params = getattr(trained.spark_model, "params", {})
+        if params.get("kind") == "feature_map":
+            return {"n_feature_clusters": int(params["k"])}
+        return {}
     return {}
 
 

@@ -557,3 +557,175 @@ def test_train_lifecycle_extra_trees_and_hist_gb(spark, catalog):
         )
         assert res.metrics["backend"] == "numpy", (algo, res.metrics)
         assert res.metrics["accuracy"] > 0.9, (algo, res.metrics)
+
+
+# ---------------------------------------------------------------------------
+# The reference-unreachable seven (model.rs:435-441 todo!): executable
+# here — beyond-parity coverage with value-checked semantics.
+# ---------------------------------------------------------------------------
+
+
+def test_knn_classifier_and_regressor():
+    from quackml_spark.ml.numpy_backend import NumpyModel, _fit_knn
+
+    rng = np.random.default_rng(0)
+    centers = np.array([[0.0, 0.0], [8.0, 8.0], [-8.0, 8.0]])
+    X = np.vstack([rng.normal(c, 0.5, size=(50, 2)) for c in centers])
+    y = np.repeat([0.0, 1.0, 2.0], 50)
+    p = _fit_knn(X, y, {"n_neighbors": 5}, 0, classification=True)
+    assert (NumpyModel(Task.classification, p)._predict_fn()(X) == y).mean() == 1.0
+    # regression: k=1 interpolates the training targets exactly
+    t = X[:, 0] * 2.0 + 1.0
+    pr = _fit_knn(X, t, {"n_neighbors": 1}, 0)
+    np.testing.assert_allclose(NumpyModel(Task.regression, pr)._predict_fn()(X), t)
+
+
+def test_dbscan_blobs_and_noise():
+    from quackml_spark.ml.numpy_backend import NumpyModel, _fit_dbscan
+
+    rng = np.random.default_rng(1)
+    centers = np.array([[0.0, 0.0], [8.0, 8.0]])
+    X = np.vstack(
+        [rng.normal(c, 0.4, size=(40, 2)) for c in centers]
+        + [np.array([[100.0, 100.0]])]  # isolated noise point
+    )
+    p = _fit_dbscan(X, None, {"eps": 1.5, "min_samples": 4}, 0)
+    lab = NumpyModel(Task.clustering, p)._predict_fn()(X)
+    assert sorted(set(lab[:80].tolist())) == [0.0, 1.0]
+    assert len(set(lab[:40].tolist())) == 1  # blob 1 is one cluster
+    assert len(set(lab[40:80].tolist())) == 1
+    assert lab[80] == -1.0  # the isolated point is noise
+
+
+def test_optics_flat_extraction_matches_dbscan():
+    """With the flat-eps extraction, OPTICS cluster membership equals
+    DBSCAN at the same eps (label ids may permute with ordering)."""
+    from quackml_spark.ml.numpy_backend import (
+        NumpyModel,
+        _fit_dbscan,
+        _fit_optics,
+    )
+
+    rng = np.random.default_rng(2)
+    centers = np.array([[0.0, 0.0], [8.0, 8.0], [-8.0, 8.0]])
+    X = np.vstack([rng.normal(c, 0.5, size=(40, 2)) for c in centers])
+    hp = {"eps": 1.5, "min_samples": 4}
+    a = NumpyModel(Task.clustering, _fit_dbscan(X, None, hp, 0))._predict_fn()(X)
+    b = NumpyModel(Task.clustering, _fit_optics(X, None, hp, 0))._predict_fn()(X)
+    # same partition: every dbscan cluster maps to exactly one optics label
+    for c in set(a.tolist()):
+        assert len(set(b[a == c].tolist())) == 1, (c, set(b[a == c].tolist()))
+
+
+def test_spectral_clustering_recovers_blobs():
+    from quackml_spark.ml.numpy_backend import NumpyModel, _fit_spectral
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[0.0, 0.0], [8.0, 8.0], [-8.0, 8.0]])
+    X = np.vstack([rng.normal(c, 0.5, size=(50, 2)) for c in centers])
+    y = np.repeat([0, 1, 2], 50)
+    lab = NumpyModel(
+        Task.clustering, _fit_spectral(X, None, {"n_clusters": 3, "gamma": 0.5}, 0)
+    )._predict_fn()(X)
+    # per-class purity 1.0 under some label permutation
+    for c in range(3):
+        assert len(set(lab[y == c].tolist())) == 1
+    assert len(set(lab.tolist())) == 3
+
+
+def test_spectral_co_and_bi_recover_block_structure():
+    from quackml_spark.ml.numpy_backend import (
+        NumpyModel,
+        _fit_spectral_bi,
+        _fit_spectral_co,
+    )
+
+    rng = np.random.default_rng(4)
+    B = np.zeros((60, 8))
+    B[:30, :4] = 5 + rng.normal(0, 0.2, (30, 4))
+    B[30:, 4:] = 5 + rng.normal(0, 0.2, (30, 4))
+    y = np.repeat([0.0, 1.0], 30)
+    for fit in (_fit_spectral_co, _fit_spectral_bi):
+        lab = NumpyModel(
+            Task.clustering, fit(B, None, {"n_clusters": 2}, 0)
+        )._predict_fn()(B)
+        assert max((lab == y).mean(), (lab == 1 - y).mean()) == 1.0, fit.__name__
+
+
+def test_ward_agglomerate_exact_small_case():
+    """Three well-separated pairs: Ward at k=3 must merge exactly the
+    pairs (verifiable by hand — within-pair distance 0.1, cross ≥ 10)."""
+    from quackml_spark.ml.numpy_backend import _ward_agglomerate
+
+    P = np.array(
+        [[0.0], [0.1], [10.0], [10.1], [20.0], [20.1]]
+    )
+    lab = _ward_agglomerate(P, 3)
+    assert lab[0] == lab[1] and lab[2] == lab[3] and lab[4] == lab[5]
+    assert len(set(lab.tolist())) == 3
+
+
+def test_feature_agglomeration_pools_correlated_features(spark, catalog):
+    """Near-duplicate feature pairs cluster together; the decomposition
+    transform pools each cluster by mean (served through the full
+    train()/decompose() surface)."""
+    from quackml_spark.ml.predict import decompose
+
+    rng = np.random.default_rng(5)
+    n = 200
+    f0, f2 = rng.normal(size=n), rng.normal(size=n)
+    rows = [
+        (float(a), float(a + 0.01 * e1), float(b), float(b + 0.01 * e2))
+        for a, b, e1, e2 in zip(f0, f2, rng.normal(size=n), rng.normal(size=n))
+    ]
+    df = spark.createDataFrame(rows, "a double, a2 double, b double, b2 double")
+    res = train(
+        spark, "np-featagg", task="decomposition", df=df,
+        algorithm="feature_agglomeration", hyperparams={"n_clusters": 2},
+        test_sampling="random", catalog=catalog,
+    )
+    assert res.metrics["backend"] == "numpy"
+    assert res.metrics["n_feature_clusters"] == 2
+    out = decompose(df, "np-featagg", catalog=catalog)
+    row = out.select("decomposition").first()[0]
+    assert len(row) == 2
+
+
+def test_unreachable_seven_resolve_and_lifecycle(spark, catalog):
+    """All 8 (task, algorithm) pairs for the reference-unreachable
+    seven resolve to the numpy backend; knn and dbscan run the full
+    train() lifecycle."""
+    from quackml_spark.ml.algorithms import resolve
+
+    pairs = [
+        (Task.classification, Algorithm.knn),
+        (Task.regression, Algorithm.knn),
+        (Task.clustering, Algorithm.dbscan),
+        (Task.clustering, Algorithm.optics),
+        (Task.clustering, Algorithm.spectral),
+        (Task.clustering, Algorithm.spectral_bi),
+        (Task.clustering, Algorithm.spectral_co),
+        (Task.decomposition, Algorithm.feature_agglomeration),
+    ]
+    for t, a in pairs:
+        assert resolve(t, a, {}, 42).backend.startswith("numpy"), (t, a)
+
+    rng = np.random.default_rng(6)
+    centers = np.array([[0.0, 0.0], [8.0, 8.0]])
+    X = np.vstack([rng.normal(c, 0.5, size=(60, 2)) for c in centers])
+    y = np.repeat([0.0, 1.0], 60)
+    rows = [(float(a), float(b), float(t_)) for (a, b), t_ in zip(X, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, target double")
+    res = train(
+        spark, "np-knn", task="classification", df=df,
+        y_column_name="target", algorithm="knn",
+        test_sampling="random", catalog=catalog,
+    )
+    assert res.metrics["backend"] == "numpy"
+    assert res.metrics["accuracy"] > 0.95, res.metrics
+    res2 = train(
+        spark, "np-dbscan", task="clustering", df=df.drop("target"),
+        algorithm="dbscan", hyperparams={"eps": 1.5, "min_samples": 4},
+        catalog=catalog,
+    )
+    assert res2.metrics["backend"] == "numpy"
