@@ -175,12 +175,13 @@ def test_train_lifecycle_all_numpy_regressors(spark, catalog):
     df = spark.createDataFrame(rows, "x1 double, x2 double, x3 double, target double")
     algos = sorted(
         a.value for (t, a) in NUMPY_MAP if t == Task.regression
-        # kernel/tree models approximate rather than recover a linear
-        # rule exactly; they have their own dedicated tests
+        # kernel/tree/local-averaging models approximate rather than
+        # recover a linear rule exactly; they have their own dedicated tests
         and a not in (
             Algorithm.kernel_ridge, Algorithm.gaussian_process,
             Algorithm.ada_boost, Algorithm.bagging,
             Algorithm.extra_trees, Algorithm.hist_gradient_boosting,
+            Algorithm.knn,
         )
     )
     for algo in algos:
