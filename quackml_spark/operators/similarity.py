@@ -773,3 +773,157 @@ def ivf_index_search(
         .where(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the corpus with a coarse quantizer, then prune near-duplicate
+# pairs WITHIN each cluster only. The published pipeline's scale trick
+# is exactly this: the O(n^2) pairwise-cosine matrix is never formed
+# globally — each cluster's members are colocated and compared locally,
+# so total pair work is sum(c_i^2) with c_i ~ N/n_lists, and n_lists is
+# grown with the corpus (the paper uses ~100k clusters for billions of
+# docs). Complements embedding_cosine_dedup (LSH-band candidates, pair
+# output): this one is cluster-bounded and emits a keep/drop MANIFEST.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    tau: float = 0.95,
+) -> DataFrame:
+    """SemDeDup keep/drop manifest over a (vec_id, embedding) frame.
+
+    Stages (all shuffle-bounded, no cross join anywhere):
+      1. map-only assignment to the nearest centroid by dot product
+         (centroids are compile-time literals — no join, no broadcast);
+      2. within-cluster pair generation as an EQUI-JOIN on list_id
+         (each vector crosses the wire once per join side — O(2N)
+         embedding payload, never O(pairs));
+      3. drop rule: a vector is dropped when some LOWER-ID member of
+         its own cluster has cosine >= tau with it. This is the
+         deterministic join-expressible variant of the paper's greedy
+         in-cluster pruning; for chains A~B~C with A!~C it drops C
+         where strict greedy would re-keep it — at tau >= 0.95 such
+         borderline chains are rare, and the rule needs one pass
+         instead of an iteration.
+
+    Returns (vec_id, list_id, keep, dup_cosine): dup_cosine is the max
+    cosine to a lower-id cluster-mate at/above tau, NULL for keepers.
+    """
+    emb = _with_norm(emb, "embedding", "nrm")
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
+    )
+    a = assigned.select(
+        "list_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "list_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        cosine_with_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).cast(
+            "decimal(18,9)"
+        ),
+        6,
+    ).cast("double")
+    drops = (
+        a.join(b, "list_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(tau))
+        .groupBy("vec_b")
+        .agg(F.max("cos").alias("dup_cosine"))
+    )
+    return (
+        assigned.join(drops, assigned["vec_id"] == drops["vec_b"], "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.col("dup_cosine").isNull().alias("keep"),
+            "dup_cosine",
+        )
+        .orderBy("vec_id")
+    )
+
+
+_SQL_COSINE_AB = (
+    "list_dot_product(qa.embedding::DOUBLE[], vb.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(qa.embedding::DOUBLE[], qa.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(vb.embedding::DOUBLE[], vb.embedding::DOUBLE[])))"
+)
+
+
+@register(
+    "dedup_semantic",
+    doc="SemDeDup cluster-then-prune manifest (Abbas et al. 2023): "
+    "medoid coarse quantizer (first 8 vectors), map-only assignment, "
+    "within-cluster pair equi-join, drop any vector with a lower-id "
+    "cluster-mate at cosine >= 0.95. The corpus is augmented with 10 "
+    "planted exact duplicates (vec_id+1000000 copies of vec_id<10) — "
+    "natural pairs top out at cosine 0.52, so without planting the "
+    "drop set is empty and the check vacuous. Identical vectors share "
+    "a cluster deterministically, so exactly the 10 planted copies "
+    "must be dropped with dup_cosine=1.0.",
+    oracle=f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 10
+), cent AS (
+  SELECT CAST(vec_id AS INT) AS list_id, embedding::DOUBLE[] AS center
+  FROM embeddings WHERE vec_id < 8
+), assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], c.center) DESC, c.list_id) AS rn
+    FROM aug e, cent c
+  ) WHERE rn = 1
+), drops AS (
+  SELECT vec_b, MAX(cos) AS dup_cosine FROM (
+    SELECT b.vec_id AS vec_b,
+           CAST(ROUND(CAST({_SQL_COSINE_AB} AS DECIMAL(18,9)), 6) AS DOUBLE) AS cos
+    FROM assign a
+    JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    JOIN aug qa ON qa.vec_id = a.vec_id
+    JOIN aug vb ON vb.vec_id = b.vec_id
+  ) WHERE cos >= 0.95
+  GROUP BY vec_b
+)
+SELECT s.vec_id, s.list_id,
+       d.vec_b IS NULL AS keep,
+       d.dup_cosine
+FROM assign s LEFT JOIN drops d ON d.vec_b = s.vec_id
+ORDER BY s.vec_id
+""",
+    tags=("dedup", "similarity"),
+    extra=True,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = emb.union(
+        emb.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    # deterministic medoid quantizer: first 8 ORIGINAL vectors
+    # (bounded collect — n_lists rows), same as ann_ivf_topk's
+    centers = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return semantic_dedup(aug, centers, tau=0.95)

@@ -285,3 +285,43 @@ def test_salted_groupby_row_index_salt_spreads_duplicates(spark, sf_dir):
         .first()["mx"]
     )
     assert spread > 1, "row_index salt never split any group: mitigation is a no-op"
+
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
+    """dedup_semantic: the 10 planted exact copies (vec_id+1000000) must
+    be the ONLY drops, each with dup_cosine 1.0 against its source, and
+    every original vector must be kept — the cluster assignment puts an
+    identical vector in its source's cluster deterministically."""
+    from quackml_spark.plans import REGISTRY
+
+    rows = REGISTRY["dedup_semantic"].builder(spark, sf_dir).collect()
+    dropped = {r["vec_id"]: r for r in rows if not r["keep"]}
+    assert set(dropped) == {1000000 + i for i in range(10)}
+    assert all(r["dup_cosine"] == 1.0 for r in dropped.values())
+    kept = [r for r in rows if r["keep"]]
+    assert all(r["dup_cosine"] is None for r in kept)
+    # manifest covers the full augmented corpus
+    n_orig = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_orig + 10
+
+
+def test_semantic_dedup_cluster_bounded_pairs(spark):
+    """The drop join must only compare vectors sharing a cluster: two
+    identical vectors assigned to different clusters (impossible by
+    construction) aside, a near-dup pair split across clusters is NOT
+    found — the documented SemDeDup recall trade-off — while an
+    in-cluster pair is. Centroids chosen so vec 0/1 share cluster 0 and
+    vec 2 lands alone in cluster 1."""
+    from quackml_spark.operators.similarity import semantic_dedup
+
+    e0 = [1.0, 0.0, 0.0, 0.0]
+    e1 = [0.999, 0.01, 0.0, 0.0]   # cos(e0,e1) ~ 0.99995 — same cluster
+    e2 = [0.0, 1.0, 0.0, 0.0]      # own cluster
+    emb = spark.createDataFrame(
+        [(0, e0), (1, e1), (2, e2)], "vec_id int, embedding array<double>"
+    )
+    centers = [(0, e0), (1, e2)]
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, centers, tau=0.95).collect()}
+    assert not out[1]["keep"] and out[1]["dup_cosine"] >= 0.999
+    assert out[0]["keep"] and out[2]["keep"]
+    assert out[0]["list_id"] == 0 and out[1]["list_id"] == 0 and out[2]["list_id"] == 1
