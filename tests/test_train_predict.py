@@ -211,10 +211,15 @@ def test_unavailable_backend_raises_actionable(spark):
     res = resolve(Task.regression, Algorithm.theil_sen, {}, 42)
     if not available(Task.regression, Algorithm.theil_sen):
         assert res.backend.startswith("numpy")
-    # dbscan clustering has no predict() and is unreachable in the
-    # reference's dispatch too (model.rs:435-441 todo!): still raises
+    # dbscan (unreachable in the reference's own dispatch,
+    # model.rs:435-441 todo!) now resolves through the exact numpy
+    # implementation rather than raising
+    res = resolve(Task.clustering, Algorithm.dbscan, {}, 42)
+    assert res.backend.startswith("numpy")
+    # transformers remains the honestly env-gated example: it needs the
+    # actual transformers library, which is absent in this container
     with _pytest.raises(NotImplementedError, match="optional backend"):
-        resolve(Task.clustering, Algorithm.dbscan, {}, 42)
+        resolve(Task.regression, Algorithm.transformers, {}, 42)
 
 
 def test_sklearn_model_serving_plumbing(spark):
