@@ -431,6 +431,25 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_K = 5  # decontamination n-gram length in tokens
 
 
+def _decon_grams(docs: DataFrame) -> DataFrame:
+    """Per-doc DISTINCT md5'd 5-token shingles — the shared gram
+    extraction for the exact and Bloom decontamination variants."""
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks")).where(
+        F.size("toks") >= _DECON_K
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - _DECON_K),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("toks", i + F.lit(1), _DECON_K))
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+
+
 def decontaminate(
     train_grams: DataFrame, bench_grams: DataFrame, doc_col: str = "doc_id"
 ) -> DataFrame:
@@ -485,20 +504,7 @@ ORDER BY d.doc_id
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_expr("text").alias("toks")).where(
-        F.size("toks") >= _DECON_K
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - _DECON_K),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("toks", i + F.lit(1), _DECON_K))
-                ),
-            )
-        ).alias("gram"),
-    ).distinct()
+    grams = _decon_grams(docs)
     bench = grams.where(F.col("doc_id") % 97 == 0)
     train = grams.where(F.col("doc_id") % 97 != 0)
     overlap = decontaminate(train, bench)
@@ -1017,3 +1023,161 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("clean_text").alias("clean_md5"),
         F.length("clean_text").cast("bigint").alias("clean_len"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the constant-memory scale path for the
+# benchmark-leakage check. The exact variant (text_decontaminate)
+# broadcasts the DISTINCT benchmark gram set; at a few billion benchmark
+# grams that broadcast stops fitting. A Bloom filter caps the shipped
+# state at m bits regardless of benchmark size (the Dolma/CCNet-style
+# dedup tooling shape): build-time sets k md5-derived bits per gram,
+# probe-time is a map-only bitmap test. False positives over-flag at the
+# standard (1 - e^{-kn/m})^k rate; never false negatives.
+#
+# Determinism contract: positions come from the same
+# conv(substr(md5('i|' || gram), 1, 8), 16, 10) % m integers in Spark
+# and DuckDB, so the oracle replays the filter EXACTLY — including its
+# false positives.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 20  # bits (128 KiB bitmap)
+_BLOOM_K = 4
+
+
+def bloom_positions(gram_col, m: int = _BLOOM_M, k: int = _BLOOM_K):
+    """array<bigint> of the k bit positions for a gram (JVM-side md5)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), gram_col)), 1, 8), 16, 10
+            ).cast("bigint")
+            % m
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(grams: DataFrame, gram_col: str = "gram", m: int = _BLOOM_M,
+                k: int = _BLOOM_K) -> bytes:
+    """Pack the benchmark gram set into an m-bit Bloom bitmap.
+
+    The collect is bounded by the number of DISTINCT set positions,
+    which is <= min(k * n_grams, m) — i.e. at most m rows (2^20 here)
+    no matter how large the benchmark side grows. That bound IS the
+    point of the filter."""
+    rows = (
+        grams.select(F.explode(bloom_positions(F.col(gram_col), m, k)).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    bitmap = bytearray(m // 8)
+    for r in rows:
+        p = int(r["pos"])
+        bitmap[p >> 3] |= 1 << (p & 7)
+    return bytes(bitmap)
+
+
+def bloom_probe(
+    grams: DataFrame,
+    bitmap: bytes,
+    gram_col: str = "gram",
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Adds a boolean ``bloom_hit`` column: all k positions set.
+
+    Hashing stays JVM-side (F.md5 in whole-stage codegen); only the
+    bitmap test runs in an Arrow-batched pandas UDF against the
+    closure-captured bitmap — a vectorized numpy gather, no per-row
+    Python. Map-only: no join, no shuffle, constant memory."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    kk = k
+
+    @pandas_udf("boolean")
+    def _hit(pos):
+        bits = np.frombuffer(bitmap, dtype=np.uint8)
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        a = np.vstack(pos.to_numpy()).astype(np.int64).reshape(len(pos), kk)
+        set_ = (bits[a >> 3] & (1 << (a & 7)).astype(np.uint8)) != 0
+        return pd.Series(set_.all(axis=1))
+
+    return grams.withColumn(
+        "bloom_hit", _hit(bloom_positions(F.col(gram_col), m, k))
+    )
+
+
+def _bloom_pos_sql(gram: str, m: int) -> str:
+    return f"('0x' || substr(md5(i::VARCHAR || '|' || {gram}), 1, 8))::BIGINT % {m}"
+
+
+@register(
+    "text_bloom_decontaminate",
+    doc="Bloom-filter benchmark decontamination: the constant-memory "
+    "variant of text_decontaminate — benchmark grams (doc_id %% 97 == 0) "
+    "set k=4 md5-derived bits in a 2^20-bit bitmap; every other doc "
+    "counts its grams whose 4 bits are all set. The bitmap is bounded "
+    "at m bits however large the benchmark side grows, and the probe "
+    "is a map-only vectorized bitmap test. The DuckDB oracle replays "
+    "the identical position arithmetic, so the value check covers the "
+    "filter's exact behavior INCLUDING false positives.",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(toks[i:i+{_DECON_K - 1}], 'string_agg', ' ')) AS gram
+  FROM toks, unnest(range(1, length(toks) - {_DECON_K - 2})) AS t(i)
+  WHERE length(toks) >= {_DECON_K}
+), bits AS (
+  SELECT DISTINCT {_bloom_pos_sql('gram', _BLOOM_M)} AS pos
+  FROM (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+       range({_BLOOM_K}) t(i)
+), probe AS (
+  SELECT doc_id, gram, {_bloom_pos_sql('gram', _BLOOM_M)} AS pos
+  FROM (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+       range({_BLOOM_K}) t(i)
+), gram_hits AS (
+  SELECT doc_id, gram,
+         (COUNT(*) FILTER (WHERE b.pos IS NOT NULL)) = COUNT(*) AS hit
+  FROM probe p LEFT JOIN bits b USING (pos)
+  GROUP BY doc_id, gram
+), doc_hits AS (
+  SELECT doc_id, COUNT(*) FILTER (WHERE hit) AS n
+  FROM gram_hits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bloom_grams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN doc_hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 97 <> 0
+ORDER BY d.doc_id
+""",
+    tags=("textops", "bench"),
+    extra=True,
+)
+def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _decon_grams(docs)
+    bitmap = bloom_build(grams.where(F.col("doc_id") % 97 == 0))
+    hits = (
+        bloom_probe(grams.where(F.col("doc_id") % 97 != 0), bitmap)
+        .groupBy("doc_id")
+        .agg(F.count_if("bloom_hit").alias("n_bloom_grams"))
+    )
+    return (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_grams", F.lit(0)).alias("n_bloom_grams"),
+            (F.coalesce("n_bloom_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

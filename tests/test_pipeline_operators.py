@@ -325,3 +325,42 @@ def test_semantic_dedup_cluster_bounded_pairs(spark):
     assert not out[1]["keep"] and out[1]["dup_cosine"] >= 0.999
     assert out[0]["keep"] and out[2]["keep"]
     assert out[0]["list_id"] == 0 and out[1]["list_id"] == 0 and out[2]["list_id"] == 1
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """Bloom membership can only over-flag: every doc the exact n-gram
+    check marks contaminated must also be flagged by the Bloom variant
+    (no false negatives, by construction of the filter)."""
+    from quackml_spark.plans import REGISTRY
+
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in REGISTRY["text_decontaminate"].builder(spark, sf_dir).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["contaminated"]
+        for r in REGISTRY["text_bloom_decontaminate"].builder(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(bloom)
+    for doc_id, flagged in exact.items():
+        if flagged:
+            assert bloom[doc_id], f"false negative at doc {doc_id}"
+
+
+def test_bloom_tiny_filter_false_positives_only(spark):
+    """With m crushed to 64 bits the filter must saturate into false
+    positives — and still never produce a false negative. Pins both
+    directions of the probabilistic contract."""
+    from quackml_spark.operators.text import bloom_build, bloom_probe
+
+    bench = spark.createDataFrame([(f"bench-{i}",) for i in range(40)], "gram string")
+    probe = spark.createDataFrame(
+        [(f"bench-{i}",) for i in range(40)] + [(f"other-{i}",) for i in range(200)],
+        "gram string",
+    )
+    bitmap = bloom_build(bench, m=64, k=2)
+    out = {r["gram"]: r["bloom_hit"] for r in bloom_probe(probe, bitmap, m=64, k=2).collect()}
+    assert all(out[f"bench-{i}"] for i in range(40)), "false negative"
+    assert any(out[f"other-{i}"] for i in range(200)), (
+        "64-bit filter holding 40 grams should collide with some of 200 probes"
+    )
