@@ -1181,3 +1181,147 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters. The exact frequent-n-gram query
+# shuffles on the gram key — fine until the key space explodes (a
+# 100 TB corpus has ~10^11 distinct trigrams). The count-min sketch
+# (Cormode & Muthukrishnan 2005) bounds the aggregation state at
+# depth x width cells REGARDLESS of key cardinality: each occurrence
+# increments d=4 md5-derived cells, estimates read the min of a gram's
+# d cells and can only OVERcount (never under). Both the sketch build
+# and the estimates are plain groupBy/join SQL, so DuckDB replays the
+# sketch cell-exactly.
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 1024
+
+
+def _cm_pos(gram_col, i: int, width: int = _CM_WIDTH):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), gram_col)), 1, 8), 16, 10
+        ).cast("bigint")
+        % width
+    )
+
+
+def countmin_build(
+    items: DataFrame,
+    col: str = "gram",
+    depth: int = _CM_DEPTH,
+    width: int = _CM_WIDTH,
+) -> DataFrame:
+    """(row, pos, cnt) sketch relation — at most depth*width rows.
+
+    The groupBy key space is the CELL space, not the item space: at any
+    corpus size the shuffle reduces into depth*width cells with map-side
+    combine, which is the whole point of the sketch."""
+    cells = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _cm_pos(F.col(col), i, width).alias("pos")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(F.col("c.row").alias("row"), F.col("c.pos").alias("pos")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def countmin_estimate(
+    queries: DataFrame,
+    sketch: DataFrame,
+    col: str = "gram",
+    depth: int = _CM_DEPTH,
+    width: int = _CM_WIDTH,
+) -> DataFrame:
+    """Adds ``cm_estimate`` = min over the item's depth cells. The
+    sketch side is tiny (<= depth*width rows) and broadcast."""
+    probes = queries.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _cm_pos(F.col(col), i, width).alias("pos")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("*", F.col("c.row").alias("row"), F.col("c.pos").alias("pos")).drop("c")
+    out_cols = [c for c in queries.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["row", "pos"])
+        .groupBy(*out_cols)
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+
+
+@register(
+    "sketch_countmin_grams",
+    doc="Count-min sketch heavy hitters: a depth-4 x width-1024 CM "
+    "sketch over all token trigram occurrences (aggregation state "
+    "bounded at 4096 cells whatever the key cardinality — the "
+    "100 TB-safe shape), read back for the exact top-20 trigrams. "
+    "Output (gram, true_count, cm_estimate); the sketch guarantee "
+    "cm_estimate >= true_count is pinned in pytest, and DuckDB "
+    "replays every cell exactly.",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), grams AS (
+  SELECT list_aggregate(toks[i:i+2], 'string_agg', ' ') AS gram
+  FROM toks, unnest(range(1, length(toks) - 1)) AS t(i)
+  WHERE length(toks) >= 3
+), sketch AS (
+  SELECT i AS row,
+         ('0x' || substr(md5(i::VARCHAR || '|' || gram), 1, 8))::BIGINT % {_CM_WIDTH} AS pos,
+         COUNT(*) AS cnt
+  FROM grams, range({_CM_DEPTH}) t(i)
+  GROUP BY 1, 2
+), top AS (
+  SELECT gram, COUNT(*) AS true_count
+  FROM grams GROUP BY gram
+  ORDER BY true_count DESC, gram LIMIT 20
+)
+SELECT t.gram, t.true_count, MIN(s.cnt) AS cm_estimate
+FROM top t,
+     range({_CM_DEPTH}) r(i)
+JOIN sketch s
+  ON s.row = r.i
+ AND s.pos = ('0x' || substr(md5(r.i::VARCHAR || '|' || t.gram), 1, 8))::BIGINT % {_CM_WIDTH}
+GROUP BY t.gram, t.true_count
+ORDER BY true_count DESC, gram
+""",
+    tags=("textops", "sketch"),
+    extra=True,
+)
+def sketch_countmin_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_expr("text").alias("toks")).where(F.size("toks") >= 3)
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + F.lit(1), 3)),
+            )
+        ).alias("gram")
+    )
+    sketch = countmin_build(grams)
+    top = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("gram"))
+        .limit(20)
+    )
+    return countmin_estimate(top, sketch).orderBy(F.desc("true_count"), F.asc("gram"))

@@ -364,3 +364,33 @@ def test_bloom_tiny_filter_false_positives_only(spark):
     assert any(out[f"other-{i}"] for i in range(200)), (
         "64-bit filter holding 40 grams should collide with some of 200 probes"
     )
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    """The CM guarantee: estimate >= true count for every queried item."""
+    from quackml_spark.plans import REGISTRY
+
+    rows = REGISTRY["sketch_countmin_grams"].builder(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["cm_estimate"] >= r["true_count"] for r in rows)
+
+
+def test_countmin_narrow_width_overcounts(spark):
+    """Crushing the width to 8 cells forces collisions: some estimate
+    must exceed its true count (the overcount direction), while the
+    >= guarantee still holds for all."""
+    from quackml_spark.operators.text import countmin_build, countmin_estimate
+    import pyspark.sql.functions as F
+
+    items = spark.createDataFrame(
+        [(f"g{i % 50}",) for i in range(500)], "gram string"
+    )
+    truth = items.groupBy("gram").agg(F.count(F.lit(1)).alias("true_count"))
+    sketch = countmin_build(items, depth=2, width=8)
+    est = {
+        r["gram"]: (r["true_count"], r["cm_estimate"])
+        for r in countmin_estimate(truth, sketch, depth=2, width=8).collect()
+    }
+    assert len(est) == 50
+    assert all(cm >= tc for tc, cm in est.values())
+    assert any(cm > tc for tc, cm in est.values()), "8 cells for 50 keys must collide"
