@@ -1325,3 +1325,157 @@ def sketch_countmin_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return countmin_estimate(top, sketch).orderBy(F.desc("true_count"), F.asc("gram"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge training (Sennrich et al. 2016, the classic
+# byte-pair-encoding vocabulary learner). Each merge step is one
+# distributed pass over the WORD VOCABULARY (distinct words + counts —
+# bounded at ~10^7 entries for web corpora however many documents feed
+# it), not over the corpus: pair frequencies aggregate with map-side
+# combine, the argmax collects exactly ONE row, and the chosen merge is
+# applied as a JVM-side literal string replace. The inherently
+# sequential part of BPE (merge t+1 depends on merge t) is the 1-row
+# argmax; everything else is embarrassingly parallel.
+#
+# The oracle replays the IDENTICAL unrolled iteration in DuckDB —
+# possible because one merge application is a plain left-to-right
+# non-overlapping replace of ' a b ' in the space-padded symbol string,
+# which Spark's replace() and DuckDB's replace() implement identically.
+# ---------------------------------------------------------------------------
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns (rank, left, right,
+    merged, pair_count) tuples. Words are lowercase [a-z]+ runs; the
+    symbol alphabet is chars + a final '</w>' end-of-word marker."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "spaced",
+            F.concat(
+                F.trim(F.regexp_replace("word", "(.)", "$1 ")), F.lit(" </w>")
+            ),
+        )
+        .cache()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for t in range(n_merges):
+            toks = F.split(F.col("spaced"), " ")
+            pairs = vocab.where(F.size(toks) >= 2).select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 2),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), 2)),
+                    )
+                ).alias("pair"),
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+            left, right = pair.split(" ")
+            merged = left + right
+            merges.append((t + 1, left, right, merged, cnt))
+            vocab = vocab.withColumn(
+                "spaced",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("spaced"), F.lit(" ")),
+                        F.lit(f" {pair} "),
+                        F.lit(f" {merged} "),
+                    )
+                ),
+            )
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """The identical unrolled merge iteration as DuckDB CTEs."""
+    ctes = [
+        r"""words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
+)""",
+        r"""vocab0 AS (
+  SELECT word, COUNT(*) AS freq,
+         trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' </w>' AS spaced
+  FROM words GROUP BY word
+)""",
+    ]
+    # MATERIALIZED is load-bearing: best{t} is referenced by vocab{t}
+    # AND the final union, and vocab{t} by pairs{t+1} and vocab{t+1} —
+    # without forced materialization DuckDB inlines each reference and
+    # the evaluation tree doubles per merge level (2^n_merges scans).
+    for t in range(1, n_merges + 1):
+        ctes.append(
+            f"""pairs{t} AS MATERIALIZED (
+  SELECT toks[i] || ' ' || toks[i+1] AS pair, SUM(freq) AS cnt
+  FROM (SELECT string_split(spaced, ' ') AS toks, freq FROM vocab{t-1}),
+       unnest(range(1, length(toks))) AS u(i)
+  GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"best{t} AS MATERIALIZED "
+            f"(SELECT pair, cnt FROM pairs{t} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"""vocab{t} AS MATERIALIZED (
+  SELECT word, freq,
+         trim(replace(' ' || spaced || ' ',
+                      ' ' || b.pair || ' ',
+                      ' ' || replace(b.pair, ' ', '') || ' ')) AS spaced
+  FROM vocab{t-1}, best{t} b
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {t} AS merge_rank, split_part(pair, ' ', 1) AS left_tok, "
+        f"split_part(pair, ' ', 2) AS right_tok, replace(pair, ' ', '') AS merged, "
+        f"cnt AS pair_count FROM best{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
+
+
+_BPE_MERGES = 8
+
+
+@register(
+    "text_bpe_train",
+    doc="Distributed BPE vocabulary training (Sennrich 2016): 8 merge "
+    "rounds over the cached word-frequency vocab — per round one "
+    "map-side-combined pair count, a 1-row argmax collect, and a "
+    "JVM-literal merge replace. Output is the learned merge table "
+    "(rank, left, right, merged, pair_count); the DuckDB oracle "
+    "replays the identical unrolled iteration, so every merge "
+    "decision and count is value-checked.",
+    oracle=_bpe_oracle_sql(_BPE_MERGES),
+    tags=("textops", "tokenizer"),
+    extra=True,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_tok string, right_tok string, merged string, "
+        "pair_count bigint",
+    ).orderBy("merge_rank")

@@ -147,3 +147,36 @@ def test_sequence_pack_result_invariant_to_sharding(spark):
     for r in a:
         assert r["start_tok"] == cum
         cum += r["n_tokens"]
+
+
+def test_bpe_train_sennrich_example(spark):
+    """Hand-checked BPE merges on the classic low/lower/newest/widest
+    corpus (Sennrich et al. 2016 §3.2 shape): 5x low, 2x lower,
+    6x newest, 3x widest. Ties break by pair string ascending."""
+    from quackml_spark.operators.text import bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    merges = bpe_train(docs, n_merges=8)
+    got = [(m[1], m[2], m[3], m[4]) for m in merges]
+    assert got == [
+        ("e", "s", "es", 9),
+        ("es", "t", "est", 9),
+        ("est", "</w>", "est</w>", 9),
+        ("l", "o", "lo", 7),
+        ("lo", "w", "low", 7),
+        ("e", "w", "ew", 6),
+        ("ew", "est</w>", "ewest</w>", 6),
+        ("n", "ewest</w>", "newest</w>", 6),
+    ]
+
+
+def test_bpe_train_stops_when_no_pairs_left(spark):
+    """A corpus of single-char words exhausts after merging each char
+    with </w>: bpe_train returns fewer merges than asked instead of
+    failing on an empty argmax."""
+    from quackml_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame([(0, "a b a b a")], "doc_id int, text string")
+    merges = bpe_train(docs, n_merges=8)
+    assert [(m[1], m[2], m[4]) for m in merges] == [("a", "</w>", 3), ("b", "</w>", 2)]
