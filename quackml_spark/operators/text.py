@@ -1479,3 +1479,25 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank int, left_tok string, right_tok string, merged string, "
         "pair_count bigint",
     ).orderBy("merge_rank")
+
+
+def bpe_encode_expr(text_col, merges: list[tuple[int, str, str, str, int]]):
+    """Tokenize a text column with a learned merge table: per-word
+    char+'</w>' symbol strings with every merge applied in rank order.
+    Pure nested JVM replace() calls over the space-padded symbol string
+    (the same left-to-right semantics the trainer used) — map-only,
+    whole-stage-codegen friendly, no UDF. Returns array<string> of the
+    subword tokens for the [a-z]+ words of the text."""
+    word_arr = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z]+"), 0)
+
+    def encode_one(w):
+        spaced = F.concat(
+            F.lit(" "), F.trim(F.regexp_replace(w, "(.)", "$1 ")), F.lit(" </w> ")
+        )
+        for _, left, right, merged, _ in merges:
+            spaced = F.replace(
+                spaced, F.lit(f" {left} {right} "), F.lit(f" {merged} ")
+            )
+        return F.split(F.trim(spaced), " ")
+
+    return F.flatten(F.transform(word_arr, encode_one))

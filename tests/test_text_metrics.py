@@ -180,3 +180,32 @@ def test_bpe_train_stops_when_no_pairs_left(spark):
     docs = spark.createDataFrame([(0, "a b a b a")], "doc_id int, text string")
     merges = bpe_train(docs, n_merges=8)
     assert [(m[1], m[2], m[4]) for m in merges] == [("a", "</w>", 3), ("b", "</w>", 2)]
+
+
+def test_bpe_encode_roundtrip_with_learned_merges(spark):
+    """Encoding the training corpus with its own learned merges yields
+    exactly the symbols the trainer's final vocab state implies: 'low'
+    -> [low, </w>]... and concatenating tokens (minus </w>) restores
+    each word."""
+    import pyspark.sql.functions as F
+    from quackml_spark.operators.text import bpe_train, bpe_encode_expr
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    merges = bpe_train(docs, n_merges=8)
+    probe = spark.createDataFrame(
+        [(0, "low lower newest widest lowest")], "doc_id int, text string"
+    )
+    toks = probe.select(
+        bpe_encode_expr(F.col("text"), merges).alias("toks")
+    ).first()["toks"]
+    assert toks == [
+        "low", "</w>",                  # low: merged fully, marker unattached
+        "low", "e", "r", "</w>",        # lower
+        "newest</w>",                   # newest: fully merged incl. marker
+        "w", "i", "d", "est</w>",       # widest
+        "low", "est</w>",               # lowest: unseen word, known subwords
+    ]
+    # lossless: stripping markers and joining restores the words
+    joined = "".join(t.replace("</w>", " ") for t in toks).split()
+    assert joined == ["low", "lower", "newest", "widest", "lowest"]
