@@ -1449,7 +1449,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {t} AS merge_rank, split_part(pair, ' ', 1) AS left_tok, "
         f"split_part(pair, ' ', 2) AS right_tok, replace(pair, ' ', '') AS merged, "
-        f"cnt AS pair_count FROM best{t}"
+        f"CAST(cnt AS BIGINT) AS pair_count FROM best{t}"
         for t in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"

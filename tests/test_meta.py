@@ -76,7 +76,7 @@ _BROADCAST_ALLOWLIST = {
     "operators/sampling.py": 1,  # mixture rates (|sources| rows)
     "ml/monitor.py": 3,          # PSI per-feature span/total tables (k rows
                                  # each) + KS shard offsets (≤ n_shards rows)
-    "operators/text.py": 3,      # langid lexicon (24 rows), benchmark grams (eval-suite-sized), sequence-pack shard offsets (|shards| rows)
+    "operators/text.py": 4,      # langid lexicon (24 rows), benchmark grams (eval-suite-sized), sequence-pack shard offsets (|shards| rows), count-min sketch (<= depth*width = 4096 cells)
 }
 
 
