@@ -43,6 +43,12 @@ PLAN_PINNED = [
     "text_clean_normalize",
     "ml_feature_drift_psi",
     "ml_feature_drift_ks",
+    # round-7 additions (text_bpe_train is driver-iterative — its
+    # returned merge table has no lazily-built plan to pin; each
+    # iteration's pair count is the same shape as text_token_stats)
+    "dedup_semantic",
+    "text_bloom_decontaminate",
+    "sketch_countmin_grams",
 ]
 
 # intentional broadcast nested-loop joins, all with CONSTANT-size build
