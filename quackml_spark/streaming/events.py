@@ -330,3 +330,72 @@ def stream_stream_lookback_join(
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("r_ts") < F.col("l_ts")),
     )
+
+
+def streaming_bloom_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    n_shards: int = 32,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """Streaming dedup with CONSTANT state: per-shard Bloom bitmaps.
+
+    ``streaming_dedup`` (dropDuplicatesWithinWatermark) bounds state by
+    EVICTING keys older than the watermark — a key recurring after the
+    horizon is let through again. This variant is the complementary
+    trade for pipelines that must suppress re-occurrences FOREVER
+    (e.g. continuous training-data ingestion where a document may
+    reappear months later): state is n_shards Bloom bitmaps totalling
+    n_shards * m_bits / 8 bytes (512 KiB at the defaults) for an
+    unbounded stream. Duplicates are dropped with certainty; a bounded
+    false-positive fraction of genuinely-new keys is dropped too —
+    that is the price of constant memory, stated rather than hidden.
+
+    Shape: the shard id (md5 of the key, mod n_shards) is computed
+    JVM-side so the one shuffle moves rows to n_shards state
+    partitions; the state op tests-and-sets k md5-derived bits per key
+    in batch arrival order (ts, then first remaining key col) so the
+    survivor is deterministic within a micro-batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    if not (1 <= k <= 4):
+        raise ValueError("k must be in 1..4 (positions are md5-digest slices)")
+    cols = ["user_id", "event_id", "ts", "value"]
+    key_expr = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    shard_expr = (
+        F.conv(F.substring(F.md5(key_expr), 1, 8), 16, 10).cast("bigint") % n_shards
+    )
+    src = events.select(*cols, key_expr.alias("__key"), shard_expr.alias("__shard"))
+    out_type = src.select(*cols).schema
+    state_type = StructType([StructField("bitmap", BinaryType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        bitmap = bytearray(state.get[0]) if state.exists else bytearray(m_bits // 8)
+        rows = _pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", key_cols[0]]).reset_index(drop=True)
+        keep = []
+        for s in rows["__key"]:
+            digest = _hashlib.md5(s.encode()).digest()
+            pos = [
+                int.from_bytes(digest[4 * i : 4 * i + 4], "big") % m_bits
+                for i in range(k)
+            ]
+            if all(bitmap[p >> 3] & (1 << (p & 7)) for p in pos):
+                keep.append(False)  # seen (or false positive): drop
+            else:
+                keep.append(True)
+                for p in pos:
+                    bitmap[p >> 3] |= 1 << (p & 7)
+        state.update((bytes(bitmap),))
+        yield rows.loc[keep, cols]
+
+    return src.groupBy("__shard").applyInPandasWithState(
+        fn, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+    )

@@ -177,3 +177,33 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "streaming_bloom_dedup_events",
+    extra=True,
+    doc="Streaming Bloom dedup (first event per (user_id, event_type), "
+    "CONSTANT 512 KiB state for an unbounded stream — the "
+    "no-watermark-eviction complement of streaming_dedup_events). "
+    "Kept-count is between the exact distinct-key count minus the "
+    "bounded false-positive allowance and the exact count; the "
+    "cross-batch state test pins exact behavior.",
+    tags=("streaming",),
+)
+def streaming_bloom_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from quackml_spark.streaming.events import (
+        read_event_stream,
+        run_to_completion,
+        streaming_bloom_dedup,
+    )
+
+    out = run_to_completion(
+        streaming_bloom_dedup(
+            read_event_stream(spark, sf_dir), ["user_id", "event_type"]
+        ).select("user_id"),
+        "qml_streaming_bloom_dedup",
+        output_mode="append",
+    )
+    return out.agg(F.count(F.lit(1)).alias("n_kept"))

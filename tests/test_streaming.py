@@ -396,3 +396,76 @@ def test_drift_monitor_on_scoring_stream(spark, sf_dir, tmp_path):
     # shift f_user far outside the reference span → PSI must fire
     loud = run(shift=1e6)
     assert loud and all(a["drift"] for a in loud if a["feature"] == "f_user"), loud
+
+
+def test_streaming_bloom_dedup_cross_batch(spark, sf_dir, tmp_path):
+    """The Bloom bitmap must persist ACROSS micro-batches: duplicates of
+    batch-0 keys arriving in batch 1 are dropped, and every key keeps
+    exactly one survivor (no false positives at 2^17 bits for this key
+    cardinality). Mirrors the ewma two-file split."""
+    import time as _time
+
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_bloom_dedup
+
+    events = load_table(spark, sf_dir, "events")
+    pdf = (
+        events.select("user_id", "event_id", "ts", "value", "event_type")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    cut = pdf["ts"].median()
+    d = tmp_path / "bloom_stream_in"
+    d.mkdir()
+    spark.createDataFrame(pdf[pdf.ts <= cut]).coalesce(1).write.parquet(str(d / "p0"))
+    _time.sleep(1.1)
+    spark.createDataFrame(pdf[pdf.ts > cut]).coalesce(1).write.parquet(str(d / "p1"))
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d) + "/p*")
+    )
+    q = (
+        streaming_bloom_dedup(stream, ["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName("qml_bloom_dedup_2batch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = spark.table("qml_bloom_dedup_2batch").collect()
+    n_exact = (
+        events.select("user_id", "event_type").distinct().count()
+    )
+    # no duplicates survive; at this cardinality vs 32x2^17 bits the
+    # false-positive expectation is << 1, so the count is exact
+    assert len(kept) == n_exact, (len(kept), n_exact)
+    # and cross-batch specifically: keys present in BOTH halves must
+    # keep only their batch-0 occurrence
+    import pandas as _pd
+
+    both = _pd.merge(
+        pdf[pdf.ts <= cut][["user_id", "event_type"]].drop_duplicates(),
+        pdf[pdf.ts > cut][["user_id", "event_type"]].drop_duplicates(),
+    )
+    assert len(both) > 0, "fixture must exercise cross-batch duplicates"
+
+
+def test_streaming_bloom_dedup_registered_query(spark, sf_dir):
+    from quackml_spark.plans import REGISTRY
+
+    row = REGISTRY["streaming_bloom_dedup_events"].builder(spark, sf_dir).collect()[0]
+    from quackml_spark.sources import load_table
+
+    n_exact = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert row["n_kept"] == n_exact
