@@ -1501,3 +1501,120 @@ def bpe_encode_expr(text_col, merges: list[tuple[int, str, str, str, int]]):
         return F.split(F.trim(spaced), " ")
 
     return F.flatten(F.transform(word_arr, encode_one))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling — the dataset-construction step that
+# turns "mixture weights" into an actual training set: per source, keep
+# a deterministic pseudo-random prefix of documents whose token count
+# fills the source's budget (the Pile/Dolma assembly shape). The
+# running token cumsum uses the same two-phase shard-offset pattern as
+# sequence_pack: priorities range-shard map-side, per-(source, shard)
+# sums collect (bounded at n_sources x n_shards rows), and the window
+# partitions on (source, shard) — never a per-source single-reducer
+# global window.
+# ---------------------------------------------------------------------------
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Keep docs per source, in md5-priority order, while the running
+    token count's START offset is below ``budget_tokens`` (so the doc
+    that crosses the boundary is included — coverage >= budget when the
+    source has enough tokens). Returns (source, doc_id, n_tokens,
+    start_tok). ``n_shards`` must be a power of two (priorities are
+    range-sharded by their top bits)."""
+    if n_shards & (n_shards - 1):
+        raise ValueError("n_shards must be a power of two")
+    shift = 32 - n_shards.bit_length() + 1
+    prio = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col(source_col), F.col(id_col).cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_expr(text_col)).cast("bigint").alias("n_tokens"),
+        prio.alias("__prio"),
+        F.shiftright(prio, shift).alias("__shard"),
+    )
+    shard_sums = (
+        base.groupBy("source", "__shard")
+        .agg(F.sum("n_tokens").alias("s"))
+        .orderBy("source", "__shard")
+        .collect()
+    )
+    offsets, running, cur = [], 0, None
+    for r in shard_sums:
+        if r["source"] != cur:
+            cur, running = r["source"], 0
+        offsets.append((r["source"], r["__shard"], running))
+        running += int(r["s"])
+    spark = docs.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "source string, __shard bigint, __off bigint")
+    )
+    w = (
+        Window.partitionBy("source", "__shard")
+        .orderBy("__prio", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.col("__off") + F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_tok")
+    return (
+        base.join(off_df, ["source", "__shard"])
+        .select("source", "doc_id", "n_tokens", start)
+        .where(F.col("start_tok") < budget_tokens)
+        .orderBy("source", "start_tok")
+    )
+
+
+_BUDGET_TOKENS = 600
+
+
+@register(
+    "text_token_budget_sample",
+    doc="Token-budget mixture assembly: per source keep a deterministic "
+    "md5-priority prefix of docs until 600 tokens are covered (the doc "
+    "crossing the boundary included) — mixture weights made into an "
+    "actual dataset, the Pile/Dolma construction step. Running cumsum "
+    "via the two-phase shard-offset pattern (no per-source global "
+    "window); the oracle's single window per source is exactly equal "
+    "because integer prefix sums are association-free.",
+    oracle=rf"""
+WITH t AS (
+  SELECT source, doc_id,
+         length(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+         ('0x' || substr(md5(source || '|' || doc_id::VARCHAR), 1, 8))::BIGINT AS prio
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY prio, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT source, doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_tok
+FROM c WHERE cum - n_tokens < {_BUDGET_TOKENS}
+ORDER BY source, start_tok
+""",
+    tags=("textops", "sampling"),
+    extra=True,
+)
+def text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(docs, _BUDGET_TOKENS)

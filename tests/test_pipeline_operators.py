@@ -394,3 +394,50 @@ def test_countmin_narrow_width_overcounts(spark):
     assert len(est) == 50
     assert all(cm >= tc for tc, cm in est.values())
     assert any(cm > tc for tc, cm in est.values()), "8 cells for 50 keys must collide"
+
+
+def test_token_budget_sample_shard_invariant(spark, sf_dir):
+    """The two-phase shard-offset cumsum must give IDENTICAL output for
+    any shard count — integer prefix sums are association-free, so
+    n_shards=1 (one global window per source) and n_shards=16 agree
+    row-for-row."""
+    from quackml_spark.operators.text import token_budget_sample
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = [tuple(r) for r in token_budget_sample(docs, 600, n_shards=1).collect()]
+    b = [tuple(r) for r in token_budget_sample(docs, 600, n_shards=16).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_token_budget_sample_covers_budget(spark, sf_dir):
+    """Per source: kept tokens reach the budget (boundary doc included)
+    whenever the source has enough, every kept doc starts below the
+    budget, and the selection is a PREFIX in priority order (no doc
+    skipped then a later one kept)."""
+    import pyspark.sql.functions as F
+    from quackml_spark.operators.text import token_budget_sample
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_budget_sample(docs, 600).collect()
+    per_src: dict = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r)
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.split(F.lower("text"), r"\s+"))).alias("t"))
+        .collect()
+    }
+    for src, rows in per_src.items():
+        rows.sort(key=lambda r: r["start_tok"])
+        assert all(r["start_tok"] < 600 for r in rows)
+        kept = sum(r["n_tokens"] for r in rows)
+        if totals[src] >= 600:
+            assert kept >= 600, (src, kept)
+        # contiguous prefix: starts chain exactly
+        acc = 0
+        for r in rows:
+            assert r["start_tok"] == acc
+            acc += r["n_tokens"]
