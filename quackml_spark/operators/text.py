@@ -1618,3 +1618,127 @@ ORDER BY source, start_tok
 def text_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return token_budget_sample(docs, _BUDGET_TOKENS)
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction — the step-zero operator of a web-corpus
+# pipeline (trafilatura/jusText territory, reduced to the deterministic
+# regex core): drop script/style/head blocks, turn block-level tags
+# into line breaks, strip remaining tags, decode the common entities,
+# then keep only lines that look like prose (>= min_words letter-words
+# — the jusText-lite boilerplate heuristic that drops nav/footer/title
+# fragments). Pure JVM regexp chains — map-only, codegen-friendly, no
+# UDF — and every regex is RE2-compatible (no backreferences), so
+# DuckDB replays the chain byte-identically.
+# ---------------------------------------------------------------------------
+
+_HTML_BLOCK_TAGS = "p|div|br|h1|h2|h3|h4|h5|h6|li|tr|nav|footer|header|section|article|table|ul|ol"
+_HTML_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")]
+
+
+def html_extract_expr(html_col, min_words: int = 5):
+    """(n_kept_lines, content) struct for an HTML column."""
+    x = html_col
+    for tag in ("script", "style", "head"):
+        x = F.regexp_replace(x, f"(?s)<{tag}[^>]*>.*?</{tag}>", " ")
+    x = F.regexp_replace(x, f"</?(?:{_HTML_BLOCK_TAGS})[^>]*>", "\n")
+    x = F.regexp_replace(x, "<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    lines = F.transform(
+        F.split(x, "\n"),
+        lambda ln: F.trim(F.regexp_replace(ln, r"[ \t\r]+", " ")),
+    )
+    kept = F.filter(
+        lines,
+        lambda ln: F.size(F.regexp_extract_all(ln, F.lit("[A-Za-z]+"), 0))
+        >= min_words,
+    )
+    return F.struct(
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("content"),
+    )
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", min_words: int = 5
+) -> DataFrame:
+    """Adds n_kept_lines + content columns extracted from ``html_col``."""
+    s = html_extract_expr(F.col(html_col), min_words)
+    return df.withColumn("n_kept_lines", s["n_kept_lines"]).withColumn(
+        "content", s["content"]
+    )
+
+
+def _html_extract_sql(html_expr: str, min_words: int = 5) -> str:
+    x = html_expr
+    for tag in ("script", "style", "head"):
+        x = f"regexp_replace({x}, '(?s)<{tag}[^>]*>.*?</{tag}>', ' ', 'g')"
+    x = f"regexp_replace({x}, '</?({_HTML_BLOCK_TAGS})[^>]*>', chr(10), 'g')"
+    x = f"regexp_replace({x}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        x = f"replace({x}, '{ent}', '{ch_sql}')"
+    lines = f"list_transform(string_split({x}, chr(10)), ln -> trim(regexp_replace(ln, '[ \\t\\r]+', ' ', 'g')))"
+    kept = (
+        f"list_filter({lines}, ln -> "
+        f"length(regexp_extract_all(ln, '[A-Za-z]+')) >= {min_words})"
+    )
+    return kept
+
+
+_HTML_WRAP_SPARK = None  # built inside the query builder
+
+
+@register(
+    "text_html_extract",
+    doc="Web-text extraction: each doc is wrapped in a deterministic "
+    "realistic HTML page (head/title/style, nav, h1, the text in a "
+    "<p> with &amp;-escaped ampersands, script, footer — the corpus "
+    "has no raw HTML, same augmentation precedent as the planted-dup "
+    "queries), then extracted back: block-structure-aware tag strip, "
+    "entity decode, and the jusText-lite >=5-letter-word line filter "
+    "that drops the nav/title/footer boilerplate. The roundtrip "
+    "(content == whitespace-normalized original text) is asserted in "
+    "pytest; the oracle replays the full regex chain byte-identically.",
+    oracle=f"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id || '</title><style>p{{margin:0}}</style></head><body>'
+         || '<nav>Home About Contact</nav><h1>Doc ' || doc_id || '</h1>'
+         || '<p>' || replace(text, '&', '&amp;') || '</p>'
+         || '<script>var x = 1 + 2;</script>'
+         || '<footer>Copyright Example Corp</footer></body></html>' AS html
+  FROM documents
+), extracted AS (
+  SELECT doc_id, {_html_extract_sql("html")} AS kept
+  FROM pages
+)
+SELECT doc_id,
+       CAST(length(kept) AS BIGINT) AS n_kept_lines,
+       list_aggregate(kept, 'string_agg', chr(10)) AS content
+FROM extracted
+ORDER BY doc_id
+""",
+    tags=("textops", "multimodal"),
+    extra=True,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style></head><body>"),
+        F.lit("<nav>Home About Contact</nav><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("</p><script>var x = 1 + 2;</script>"),
+        F.lit("<footer>Copyright Example Corp</footer></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return (
+        html_extract(pages, "html")
+        .select("doc_id", "n_kept_lines", "content")
+        .orderBy("doc_id")
+    )

@@ -209,3 +209,47 @@ def test_bpe_encode_roundtrip_with_learned_merges(spark):
     # lossless: stripping markers and joining restores the words
     joined = "".join(t.replace("</w>", " ") for t in toks).split()
     assert joined == ["low", "lower", "newest", "widest", "lowest"]
+
+
+def test_html_extract_roundtrip_recovers_text(spark, sf_dir):
+    """The wrap -> extract roundtrip must recover every document's text
+    exactly (whitespace-normalized): one kept prose line per doc, equal
+    to the original text, with all nav/title/script/footer boilerplate
+    gone."""
+    import re
+
+    from quackml_spark.plans import REGISTRY, _load_all
+    from quackml_spark.sources import load_table
+
+    _load_all()
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_html_extract"].builder(spark, sf_dir).collect()
+    }
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        norm = re.sub(r"[ \t\r]+", " ", r["text"]).strip()
+        g = got[r["doc_id"]]
+        assert g["n_kept_lines"] == 1, r["doc_id"]
+        assert g["content"] == norm, r["doc_id"]
+
+
+def test_html_extract_handles_entities_and_boilerplate(spark):
+    """Direct operator checks: entities decode, short/boilerplate lines
+    drop, block tags split lines, script bodies never leak."""
+    from quackml_spark.operators.text import html_extract
+
+    page = (
+        "<html><head><style>b{}</style></head><body>"
+        "<nav>Home About Contact</nav>"
+        "<p>The quick brown fox jumps over the lazy dog &amp; friends</p>"
+        "<script>leaked secret token here none shall pass</script>"
+        "<div>Tom &quot;Big&quot; Smith said it&#39;s less than &lt;great&gt; honestly</div>"
+        "<footer>Copyright</footer></body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "id int, html string")
+    row = html_extract(df, "html").collect()[0]
+    lines = row["content"].split("\n")
+    assert row["n_kept_lines"] == 2
+    assert lines[0] == "The quick brown fox jumps over the lazy dog & friends"
+    assert lines[1] == 'Tom "Big" Smith said it\'s less than <great> honestly'
+    assert "secret" not in row["content"]
