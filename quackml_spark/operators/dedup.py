@@ -572,3 +572,115 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup index — build-once / check-many. A 100 TB corpus is
+# not re-shingled on every ingest batch: the existing corpus's LSH band
+# keys persist as parquet PARTITIONED BY band_id, and each new batch
+# runs the identical shingle->minhash->band pipeline on ITS OWN rows
+# only, then equi-joins the index on (band_id, band_key). Same
+# build/search split (and the same written-last freshness manifest) as
+# the persistent IVF index.
+# ---------------------------------------------------------------------------
+
+
+def doc_band_keys(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, band_id, band_key) MinHash-LSH band rows for any
+    (id, text) frame — the exact pipeline dedup_minhash_lsh runs,
+    exposed for index build/check so both sides hash identically."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
+                ),
+            )
+        ).alias("shingle"),
+    )
+    sigs = _hashed_shingles(sh).groupBy("doc_id").agg(*_minhash_aggs())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"mh{b * _R + r}").cast("string") for r in range(_R)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
+def dedup_index_build(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist the corpus's band keys at ``path`` (bands/ partitioned by
+    band_id + a written-last manifest recording the hash geometry)."""
+    spark = docs.sparkSession
+    bands = doc_band_keys(docs, id_col, text_col)
+    (
+        bands.repartition("band_id")
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(f"{path}/bands")
+    )
+    n_docs = int(docs.count())
+    spark.createDataFrame(
+        [(_K, _BANDS, _R, _P, 3, n_docs)],
+        "k int, bands int, rows_per_band int, modulus bigint, "
+        "shingle_width int, n_docs bigint",
+    ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
+
+
+def dedup_index_check(
+    new_docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate duplicates of ``new_docs`` against the persisted index:
+    (new_doc_id, index_doc_id, shared_bands). Only the new batch is
+    shingled; the index side is a partitioned parquet scan joined on
+    (band_id, band_key). Validates the manifest's hash geometry first —
+    an index built under different MinHash parameters fails loudly
+    instead of silently missing every duplicate."""
+    spark = new_docs.sparkSession
+    try:
+        m = spark.read.parquet(f"{path}/manifest.parquet").first()
+    except Exception as e:
+        raise ValueError(
+            f"dedup index at {path!r} has no manifest (half-built or not "
+            f"an index): {e}"
+        ) from None
+    got = (m["k"], m["bands"], m["rows_per_band"], m["modulus"], m["shingle_width"])
+    want = (_K, _BANDS, _R, _P, 3)
+    if got != want:
+        raise ValueError(
+            f"dedup index at {path!r} was built with hash geometry "
+            f"(k, bands, rows, modulus, shingle)={got}, engine expects "
+            f"{want} — rebuild the index"
+        )
+    idx = spark.read.parquet(f"{path}/bands").select(
+        F.col("doc_id").alias("index_doc_id"), "band_id", "band_key"
+    )
+    nb = doc_band_keys(new_docs, id_col, text_col).select(
+        F.col("doc_id").alias("new_doc_id"), "band_id", "band_key"
+    )
+    return (
+        nb.join(idx, ["band_id", "band_key"])
+        .groupBy("new_doc_id", "index_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .orderBy("new_doc_id", "index_doc_id")
+    )

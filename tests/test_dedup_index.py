@@ -1,0 +1,96 @@
+"""Incremental dedup index: build-once / check-many (the no-reshingle
+ingest path), mirroring test_ivf_index's persistence + manifest
+coverage."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from quackml_spark.operators.dedup import (
+    dedup_index_build,
+    dedup_index_check,
+    doc_band_keys,
+)
+from quackml_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dedup_idx") / "idx")
+    dedup_index_build(load_table(spark, sf_dir, "documents"), path)
+    return path
+
+
+def test_check_flags_planted_duplicates(spark, sf_dir, index_path):
+    """A new batch containing verbatim copies of indexed docs (new ids)
+    plus one genuinely fresh doc: every copy is flagged against its
+    source with all 4 bands shared; the fresh doc is not flagged."""
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    fresh = spark.createDataFrame(
+        [(999999, "zq xv jk qp wy zzyzx unseen gibberish shingle salad entirely")],
+        "doc_id long, text string",
+    )
+    out = dedup_index_check(copies.union(fresh), index_path).collect()
+    hits = {(r["new_doc_id"], r["index_doc_id"]): r["shared_bands"] for r in out}
+    for i in range(5):
+        assert hits.get((900000 + i, i)) == 4, f"copy of doc {i} not fully flagged"
+    assert not any(n == 999999 for (n, _) in hits), "fresh doc falsely flagged"
+
+
+def test_check_reads_index_not_rebuild(spark, sf_dir, index_path):
+    """The check scans the persisted bands parquet — the index side of
+    the join must come from files under the index path."""
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    df = dedup_index_check(docs, index_path)
+    assert any("bands" in f for f in df.inputFiles()), df.inputFiles()[:3]
+
+
+def test_check_equals_selfjoin_of_band_keys(spark, sf_dir, index_path):
+    """Checking the corpus against its own index reproduces exactly the
+    dedup_minhash_lsh pair relation (restricted to cross-id pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    via_index = {
+        (r["new_doc_id"], r["index_doc_id"]): r["shared_bands"]
+        for r in dedup_index_check(docs, index_path).collect()
+        if r["new_doc_id"] < r["index_doc_id"]
+    }
+    bands = doc_band_keys(docs)
+    a = bands.select(F.col("doc_id").alias("x"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("y"), "band_id", "band_key")
+    direct = {
+        (r["x"], r["y"]): r["n"]
+        for r in a.join(b, ["band_id", "band_key"])
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert via_index == direct and len(direct) > 0
+
+
+def test_manifest_geometry_mismatch_rejected(spark, sf_dir, tmp_path):
+    """An index whose manifest records different MinHash geometry must
+    fail loudly (silently missing every duplicate is the failure mode
+    the manifest exists to prevent)."""
+    path = str(tmp_path / "bad_idx")
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    dedup_index_build(docs, path)
+    spark.createDataFrame(
+        [(8, 4, 2, 2147483647, 3, 5)],
+        "k int, bands int, rows_per_band int, modulus bigint, "
+        "shingle_width int, n_docs bigint",
+    ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
+    with pytest.raises(ValueError, match="hash geometry"):
+        dedup_index_check(docs, path)
+
+
+def test_missing_manifest_rejected(spark, sf_dir, tmp_path):
+    with pytest.raises(ValueError, match="no manifest"):
+        dedup_index_check(
+            load_table(spark, sf_dir, "documents").limit(1),
+            str(tmp_path / "nonexistent"),
+        )
