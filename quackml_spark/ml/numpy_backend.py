@@ -1232,18 +1232,25 @@ def _fit_optics(X, y, hp, seed):
     }
 
 
-def _np_kmeans(P, k, seed, n_iter=100):
-    """Lloyd's algorithm with kmeans++ seeding (deterministic rng)."""
-    rng = np.random.default_rng(seed)
+def _kmeanspp_init(P, k, rng):
+    """k-means++ seeding (Arthur & Vassilvitskii 2007), deterministic
+    given the rng — shared by Lloyd's and the mini-batch variant."""
     n = len(P)
-    k = min(k, n)
     centers = [P[rng.integers(n)]]
     for _ in range(1, k):
         d2 = np.min(_sq_dists(P, np.asarray(centers)), axis=1)
         tot = d2.sum()
         probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
         centers.append(P[rng.choice(n, p=probs)])
-    C = np.asarray(centers)
+    return np.asarray(centers, dtype="float64")
+
+
+def _np_kmeans(P, k, seed, n_iter=100):
+    """Lloyd's algorithm with kmeans++ seeding (deterministic rng)."""
+    rng = np.random.default_rng(seed)
+    n = len(P)
+    k = min(k, n)
+    C = _kmeanspp_init(P, k, rng)
     for _ in range(n_iter):
         lab = _sq_dists(P, C).argmin(axis=1)
         newC = np.array(
@@ -1371,6 +1378,79 @@ def _fit_feature_agglomeration(X, y, hp, seed):
     return {"kind": "feature_map", "labels": labels, "k": int(labels.max() + 1)}
 
 
+def _fit_mini_batch_kmeans(X, y, hp, seed):
+    """Mini-batch k-means, the actual Sculley (2010) algorithm the
+    reference's sklearn path runs (`sklearn.py:92` MiniBatchKMeans):
+    k-means++ init, then per-sample center updates with the
+    per-center count-based learning rate eta = 1/c — NOT a Lloyd's
+    stand-in. Deterministic given the seed."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    k = min(int(hp.get("n_clusters", hp.get("k", 8))), n)
+    batch = min(int(hp.get("batch_size", 1024)), n)
+    max_iter = int(hp.get("max_iter", 100))
+    C = _kmeanspp_init(X, k, rng)
+    counts = np.zeros(k)
+    for _ in range(max_iter):
+        idx = rng.choice(n, size=batch, replace=False)
+        B = X[idx]
+        lab = _sq_dists(B, C).argmin(axis=1)
+        old = C.copy()
+        for x, c in zip(B, lab):
+            counts[c] += 1.0
+            eta = 1.0 / counts[c]
+            C[c] = (1.0 - eta) * C[c] + eta * x
+        if np.abs(C - old).max() < 1e-6:
+            break
+    return {"kind": "centers", "centers": C}
+
+
+def _fit_agglomerative(X, y, hp, seed):
+    """AgglomerativeClustering, exact Ward linkage via the existing
+    Lance-Williams recurrence (the sklearn default linkage,
+    `sklearn.py:87`); serving extends by nearest training point."""
+    k = int(hp.get("n_clusters", hp.get("k", 2)))
+    labels = _ward_agglomerate(X, k)
+    return {"kind": "nn_labels", "X_train": X, "labels": labels.astype("float64")}
+
+
+def _fit_birch(X, y, hp, seed):
+    """BIRCH (Zhang et al. 1996; `sklearn.py:88`): CF-subcluster
+    construction by the radius-threshold insertion rule — x joins its
+    nearest subcluster iff the merged radius sqrt(SS/n - ||LS/n||^2)
+    stays <= threshold, else opens a new subcluster — followed by the
+    global phase: Ward-agglomerate the subcluster centroids to
+    n_clusters and label each subcluster. The CF tree itself is
+    flattened (equivalent to branching_factor >= n_subclusters: the
+    tree only routes insertions faster, the radius rule decides the
+    granularity). Serving = label of the nearest subcluster centroid,
+    exactly sklearn's predict."""
+    threshold = float(hp.get("threshold", 0.5))
+    k = int(hp.get("n_clusters", hp.get("k", 3)))
+    n_cf, ls, ss = [], [], []  # per-subcluster: count, linear sum, squared-norm sum
+    for x in X:
+        if n_cf:
+            cent = np.asarray(ls) / np.asarray(n_cf)[:, None]
+            j = int(((cent - x) ** 2).sum(axis=1).argmin())
+            nn = n_cf[j] + 1
+            nls = ls[j] + x
+            nss = ss[j] + float(x @ x)
+            r2 = nss / nn - float((nls / nn) @ (nls / nn))
+            if r2 <= threshold * threshold:
+                n_cf[j], ls[j], ss[j] = nn, nls, nss
+                continue
+        n_cf.append(1)
+        ls.append(x.astype("float64"))
+        ss.append(float(x @ x))
+    cent = np.asarray(ls) / np.asarray(n_cf)[:, None]
+    glob = _ward_agglomerate(cent, min(k, len(cent)))
+    return {
+        "kind": "nn_labels",
+        "X_train": cent,
+        "labels": glob.astype("float64"),
+    }
+
+
 # (task, algorithm) -> (fitter, backend tag). "numpy" = same objective as
 # the reference's sklearn path; "numpy-approx:*" = documented stand-in.
 NUMPY_MAP = {
@@ -1434,6 +1514,12 @@ NUMPY_MAP = {
     (Task.clustering, Algorithm.spectral): (_fit_spectral, "numpy"),
     (Task.clustering, Algorithm.spectral_co): (_fit_spectral_co, "numpy"),
     (Task.clustering, Algorithm.spectral_bi): (_fit_spectral_bi, "numpy"),
+    (Task.clustering, Algorithm.mini_batch_kmeans): (
+        _fit_mini_batch_kmeans,
+        "numpy",
+    ),
+    (Task.clustering, Algorithm.agglomerative): (_fit_agglomerative, "numpy"),
+    (Task.clustering, Algorithm.birch): (_fit_birch, "numpy"),
     (Task.decomposition, Algorithm.feature_agglomeration): (
         _fit_feature_agglomeration,
         "numpy",

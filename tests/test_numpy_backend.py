@@ -730,3 +730,94 @@ def test_unreachable_seven_resolve_and_lifecycle(spark, catalog):
         catalog=catalog,
     )
     assert res2.metrics["backend"] == "numpy"
+
+
+def _blob_fixture(seed=9, k=3, per=50, spread=0.4, gap=10.0):
+    rng = np.random.default_rng(seed)
+    centers = np.array([[i * gap, (i % 2) * gap] for i in range(k)], dtype=float)
+    X = np.vstack([rng.normal(c, spread, size=(per, 2)) for c in centers])
+    truth = np.repeat(np.arange(k), per)
+    return X, truth
+
+
+def _partition_equal(a, b):
+    """Same partition up to label renaming."""
+    m: dict = {}
+    for x, y in zip(a, b):
+        if x in m and m[x] != y:
+            return False
+        m[x] = y
+    return len(set(m.values())) == len(m)
+
+
+def test_mini_batch_kmeans_exact_algorithm():
+    """Sculley mini-batch k-means recovers well-separated blobs, uses
+    per-center count learning rates (centers land on blob means), and
+    resolves as exact numpy, not an mllib stand-in."""
+    from quackml_spark.ml.algorithms import resolve
+    from quackml_spark.ml.numpy_backend import NumpyModel, _fit_mini_batch_kmeans
+
+    assert resolve(Task.clustering, Algorithm.mini_batch_kmeans, {}, 42).backend == "numpy"
+    X, truth = _blob_fixture()
+    p = _fit_mini_batch_kmeans(X, None, {"n_clusters": 3, "batch_size": 32}, 0)
+    labels = NumpyModel(Task.clustering, p)._predict_fn()(X)
+    assert _partition_equal(labels.tolist(), truth.tolist())
+    # centers converge near the blob means
+    C = np.sort(np.asarray(p["centers"]), axis=0)
+    means = np.sort(np.array([X[truth == i].mean(axis=0) for i in range(3)]), axis=0)
+    assert np.abs(C - means).max() < 0.5
+
+
+def test_agglomerative_ward_recovers_blobs():
+    from quackml_spark.ml.algorithms import resolve
+    from quackml_spark.ml.numpy_backend import NumpyModel, _fit_agglomerative
+
+    assert resolve(Task.clustering, Algorithm.agglomerative, {}, 42).backend == "numpy"
+    X, truth = _blob_fixture(seed=11)
+    p = _fit_agglomerative(X, None, {"n_clusters": 3}, 0)
+    labels = NumpyModel(Task.clustering, p)._predict_fn()(X)
+    assert _partition_equal(labels.tolist(), truth.tolist())
+    # serving extends to unseen points by nearest training point
+    probe = np.array([[0.1, 0.2], [10.1, 9.8]])
+    pl = NumpyModel(Task.clustering, p)._predict_fn()(probe)
+    assert pl[0] == labels[0] and pl[1] != pl[0]
+
+
+def test_birch_cf_threshold_rule():
+    """The CF radius rule decides subcluster granularity: a tight blob
+    under a generous threshold collapses to ONE subcluster; with a tiny
+    threshold every point opens its own. Global phase recovers planted
+    blobs; train() lifecycle serves distributed with backend=numpy."""
+    from quackml_spark.ml.algorithms import resolve
+    from quackml_spark.ml.numpy_backend import NumpyModel, _fit_birch
+
+    assert resolve(Task.clustering, Algorithm.birch, {}, 42).backend == "numpy"
+    rng = np.random.default_rng(3)
+    tight = rng.normal(0.0, 0.01, size=(40, 2))
+    p1 = _fit_birch(tight, None, {"threshold": 0.5, "n_clusters": 1}, 0)
+    assert len(p1["X_train"]) == 1
+    p2 = _fit_birch(tight, None, {"threshold": 1e-9, "n_clusters": 1}, 0)
+    assert len(p2["X_train"]) == len(tight)
+
+    X, truth = _blob_fixture(seed=21)
+    p = _fit_birch(X, None, {"threshold": 1.5, "n_clusters": 3}, 0)
+    labels = NumpyModel(Task.clustering, p)._predict_fn()(X)
+    assert _partition_equal(labels.tolist(), truth.tolist())
+
+
+def test_clustering_trio_train_lifecycle(spark, catalog):
+    """mini_batch_kmeans / agglomerative / birch run the full train()
+    lifecycle end-to-end with backend recorded as exact numpy."""
+    X, truth = _blob_fixture(seed=5, k=2, per=40)
+    rows = [(float(a), float(b)) for a, b in X]
+    df = spark.createDataFrame(rows, "x1 double, x2 double")
+    for algo, hp in (
+        ("mini_batch_kmeans", {"n_clusters": 2, "batch_size": 16}),
+        ("agglomerative", {"n_clusters": 2}),
+        ("birch", {"threshold": 1.5, "n_clusters": 2}),
+    ):
+        res = train(
+            spark, f"np-{algo}", task="clustering", df=df,
+            algorithm=algo, hyperparams=hp, catalog=catalog,
+        )
+        assert res.metrics["backend"] == "numpy", (algo, res.metrics)
