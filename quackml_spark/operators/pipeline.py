@@ -1,0 +1,161 @@
+"""End-to-end training-corpus construction — the composed pipeline.
+
+Every stage below exists as a standalone oracle-checked operator; this
+module chains them into the canonical dataset-build flow a user of the
+engine actually runs, and value-checks the WHOLE composition against a
+single DuckDB replay — so stage interactions (a filter reordered past a
+dedup, a gram set computed on uncleaned text) are caught, not just the
+stages in isolation:
+
+  clean -> quality filter -> exact dedup -> benchmark decontamination
+        -> per-doc manifest (doc_id, source, n_tokens)
+
+Scale shape: stages 1-2 are map-only expression chains; dedup is one
+groupBy on the content hash; decontamination is the broadcast-probe
+(or Bloom) shape. Nothing here adds a shuffle beyond the standalone
+operators' own.
+
+Determinism: the quality threshold is integer arithmetic
+(n_stop * 25 >= n_tokens, i.e. stopword ratio >= 4%) — no decimal
+division whose scale could differ between engines at the filter
+boundary. The corpus is augmented with the 10 planted verbatim copies
+(vec-dedup precedent) so the dedup stage provably drops rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quackml_spark.operators.text import STOPWORDS, clean_text_expr, tokens_expr
+from quackml_spark.plans import register
+from quackml_spark.sources import load_table
+
+_DECON_K = 5  # same 5-token shingle as text_decontaminate
+
+_CLEAN_SQL = r"""trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+      '\s+', ' ', 'g'))"""
+
+
+def build_corpus(docs: DataFrame, bench_mod: int = 97) -> DataFrame:
+    """The composed pipeline over a (doc_id, source, text) frame."""
+    cleaned = docs.select(
+        "doc_id", "source", clean_text_expr("text").alias("ct")
+    )
+    toks = tokens_expr("ct")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    measured = cleaned.select(
+        "doc_id",
+        "source",
+        "ct",
+        F.length("ct").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    quality = measured.where(
+        F.col("n_chars").between(50, 10000)
+        & (F.col("n_stop") * 25 >= F.col("n_tokens"))
+    )
+    w = Window.partitionBy(F.md5(F.lower("ct")))
+    deduped = (
+        quality.withColumn("__keep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    grams = deduped.where(F.size(tokens_expr("ct")) >= _DECON_K).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens_expr("ct")) - _DECON_K),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(tokens_expr("ct"), i + F.lit(1), _DECON_K)
+                    )
+                ),
+            )
+        ).alias("gram"),
+    ).distinct()
+    bench = grams.where(F.col("doc_id") % bench_mod == 0)
+    contaminated = (
+        grams.where(F.col("doc_id") % bench_mod != 0)
+        .join(F.broadcast(bench.select("gram").distinct()), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        deduped.where(F.col("doc_id") % bench_mod != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipeline_corpus_manifest",
+    doc="The COMPOSED dataset-construction pipeline as one value-checked "
+    "query: clean (URL/email strip + whitespace collapse) -> quality "
+    "filter (50..10000 chars AND stopword ratio >= 4%%, exact integer "
+    "arithmetic) -> exact dedup on md5 of the cleaned text (keep min "
+    "doc_id; 10 planted verbatim copies prove the stage) -> benchmark "
+    "decontamination (docs sharing a cleaned 5-gram with the doc_id%%97 "
+    "bench split drop; bench docs excluded) -> final manifest "
+    "(doc_id, source, n_tokens). Stage interactions — gram sets on "
+    "CLEANED text, dedup before bench exclusion — are exactly replayed "
+    "by the oracle.",
+    oracle=rf"""
+WITH aug AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text FROM documents WHERE doc_id < 10
+), cleaned AS (
+  SELECT doc_id, source, {_CLEAN_SQL} AS ct FROM aug
+), measured AS (
+  SELECT doc_id, source, ct,
+         length(ct) AS n_chars,
+         length(regexp_extract_all(lower(ct), '\S+')) AS n_tokens,
+         length(list_filter(regexp_extract_all(lower(ct), '\S+'),
+                x -> list_contains({STOPWORDS!r}, x))) AS n_stop
+  FROM cleaned
+), quality AS (
+  SELECT * FROM measured
+  WHERE n_chars BETWEEN 50 AND 10000 AND n_stop * 25 >= n_tokens
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(lower(ct))) AS keep
+    FROM quality
+  ) WHERE doc_id = keep
+), toks AS (
+  SELECT doc_id, regexp_extract_all(lower(ct), '\S+') AS toks FROM deduped
+), grams AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(toks[i:i+{_DECON_K - 1}], 'string_agg', ' ')) AS gram
+  FROM toks, unnest(range(1, length(toks) - {_DECON_K - 2})) AS t(i)
+  WHERE length(toks) >= {_DECON_K}
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), contaminated AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (gram)
+  WHERE g.doc_id % 97 <> 0
+)
+SELECT d.doc_id, d.source, CAST(d.n_tokens AS BIGINT) AS n_tokens
+FROM deduped d
+LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+WHERE d.doc_id % 97 <> 0 AND c.doc_id IS NULL
+ORDER BY d.doc_id
+""",
+    tags=("textops", "dedup", "pipeline"),
+    extra=True,
+)
+def pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = docs.union(
+        docs.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
+        )
+    )
+    return build_corpus(aug)

@@ -441,3 +441,28 @@ def test_token_budget_sample_covers_budget(spark, sf_dir):
         for r in rows:
             assert r["start_tok"] == acc
             acc += r["n_tokens"]
+
+
+def test_pipeline_stages_each_drop_rows(spark, sf_dir):
+    """Every pipeline stage must be NON-VACUOUS on the fixture: clean
+    changes text, the quality filter drops some docs, dedup drops
+    exactly the planted copies, and decontamination drops both the
+    bench split and at least one contaminated doc."""
+    import pyspark.sql.functions as F
+    from quackml_spark.plans import REGISTRY, _load_all
+    from quackml_spark.sources import load_table
+
+    _load_all()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    out = REGISTRY["pipeline_corpus_manifest"].builder(spark, sf_dir).collect()
+    kept = {r["doc_id"] for r in out}
+    # planted copies never survive (their originals have smaller ids)
+    assert not any(d >= 1000000 for d in kept)
+    # bench split excluded
+    assert not any(d % 97 == 0 for d in kept)
+    # quality + decontamination dropped beyond bench exclusion alone
+    n_bench = docs.where(F.col("doc_id") % 97 == 0).count()
+    assert len(kept) < n_docs - n_bench
+    # the survivors all carry positive token counts
+    assert all(r["n_tokens"] > 0 for r in out)
