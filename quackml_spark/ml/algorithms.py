@@ -130,8 +130,10 @@ def resolve(task: Task, algorithm: Algorithm, hyperparams: dict | None, seed: in
                 est = SparkXGBRegressor(features_col="features_vec", label_col="label", **hp)
                 return Resolved(est, "xgboost-spark")
             return mk(GBTRegressor(**lin), f"mllib-approx:{a.value}->gbt")
-        if a == Algorithm.stochastic_gradient_descent:
-            return mk(LinearRegression(solver="normal", **lin), "mllib-approx:sgd->linear")
+        # stochastic_gradient_descent falls through to the numpy exact
+        # SGD (squared loss + l2, the sklearn SGDRegressor objective) —
+        # the closed-form LinearRegression stand-in solved a different
+        # algorithm and is retired.
 
     if t == Task.classification:
         lin = {"featuresCol": "features_vec", "labelCol": "label"}
@@ -164,8 +166,9 @@ def resolve(task: Task, algorithm: Algorithm, hyperparams: dict | None, seed: in
             # at fit time (train.py decides by label cardinality).
             backend = "mllib" if a == Algorithm.gradient_boosting_trees else f"mllib-approx:{a.value}->gbt"
             return mk(GBTClassifier(**lin), backend)
-        if a == Algorithm.stochastic_gradient_descent:
-            return mk(LogisticRegression(**lin), "mllib-approx:sgd->logistic")
+        # stochastic_gradient_descent falls through to the numpy exact
+        # hinge-SGD (the sklearn SGDClassifier objective) — the
+        # LogisticRegression stand-in optimized log loss, not hinge.
 
     if t == Task.clustering:
         kw = {"featuresCol": "features_vec"}

@@ -211,6 +211,37 @@ def _fit_sgd_regressor(X, y, hp, seed, epochs=200):
     return {"kind": "linear", "coef": w, "intercept": float(b)}
 
 
+def _fit_sgd_classifier(X, y, hp, seed, epochs=200):
+    """SGD hinge + l2 (sklearn SGDClassifier's default objective,
+    `sklearn.py:50`), one-vs-rest for multiclass, deterministic
+    full-pass order with the 'optimal' eta = 1/(alpha*(t+t0))
+    schedule's shape (t0 folded into t for determinism)."""
+    alpha = float(hp.get("alpha", 1e-4))
+    classes = np.unique(y)
+    d = X.shape[1]
+    W = np.zeros((len(classes), d))
+    B = np.zeros(len(classes))
+    for ci, c in enumerate(classes):
+        t_ = np.where(y == c, 1.0, -1.0)
+        w, b, t = np.zeros(d), 0.0, 0
+        for _ in range(epochs):
+            for i in range(len(X)):
+                t += 1
+                eta = 1.0 / (alpha * (t + 1.0 / alpha))
+                margin = t_[i] * (w @ X[i] + b)
+                w = w - eta * alpha * w
+                if margin < 1:
+                    w = w + eta * t_[i] * X[i]
+                    b = b + eta * t_[i]
+        W[ci], B[ci] = w, b
+    return {
+        "kind": "linear_clf",
+        "coef": W,
+        "intercept": B,
+        "classes": classes.astype("float64"),
+    }
+
+
 def _fit_huber(X, y, hp, seed, max_iter=200, tol=1e-12):
     """Huber M-estimation via IRLS (on zero-outlier data == OLS)."""
     epsilon = float(hp.get("epsilon", 1.35))
@@ -1473,6 +1504,14 @@ NUMPY_MAP = {
     (Task.regression, Algorithm.gaussian_process): (_fit_gp_regressor, "numpy"),
     (Task.classification, Algorithm.perceptron): (_fit_perceptron, "numpy"),
     (Task.classification, Algorithm.passive_aggressive): (_fit_pa_classifier, "numpy"),
+    (Task.regression, Algorithm.stochastic_gradient_descent): (
+        _fit_sgd_regressor,
+        "numpy",
+    ),
+    (Task.classification, Algorithm.stochastic_gradient_descent): (
+        _fit_sgd_classifier,
+        "numpy",
+    ),
     (Task.clustering, Algorithm.affinity_propagation): (
         _fit_affinity_propagation,
         "numpy",

@@ -821,3 +821,33 @@ def test_clustering_trio_train_lifecycle(spark, catalog):
             algorithm=algo, hyperparams=hp, catalog=catalog,
         )
         assert res.metrics["backend"] == "numpy", (algo, res.metrics)
+
+
+def test_sgd_regressor_and_classifier_exact_objectives():
+    """SGD resolves to the numpy exact objectives: the regressor
+    (squared+l2, invscaling eta) recovers a linear rule; the classifier
+    (hinge+l2 one-vs-rest) separates blobs including a 3-class case,
+    with sklearn's class-sorted coefficient layout."""
+    from quackml_spark.ml.algorithms import resolve
+    from quackml_spark.ml.numpy_backend import (
+        NumpyModel,
+        _fit_sgd_classifier,
+        _fit_sgd_regressor,
+    )
+
+    assert resolve(Task.regression, Algorithm.stochastic_gradient_descent, {}, 42).backend == "numpy"
+    assert resolve(Task.classification, Algorithm.stochastic_gradient_descent, {}, 42).backend == "numpy"
+
+    rng = np.random.default_rng(17)
+    X = rng.normal(size=(400, 3))
+    y = X @ np.array([1.5, -2.0, 0.5]) + 0.7
+    p = _fit_sgd_regressor(X, y, {"alpha": 1e-6}, 0)
+    pred = NumpyModel(Task.regression, p)._predict_fn()(X)
+    ss = ((pred - y) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert 1 - ss > 0.99, 1 - ss
+
+    Xc, truth = _blob_fixture(seed=23, k=3, per=60, spread=0.6)
+    pc = _fit_sgd_classifier(Xc, truth.astype(float), {"alpha": 1e-4}, 0)
+    labels = NumpyModel(Task.classification, pc)._predict_fn()(Xc)
+    assert (labels == truth).mean() > 0.98
+    assert list(pc["classes"]) == [0.0, 1.0, 2.0]
