@@ -49,6 +49,8 @@ PLAN_PINNED = [
     "dedup_semantic",
     "text_bloom_decontaminate",
     "sketch_countmin_grams",
+    "text_token_budget_sample",
+    "pipeline_corpus_manifest",
 ]
 
 # intentional broadcast nested-loop joins, all with CONSTANT-size build
