@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from quackml_spark.catalog import Catalog
 
 _FN_RE = re.compile(
-    r"^\s*SELECT\s+\*\s+FROM\s+(train|finetune|load_dataset|deploy)\s*\((.*)\)\s*;?\s*$",
+    r"^\s*SELECT\s+\*\s+FROM\s+(train|finetune|load_dataset|deploy|pipeline)\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -171,6 +171,27 @@ def execute(
             [("OK", res.task, res.algorithm, bool(res.deployed))],
             "status string, task string, algorithm string, deployed boolean",
         )
+    if fn == "pipeline":
+        # generic table-function access to the ENTIRE registered
+        # operator surface: SELECT * FROM pipeline('dedup_semantic',
+        # sf_dir => '/data/sf0.01') — beyond the reference's four table
+        # functions, making every engine operator SQL-callable.
+        from quackml_spark.plans import REGISTRY, _load_all
+
+        _load_all()
+        name = _first("name", "query")
+        if name not in REGISTRY:
+            import difflib
+
+            close = difflib.get_close_matches(name, REGISTRY, n=3)
+            raise ValueError(
+                f"pipeline({name!r}): unknown query; did you mean {close}? "
+                f"(see quackml_spark.plans.describe for the full surface)"
+            )
+        sf_dir = kw.pop("sf_dir")
+        if kw:
+            raise ValueError(f"pipeline(...) got unknown arguments {sorted(kw)}")
+        return REGISTRY[name].builder(spark, sf_dir)
     if fn == "load_dataset":
         from quackml_spark.ml import load_dataset
 

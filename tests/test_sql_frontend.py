@@ -112,3 +112,19 @@ def test_finetune_statement(spark, catalog):
     assert out["status"] == "OK"
     assert out["task"] == "text_classification"
     assert out["deployed"] is True
+
+
+def test_pipeline_table_function_runs_registered_queries(spark, sf_dir):
+    """SELECT * FROM pipeline('<name>', sf_dir => ...) exposes the whole
+    registered operator surface through the SQL frontend."""
+    import pytest as _pytest
+
+    from quackml_spark.sql import execute
+
+    df = execute(
+        spark, f"SELECT * FROM pipeline('dedup_exact', sf_dir => '{sf_dir}')"
+    )
+    assert df.columns == ["content_hash", "keeper_doc_id", "n_copies"]
+    assert df.count() > 0
+    with _pytest.raises(ValueError, match="did you mean"):
+        execute(spark, f"SELECT * FROM pipeline('dedup_exackt', sf_dir => '{sf_dir}')")
