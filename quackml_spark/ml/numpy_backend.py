@@ -93,6 +93,74 @@ def _fit_lars(X, y, hp, seed):
     return {"kind": "linear", "coef": coef, "intercept": float(ym - xm @ coef)}
 
 
+def _fit_lasso_lars(X, y, hp, seed):
+    """LassoLars: LARS with the lasso modification (Efron et al. 2004
+    §3.1) — a step is truncated when an active coefficient would cross
+    zero (the variable drops and may rejoin later), and the path stops
+    exactly at the requested penalty (max correlation == n*alpha, the
+    sklearn LassoLars objective (1/2n)||y-Xw||^2 + alpha*||w||_1).
+    The true path algorithm, not a coordinate-descent stand-in; its
+    solution is cross-checked against CD on the same convex objective
+    in tests."""
+    alpha = float(hp.get("alpha", 1.0))
+    n, d = X.shape
+    xm, ym = X.mean(axis=0), y.mean()
+    Xc, yc = X - xm, y - ym
+    coef = np.zeros(d)
+    active: list[int] = []
+    mu = np.zeros(n)
+    target_C = alpha * n
+    just_dropped = False
+    for _ in range(8 * d + 8):
+        c = Xc.T @ (yc - mu)
+        C = float(np.abs(c).max()) if d else 0.0
+        if C <= target_C + 1e-12:
+            break
+        inactive = [j for j in range(d) if j not in active]
+        if inactive and not just_dropped:
+            j_best = max(inactive, key=lambda j: abs(c[j]))
+            if abs(c[j_best]) >= (np.abs(c[active]).max() if active else 0.0) - 1e-9:
+                active.append(j_best)
+        just_dropped = False
+        if not active:
+            break
+        s = np.sign(c[active])
+        Xa = Xc[:, active] * s
+        G = Xa.T @ Xa
+        Ginv1 = np.linalg.solve(G, np.ones(len(active)))
+        A = 1.0 / np.sqrt(np.ones(len(active)) @ Ginv1)
+        w = A * Ginv1
+        u = Xa @ w
+        a = Xc.T @ u
+        gammas = []
+        for j in range(d):
+            if j in active:
+                continue
+            for g in ((C - c[j]) / (A - a[j]), (C + c[j]) / (A + a[j])):
+                if g > 1e-12:
+                    gammas.append(float(g))
+        gamma = min(gammas) if gammas else C / A
+        drop_j, gamma_drop = None, np.inf
+        for idx, j in enumerate(active):
+            denom = w[idx] * s[idx]
+            if denom != 0.0:
+                g = -coef[j] / denom
+                if 1e-12 < g < gamma_drop:
+                    gamma_drop, drop_j = float(g), j
+        gamma_alpha = (C - target_C) / A
+        step = min(gamma, gamma_drop, gamma_alpha)
+        mu = mu + step * u
+        for idx, j in enumerate(active):
+            coef[j] += step * w[idx] * s[idx]
+        if step == gamma_alpha:
+            break
+        if step == gamma_drop:
+            coef[drop_j] = 0.0
+            active.remove(drop_j)
+            just_dropped = True
+    return {"kind": "linear", "coef": coef, "intercept": float(ym - xm @ coef)}
+
+
 def _fit_cd(X, y, alpha, l1_ratio, max_iter=2000, tol=1e-10):
     """Coordinate descent for the sklearn elastic-net objective."""
     n, d = X.shape
@@ -1486,10 +1554,7 @@ def _fit_birch(X, y, hp, seed):
 # the reference's sklearn path; "numpy-approx:*" = documented stand-in.
 NUMPY_MAP = {
     (Task.regression, Algorithm.least_angle): (_fit_lars, "numpy"),
-    (Task.regression, Algorithm.lasso_least_angle): (
-        lambda X, y, hp, seed: _fit_cd(X, y, float(hp.get("alpha", 1.0)), 1.0),
-        "numpy-approx:lasso_lars->lasso_cd",
-    ),
+    (Task.regression, Algorithm.lasso_least_angle): (_fit_lasso_lars, "numpy"),
     (Task.regression, Algorithm.orthogonal_matching_pursuit): (_fit_omp, "numpy"),
     (Task.regression, Algorithm.bayesian_ridge): (_fit_bayesian_ridge, "numpy"),
     (Task.regression, Algorithm.automatic_relevance_determination): (

@@ -851,3 +851,27 @@ def test_sgd_regressor_and_classifier_exact_objectives():
     labels = NumpyModel(Task.classification, pc)._predict_fn()(Xc)
     assert (labels == truth).mean() > 0.98
     assert list(pc["classes"]) == [0.0, 1.0, 2.0]
+
+
+def test_lasso_lars_path_equals_cd_objective():
+    """The true LARS-lasso path (Efron §3.1 drop rule + alpha stop) and
+    coordinate descent optimize the same convex objective — solutions
+    must agree across alphas on a correlated design that provokes
+    variable drops along the path."""
+    from quackml_spark.ml.algorithms import resolve
+    from quackml_spark.ml.numpy_backend import _fit_cd, _fit_lasso_lars
+
+    assert resolve(Task.regression, Algorithm.lasso_least_angle, {}, 42).backend == "numpy"
+    rng = np.random.default_rng(4)
+    n, d = 120, 6
+    X = rng.normal(size=(n, d))
+    X[:, 3] = 0.7 * X[:, 0] + 0.3 * rng.normal(size=n)
+    y = X @ np.array([2.0, 0.0, -1.0, 0.5, 0.0, 1.5]) + 0.1 * rng.normal(size=n)
+    for alpha in (0.5, 0.1, 0.02, 0.001):
+        a = np.asarray(_fit_lasso_lars(X, y, {"alpha": alpha}, 0)["coef"])
+        b = np.asarray(_fit_cd(X, y, alpha, 1.0)["coef"])
+        assert np.abs(a - b).max() < 5e-5, alpha
+    # shrinkage direction: larger alpha, sparser/smaller coefficients
+    big = np.abs(_fit_lasso_lars(X, y, {"alpha": 1.0}, 0)["coef"]).sum()
+    small = np.abs(_fit_lasso_lars(X, y, {"alpha": 0.001}, 0)["coef"]).sum()
+    assert big < small
