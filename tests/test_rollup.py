@@ -1,0 +1,91 @@
+"""Incremental rollup maintenance: exactness + untouched-partition
+stability (the continuous-aggregate contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from quackml_spark.operators.rollup import rollup_build, rollup_read, rollup_upsert
+from quackml_spark.sources import load_table
+
+
+def _partition_mtimes(path: str) -> dict[str, float]:
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("day="):
+            full = os.path.join(path, d)
+            out[d] = max(
+                os.path.getmtime(os.path.join(full, f))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_incremental_equals_full_recompute(spark, sf_dir, tmp_path):
+    """build(old) + upsert(new) must be row-identical to build(full) —
+    the DECIMAL-sum merge is exact, not approximate."""
+    events = load_table(spark, sf_dir, "events")
+    cut = events.agg(F.expr("percentile(unix_seconds(ts), 0.5)")).first()[0]
+    old = events.where(F.unix_seconds("ts") <= cut)
+    new = events.where(F.unix_seconds("ts") > cut)
+    assert old.count() > 0 and new.count() > 0
+
+    inc_path = str(tmp_path / "inc")
+    rollup_build(old, inc_path)
+    rewritten = rollup_upsert(new, inc_path)
+    assert rewritten, "the new batch must touch at least one day"
+
+    full_path = str(tmp_path / "full")
+    rollup_build(events, full_path)
+    got = [tuple(r) for r in rollup_read(spark, inc_path).collect()]
+    want = [tuple(r) for r in rollup_read(spark, full_path).collect()]
+    assert got == want and len(want) > 0
+
+
+def test_untouched_partitions_not_rewritten(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite must leave days outside the batch
+    byte-untouched — the property that makes the upsert O(batch days),
+    not O(history)."""
+    import time
+
+    events = load_table(spark, sf_dir, "events")
+    days = [
+        r["d"]
+        for r in events.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
+        )
+        .distinct()
+        .orderBy("d")
+        .collect()
+    ]
+    assert len(days) >= 2, "fixture needs at least two days of events"
+    last_day = days[-1]
+    path = str(tmp_path / "roll")
+    rollup_build(events, path)
+    before = _partition_mtimes(path)
+    time.sleep(1.1)
+
+    batch = events.where(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == last_day
+    ).limit(50)
+    rewritten = rollup_upsert(batch, path)
+    assert rewritten == [last_day]
+    after = _partition_mtimes(path)
+    for part, mtime in before.items():
+        if part == f"day={last_day}":
+            assert after[part] > mtime, "touched partition must be rewritten"
+        else:
+            assert after[part] == mtime, f"untouched partition {part} was rewritten"
+
+
+def test_upsert_creates_new_day_partition(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "roll2")
+    rollup_build(events, path)
+    future = events.limit(20).withColumn("ts", F.expr("ts + INTERVAL 3650 DAYS"))
+    days = rollup_upsert(future, path)
+    assert len(days) >= 1
+    assert any(f"day={d}" in os.listdir(path) for d in days)
