@@ -419,6 +419,100 @@ def _fit_kernel_ridge(X, y, hp, seed):
     }
 
 
+def _fit_svr(X, y, hp, seed, max_iter=40000, tol=1e-12):
+    """Exact epsilon-SVR (the sklearn/libsvm objective): minimize
+    1/2 (a-s)'K(a-s) - y'(a-s) + eps*sum(a+s) over 0 <= a, s <= C with
+    sum(a - s) = 0 — the smooth two-block dual, solved by
+    FISTA-accelerated projected gradient. The projection onto
+    box-intersect-hyperplane is exact (one bisection on the hyperplane
+    multiplier per step), the step size is 1/L with L = 2*lambda_max(K)
+    from power iteration, and the intercept comes from the KKT
+    conditions of the free vectors. Exactness is pinned by direct KKT
+    verification in tests (tube geometry: free vectors ON the eps-tube
+    boundary, zero-dual points inside, bound points outside)."""
+    C = float(hp.get("C", 1.0))
+    eps = float(hp.get("epsilon", 0.1))
+    kernel = hp.get("kernel", "rbf")
+    gamma = float(hp.get("gamma", 0) or 1.0 / X.shape[1])
+    n = len(X)
+    K = _rbf(X, X, gamma) if kernel == "rbf" else X @ X.T
+
+    # lambda_max(K) via power iteration (K is PSD)
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=n)
+    v /= np.linalg.norm(v)
+    for _ in range(100):
+        w = K @ v
+        nw = np.linalg.norm(w)
+        if nw < 1e-30:
+            break
+        v = w / nw
+    L = 2.0 * max(float(v @ (K @ v)), 1e-12)
+
+    def project(a0, s0):
+        # min ||a-a0||^2+||s-s0||^2 s.t. 0<=a,s<=C, sum(a)-sum(s)=0:
+        # a = clip(a0-mu,0,C), s = clip(s0+mu,0,C); h(mu) monotone.
+        def h(mu):
+            return np.clip(a0 - mu, 0.0, C).sum() - np.clip(s0 + mu, 0.0, C).sum()
+
+        lo, hi = -C - 1.0, C + 1.0
+        while h(lo) < 0:
+            lo *= 2.0
+        while h(hi) > 0:
+            hi *= 2.0
+        for _ in range(100):
+            mid = 0.5 * (lo + hi)
+            if h(mid) > 0:
+                lo = mid
+            else:
+                hi = mid
+        mu = 0.5 * (lo + hi)
+        return np.clip(a0 - mu, 0.0, C), np.clip(s0 + mu, 0.0, C)
+
+    a = np.zeros(n)
+    s_ = np.zeros(n)
+    ya, ys = a.copy(), s_.copy()
+    t_acc = 1.0
+    last_obj = np.inf
+    stall = 0
+    for it in range(max_iter):
+        beta = ya - ys
+        Kb = K @ beta
+        ga = Kb - y + eps
+        gs = -Kb + y + eps
+        an, sn = project(ya - ga / L, ys - gs / L)
+        t_new = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t_acc * t_acc))
+        ya = an + ((t_acc - 1.0) / t_new) * (an - a)
+        ys = sn + ((t_acc - 1.0) / t_new) * (sn - s_)
+        a, s_, t_acc = an, sn, t_new
+        if it % 50 == 0:
+            b = a - s_
+            obj = 0.5 * b @ (K @ b) - y @ b + eps * (a + s_).sum()
+            if last_obj - obj < tol * max(1.0, abs(obj)):
+                stall += 1
+                if stall >= 3:
+                    break
+            else:
+                stall = 0
+            last_obj = min(last_obj, obj)
+
+    b = a - s_
+    E = K @ b
+    free = ((a > 1e-7) & (a < C - 1e-7)) | ((s_ > 1e-7) & (s_ < C - 1e-7))
+    if free.any():
+        b0 = float(np.mean(y[free] - E[free] - eps * np.sign(b[free])))
+    else:
+        b0 = float(np.mean(y - E))
+    return {
+        "kind": "kernel",
+        "X_train": X,
+        "dual": b,
+        "kernel": kernel,
+        "gamma": gamma,
+        "y_offset": b0,
+    }
+
+
 def _fit_gp_regressor(X, y, hp, seed):
     """GP regression predictive mean (RBF kernel + noise) — identical
     dual form to kernel ridge with the noise term as regularizer."""
@@ -1594,13 +1688,10 @@ NUMPY_MAP = {
         _fit_svc,
         "numpy-approx:nu_svm->c_svm",
     ),
-    (Task.regression, Algorithm.svm): (
-        _fit_kernel_ridge,
-        "numpy-approx:svr->kernel_ridge",
-    ),
+    (Task.regression, Algorithm.svm): (_fit_svr, "numpy"),
     (Task.regression, Algorithm.nu_svm): (
-        _fit_kernel_ridge,
-        "numpy-approx:nu_svr->kernel_ridge",
+        _fit_svr,
+        "numpy-approx:nu_svr->eps_svr",
     ),
     (Task.regression, Algorithm.linear_svm): (_fit_linear_svr, "numpy"),
     # the reference-unreachable seven (model.rs:435-441) — see section

@@ -875,3 +875,43 @@ def test_lasso_lars_path_equals_cd_objective():
     big = np.abs(_fit_lasso_lars(X, y, {"alpha": 1.0}, 0)["coef"]).sum()
     small = np.abs(_fit_lasso_lars(X, y, {"alpha": 0.001}, 0)["coef"]).sum()
     assert big < small
+
+
+def test_svr_kkt_exactness():
+    """epsilon-SVR must satisfy the libsvm KKT system exactly: free
+    vectors sit ON the eps-tube boundary, zero-dual points inside,
+    C-bound points outside, duals sum to zero — and on noise-free
+    linear data the fit lands on the flat tube (max residual == eps)."""
+    from quackml_spark.ml.algorithms import resolve
+    from quackml_spark.ml.numpy_backend import _fit_svr, _rbf
+
+    assert resolve(Task.regression, Algorithm.svm, {}, 42).backend == "numpy"
+
+    def kkt_bad(X, y, p, C, eps):
+        K = _rbf(X, X, p["gamma"]) if p["kernel"] == "rbf" else X @ X.T
+        b = np.asarray(p["dual"])
+        r = y - (K @ b + p["y_offset"])
+        bad = 0
+        for i in range(len(X)):
+            if abs(b[i]) < 1e-6:
+                ok = abs(r[i]) <= eps + 1e-3
+            elif abs(b[i]) > C - 1e-6:
+                ok = abs(r[i]) >= eps - 1e-3 and np.sign(r[i]) == np.sign(b[i])
+            else:
+                ok = abs(abs(r[i]) - eps) <= 1e-3 and np.sign(r[i]) == np.sign(b[i])
+            bad += not ok
+        return bad
+
+    rng = np.random.default_rng(8)
+    X = rng.normal(size=(80, 2))
+    y = np.sin(X[:, 0]) + 0.5 * X[:, 1]
+    p = _fit_svr(X, y, {"C": 2.0, "epsilon": 0.1, "kernel": "rbf"}, 0)
+    assert kkt_bad(X, y, p, 2.0, 0.1) == 0
+    assert abs(np.asarray(p["dual"]).sum()) < 1e-9
+
+    X2 = rng.normal(size=(100, 3))
+    y2 = X2 @ np.array([1.0, -2.0, 0.5]) + 3.0
+    p2 = _fit_svr(X2, y2, {"C": 10.0, "epsilon": 0.05, "kernel": "linear"}, 0)
+    assert kkt_bad(X2, y2, p2, 10.0, 0.05) == 0
+    pred = (X2 @ X2.T) @ np.asarray(p2["dual"]) + p2["y_offset"]
+    assert np.abs(pred - y2).max() <= 0.05 + 1e-3
