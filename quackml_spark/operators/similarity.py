@@ -932,3 +932,37 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return semantic_dedup(aug, centers, tau=0.95)
+
+
+def semantic_dedup_auto(
+    emb: DataFrame,
+    tau: float = 0.95,
+    target_cluster_size: int = 1000,
+    max_lists: int = 100_000,
+) -> DataFrame:
+    """semantic_dedup with the quantizer sized FROM the corpus: n_lists
+    = clamp(ceil(n / target_cluster_size), 1, max_lists), medoids drawn
+    evenly across the vec_id range (deterministic spread, one bounded
+    collect of n_lists rows). This is the knob the SemDeDup paper turns
+    as the corpus grows — cluster count scales with N so per-cluster
+    pair work stays ~target_cluster_size^2."""
+    import math
+
+    n = emb.count()
+    if n == 0:
+        return semantic_dedup(emb, [(0, [0.0])], tau)
+    n_lists = max(1, min(math.ceil(n / target_cluster_size), max_lists))
+    # deterministic uniform sample of n_lists medoids: the smallest
+    # md5-ordered ids. orderBy+limit compiles to TakeOrderedAndProject
+    # (per-partition top-k + driver merge of n_lists rows), never a
+    # global sort/window.
+    medoids = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_lists)
+        .collect()
+    )
+    centers = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in medoids
+    ]
+    return semantic_dedup(emb, centers, tau)

@@ -466,3 +466,27 @@ def test_pipeline_stages_each_drop_rows(spark, sf_dir):
     assert len(kept) < n_docs - n_bench
     # the survivors all carry positive token counts
     assert all(r["n_tokens"] > 0 for r in out)
+
+
+def test_semantic_dedup_auto_scales_quantizer(spark, sf_dir):
+    """n_lists derives from corpus size / target cluster size, medoids
+    spread across the id range, and the planted-pair drop behavior is
+    preserved under the auto quantizer."""
+    import pyspark.sql.functions as F
+    from quackml_spark.operators.similarity import semantic_dedup_auto
+    from quackml_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = emb.union(
+        emb.where(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    out = semantic_dedup_auto(aug, tau=0.95, target_cluster_size=50)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    n = len(rows)
+    # clusters used: about n/50 of them
+    n_lists = len({r["list_id"] for r in rows.values()})
+    assert n_lists > 3, n_lists
+    dropped = {v for v, r in rows.items() if not r["keep"]}
+    assert {1000000 + i for i in range(5)} <= dropped
