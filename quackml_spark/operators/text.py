@@ -1742,3 +1742,82 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_kept_lines", "content")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle. "Shuffle the dataset" before
+# training is a GLOBAL permutation — the naive orderBy(rand()) is a
+# full global sort through one reducer chain and isn't reproducible.
+# This assigns each doc a stable pseudo-random global position with the
+# same two-phase shape as token_budget_sample: md5 priorities
+# range-shard map-side on their top bits, per-shard counts collect
+# (bounded at n_shards rows), and the rank window partitions on the
+# shard — reproducible given the seed, and never a single-reducer sort.
+# ---------------------------------------------------------------------------
+
+
+def shuffle_order(
+    docs: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """(id, shuffle_pos) — a deterministic global permutation, 0-based."""
+    if n_shards & (n_shards - 1):
+        raise ValueError("n_shards must be a power of two")
+    shift = 32 - n_shards.bit_length() + 1
+    prio = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        prio.alias("__prio"),
+        F.shiftright(prio, shift).alias("__shard"),
+    )
+    counts = (
+        base.groupBy("__shard").agg(F.count(F.lit(1)).alias("c")).orderBy("__shard")
+    ).collect()
+    offsets, running = [], 0
+    for r in counts:
+        offsets.append((r["__shard"], running))
+        running += int(r["c"])
+    off_df = F.broadcast(
+        docs.sparkSession.createDataFrame(offsets, "__shard bigint, __off bigint")
+    )
+    w = Window.partitionBy("__shard").orderBy("__prio", "doc_id")
+    return (
+        base.join(off_df, "__shard")
+        .select(
+            "doc_id",
+            (F.col("__off") + F.row_number().over(w) - 1).alias("shuffle_pos"),
+        )
+        .orderBy("shuffle_pos")
+    )
+
+
+@register(
+    "text_shuffle_order",
+    doc="Deterministic training-order shuffle: every doc gets a stable "
+    "pseudo-random global position (md5(seed|id) priority, two-phase "
+    "sharded rank — no single-reducer global sort). Reproducible runs "
+    "of the same seed give the same permutation; the oracle's single "
+    "ROW_NUMBER over the same priority is exactly equal.",
+    oracle="""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))::BIGINT,
+                  doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+ORDER BY shuffle_pos
+""",
+    tags=("textops", "sampling"),
+    extra=True,
+)
+def text_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shuffle_order(load_table(spark, sf_dir, "documents"), seed=0)

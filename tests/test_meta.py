@@ -76,7 +76,7 @@ _BROADCAST_ALLOWLIST = {
     "operators/sampling.py": 1,  # mixture rates (|sources| rows)
     "ml/monitor.py": 3,          # PSI per-feature span/total tables (k rows
                                  # each) + KS shard offsets (≤ n_shards rows)
-    "operators/text.py": 5,      # langid lexicon (24 rows), benchmark grams (eval-suite-sized), sequence-pack shard offsets (|shards| rows), count-min sketch (<= depth*width = 4096 cells), token-budget shard offsets (<= n_sources * n_shards rows)
+    "operators/text.py": 6,      # langid lexicon (24 rows), benchmark grams (eval-suite-sized), sequence-pack shard offsets (|shards| rows), count-min sketch (<= depth*width = 4096 cells), token-budget shard offsets (<= n_sources * n_shards rows), shuffle-order shard counts (<= n_shards rows)
     "operators/pipeline.py": 1,  # composed pipeline's benchmark gram set (eval-suite-sized, same bound as text_decontaminate's)
 }
 

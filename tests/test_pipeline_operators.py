@@ -490,3 +490,22 @@ def test_semantic_dedup_auto_scales_quantizer(spark, sf_dir):
     assert n_lists > 3, n_lists
     dropped = {v for v, r in rows.items() if not r["keep"]}
     assert {1000000 + i for i in range(5)} <= dropped
+
+
+def test_shuffle_order_is_deterministic_permutation(spark, sf_dir):
+    """shuffle_pos is a bijection onto 0..n-1, stable per seed, and a
+    different seed yields a genuinely different permutation."""
+    from quackml_spark.operators.text import shuffle_order
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    a = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_order(docs, seed=0).collect()}
+    assert sorted(a.values()) == list(range(n))
+    b = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_order(docs, seed=0).collect()}
+    assert a == b
+    c = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_order(docs, seed=1).collect()}
+    assert sorted(c.values()) == list(range(n))
+    assert a != c
+    # and not the identity order
+    assert any(a[d] != i for i, d in enumerate(sorted(a)))
