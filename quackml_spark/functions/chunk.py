@@ -131,7 +131,11 @@ def _split_sentences_regex(text: str, size: int) -> list[str]:
             r"(?<!\b[A-Z]\.)"            # not single-initial "J. Smith"
             r"(?<!\bDr\.)(?<!\bMr\.)(?<!\bMs\.)(?<!\bMrs\.)(?<!\bSt\.)"
             r"(?<!\be\.g\.)(?<!\bi\.e\.)(?<!\betc\.)(?<!\bvs\.)"
-            r"(?:(?<=[.!?])|(?<=[.!?][\"')\]]))"
+            # up to THREE closing quotes/brackets after the terminal
+            # punctuation (Python lookbehind is fixed-width, so each
+            # count is its own alternative; 'said "(Stop.)" Then' has 2)
+            r"(?:(?<=[.!?])|(?<=[.!?][\"')\]])"
+            r"|(?<=[.!?][\"')\]]{2})|(?<=[.!?][\"')\]]{3}))"
             r"\s+(?=[\"'(\[]?[A-Z0-9])"
         )
     sentences = [s for s in _SENT_RE.split(text) if s.strip()]

@@ -406,11 +406,17 @@ def confusion_matrix_df(pred: DataFrame) -> DataFrame:
 def classification_report(pred: DataFrame) -> DataFrame:
     """Per-class precision/recall/f1/support from one confusion-matrix
     pass (sklearn.metrics.classification_report shape, distributed)."""
-    cm = confusion_matrix_df(pred).cache()
-    cm.count()  # materialize: the cache must be live when the three
-    # downstream branches (support/predicted/tp) evaluate; the cached
-    # relation is tiny (k² rows for k classes) so we leave eviction to
-    # Spark's LRU rather than unpersisting under the returned plan.
+    # ONE distributed pass computes the k²-row matrix; rebuilding it as
+    # a local relation lets the three downstream branches (support/
+    # predicted/tp) reuse it with no cache entry at all — the earlier
+    # .cache() was never unpersisted and leaked one CacheManager entry
+    # per call (code-review catch), and unpersisting under the returned
+    # lazy plan was the round-6 bug. k² rows is trivially driver-safe.
+    rows = confusion_matrix_df(pred).collect()
+    cm = pred.sparkSession.createDataFrame(
+        [(r["label"], r["prediction"], r["n"]) for r in rows],
+        "label double, prediction double, n bigint",
+    )
     support = cm.groupBy(F.col("label").alias("cls")).agg(
         F.sum("n").alias("support")
     )

@@ -133,7 +133,15 @@ def feature_drift_ks(
     """
     v = F.col(feature).cast("double")
     win = window_col.cast("int")
-    counts = (
+    # `grouped` stays bound to the PERSISTED relation for the whole
+    # function — `counts` may be rebound to the re-binned view below,
+    # and unpersisting the rebound name would leak the cached original
+    # in the CacheManager forever (one leaked entry per monitoring
+    # call). The cache serves the 3-4 eager aggregates here; the
+    # returned lazy one-row plan recomputes the grouped scan once when
+    # the caller evaluates it, which is the deliberate trade against
+    # holding cache entries across the function boundary.
+    grouped = (
         df.select(v.alias("v"), win.alias("win"))
         .where(F.col("v").isNotNull())
         .groupBy("v")
@@ -142,6 +150,7 @@ def feature_drift_ks(
             F.sum(F.when(F.col("win") == 1, 1).otherwise(0)).alias("cur_n"),
         )
     ).persist()
+    counts = grouped
     try:
         n_vals = counts.count()
         if n_vals == 0:
@@ -184,7 +193,7 @@ def feature_drift_ks(
             ),
         )
     finally:
-        counts.unpersist()
+        grouped.unpersist()
 
 
 def _two_phase_cdf(counts: DataFrame, rt: int, ct: int, n_shards: int) -> DataFrame:

@@ -32,6 +32,17 @@ LANG_MARKERS = {
 }
 
 
+def md5_int32(col):
+    """The engine's shared 32-bit md5-to-integer: the first 8 hex chars
+    of md5 as a BIGINT in [0, 2^32). Every probabilistic operator
+    (Bloom, count-min, token-budget priorities, shuffle order, streaming
+    shard keys) derives positions from THIS expression, whose DuckDB
+    twin is ('0x' || substr(md5(x), 1, 8))::BIGINT — one definition, so
+    a future widening/narrowing can't silently diverge one operator
+    from its oracle or from the other operators."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
 def tokens_expr(col: str):
     return F.regexp_extract_all(F.lower(F.col(col)), F.lit(r"\S+"), 0)
 
@@ -1048,13 +1059,7 @@ _BLOOM_K = 4
 def bloom_positions(gram_col, m: int = _BLOOM_M, k: int = _BLOOM_K):
     """array<bigint> of the k bit positions for a gram (JVM-side md5)."""
     return F.array(
-        *[
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{i}|"), gram_col)), 1, 8), 16, 10
-            ).cast("bigint")
-            % m
-            for i in range(k)
-        ]
+        *[md5_int32(F.concat(F.lit(f"{i}|"), gram_col)) % m for i in range(k)]
     )
 
 
@@ -1200,12 +1205,7 @@ _CM_WIDTH = 1024
 
 
 def _cm_pos(gram_col, i: int, width: int = _CM_WIDTH):
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}|"), gram_col)), 1, 8), 16, 10
-        ).cast("bigint")
-        % width
-    )
+    return md5_int32(F.concat(F.lit(f"{i}|"), gram_col)) % width
 
 
 def countmin_build(
@@ -1345,6 +1345,24 @@ def sketch_countmin_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _merge_replace(spaced, pair: str, merged: str):
+    """Apply one BPE merge to a space-padded symbol string — TWICE.
+
+    A single left-to-right replace of ' a b ' consumes the shared
+    separator space, so in a run like 'b a n a n a' only alternating
+    occurrences merge (banana -> b an a n a instead of b an an a).
+    Skipped occurrences are isolated after the first pass (non-
+    overlapping scans never skip two in a row), so a second pass with
+    intact separators catches every one — two passes == the standard
+    single left-to-right pass over the SYMBOL sequence."""
+    merged_lit = F.lit(f" {merged} ")
+    pair_lit = F.lit(f" {pair} ")
+    x = F.concat(F.lit(" "), spaced, F.lit(" "))
+    x = F.replace(x, pair_lit, merged_lit)
+    x = F.replace(x, pair_lit, merged_lit)
+    return F.trim(x)
+
+
 def bpe_train(
     docs: DataFrame, text_col: str = "text", n_merges: int = 8
 ) -> list[tuple[int, str, str, str, int]]:
@@ -1394,14 +1412,7 @@ def bpe_train(
             merged = left + right
             merges.append((t + 1, left, right, merged, cnt))
             vocab = vocab.withColumn(
-                "spaced",
-                F.trim(
-                    F.replace(
-                        F.concat(F.lit(" "), F.col("spaced"), F.lit(" ")),
-                        F.lit(f" {pair} "),
-                        F.lit(f" {merged} "),
-                    )
-                ),
+                "spaced", _merge_replace(F.col("spaced"), pair, merged)
             )
     finally:
         vocab.unpersist()
@@ -1440,7 +1451,9 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         ctes.append(
             f"""vocab{t} AS MATERIALIZED (
   SELECT word, freq,
-         trim(replace(' ' || spaced || ' ',
+         trim(replace(replace(' ' || spaced || ' ',
+                      ' ' || b.pair || ' ',
+                      ' ' || replace(b.pair, ' ', '') || ' '),
                       ' ' || b.pair || ' ',
                       ' ' || replace(b.pair, ' ', '') || ' ')) AS spaced
   FROM vocab{t-1}, best{t} b
@@ -1492,13 +1505,11 @@ def bpe_encode_expr(text_col, merges: list[tuple[int, str, str, str, int]]):
 
     def encode_one(w):
         spaced = F.concat(
-            F.lit(" "), F.trim(F.regexp_replace(w, "(.)", "$1 ")), F.lit(" </w> ")
+            F.trim(F.regexp_replace(w, "(.)", "$1 ")), F.lit(" </w>")
         )
         for _, left, right, merged, _ in merges:
-            spaced = F.replace(
-                spaced, F.lit(f" {left} {right} "), F.lit(f" {merged} ")
-            )
-        return F.split(F.trim(spaced), " ")
+            spaced = _merge_replace(spaced, f"{left} {right}", merged)
+        return F.split(spaced, " ")
 
     return F.flatten(F.transform(word_arr, encode_one))
 
@@ -1533,17 +1544,9 @@ def token_budget_sample(
     if n_shards & (n_shards - 1):
         raise ValueError("n_shards must be a power of two")
     shift = 32 - n_shards.bit_length() + 1
-    prio = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws("|", F.col(source_col), F.col(id_col).cast("string"))
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    prio = md5_int32(
+        F.concat_ws("|", F.col(source_col), F.col(id_col).cast("string"))
+    )
     base = docs.select(
         F.col(source_col).alias("source"),
         F.col(id_col).alias("doc_id"),
@@ -1766,15 +1769,9 @@ def shuffle_order(
     if n_shards & (n_shards - 1):
         raise ValueError("n_shards must be a power of two")
     shift = 32 - n_shards.bit_length() + 1
-    prio = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    prio = md5_int32(
+        F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         prio.alias("__prio"),

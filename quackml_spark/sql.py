@@ -188,7 +188,14 @@ def execute(
                 f"pipeline({name!r}): unknown query; did you mean {close}? "
                 f"(see quackml_spark.plans.describe for the full surface)"
             )
-        sf_dir = kw.pop("sf_dir")
+        # positional-or-named, like every other table function here
+        sf_dir = args[1] if len(args) > 1 else kw.pop("sf_dir", None)
+        if sf_dir is None:
+            raise ValueError(
+                "pipeline(...) needs the data directory: "
+                "pipeline('<query>', sf_dir => '/path/to/sf') or "
+                "pipeline('<query>', '/path/to/sf')"
+            )
         if kw:
             raise ValueError(f"pipeline(...) got unknown arguments {sorted(kw)}")
         return REGISTRY[name].builder(spark, sf_dir)

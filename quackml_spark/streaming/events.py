@@ -197,7 +197,12 @@ def drift_monitor_stream(
     from quackml_spark.ml.monitor import feature_drift_psi
 
     results = sink if sink is not None else []
-    ref = reference.select(*features)
+    # the reference window is re-read by EVERY micro-batch's PSI pass;
+    # persist it once for the monitor's lifetime so a high-frequency
+    # stream doesn't pay a full reference rescan per trigger (released
+    # when the stream's session goes away — the monitor and the cache
+    # share a lifetime by design)
+    ref = reference.select(*features).persist()
 
     def _check(batch_df, batch_id):
         cur = batch_df.select(*features)
@@ -355,22 +360,36 @@ def streaming_bloom_dedup(
     Shape: the shard id (md5 of the key, mod n_shards) is computed
     JVM-side so the one shuffle moves rows to n_shards state
     partitions; the state op tests-and-sets k md5-derived bits per key
-    in batch arrival order (ts, then first remaining key col) so the
-    survivor is deterministic within a micro-batch.
+    in batch arrival order (ts when present, then key columns, then
+    every remaining column, STABLE sort) so the surviving row is
+    identical across replays. Works on any keyed stream schema.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     if not (1 <= k <= 4):
         raise ValueError("k must be in 1..4 (positions are md5-digest slices)")
-    cols = ["user_id", "event_id", "ts", "value"]
+    # generic over the input schema (code-review catch: an earlier draft
+    # hardcoded the events fixture's columns, breaking the advertised
+    # "any keyed stream" use and dropping key columns from the output)
+    cols = list(events.columns)
+    missing = [c for c in key_cols if c not in cols]
+    if missing:
+        raise ValueError(f"streaming_bloom_dedup: key columns {missing} not in stream")
     key_expr = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-    shard_expr = (
-        F.conv(F.substring(F.md5(key_expr), 1, 8), 16, 10).cast("bigint") % n_shards
-    )
+    from quackml_spark.operators.text import md5_int32
+
+    shard_expr = md5_int32(key_expr) % n_shards
     src = events.select(*cols, key_expr.alias("__key"), shard_expr.alias("__shard"))
     out_type = src.select(*cols).schema
     state_type = StructType([StructField("bitmap", BinaryType())])
+    # deterministic within-batch arrival order: ts first when present,
+    # then every column — with a STABLE sort, so the surviving row for
+    # a key is identical across replays (checkpoint-recovery re-emits
+    # the same rows)
+    sort_cols = ([c for c in ("ts",) if c in cols]
+                 + list(key_cols)
+                 + [c for c in cols if c != "ts" and c not in key_cols])
 
     def fn(key, pdfs, state: GroupState):
         import hashlib as _hashlib
@@ -379,7 +398,7 @@ def streaming_bloom_dedup(
 
         bitmap = bytearray(state.get[0]) if state.exists else bytearray(m_bits // 8)
         rows = _pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts", key_cols[0]]).reset_index(drop=True)
+        rows = rows.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         keep = []
         for s in rows["__key"]:
             digest = _hashlib.md5(s.encode()).digest()

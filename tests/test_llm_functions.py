@@ -323,3 +323,19 @@ def test_sentence_splitter_abbreviation_guards():
         "See e.g. the appendix.",
         "J. Smith concurs.",
     ]
+
+
+def test_sentence_split_multiple_closers():
+    """Terminal punctuation followed by SEVERAL closing quotes/brackets
+    still splits, with the closers kept in the chunk (code-review catch:
+    the single-closer lookbehind missed 'said "(Stop.)" Then')."""
+    from quackml_spark.functions.chunk import _split_sentences_regex
+
+    assert _split_sentences_regex('He said "(Stop.)" Then he left.', 10) == [
+        'He said "(Stop.)"',
+        "Then he left.",
+    ]
+    assert _split_sentences_regex("(['Sure.']) Next.", 10) == [
+        "(['Sure.'])",
+        "Next.",
+    ]

@@ -128,3 +128,14 @@ def test_pipeline_table_function_runs_registered_queries(spark, sf_dir):
     assert df.count() > 0
     with _pytest.raises(ValueError, match="did you mean"):
         execute(spark, f"SELECT * FROM pipeline('dedup_exackt', sf_dir => '{sf_dir}')")
+
+
+def test_pipeline_table_function_positional_and_missing_args(spark, sf_dir):
+    import pytest as _pytest
+
+    from quackml_spark.sql import execute
+
+    df = execute(spark, f"SELECT * FROM pipeline('dedup_exact', '{sf_dir}')")
+    assert df.count() > 0
+    with _pytest.raises(ValueError, match="needs the data directory"):
+        execute(spark, "SELECT * FROM pipeline('dedup_exact')")

@@ -469,3 +469,35 @@ def test_streaming_bloom_dedup_registered_query(spark, sf_dir):
         .count()
     )
     assert row["n_kept"] == n_exact
+
+
+def test_streaming_bloom_dedup_generic_schema(spark, tmp_path):
+    """The operator must work on ANY keyed stream, not just the events
+    fixture: a document stream keyed by doc_id keeps one row per key
+    and preserves the full input schema in the output."""
+    from quackml_spark.streaming.events import streaming_bloom_dedup
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    rows = [(i % 7, f"text-{i % 7}", float(i)) for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id long, body string, score double"
+    ).coalesce(1).write.parquet(str(d / "p0"))
+    stream = (
+        spark.readStream.schema("doc_id long, body string, score double")
+        .parquet(str(d) + "/p*")
+    )
+    q = (
+        streaming_bloom_dedup(stream, ["doc_id"])
+        .writeStream.format("memory")
+        .queryName("qml_bloom_generic")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = spark.table("qml_bloom_generic").collect()
+    assert sorted(kept[0].asDict()) == ["body", "doc_id", "score"]
+    assert sorted(r["doc_id"] for r in kept) == list(range(7))
+    # deterministic survivor: stable sort keeps the lowest score row
+    assert all(r["score"] == float(r["doc_id"]) for r in kept)

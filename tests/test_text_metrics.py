@@ -253,3 +253,34 @@ def test_html_extract_handles_entities_and_boilerplate(spark):
     assert lines[0] == "The quick brown fox jumps over the lazy dog & friends"
     assert lines[1] == 'Tom "Big" Smith said it\'s less than <great> honestly'
     assert "secret" not in row["content"]
+
+
+def test_bpe_adjacent_repeats_merge_fully(spark):
+    """The banana case (code-review catch): a single padded string
+    replace consumes the shared separator and merges only alternating
+    occurrences of a pair in a run. Both training and encoding must
+    merge ALL non-overlapping occurrences, like the standard symbol-
+    sequence pass: banana + (a,n) -> b an an a </w>."""
+    import pyspark.sql.functions as F
+    from quackml_spark.operators.text import bpe_encode_expr, bpe_train
+
+    probe = spark.createDataFrame([(0, "banana")], "doc_id int, text string")
+    toks = probe.select(
+        bpe_encode_expr(F.col("text"), [(1, "a", "n", "an", 0)]).alias("t")
+    ).first()["t"]
+    assert toks == ["b", "an", "an", "a", "</w>"]
+
+    # training on pure banana: merge 1 is (a,n) x6; merges 2-5 then walk
+    # the fully-merged vocab 'b an an a </w>' up to 'banana</w>' —
+    # the sequence is hand-derivable ONLY if pass 1 merged both 'an's
+    docs = spark.createDataFrame(
+        [(i, "banana") for i in range(3)], "doc_id int, text string"
+    )
+    merges = bpe_train(docs, n_merges=5)
+    assert [(m[1], m[2], m[4]) for m in merges] == [
+        ("a", "n", 6),
+        ("a", "</w>", 3),
+        ("an", "a</w>", 3),
+        ("an", "ana</w>", 3),
+        ("b", "anana</w>", 3),
+    ]
