@@ -740,6 +740,17 @@ def _fit_ada_boost_clf(X, y, hp, seed, n_estimators=None):
     classes = np.unique(y)
     n = len(X)
     stumps, alphas = [], []
+    if len(classes) == 1:
+        # constant-label input: a constant model (the OvA recursion
+        # below would otherwise see one class forever — code-review
+        # catch: RecursionError)
+        return {
+            "kind": "ensemble",
+            "mode": "adaboost_binary",
+            "trees": [],
+            "weights": [],
+            "classes": np.array([classes[0], classes[0]]),
+        }
     if len(classes) == 2:
         t = np.where(y == classes[1], 1.0, -1.0)
         w = np.full(n, 1.0 / n)
@@ -759,6 +770,13 @@ def _fit_ada_boost_clf(X, y, hp, seed, n_estimators=None):
             alphas.append(float(a))
             w = w * np.exp(-a * t * pred)
             w = w / w.sum()
+        if not stumps:
+            # first stump already >= 0.5 weighted error (e.g. XOR):
+            # keep that single stump rather than silently returning an
+            # empty ensemble that votes one class everywhere — the
+            # regressor twin has the same fallback
+            stumps = [_cart_fit(X, t, np.full(n, 1.0 / n), max_depth=1)]
+            alphas = [1.0]
         return {
             "kind": "ensemble",
             "mode": "adaboost_binary",
@@ -1103,7 +1121,11 @@ def _gbdt_raw_fn(p):
 
 def _ensemble_predict_fn(p):
     mode = p["mode"]
-    trees, weights = p["trees"], np.asarray(p["weights"], dtype="float64")
+    # adaboost_ova carries per-class boosters instead of a flat tree
+    # list — reading p["trees"] unconditionally crashed every
+    # multiclass AdaBoost predict (code-review catch)
+    trees = p.get("trees")
+    weights = np.asarray(p.get("weights", ()), dtype="float64")
     if mode == "adaboost_binary":
         classes = np.asarray(p["classes"], dtype="float64")
 
@@ -1188,9 +1210,19 @@ def _fit_affinity_propagation(X, y, hp, seed, max_iter=500, damping=0.9):
     bounded by the driver row budget, like the reference's sklearn
     path."""
     n = len(X)
-    sq = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    # _sq_dists is the O(n^2)-memory dot-product form; the broadcast
+    # (n, n, d) difference array it replaces is a 20 GB allocation at
+    # n=5000, d=100 (code-review catch)
+    sq = _sq_dists(X, X)
     S = -sq
-    pref = float(hp.get("preference", 0) or np.median(S[~np.eye(n, dtype=bool)]))
+    pref_hp = hp.get("preference")
+    pref = (
+        float(np.median(S[~np.eye(n, dtype=bool)]))
+        if pref_hp is None
+        # 0 is a meaningful (maximal) preference — 'or' would silently
+        # discard it
+        else float(pref_hp)
+    )
     np.fill_diagonal(S, pref)
     damping = float(hp.get("damping", damping))
     R = np.zeros((n, n))
@@ -1228,7 +1260,7 @@ def _fit_mean_shift(X, y, hp, seed, max_iter=300, tol=1e-7):
     pairwise distance scaled like sklearn's estimate_bandwidth. Modes
     within one bandwidth merge (deterministic order)."""
     n = len(X)
-    dists = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2))
+    dists = np.sqrt(_sq_dists(X, X))
     bw = float(hp.get("bandwidth", 0) or np.quantile(dists[~np.eye(n, dtype=bool)], 0.3))
     pts = X.copy()
     for _ in range(max_iter):
@@ -1302,7 +1334,11 @@ def _fit_pa_classifier(X, y, hp, seed, epochs=20):
 # Serving on NEW rows (these sklearn clusterers are fit_predict-only)
 # uses the standard extensions: nearest core point within eps for
 # dbscan/optics, nearest labeled training point for the spectral
-# family — training-set predictions reproduce the fit labels exactly.
+# family — training-set predictions reproduce the fit labels except on
+# CONTESTED border points (within eps of cores from two clusters):
+# there, fit assigns by BFS visit order (exactly as sklearn does —
+# border assignment is order-dependent in DBSCAN itself) while serving
+# picks the nearest core, which may be the other cluster.
 # ---------------------------------------------------------------------------
 
 
@@ -1754,15 +1790,18 @@ class NumpyEstimator:
         self.seed = seed
 
     def fit(self, df: DataFrame) -> "NumpyModel":
-        n = df.count()
-        if n > ROW_BUDGET:
-            raise ValueError(
-                f"numpy backend fits on the driver; {n} rows exceed the "
-                f"QML_NUMPY_ROW_BUDGET ({ROW_BUDGET}). Sample the relation "
-                f"or use a distributed MLlib algorithm instead."
-            )
+        # ONE pass enforces the budget AND fetches the data: collecting
+        # at most ROW_BUDGET+1 rows both detects the overrun and avoids
+        # running the (possibly expensive) upstream plan twice — the
+        # separate count() guard executed the whole plan a second time.
         cols = ["features"] + (["label"] if "label" in df.columns else [])
-        pdf = df.select(*cols).toPandas()
+        pdf = df.select(*cols).limit(ROW_BUDGET + 1).toPandas()
+        if len(pdf) > ROW_BUDGET:
+            raise ValueError(
+                f"numpy backend fits on the driver; the input exceeds the "
+                f"QML_NUMPY_ROW_BUDGET ({ROW_BUDGET} rows). Sample the "
+                f"relation or use a distributed MLlib algorithm instead."
+            )
         X = np.array(pdf["features"].tolist(), dtype="float64")
         y = pdf["label"].to_numpy(dtype="float64") if "label" in pdf else None
         fitter, _ = NUMPY_MAP[(self.task, self.algorithm)]

@@ -27,11 +27,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from quackml_spark.operators.text import STOPWORDS, clean_text_expr, tokens_expr
+from quackml_spark.operators.text import (
+    STOPWORDS,
+    _decon_grams,
+    clean_text_expr,
+    tokens_expr,
+)
+from quackml_spark.operators.text import _DECON_K  # shared shingle width
 from quackml_spark.plans import register
 from quackml_spark.sources import load_table
-
-_DECON_K = 5  # same 5-token shingle as text_decontaminate
 
 _CLEAN_SQL = r"""trim(regexp_replace(
       regexp_replace(
@@ -67,19 +71,10 @@ def build_corpus(docs: DataFrame, bench_mod: int = 97) -> DataFrame:
         .where(F.col("doc_id") == F.col("__keep"))
         .drop("__keep")
     )
-    grams = deduped.where(F.size(tokens_expr("ct")) >= _DECON_K).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tokens_expr("ct")) - _DECON_K),
-                lambda i: F.md5(
-                    F.concat_ws(
-                        " ", F.slice(tokens_expr("ct"), i + F.lit(1), _DECON_K)
-                    )
-                ),
-            )
-        ).alias("gram"),
-    ).distinct()
+    # the SAME gram extraction text_decontaminate uses (shared helper —
+    # a shingle-length change there must change this pipeline stage too,
+    # or decontamination drifts from the standalone operator)
+    grams = _decon_grams(deduped.select("doc_id", F.col("ct").alias("text")))
     bench = grams.where(F.col("doc_id") % bench_mod == 0)
     contaminated = (
         grams.where(F.col("doc_id") % bench_mod != 0)

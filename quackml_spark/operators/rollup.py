@@ -25,9 +25,18 @@ from pyspark.sql import functions as F
 
 
 def _hourly_partial(events: DataFrame) -> DataFrame:
+    # Partition keys must be SESSION-TIMEZONE-INDEPENDENT: date_trunc/
+    # date_format render in spark.sql.session.timeZone, so a build under
+    # UTC and an upsert under another zone would silently land the same
+    # instants in different (day, hour) buckets (code-review catch).
+    # to_utc_timestamp(ts, session_tz) shifts the instant so that
+    # session-zone rendering equals UTC rendering — keys are the UTC
+    # calendar regardless of who runs the job.
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    ts_utc = F.to_utc_timestamp(F.col("ts"), tz)
     return events.groupBy(
-        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-        F.date_format(F.date_trunc("hour", "ts"), "HH:00").alias("hour"),
+        F.date_format(F.date_trunc("day", ts_utc), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", ts_utc), "HH:00").alias("hour"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)"))
@@ -53,36 +62,41 @@ def rollup_upsert(new_events: DataFrame, path: str) -> list[str]:
     partition-pruned to exactly those days; everything else on disk is
     left untouched (dynamic partition overwrite)."""
     spark = new_events.sparkSession
-    part = _hourly_partial(new_events)
-    days = sorted(r["day"] for r in part.select("day").distinct().collect())
-    if not days:
-        return []
-    existing = (
-        spark.read.parquet(path)
-        .where(F.col("day").isin(days))
-        .select("day", "hour", "n_events", "sum_value")
-    )
-    merged = (
-        existing.unionByName(part.select("day", "hour", "n_events", "sum_value"))
-        .groupBy("day", "hour")
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
-        )
-    )
-    conf = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf, "static")
-    spark.conf.set(conf, "dynamic")
+    # the partials feed both the day-list collect and the merged write
+    # — persist so the batch (and its upstream plan) is scanned once
+    part = _hourly_partial(new_events).persist()
     try:
-        (
-            merged.repartition("day")
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(path)
+        days = sorted(r["day"] for r in part.select("day").distinct().collect())
+        if not days:
+            return []
+        existing = (
+            spark.read.parquet(path)
+            .where(F.col("day").isin(days))
+            .select("day", "hour", "n_events", "sum_value")
         )
+        merged = (
+            existing.unionByName(part.select("day", "hour", "n_events", "sum_value"))
+            .groupBy("day", "hour")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
+            )
+        )
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        old = spark.conf.get(conf, "static")
+        spark.conf.set(conf, "dynamic")
+        try:
+            (
+                merged.repartition("day")
+                .write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set(conf, old)
+        return days
     finally:
-        spark.conf.set(conf, old)
-    return days
+        part.unpersist()
 
 
 def rollup_read(spark, path: str) -> DataFrame:

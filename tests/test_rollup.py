@@ -89,3 +89,27 @@ def test_upsert_creates_new_day_partition(spark, sf_dir, tmp_path):
     days = rollup_upsert(future, path)
     assert len(days) >= 1
     assert any(f"day={d}" in os.listdir(path) for d in days)
+
+
+def test_rollup_keys_timezone_independent(spark, sf_dir, tmp_path):
+    """A build under one session timezone and an upsert under another
+    must land the same instants in the same (day, hour) buckets — the
+    keys are the UTC calendar regardless of who runs the job."""
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "tzroll")
+    tz_conf = "spark.sql.session.timeZone"
+    orig = spark.conf.get(tz_conf)
+    try:
+        spark.conf.set(tz_conf, "UTC")
+        rollup_build(events, path)
+        utc_rows = sorted(tuple(r) for r in rollup_read(spark, path).collect())
+        spark.conf.set(tz_conf, "America/New_York")
+        # re-merging the same events must double every count IN PLACE —
+        # no new (day, hour) buckets may appear from the zone change
+        rollup_upsert(events, path)
+        ny_rows = sorted(tuple(r) for r in rollup_read(spark, path).collect())
+    finally:
+        spark.conf.set(tz_conf, orig)
+    assert len(ny_rows) == len(utc_rows)
+    assert [(d, h) for d, h, *_ in ny_rows] == [(d, h) for d, h, *_ in utc_rows]
+    assert all(n2 == 2 * n1 for (_, _, n1, _), (_, _, n2, _) in zip(utc_rows, ny_rows))
