@@ -1818,3 +1818,148 @@ ORDER BY shuffle_pos
 )
 def text_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_order(load_table(spark, sf_dir, "documents"), seed=0)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Distributed BM25 lexical retrieval: top-``k`` documents per query.
+
+    ``docs`` needs (doc_id, text); ``queries`` needs (query_id, tok) —
+    one row per distinct query term. Scoring is the Lucene BM25
+    formulation: idf = ln((N - df + 0.5)/(df + 0.5) + 1), and the
+    per-term contribution idf * tf*(k1+1) / (tf + k1*(0.25 + 0.75*dl/avgdl))
+    for the default b.
+
+    Scale shape (100 TB corpus, handful-of-KB query set):
+
+    * the query-term set is broadcast; the corpus restricts to rows
+      containing a query term with a map-side hash semi-probe BEFORE
+      the per-(doc, term) tf aggregation — the full corpus never
+      shuffles on the token key;
+    * document length (dl) is a map-side-combined groupBy(doc_id) over
+      the one unavoidable full scan;
+    * df is computed only for query terms (post-broadcast-join), so the
+      df relation is bounded by |query vocabulary|, not corpus
+      vocabulary, and broadcasts back into the scoring join;
+    * per-term contributions are rounded to DECIMAL(38,9) and summed
+      exactly, so the score is independent of aggregation order (and
+      bit-identical to the DuckDB oracle); ranking ties break on
+      doc_id.
+    """
+    sum_mult = float(k1 + 1.0)
+    toks = docs.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["total"]) / int(stats["n_docs"])
+
+    qterms = F.broadcast(queries.select("query_id", "tok").distinct())
+    # Corpus tokens that appear in ANY query (map-side broadcast probe).
+    qtoks = toks.join(F.broadcast(qterms.select("tok").distinct()), "tok")
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = F.broadcast(
+        qtoks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    )
+
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (
+        (1.0 - b) + b * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = (idf * (F.col("tf") * sum_mult) / denom).alias("c_dbl")
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(qterms, "tok")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(contrib, 9).cast("decimal(38,9)").alias("c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("score", 6).cast("double").alias("bm25"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "text_bm25_topk",
+    doc="BM25 lexical retrieval (the standard sparse-retrieval baseline "
+    "next to the ANN dense path): docs with doc_id %% 101 == 0 play the "
+    "query set (terms = their tokens 2..4); top-10 docs per query by "
+    "Lucene-BM25. Query terms broadcast, corpus semi-probed map-side, "
+    "df bounded by query vocabulary; per-term contributions summed in "
+    "exact DECIMAL so scores are aggregation-order-independent.",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(toks[2:4]) AS tok
+  FROM (
+    SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+    FROM documents WHERE doc_id % 101 = 0
+  ) WHERE length(toks) >= 4
+), qtoks AS (
+  SELECT t.doc_id, t.tok FROM toks t
+  WHERE t.tok IN (SELECT tok FROM qterms)
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM qtoks GROUP BY doc_id, tok
+), df_ AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qtoks GROUP BY tok
+), contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(ROUND(
+      ln(((SELECT n_docs FROM stats) - df_.df + 0.5) / (df_.df + 0.5) + 1.0)
+      * (tf.tf * 2.2)
+      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))
+    , 9) AS DECIMAL(38,9)) AS c
+  FROM tf
+  JOIN df_ USING (tok) JOIN qterms q USING (tok) JOIN dl USING (doc_id)
+), scored AS (
+  SELECT query_id, doc_id, SUM(c) AS score FROM contrib
+  GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id,
+       CAST(ROUND(score, 6) AS DOUBLE) AS bm25, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+ORDER BY query_id, rnk
+""",
+    tags=("textops", "similarity", "bench"),
+    extra=True,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    queries = (
+        docs.where(F.col("doc_id") % 101 == 0)
+        .select(F.col("doc_id").alias("query_id"), tokens_expr("text").alias("toks"))
+        .where(F.size("toks") >= 4)
+        .select("query_id", F.explode(F.slice("toks", 2, 3)).alias("tok"))
+    )
+    return bm25_topk(docs, queries)

@@ -51,6 +51,7 @@ PLAN_PINNED = [
     "sketch_countmin_grams",
     "text_token_budget_sample",
     "pipeline_corpus_manifest",
+    "text_bm25_topk",
 ]
 
 # intentional broadcast nested-loop joins, all with CONSTANT-size build
