@@ -966,3 +966,217 @@ def semantic_dedup_auto(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in medoids
     ]
     return semantic_dedup(emb, centers, tau)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-compressed ANN (Jegou et al., TPAMI'11)
+# ---------------------------------------------------------------------------
+
+
+def _sq_dist(v, cent_lit):
+    """Squared L2 distance between an array column and a literal centroid
+    via the three-dot identity dot(v,v) - 2*dot(v,c) + dot(c,c) — the
+    exact double-op sequence DuckDB's list_dot_product replay uses, so
+    encode/search decisions are bit-identical cross-engine."""
+    return (
+        _dot(v, v) - 2.0 * _dot(v, cent_lit) + _dot(cent_lit, cent_lit)
+    )
+
+
+def pq_codebook(
+    emb: DataFrame, m: int = 8, k: int = 16, emb_col: str = "embedding"
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: subspace ``s``'s centroids are the
+    sub-vectors of the first ``k`` rows by vec_id (the same
+    sample-as-centroid trick as the IVF deterministic quantizer — a
+    k-means codebook is a drop-in upgrade, but this one is replayable
+    in ANSI SQL). Returns ``codebook[s][c] = centroid vector``.
+
+    The collect is ``k`` rows — constant-size, independent of corpus
+    scale."""
+    rows = (
+        emb.where(F.col("vec_id") < k)
+        .select("vec_id", emb_col)
+        .orderBy("vec_id")
+        .collect()
+    )
+    dim = len(rows[0][emb_col])
+    d_sub = dim // m
+    return [
+        [
+            [float(x) for x in r[emb_col][s * d_sub : (s + 1) * d_sub]]
+            for r in rows
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    emb_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode vectors to ``m`` uint8-range codes (argmin centroid per
+    subspace, ties -> smaller code).
+
+    Scale shape: the codebook is a compile-time literal (m*k centroids),
+    so encoding is ONE map-only projection — no join, no shuffle, no
+    UDF; a 100 TB embedding table encodes at full scan speed and shrinks
+    ~dim*4/m bytes per row (64-dim float32 -> 8 codes = 32x). The
+    argmin is array_min over (d2, code) structs — lexicographic struct
+    ordering IS the tie rule."""
+    m = len(codebook)
+    d_sub = len(codebook[0][0])
+    codes = F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _sq_dist(
+                                F.slice(F.col(emb_col), s * d_sub + 1, d_sub),
+                                F.array(*[F.lit(x) for x in cent]),
+                            ).alias("d2"),
+                            F.lit(c).cast("int").alias("code"),
+                        )
+                        for c, cent in enumerate(codebook[s])
+                    ]
+                )
+            )["code"]
+            for s in range(m)
+        ]
+    )
+    return emb.withColumn(out_col, codes)
+
+
+def pq_adc_topk(
+    emb_codes: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    emb_col: str = "q_emb",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: approximate ||q - d||^2 as the
+    sum over subspaces of d2(q_sub, centroid[code_sub]).
+
+    ``emb_codes`` needs (vec_id, codes); ``queries`` needs (query_id,
+    q_emb) and is broadcast (a query batch is constant-size next to the
+    corpus). Per-subspace terms are rounded to DECIMAL(38,12) and summed
+    as exact decimals, so the total is aggregation-order-independent and
+    bit-matches the DuckDB replay. At production scale the per-query
+    lookup table (m*k distances) is what a batch scorer precomputes;
+    with literal codebooks the whole LUT lives inside this one
+    projection's expression tree."""
+    m = len(codebook)
+    d_sub = len(codebook[0][0])
+
+    def term(s: int):
+        q_sub = F.slice(F.col(emb_col), s * d_sub + 1, d_sub)
+        cb_s = F.array(
+            *[F.array(*[F.lit(x) for x in cent]) for cent in codebook[s]]
+        )
+        cent = F.element_at(cb_s, F.element_at("codes", s + 1) + 1)
+        # decimal(20,12), NOT (38,12): Spark's chained decimal adds grow
+        # precision by one digit per term, and at the 38 cap the planner
+        # keeps the integral digits by SHRINKING the scale (silent
+        # precision loss). 20+7 chained adds stays under the cap, so all
+        # 12 fractional digits survive to match the DuckDB replay.
+        return F.round(
+            _dot(q_sub, q_sub) - 2.0 * _dot(q_sub, cent) + _dot(cent, cent),
+            12,
+        ).cast("decimal(20,12)")
+
+    total = term(0)
+    for s in range(1, m):
+        total = total + term(s)
+    scored = (
+        emb_codes.join(
+            F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            total.alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 6).cast("double").alias("adc_d2"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+_PQ_SQL_D2 = (
+    "list_dot_product({v},{v}) - 2.0*list_dot_product({v},{c})"
+    " + list_dot_product({c},{c})"
+)
+
+
+@register(
+    "embedding_pq_topk",
+    doc="Product quantization (Jegou et al.): 64-dim vectors -> 8 "
+    "subspace codes against a deterministic 16-centroid codebook "
+    "(sub-vectors of the first 16 rows), then ADC top-10 per query. "
+    "Encode is ONE map-only projection (literal codebook, no shuffle; "
+    "32x memory compression); ADC terms are exact decimals so ranking "
+    "is aggregation-order-independent. The oracle replays codebook, "
+    "argmin encode, and ADC in relational SQL.",
+    oracle=f"""
+WITH cb AS (
+  SELECT s.sub, e.vec_id AS code,
+         (e.embedding[s.sub*8+1 : s.sub*8+8])::DOUBLE[] AS cent
+  FROM embeddings e, range(0,8) s(sub) WHERE e.vec_id < 16
+), subv AS (
+  SELECT vec_id, s.sub, (embedding[s.sub*8+1 : s.sub*8+8])::DOUBLE[] AS v
+  FROM embeddings, range(0,8) s(sub)
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb.code,
+           ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+             ORDER BY {_PQ_SQL_D2.format(v="sv.v", c="cb.cent")}, cb.code) AS rn
+    FROM subv sv JOIN cb USING (sub)
+  ) WHERE rn = 1
+), qsub AS (
+  SELECT vec_id AS query_id, s.sub,
+         (embedding[s.sub*8+1 : s.sub*8+8])::DOUBLE[] AS qv
+  FROM embeddings, range(0,8) s(sub) WHERE vec_id < 5
+), terms AS (
+  SELECT qs.query_id, e.vec_id AS neighbor_id,
+         CAST(ROUND({_PQ_SQL_D2.format(v="qs.qv", c="cb.cent")}, 12)
+              AS DECIMAL(38,12)) AS d
+  FROM enc e
+  JOIN cb ON cb.sub = e.sub AND cb.code = e.code
+  JOIN qsub qs ON qs.sub = e.sub
+  WHERE e.vec_id <> qs.query_id
+), scored AS (
+  SELECT query_id, neighbor_id, SUM(d) AS adc
+  FROM terms GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(ROUND(adc, 6) AS DOUBLE) AS adc_d2, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+ORDER BY query_id, rnk
+""",
+    tags=("similarity", "bench"),
+    extra=True,
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = pq_codebook(emb, m=8, k=16)
+    codes = pq_encode(emb, cb).select("vec_id", "codes")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return pq_adc_topk(codes, queries, cb)

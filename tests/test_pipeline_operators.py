@@ -509,3 +509,60 @@ def test_shuffle_order_is_deterministic_permutation(spark, sf_dir):
     assert a != c
     # and not the identity order
     assert any(a[d] != i for i, d in enumerate(sorted(a)))
+
+
+def test_pq_centroid_rows_encode_to_themselves(spark, sf_dir):
+    """Row c's subvectors ARE codebook entry c, so the argmin distance
+    is exactly 0.0 and every subspace code must equal c (ties cannot
+    occur: any tie at d2=0 would break toward the smaller code, which
+    is c itself when centroids are distinct)."""
+    from quackml_spark.operators.similarity import pq_codebook, pq_encode
+    from quackml_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = pq_codebook(emb, m=8, k=16)
+    rows = (
+        pq_encode(emb.where(F.col("vec_id") < 16), cb)
+        .select("vec_id", "codes")
+        .collect()
+    )
+    assert len(rows) == 16
+    for r in rows:
+        assert list(r["codes"]) == [r["vec_id"]] * 8, r
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """ADC with an m=8/k=16 codebook must recover a meaningful share of
+    the exact L2 top-10 (random 64-dim vectors are PQ's worst case, so
+    the bar is modest; structure in real embeddings raises it)."""
+    from quackml_spark.operators.similarity import (
+        _dot,
+        embedding_pq_topk,
+    )
+    from quackml_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    diff2 = (
+        _dot(F.col("q_emb"), F.col("q_emb"))
+        - 2.0 * _dot(F.col("q_emb"), F.col("embedding"))
+        + _dot(F.col("embedding"), F.col("embedding"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact = (
+        emb.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", diff2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+    )
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    p = {
+        (r["query_id"], r["neighbor_id"])
+        for r in embedding_pq_topk(spark, sf_dir).collect()
+    }
+    recall = len(e & p) / len(e)
+    assert recall >= 0.2, f"PQ ADC recall {recall:.2f} suspiciously low"

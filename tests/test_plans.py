@@ -52,13 +52,14 @@ PLAN_PINNED = [
     "text_token_budget_sample",
     "pipeline_corpus_manifest",
     "text_bm25_topk",
+    "embedding_pq_topk",
 ]
 
 # intentional broadcast nested-loop joins, all with CONSTANT-size build
 # sides: ann_cosine_topk broadcasts a provably tiny query set;
 # embedding_cosine_dedup broadcasts the 32-row hyperplane table to
-# compute LSH sign bits (similarity.py). Everything else equi-joins.
-BNLJ_ALLOWED = {"ann_cosine_topk", "embedding_cosine_dedup"}
+# compute LSH sign bits (similarity.py). Everything else equi-joins; embedding_pq_topk broadcasts the same tiny query batch for its ADC scoring join.
+BNLJ_ALLOWED = {"ann_cosine_topk", "embedding_cosine_dedup", "embedding_pq_topk"}
 
 
 def _plan(spark, name: str, sf_dir: str) -> str:
