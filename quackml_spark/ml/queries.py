@@ -925,3 +925,43 @@ def ml_feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"),
     )
+
+
+@register(
+    "ml_per_group_ols",
+    extra=True,
+    doc="Many-small-models training (the Spark-first pattern a "
+    "single-model train() cannot express): one OLS of extendedprice ~ "
+    "quantity per supplier bucket (l_suppkey % 25), fit inside ONE "
+    "applyInPandas shuffle — no driver loop, no per-model job. The "
+    "oracle is DuckDB's closed-form regr_slope/regr_intercept per "
+    "group; round(4) absorbs summation-order ulps (the "
+    "ml_ols_training_parity precedent).",
+    oracle="""
+SELECT l_suppkey % 25 AS group_id,
+       COUNT(*) AS n,
+       CAST(ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE)
+         AS slope,
+       CAST(ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS DOUBLE)
+         AS intercept
+FROM lineitem
+GROUP BY 1
+ORDER BY group_id
+""",
+    tags=("ml",),
+)
+def ml_per_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml.pergroup import fit_ols_per_group
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 25).alias("grp"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    fitted = fit_ols_per_group(li, "grp", "l_quantity", "l_extendedprice")
+    return fitted.select(
+        "group_id",
+        "n",
+        F.round("slope", 4).cast("double").alias("slope"),
+        F.round("intercept", 4).cast("double").alias("intercept"),
+    ).orderBy("group_id")

@@ -543,3 +543,29 @@ def test_feature_drift_ks_empty_window_raises(spark):
     )
     with _pytest.raises(ValueError, match="no non-null"):
         feature_drift_ks(empty, "x", F.col("is_cur"))
+
+
+def test_serve_per_group_broadcast_probe(spark, sf_dir):
+    """serve_per_group scores row-for-row with slope*x+intercept from
+    the group's own model, and the model side is broadcast (no shuffle
+    of the fact table)."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.ml.pergroup import fit_ols_per_group, serve_per_group
+    from quackml_spark.sources import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_suppkey") % 5).alias("grp"), "l_quantity", "l_extendedprice"
+        )
+    )
+    models = fit_ols_per_group(li, "grp", "l_quantity", "l_extendedprice")
+    scored = serve_per_group(li.limit(50), models, "grp", "l_quantity")
+    rows = scored.collect()
+    assert len(rows) == 50
+    coef = {r["group_id"]: (r["slope"], r["intercept"]) for r in models.collect()}
+    for r in rows:
+        s, i = coef[r["grp"]]
+        assert abs(r["prediction"] - (s * r["l_quantity"] + i)) < 1e-9
+    assert "BroadcastHashJoin" in scored._jdf.queryExecution().executedPlan().toString()
