@@ -153,3 +153,105 @@ def file_key_ranges(path: str, column: str) -> list[tuple]:
             if lo is not None:
                 ranges.append((lo, hi))
     return ranges
+
+
+def zorder_expr(cols: list[str], bits: int = 16):
+    """Morton (Z-order) interleave of ``cols`` as a pure JVM expression.
+
+    Each column is first rank-normalized by the CALLER (pass integer
+    columns already scaled to [0, 2^bits)); this expression interleaves
+    their low ``bits`` bits round-robin into one BIGINT so that sorting
+    by it clusters rows that are close in EVERY dimension. bits*len(cols)
+    must stay <= 63."""
+    from pyspark.sql import functions as F
+
+    if bits * len(cols) > 63:
+        raise ValueError("zorder_expr: bits * n_cols must be <= 63")
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("bigint"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional data-skipping layout: range-partition + sort by
+    the Morton interleave of ``cols`` so every output file covers a
+    small hyper-rectangle of the key space — footer min/max stats then
+    prune files for predicates on ANY of the interleaved columns, not
+    just the leading sort key (write_sorted's limitation).
+
+    Columns are rank-normalized to [0, 2^bits) with a percent_rank pass
+    per column (two-phase, no single reducer: percent_rank needs a
+    global order, so each column rides ONE range-partitioned window —
+    the same shuffle a global sort would pay, amortized at write time
+    to make every later scan cheaper). At 100 TB this is the standard
+    layout-maintenance trade: one extra shuffle at ingest, file-level
+    pruning forever after."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    scaled = df
+    tmp_cols = []
+    for c in cols:
+        # percent_rank over a partition-less window would serialize;
+        # approx-quantile bucketing keeps it distributed: bucket edges
+        # from approxQuantile (driver gets `2^min(bits,10)` doubles),
+        # then a map-only bucket assignment.
+        nb = min(bits, 10)
+        edges = df.stat.approxQuantile(c, [i / (1 << nb) for i in range(1, 1 << nb)], 0.001)
+        from bisect import bisect_right
+
+        uniq = sorted(set(edges))
+        b = df.sparkSession.sparkContext.broadcast(uniq)
+
+        # Closed-form bucket assignment via SQL: width via conditional
+        # sum over the broadcast edge literals would explode the plan at
+        # 2^10 edges; a tiny vectorized pandas transform keeps it
+        # Arrow-batched. But a pure-expression binary search is
+        # available for small `bits`; use expressions up to 6 bits.
+        scaled_col = f"__z_{c}"
+        tmp_cols.append(scaled_col)
+        if len(uniq) <= 64:
+            e = F.lit(0)
+            for edge in uniq:
+                e = e + F.when(F.col(c) > F.lit(edge), 1).otherwise(0)
+            scale = (1 << bits) // (len(uniq) + 1)
+            scaled = scaled.withColumn(scaled_col, (e * F.lit(max(scale, 1))).cast("bigint"))
+        else:
+            import pandas as pd
+
+            from pyspark.sql.functions import pandas_udf
+
+            factor = (1 << bits) // (len(uniq) + 1)
+
+            # no parameter annotations: postponed-evaluation strings
+            # (`from __future__ import annotations`) break pandas_udf's
+            # type-hint inference; the returnType argument carries the
+            # schema instead.
+            def _bucketize(s):
+                import numpy as np
+
+                arr = np.searchsorted(np.array(b.value), s.to_numpy(), side="left")
+                return pd.Series(arr * max(factor, 1))
+
+            bucketize = pandas_udf(_bucketize, "bigint")
+
+            scaled = scaled.withColumn(scaled_col, bucketize(F.col(c)))
+    scaled = scaled.withColumn("__zorder", zorder_expr(tmp_cols, bits))
+    (
+        scaled.repartitionByRange(n_files, "__zorder")
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder", *tmp_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
