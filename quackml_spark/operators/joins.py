@@ -1,0 +1,106 @@
+"""General as-of join — the union+window formulation that scales.
+
+The naive as-of is a range join (left.ts >= right.ts) + argmax, which
+Spark plans as a broadcast-nested-loop or cartesian explosion. The
+scalable formulation (same trick as plans/relational_ext.py q15, here
+generalized to arbitrary tables/columns):
+
+  1. union both sides into one relation tagged by origin, with the
+     right side's payload packed into one struct column;
+  2. ONE hash shuffle on the key + a running `last(payload,
+     ignorenulls)` window ordered by (time, tag);
+  3. keep the left rows: each now carries the payload of the most
+     recent right row at-or-before (backward) / at-or-after (forward)
+     its timestamp.
+
+Cost: one shuffle of |L|+|R| skinny rows and a linear per-partition
+scan — no pair explosion, no range-join quadratic blowup; exactly what
+a 100 TB event stream joined to a 1 TB dimension history needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by_left: str,
+    by_right: str,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``on`` <= left's ``on`` (direction='backward'; 'forward' takes the
+    smallest >=), matching on ``by_left == by_right``. Ties at the
+    exact same timestamp match (as-of is inclusive).
+
+    All right columns except the key arrive suffixed. ``tolerance_seconds``
+    bounds the match distance (a stale quote/order is dropped, left row
+    kept with NULLs) — the pandas ``merge_asof`` contract."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    payload_cols = [c for c in right.columns if c != by_right]
+    l_tagged = left.select(
+        F.col(by_left).alias("__k"),
+        F.col(on).alias("__at"),
+        F.lit(1).alias("__tag"),
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ", ".join(
+                f"`{c}`: {dict(right.dtypes)[c]}" for c in payload_cols
+            )
+            + ">"
+        )
+        .alias("__payload"),
+        *[F.col(c) for c in left.columns],
+    )
+    r_tagged = right.select(
+        F.col(by_right).alias("__k"),
+        F.col(on).alias("__at"),
+        F.lit(0).alias("__tag"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns],
+    )
+    # backward: right rows must sort BEFORE a left row at the same
+    # instant (tag 0 < 1) so the inclusive match carries; forward
+    # mirrors by descending time with the same tag order.
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.asc("__at"), F.asc("__tag"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.desc("__at"), F.asc("__tag"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    carried = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .withColumn("__match_at", F.last(
+            F.when(F.col("__tag") == 0, F.col("__at")), ignorenulls=True
+        ).over(w))
+        .where(F.col("__tag") == 1)
+    )
+    if tolerance_seconds is not None:
+        dist = F.abs(
+            F.col("__at").cast("double") - F.col("__match_at").cast("double")
+        )
+        carried = carried.withColumn(
+            "__match",
+            F.when(dist <= float(tolerance_seconds), F.col("__match")),
+        )
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col("__match")[c].alias(c + suffix if c in left.columns else c)
+        for c in payload_cols
+    ]
+    return carried.select(*out_cols)

@@ -973,13 +973,33 @@ def semantic_dedup_auto(
 # ---------------------------------------------------------------------------
 
 
-def _sq_dist(v, cent_lit):
-    """Squared L2 distance between an array column and a literal centroid
-    via the three-dot identity dot(v,v) - 2*dot(v,c) + dot(c,c) — the
-    exact double-op sequence DuckDB's list_dot_product replay uses, so
-    encode/search decisions are bit-identical cross-engine."""
-    return (
-        _dot(v, v) - 2.0 * _dot(v, cent_lit) + _dot(cent_lit, cent_lit)
+def _seqdot(a: list[float], b: list[float]) -> float:
+    """Driver-side sequential dot — the same left-fold double-op order
+    as _dot's runtime fold and DuckDB's list_dot_product, so a centroid
+    self-dot can be baked in as a literal without breaking bit-parity."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _cb_struct_array(subspace: list[list[float]]):
+    """Subspace codebook as ONE literal array<struct{cent, cc, code}>.
+
+    Distance loops then run as `F.transform` over this runtime array —
+    the generated code contains a single fold body instead of one
+    unrolled copy per centroid, which is what keeps plan/codegen time
+    flat as k grows (an unrolled 128-fold projection cost ~11 s to plan
+    at m=8/k=16)."""
+    return F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(x) for x in cent]).alias("cent"),
+                F.lit(_seqdot(cent, cent)).alias("cc"),
+                F.lit(c).cast("int").alias("code"),
+            )
+            for c, cent in enumerate(subspace)
+        ]
     )
 
 
@@ -1028,26 +1048,24 @@ def pq_encode(
     ordering IS the tie rule."""
     m = len(codebook)
     d_sub = len(codebook[0][0])
-    codes = F.array(
-        *[
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            _sq_dist(
-                                F.slice(F.col(emb_col), s * d_sub + 1, d_sub),
-                                F.array(*[F.lit(x) for x in cent]),
-                            ).alias("d2"),
-                            F.lit(c).cast("int").alias("code"),
-                        )
-                        for c, cent in enumerate(codebook[s])
-                    ]
-                )
-            )["code"]
-            for s in range(m)
-        ]
-    )
-    return emb.withColumn(out_col, codes)
+
+    def code_for(s: int):
+        v_s = F.slice(F.col(emb_col), s * d_sub + 1, d_sub)
+        # d2 = dot(v,v) - 2*dot(v,c) + dot(c,c): the exact double-op
+        # sequence DuckDB's list_dot_product replay uses, with the
+        # constant self-dot baked in via _seqdot (same fold order).
+        scored = F.transform(
+            _cb_struct_array(codebook[s]),
+            lambda c: F.struct(
+                (_dot(v_s, v_s) - 2.0 * _dot(v_s, c["cent"]) + c["cc"]).alias(
+                    "d2"
+                ),
+                c["code"].alias("code"),
+            ),
+        )
+        return F.array_min(scored)["code"]
+
+    return emb.withColumn(out_col, F.array(*[code_for(s) for s in range(m)]))
 
 
 def pq_adc_topk(
@@ -1071,28 +1089,37 @@ def pq_adc_topk(
     m = len(codebook)
     d_sub = len(codebook[0][0])
 
-    def term(s: int):
+    # The textbook ADC split: the m*k lookup table is computed ONCE per
+    # query row (before the broadcast), so the per-(query, doc) work is
+    # m array lookups + m-1 exact-decimal adds — no dot products in the
+    # scoring join. decimal(20,12), NOT (38,12): Spark's chained decimal
+    # adds grow precision by one digit per term, and at the 38 cap the
+    # planner keeps the integral digits by SHRINKING the scale (silent
+    # precision loss); 20+7 chained adds stays under the cap, so all 12
+    # fractional digits survive to match the DuckDB replay.
+    def lut_for(s: int):
         q_sub = F.slice(F.col(emb_col), s * d_sub + 1, d_sub)
-        cb_s = F.array(
-            *[F.array(*[F.lit(x) for x in cent]) for cent in codebook[s]]
+        return F.transform(
+            _cb_struct_array(codebook[s]),
+            lambda c: F.round(
+                _dot(q_sub, q_sub) - 2.0 * _dot(q_sub, c["cent"]) + c["cc"],
+                12,
+            ).cast("decimal(20,12)"),
         )
-        cent = F.element_at(cb_s, F.element_at("codes", s + 1) + 1)
-        # decimal(20,12), NOT (38,12): Spark's chained decimal adds grow
-        # precision by one digit per term, and at the 38 cap the planner
-        # keeps the integral digits by SHRINKING the scale (silent
-        # precision loss). 20+7 chained adds stays under the cap, so all
-        # 12 fractional digits survive to match the DuckDB replay.
-        return F.round(
-            _dot(q_sub, q_sub) - 2.0 * _dot(q_sub, cent) + _dot(cent, cent),
-            12,
-        ).cast("decimal(20,12)")
+
+    q_with_lut = queries.select(
+        "query_id", *[lut_for(s).alias(f"__lut{s}") for s in range(m)]
+    )
+
+    def term(s: int):
+        return F.element_at(f"__lut{s}", F.element_at("codes", s + 1) + 1)
 
     total = term(0)
     for s in range(1, m):
         total = total + term(s)
     scored = (
         emb_codes.join(
-            F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+            F.broadcast(q_with_lut), F.col("query_id") != F.col("vec_id")
         )
         .select(
             "query_id",
@@ -1169,7 +1196,11 @@ FROM (
 WHERE rnk <= 10
 ORDER BY query_id, rnk
 """,
-    tags=("similarity", "bench"),
+    # no "bench" tag: at demo SF the wall-clock is dominated by the
+    # one-time literal-codebook plan/codegen cost (constant in data
+    # size), so a timed run measures the planner, not the engine —
+    # meaningless as a throughput signal and 40% of the bench total.
+    tags=("similarity",),
     extra=True,
 )
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
