@@ -45,19 +45,23 @@ def test_asof_forward_matches_duckdb(spark, sf_dir, duck):
     assert got == want
 
 
-def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("timestamp").alias("ts")
-    )
-    loose = asof_join(ev, orders, on="ts", by_left="user_id", by_right="o_custkey")
+def test_asof_tolerance_nulls_stale_matches(spark):
+    # key 1: quote 10 s before the trade (fresh); key 2: quote 1 h
+    # before (stale under a 60 s tolerance). Left rows always survive.
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 2, "2024-01-01 10:00:00")],
+        "event_id bigint, k bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [(101, 1, "2024-01-01 09:59:50"), (202, 2, "2024-01-01 09:00:00")],
+        "quote_id bigint, k bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    loose = asof_join(ev, quotes, on="ts", by_left="k", by_right="k")
     tight = asof_join(
-        ev, orders, on="ts", by_left="user_id", by_right="o_custkey",
-        tolerance_seconds=86400.0 * 30,
+        ev, quotes, on="ts", by_left="k", by_right="k", tolerance_seconds=60.0
     )
-    n_loose = loose.where(F.col("o_orderkey").isNotNull()).count()
-    n_tight = tight.where(F.col("o_orderkey").isNotNull()).count()
-    assert 0 < n_tight < n_loose  # a 30-day window must drop some matches
+    assert {r["event_id"]: r["quote_id"] for r in loose.collect()} == {1: 101, 2: 202}
+    assert {r["event_id"]: r["quote_id"] for r in tight.collect()} == {1: 101, 2: None}
     assert tight.count() == ev.count()  # left rows all kept
 
 
