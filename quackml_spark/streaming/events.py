@@ -418,3 +418,82 @@ def streaming_bloom_dedup(
     return src.groupBy("__shard").applyInPandasWithState(
         fn, out_type, state_type, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_countmin(
+    items: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming count-min heavy-hitter counts with CONSTANT state.
+
+    The streaming twin of operators/text.py::countmin_build: state is
+    ``n_shards`` depth x width int64 cell grids (32 KiB each at the
+    defaults) for an UNBOUNDED key stream — the frequency-tracking
+    analog of streaming_bloom_dedup's membership trade. Keys shard by
+    md5 (computed JVM-side, one shuffle), so each shard maintains an
+    independent sketch over a disjoint key subset; estimates can only
+    OVERcount (never under), same guarantee as the batch sketch.
+
+    Emits one row per distinct key per micro-batch: (key,
+    cm_estimate) where the estimate reflects ALL occurrences seen so
+    far (cross-batch accumulation). Cell updates use the batch's total
+    per-position increments, so replays after checkpoint recovery are
+    deterministic.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from quackml_spark.operators.text import md5_int32
+
+    src = items.select(
+        F.col(key_col).cast("string").alias("__key"),
+        (md5_int32(F.col(key_col).cast("string")) % n_shards).alias("__shard"),
+    )
+    out_type = "key string, cm_estimate long"
+    state_type = StructType([StructField("cells", BinaryType())])
+    n_cells = depth * width
+
+    def fn(key, pdfs, state: GroupState):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        cells = (
+            _np.frombuffer(state.get[0], dtype="<i8").copy()
+            if state.exists
+            else _np.zeros(n_cells, dtype="<i8")
+        )
+        rows = _pd.concat(list(pdfs), ignore_index=True)
+        counts = rows["__key"].value_counts()
+
+        def positions(s: str) -> list[int]:
+            return [
+                int(
+                    _hashlib.md5(f"{i}|{s}".encode()).hexdigest()[:8], 16
+                )
+                % width
+                + i * width
+                for i in range(depth)
+            ]
+
+        # two passes: ALL of the batch's increments land before any
+        # estimate is read, so a key emitted in batch b reflects every
+        # occurrence (and collision) up to and including batch b — for
+        # keys seen in the latest batch the estimate is exactly what
+        # countmin_build over the full prefix would report.
+        key_pos = {s: positions(s) for s in counts.index}
+        for s, c in counts.items():
+            cells[key_pos[s]] += int(c)
+        out = sorted(
+            (s, int(min(cells[p] for p in key_pos[s]))) for s in counts.index
+        )
+        state.update((cells.tobytes(),))
+        yield _pd.DataFrame(out, columns=["key", "cm_estimate"])
+
+    return src.groupBy("__shard").applyInPandasWithState(
+        fn, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+    )

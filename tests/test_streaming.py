@@ -501,3 +501,69 @@ def test_streaming_bloom_dedup_generic_schema(spark, tmp_path):
     assert sorted(r["doc_id"] for r in kept) == list(range(7))
     # deterministic survivor: stable sort keeps the lowest score row
     assert all(r["score"] == float(r["doc_id"]) for r in kept)
+
+
+def test_streaming_countmin_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Constant-state streaming CM: cells accumulate across batches, and
+    a key emitted in the final batch carries exactly the estimate the
+    batch-built sketch over ALL rows would give (same md5 cell map,
+    n_shards=1). Estimates never undercount the true count."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators.text import countmin_build, countmin_estimate
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_countmin
+
+    events = load_table(spark, sf_dir, "events")
+    pdf = (
+        events.select("event_id", "ts", "event_type")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    cut = pdf["ts"].median()
+    d = tmp_path / "cm_stream_in"
+    d.mkdir()
+    spark.createDataFrame(pdf[pdf.ts <= cut]).coalesce(1).write.parquet(str(d / "p0"))
+    _time.sleep(1.1)
+    spark.createDataFrame(pdf[pdf.ts > cut]).coalesce(1).write.parquet(str(d / "p1"))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(d) + "/p*")
+    )
+    q = (
+        streaming_countmin(stream, "event_type", n_shards=1)
+        .writeStream.format("memory")
+        .queryName("qml_cm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("qml_cm_stream").toPandas()
+    # last emission per key = estimate over the full prefix
+    last = emitted.groupby("key")["cm_estimate"].last()
+
+    items = events.select(F.col("event_type").cast("string").alias("gram"))
+    sketch = countmin_build(items)
+    keys = items.distinct()
+    batch = {
+        r["gram"]: r["cm_estimate"]
+        for r in countmin_estimate(keys, sketch).collect()
+    }
+    true_counts = {
+        r["gram"]: r["n"]
+        for r in items.groupBy("gram").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every key that appears in the final batch must match the batch
+    # sketch exactly — which also pins the never-undercount bound,
+    # since countmin_estimate >= true_count by construction
+    final_keys = set(pdf[pdf.ts > cut]["event_type"].unique())
+    assert final_keys, "fixture must put keys in the final batch"
+    for k in final_keys:
+        assert last[k] == batch[k], (k, last[k], batch[k])
+        assert batch[k] >= true_counts[k]
