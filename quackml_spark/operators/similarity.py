@@ -1211,3 +1211,53 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     return pq_adc_topk(codes, queries, cb)
+
+
+def pq_codebook_kmeans(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    emb_col: str = "embedding",
+    sample_rows: int = 100_000,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Trained PQ codebook: per-subspace Lloyd k-means on a bounded
+    driver sample — the library path next to pq_codebook's
+    SQL-replayable deterministic variant (the same medoid/kmeans split
+    as the IVF coarse quantizer). The sample is capped at
+    ``sample_rows`` regardless of corpus size (PQ codebooks are trained
+    on samples in practice — Jegou et al. §V uses 100k), so the driver
+    memory is bounded; encode/search accept the result unchanged.
+
+    Deterministic: the sample is the first ``sample_rows`` by vec_id
+    and init takes each subspace's first k distinct subvectors; empty
+    clusters respawn on the farthest point (standard Lloyd repair)."""
+    import numpy as np
+
+    rows = (
+        emb.select("vec_id", emb_col)
+        .orderBy("vec_id")
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r[emb_col]] for r in rows])
+    dim = X.shape[1]
+    d_sub = dim // m
+    out: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * d_sub : (s + 1) * d_sub]
+        _, idx = np.unique(Xs, axis=0, return_index=True)
+        cents = Xs[np.sort(idx)[:k]].copy()
+        if len(cents) < k:  # fewer distinct subvectors than codes
+            cents = np.vstack([cents, np.tile(cents[-1], (k - len(cents), 1))])
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = Xs[mask].mean(0)
+                else:
+                    cents[c] = Xs[d2.min(1).argmax()]
+        out.append([[float(x) for x in c] for c in cents])
+    return out

@@ -207,3 +207,29 @@ def streaming_bloom_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "streaming_countmin_events",
+    extra=True,
+    doc="Constant-state streaming count-min over event_type: per-shard "
+    "depth x width int64 grids (32 KiB/shard) for an unbounded stream; "
+    "the batch-equality test pins that final-batch emissions equal "
+    "countmin_build's estimates cell-for-cell.",
+    tags=("streaming",),
+)
+def streaming_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from quackml_spark.streaming.events import (
+        read_event_stream,
+        run_to_completion,
+        streaming_countmin,
+    )
+
+    out = run_to_completion(
+        streaming_countmin(read_event_stream(spark, sf_dir), "event_type"),
+        "qml_streaming_countmin",
+        output_mode="append",
+    )
+    return out.groupBy("key").agg(F.max("cm_estimate").alias("cm_estimate")).orderBy("key")

@@ -72,11 +72,12 @@ _BROADCAST_ALLOWLIST = {
     "plans/relational.py": 4,    # nation (25) / region (5)
     "plans/relational_ext.py": 2, # nation / region
     "operators/dedup.py": 1,     # simhash 32-row bit table
-    "operators/similarity.py": 5, # 5-query sets + 16/32-row plane tables + IVF probe set (|queries|·nprobe rows)
+    "operators/similarity.py": 6, # 5-query sets + 16/32-row plane tables + IVF probe set (|queries|·nprobe rows) + PQ ADC query batch with its m*k-entry LUT columns (|queries| rows)
     "operators/sampling.py": 1,  # mixture rates (|sources| rows)
     "ml/monitor.py": 3,          # PSI per-feature span/total tables (k rows
                                  # each) + KS shard offsets (≤ n_shards rows)
-    "operators/text.py": 6,      # langid lexicon (24 rows), benchmark grams (eval-suite-sized), sequence-pack shard offsets (|shards| rows), count-min sketch (<= depth*width = 4096 cells), token-budget shard offsets (<= n_sources * n_shards rows), shuffle-order shard counts (<= n_shards rows)
+    "operators/text.py": 9,      # langid lexicon (24 rows), benchmark grams (eval-suite-sized), sequence-pack shard offsets (|shards| rows), count-min sketch (<= depth*width = 4096 cells), token-budget shard offsets (<= n_sources * n_shards rows), shuffle-order shard counts (<= n_shards rows), BM25 query-term set + query-vocab probe + query-vocab df table (all bounded by the query batch, the operator's documented contract)
+    "ml/pergroup.py": 1,         # per-group coefficient table (|groups| rows; serve_per_group documents the broadcast-size contract — callers with ~10^7+ groups should join unhinted)
     "operators/pipeline.py": 1,  # composed pipeline's benchmark gram set (eval-suite-sized, same bound as text_decontaminate's)
 }
 

@@ -566,3 +566,33 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     }
     recall = len(e & p) / len(e)
     assert recall >= 0.2, f"PQ ADC recall {recall:.2f} suspiciously low"
+
+
+def test_pq_kmeans_codebook_lowers_distortion(spark, sf_dir):
+    """The trained (Lloyd) codebook must beat the deterministic
+    sample-as-centroid codebook on reconstruction distortion — k-means
+    monotonically reduces within-cluster SSE, which IS PQ's
+    quantization error. Guards the library path the way the IVF kmeans
+    quantizer is guarded next to its medoid twin."""
+    import numpy as np
+
+    from quackml_spark.operators.similarity import pq_codebook, pq_codebook_kmeans
+    from quackml_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    X = np.array([[float(x) for x in r["embedding"]] for r in emb.collect()])
+
+    def distortion(cb):
+        m = len(cb)
+        d_sub = X.shape[1] // m
+        total = 0.0
+        for s in range(m):
+            Xs = X[:, s * d_sub : (s + 1) * d_sub]
+            C = np.array(cb[s])
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            total += d2.min(1).sum()
+        return total / len(X)
+
+    det = distortion(pq_codebook(emb))
+    trained = distortion(pq_codebook_kmeans(emb))
+    assert trained < det, (trained, det)
