@@ -740,3 +740,41 @@ def q28_events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__var")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q29 — SCD2 interval history (slowly-changing-dimension type 2).
+# ---------------------------------------------------------------------------
+@register(
+    "q29_scd2_intervals",
+    extra=True,
+    doc="SCD2 history build: each per-user event version becomes a "
+    "[valid_from, valid_to) interval via lead() over (ts, event_id) — "
+    "the standard warehouse dimension-history shape, one window "
+    "shuffle on the natural key. The open (current) version has NULL "
+    "valid_to; a point-in-time lookup is then an asof/range probe "
+    "(see operators/joins.py::asof_join).",
+    oracle="""
+SELECT user_id, event_id,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM events
+ORDER BY user_id, valid_from, event_id
+""",
+    tags=("relational",),
+)
+def q29_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
