@@ -1901,8 +1901,10 @@ def bm25_topk(
 @register(
     "text_bm25_topk",
     doc="BM25 lexical retrieval (the standard sparse-retrieval baseline "
-    "next to the ANN dense path): docs with doc_id %% 101 == 0 play the "
-    "query set (terms = their tokens 2..4); top-10 docs per query by "
+    "next to the ANN dense path): docs with doc_id %% 101 == 0 (capped "
+    "at 500 queries so the registered operator stays linear in corpus "
+    "size at any SF) play the query set (terms = their tokens 2..4); "
+    "top-10 docs per query by "
     "Lucene-BM25. Query terms broadcast, corpus semi-probed map-side, "
     "df bounded by query vocabulary; per-term contributions summed in "
     "exact DECIMAL so scores are aggregation-order-independent.",
@@ -1919,7 +1921,7 @@ WITH toks AS (
   SELECT DISTINCT doc_id AS query_id, unnest(toks[2:4]) AS tok
   FROM (
     SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
-    FROM documents WHERE doc_id % 101 = 0
+    FROM documents WHERE doc_id % 101 = 0 AND doc_id < 50500
   ) WHERE length(toks) >= 4
 ), qtoks AS (
   SELECT t.doc_id, t.tok FROM toks t
@@ -1957,7 +1959,7 @@ ORDER BY query_id, rnk
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     queries = (
-        docs.where(F.col("doc_id") % 101 == 0)
+        docs.where((F.col("doc_id") % 101 == 0) & (F.col("doc_id") < 50500))
         .select(F.col("doc_id").alias("query_id"), tokens_expr("text").alias("toks"))
         .where(F.size("toks") >= 4)
         .select("query_id", F.explode(F.slice("toks", 2, 3)).alias("tok"))

@@ -31,11 +31,16 @@ def test_queries_without_oracle_still_run(spark, sf_dir):
             assert df.count() >= 0, name
 
 
-def test_results_partitioning_independent(spark, sf_dir):
+@pytest.mark.parametrize(
+    "name",
+    ["q01_pricing_summary", "text_bm25_topk", "embedding_pq_topk"],
+)
+def test_results_partitioning_independent(spark, sf_dir, name):
     """The DECIMAL aggregation discipline must make results identical
     under different shuffle widths (the property that lets a 1-partition
-    DuckDB oracle check a 32-partition Spark run)."""
-    name = "q01_pricing_summary"
+    DuckDB oracle check a 32-partition Spark run). Covers the classic
+    decimal-money aggregate plus the two newest decimal-sum scorers
+    (BM25 term sums, PQ ADC sums)."""
     qd = REGISTRY[name]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
