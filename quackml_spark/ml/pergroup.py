@@ -22,9 +22,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SCHEMA = "group_id bigint, n bigint, slope double, intercept double"
-
-
 def fit_ols_per_group(
     df: DataFrame, group_col: str, x_col: str, y_col: str
 ) -> DataFrame:
@@ -33,13 +30,19 @@ def fit_ols_per_group(
     Exactly one shuffle (hash on ``group_col``); each task fits its
     groups independently with the population-covariance closed form.
     Groups with zero x-variance or fewer than 2 rows return NULL
-    coefficients (no model), mirroring SQL regr_slope."""
+    coefficients (no model), mirroring SQL regr_slope. The group key
+    keeps its own type (string tenant ids, bigint buckets, ...) — no
+    cast is forced on it; a NULL key forms its own group like
+    SQL GROUP BY."""
+    key_dtype = dict(df.dtypes)[group_col]
+    schema = f"group_id {key_dtype}, n bigint, slope double, intercept double"
 
     def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[x_col].astype("float64").to_numpy()
         y = pdf[y_col].astype("float64").to_numpy()
         n = len(x)
-        gid = int(pdf[group_col].iloc[0])
+        gid = pdf[group_col].iloc[0]
+        gid = None if pd.isna(gid) else gid
         if n < 2:
             return pd.DataFrame(
                 [[gid, n, None, None]],
@@ -58,9 +61,9 @@ def fit_ols_per_group(
         )
 
     return (
-        df.select(F.col(group_col).cast("bigint").alias(group_col), x_col, y_col)
+        df.select(group_col, x_col, y_col)
         .groupBy(group_col)
-        .applyInPandas(_fit_group, schema=_SCHEMA)
+        .applyInPandas(_fit_group, schema=schema)
     )
 
 

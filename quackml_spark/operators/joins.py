@@ -41,11 +41,24 @@ def asof_join(
 
     All right columns except the key arrive suffixed. ``tolerance_seconds``
     bounds the match distance (a stale quote/order is dropped, left row
-    kept with NULLs) — the pandas ``merge_asof`` contract."""
+    kept with NULLs) — the pandas ``merge_asof`` contract.
+
+    NULL handling matches SQL ASOF/merge_asof: right rows with a NULL
+    timestamp or NULL key can never be a match (they are filtered before
+    the union — without this, NULLs sort first in the ascending window
+    and a null-ts row's payload would be carried onto every left row
+    with no earlier real match). Left rows always survive.
+
+    Ties (several right rows sharing the same key and timestamp) break
+    DETERMINISTICALLY toward the greatest payload struct (lexicographic
+    by column order) — SQL ASOF leaves the winner unspecified; a
+    deterministic rule keeps replays and engine upgrades stable. This
+    requires the payload columns to be orderable types (maps are not)."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
 
     payload_cols = [c for c in right.columns if c != by_right]
+    right = right.where(F.col(on).isNotNull() & F.col(by_right).isNotNull())
     l_tagged = left.select(
         F.col(by_left).alias("__k"),
         F.col(on).alias("__at"),
@@ -71,16 +84,20 @@ def asof_join(
     # backward: right rows must sort BEFORE a left row at the same
     # instant (tag 0 < 1) so the inclusive match carries; forward
     # mirrors by descending time with the same tag order.
+    # the trailing __payload sort key is the deterministic tie-break:
+    # among right rows with equal (key, at), last() carries the
+    # greatest payload struct. Left rows order among themselves too,
+    # but their NULL payload is invisible to last(ignorenulls).
     if direction == "backward":
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.asc("__at"), F.asc("__tag"))
+            .orderBy(F.asc("__at"), F.asc("__tag"), F.asc("__payload"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.desc("__at"), F.asc("__tag"))
+            .orderBy(F.desc("__at"), F.asc("__tag"), F.asc("__payload"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     carried = (

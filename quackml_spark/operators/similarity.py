@@ -1021,6 +1021,13 @@ def pq_codebook(
         .collect()
     )
     dim = len(rows[0][emb_col])
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_codebook: dim {dim} not divisible by m={m} subspaces — "
+            "trailing dimensions would be silently dropped (faiss asserts "
+            "d % M == 0 for the same reason); pad the vectors or pick m "
+            "dividing the dimension"
+        )
     d_sub = dim // m
     return [
         [
@@ -1242,6 +1249,11 @@ def pq_codebook_kmeans(
     )
     X = np.array([[float(x) for x in r[emb_col]] for r in rows])
     dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_codebook_kmeans: dim {dim} not divisible by m={m} — "
+            "trailing dimensions would be silently dropped"
+        )
     d_sub = dim // m
     out: list[list[list[float]]] = []
     for s in range(m):

@@ -76,32 +76,21 @@ ORDER BY e.event_id
     tags=("relational", "bench"),
 )
 def q15_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Tag orders 0 / events 1 so an order at exactly ts sorts first
-    # (as-of is >=); last_value(ignorenulls) then carries the most
-    # recent order date onto each event row.
-    ev = t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("at"),
-        F.lit(1).alias("tag"),
-        "event_id",
-        F.lit(None).cast("timestamp").alias("ord_date"),
-    )
+    # One implementation of the union+tag+window trick for the whole
+    # engine: the general operators/joins.py::asof_join (backward,
+    # inclusive) — this query keeps only the oracle inline. The payload
+    # is the order date; ties (several orders, same custkey+date) all
+    # carry the same date, so the output is tie-invariant.
+    from quackml_spark.operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("at"),
-        F.lit(0).alias("tag"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.col("o_orderdate").alias("ord_date"),
-    )
-    w = (
-        Window.partitionBy("k")
-        .orderBy("at", "tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.col("o_orderdate").alias("asof_orderdate"),
     )
     return (
-        ev.unionByName(orders)
-        .withColumn("asof_orderdate", F.last("ord_date", ignorenulls=True).over(w))
-        .where(F.col("tag") == 1)
+        asof_join(ev, orders, on="ts", by_left="user_id", by_right="user_id")
         .select("event_id", "asof_orderdate")
         .orderBy("event_id")
     )

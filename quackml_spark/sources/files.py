@@ -202,15 +202,15 @@ def write_zorder(
 
     scaled = df
     tmp_cols = []
-    for c in cols:
-        # percent_rank over a partition-less window would serialize;
-        # approx-quantile bucketing keeps it distributed: bucket edges
-        # from approxQuantile (driver gets `2^min(bits,10)` doubles),
-        # then a map-only bucket assignment.
-        nb = min(bits, 10)
-        edges = df.stat.approxQuantile(c, [i / (1 << nb) for i in range(1, 1 << nb)], 0.001)
-        from bisect import bisect_right
-
+    # percent_rank over a partition-less window would serialize;
+    # approx-quantile bucketing keeps it distributed: bucket edges from
+    # ONE approxQuantile pass over all columns together (the list-of-
+    # columns form — one scan, not len(cols) scans; code-review catch),
+    # then a map-only bucket assignment per column.
+    nb = min(bits, 10)
+    probs = [i / (1 << nb) for i in range(1, 1 << nb)]
+    all_edges = df.stat.approxQuantile(list(cols), probs, 0.001)
+    for c, edges in zip(cols, all_edges):
         uniq = sorted(set(edges))
         b = df.sparkSession.sparkContext.broadcast(uniq)
 

@@ -435,7 +435,15 @@ def streaming_countmin(
     analog of streaming_bloom_dedup's membership trade. Keys shard by
     md5 (computed JVM-side, one shuffle), so each shard maintains an
     independent sketch over a disjoint key subset; estimates can only
-    OVERcount (never under), same guarantee as the batch sketch.
+    OVERcount true counts (never under), same guarantee as the batch
+    sketch.
+
+    Cell-for-cell equality with ``countmin_build`` over the same rows
+    holds at ``n_shards=1`` (the same md5 cell map — pinned by test).
+    With n_shards > 1 each shard's grid only accumulates ITS keys'
+    collisions, so estimates are generally TIGHTER (<=) than one
+    shared batch grid of the same width — sharding never loosens the
+    overcount-only bound, it just changes which keys collide.
 
     Emits one row per distinct key per micro-batch: (key,
     cm_estimate) where the estimate reflects ALL occurrences seen so

@@ -214,8 +214,8 @@ def streaming_bloom_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
     doc="Constant-state streaming count-min over event_type: per-shard "
     "depth x width int64 grids (32 KiB/shard) for an unbounded stream; "
-    "the batch-equality test pins that final-batch emissions equal "
-    "countmin_build's estimates cell-for-cell.",
+    "estimates overcount-only. The n_shards=1 batch-equality test pins "
+    "the shared cell map; sharded grids are tighter, never looser.",
     tags=("streaming",),
 )
 def streaming_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:

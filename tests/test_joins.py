@@ -9,9 +9,13 @@ from quackml_spark.sources import load_table
 
 
 def _duck_pairs(duck, direction):
+    # compare the matched TIMESTAMP, not the row id: when several right
+    # rows share (key, ts), DuckDB's ASOF picks an unspecified one while
+    # asof_join picks the greatest payload deterministically — the
+    # as-of semantics (which instant matched) are what both must agree on.
     op = ">=" if direction == "backward" else "<="
     rows = duck.execute(f"""
-        SELECT e.event_id, o.o_orderkey
+        SELECT e.event_id, o.o_orderdate
         FROM events e
         ASOF LEFT JOIN orders o
           ON e.user_id = o.o_custkey AND e.ts {op} o.o_orderdate
@@ -26,7 +30,7 @@ def test_asof_backward_matches_duckdb(spark, sf_dir, duck):
         "o_orderkey", "o_custkey", F.col("o_orderdate").cast("timestamp").alias("ts")
     )
     out = asof_join(ev, orders, on="ts", by_left="user_id", by_right="o_custkey")
-    got = {r["event_id"]: r["o_orderkey"] for r in out.collect()}
+    got = {r["event_id"]: r["ts_right"] for r in out.collect()}
     want = _duck_pairs(duck, "backward")
     assert got == want
 
@@ -40,9 +44,40 @@ def test_asof_forward_matches_duckdb(spark, sf_dir, duck):
         ev, orders, on="ts", by_left="user_id", by_right="o_custkey",
         direction="forward",
     )
-    got = {r["event_id"]: r["o_orderkey"] for r in out.collect()}
+    got = {r["event_id"]: r["ts_right"] for r in out.collect()}
     want = _duck_pairs(duck, "forward")
     assert got == want
+
+
+def test_asof_null_right_rows_never_match(spark):
+    """A right row with NULL ts (or NULL key) must not be carried as a
+    match — SQL ASOF/merge_asof semantics (code-review catch: NULLs
+    sort first in the ascending window, so an unfiltered null-ts row's
+    payload landed on every left row with no real match)."""
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")], "event_id bigint, k bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [(999, 1, None), (888, None, "2024-01-01 09:00:00")],
+        "quote_id bigint, k bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(ev, quotes, on="ts", by_left="k", by_right="k").collect()
+    assert len(out) == 1 and out[0]["quote_id"] is None
+
+
+def test_asof_tie_breaks_to_greatest_payload(spark):
+    """Two right rows at the identical (key, ts): the greatest payload
+    struct wins, deterministically, on every run."""
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")], "event_id bigint, k bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [(7, 1, "2024-01-01 09:00:00"), (9, 1, "2024-01-01 09:00:00")],
+        "quote_id bigint, k bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for _ in range(3):
+        out = asof_join(ev, quotes, on="ts", by_left="k", by_right="k").collect()
+        assert out[0]["quote_id"] == 9
 
 
 def test_asof_tolerance_nulls_stale_matches(spark):

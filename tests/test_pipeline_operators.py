@@ -596,3 +596,14 @@ def test_pq_kmeans_codebook_lowers_distortion(spark, sf_dir):
     det = distortion(pq_codebook(emb))
     trained = distortion(pq_codebook_kmeans(emb))
     assert trained < det, (trained, det)
+
+
+def test_pq_codebook_rejects_indivisible_dim(spark, sf_dir):
+    from quackml_spark.operators.similarity import pq_codebook, pq_codebook_kmeans
+    from quackml_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebook(emb, m=7)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebook_kmeans(emb, m=7)

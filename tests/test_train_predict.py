@@ -569,3 +569,25 @@ def test_serve_per_group_broadcast_probe(spark, sf_dir):
         s, i = coef[r["grp"]]
         assert abs(r["prediction"] - (s * r["l_quantity"] + i)) < 1e-9
     assert "BroadcastHashJoin" in scored._jdf.queryExecution().executedPlan().toString()
+
+
+def test_per_group_ols_string_and_null_keys(spark):
+    """The many-models API must take the group key as-is — string tenant
+    ids and NULL keys included (code-review catch: a bigint cast made
+    the advertised per-tenant use crash)."""
+    from quackml_spark.ml.pergroup import fit_ols_per_group
+
+    rows = [
+        ("acme", 1.0, 2.0), ("acme", 2.0, 4.0), ("acme", 3.0, 6.0),
+        ("globex", 1.0, 5.0), ("globex", 2.0, 5.0),
+        (None, 1.0, 1.0), (None, 2.0, 3.0),
+        ("solo", 1.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "tenant string, x double, y double")
+    out = {r["group_id"]: r for r in
+           fit_ols_per_group(df, "tenant", "x", "y").collect()}
+    assert abs(out["acme"]["slope"] - 2.0) < 1e-12
+    assert abs(out["acme"]["intercept"]) < 1e-12
+    assert abs(out["globex"]["slope"] - 0.0) < 1e-12
+    assert abs(out[None]["slope"] - 2.0) < 1e-12
+    assert out["solo"]["slope"] is None and out["solo"]["n"] == 1
