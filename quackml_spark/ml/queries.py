@@ -965,3 +965,158 @@ def ml_per_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 4).cast("double").alias("slope"),
         F.round("intercept", 4).cast("double").alias("intercept"),
     ).orderBy("group_id")
+
+
+@register(
+    "ml_oof_predictions",
+    extra=True,
+    doc="Out-of-fold predictions (the stacking/CV primitive): 5 "
+    "deterministic modular folds; each row is scored by the OLS fit on "
+    "the OTHER four folds. Scale shape: ONE exact-decimal sufficient-"
+    "stats pass groupBy(fold) (5 rows to the driver), leave-one-out "
+    "coefficients by exact Decimal subtraction, then a map-only CASE "
+    "scorer — no per-fold refit scans, no joins. The oracle replays "
+    "folds, sums, and coefficient arithmetic closed-form.",
+    oracle="""
+WITH f AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST((l_orderkey + l_linenumber) % 5 AS INT) AS fold,
+         l_quantity AS x, l_extendedprice AS y
+  FROM lineitem
+), s AS (
+  SELECT fold, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(12,2))) AS sx,
+         SUM(CAST(y AS DECIMAL(14,2))) AS sy,
+         SUM(CAST(x AS DECIMAL(12,2)) * CAST(x AS DECIMAL(12,2))) AS sxx,
+         SUM(CAST(x AS DECIMAL(12,2)) * CAST(y AS DECIMAL(14,2))) AS sxy
+  FROM f GROUP BY fold
+), tot AS (
+  SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+         SUM(sxx) AS sxx, SUM(sxy) AS sxy
+  FROM s
+), coef AS (
+  SELECT s.fold,
+         CAST(tot.n - s.n AS DOUBLE) AS n_,
+         CAST(tot.sx - s.sx AS DOUBLE) AS sx_,
+         CAST(tot.sy - s.sy AS DOUBLE) AS sy_,
+         CAST(tot.sxx - s.sxx AS DOUBLE) AS sxx_,
+         CAST(tot.sxy - s.sxy AS DOUBLE) AS sxy_
+  FROM s, tot
+), cc AS (
+  SELECT fold,
+         (n_*sxy_ - sx_*sy_) / (n_*sxx_ - sx_*sx_) AS slope,
+         (sy_ - (n_*sxy_ - sx_*sy_) / (n_*sxx_ - sx_*sx_) * sx_) / n_
+           AS intercept
+  FROM coef
+)
+SELECT f.l_orderkey, f.l_linenumber, f.fold,
+       CAST(ROUND(cc.slope * f.x + cc.intercept, 6) AS DOUBLE) AS oof_pred
+FROM f JOIN cc USING (fold)
+ORDER BY f.l_orderkey, f.l_linenumber
+""",
+    tags=("ml",),
+)
+def ml_oof_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal
+    from functools import reduce
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 5)
+        .cast("int")
+        .alias("fold"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    dx = F.col("x").cast("decimal(12,2)")
+    dy = F.col("y").cast("decimal(14,2)")
+    stats = (
+        li.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dx).alias("sx"),
+            F.sum(dy).alias("sy"),
+            F.sum(dx * dx).alias("sxx"),
+            F.sum(dx * dy).alias("sxy"),
+        )
+        .collect()
+    )
+    tot = {
+        k: sum((Decimal(r[k]) for r in stats), Decimal(0))
+        for k in ("n", "sx", "sy", "sxx", "sxy")
+    }
+    coefs = {}
+    for r in stats:
+        n_ = float(tot["n"] - Decimal(r["n"]))
+        sx_ = float(tot["sx"] - r["sx"])
+        sy_ = float(tot["sy"] - r["sy"])
+        sxx_ = float(tot["sxx"] - r["sxx"])
+        sxy_ = float(tot["sxy"] - r["sxy"])
+        slope = (n_ * sxy_ - sx_ * sy_) / (n_ * sxx_ - sx_ * sx_)
+        intercept = (sy_ - slope * sx_) / n_
+        coefs[int(r["fold"])] = (slope, intercept)
+    pred = reduce(
+        lambda acc, kv: acc.when(
+            F.col("fold") == kv[0], kv[1][0] * F.col("x") + kv[1][1]
+        ),
+        coefs.items(),
+        F.when(F.lit(False), F.lit(0.0)),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "fold",
+        F.round(pred, 6).cast("double").alias("oof_pred"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "ml_target_encode_oof",
+    extra=True,
+    doc="Leakage-safe target encoding: each order's priority class is "
+    "encoded by the mean totalprice of that class in the OTHER four "
+    "modular folds (own-fold rows never leak their label into the "
+    "feature). One exact-decimal stats pass + one composite-key join; "
+    "the oracle replays the leave-one-fold-out arithmetic closed-form.",
+    oracle="""
+WITH f AS (
+  SELECT o_orderkey, o_orderpriority AS cat,
+         CAST(o_orderkey % 5 AS INT) AS fold,
+         o_totalprice AS y
+  FROM orders
+), cf AS (
+  SELECT cat, fold, COUNT(*) AS n,
+         SUM(CAST(y AS DECIMAL(18,6))) AS s
+  FROM f GROUP BY cat, fold
+), ct AS (
+  SELECT cat, SUM(n) AS tn, SUM(s) AS ts FROM cf GROUP BY cat
+), enc AS (
+  SELECT cf.cat, cf.fold,
+         CAST(ct.ts - cf.s AS DOUBLE) / CAST(ct.tn - cf.n AS DOUBLE) AS te
+  FROM cf JOIN ct USING (cat)
+  WHERE ct.tn - cf.n > 0
+)
+SELECT f.o_orderkey, f.cat, f.fold,
+       CAST(ROUND(enc.te, 6) AS DOUBLE) AS te
+FROM f JOIN enc USING (cat, fold)
+ORDER BY f.o_orderkey
+""",
+    tags=("ml",),
+)
+def ml_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml.target_encode import target_encode_oof
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderkey") % 5).cast("int").alias("fold"),
+        F.col("o_totalprice").alias("y"),
+    )
+    out = target_encode_oof(orders, "cat", "y", "fold")
+    return out.select(
+        "o_orderkey",
+        "cat",
+        "fold",
+        F.round("te", 6).cast("double").alias("te"),
+    ).orderBy("o_orderkey")

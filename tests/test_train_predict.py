@@ -591,3 +591,30 @@ def test_per_group_ols_string_and_null_keys(spark):
     assert abs(out["globex"]["slope"] - 0.0) < 1e-12
     assert abs(out[None]["slope"] - 2.0) < 1e-12
     assert out["solo"]["slope"] is None and out["solo"]["n"] == 1
+
+
+def test_target_encode_oof_no_leak_and_fallback(spark):
+    """Row's own y must not influence its encoding (leave-one-fold-out),
+    and a category confined to one fold falls back to that fold's
+    leave-out GLOBAL mean instead of NULL."""
+    from quackml_spark.ml.target_encode import target_encode_oof
+
+    rows = [
+        # cat A in folds 0 and 1
+        ("A", 0, 10.0), ("A", 0, 20.0), ("A", 1, 40.0),
+        # cat B only in fold 0 -> fallback
+        ("B", 0, 100.0),
+        # fold 1 filler
+        ("C", 1, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "cat string, fold int, y double")
+    out = {(r["cat"], r["fold"], r["y"]): r["te"]
+           for r in target_encode_oof(df, "cat", "y", "fold").collect()}
+    # A rows in fold 0 see only fold-1 A rows (mean 40); fold-1 A row
+    # sees fold-0 As (mean 15)
+    assert out[("A", 0, 10.0)] == 40.0
+    assert out[("A", 0, 20.0)] == 40.0
+    assert out[("A", 1, 40.0)] == 15.0
+    # B has no rows outside fold 0 -> global leave-out mean of fold 0:
+    # mean of fold-1 ys = (40 + 7) / 2
+    assert abs(out[("B", 0, 100.0)] - 23.5) < 1e-12
