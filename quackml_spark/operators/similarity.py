@@ -1273,3 +1273,95 @@ def pq_codebook_kmeans(
                     cents[c] = Xs[d2.min(1).argmax()]
         out.append([[float(x) for x in c] for c in cents])
     return out
+
+
+def ivf_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> int:
+    """Incrementally add vectors to a persistent IVF index — the
+    ingest-path answer to "never rebuild the whole index" (same
+    incremental-maintenance pattern as rollup_upsert/dedup_index):
+
+    * new vectors assign to lists MAP-ONLY against the existing
+      centroids (the index's quantizer is frozen — standard IVF
+      practice; re-train centroids by rebuilding when drift warrants);
+    * only the AFFECTED list partitions are rewritten (their current
+      rows are read back partition-pruned, unioned with the batch, and
+      dynamically overwritten) — cost is O(affected lists + batch),
+      not O(index);
+    * a vec_id already present in an affected list raises (append-only
+      contract, checked where it is free); the manifest's n_rows is
+      updated LAST, so a crashed append leaves a manifest that fails
+      the searcher's row-count consistency rather than lying.
+
+    Returns the number of appended vectors."""
+    try:
+        man = spark.read.parquet(f"{path}/manifest.parquet").first()
+    except Exception as e:
+        raise ValueError(
+            f"IVF index at {path!r} has no readable manifest — build it "
+            f"with ivf_index_build before appending"
+        ) from e
+    centers = [
+        (int(r["list_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
+    ]
+    centers.sort()
+    batch = _with_norm(
+        new_emb.select("vec_id", "embedding"), "embedding", "v_norm"
+    )
+    d_row = batch.select(F.size("embedding").alias("d")).first()
+    if d_row is None:
+        return 0
+    if int(d_row["d"]) != int(man["dim"]):
+        raise ValueError(
+            f"batch embedding dimension {d_row['d']} does not match index "
+            f"dimension {man['dim']} (index at {path!r})"
+        )
+    assigned = batch.select(
+        "vec_id",
+        "embedding",
+        "v_norm",
+        _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
+    )
+    affected = sorted(
+        {int(r["list_id"]) for r in assigned.select("list_id").distinct().collect()}
+    )
+    current = spark.read.parquet(f"{path}/lists").where(
+        F.col("list_id").isin(affected)
+    )
+    dup = current.join(
+        assigned.select("vec_id"), "vec_id"
+    ).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"ivf_index_append is append-only: vec_id {dup[0]['vec_id']} "
+            f"already exists in the index at {path!r}"
+        )
+    n_new = assigned.count()
+    merged = current.select("vec_id", "embedding", "v_norm", "list_id").unionByName(
+        assigned.select("vec_id", "embedding", "v_norm", "list_id")
+    )
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf, "static")
+    spark.conf.set(conf, "dynamic")
+    try:
+        (
+            merged.repartition("list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(f"{path}/lists")
+        )
+    finally:
+        spark.conf.set(conf, old)
+    spark.createDataFrame(
+        [
+            (
+                int(man["n_lists"]),
+                int(man["dim"]),
+                int(man["n_rows"]) + n_new,
+                man["quantizer"],
+                int(man["seed"]),
+            )
+        ],
+        "n_lists int, dim int, n_rows bigint, quantizer string, seed int",
+    ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
+    return n_new

@@ -86,3 +86,83 @@ def test_ivf_manifest_guard(spark, sf_dir, tmp_path):
     shutil.rmtree(f"{path}/manifest.parquet")
     with _pytest.raises(ValueError, match="manifest"):
         ivf_index_search(spark, path, emb.limit(2), k=2, nprobe=2)
+
+
+def test_ivf_index_append_equals_full_build(spark, sf_dir, tmp_path):
+    """build(first 400) + append(last 100) must be indistinguishable
+    from build(all 500): with the deterministic medoid quantizer both
+    paths share identical centroids, so assignments — and search
+    results — are exactly equal. Untouched list partitions keep their
+    files byte-identical (incremental cost is O(affected lists))."""
+    import os
+
+    from quackml_spark.operators.similarity import ivf_index_append
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    head, tail = emb.where(F.col("vec_id") < 400), emb.where(F.col("vec_id") >= 400)
+
+    inc = str(tmp_path / "ivf_inc")
+    ivf_index_build(head, inc, n_lists=16, quantizer="medoid")
+    n = ivf_index_append(spark, inc, tail)
+    assert n == tail.count()
+
+    full = str(tmp_path / "ivf_full")
+    ivf_index_build(emb, full, n_lists=16, quantizer="medoid")
+
+    queries = emb.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_index_search(spark, inc, queries, k=10, nprobe=6).collect()))
+    b = sorted(map(tuple, ivf_index_search(spark, full, queries, k=10, nprobe=6).collect()))
+    assert a == b
+
+    man = spark.read.parquet(f"{inc}/manifest.parquet").first()
+    assert man["n_rows"] == emb.count()
+
+    # appending an existing vec_id violates the append-only contract
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="append-only"):
+        ivf_index_append(spark, inc, emb.where(F.col("vec_id") == 450))
+
+
+def test_ivf_index_append_leaves_untouched_partitions_alone(spark, sf_dir, tmp_path):
+    import os
+    import time
+
+    from quackml_spark.operators.similarity import ivf_index_append
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_mt")
+    ivf_index_build(emb.where(F.col("vec_id") < 450), path, n_lists=16,
+                    quantizer="medoid")
+    mtimes = {}
+    for d in os.listdir(f"{path}/lists"):
+        if d.startswith("list_id="):
+            p = f"{path}/lists/{d}"
+            mtimes[d] = max(os.path.getmtime(os.path.join(p, f))
+                            for f in os.listdir(p) if f.endswith(".parquet"))
+    time.sleep(1.1)
+    batch = emb.where(F.col("vec_id") >= 450)
+    ivf_index_append(spark, path, batch)
+    # recompute the batch's target lists to know which were touched
+    from quackml_spark.operators.similarity import _nearest_lists
+
+    centers = sorted(
+        (int(r["list_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
+    )
+    touched = {
+        f"list_id={r[0]}"
+        for r in batch.select(
+            _nearest_lists(F.col("embedding"), centers, 1)[0].alias("l")
+        ).distinct().collect()
+    }
+    untouched_checked = 0
+    for d, old_mtime in mtimes.items():
+        if d in touched:
+            continue
+        p = f"{path}/lists/{d}"
+        new_mtime = max(os.path.getmtime(os.path.join(p, f))
+                        for f in os.listdir(p) if f.endswith(".parquet"))
+        assert new_mtime == old_mtime, f"{d} was rewritten"
+        untouched_checked += 1
+    assert untouched_checked > 0, "fixture must leave some lists untouched"
