@@ -388,3 +388,38 @@ def llm_generate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", udf(F.col("text")).alias("generated")).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "llm_train_word2vec",
+    extra=True,
+    doc="In-engine embedding TRAINING (beyond the reference's "
+    "apply-pretrained-only embed()): MLlib distributed skip-gram over "
+    "the documents corpus; output is per-doc summary stats of the "
+    "learned 16-dim document vectors plus vocab size. Rows-only check "
+    "(SGD training is not ANSI-SQL-expressible); determinism and "
+    "downstream-ANN compatibility are pytest-pinned.",
+    tags=("llm",),
+)
+def llm_train_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.functions.word2vec import doc_vectors, train_word2vec
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_word2vec(docs, dim=16, min_count=2)
+    vecs = doc_vectors(model, docs)
+    n_vocab = model.getVectors().count()
+    return (
+        vecs.select(
+            "doc_id",
+            F.lit(n_vocab).alias("n_vocab"),
+            F.size("embedding").alias("dim"),
+            F.round(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda a, x: a + x * x
+                ),
+                4,
+            ).alias("sq_norm"),
+        )
+        .orderBy("doc_id")
+    )

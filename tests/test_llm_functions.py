@@ -339,3 +339,32 @@ def test_sentence_split_multiple_closers():
         "(['Sure.'])",
         "Next.",
     ]
+
+
+def test_word2vec_deterministic_and_ann_compatible(spark, sf_dir):
+    """Same seed + numPartitions=1 -> identical vectors across two fits;
+    trained doc vectors slot straight into the cosine ANN operator
+    shape (array<float> 'embedding' column)."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.functions.word2vec import doc_vectors, train_word2vec
+    from quackml_spark.operators.similarity import cosine_expr
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    m1 = train_word2vec(docs, dim=8)
+    m2 = train_word2vec(docs, dim=8)
+    v1 = {r["word"]: tuple(r["vector"].toArray()) for r in m1.getVectors().collect()}
+    v2 = {r["word"]: tuple(r["vector"].toArray()) for r in m2.getVectors().collect()}
+    assert v1 == v2
+    assert len(v1) > 10
+
+    vecs = doc_vectors(m1, docs)
+    assert dict(vecs.dtypes)["embedding"] == "array<float>"
+    # self-similarity through the shared cosine machinery == 1
+    row = (
+        vecs.where(F.size("embedding") > 0)
+        .select(cosine_expr(F.col("embedding"), F.col("embedding")).alias("c"))
+        .first()
+    )
+    assert abs(row["c"] - 1.0) < 1e-6
