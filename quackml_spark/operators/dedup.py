@@ -684,3 +684,70 @@ def dedup_index_check(
         .agg(F.count(F.lit(1)).alias("shared_bands"))
         .orderBy("new_doc_id", "index_doc_id")
     )
+
+
+@register(
+    "pipeline_contrastive_triples",
+    extra=True,
+    doc="Contrastive training triples for embedding finetuning: "
+    "(anchor, positive) = MinHash-LSH near-dup pairs; negative = a "
+    "deterministic md5-sampled corpus doc, rejected when it collides "
+    "with the anchor/positive or is itself a known near-dup of the "
+    "anchor (left-anti join on the normalized pair key). One reuse of "
+    "the LSH pair pipeline + a map-only negative draw + one anti-join "
+    "— the standard SimCSE/E5-style data-prep step, fully "
+    "SQL-replayable through the shared minhash oracle CTE.",
+    oracle=f"""
+WITH edges AS ({_SQL_MINHASH_EDGES}),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+cand AS (
+  SELECT doc_a AS anchor, doc_b AS positive,
+         ('0x' || substr(md5(doc_a::VARCHAR || '|' || doc_b::VARCHAR), 1, 8))::BIGINT
+           % (SELECT n_docs FROM n) AS negative
+  FROM edges
+)
+SELECT anchor, positive, negative
+FROM cand c
+WHERE negative <> anchor AND negative <> positive
+  AND NOT EXISTS (
+    SELECT 1 FROM edges e
+    WHERE e.doc_a = LEAST(c.anchor, c.negative)
+      AND e.doc_b = GREATEST(c.anchor, c.negative)
+  )
+ORDER BY anchor, positive
+""",
+    tags=("dedup", "llm"),
+)
+def pipeline_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import md5_int32
+    from quackml_spark.sources import load_table
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    cand = pairs.select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("positive"),
+        (
+            md5_int32(
+                F.concat(
+                    F.col("doc_a").cast("string"),
+                    F.lit("|"),
+                    F.col("doc_b").cast("string"),
+                )
+            )
+            % n_docs
+        ).alias("negative"),
+    ).where(
+        (F.col("negative") != F.col("anchor"))
+        & (F.col("negative") != F.col("positive"))
+    )
+    norm = cand.select(
+        "*",
+        F.least("anchor", "negative").alias("doc_a"),
+        F.greatest("anchor", "negative").alias("doc_b"),
+    )
+    return (
+        norm.join(pairs, ["doc_a", "doc_b"], "left_anti")
+        .select("anchor", "positive", "negative")
+        .orderBy("anchor", "positive")
+    )
