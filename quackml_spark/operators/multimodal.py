@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quackml_spark.plans import register
@@ -58,7 +58,9 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def codec_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def codec_media_table(
+    spark: SparkSession, sf_dir: str, pixel_seed_mod: int | None = None
+) -> DataFrame:
     """Synthetic media with REAL decodable payloads: PPM images, WAV
     audio, concatenated-PPM video. Content follows integer formulas
     (pixel_i = (doc_id*31 + i*7) % 256; sample_i = (doc_id*7 + i*13) %
@@ -79,9 +81,13 @@ def codec_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 doc_id = int(doc_id)
                 m = doc_id % 3
                 if m == 0:  # image: one PPM
-                    w, h = (doc_id % 8 + 1) * 2, (doc_id % 4 + 1) * 2
+                    # pixel_seed_mod plants pixel-identical duplicates
+                    # (seed classes) for the perceptual/pixel dedup
+                    # query; None keeps every image unique.
+                    seed = doc_id if pixel_seed_mod is None else doc_id % pixel_seed_mod
+                    w, h = (seed % 8 + 1) * 2, (seed % 4 + 1) * 2
                     i = np.arange(w * h * 3, dtype=np.int64)
-                    px = ((doc_id * 31 + i * 7) % 256).astype(np.uint8)
+                    px = ((seed * 31 + i * 7) % 256).astype(np.uint8)
                     rows.append(
                         (doc_id, "image", PPM_MIME, w, h, None,
                          encode_ppm(px.reshape(h, w, 3)))
@@ -520,4 +526,41 @@ def multimodal_decode_video_frames(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.col("mean_pixel"), 6).alias("mean_pixel"),
         )
         .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register(
+    "multimodal_pixel_dedup",
+    extra=True,
+    doc="Pixel-level image dedup over REAL decoded bytes: payloads "
+    "whose pixel seed is doc_id %% 50 plant duplicate classes with "
+    "DIFFERENT doc ids but byte-identical decoded pixels (the "
+    "re-encoded/renamed-image case container metadata hides); "
+    "decode_image's pixel_md5 groups them and each image reports its "
+    "class keeper (min doc_id). The oracle replays the classes from "
+    "the construction formula — if the codec mis-parses one byte the "
+    "md5 classes shatter.",
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id, doc_id % 50 AS seed FROM documents WHERE doc_id % 3 = 0
+)
+SELECT i.doc_id,
+       (SELECT MIN(j.doc_id) FROM imgs j WHERE j.seed = i.seed) AS keeper,
+       (SELECT COUNT(*) FROM imgs j WHERE j.seed = i.seed) AS n_class
+FROM imgs i
+ORDER BY i.doc_id
+""",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = codec_media_table(spark, sf_dir, pixel_seed_mod=50)
+    decoded = decode_image(media).select("doc_id", "pixel_md5")
+    w = Window.partitionBy("pixel_md5")
+    return (
+        decoded.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("keeper"),
+            F.count(F.lit(1)).over(w).alias("n_class"),
+        )
+        .orderBy("doc_id")
     )
