@@ -154,3 +154,57 @@ def pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return build_corpus(aug)
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Snapshot diff manifest between two corpus versions: one row per
+    doc present in either, with status added / removed / changed /
+    unchanged (content compared by md5, never by the full text — the
+    join payload is (id, 32-byte hash), so diffing two 100 TB
+    snapshots shuffles ~50 bytes/row). One full outer join on the id."""
+    o = old.select(F.col(id_col).alias("id"), F.md5(text_col).alias("__ho"))
+    n = new.select(F.col(id_col).alias("id"), F.md5(text_col).alias("__hn"))
+    return (
+        o.join(n, "id", "full_outer")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("__ho").isNull(), "added")
+            .when(F.col("__hn").isNull(), "removed")
+            .when(F.col("__ho") != F.col("__hn"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "pipeline_corpus_diff",
+    extra=True,
+    doc="Corpus snapshot diff (data-versioning manifest): v2 removes "
+    "docs with doc_id %% 11 == 0 and rewrites the text of doc_id %% 7 "
+    "== 0; the diff labels every doc added/removed/changed/unchanged "
+    "from (id, md5) pairs only — one full outer join, ~50 bytes/row "
+    "shuffle payload whatever the document sizes.",
+    oracle="""
+SELECT doc_id,
+       CASE
+         WHEN doc_id % 11 = 0 THEN 'removed'
+         WHEN doc_id % 7 = 0 THEN 'changed'
+         ELSE 'unchanged'
+       END AS status
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("textops",),
+)
+def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = docs.where(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit("EDITED "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(docs, v2).orderBy("doc_id")
