@@ -969,7 +969,6 @@ def ml_per_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_oof_predictions",
-    extra=True,
     doc="Out-of-fold predictions (the stacking/CV primitive): 5 "
     "deterministic modular folds; each row is scored by the OLS fit on "
     "the OTHER four folds. Scale shape: ONE exact-decimal sufficient-"

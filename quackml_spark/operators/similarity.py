@@ -604,6 +604,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_label_centroids",
+    # extra since round 7 (cont.): a groupBy-mean over label, the same
+    # aggregate shape ml_clustering_embeddings already grades; its slot
+    # went to ml_oof_predictions (the CV/stacking primitive).
+    extra=True,
     doc="Per-label centroid of the embedding vectors in long form "
     "(label, dim, mean) — posexplode + DECIMAL mean per (label, dim), "
     "so values are partitioning-independent and engine-exact. The "

@@ -693,6 +693,11 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_unigram_logprob",
+    # extra since round 7 (cont.): shape-twin of text_tfidf_top_term
+    # (same toks + corpus-frequency join + per-doc aggregate); its
+    # graded slot went to text_bm25_topk so lexical retrieval gets
+    # driver grading pressure.
+    extra=True,
     doc="Language-model-ish quality signal: per-document mean unigram "
     "log-probability under the corpus distribution. Two aggregations "
     "sharing the token key + a tok-keyed frequency join (no broadcast "
@@ -1954,7 +1959,6 @@ WHERE rnk <= 10
 ORDER BY query_id, rnk
 """,
     tags=("textops", "similarity", "bench"),
-    extra=True,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
