@@ -129,3 +129,62 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws key = ln(u)/w with u an md5-derived uniform in
+    (0,1); the k LARGEST keys are exactly a weight-proportional sample.
+
+    Deterministic (seeded md5, replayable in any engine) and fully
+    distributed: the only non-map work is a TakeOrdered top-k — no
+    global sort, no per-partition reservoir state. This is the
+    quality-weighted corpus selection step (weight = token count,
+    quality score, ...) next to text_token_budget_sample's budgeted
+    variant."""
+    from quackml_spark.operators.text import md5_int32
+
+    u = (
+        md5_int32(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))) + 1
+    ) / F.lit(4294967297.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__es_key", key)
+        .orderBy(F.desc("__es_key"), F.asc(id_col))
+        .limit(k)
+        .drop("__es_key")
+    )
+
+
+@register(
+    "text_weighted_sample",
+    extra=True,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis): "
+    "20 docs drawn proportional to their character length via "
+    "ln(md5-uniform)/weight keys — deterministic, engine-replayable, "
+    "and distributed as a map-only key draw + TakeOrdered top-k (no "
+    "global sort, no reservoir state).",
+    oracle="""
+SELECT doc_id, n_chars
+FROM (
+  SELECT doc_id, length(text) AS n_chars,
+         ln((('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+            / 4294967297.0) / length(text) AS k
+  FROM documents
+)
+ORDER BY k DESC, doc_id
+LIMIT 20
+""",
+    tags=("textops", "sampling"),
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    return weighted_sample(docs, "n_chars", 20, seed=0)

@@ -109,3 +109,56 @@ def test_asof_plan_single_shuffle_no_range_explosion(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_property_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas.merge_asof — the canonical
+    as-of semantics (backward + forward, inclusive, left rows kept).
+    Matched TIMESTAMPS are compared (pandas breaks payload ties by
+    input order, asof_join by greatest payload — the matched instant is
+    the defined semantics both must share)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n_l, n_r = 40, 30
+        base = pd.Timestamp("2024-01-01")
+        left = pd.DataFrame({
+            "k": rng.integers(0, 4, n_l),
+            "ts": base + pd.to_timedelta(rng.integers(0, 1000, n_l), unit="s"),
+            "lid": np.arange(n_l),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(0, 4, n_r),
+            "ts": base + pd.to_timedelta(rng.integers(0, 1000, n_r), unit="s"),
+            "rid": np.arange(n_r),
+        })
+        for direction in ("backward", "forward"):
+            want_df = pd.merge_asof(
+                left.sort_values("ts", kind="mergesort"),
+                right.sort_values("ts", kind="mergesort").rename(
+                    columns={"ts": "r_ts"}
+                ),
+                left_on="ts",
+                right_on="r_ts",
+                by="k",
+                direction=direction,
+            )
+            want = {
+                int(r.lid): (None if pd.isna(r.r_ts) else r.r_ts)
+                for r in want_df.itertuples()
+            }
+            out = asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="ts",
+                by_left="k",
+                by_right="k",
+                direction=direction,
+            ).collect()
+            got = {
+                int(r["lid"]): (None if r["ts_right"] is None else pd.Timestamp(r["ts_right"]))
+                for r in out
+            }
+            assert got == want, f"trial {trial} {direction}"

@@ -52,3 +52,22 @@ def test_hash_ppm_uniformity(spark, sf_dir):
     ).first()
     assert 0 <= stats[0] and stats[1] < PPM
     assert 350_000 < stats[2] < 650_000
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Directional guarantee: rows with 50x the weight must win the
+    single-slot sample in the overwhelming majority of seeds (exact
+    A-ES property; md5-uniforms stand in for RNG)."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 50.0 if i < 5 else 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    heavy_wins = 0
+    for seed in range(30):
+        got = weighted_sample(df, "w", 1, seed=seed).collect()[0]["doc_id"]
+        heavy_wins += got < 5
+    # heavy rows hold 250/295 of the total weight -> expect ~85% wins;
+    # demand a clear majority with slack for 30-draw noise
+    assert heavy_wins >= 18, heavy_wins
