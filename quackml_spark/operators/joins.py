@@ -121,3 +121,47 @@ def asof_join(
         for c in payload_cols
     ]
     return carried.select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    by_left: str,
+    by_right: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Point-in-time join against SCD2-style validity intervals: each
+    left row attaches the interval row with ``valid_from <= on <
+    valid_to`` (NULL valid_to = open/current version) for its key.
+
+    Built on :func:`asof_join` (backward on valid_from) + a validity
+    filter, so the cost is the SAME one shuffle + linear scan — never a
+    range-join pair explosion. With well-formed SCD2 history
+    (non-overlapping intervals per key) the as-of pick IS the unique
+    covering interval; a left row before the first interval or landing
+    in a gap gets NULLs, like a LEFT range join."""
+    out = asof_join(
+        left,
+        intervals.withColumnRenamed(from_col, on),
+        on=on,
+        by_left=by_left,
+        by_right=by_right,
+        direction="backward",
+        suffix=suffix,
+    )
+    matched_from = on + suffix
+    to_out = to_col + suffix if to_col in left.columns else to_col
+    payload = [
+        c for c in out.columns if c not in left.columns
+    ]
+    valid = F.col(matched_from).isNotNull() & (
+        F.col(to_out).isNull() | (F.col(on) < F.col(to_out))
+    )
+    cleared = out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.when(valid, F.col(c)).alias(c) for c in payload],
+    )
+    return cleared.withColumnRenamed(matched_from, from_col + suffix)

@@ -162,3 +162,51 @@ def test_asof_property_matches_pandas_merge_asof(spark):
                 for r in out
             }
             assert got == want, f"trial {trial} {direction}"
+
+
+def test_interval_join_point_in_time_matches_duckdb(spark, sf_dir, duck):
+    """SCD2 point-in-time: build per-user interval history from events
+    (q29 shape), probe each order date into it, and match DuckDB's
+    explicit range join row-for-row (including out-of-range NULLs)."""
+    from quackml_spark.operators.joins import interval_join
+    from quackml_spark.sources import load_table
+
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    intervals = ev.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(win).alias("valid_to"),
+    )
+    probes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("user_id"),
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 32 YEARS")).alias("at"),
+    )
+    out = interval_join(
+        probes, intervals, on="at", by_left="user_id", by_right="user_id"
+    )
+    got = {r["o_orderkey"]: r["version_id"] for r in out.collect()}
+
+    want_rows = duck.execute("""
+        WITH iv AS (
+          SELECT user_id, event_id AS version_id, ts AS valid_from,
+                 LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+          FROM events
+        )
+        SELECT o.o_orderkey, iv.version_id
+        FROM (SELECT o_orderkey, o_custkey,
+                     o_orderdate + INTERVAL 32 YEAR AS at FROM orders) o
+        LEFT JOIN iv
+          ON iv.user_id = o.o_custkey
+         AND iv.valid_from <= o.at
+         AND (iv.valid_to IS NULL OR o.at < iv.valid_to)
+    """).fetchall()
+    want = {r[0]: r[1] for r in want_rows}
+    assert got == want
+    assert any(v is not None for v in got.values())
+    assert any(v is None for v in got.values())
