@@ -176,3 +176,33 @@ def test_dedup_minhash_no_embedding_in_shuffle(spark, sf_dir):
     column shows up in an Exchange's schema the 100 TB story is gone."""
     plan = _plan(spark, "dedup_minhash_lsh", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_audit_plan_flags_scale_killers(spark, sf_dir):
+    """The user-facing auditor must pass a clean engine query and flag
+    each scale killer it exists to catch."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from quackml_spark.plans import REGISTRY, _load_all
+    from quackml_spark.plans.audit import audit_plan
+
+    _load_all()
+    from quackml_spark.sources import load_table
+
+    clean = audit_plan(REGISTRY["q01_pricing_summary"].builder(spark, sf_dir))
+    assert clean["clean"], clean
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    bad_window = li.withColumn(
+        "rn", F.row_number().over(W.orderBy("l_quantity"))
+    )
+    a = audit_plan(bad_window)
+    assert a["global_windows"] and not a["clean"]
+
+    bad_cartesian = li.crossJoin(
+        load_table(spark, sf_dir, "nation").select("n_name")
+    )
+    a2 = audit_plan(bad_cartesian)
+    assert a2["cartesian_product"] or a2["broadcast_nested_loop"]
+    assert not a2["clean"]
