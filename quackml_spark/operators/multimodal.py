@@ -564,3 +564,112 @@ def multimodal_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def multires_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic multi-resolution renditions: image docs share a base
+    4x8 pattern per seed class (doc_id % 40) but ship at 1x/2x/3x
+    nearest-upsampled resolution (doc_id-dependent) — the
+    "same image, different size" case byte/pixel hashing misses.
+    Payloads are REAL PPMs; the upsample law px(x, y) =
+    base(y//s, x//s) makes the canonical downsample exact."""
+    import numpy as np
+
+    from quackml_spark.operators.codecs import PPM_MIME, encode_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w0, h0 = 8, 4
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 3 != 0:
+                    continue
+                seed = doc_id % 40
+                s = (doc_id // 3) % 3 + 1
+                w, h = w0 * s, h0 * s
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((seed * 31 + ((y // s) * w0 + (x // s)) * 21 + c * 5) % 256).astype(
+                    np.uint8
+                )
+                rows.append(
+                    (doc_id, "image", PPM_MIME, w, h, None, encode_ppm(px))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "modality", "mime", "width", "height",
+                         "duration_s", "payload"],
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def canonical_pixel_md5(
+    media: DataFrame, w0: int = 8, h0: int = 4, payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, canon_md5): decode each image payload for REAL, nearest-
+    downsample to the canonical w0 x h0 grid (stride sampling — the
+    exact inverse of nearest upsampling), and hash the canonical bytes.
+    Renditions of one base image at any integer scale collide; the
+    heavy pixel arrays never leave their Arrow batch."""
+    from quackml_spark.operators.codecs import decode_ppm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["modality"] != "image":
+                    continue
+                px = decode_ppm(bytes(r[payload_col]))  # (h, w, 3)
+                h, w = px.shape[0], px.shape[1]
+                if h % h0 or w % w0:
+                    continue  # not an integer rendition of the canon grid
+                sy, sx = h // h0, w // w0
+                canon = px[::sy, ::sx, :]
+                rows.append(
+                    (int(r["doc_id"]), hashlib.md5(canon.tobytes()).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "canon_md5"])
+
+    return media.mapInPandas(run, "doc_id bigint, canon_md5 string")
+
+
+@register(
+    "multimodal_resize_dedup",
+    extra=True,
+    doc="Resolution-invariant image dedup over REAL decoded bytes: "
+    "renditions of one base image at 1x/2x/3x nearest-upsampled sizes "
+    "(different byte payloads, different pixel_md5) collapse onto one "
+    "canonical-downsample hash; each image reports its class keeper. "
+    "The oracle replays the seed classes from the construction formula "
+    "— one mis-decoded or mis-sampled byte shatters a class.",
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id, doc_id % 40 AS seed FROM documents WHERE doc_id % 3 = 0
+)
+SELECT i.doc_id,
+       (SELECT MIN(j.doc_id) FROM imgs j WHERE j.seed = i.seed) AS keeper,
+       (SELECT COUNT(*) FROM imgs j WHERE j.seed = i.seed) AS n_class
+FROM imgs i
+ORDER BY i.doc_id
+""",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_resize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multires_media_table(spark, sf_dir)
+    hashed = canonical_pixel_md5(media)
+    w = Window.partitionBy("canon_md5")
+    return (
+        hashed.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("keeper"),
+            F.count(F.lit(1)).over(w).alias("n_class"),
+        )
+        .orderBy("doc_id")
+    )
