@@ -197,7 +197,6 @@ def write_zorder(
     to make every later scan cheaper). At 100 TB this is the standard
     layout-maintenance trade: one extra shuffle at ingest, file-level
     pruning forever after."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     scaled = df
