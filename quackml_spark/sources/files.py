@@ -190,13 +190,11 @@ def write_zorder(
     prune files for predicates on ANY of the interleaved columns, not
     just the leading sort key (write_sorted's limitation).
 
-    Columns are rank-normalized to [0, 2^bits) with a percent_rank pass
-    per column (two-phase, no single reducer: percent_rank needs a
-    global order, so each column rides ONE range-partitioned window —
-    the same shuffle a global sort would pay, amortized at write time
-    to make every later scan cheaper). At 100 TB this is the standard
-    layout-maintenance trade: one extra shuffle at ingest, file-level
-    pruning forever after."""
+    Columns are rank-normalized to [0, 2^bits) via ONE multi-column
+    approxQuantile pass (bounded driver edges, no single-reducer
+    window) followed by a map-only bucket assignment. At 100 TB this
+    is the standard layout-maintenance trade: one stats scan + one
+    extra shuffle at ingest, file-level pruning forever after."""
     from pyspark.sql import functions as F
 
     scaled = df
