@@ -1969,3 +1969,171 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.explode(F.slice("toks", 2, 3)).alias("tok"))
     )
     return bm25_topk(docs, queries)
+
+
+# ---------------------------------------------------------------------------
+# Kneser–Ney bigram language model + perplexity filtering (CCNet-style)
+# ---------------------------------------------------------------------------
+# Wenzek et al. 2019 ("CCNet: Extracting High Quality Monolingual
+# Datasets from Web Crawl Data") filters web text by LM perplexity.
+# The reference engine has no LM surface; a 100 TB curation pipeline
+# needs one that trains ON the cluster (a KenLM-style external binary
+# does not scale past one node's RAM). This is an interpolated
+# absolute-discount (simplified Kneser–Ney) bigram model built entirely
+# from groupBy/join relational algebra:
+#
+#   P(w2|w1) = max(c(w1w2) - D, 0)/c(w1)  +  D * N1+(w1 .)/c(w1) * Pcont(w2)
+#   Pcont(w2) = N1+(. w2) / |distinct bigram types|
+#
+# with D = 0.75. Every statistic is an integer count, so the per-row
+# double arithmetic is deterministic in both engines; only the per-doc
+# AVG is order-sensitive and is rounded.
+
+
+def doc_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, w1, w2) consecutive-token pairs, multiplicity kept.
+    Docs with fewer than two tokens contribute no rows."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    ).where(F.size("toks") >= 2)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.col("toks")[i].alias("w1"),
+                    F.col("toks")[i + 1].alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def bigram_lm(bigrams: DataFrame, discount: float = 0.75) -> dict:
+    """Train the KN bigram model from a (.., w1, w2) relation.
+
+    Returns four relations (all lazily defined — persist the ones you
+    reuse): ``model`` (w1, w2, logp) per OBSERVED bigram, ``ctx``
+    (w1, c1, n1) context totals/fan-outs, ``cont`` (w2, r2)
+    continuation fan-ins, and ``types`` a 1-row (t) frame with the
+    total distinct-bigram-type count.
+
+    Scale shape: three map-side-combined aggregations over the bigram
+    relation (which is token-count-sized, i.e. corpus-sized) keyed on
+    (w1,w2), w1, w2 respectively — none bounded by vocabulary fits on
+    a driver, and none is collected: the type total joins back in as a
+    1-row broadcast, and Spark's ReuseExchange serves the (w1,w2)
+    aggregate to both the model and the total from ONE shuffle."""
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("r2"))
+    types = c12.agg(F.count(F.lit(1)).alias("t"))
+    d = float(discount)
+    model = (
+        c12.join(ctx, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c12") - d) / F.col("c1")
+                + d
+                * F.col("n1")
+                / F.col("c1")
+                * (F.col("r2") / F.col("t"))
+            ).alias("logp"),
+        )
+    )
+    return {"model": model, "ctx": ctx, "cont": cont, "types": types}
+
+
+def bigram_score(
+    bigrams: DataFrame, lm: dict, round_to: int = 6
+) -> DataFrame:
+    """Per-document mean bigram log-probability and perplexity
+    (ppl = exp(-mean logp)) under a trained :func:`bigram_lm`.
+
+    Unseen events back off through the KN interpolation: an unseen
+    (w1,w2) with a seen context scores the continuation term alone
+    (D*n1/c1 * max(r2, 0.5)/T); an unseen context scores pure
+    continuation (max(r2, 0.5)/T). Three left joins, each partitioned
+    on its own key — no broadcast of vocabulary-sized relations, so
+    the plan survives a 10^9-type vocabulary."""
+    m = lm["model"]
+    scored = (
+        bigrams.join(m, ["w1", "w2"], "left")
+        .join(lm["ctx"], "w1", "left")
+        .join(lm["cont"], "w2", "left")
+        .join(F.broadcast(lm["types"]))
+    )
+    d = 0.75
+    r2f = F.greatest(F.col("r2").cast("double"), F.lit(0.5))
+    backoff = F.when(
+        F.col("c1").isNotNull(),
+        F.log(d * F.col("n1") / F.col("c1") * (r2f / F.col("t"))),
+    ).otherwise(F.log(r2f / F.col("t")))
+    lp = F.coalesce(F.col("logp"), backoff)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), round_to).cast("double").alias("mean_logp"),
+            F.round(F.exp(-F.avg(lp)), 3).cast("double").alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_bigram_perplexity",
+    extra=True,
+    doc="CCNet-style LM quality filter: interpolated Kneser-Ney bigram "
+    "model trained distributively on the corpus (three "
+    "map-side-combined aggregations; the bigram-type total re-enters "
+    "as a 1-row broadcast via ReuseExchange, zero driver collects), "
+    "then each document scored with mean log-probability and "
+    "perplexity. Every model statistic is an integer count, so "
+    "per-row arithmetic is bit-deterministic; the per-doc AVG is "
+    "rounded. Self-scoring means every bigram is observed, so the "
+    "backoff branches are dead here and the oracle inner-joins.",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM toks, unnest(range(1, length(toks))) AS t(i)
+  WHERE length(toks) >= 2
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1 FROM c12 GROUP BY w1
+), cont AS (
+  SELECT w2, COUNT(*) AS r2 FROM c12 GROUP BY w2
+), tot AS (SELECT COUNT(*) AS t FROM c12),
+model AS (
+  SELECT w1, w2,
+         ln((c12 - 0.75) / c1
+            + 0.75 * n1 / c1 * (r2 / (SELECT t FROM tot))) AS logp
+  FROM c12 JOIN ctx USING (w1) JOIN cont USING (w2)
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(ROUND(AVG(m.logp), 6) AS DOUBLE) AS mean_logp,
+       CAST(ROUND(EXP(-AVG(m.logp)), 3) AS DOUBLE) AS ppl
+FROM bg b JOIN model m USING (w1, w2)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+    tags=("textops", "llm"),
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = doc_bigrams(docs)
+    return bigram_score(bg, bigram_lm(bg))

@@ -284,3 +284,70 @@ def test_bpe_adjacent_repeats_merge_fully(spark):
         ("an", "ana</w>", 3),
         ("b", "anana</w>", 3),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Corpus 'a b', 'a b', 'a c': c12(a,b)=2 c12(a,c)=1, c1(a)=3,
+    n1(a)=2, r2(b)=1 r2(c)=1, T=2 types. KN with D=0.75:
+    P(b|a) = (2-.75)/3 + .75*2/3*(1/2) = 0.41666... + 0.25 = 0.6666...
+    P(c|a) = (1-.75)/3 + .25 = 0.33333..."""
+    import math
+
+    from quackml_spark.operators.text import bigram_lm, doc_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    lm = bigram_lm(doc_bigrams(docs))
+    got = {(r["w1"], r["w2"]): r["logp"] for r in lm["model"].collect()}
+    assert math.isclose(got[("a", "b")], math.log(2.0 / 3.0), rel_tol=1e-12)
+    assert math.isclose(got[("a", "c")], math.log(1.0 / 3.0), rel_tol=1e-12)
+
+
+def test_bigram_score_backoff_paths(spark):
+    """Scoring docs with unseen bigrams exercises every backoff branch
+    and never yields NULL/NaN: seen pair, unseen pair w/ seen context,
+    unseen context w/ seen continuation, both-unseen."""
+    import math
+
+    from quackml_spark.operators.text import (
+        bigram_lm,
+        bigram_score,
+        doc_bigrams,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    lm = bigram_lm(doc_bigrams(train))
+    new = spark.createDataFrame(
+        [
+            (10, "a b"),  # seen bigram
+            (11, "a z"),  # seen context, unseen continuation
+            (12, "z b"),  # unseen context, seen continuation
+            (13, "z q"),  # both unseen
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in bigram_score(doc_bigrams(new), lm).collect()
+    }
+    assert set(rows) == {10, 11, 12, 13}
+    for r in rows.values():
+        assert r["mean_logp"] is not None and not math.isnan(r["mean_logp"])
+        assert r["ppl"] > 0
+    # seen pair scores exactly P(b|a)=2/3
+    assert math.isclose(rows[10]["mean_logp"], round(math.log(2 / 3), 6))
+    # unseen pair with seen context: D*n1/c1 * 0.5/T = .75*2/3*.25
+    assert math.isclose(rows[11]["mean_logp"], round(math.log(0.75 * 2 / 3 * 0.25), 6))
+    # unseen context, seen continuation: r2/T = 1/2
+    assert math.isclose(rows[12]["mean_logp"], round(math.log(0.5), 6))
+    # both unseen: 0.5/T = 0.25
+    assert math.isclose(rows[13]["mean_logp"], round(math.log(0.25), 6))
+    # better-modeled text has lower perplexity
+    assert rows[10]["ppl"] < rows[11]["ppl"]
