@@ -1903,18 +1903,10 @@ def bm25_topk(
     )
 
 
-@register(
-    "text_bm25_topk",
-    doc="BM25 lexical retrieval (the standard sparse-retrieval baseline "
-    "next to the ANN dense path): docs with doc_id %% 101 == 0 (capped "
-    "at 500 queries so the registered operator stays linear in corpus "
-    "size at any SF) play the query set (terms = their tokens 2..4); "
-    "top-10 docs per query by "
-    "Lucene-BM25. Query terms broadcast, corpus semi-probed map-side, "
-    "df bounded by query vocabulary; per-term contributions summed in "
-    "exact DECIMAL so scores are aggregation-order-independent.",
-    oracle=r"""
-WITH toks AS (
+# The BM25 ranking pipeline as an oracle CTE body (through the ranked
+# `lex` relation) — shared verbatim between text_bm25_topk and the
+# hybrid RRF query so the two can never drift apart lexically.
+_SQL_BM25_BODY = r"""toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
   FROM documents
 ), dl AS (
@@ -1947,14 +1939,28 @@ WITH toks AS (
 ), scored AS (
   SELECT query_id, doc_id, SUM(c) AS score FROM contrib
   GROUP BY query_id, doc_id
-)
-SELECT query_id, doc_id,
-       CAST(ROUND(score, 6) AS DOUBLE) AS bm25, rnk
-FROM (
-  SELECT *, ROW_NUMBER() OVER (
+), lex AS (
+  SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
   FROM scored
-)
+)"""
+
+
+@register(
+    "text_bm25_topk",
+    doc="BM25 lexical retrieval (the standard sparse-retrieval baseline "
+    "next to the ANN dense path): docs with doc_id %% 101 == 0 (capped "
+    "at 500 queries so the registered operator stays linear in corpus "
+    "size at any SF) play the query set (terms = their tokens 2..4); "
+    "top-10 docs per query by "
+    "Lucene-BM25. Query terms broadcast, corpus semi-probed map-side, "
+    "df bounded by query vocabulary; per-term contributions summed in "
+    "exact DECIMAL so scores are aggregation-order-independent.",
+    oracle=f"""
+WITH {_SQL_BM25_BODY}
+SELECT query_id, doc_id,
+       CAST(ROUND(score, 6) AS DOUBLE) AS bm25, rnk
+FROM lex
 WHERE rnk <= 10
 ORDER BY query_id, rnk
 """,
@@ -2137,3 +2143,151 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bg = doc_bigrams(docs)
     return bigram_score(bg, bigram_lm(bg))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + dense rankings
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): fuse any number of
+    per-query rank lists — each (query_id, doc_id, rnk) — into
+    score(q,d) = Σ_lists 1/(k + rnk). Returns the fused top-``topk``
+    per query: (query_id, doc_id, rrf, n_lists, rnk).
+
+    Scale shape: union + one groupBy(query_id, doc_id) — no L-way outer
+    join, so adding a ranking source adds a scan, not a join stage. The
+    input lists are already top-k'd, so the fused relation is bounded
+    by |queries| × k × L rows regardless of corpus size. Per-list
+    contributions are rounded to DECIMAL(19,12) and summed exactly:
+    the fused score is independent of both aggregation order and the
+    ORDER the sources are listed in."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    contrib = F.round(F.lit(1.0) / (F.lit(k) + F.col("rnk")), 12).cast(
+        "decimal(19,12)"
+    )
+    parts = [
+        r.select("query_id", "doc_id", contrib.alias("c")) for r in rankings
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    fused = un.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("rrf_d"), F.count(F.lit(1)).alias("n_lists")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_d"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rrf_d").cast("double").alias("rrf"),
+            "n_lists",
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "text_hybrid_rrf",
+    extra=True,
+    doc="Hybrid retrieval, the standard RAG-corpus serving shape: BM25 "
+    "lexical top-10 and exact-cosine dense top-10 (query doc's "
+    "embedding vs the embedding table, vec_id aligned with doc_id) "
+    "fused by reciprocal-rank fusion with k=60. Union + one groupBy — "
+    "no multi-way outer join; per-list 1/(60+rnk) contributions in "
+    "exact DECIMAL so fusion is aggregation-order- and "
+    "source-order-independent. Query set identical to text_bm25_topk.",
+    oracle=f"""
+WITH {_SQL_BM25_BODY},
+lex10 AS (
+  SELECT query_id, doc_id, rnk FROM lex WHERE rnk <= 10
+), q AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % 101 = 0 AND vec_id < 50500
+), dscored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+         CAST(ROUND(CAST(
+           list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])))
+           AS DECIMAL(18,9)), 6) AS DOUBLE) AS cosine
+  FROM q, embeddings v
+), dense10 AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+    FROM dscored
+  ) WHERE rnk <= 10
+), unioned AS (
+  SELECT query_id, doc_id, rnk FROM lex10
+  UNION ALL
+  SELECT query_id, doc_id, rnk FROM dense10
+), fused AS (
+  SELECT query_id, doc_id,
+         SUM(CAST(ROUND(1.0 / (60 + rnk), 12) AS DECIMAL(19,12))) AS rrf_d,
+         COUNT(*) AS n_lists
+  FROM unioned GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, CAST(rrf_d AS DOUBLE) AS rrf, n_lists, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_d DESC, doc_id) AS rnk
+  FROM fused
+)
+WHERE rnk <= 10
+ORDER BY query_id, rnk
+""",
+    tags=("textops", "similarity", "llm"),
+)
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.similarity import _with_norm, cosine_with_norms
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = (
+        docs.where((F.col("doc_id") % 101 == 0) & (F.col("doc_id") < 50500))
+        .select(F.col("doc_id").alias("query_id"), tokens_expr("text").alias("toks"))
+        .where(F.size("toks") >= 4)
+        .select("query_id", F.explode(F.slice("toks", 2, 3)).alias("tok"))
+    )
+    lex10 = bm25_topk(docs, queries).select("query_id", "doc_id", "rnk")
+
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "embedding",
+        "v_norm",
+    )
+    qemb = F.broadcast(
+        emb.where((F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 50500)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("v_norm").alias("q_norm"),
+        )
+    )
+    dscored = emb.join(qemb).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            cosine_with_norms(
+                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("v_norm")
+            ).cast("decimal(18,9)"),
+            6,
+        )
+        .cast("double")
+        .alias("cosine"),
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    dense10 = (
+        dscored.withColumn("rnk", F.row_number().over(wd))
+        .where(F.col("rnk") <= 10)
+        .select("query_id", "doc_id", "rnk")
+    )
+    return rrf_fuse([lex10, dense10])
