@@ -416,7 +416,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # shared SQL for the LSH candidate-pair edge list (doc_a < doc_b)
-_SQL_MINHASH_EDGES = f"""
+# The (doc_id, band_id, band_key) band-row relation as a standalone
+# SELECT — the SQL twin of doc_band_keys, shared by the pair-edge
+# oracle below and the streaming index-dedup oracle so the two can
+# never drift from each other or from the Spark band pipeline.
+_SQL_BAND_ROWS = f"""
   WITH shingles AS ({_SQL_SHINGLES}),
   hashed AS (
     SELECT doc_id,
@@ -437,6 +441,11 @@ _SQL_MINHASH_EDGES = f"""
         for b in range(_BANDS)
     )}
   )
+  SELECT doc_id, band_id, band_key FROM bands
+"""
+
+_SQL_MINHASH_EDGES = f"""
+  WITH bands AS ({_SQL_BAND_ROWS})
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y
     ON x.band_id = y.band_id AND x.band_key = y.band_key

@@ -767,3 +767,55 @@ def q29_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q30 — CUBE + GROUPING() ids: the full 2^k grouping-sets lattice.
+# ---------------------------------------------------------------------------
+@register(
+    "q30_cube_status_year",
+    extra=True,
+    doc="CUBE(o_orderstatus, order-year) order-value lattice with the "
+    "GROUPING_ID disambiguator (a real 'ALL' vs a NULL-valued group "
+    "key stay distinct — COALESCE alone cannot). One pass over "
+    "orders; Spark expands the cube into a single Expand+Aggregate "
+    "(partial map-side combine on all 4 grouping sets at once), so "
+    "the lattice costs one shuffle, not 2^k scans. Exact DECIMAL "
+    "money sum.",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), -1) AS order_year,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(EXTRACT(year FROM o_orderdate)) AS INT)
+         AS gid,
+       COUNT(*) AS n_orders,
+       {sql_out("SUM(CAST(o_totalprice AS DECIMAL(18,6)))")} AS total_value
+FROM orders
+GROUP BY CUBE(o_orderstatus, EXTRACT(year FROM o_orderdate))
+ORDER BY gid, status, order_year
+""",
+    tags=("relational",),
+)
+def q30_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.col("o_totalprice"),
+    )
+    return (
+        orders.cube("o_orderstatus", "yr")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            out_double(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            ).alias("total_value"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("yr", F.lit(-1)).alias("order_year"),
+            "gid",
+            "n_orders",
+            "total_value",
+        )
+        .orderBy("gid", "status", "order_year")
+    )

@@ -505,3 +505,127 @@ def streaming_countmin(
     return src.groupBy("__shard").applyInPandasWithState(
         fn, out_type, state_type, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_index_dedup(
+    docs_stream: DataFrame,
+    index_path: str,
+    sink: list | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "qml_index_dedup",
+):
+    """Continuous near-dup filtering of a document stream against the
+    PERSISTED MinHash-LSH index (operators.dedup.dedup_index_build) —
+    the shape a production ingestion pipeline runs: the historical
+    corpus is indexed once; each arriving micro-batch is checked
+    against it, and only NOVEL documents' band keys are appended, so
+    the index grows with the deduplicated corpus, not the raw feed.
+
+    Per micro-batch (foreachBatch, so plain batch relational ops):
+
+    1. band-key the batch (one pass over batch text, the same
+       doc_band_keys pipeline the index was built with);
+    2. candidate hits = equi-join on (band_id, band_key) against the
+       partitioned index scan — the batch side is micro-batch-sized,
+       the index side never leaves its partitioning;
+    3. intra-batch near-dups via the band self-join (smaller doc_id
+       wins), so a burst of identical documents inside one trigger
+       cannot all slip past the not-yet-updated index;
+    4. novel docs' bands appended to ``{index_path}/bands`` (a
+       partition-aligned parquet append — no index rewrite, and the
+       novelty filter is an anti-join, never a driver-side set);
+    5. one record per batch doc — {batch_id, doc_id, is_dup, via} with
+       ``via`` = 'index'/'batch'/None — appended to the
+       ``{index_path}/decisions`` parquet log, or collected into
+       ``sink`` when a list is passed (test/demo convenience only:
+       the list path materializes the batch on the driver).
+
+    Duplicates detected here are LSH candidates (≥1 shared band), the
+    same candidate semantics as dedup_index_check; callers wanting
+    verified Jaccard re-rank the flagged pairs only. Returns the
+    started StreamingQuery (availableNow drains in tests; unbounded
+    triggers in production).
+    """
+    from quackml_spark.operators.dedup import dedup_index_check, doc_band_keys
+
+    def _process(batch_df, batch_id):
+        batch_df = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        if not batch_df.take(1):
+            return
+        # geometry-validated candidate hits vs the persisted index
+        hits = (
+            dedup_index_check(batch_df, index_path)
+            .groupBy("new_doc_id")
+            .agg(F.count(F.lit(1)).alias("n_index_hits"))
+        )
+        bands = doc_band_keys(batch_df).persist()
+        intra = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        flagged = (
+            batch_df.select("doc_id")
+            .join(hits, F.col("doc_id") == F.col("new_doc_id"), "left")
+            .join(intra.withColumn("__intra", F.lit(True)), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_index_hits").isNotNull().alias("via_index"),
+                F.coalesce("__intra", F.lit(False)).alias("via_batch"),
+            )
+            .persist()
+        )
+        if sink is not None:
+            for r in sorted(flagged.collect(), key=lambda r: r["doc_id"]):
+                sink.append(
+                    {
+                        "batch_id": int(batch_id),
+                        "doc_id": int(r["doc_id"]),
+                        "is_dup": bool(r["via_index"] or r["via_batch"]),
+                        "via": "index"
+                        if r["via_index"]
+                        else ("batch" if r["via_batch"] else None),
+                    }
+                )
+        else:
+            (
+                flagged.select(
+                    F.lit(int(batch_id)).alias("batch_id"),
+                    "doc_id",
+                    (F.col("via_index") | F.col("via_batch")).alias("is_dup"),
+                    F.when(F.col("via_index"), "index")
+                    .when(F.col("via_batch"), "batch")
+                    .alias("via"),
+                )
+                .write.mode("append")
+                .parquet(f"{index_path}/decisions")
+            )
+        novel = flagged.where(~F.col("via_index") & ~F.col("via_batch")).select(
+            "doc_id"
+        )
+        (
+            bands.join(novel, "doc_id")
+            .repartition("band_id")
+            .write.mode("append")
+            .partitionBy("band_id")
+            .parquet(f"{index_path}/bands")
+        )
+        flagged.unpersist()
+        bands.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

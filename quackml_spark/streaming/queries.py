@@ -233,3 +233,78 @@ def streaming_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.groupBy("key").agg(F.max("cm_estimate").alias("cm_estimate")).orderBy("key")
+
+
+@register(
+    "streaming_index_dedup_docs",
+    extra=True,
+    doc="Incremental dedup of a document stream against the PERSISTED "
+    "MinHash-LSH band index: the corpus docs with doc_id < 250 are "
+    "indexed up front, then the whole documents table streams through "
+    "foreachBatch — each doc is flagged 'index' (shares a band with an "
+    "indexed doc), 'batch' (shares a band with a smaller-id doc in its "
+    "own micro-batch), or passes as novel, and novel docs' bands are "
+    "appended so later batches dedup against them. Fully ORACLE-checked: "
+    "the decision relation is replayed in SQL from the shared band CTE "
+    "(index hit = band match vs doc_id<250, batch hit = band match vs a "
+    "smaller doc_id).",
+    oracle=None,  # set below — needs the dedup module's band SQL
+    tags=("streaming", "dedup"),
+)
+def streaming_index_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_index_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = tempfile.mkdtemp(prefix="qml_stream_idx_")
+    from quackml_spark.operators.dedup import dedup_index_build
+
+    dedup_index_build(docs.where("doc_id < 250"), index_path)
+
+    sink: list = []
+    q = streaming_index_dedup(
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text"),
+        index_path,
+        sink=sink,
+        query_name=f"qml_stream_idx_dedup_{abs(hash(sf_dir)) % 99999}",
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(r["doc_id"], r["is_dup"], r["via"]) for r in sink],
+        "doc_id long, is_dup boolean, via string",
+    ).orderBy("doc_id")
+
+
+def _install_index_dedup_oracle() -> None:
+    from quackml_spark.operators.dedup import _SQL_BAND_ROWS
+    from quackml_spark.plans import REGISTRY
+
+    REGISTRY["streaming_index_dedup_docs"].oracle = f"""
+WITH bands AS ({_SQL_BAND_ROWS}),
+hit_index AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b JOIN bands i ON b.band_id = i.band_id
+   AND b.band_key = i.band_key AND i.doc_id < 250
+),
+hit_batch AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b JOIN bands c ON b.band_id = c.band_id
+   AND b.band_key = c.band_key AND c.doc_id < b.doc_id
+)
+SELECT d.doc_id,
+       (hi.doc_id IS NOT NULL OR hb.doc_id IS NOT NULL) AS is_dup,
+       CASE WHEN hi.doc_id IS NOT NULL THEN 'index'
+            WHEN hb.doc_id IS NOT NULL THEN 'batch' END AS via
+FROM documents d
+LEFT JOIN hit_index hi ON d.doc_id = hi.doc_id
+LEFT JOIN hit_batch hb ON d.doc_id = hb.doc_id
+ORDER BY d.doc_id
+"""
+
+
+_install_index_dedup_oracle()

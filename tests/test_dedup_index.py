@@ -94,3 +94,84 @@ def test_missing_manifest_rejected(spark, sf_dir, tmp_path):
             load_table(spark, sf_dir, "documents").limit(1),
             str(tmp_path / "nonexistent"),
         )
+
+
+def test_streaming_index_dedup_incremental(spark, sf_dir, tmp_path):
+    """Micro-batch 1: a verbatim copy of an indexed doc is flagged
+    via the index; a fresh doc passes and its bands are appended.
+    Micro-batch 2: a copy of batch-1's FRESH doc is flagged via the
+    now-grown index — the incremental append is what catches it.
+    Intra-batch: two identical new docs in one batch -> larger id
+    flagged 'batch'."""
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_index_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = str(tmp_path / "idx")
+    dedup_index_build(docs.where("doc_id < 100"), index_path)
+
+    base = {r["doc_id"]: r["text"] for r in docs.where("doc_id < 100").collect()}
+    fresh1 = "zq glorp wib nux trelm kov yant plib sorn dask emph rolt quen"
+    fresh2 = "mandel brot vexi loom charn ostra pelk dwim frag nolt serp haze"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(1000, base[3]), (1001, fresh1), (1002, fresh2), (1003, fresh2)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    spark.createDataFrame(
+        [(2000, fresh1), (2001, "totally novel again kwisatz haderach melange")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(in_dir / "b2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    sink: list = []
+    q = streaming_index_dedup(stream, index_path, sink=sink)
+    q.awaitTermination()
+
+    by_doc = {r["doc_id"]: r for r in sink}
+    assert set(by_doc) == {1000, 1001, 1002, 1003, 2000, 2001}
+    assert by_doc[1000]["is_dup"] and by_doc[1000]["via"] == "index"
+    assert not by_doc[1001]["is_dup"]
+    assert not by_doc[1002]["is_dup"]
+    # intra-batch twin: larger id loses
+    assert by_doc[1003]["is_dup"] and by_doc[1003]["via"] == "batch"
+    # batch 2: fresh1's copy is caught by the APPENDED index entry
+    assert by_doc[2000]["is_dup"] and by_doc[2000]["via"] == "index"
+    assert not by_doc[2001]["is_dup"]
+
+
+def test_streaming_index_dedup_parquet_decision_log(spark, sf_dir, tmp_path):
+    """Without a sink list the decisions land in the index's parquet
+    decision log (the production path — no driver materialization)."""
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_index_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = str(tmp_path / "idx")
+    dedup_index_build(docs.where("doc_id < 50"), index_path)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base3 = docs.where("doc_id = 3").first()["text"]
+    spark.createDataFrame(
+        [(9000, base3), (9001, "fresh saga of the wandering xylograph")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    q = streaming_index_dedup(
+        spark.readStream.schema("doc_id long, text string").parquet(str(in_dir / "*")),
+        index_path,
+        query_name="qml_index_dedup_log",
+    )
+    q.awaitTermination()
+    log = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{index_path}/decisions").collect()
+    }
+    assert log[9000]["is_dup"] and log[9000]["via"] == "index"
+    assert not log[9001]["is_dup"] and log[9001]["via"] is None
