@@ -1840,36 +1840,45 @@ def bm25_topk(
     per-term contribution idf * tf*(k1+1) / (tf + k1*(0.25 + 0.75*dl/avgdl))
     for the default b.
 
-    Scale shape (100 TB corpus, handful-of-KB query set):
+    Scale shape (100 TB corpus, handful-of-KB query set) — the corpus
+    text is tokenized exactly TWICE end-to-end (once for the dl/avgdl
+    statistics, once for scoring), and exploded once:
 
+    * document length is ``size(tokens)`` on the un-exploded token
+      array — no explode and no groupBy(doc_id) shuffle for dl at all
+      (an earlier shape exploded the corpus a third time and shuffled
+      every token to count it back down);
     * the query-term set is broadcast; the corpus restricts to rows
       containing a query term with a map-side hash semi-probe BEFORE
       the per-(doc, term) tf aggregation — the full corpus never
       shuffles on the token key;
-    * document length (dl) is a map-side-combined groupBy(doc_id) over
-      the one unavoidable full scan;
-    * df is computed only for query terms (post-broadcast-join), so the
-      df relation is bounded by |query vocabulary|, not corpus
-      vocabulary, and broadcasts back into the scoring join;
+    * df = per-term row count of the ALREADY-AGGREGATED tf relation
+      (tf is keyed by (doc, term), so its per-term cardinality IS the
+      distinct-doc count) — Spark's ReuseExchange serves tf to both
+      the scoring join and the df aggregate from one shuffle, where
+      the earlier shape re-exploded the corpus for a count_distinct;
     * per-term contributions are rounded to DECIMAL(38,9) and summed
       exactly, so the score is independent of aggregation order (and
       bit-identical to the DuckDB oracle); ranking ties break on
       doc_id.
     """
     sum_mult = float(k1 + 1.0)
-    toks = docs.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    toks_arr = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    dl = toks_arr.where(F.size("toks") > 0).select(
+        "doc_id", F.size("toks").alias("dl")
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total")
     ).collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["total"]) / int(stats["n_docs"])
 
     qterms = F.broadcast(queries.select("query_id", "tok").distinct())
+    toks = toks_arr.select("doc_id", F.explode("toks").alias("tok"))
     # Corpus tokens that appear in ANY query (map-side broadcast probe).
     qtoks = toks.join(F.broadcast(qterms.select("tok").distinct()), "tok")
     tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = F.broadcast(
-        qtoks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+        tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     )
 
     idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
