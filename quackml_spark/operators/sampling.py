@@ -188,3 +188,115 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").alias("n_chars")
     )
     return weighted_sample(docs, "n_chars", 20, seed=0)
+
+
+def temperature_rates(
+    df: DataFrame,
+    budget_chars: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Temperature-based mixture rates (XLM-R / mT5 style): source i
+    gets budget share ∝ (chars_i)^alpha, flattening the head so
+    low-resource sources are up-sampled relative to proportional
+    sampling (alpha=1 reduces to proportional; alpha→0 to uniform).
+
+    rate_ppm_i = min(PPM, floor(share_i · PPM · budget / chars_i)).
+
+    Determinism: the per-source powers are rounded to DECIMAL(28,10)
+    and summed exactly, so the share denominator is independent of
+    aggregation order; the remaining arithmetic is a fixed-order
+    per-row double expression. sqrt (alpha=0.5) is IEEE-correctly-
+    rounded everywhere, making the oracle bit-exact; other alphas go
+    through pow, whose ulp may differ across libm builds — fine for
+    production sampling, not pinned by an oracle. One groupBy over the
+    corpus + a 1-row broadcast; the corpus itself is never shuffled."""
+    totals = df.groupBy(source_col).agg(
+        F.sum(weight_col).alias("total_chars"), F.count(F.lit(1)).alias("n_docs")
+    )
+    base = F.col("total_chars").cast("double")
+    p = F.sqrt(base) if abs(alpha - 0.5) < 1e-12 else F.pow(base, float(alpha))
+    t = totals.withColumn("__p", F.round(p, 10).cast("decimal(28,10)"))
+    tot = t.agg(F.sum("__p").alias("__tp"))
+    return t.join(F.broadcast(tot)).select(
+        source_col,
+        "total_chars",
+        "n_docs",
+        F.least(
+            F.lit(PPM).cast("bigint"),
+            F.floor(
+                F.col("__p").cast("double")
+                / F.col("__tp").cast("double")
+                * F.lit(float(PPM) * budget_chars)
+                / F.col("total_chars").cast("double")
+            ).cast("bigint"),
+        ).alias("rate_ppm"),
+    )
+
+
+_TEMP_BUDGET = 6000  # total chars across sources for the demo query
+
+
+@register(
+    "text_temperature_mixture",
+    extra=True,
+    doc="Temperature-flattened mixture sampling (alpha=0.5, the XLM-R "
+    "low-resource up-sampling step): per-source budget share ∝ "
+    "sqrt(chars), exact-DECIMAL share denominator, deterministic "
+    "md5-ppm membership; per-source audit row. Corpus touched by one "
+    "groupBy + one map-only filter.",
+    oracle=f"""
+WITH totals AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY source
+), p AS (
+  SELECT *, CAST(ROUND(sqrt(CAST(total_chars AS DOUBLE)), 10)
+                 AS DECIMAL(28,10)) AS pw
+  FROM totals
+), tot AS (SELECT SUM(pw) AS tp FROM p),
+rates AS (
+  SELECT source, total_chars, n_docs,
+         LEAST(CAST({PPM} AS BIGINT),
+               CAST(FLOOR(CAST(pw AS DOUBLE)
+                          / CAST((SELECT tp FROM tot) AS DOUBLE)
+                          * {float(PPM) * _TEMP_BUDGET!r}
+                          / CAST(total_chars AS DOUBLE)) AS BIGINT)
+         ) AS rate_ppm
+  FROM p
+), kept AS (
+  SELECT d.source, d.doc_id, d.n_chars, r.rate_ppm, r.total_chars, r.n_docs
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE ('0x' || substr(md5('0|' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+        % {PPM} < r.rate_ppm
+)
+SELECT source,
+       CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       MAX(total_chars) AS total_chars,
+       MAX(rate_ppm) AS rate_ppm,
+       COUNT(*) AS kept_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM kept
+GROUP BY source
+ORDER BY source
+""",
+    tags=("textops", "sampling"),
+)
+def text_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rates = temperature_rates(docs, _TEMP_BUDGET, alpha=0.5)
+    kept = mixture_sample(docs, rates)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.max("total_chars").alias("total_chars"),
+            F.max("rate_ppm").alias("rate_ppm"),
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

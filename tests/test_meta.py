@@ -73,7 +73,7 @@ _BROADCAST_ALLOWLIST = {
     "plans/relational_ext.py": 2, # nation / region
     "operators/dedup.py": 1,     # simhash 32-row bit table
     "operators/similarity.py": 6, # 5-query sets + 16/32-row plane tables + IVF probe set (|queries|·nprobe rows) + PQ ADC query batch with its m*k-entry LUT columns (|queries| rows)
-    "operators/sampling.py": 1,  # mixture rates (|sources| rows)
+    "operators/sampling.py": 2,  # mixture rates (|sources| rows) + temperature share total (1 row)
     "ml/monitor.py": 3,          # PSI per-feature span/total tables (k rows
                                  # each) + KS shard offsets (≤ n_shards rows)
     "operators/text.py": 12,     # langid lexicon (24 rows), benchmark grams (eval-suite-sized), sequence-pack shard offsets (|shards| rows), count-min sketch (<= depth*width = 4096 cells), token-budget shard offsets (<= n_sources * n_shards rows), shuffle-order shard counts (<= n_shards rows), BM25 query-term set + query-vocab probe + query-vocab df table (all bounded by the query batch, the operator's documented contract), bigram-LM type total x2 (1-row aggregates), hybrid-RRF query-embedding batch (bounded by the query-set cap)

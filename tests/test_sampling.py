@@ -71,3 +71,33 @@ def test_weighted_sample_is_weight_proportional(spark):
     # heavy rows hold 250/295 of the total weight -> expect ~85% wins;
     # demand a clear majority with slack for 30-draw noise
     assert heavy_wins >= 18, heavy_wins
+
+
+def test_temperature_rates_flatten_toward_low_resource(spark):
+    """alpha=0.5 gives the smaller source a LARGER sampling rate than
+    proportional sampling would, and budget shares follow sqrt(chars)."""
+    from quackml_spark.operators.sampling import temperature_rates
+
+    rows = [(i, "big", 100) for i in range(900)] + [
+        (1000 + i, "small", 100) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    temp = {r["source"]: r for r in temperature_rates(df, 10_000).collect()}
+    # sqrt shares: sqrt(90000):sqrt(10000) = 3:1 -> small gets 1/4 of
+    # the total budget (vs 1/10 under proportional, alpha=1, sampling)
+    assert temp["small"]["rate_ppm"] > temp["big"]["rate_ppm"]
+    share_small = temp["small"]["rate_ppm"] * 10_000
+    share_big = temp["big"]["rate_ppm"] * 90_000
+    assert abs(share_small / (share_small + share_big) - 0.25) < 0.01
+
+
+def test_temperature_rates_alpha_one_is_proportional(spark):
+    from quackml_spark.operators.sampling import temperature_rates
+
+    rows = [(i, "a", 50) for i in range(200)] + [
+        (500 + i, "b", 50) for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    rates = {r["source"]: r for r in temperature_rates(df, 5_000, alpha=1.0).collect()}
+    # alpha=1: share ∝ chars -> every source keeps the same fraction
+    assert abs(rates["a"]["rate_ppm"] - rates["b"]["rate_ppm"]) <= 1
