@@ -1,4 +1,5 @@
 from quackml_spark.ml.datasets import load_dataset
+from quackml_spark.ml.importance import permutation_importance
 from quackml_spark.ml.predict import (
     decompose,
     deploy,
@@ -19,4 +20,5 @@ __all__ = [
     "deploy",
     "register_udfs",
     "load_dataset",
+    "permutation_importance",
 ]
