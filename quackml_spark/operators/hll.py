@@ -1,0 +1,118 @@
+"""Mergeable HyperLogLog sketch rollups — incremental distinct counts.
+
+The 100 TB problem: "distinct users per week/month" recomputed from raw
+events rescans the whole horizon every time. The mergeable-sketch
+pattern fixes it: persist one small HLL sketch per (fine bucket), and
+answer ANY coarser window by unioning sketches — no raw-data rescan,
+and appending a new day touches only that day's sketch.
+
+Built on Spark's Datasketches-backed ``hll_sketch_agg`` /
+``hll_union_agg`` / ``hll_sketch_estimate`` (JVM-side, map-side
+combined, associative by construction — union of daily sketches is
+BIT-IDENTICAL to sketching the union, which tests/test_hll.py pins).
+
+Estimates are engine-specific, so registered queries expose exact
+columns to the DuckDB oracle and pin sketch behavior in pytest
+(sketch_distinct_users precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_rollup(
+    df: DataFrame,
+    key_col: str,
+    bucket: Column,
+    bucket_name: str = "bucket",
+    lgk: int = 12,
+) -> DataFrame:
+    """One HLL sketch per bucket: (bucket, sketch, n_rows).
+
+    ``lgk`` = log2 of the register count (12 → 4 KiB sketches, ~1.6%
+    relative error). The output is the PERSISTABLE state: write it
+    partitioned by bucket and append new buckets as data arrives."""
+    return df.groupBy(bucket.alias(bucket_name)).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_merge(
+    sketches: DataFrame,
+    group: Column,
+    group_name: str = "period",
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Union fine-bucket sketches into coarser periods and estimate:
+    (period, n_distinct_est, n_rows). Touches only the sketch relation
+    (|buckets| rows), never the raw data."""
+    return (
+        sketches.groupBy(group.alias(group_name))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col(sketch_col), F.lit(False))
+            ).alias("n_distinct_est"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .orderBy(group_name)
+    )
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from quackml_spark.plans import register  # noqa: E402
+from quackml_spark.sources import load_table  # noqa: E402
+
+
+@register(
+    "sketch_hll_weekly_users",
+    extra=True,
+    doc="Incremental distinct-user maintenance: daily HLL sketches of "
+    "user_id unioned into ISO weeks — the rollup answers weekly (or "
+    "monthly, or all-time) uniques from |days| 4-KiB sketches instead "
+    "of rescanning the event horizon. The builder runs the sketch "
+    "path and SELF-CHECKS the merged estimates against the exact "
+    "counts (raises beyond 10%); the oracle pins the exact columns "
+    "(estimates are engine-specific — sketch_distinct_users "
+    "precedent), and test_hll.py pins merge associativity bit-exactly.",
+    oracle="""
+SELECT STRFTIME(DATE_TRUNC('week', ts), '%Y-%m-%d') AS week,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    tags=("relational", "sketch"),
+)
+def sketch_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    daily = hll_rollup(ev, "user_id", F.to_date("ts"), bucket_name="day")
+    weekly_est = hll_merge(
+        daily,
+        F.date_format(F.date_trunc("week", F.col("day")), "yyyy-MM-dd"),
+        group_name="week",
+    )
+    exact = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week")
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_users_exact"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("week")
+    )
+    # drive the sketch plan and self-check it against exact (bounded
+    # |weeks|-row collects — the check is why the sketch path runs
+    # under the driver gate at all)
+    est = {r["week"]: float(r["n_distinct_est"]) for r in weekly_est.collect()}
+    for r in exact.collect():
+        e = est.get(r["week"])
+        if e is None or abs(e - r["n_users_exact"]) > 0.10 * max(r["n_users_exact"], 1):
+            raise AssertionError(
+                f"HLL weekly estimate {e} deviates >10% from exact "
+                f"{r['n_users_exact']} for week {r['week']}"
+            )
+    return exact

@@ -120,6 +120,7 @@ _QUERY_MODULES = (
     "quackml_spark.operators.similarity",
     "quackml_spark.operators.multimodal",
     "quackml_spark.operators.pipeline",
+    "quackml_spark.operators.hll",
     "quackml_spark.functions.queries",
     "quackml_spark.ml.queries",
     "quackml_spark.streaming.queries",

@@ -819,3 +819,66 @@ def q30_cube_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "status", "order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# q31 — multi-step event funnel (strict temporal ordering per user).
+# ---------------------------------------------------------------------------
+@register(
+    "q31_event_funnel",
+    extra=True,
+    doc="view -> click -> purchase conversion funnel: per user, the "
+    "earliest view, the earliest click STRICTLY AFTER that view, the "
+    "earliest purchase strictly after that click; one output row per "
+    "step with the surviving-user count. Each step is one "
+    "type-filtered scan joined on user_id to the previous step's "
+    "(user, ts) frontier — key-partitioned joins and "
+    "map-side-combined MIN aggregates, no windows, no per-user event "
+    "arrays materialized.",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM v) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+) ORDER BY step_idx
+""",
+    tags=("relational",),
+)
+def q31_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def step(prev: DataFrame | None, etype: str) -> DataFrame:
+        e = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col("t")).drop("t")
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = step(None, "view")
+    c = step(v, "click")
+    p = step(c, "purchase")
+    counts = [
+        (1, "view", v),
+        (2, "click", c),
+        (3, "purchase", p),
+    ]
+    out = None
+    for idx, name, frame in counts:
+        row = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).alias("step_idx"), F.lit(name).alias("step"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("step_idx")
