@@ -2300,3 +2300,122 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rnk")
     )
     return rrf_fuse([lex10, dense10])
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (RefinedWeb/CCNet boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_freq: int = 5,
+) -> DataFrame:
+    """Drop LINES that repeat more than ``max_freq`` times across the
+    corpus (navigation chrome, cookie banners, boilerplate footers —
+    the RefinedWeb/CCNet line-level dedup stage), keeping each
+    document's remaining lines in their original order.
+
+    Returns (doc_id, n_kept, n_dropped, clean_text); documents whose
+    every line is boilerplate survive with n_kept=0 and empty text.
+
+    Scale shape: one posexplode over the corpus, one
+    map-side-combined groupBy(line) for the frequency table, one
+    key-partitioned join back (no broadcast — the line table is
+    corpus-sized), and one groupBy(doc_id) reassembly whose payload is
+    the kept lines only. Line order is restored from the explode
+    position, not a window."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    counts = lines.groupBy("line").agg(F.count(F.lit(1)).alias("c"))
+    flagged = lines.join(counts, "line").withColumn(
+        "keep", F.col("c") <= max_freq
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("int")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BOILER = (
+    "subscribe to our newsletter for updates",
+    "copyright 2024 example corp all rights reserved",
+    "click here to accept cookies",
+)
+
+
+@register(
+    "text_line_dedup",
+    extra=True,
+    doc="RefinedWeb-style line-level boilerplate removal: each doc is "
+    "given a planted boilerplate footer line (3 templates by "
+    "doc_id%%3, each repeating corpus-wide) under its own unique text "
+    "line; lines with corpus frequency > 5 are dropped and the "
+    "survivors reassembled in original order. One explode + one "
+    "groupBy(line) + one join-back + one per-doc reassembly; the "
+    "frequency table is corpus-sized and never broadcast.",
+    oracle=f"""
+WITH multi AS (
+  SELECT doc_id,
+         text || chr(10) ||
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN '{_BOILER[0]}'
+           WHEN 1 THEN '{_BOILER[1]}'
+           ELSE '{_BOILER[2]}'
+         END AS t
+  FROM documents
+), split_ AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ls FROM multi
+), lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM split_, unnest(range(1, length(ls) + 1)) AS u(i)
+), counts AS (
+  SELECT line, COUNT(*) AS c FROM lines GROUP BY line
+), flagged AS (
+  SELECT l.doc_id, l.pos, l.line, (c.c <= 5) AS keep
+  FROM lines l JOIN counts c USING (line)
+)
+SELECT doc_id,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
+       COALESCE(STRING_AGG(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
+                '') AS clean_text
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("textops", "dedup"),
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    boiler = F.element_at(
+        F.array(*[F.lit(b) for b in _BOILER]),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    multi = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit("\n"), boiler).alias("text")
+    )
+    return line_dedup(multi)

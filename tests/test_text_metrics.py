@@ -351,3 +351,29 @@ def test_bigram_score_backoff_paths(spark):
     assert math.isclose(rows[13]["mean_logp"], round(math.log(0.25), 6))
     # better-modeled text has lower perplexity
     assert rows[10]["ppl"] < rows[11]["ppl"]
+
+
+def test_line_dedup_removes_frequent_lines_preserves_order(spark):
+    from quackml_spark.operators.text import line_dedup
+
+    boiler = "accept cookies"
+    rows = [
+        (i, f"unique head {i}\n{boiler}\nunique tail {i}") for i in range(10)
+    ] + [(99, boiler)]  # all-boilerplate doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, max_freq=5).collect()}
+    assert len(out) == 11
+    for i in range(10):
+        assert out[i]["clean_text"] == f"unique head {i}\nunique tail {i}"
+        assert out[i]["n_kept"] == 2 and out[i]["n_dropped"] == 1
+    assert out[99]["n_kept"] == 0 and out[99]["clean_text"] == ""
+
+
+def test_line_dedup_keeps_lines_at_threshold(spark):
+    from quackml_spark.operators.text import line_dedup
+
+    # a line shared by exactly max_freq docs is KEPT (<=, not <)
+    rows = [(i, f"shared line\nown {i}") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = line_dedup(docs, max_freq=3).collect()
+    assert all(r["n_dropped"] == 0 for r in out)
