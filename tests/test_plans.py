@@ -53,13 +53,36 @@ PLAN_PINNED = [
     "pipeline_corpus_manifest",
     "text_bm25_topk",
     "embedding_pq_topk",
+    # round-7 session additions (streaming_index_dedup_docs is
+    # foreachBatch-driven — its result frame is driver-constructed, so
+    # there is no lazily-built plan to pin; its per-batch relational
+    # body is the dedup_index_check + band self-join shape covered by
+    # the dedup pins above)
+    "text_bigram_perplexity",
+    "text_hybrid_rrf",
+    "text_temperature_mixture",
+    "text_line_dedup",
+    "q30_cube_status_year",
+    "q31_event_funnel",
 ]
 
 # intentional broadcast nested-loop joins, all with CONSTANT-size build
 # sides: ann_cosine_topk broadcasts a provably tiny query set;
 # embedding_cosine_dedup broadcasts the 32-row hyperplane table to
 # compute LSH sign bits (similarity.py). Everything else equi-joins; embedding_pq_topk broadcasts the same tiny query batch for its ADC scoring join.
-BNLJ_ALLOWED = {"ann_cosine_topk", "embedding_cosine_dedup", "embedding_pq_topk"}
+BNLJ_ALLOWED = {
+    "ann_cosine_topk",
+    "embedding_cosine_dedup",
+    "embedding_pq_topk",
+    # dense side scores the bounded (<=500-row) query-embedding batch
+    # against the corpus, same constant-build-side shape as
+    # ann_cosine_topk; the lexical side stays equi-join
+    "text_hybrid_rrf",
+    # the 1-row bigram-type total and temperature share total join on
+    # no key by construction (scalar fan-in)
+    "text_bigram_perplexity",
+    "text_temperature_mixture",
+}
 
 
 def _plan(spark, name: str, sf_dir: str) -> str:
