@@ -45,12 +45,27 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     batch_schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = stream_parquet_table(spark, sf_dir, "events.parquet", batch_schema)
     return normalize_events_ts(spark, raw)
+
+
+def stream_parquet_table(
+    spark: SparkSession, sf_dir: str, fname: str, schema
+) -> DataFrame:
+    """File-source stream over ``{sf_dir}/{fname}``, handling BOTH
+    physical layouts a parquet table ships in: a single file (the
+    driver testdata) needs a pathGlobFilter over the parent directory
+    (the file source rejects a file as its basePath), while a
+    directory of part files (any Spark-written table) must be streamed
+    directly — a glob filter for the directory NAME would match zero
+    leaf files and silently yield an empty stream."""
+    import os
+
+    path = os.path.join(sf_dir, fname)
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", fname).parquet(sf_dir)
 
 
 def streaming_hourly_aggregate(

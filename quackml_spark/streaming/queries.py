@@ -18,6 +18,7 @@ from quackml_spark.streaming.events import (
     read_event_stream,
     run_to_completion,
     sessionize,
+    stream_parquet_table,
     streaming_hourly_aggregate,
 )
 
@@ -265,10 +266,9 @@ def streaming_index_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink: list = []
     q = streaming_index_dedup(
-        spark.readStream.schema("doc_id long, text string")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .select("doc_id", "text"),
+        stream_parquet_table(
+            spark, sf_dir, "documents.parquet", "doc_id long, text string"
+        ).select("doc_id", "text"),
         index_path,
         sink=sink,
         query_name=f"qml_stream_idx_dedup_{abs(hash(sf_dir)) % 99999}",
