@@ -406,6 +406,12 @@ def resize_plan(df: DataFrame, max_dim: int = 224) -> DataFrame:
 
 @register(
     "multimodal_resize_plan",
+    # extra since round 7 (cont.): the multimodal family keeps
+    # binary_features + frame_plan graded plus the three decode-stats
+    # oracles; this row's graded slot went to streaming_index_dedup_docs
+    # so the oracle-checked foreachBatch dedup gets driver grading
+    # pressure.
+    extra=True,
     doc="Aspect-preserving resize geometry for image rows (the resample "
     "itself is the codec-gated stub, resize_image).",
     oracle="""

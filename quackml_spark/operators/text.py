@@ -2107,7 +2107,6 @@ def bigram_score(
 
 @register(
     "text_bigram_perplexity",
-    extra=True,
     doc="CCNet-style LM quality filter: interpolated Kneser-Ney bigram "
     "model trained distributively on the corpus (three "
     "map-side-combined aggregations; the bigram-type total re-enters "
@@ -2399,8 +2398,8 @@ WITH multi AS (
   FROM lines l JOIN counts c USING (line)
 )
 SELECT doc_id,
-       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
        COALESCE(STRING_AGG(CASE WHEN keep THEN line END, chr(10) ORDER BY pos),
                 '') AS clean_text
 FROM flagged

@@ -101,6 +101,12 @@ def q15_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q16_pivot_status_revenue",
+    # extra since round 7 (cont.): conditional-aggregate pivot shares
+    # its CASE-aggregate shape with the graded q22 grouping-sets rollup
+    # (and the q30 CUBE lattice); its graded slot went to
+    # text_bigram_perplexity so the KN bigram LM gets driver grading
+    # pressure.
+    extra=True,
     doc="Pivot (orderstatus -> columns) as conditional DECIMAL aggregates; "
     "explicit CASE aggregates keep column names engine-independent.",
     oracle=f"""

@@ -238,7 +238,6 @@ def streaming_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_index_dedup_docs",
-    extra=True,
     doc="Incremental dedup of a document stream against the PERSISTED "
     "MinHash-LSH band index: the corpus docs with doc_id < 250 are "
     "indexed up front, then the whole documents table streams through "
