@@ -7,54 +7,64 @@ feature column, re-score, and read the metric degradation.
 
 Scale shape:
 
-* The permutation is EXACT and DETERMINISTIC — an md5-keyed
-  order-preserving shard rank (two-phase: ≤``n_shards``-row offset
-  collect + per-shard window, never a partition-less global window)
-  pairs row ``i``-by-rank with value ``i``-by-an-independent-rank, i.e.
-  a uniform pseudorandom derangement-in-expectation that replays
-  bit-identically across engines, retries, and partition counts.
-* Each feature costs one permuted-join pass + one distributed scoring
-  pass; features are evaluated serially on the driver loop (k features
-  → k Spark jobs), with the baseline scored once. All metric math is
-  the engine's single-pass aggregates.
+* The permutation is EXACT and DETERMINISTIC, built from the engine's
+  existing :func:`~quackml_spark.operators.text.shuffle_order`
+  (md5-keyed two-phase sharded rank — never a partition-less global
+  window): rows ranked under one seed meet rows ranked under an
+  independent seed at the same position, yielding an id -> donor-id
+  bijection that replays bit-identically across engines, retries, and
+  partition counts.
+* The donor mapping depends only on the id column, so
+  :func:`permutation_importance` computes it ONCE and reuses it for
+  every feature — k features cost k value-joins + k distributed
+  scoring passes, not k rank pipelines. All metric math is the
+  engine's single-pass aggregates.
+
+Contract: ``id_col`` must be unique and non-null (the default path
+generates ids with ``monotonically_increasing_id``); nulls are
+rejected loudly rather than silently collapsing onto one rank.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SHARD_BITS = 24  # 2^32 / 2^24 = 256 order-preserving shards
+_METRICS = ("rmse", "mse", "mae", "r2", "accuracy")
 
 
-def _md5_rank(df: DataFrame, id_col: str, salt: str) -> DataFrame:
-    """Attach ``__rank``: the global 1-based rank of md5(salt|id).
+def _donor_mapping(df: DataFrame, id_col: str, seed: int) -> DataFrame:
+    """(id, donor id) bijection: the row at position p under seed-r
+    receives the id at position p under seed-v."""
+    from quackml_spark.operators.text import shuffle_order
 
-    Order-preserving two-phase rank: the top 8 bits of the 32-bit md5
-    key give 256 range shards (key order == (shard, key) order), local
-    row_number runs per shard, and the ≤256 shard counts collect into
-    cumulative offsets — no global-orderBy window anywhere."""
-    from quackml_spark.operators.text import md5_int32
-
-    key = md5_int32(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
-    with_key = df.withColumn("__key", key).withColumn(
-        "__shard", F.shiftright(F.col("__key"), _SHARD_BITS)
+    if df.where(F.col(id_col).isNull()).take(1):
+        raise ValueError(
+            f"permutation requires a non-null id column; {id_col!r} has NULLs"
+        )
+    ids = df.select(id_col)
+    r = shuffle_order(ids, seed=f"{seed}r", id_col=id_col)
+    v = shuffle_order(ids, seed=f"{seed}v", id_col=id_col).select(
+        F.col("doc_id").alias("__donor"), "shuffle_pos"
     )
-    counts = sorted(
-        (r["__shard"], r["n"])
-        for r in with_key.groupBy("__shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    return r.join(v, "shuffle_pos").select(
+        F.col("doc_id").alias(id_col), "__donor"
     )
-    offsets, acc = {}, 0
-    for s, n in counts:
-        offsets[s] = acc
-        acc += n
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
-        F.col("__shard")
-    ]
-    w = Window.partitionBy("__shard").orderBy("__key", id_col)
-    return with_key.withColumn(
-        "__rank", off + F.row_number().over(w)
-    ).drop("__key", "__shard")
+
+
+def _apply_permutation(
+    df: DataFrame, mapping: DataFrame, col_name: str, id_col: str
+) -> DataFrame:
+    donor_vals = df.select(
+        F.col(id_col).alias("__donor"), F.col(col_name).alias("__vnew")
+    )
+    return (
+        df.drop(col_name)
+        .join(mapping, id_col)
+        .join(donor_vals, "__donor")
+        .drop("__donor")
+        .withColumnRenamed("__vnew", col_name)
+    )
 
 
 def permuted_column(
@@ -62,17 +72,8 @@ def permuted_column(
 ) -> DataFrame:
     """Replace ``col_name`` with an exact deterministic permutation of
     itself (same multiset of values, md5-pseudorandom re-assignment to
-    rows). Rows ranked by one salt meet values ranked by an independent
-    salt via an equi-join on rank."""
-    rows = _md5_rank(df, id_col, f"{seed}r")
-    vals = _md5_rank(df.select(id_col, col_name), id_col, f"{seed}v").select(
-        F.col("__rank").alias("__vrank"), F.col(col_name).alias("__vnew")
-    )
-    return (
-        rows.join(vals, rows["__rank"] == vals["__vrank"])
-        .drop("__rank", "__vrank", col_name)
-        .withColumnRenamed("__vnew", col_name)
-    )
+    rows)."""
+    return _apply_permutation(df, _donor_mapping(df, id_col, seed), col_name, id_col)
 
 
 def permutation_importance(
@@ -95,11 +96,14 @@ def permutation_importance(
     from quackml_spark.ml.metrics import regression_metrics
     from quackml_spark.ml.predict import predict
 
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {_METRICS}")
     spark = df.sparkSession
     if id_col is None:
         df = df.withColumn("__pi_id", F.monotonically_increasing_id())
         id_col = "__pi_id"
     df = df.persist()
+    mapping = _donor_mapping(df, id_col, seed).persist()
 
     lower_is_better = metric in ("rmse", "mse", "mae")
 
@@ -121,17 +125,15 @@ def permutation_importance(
                     )
                 ).collect()[0][0]
             )
-        m = regression_metrics(scored, label_col=label_col)
-        if metric not in m:
-            raise ValueError(f"unknown metric {metric!r}")
-        return float(m[metric])
+        return float(regression_metrics(scored, label_col=label_col)[metric])
 
     baseline = _score(df)
     rows = []
     for feat in feature_cols:
-        permuted = _score(permuted_column(df, feat, id_col, seed))
+        permuted = _score(_apply_permutation(df, mapping, feat, id_col))
         imp = (permuted - baseline) if lower_is_better else (baseline - permuted)
         rows.append((feat, baseline, permuted, imp))
+    mapping.unpersist()
     df.unpersist()
     return spark.createDataFrame(
         rows, "feature string, baseline double, permuted double, importance double"

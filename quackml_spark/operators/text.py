@@ -2065,7 +2065,13 @@ def bigram_lm(bigrams: DataFrame, discount: float = 0.75) -> dict:
             ).alias("logp"),
         )
     )
-    return {"model": model, "ctx": ctx, "cont": cont, "types": types}
+    return {
+        "model": model,
+        "ctx": ctx,
+        "cont": cont,
+        "types": types,
+        "discount": d,
+    }
 
 
 def bigram_score(
@@ -2087,7 +2093,9 @@ def bigram_score(
         .join(lm["cont"], "w2", "left")
         .join(F.broadcast(lm["types"]))
     )
-    d = 0.75
+    # the SAME discount the model was trained with — a mismatched D in
+    # the backoff branches would silently mix two probability models
+    d = float(lm.get("discount", 0.75))
     r2f = F.greatest(F.col("r2").cast("double"), F.lit(0.5))
     backoff = F.when(
         F.col("c1").isNotNull(),
@@ -2327,9 +2335,16 @@ def line_dedup(
     corpus-sized), and one groupBy(doc_id) reassembly whose payload is
     the kept lines only. Line order is restored from the explode
     position, not a window."""
+    import re
+
+    # F.split takes a REGEX; sep is a literal separator (reassembly
+    # array_joins it literally), so escape it — sep='|' or '.' would
+    # otherwise split on every character
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "pos", "line"
+        ),
     )
     counts = lines.groupBy("line").agg(F.count(F.lit(1)).alias("c"))
     flagged = lines.join(counts, "line").withColumn(

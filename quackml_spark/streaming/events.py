@@ -529,6 +529,7 @@ def streaming_index_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     query_name: str = "qml_index_dedup",
+    checkpoint_location: str | None = None,
 ):
     """Continuous near-dup filtering of a document stream against the
     PERSISTED MinHash-LSH index (operators.dedup.dedup_index_build) —
@@ -638,9 +639,29 @@ def streaming_index_dedup(
         bands.unpersist()
 
     return (
-        docs_stream.writeStream.foreachBatch(_process)
+        _with_checkpoint(
+            docs_stream.writeStream.foreachBatch(_process),
+            checkpoint_location,
+        )
         .queryName(query_name)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _with_checkpoint(writer, checkpoint_location: str | None):
+    """Attach a checkpointLocation when given. For
+    streaming_index_dedup a production (unbounded-trigger) run SHOULD
+    pass one: the checkpoint is what stops a restarted query from
+    replaying already-committed micro-batches, whose band/decision
+    parquet appends are at-least-once (a replayed batch re-appends its
+    rows). Without it, duplicate band rows only inflate shared_bands
+    counts on candidate pairs — candidates stay candidates — but the
+    decision log double-counts; tests' availableNow drains on fresh
+    sources don't replay, so they may omit it."""
+    return (
+        writer.option("checkpointLocation", checkpoint_location)
+        if checkpoint_location
+        else writer
     )

@@ -175,3 +175,40 @@ def test_streaming_index_dedup_parquet_decision_log(spark, sf_dir, tmp_path):
     }
     assert log[9000]["is_dup"] and log[9000]["via"] == "index"
     assert not log[9001]["is_dup"] and log[9001]["via"] is None
+
+
+def test_streaming_index_dedup_checkpoint_restart_no_replay(spark, sf_dir, tmp_path):
+    """With a checkpointLocation, restarting the drained query replays
+    nothing: the decision log gains zero rows and the index gains zero
+    band rows on the second run."""
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_index_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = str(tmp_path / "idx")
+    dedup_index_build(docs.where("doc_id < 50"), index_path)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(7000, "a fresh chronicle of the obsidian archipelago")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = streaming_index_dedup(
+            spark.readStream.schema("doc_id long, text string").parquet(
+                str(in_dir / "*")
+            ),
+            index_path,
+            query_name="qml_idx_ckpt",
+            checkpoint_location=ckpt,
+        )
+        q.awaitTermination()
+
+    run()
+    decisions = spark.read.parquet(f"{index_path}/decisions").count()
+    bands = spark.read.parquet(f"{index_path}/bands").count()
+    run()  # restart over the same source + checkpoint: nothing replays
+    assert spark.read.parquet(f"{index_path}/decisions").count() == decisions
+    assert spark.read.parquet(f"{index_path}/bands").count() == bands

@@ -377,3 +377,40 @@ def test_line_dedup_keeps_lines_at_threshold(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = line_dedup(docs, max_freq=3).collect()
     assert all(r["n_dropped"] == 0 for r in out)
+
+
+def test_bigram_score_uses_trained_discount(spark):
+    """Backoff branches must use the SAME discount the model was
+    trained with (code-review catch: a hardcoded 0.75 would silently
+    mix two probability models)."""
+    import math
+
+    from quackml_spark.operators.text import (
+        bigram_lm,
+        bigram_score,
+        doc_bigrams,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    lm = bigram_lm(doc_bigrams(train), discount=0.5)
+    new = spark.createDataFrame([(11, "a z")], "doc_id long, text string")
+    row = bigram_score(doc_bigrams(new), lm).collect()[0]
+    # seen context, unseen continuation: D*n1/c1 * 0.5/T with D=0.5
+    assert math.isclose(row["mean_logp"], round(math.log(0.5 * 2 / 3 * 0.25), 6))
+
+
+def test_line_dedup_literal_separator_with_regex_metachar(spark):
+    """sep is a LITERAL: '|' must not become regex alternation
+    (code-review catch — it would split every character)."""
+    from quackml_spark.operators.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "keep me|boiler"), (2, "also keep|boiler")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, sep="|", max_freq=1).collect()}
+    assert out[1]["clean_text"] == "keep me"
+    assert out[2]["clean_text"] == "also keep"
+    assert out[1]["n_dropped"] == 1
