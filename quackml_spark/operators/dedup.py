@@ -760,3 +760,58 @@ def pipeline_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor", "positive", "negative")
         .orderBy("anchor", "positive")
     )
+
+
+def dedup_index_compact(
+    spark: SparkSession, path: str, target_file_mb: int = 512
+) -> dict:
+    """Compact the band index's small-file debt.
+
+    Every streaming_index_dedup / incremental-build append adds a file
+    per touched band partition; after N batches a band directory holds
+    N small files and the (band_id, band_key) probe join pays N file
+    opens per partition. Compaction rewrites the bands relation:
+
+    * file count computed from on-disk bytes (~``target_file_mb`` each);
+    * repartitionByRange on (band_id, band_key) + sortWithinPartitions,
+      so each output file covers a disjoint band_key range INSIDE its
+      band partition — parquet footer min/max then prunes files for
+      probe keys, which plain coalesce-compaction would not give;
+    * written to a temp sibling then swapped in, so a concurrent reader
+      never sees a half-written directory (local-FS rename; on an
+      object store run it against a copy and flip a manifest pointer).
+
+    Returns before/after file/byte stats. Row content is untouched —
+    duplicate band rows from replayed appends are PRESERVED (removing
+    them is a semantic decision for the caller, not a layout pass).
+    """
+    import math
+    import os
+    import shutil
+
+    from quackml_spark.sources.files import _dir_bytes_files
+
+    bands_dir = os.path.join(path, "bands")
+    bytes_before, files_before = _dir_bytes_files(bands_dir)
+    n_out = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
+    tmp = os.path.join(path, "bands_compact_tmp")
+    (
+        spark.read.parquet(bands_dir)
+        .repartitionByRange(n_out, "band_id", "band_key")
+        .sortWithinPartitions("band_id", "band_key")
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(tmp)
+    )
+    old = os.path.join(path, "bands_old")
+    os.rename(bands_dir, old)
+    os.rename(tmp, bands_dir)
+    shutil.rmtree(old)
+    bytes_after, files_after = _dir_bytes_files(bands_dir)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+        "target_files": n_out,
+    }

@@ -212,3 +212,53 @@ def test_streaming_index_dedup_checkpoint_restart_no_replay(spark, sf_dir, tmp_p
     run()  # restart over the same source + checkpoint: nothing replays
     assert spark.read.parquet(f"{index_path}/decisions").count() == decisions
     assert spark.read.parquet(f"{index_path}/bands").count() == bands
+
+
+def test_dedup_index_compact_preserves_content_and_shrinks_files(
+    spark, sf_dir, tmp_path
+):
+    """After several appends the band dirs hold many small files;
+    compaction must shrink the file count without changing a single
+    row, and the compacted index must answer checks identically."""
+    from quackml_spark.operators.dedup import dedup_index_compact
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_index_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = str(tmp_path / "idx")
+    dedup_index_build(docs.where("doc_id < 100"), index_path)
+    # three appends -> three extra files per touched band partition
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            [(5000 + i, f"completely novel saga number {i} of the windlass")],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(str(in_dir / f"b{i}"))
+    q = streaming_index_dedup(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*")),
+        index_path,
+        sink=[],
+        query_name="qml_idx_compact_feed",
+    )
+    q.awaitTermination()
+
+    before = {
+        (r["doc_id"], r["band_id"], r["band_key"])
+        for r in spark.read.parquet(f"{index_path}/bands").collect()
+    }
+    stats = dedup_index_compact(spark, index_path)
+    after = {
+        (r["doc_id"], r["band_id"], r["band_key"])
+        for r in spark.read.parquet(f"{index_path}/bands").collect()
+    }
+    assert after == before
+    assert stats["files_after"] < stats["files_before"]
+
+    copy = docs.where("doc_id = 7").select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    )
+    hits = dedup_index_check(copy, index_path).collect()
+    assert any(r["index_doc_id"] == 7 for r in hits)
