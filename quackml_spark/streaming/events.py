@@ -665,3 +665,70 @@ def _with_checkpoint(writer, checkpoint_location: str | None):
         if checkpoint_location
         else writer
     )
+
+
+def auto_rollback_on_drift(
+    scored: DataFrame,
+    reference: DataFrame,
+    features: list[str],
+    project_name: str,
+    catalog=None,
+    threshold: float = 0.25,
+    n_bins: int = 10,
+    sink: list | None = None,
+    query_name: str = "qml_auto_rollback",
+):
+    """Close the monitoring loop: PSI drift on a scoring stream
+    TRIGGERS the catalog's rollback deployment strategy.
+
+    Each micro-batch runs the single-pass stacked PSI of
+    ``feature_drift_psi`` against the static reference window; the
+    first batch where any feature crosses ``threshold`` calls
+    ``deploy(project, strategy='rollback')`` — the same lifecycle
+    path a human operator would use (api.rs deployment strategies) —
+    then arms itself off so one drift episode produces one rollback,
+    not one per subsequent batch. Every check appends
+    {batch_id, feature, psi, drift, rolled_back_to} to ``sink``.
+
+    Scale shape: inherits drift_monitor_stream's (two
+    map-side-combined jobs per batch, driver state = the per-feature
+    result rows + one bool); the rollback itself is a catalog insert.
+    """
+    from quackml_spark.ml.monitor import feature_drift_psi
+    from quackml_spark.ml.predict import deploy
+
+    results = sink if sink is not None else []
+    ref = reference.select(*features).persist()
+    state = {"rolled_back": False}
+
+    def _check(batch_df, batch_id):
+        cur = batch_df.select(*features)
+        if not cur.take(1):
+            return
+        both = ref.withColumn("__cur", F.lit(False)).unionByName(
+            cur.withColumn("__cur", F.lit(True))
+        )
+        rows = feature_drift_psi(both, features, F.col("__cur"), n_bins).collect()
+        drifted = [r for r in rows if r["psi"] > threshold]
+        rolled_to = None
+        if drifted and not state["rolled_back"]:
+            rolled_to = deploy(project_name, strategy="rollback", catalog=catalog)
+            state["rolled_back"] = True
+        for r in rows:
+            results.append(
+                {
+                    "batch_id": int(batch_id),
+                    "feature": r["feature"],
+                    "psi": float(r["psi"]),
+                    "drift": bool(r["psi"] > threshold),
+                    "rolled_back_to": rolled_to,
+                }
+            )
+
+    return (
+        scored.writeStream.foreachBatch(_check)
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

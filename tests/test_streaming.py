@@ -567,3 +567,70 @@ def test_streaming_countmin_equals_batch_sketch(spark, sf_dir, tmp_path):
     for k in final_keys:
         assert last[k] == batch[k], (k, last[k], batch[k])
         assert batch[k] >= true_counts[k]
+
+
+def test_auto_rollback_on_drift(spark, sf_dir, tmp_path):
+    """Drift must TRIGGER the rollback deployment strategy exactly once:
+    train two models (v1 then v2 deployed), stream drifted features ->
+    the deployment flips back to v1; a quiet stream leaves it alone."""
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.ml import train
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import (
+        auto_rollback_on_drift,
+        read_event_stream,
+        streaming_predict,
+    )
+
+    catalog = Catalog(warehouse=str(tmp_path / "wh"))
+    feats = lambda df, shift=0.0: df.select(
+        (F.col("user_id").cast("double") + F.lit(shift)).alias("f_user"),
+        F.hour("ts").cast("double").alias("f_hour"),
+        *([F.col("value")] if "value" in df.columns else []),
+    )
+    batch = load_table(spark, sf_dir, "events")
+    r1 = train(
+        spark, "rb proj", task="regression",
+        df=feats(batch), y_column_name="value",
+        catalog=catalog, test_sampling="random",
+    )
+    r2 = train(
+        spark, "rb proj", task="regression", algorithm="ridge",
+        df=feats(batch), y_column_name="value",
+        catalog=catalog, test_sampling="random",
+    )
+    from quackml_spark.ml.predict import deploy
+
+    deploy("rb proj", strategy="specific", model_id=r2.model_id, catalog=catalog)
+    reference = feats(batch).drop("value")
+
+    def run(shift, qname):
+        alerts: list = []
+        q = auto_rollback_on_drift(
+            streaming_predict(
+                feats(read_event_stream(spark, sf_dir), shift).drop("value"),
+                "rb proj", catalog=catalog,
+            ),
+            reference,
+            ["f_user"],
+            "rb proj",
+            catalog=catalog,
+            sink=alerts,
+            query_name=qname,
+        )
+        q.awaitTermination()
+        return alerts
+
+    def deployed_id():
+        dm = catalog.deployed_models()
+        return int(dm.iloc[0]["model_id"])
+
+    quiet = run(0.0, "qml_rb_quiet")
+    assert quiet and not any(a["drift"] for a in quiet)
+    assert deployed_id() == r2.model_id  # still the challenger
+
+    loud = run(1e6, "qml_rb_loud")
+    assert any(a["drift"] for a in loud)
+    rollbacks = [a["rolled_back_to"] for a in loud if a["rolled_back_to"]]
+    assert rollbacks, loud
+    assert deployed_id() == r1.model_id  # rolled back to v1
