@@ -679,3 +679,99 @@ def multimodal_resize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real DSP feature extraction over decoded WAV payloads: RMS
+    energy, zero-crossing count (sign-bit transitions, exact integer
+    logic), and dominant frequency via numpy rfft — the Arrow-batched
+    mapInPandas shape a spectrogram/embedding extractor would use at
+    100 TB (decode + transform per batch, nothing but features leaves
+    the task).
+
+    Returns (doc_id, sample_rate, n_samples, rms, n_zero_cross,
+    dominant_freq_hz). Frequency resolution is sample_rate/n_samples;
+    silent/empty clips report 0.0."""
+    import numpy as np
+
+    from quackml_spark.operators.codecs import WAV_MIME, decode_wav
+
+    schema = (
+        "doc_id bigint, sample_rate int, n_samples bigint, rms double, "
+        "n_zero_cross bigint, dominant_freq_hz double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["modality"] != "audio":
+                    continue
+                data = bytes(r[payload_col])
+                if not (r["mime"] == WAV_MIME or data[:4] == b"RIFF"):
+                    raise NotImplementedError(
+                        f"audio_features decodes WAV/PCM16; {r['mime']!r} "
+                        f"needs librosa (not installed)"
+                    )
+                samples, rate = decode_wav(data)
+                x = samples.astype("float64")
+                n = len(x)
+                rms = float(np.sqrt((x * x).mean())) if n else 0.0
+                nonneg = x >= 0
+                zc = int((nonneg[1:] != nonneg[:-1]).sum()) if n > 1 else 0
+                if n > 1 and x.any():
+                    spec = np.abs(np.fft.rfft(x - x.mean()))
+                    dom = float(np.argmax(spec) * rate / n)
+                else:
+                    dom = 0.0
+                rows.append((int(r["doc_id"]), int(rate), n, rms, zc, dom))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "rms",
+                    "n_zero_cross", "dominant_freq_hz",
+                ],
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+@register(
+    "multimodal_audio_features",
+    extra=True,
+    doc="Real audio DSP under the oracle gate: RMS energy and exact "
+    "zero-crossing counts of the decoded WAV samples, replayed in SQL "
+    "from the sample formula (doc_id*7 + i*13) %% 2001 - 1000; the "
+    "rfft dominant-frequency path executes in the same mapInPandas "
+    "pass (pytest pins it on synthesized sine tones, where the "
+    "spectral peak is known).",
+    oracle="""
+SELECT d.doc_id,
+       CAST((d.doc_id % 30 + 1) * 100 AS BIGINT) AS n_samples,
+       CAST(ROUND((
+         SELECT sqrt(AVG(POWER((d.doc_id * 7 + t.i * 13) % 2001 - 1000, 2)))
+         FROM unnest(range((d.doc_id % 30 + 1) * 100)) AS t(i)
+       ), 6) AS DOUBLE) AS rms,
+       CAST((
+         SELECT COUNT(*) FROM unnest(range(1, (d.doc_id % 30 + 1) * 100)) AS t(i)
+         WHERE ((d.doc_id * 7 + t.i * 13) % 2001 - 1000 >= 0)
+           <> ((d.doc_id * 7 + (t.i - 1) * 13) % 2001 - 1000 >= 0)
+       ) AS BIGINT) AS n_zero_cross
+FROM documents d
+WHERE d.doc_id % 3 = 1
+ORDER BY d.doc_id
+""",
+    tags=("multimodal",),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = codec_media_table(spark, sf_dir)
+    return (
+        audio_features(media)
+        .select(
+            "doc_id",
+            "n_samples",
+            F.round(F.col("rms"), 6).alias("rms"),
+            "n_zero_cross",
+        )
+        .orderBy("doc_id")
+    )

@@ -162,3 +162,50 @@ def test_ppm_frames_width_255_regression():
     assert len(out) == 2
     for got, want in zip(out, frames):
         np.testing.assert_array_equal(got, want)
+
+
+def test_audio_features_dominant_frequency_on_sine(spark):
+    """The rfft path must locate a synthesized tone's spectral peak
+    (within the rate/n resolution), count its zero crossings exactly
+    (2 per cycle), and report its RMS (amp/sqrt(2) for a pure sine)."""
+    import math
+
+    import numpy as np
+
+    from quackml_spark.operators.codecs import WAV_MIME, encode_wav
+    from quackml_spark.operators.multimodal import audio_features
+
+    rate, n = 8000, 4000  # 0.5 s -> 2 Hz resolution
+    rows = []
+    for doc_id, freq in ((1, 440.0), (2, 1000.0)):
+        t = np.arange(n) / rate
+        s = (8000 * np.sin(2 * math.pi * freq * t)).astype(np.int16)
+        rows.append((doc_id, "audio", WAV_MIME, bytearray(encode_wav(s, rate))))
+    df = spark.createDataFrame(
+        rows, "doc_id long, modality string, mime string, payload binary"
+    )
+    out = {r["doc_id"]: r for r in audio_features(df).collect()}
+    for doc_id, freq in ((1, 440.0), (2, 1000.0)):
+        r = out[doc_id]
+        assert abs(r["dominant_freq_hz"] - freq) <= rate / n + 1e-9
+        # 2 sign transitions per full cycle over 0.5 s
+        assert abs(r["n_zero_cross"] - 2 * freq * 0.5) <= 2
+        assert abs(r["rms"] - 8000 / math.sqrt(2)) < 40
+
+
+def test_audio_features_silence_and_empty(spark):
+    import numpy as np
+
+    from quackml_spark.operators.codecs import WAV_MIME, encode_wav
+    from quackml_spark.operators.multimodal import audio_features
+
+    rows = [
+        (1, "audio", WAV_MIME, bytearray(encode_wav(np.zeros(100, dtype=np.int16)))),
+        (2, "audio", WAV_MIME, bytearray(encode_wav(np.zeros(0, dtype=np.int16)))),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, modality string, mime string, payload binary"
+    )
+    out = {r["doc_id"]: r for r in audio_features(df).collect()}
+    assert out[1]["rms"] == 0.0 and out[1]["dominant_freq_hz"] == 0.0
+    assert out[2]["n_samples"] == 0 and out[2]["rms"] == 0.0
