@@ -775,3 +775,109 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def dhash_images(
+    df: DataFrame, payload_col: str = "payload", hash_size: int = 8
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: grayscale ->
+    nearest-neighbor downsample to (hash_size+1) x hash_size ->
+    compare horizontal neighbors -> a hash_size^2-bit fingerprint.
+    Small pixel noise (compression artifacts, mild color shifts)
+    leaves the hash within a few bits, where the exact pixel_md5 and
+    canonical-downsample dedups see a different image entirely.
+
+    Returns (doc_id, dhash bigint) — 64 bits at the default size.
+    Arrow-batched mapInPandas; only the 8-byte hash leaves the task."""
+    import numpy as np
+
+    from quackml_spark.operators.codecs import (
+        PPM_MIME,
+        decode_ppm,
+        resize_nearest,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["modality"] != "image":
+                    continue
+                data = bytes(r[payload_col])
+                if not (r["mime"] == PPM_MIME or data[:2] == b"P6"):
+                    raise NotImplementedError(
+                        f"dhash decodes PPM natively; {r['mime']!r} needs Pillow"
+                    )
+                px = decode_ppm(data)
+                small = resize_nearest(px, hash_size + 1, hash_size)
+                gray = small.astype("float64").mean(axis=2)
+                bits = (gray[:, 1:] > gray[:, :-1]).flatten()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # store as signed 64-bit (parquet/Spark BIGINT)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                rows.append((int(r["doc_id"]), h))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    return df.mapInPandas(run, "doc_id bigint, dhash bigint")
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 4, band_bits: int = 8
+) -> DataFrame:
+    """Near-dup image pairs by dHash hamming distance <= ``max_hamming``
+    WITHOUT an n^2 self-join: the 64-bit hash splits into
+    64/band_bits bands; by pigeonhole, any pair within ``max_hamming``
+    (< number of bands) collides on at least one full band, so
+    candidates come from band-key equi-joins (the MinHash-LSH shape
+    applied to hamming space) and only candidates pay the popcount
+    re-rank. Returns (doc_a, doc_b, hamming)."""
+    n_bands = 64 // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more than {max_hamming} "
+            f"bands but band_bits={band_bits} gives only {n_bands}; "
+            f"lower band_bits (pigeonhole: a pair within h flipped bits "
+            f"is only guaranteed an untouched band when h < n_bands)"
+        )
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("dhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            ).alias("bs")
+        ).alias("band"),
+    ).select("doc_id", "dhash", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -209,3 +209,80 @@ def test_audio_features_silence_and_empty(spark):
     out = {r["doc_id"]: r for r in audio_features(df).collect()}
     assert out[1]["rms"] == 0.0 and out[1]["dominant_freq_hz"] == 0.0
     assert out[2]["n_samples"] == 0 and out[2]["rms"] == 0.0
+
+
+def _ppm_media_rows(images):
+    """[(doc_id, (h,w,3) uint8 array)] -> media rows."""
+    from quackml_spark.operators.codecs import PPM_MIME, encode_ppm
+
+    return [
+        (doc_id, "image", PPM_MIME, bytearray(encode_ppm(px)))
+        for doc_id, px in images
+    ]
+
+
+def test_dhash_robust_to_noise_separates_distinct(spark):
+    """A lightly-noised copy stays within hamming<=4 of its original
+    (exact pixel_md5 dedup misses it); a structurally different image
+    lands far away."""
+    import numpy as np
+
+    from quackml_spark.operators.multimodal import dhash_images, dhash_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    noisy = np.clip(
+        base.astype(np.int16) + rng.randint(-6, 7, base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        _ppm_media_rows([(1, base), (2, noisy), (3, other)]),
+        "doc_id long, modality string, mime string, payload binary",
+    )
+    hashes = dhash_images(df)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dhash_near_dup_pairs(hashes, max_hamming=4).collect()
+    }
+    assert (1, 2) in pairs  # noisy copy found
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dhash_band_candidates_equal_bruteforce(spark):
+    """The pigeonhole band join must find EXACTLY the pairs a
+    brute-force hamming scan finds at the same threshold."""
+    import numpy as np
+
+    from quackml_spark.operators.multimodal import dhash_images, dhash_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    imgs = []
+    base = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    for i in range(12):
+        px = base.copy()
+        # progressively larger perturbations
+        px[: i + 1] = np.clip(
+            px[: i + 1].astype(np.int16) + rng.randint(-40, 41, px[: i + 1].shape),
+            0,
+            255,
+        ).astype(np.uint8)
+        imgs.append((i, px))
+    df = spark.createDataFrame(
+        _ppm_media_rows(imgs),
+        "doc_id long, modality string, mime string, payload binary",
+    )
+    hashes = {r["doc_id"]: r["dhash"] & ((1 << 64) - 1)
+              for r in dhash_images(df).collect()}
+    brute = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dhash_near_dup_pairs(
+            dhash_images(df), max_hamming=3, band_bits=8
+        ).collect()
+    }
+    assert banded == brute
