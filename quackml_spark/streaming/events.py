@@ -732,3 +732,70 @@ def auto_rollback_on_drift(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_topk(events: DataFrame, k: int = 5) -> DataFrame:
+    """Per-user running top-``k`` event values via Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    applyInPandasWithState (typed per-key state handles, timers, TTL):
+    the engine exercises both generations of arbitrary-stateful
+    operator. State per key is ONE (array[k], count) value — constant
+    size however long the stream runs; each micro-batch emits the
+    key's updated leaderboard with the cumulative ``n_seen`` count
+    (the row with the max n_seen per key is the current state).
+
+    At 100 TB/day: state is k doubles per user, the per-batch work is
+    a merge of batch values into the k-array, and the shuffle is the
+    same groupBy(user) hash exchange any keyed stateful op pays.
+
+    Environment gate: the transformWithState protocol speaks protobuf
+    to the JVM state server; without the protobuf package this raises
+    instead of crashing the streaming runner mid-query (the EWMA
+    operator covers the applyInPandasWithState generation with zero
+    extra dependencies)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "streaming_topk uses transformWithStateInPandas, whose "
+            "driver/worker protocol requires the 'protobuf' package "
+            "(not installed in this container); streaming_ewma covers "
+            "the applyInPandasWithState stateful API without it"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _TopK(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "topk", "vals array<double>, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            vals: list = []
+            n = 0
+            if self._state.exists():
+                prev = self._state.get()
+                vals, n = list(prev[0]), int(prev[1])
+            new = []
+            for pdf in rows:
+                new.extend(float(v) for v in pdf["value"].dropna())
+            n += len(new)
+            vals = sorted(vals + new, reverse=True)[:k]
+            self._state.update((vals, n))
+            yield pd.DataFrame(
+                {"user_id": [int(key[0])], "topk": [vals], "n_seen": [n]}
+            )
+
+        def close(self):
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _TopK(),
+            "user_id bigint, topk array<double>, n_seen bigint",
+            outputMode="append",
+            timeMode="none",
+        )
+    )

@@ -634,3 +634,67 @@ def test_auto_rollback_on_drift(spark, sf_dir, tmp_path):
     rollbacks = [a["rolled_back_to"] for a in loud if a["rolled_back_to"]]
     assert rollbacks, loud
     assert deployed_id() == r1.model_id  # rolled back to v1
+
+
+def test_streaming_topk_cross_batch_state(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas running top-k: with the event stream
+    split into multiple micro-batches, each user's final leaderboard
+    (row with max n_seen) must equal the batch top-k over ALL their
+    events — only true if state carries across batches."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (auto-promotes "
+        "the moment it is installed, like tests/test_live_backends.py)",
+    )
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_topk
+
+    batch = load_table(spark, sf_dir, "events").select("user_id", "value")
+    # split into 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+    in_dir = tmp_path / "in"
+    batch.withColumn("__b", F.col("user_id") % 3).repartition(3, "__b").drop(
+        "__b"
+    ).write.parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    out = run_to_completion(
+        streaming_topk(stream, k=3), "qml_topk_stream", output_mode="append"
+    )
+    w = out.groupBy("user_id").agg(F.max("n_seen").alias("n_seen"))
+    final = {
+        r["user_id"]: (list(r["topk"]), r["n_seen"])
+        for r in out.join(w, ["user_id", "n_seen"]).collect()
+    }
+    expected = {}
+    for r in batch.groupBy("user_id").agg(
+        F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 3).alias("t"),
+        F.count("value").alias("n"),
+    ).collect():
+        expected[r["user_id"]] = (list(r["t"]), r["n"])
+    assert final == expected
+
+
+def test_streaming_topk_gated_without_protobuf(spark):
+    """Without protobuf the operator must raise the honest gate, not
+    crash the streaming runner mid-query."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return  # live path covered by the cross-batch test above
+    except ImportError:
+        pass
+    import pytest
+
+    from quackml_spark.streaming.events import streaming_topk
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "CAST(value AS DOUBLE) AS value"
+    )
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        streaming_topk(stream)
