@@ -208,3 +208,103 @@ def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return corpus_diff(docs, v2).orderBy("doc_id")
+
+
+def curate(
+    docs: DataFrame,
+    *,
+    clean: bool = True,
+    line_dedup_max_freq: int | None = None,
+    min_quality: float | None = None,
+    dedup: str | None = "exact",
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    report: bool = True,
+) -> dict:
+    """The user-facing one-call curation pipeline: configurable stages
+    over any (id, text) frame, each reusing the engine's standalone
+    oracle-checked operator, plus a per-stage attrition report —
+    the first thing a pipeline engineer asks of a curation run
+    ("where did my documents go?").
+
+    Stages (in order, each optional):
+
+      line_dedup          drop corpus-frequent lines (boilerplate),
+                          reassemble survivors in order — runs BEFORE
+                          clean, whose whitespace normalization
+                          collapses the newlines line-level ops key on
+      clean               unicode/whitespace normalization (map-only)
+      quality             keep docs with composite quality_score >=
+                          ``min_quality`` (same arithmetic the graded
+                          text_quality_score query pins)
+      dedup='exact'       md5 content groups, keep min-id per group
+      decontaminate       drop docs sharing any benchmark n-gram
+                          (broadcast probe; pass the eval-suite frame)
+
+    Returns {"docs": curated DataFrame, "report": DataFrame(stage,
+    docs_in, docs_out, dropped)}. ``report=True`` runs one count per
+    stage boundary (k stages -> k actions — an audit run; pass
+    report=False for a single lazy plan with no counting jobs)."""
+    from quackml_spark.operators.text import (
+        _decon_grams,
+        clean_text_expr,
+        decontaminate,
+        line_dedup,
+        score_quality,
+    )
+
+    spark = docs.sparkSession
+    cur = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    stages: list[tuple[str, int, int]] = []
+    n_prev = cur.count() if report else -1
+
+    def _mark(stage: str, nxt: DataFrame) -> DataFrame:
+        nonlocal n_prev
+        if report:
+            n = nxt.count()
+            stages.append((stage, n_prev, n))
+            n_prev = n
+        return nxt
+
+    if line_dedup_max_freq is not None:
+        cur = _mark(
+            "line_dedup",
+            line_dedup(cur, max_freq=line_dedup_max_freq)
+            .where(F.col("n_kept") > 0)
+            .select("doc_id", F.col("clean_text").alias("text")),
+        )
+    if clean:
+        cur = _mark("clean", cur.select("doc_id", clean_text_expr("text").alias("text")))
+    if min_quality is not None:
+        cur = _mark(
+            "quality",
+            score_quality(cur)
+            .where(F.col("quality_score") >= min_quality)
+            .select("doc_id", "text"),
+        )
+    if dedup == "exact":
+        keepers = (
+            cur.groupBy(F.md5(F.lower(F.trim("text"))).alias("__h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        cur = _mark("dedup_exact", cur.join(keepers, "doc_id"))
+    elif dedup is not None:
+        raise ValueError(f"unknown dedup mode {dedup!r} (supported: 'exact', None)")
+    if benchmark is not None:
+        bench = benchmark.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        leaked = decontaminate(_decon_grams(cur), _decon_grams(bench)).select(
+            "doc_id"
+        )
+        cur = _mark("decontaminate", cur.join(leaked, "doc_id", "left_anti"))
+
+    rep = spark.createDataFrame(
+        [(s, i, o, i - o) for s, i, o in stages]
+        or [("(no stages)", n_prev, n_prev, 0)],
+        "stage string, docs_in bigint, docs_out bigint, dropped bigint",
+    )
+    return {"docs": cur, "report": rep}

@@ -122,21 +122,42 @@ ORDER BY doc_id
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_expr("text")
+    return score_quality(docs).select(
+        "doc_id",
+        "stopword_ratio",
+        "type_token_ratio",
+        "length_ok",
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+def score_quality(
+    docs: DataFrame, text_col: str = "text", keep_cols: bool = True
+) -> DataFrame:
+    """Attach the C4/Gopher-style quality signals to any (.., text)
+    frame: stopword_ratio, type_token_ratio, length_ok, composite
+    quality_score — one map-only scan, the same arithmetic the graded
+    text_quality_score query pins against DuckDB. ``keep_cols`` keeps
+    the input columns alongside the scores (curate() needs the text to
+    continue the pipeline)."""
+    toks = tokens_expr(text_col)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = [F.col(c) for c in docs.columns] if keep_cols else [F.col("doc_id")]
     m = docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        *base,
+        F.length(text_col).alias("__n_chars"),
+        F.size(toks).alias("__n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias(
+            "__n_stop"
+        ),
+        F.size(F.array_distinct(toks)).alias("__n_distinct"),
     )
-    n_tok = F.greatest(F.col("n_tokens"), F.lit(1))
-    stop_ratio = F.col("n_stop").cast("decimal(18,6)") / n_tok
-    ttr = F.col("n_distinct").cast("decimal(18,6)") / n_tok
-    length_ok = F.col("n_chars").between(50, 10000)
+    n_tok = F.greatest(F.col("__n_tokens"), F.lit(1))
+    stop_ratio = F.col("__n_stop").cast("decimal(18,6)") / n_tok
+    ttr = F.col("__n_distinct").cast("decimal(18,6)") / n_tok
+    length_ok = F.col("__n_chars").between(50, 10000)
     return m.select(
-        "doc_id",
+        *base,
         F.round(stop_ratio, 6).cast("double").alias("stopword_ratio"),
         F.round(ttr, 6).cast("double").alias("type_token_ratio"),
         length_ok.alias("length_ok"),
@@ -148,7 +169,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(

@@ -888,3 +888,73 @@ def q31_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("step_idx")
+
+
+# ---------------------------------------------------------------------------
+# q32 — cohort retention triangle.
+# ---------------------------------------------------------------------------
+@register(
+    "q32_cohort_retention",
+    extra=True,
+    doc="Weekly cohort retention: users cohorted by first-seen week; "
+    "retention(k) = share of the cohort active k weeks later. One "
+    "groupBy(user) for the cohort assignment, one distinct over "
+    "(user, week) activity, a user-keyed join, and a (cohort, offset) "
+    "aggregate — all map-side-combined key shuffles; cohort sizes "
+    "re-enter via a weeks-sized join AQE broadcasts on its own. "
+    "Percentages are exact-integer-derived (100.0*n/n over day counts "
+    "that are multiples of 7), rounded to 2.",
+    oracle="""
+WITH firstw AS (
+  SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cw
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS w FROM events
+), cohort_sizes AS (
+  SELECT cw, COUNT(*) AS n_cohort FROM firstw GROUP BY cw
+), joined AS (
+  SELECT f.cw, CAST(date_diff('day', f.cw, a.w) / 7 AS INT) AS week_offset,
+         a.user_id
+  FROM firstw f JOIN active a ON f.user_id = a.user_id
+)
+SELECT STRFTIME(j.cw, '%Y-%m-%d') AS cohort_week,
+       j.week_offset,
+       COUNT(*) AS n_active,
+       MAX(cs.n_cohort) AS n_cohort,
+       CAST(ROUND(100.0 * COUNT(*) / MAX(cs.n_cohort), 2) AS DOUBLE)
+         AS retention_pct
+FROM joined j JOIN cohort_sizes cs ON j.cw = cs.cw
+GROUP BY j.cw, j.week_offset
+ORDER BY cohort_week, week_offset
+""",
+    tags=("relational",),
+)
+def q32_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    )
+    firstw = ev.groupBy("user_id").agg(F.min("w").alias("cw"))
+    active = ev.distinct()
+    sizes = firstw.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
+    joined = firstw.join(active, "user_id").select(
+        "cw",
+        (F.datediff(F.col("w"), F.col("cw")) / 7).cast("int").alias("week_offset"),
+    )
+    return (
+        joined.join(sizes, "cw")
+        .groupBy("cw", "week_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.max("n_cohort").alias("n_cohort"),
+        )
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(100.0 * F.col("n_active") / F.col("n_cohort"), 2)
+            .cast("double")
+            .alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -607,3 +607,63 @@ def test_pq_codebook_rejects_indivisible_dim(spark, sf_dir):
         pq_codebook(emb, m=7)
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebook_kmeans(emb, m=7)
+
+
+def test_curate_stages_and_attrition_report(spark, sf_dir):
+    """curate() must (a) drop the planted boilerplate line, (b) remove
+    low-quality docs, (c) collapse exact duplicates, (d) drop docs
+    leaking benchmark grams — with the report's attrition accounting
+    consistent at every boundary."""
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.sources import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = "click here to subscribe now please"
+    docs = base.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\n"), F.lit(boiler)).alias("text"),
+    )
+    # plant an exact duplicate pair and a junk doc
+    extra = spark.createDataFrame(
+        [
+            (100001, base.where("doc_id = 3").first()["text"] + "\n" + boiler),
+            (100002, "x\n" + boiler),  # too short -> quality drop
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+    bench = spark.createDataFrame(
+        [(base.where("doc_id = 7").first()["text"],)], "text string"
+    )
+
+    out = curate(
+        docs,
+        line_dedup_max_freq=5,
+        min_quality=0.35,
+        dedup="exact",
+        benchmark=bench,
+    )
+    rep = {r["stage"]: r for r in out["report"].collect()}
+    assert set(rep) == {"clean", "line_dedup", "quality", "dedup_exact", "decontaminate"}
+    # boundary consistency: docs_in of each stage == docs_out of previous
+    order = ["line_dedup", "clean", "quality", "dedup_exact", "decontaminate"]
+    for a, b in zip(order, order[1:]):
+        assert rep[b]["docs_in"] == rep[a]["docs_out"]
+
+    final_ids = {r["doc_id"] for r in out["docs"].select("doc_id").collect()}
+    texts = {r["doc_id"]: r["text"] for r in out["docs"].collect()}
+    assert all(boiler not in t for t in texts.values())  # boilerplate gone
+    assert 100002 not in final_ids  # junk dropped by quality
+    assert 100001 not in final_ids and 3 in final_ids  # dup collapsed to min id
+    assert 7 not in final_ids  # benchmark leak dropped
+    assert rep["decontaminate"]["dropped"] >= 1
+
+
+def test_curate_lazy_mode_no_report_counts(spark, sf_dir):
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = curate(docs, min_quality=0.2, report=False)
+    assert out["report"].collect()[0]["stage"] == "(no stages)"
+    assert out["docs"].count() > 0
