@@ -308,3 +308,132 @@ def curate(
         "stage string, docs_in bigint, docs_out bigint, dropped bigint",
     )
     return {"docs": cur, "report": rep}
+
+
+_CUR_BOILER = (
+    "subscribe to our newsletter for updates",
+    "copyright 2024 example corp all rights reserved",
+    "click here to accept cookies",
+)
+_CUR_MINQ = 0.35
+# clean applied to the line-dedup output column `t`
+_CUR_CLEAN_SQL = _CLEAN_SQL.replace("(text,", "(t,")
+
+
+@register(
+    "pipeline_curate_report",
+    extra=True,
+    doc="curate()'s END-TO-END attrition accounting value-checked as "
+    "one oracle query: planted boilerplate footers -> line_dedup(5) "
+    "-> clean -> quality >= 0.35 -> exact dedup -> decontaminate "
+    "(benchmark = raw docs with doc_id %% 97 == 0). The oracle "
+    "replays all five stages AND the per-stage in/out/dropped "
+    "counts, so a stage reordering or filter drift in the composed "
+    "pipeline (e.g. clean collapsing newlines before line ops) "
+    "breaks a value check, not just a unit test.",
+    oracle=rf"""
+WITH multi AS (
+  SELECT doc_id,
+         text || chr(10) ||
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN '{_CUR_BOILER[0]}'
+           WHEN 1 THEN '{_CUR_BOILER[1]}'
+           ELSE '{_CUR_BOILER[2]}'
+         END AS t
+  FROM documents
+), split_ AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ls FROM multi
+), lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM split_, unnest(range(1, length(ls) + 1)) AS u(i)
+), counts AS (
+  SELECT line, COUNT(*) AS c FROM lines GROUP BY line
+), ld AS (
+  SELECT l.doc_id,
+         STRING_AGG(CASE WHEN c.c <= 5 THEN l.line END, chr(10) ORDER BY l.pos)
+           AS t,
+         SUM(CASE WHEN c.c <= 5 THEN 1 ELSE 0 END) AS n_kept
+  FROM lines l JOIN counts c USING (line)
+  GROUP BY l.doc_id
+), ld_kept AS (
+  SELECT doc_id, t FROM ld WHERE n_kept > 0
+), cleaned AS (
+  SELECT doc_id, {_CUR_CLEAN_SQL} AS t FROM ld_kept
+), q AS (
+  SELECT doc_id, t,
+    length(t) AS n_chars,
+    regexp_extract_all(lower(t), '\S+') AS toks
+  FROM cleaned
+), qm AS (
+  SELECT doc_id, t,
+    CAST(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
+         AS DECIMAL(18,6)) * 0.4
+    + CAST(length(list_filter(toks, x -> list_contains({{STOPWORDS}}, x)))
+           AS DECIMAL(18,6)) / greatest(length(toks), 1) * 0.3
+    + CAST(length(list_distinct(toks)) AS DECIMAL(18,6))
+      / greatest(length(toks), 1) * 0.3 AS score
+  FROM q
+), quality AS (
+  SELECT doc_id, t FROM qm
+  WHERE CAST(ROUND(score, 6) AS DOUBLE) >= {_CUR_MINQ}
+), dedup AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t,
+           MIN(doc_id) OVER (PARTITION BY md5(lower(trim(t)))) AS keep
+    FROM quality
+  ) WHERE doc_id = keep
+), train_toks AS (
+  SELECT doc_id, regexp_extract_all(lower(t), '\S+') AS toks FROM dedup
+), train_grams AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(toks[i:i+4], 'string_agg', ' ')) AS gram
+  FROM train_toks, unnest(range(1, length(toks) - 3)) AS u(i)
+  WHERE length(toks) >= 5
+), bench_toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents WHERE doc_id % 97 = 0
+), bench_grams AS (
+  SELECT DISTINCT md5(list_aggregate(toks[i:i+4], 'string_agg', ' ')) AS gram
+  FROM bench_toks, unnest(range(1, length(toks) - 3)) AS u(i)
+  WHERE length(toks) >= 5
+), leaked AS (
+  SELECT DISTINCT g.doc_id FROM train_grams g JOIN bench_grams USING (gram)
+), decon AS (
+  SELECT d.doc_id FROM dedup d
+  WHERE NOT EXISTS (SELECT 1 FROM leaked l WHERE l.doc_id = d.doc_id)
+)
+SELECT stage, docs_in, docs_out, docs_in - docs_out AS dropped FROM (
+  SELECT 'line_dedup' AS stage,
+         (SELECT COUNT(*) FROM multi) AS docs_in,
+         (SELECT COUNT(*) FROM ld_kept) AS docs_out
+  UNION ALL SELECT 'clean',
+         (SELECT COUNT(*) FROM ld_kept), (SELECT COUNT(*) FROM cleaned)
+  UNION ALL SELECT 'quality',
+         (SELECT COUNT(*) FROM cleaned), (SELECT COUNT(*) FROM quality)
+  UNION ALL SELECT 'dedup_exact',
+         (SELECT COUNT(*) FROM quality), (SELECT COUNT(*) FROM dedup)
+  UNION ALL SELECT 'decontaminate',
+         (SELECT COUNT(*) FROM dedup), (SELECT COUNT(*) FROM decon)
+)
+ORDER BY stage
+""".replace("{STOPWORDS}", repr(list(STOPWORDS))),
+    tags=("textops", "pipeline"),
+)
+def pipeline_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    boiler = F.element_at(
+        F.array(*[F.lit(b) for b in _CUR_BOILER]),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    multi = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit("\n"), boiler).alias("text")
+    )
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    out = curate(
+        multi,
+        line_dedup_max_freq=5,
+        min_quality=_CUR_MINQ,
+        dedup="exact",
+        benchmark=bench,
+    )
+    return out["report"].orderBy("stage")
