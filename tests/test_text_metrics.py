@@ -414,3 +414,38 @@ def test_line_dedup_literal_separator_with_regex_metachar(spark):
     assert out[1]["clean_text"] == "keep me"
     assert out[2]["clean_text"] == "also keep"
     assert out[1]["n_dropped"] == 1
+
+
+def test_line_dedup_roundtrip_property(spark):
+    """With an unreachable frequency threshold line_dedup must be the
+    identity: split + count + join + ordered reassembly reconstructs
+    every document byte-exactly (empty lines, repeated lines,
+    leading/trailing separators included)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from quackml_spark.operators.text import line_dedup
+
+    lines = st.text(
+        alphabet=st.characters(blacklist_characters="\n", codec="utf-8"),
+        max_size=12,
+    )
+    docs_strategy = st.lists(
+        st.lists(lines, min_size=1, max_size=6).map("\n".join),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(docs_strategy)
+    def check(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in line_dedup(df, max_freq=10**9).collect()
+        }
+        assert out == dict(enumerate(texts))
+
+    check()
