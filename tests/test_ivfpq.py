@@ -1,0 +1,145 @@
+"""IVF-PQ composite index: build/search, partition pruning, exact
+re-rank refinement, manifest guards, and the compression claim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackml_spark.operators.ivfpq import (
+    ivfpq_index_build,
+    ivfpq_index_search,
+)
+from quackml_spark.sources import load_table
+
+
+def _exact_l2_topk(emb, queries, k):
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("embedding"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        emb.join(q, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivfpq_index_build(emb, path, n_lists=8, m=8, k_codes=16)
+    return path, emb
+
+
+def test_ivfpq_recall_and_refine(spark, sf_dir, built):
+    path, emb = built
+    queries = emb.where("vec_id < 5")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _exact_l2_topk(emb, queries, 10).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_index_search(spark, path, queries, k=10, nprobe=4).collect()
+    }
+    refined = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_index_search(
+            spark, path, queries, k=10, nprobe=4, refine=emb, shortlist=50
+        ).collect()
+    }
+    recall_adc = len(adc & exact) / len(exact)
+    recall_ref = len(refined & exact) / len(exact)
+    # measured reality for raw-vector PQ on UNSTRUCTURED 64-dim data:
+    # ADC ordering alone is weak (~0.2-0.3); the exact-re-rank stage is
+    # what the composite exists for (0.68 @ nprobe=4, 0.86 @ nprobe=8
+    # here) — assert the honest floor of each stage
+    assert recall_adc >= 0.15, recall_adc
+    assert recall_ref >= recall_adc  # exact re-rank can only help
+    assert recall_ref >= 0.5, recall_ref
+    all_lists = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_index_search(
+            spark, path, queries, k=10, nprobe=8, refine=emb, shortlist=100
+        ).collect()
+    }
+    assert len(all_lists & exact) / len(exact) >= 0.8
+
+
+def test_ivfpq_refined_distances_are_exact(spark, built):
+    path, emb = built
+    queries = emb.where("vec_id < 3")
+    refined = ivfpq_index_search(
+        spark, path, queries, k=5, nprobe=8, refine=emb, shortlist=100
+    ).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["d2"]
+        for r in _exact_l2_topk(emb, queries, 2000).collect()
+    }
+    for r in refined:
+        assert abs(exact[(r["query_id"], r["neighbor_id"])] - r["d2"]) < 1e-6
+
+
+def test_ivfpq_partition_pruning(spark, built):
+    """The probed-lists filter must reach the lists scan as a
+    planning-time PARTITION filter (directory pruning), mirroring the
+    ivf_index contract."""
+    path, emb = built
+    queries = emb.where("vec_id = 0")
+    out = ivfpq_index_search(spark, path, queries, k=5, nprobe=2)
+    jvm = spark.sparkContext._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "list_id" in pf[1][:300], plan[:2000]
+
+
+def test_ivfpq_index_is_smaller_than_vectors(spark, built, tmp_path):
+    import os
+
+    path, emb = built
+
+    def dir_bytes(p, sub):
+        total = 0
+        for root, _d, names in os.walk(os.path.join(p, sub)):
+            for f in names:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    flat = str(tmp_path / "flat")
+    emb.write.parquet(flat)
+    flat_bytes = dir_bytes(tmp_path, "flat")
+    code_bytes = dir_bytes(path, "lists")
+    assert code_bytes < flat_bytes / 3, (code_bytes, flat_bytes)
+
+
+def test_ivfpq_manifest_guards(spark, sf_dir, built, tmp_path):
+    path, emb = built
+    with pytest.raises(ValueError, match="manifest"):
+        ivfpq_index_search(
+            spark, str(tmp_path / "nonexistent"), emb.where("vec_id < 2")
+        )
+    bad_q = emb.where("vec_id < 2").select(
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        ivfpq_index_search(spark, path, bad_q)
