@@ -189,16 +189,25 @@ def ivfpq_index_search(
     total = term(0)
     for s in range(1, m):
         total = total + term(s)
+    # rank on the EXACT decimal sum (a double cast before the window
+    # could flip near-ties and diverge from the SQL replay); round to
+    # double only at the output boundary
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        total.cast("double").alias("d2"),
+        total.alias("adc"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     if refine is None:
         return (
             scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("adc", 6).cast("double").alias("d2"),
+                "rnk",
+            )
             .orderBy("query_id", "rnk")
         )
     short = (
@@ -229,3 +238,100 @@ def ivfpq_index_search(
         .where(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+from quackml_spark.plans import register  # noqa: E402
+from quackml_spark.sources import load_table  # noqa: E402
+
+_PQ_D2 = (
+    "list_dot_product({v},{v}) - 2.0*list_dot_product({v},{c})"
+    " + list_dot_product({c},{c})"
+)
+
+
+@register(
+    "ann_ivfpq_topk",
+    extra=True,
+    doc="The FAISS-style IVF-PQ composite, FULLY value-checked: medoid "
+    "coarse quantizer (vec_id < 8) prunes to nprobe=3 probed lists "
+    "per query; inside the lists only 8 uint8 PQ codes per vector are "
+    "stored (deterministic 16-centroid codebook), scored by "
+    "exact-decimal ADC lookup sums. The oracle replays coarse "
+    "assignment, probing, codebook, argmin encode, candidate "
+    "restriction, and ADC ranking relationally — every stage of the "
+    "persisted-index search path (ivfpq_index_build/search) under one "
+    "hash check. The kmeans-quantizer / trained-codebook variant is "
+    "the library path, recall-tested in test_ivfpq.py.",
+    oracle=f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INT) AS list_id, embedding::DOUBLE[] AS center
+  FROM embeddings WHERE vec_id < 8
+), assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], c.center) DESC, c.list_id) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+), probe AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.vec_id AS query_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding::DOUBLE[], c.center) DESC, c.list_id) AS rn
+    FROM embeddings q, cent c WHERE q.vec_id < 5
+  ) WHERE rn <= 3
+), cb AS (
+  SELECT s.sub, e.vec_id AS code,
+         (e.embedding[s.sub*8+1 : s.sub*8+8])::DOUBLE[] AS cent
+  FROM embeddings e, range(0,8) s(sub) WHERE e.vec_id < 16
+), subv AS (
+  SELECT vec_id, s.sub, (embedding[s.sub*8+1 : s.sub*8+8])::DOUBLE[] AS v
+  FROM embeddings, range(0,8) s(sub)
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb.code,
+           ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub
+             ORDER BY {_PQ_D2.format(v="sv.v", c="cb.cent")}, cb.code) AS rn
+    FROM subv sv JOIN cb USING (sub)
+  ) WHERE rn = 1
+), qsub AS (
+  SELECT vec_id AS query_id, s.sub,
+         (embedding[s.sub*8+1 : s.sub*8+8])::DOUBLE[] AS qv
+  FROM embeddings, range(0,8) s(sub) WHERE vec_id < 5
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+), terms AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(ROUND({_PQ_D2.format(v="qs.qv", c="cb.cent")}, 12)
+              AS DECIMAL(38,12)) AS d
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN cb ON cb.sub = e.sub AND cb.code = e.code
+  JOIN qsub qs ON qs.sub = e.sub AND qs.query_id = c.query_id
+), scored AS (
+  SELECT query_id, neighbor_id, SUM(d) AS adc
+  FROM terms GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(ROUND(adc, 6) AS DOUBLE) AS d2, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+ORDER BY query_id, rnk
+""",
+    tags=("similarity",),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="qml_ivfpq_") + "/idx"
+    ivfpq_index_build(
+        emb, path, n_lists=8, m=8, k_codes=16, quantizer="medoid"
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivfpq_index_search(spark, path, queries, k=10, nprobe=3)
