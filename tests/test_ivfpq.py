@@ -143,3 +143,63 @@ def test_ivfpq_manifest_guards(spark, sf_dir, built, tmp_path):
     )
     with pytest.raises(ValueError, match="dimension"):
         ivfpq_index_search(spark, path, bad_q)
+
+
+def test_residual_encoding_beats_raw_adc(spark, tmp_path):
+    """On CLUSTERED data (the regime IVF exists for) the residual
+    variant must beat raw-vector codes on both ADC error and recall —
+    the codebook spends its codes on local structure instead of
+    re-encoding the coarse position. (On unstructured near-random
+    vectors the two are measurably equal — residual ~= raw minus a
+    tiny offset — so the property is asserted where it is real.)"""
+    import numpy as np
+
+    from quackml_spark.operators.ivfpq import (
+        ivfpq_index_build_residual,
+        ivfpq_index_search_residual,
+    )
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(8, 64) * 10.0
+    rows = [
+        (i, (centers[i % 8] + rng.randn(64) * 0.5).tolist()) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    E = {i: np.array(v) for i, v in rows}
+    raw_path, res_path = str(tmp_path / "raw"), str(tmp_path / "res")
+    ivfpq_index_build(emb, raw_path, n_lists=8, m=8, k_codes=16)
+    ivfpq_index_build_residual(emb, res_path, n_lists=8, m=8, k_codes=16)
+    queries = emb.where("vec_id < 5")
+
+    def exact_topk(q, k=10):
+        d = sorted(
+            (float(((E[q] - E[b]) ** 2).sum()), b) for b in E if b != q
+        )
+        return {b for _, b in d[:k]}
+
+    exact = {q: exact_topk(q) for q in range(5)}
+
+    def run(fn, path):
+        out = fn(spark, path, queries, k=10, nprobe=8).collect()
+        got: dict = {}
+        errs = []
+        for r in out:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            errs.append(
+                abs(
+                    r["d2"]
+                    - float(((E[r["query_id"]] - E[r["neighbor_id"]]) ** 2).sum())
+                )
+            )
+        rec = sum(len(got.get(q, set()) & exact[q]) / 10 for q in range(5)) / 5
+        return rec, sum(errs) / len(errs)
+
+    rec_raw, err_raw = run(ivfpq_index_search, raw_path)
+    rec_res, err_res = run(ivfpq_index_search_residual, res_path)
+    assert err_res < err_raw, (err_res, err_raw)
+    assert rec_res >= rec_raw, (rec_res, rec_raw)
+    assert rec_res >= 0.45, rec_res
+
+    # searcher dispatch guard
+    with pytest.raises(ValueError, match="not residual"):
+        ivfpq_index_search_residual(spark, raw_path, queries)
