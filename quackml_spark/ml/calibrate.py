@@ -1,0 +1,143 @@
+"""Probability calibration for served classifiers (isotonic / Platt).
+
+The reference serves raw model probabilities (api.rs predict_proba);
+production scoring pipelines calibrate them — a GBT's 0.9 is not a 90%
+event rate. Two standard calibrators over a (probability, label)
+validation frame:
+
+* ``fit_isotonic`` — MLlib IsotonicRegression (distributed PAV):
+  non-parametric monotone mapping, the standard choice with enough
+  validation data;
+* ``fit_platt`` — Platt scaling sigma(a*p + b), fit by the engine's
+  numpy logistic machinery on driver-collected sufficient data? No —
+  closed-form Newton iterations on the (p, y) AGGREGATES are not
+  sufficient-statistics-expressible, so Platt here runs MLlib
+  LogisticRegression on the single feature p (distributed, convex,
+  deterministic).
+
+Both return a PORTABLE dict (pure parameters) servable as column
+expressions — streaming-legal, no model object in the serving path,
+same portability contract as the snapshot preprocessing replay.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_isotonic(
+    scored: DataFrame, label_col: str = "label", proba_col: str = "probability"
+) -> dict:
+    """Distributed isotonic fit -> portable {boundaries, predictions}.
+
+    MLlib's IsotonicRegression parallelizes pool-adjacent-violators;
+    the returned knot arrays are bounded by the number of distinct
+    probability values (post-pooling), collected once."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    df = scored.select(
+        F.col(proba_col).cast("double").alias("p"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    va = VectorAssembler(inputCols=["p"], outputCol="features")
+    iso = IsotonicRegression(labelCol="y", featuresCol="features")
+    model = iso.fit(va.transform(df))
+    return {
+        "kind": "isotonic",
+        "boundaries": [float(x) for x in model.boundaries],
+        "predictions": [float(x) for x in model.predictions],
+    }
+
+
+def fit_platt(
+    scored: DataFrame, label_col: str = "label", proba_col: str = "probability"
+) -> dict:
+    """Platt scaling: logistic regression on the single score feature
+    (distributed, convex). Portable {a, b} for sigma(a*p + b)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    df = scored.select(
+        F.col(proba_col).cast("double").alias("p"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    va = VectorAssembler(inputCols=["p"], outputCol="features")
+    lr = LogisticRegression(labelCol="y", featuresCol="features", regParam=0.0)
+    model = lr.fit(va.transform(df))
+    return {
+        "kind": "platt",
+        "a": float(model.coefficients[0]),
+        "b": float(model.intercept),
+    }
+
+
+def calibrate_expr(calib: dict, proba_col: str = "probability") -> Column:
+    """The calibrator as ONE column expression (pure literals — works
+    in batch, streams, and any serve path with no model object).
+
+    Isotonic serves MLlib's exact prediction semantics: linear
+    interpolation between knots, clamped to the end knots outside the
+    fitted range."""
+    p = F.col(proba_col).cast("double")
+    if calib["kind"] == "platt":
+        return F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.lit(calib["a"]) * p + F.lit(calib["b"])))
+        )
+    if calib["kind"] != "isotonic":
+        raise ValueError(f"unknown calibrator kind {calib['kind']!r}")
+    bs, ys = calib["boundaries"], calib["predictions"]
+    if len(bs) == 1:
+        return F.lit(ys[0])
+    # piecewise-linear: fold over segments; each WHEN covers one
+    # interval (bounded knot count -> bounded expression tree)
+    expr = F.lit(ys[-1])  # p >= last boundary
+    for i in range(len(bs) - 2, -1, -1):
+        lo, hi, ylo, yhi = bs[i], bs[i + 1], ys[i], ys[i + 1]
+        if hi == lo:
+            seg = F.lit(yhi)
+        else:
+            seg = F.lit(ylo) + (p - F.lit(lo)) * F.lit((yhi - ylo) / (hi - lo))
+        expr = F.when(p < F.lit(hi), seg).otherwise(expr)
+    return F.when(p < F.lit(bs[0]), F.lit(ys[0])).otherwise(expr)
+
+
+def calibrate_py(calib: dict, p: float) -> float:
+    """Pure-Python twin of calibrate_expr (test oracle + row serving)."""
+    import math
+
+    if calib["kind"] == "platt":
+        return 1.0 / (1.0 + math.exp(-(calib["a"] * p + calib["b"])))
+    bs, ys = calib["boundaries"], calib["predictions"]
+    if len(bs) == 1:
+        return ys[0]
+    if p <= bs[0]:
+        return ys[0]
+    if p >= bs[-1]:
+        return ys[-1]
+    i = bisect_right(bs, p) - 1
+    lo, hi, ylo, yhi = bs[i], bs[i + 1], ys[i], ys[i + 1]
+    if hi == lo:
+        return yhi
+    return ylo + (p - lo) * (yhi - ylo) / (hi - lo)
+
+
+def brier_score(
+    scored: DataFrame, label_col: str = "label", proba_col: str = "probability"
+) -> float:
+    """Mean squared probability error — the calibration quality metric
+    (one map-side-combined aggregate)."""
+    return float(
+        scored.agg(
+            F.avg(
+                (
+                    F.col(proba_col).cast("double")
+                    - F.col(label_col).cast("double")
+                )
+                ** 2
+            )
+        ).collect()[0][0]
+    )
