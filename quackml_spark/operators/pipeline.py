@@ -215,9 +215,13 @@ def curate(
     *,
     clean: bool = True,
     line_dedup_max_freq: int | None = None,
+    langs: set[str] | None = None,
     min_quality: float | None = None,
     dedup: str | None = "exact",
     benchmark: DataFrame | None = None,
+    budget_chars: int | None = None,
+    temperature_alpha: float | None = None,
+    source_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     report: bool = True,
@@ -235,12 +239,21 @@ def curate(
                           clean, whose whitespace normalization
                           collapses the newlines line-level ops key on
       clean               unicode/whitespace normalization (map-only)
+      langid              keep docs whose marker-lexicon language is in
+                          ``langs`` (same argmax the graded text_langid
+                          query pins)
       quality             keep docs with composite quality_score >=
                           ``min_quality`` (same arithmetic the graded
                           text_quality_score query pins)
       dedup='exact'       md5 content groups, keep min-id per group
       decontaminate       drop docs sharing any benchmark n-gram
                           (broadcast probe; pass the eval-suite frame)
+      budget              deterministic md5-ppm sampling toward
+                          ``budget_chars`` total — equal per-source
+                          budgets, or temperature-flattened shares
+                          when ``temperature_alpha`` is set (needs
+                          ``source_col``; without one the whole corpus
+                          is a single source)
 
     Returns {"docs": curated DataFrame, "report": DataFrame(stage,
     docs_in, docs_out, dropped)}. ``report=True`` runs one count per
@@ -251,11 +264,19 @@ def curate(
         clean_text_expr,
         decontaminate,
         line_dedup,
+        predict_lang,
         score_quality,
     )
 
     spark = docs.sparkSession
-    cur = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    src = (
+        F.col(source_col) if source_col else F.lit("corpus")
+    )
+    cur = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        src.alias("__source"),
+    )
     stages: list[tuple[str, int, int]] = []
     n_prev = cur.count() if report else -1
 
@@ -272,16 +293,29 @@ def curate(
             "line_dedup",
             line_dedup(cur, max_freq=line_dedup_max_freq)
             .where(F.col("n_kept") > 0)
-            .select("doc_id", F.col("clean_text").alias("text")),
+            .select("doc_id", F.col("clean_text").alias("text"))
+            .join(cur.select("doc_id", "__source"), "doc_id"),
         )
     if clean:
-        cur = _mark("clean", cur.select("doc_id", clean_text_expr("text").alias("text")))
+        cur = _mark(
+            "clean",
+            cur.select(
+                "doc_id", clean_text_expr("text").alias("text"), "__source"
+            ),
+        )
+    if langs is not None:
+        keep_lang = (
+            predict_lang(cur)
+            .where(F.col("predicted_lang").isin(sorted(langs)))
+            .select("doc_id")
+        )
+        cur = _mark("langid", cur.join(keep_lang, "doc_id"))
     if min_quality is not None:
         cur = _mark(
             "quality",
             score_quality(cur)
             .where(F.col("quality_score") >= min_quality)
-            .select("doc_id", "text"),
+            .select("doc_id", "text", "__source"),
         )
     if dedup == "exact":
         keepers = (
@@ -292,6 +326,36 @@ def curate(
         cur = _mark("dedup_exact", cur.join(keepers, "doc_id"))
     elif dedup is not None:
         raise ValueError(f"unknown dedup mode {dedup!r} (supported: 'exact', None)")
+    if budget_chars is not None:
+        from quackml_spark.operators.sampling import (
+            budget_rates,
+            mixture_sample,
+            temperature_rates,
+        )
+
+        sized = cur.withColumn("__n_chars", F.length("text"))
+        if temperature_alpha is not None:
+            rates = temperature_rates(
+                sized,
+                budget_chars,
+                alpha=temperature_alpha,
+                source_col="__source",
+                weight_col="__n_chars",
+            )
+        else:
+            n_sources = sized.select("__source").distinct().count()
+            rates = budget_rates(
+                sized,
+                max(1, budget_chars // max(n_sources, 1)),
+                source_col="__source",
+                weight_col="__n_chars",
+            )
+        cur = _mark(
+            "budget",
+            mixture_sample(
+                sized, rates.select("__source", "rate_ppm"), source_col="__source"
+            ).select("doc_id", "text", "__source"),
+        )
     if benchmark is not None:
         bench = benchmark.select(
             F.monotonically_increasing_id().alias("doc_id"),
@@ -302,6 +366,12 @@ def curate(
         )
         cur = _mark("decontaminate", cur.join(leaked, "doc_id", "left_anti"))
 
+
+    cur = (
+        cur.withColumnRenamed("__source", source_col)
+        if source_col
+        else cur.drop("__source")
+    )
     rep = spark.createDataFrame(
         [(s, i, o, i - o) for s, i, o in stages]
         or [("(no stages)", n_prev, n_prev, 0)],

@@ -203,14 +203,24 @@ ORDER BY d.doc_id
     tags=("textops",),
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return predict_lang(docs).orderBy("doc_id")
+
+
+def predict_lang(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, predicted_lang, marker_hits) for any (id, text) frame — the
+    marker-lexicon argmax the graded text_langid query pins. One
+    explode + a 24-row broadcast lexicon join + a per-doc window on the
+    doc partitioning."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     # letters-only tokens (both engines use the same regex class)
     toks = docs.select(
-        "doc_id",
+        F.col(id_col).alias("doc_id"),
         F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-zà-ÿ]+"), 0)
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-zà-ÿ]+"), 0)
         ).alias("tok"),
     )
     lex_rows = [
@@ -227,14 +237,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("lang"))
     ranked = hits.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     return (
-        docs.select("doc_id")
+        docs.select(F.col(id_col).alias("doc_id"))
         .join(ranked, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("lang", F.lit("unknown")).alias("predicted_lang"),
             F.coalesce("n", F.lit(0)).alias("marker_hits"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -667,3 +667,41 @@ def test_curate_lazy_mode_no_report_counts(spark, sf_dir):
     out = curate(docs, min_quality=0.2, report=False)
     assert out["report"].collect()[0]["stage"] == "(no stages)"
     assert out["docs"].count() > 0
+
+
+def test_curate_langid_and_budget_stages(spark, sf_dir):
+    """The langid stage keeps only requested languages (using the
+    graded text_langid semantics) and the budget stage lands within
+    sampling error of the char target; report boundaries stay
+    consistent and the source column round-trips when requested."""
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.operators.text import predict_lang
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = curate(
+        docs,
+        clean=False,
+        dedup=None,
+        langs={"en"},
+        budget_chars=20_000,
+        temperature_alpha=0.5,
+        source_col="source",
+        report=True,
+    )
+    rep = {r["stage"]: r for r in out["report"].collect()}
+    assert set(rep) == {"langid", "budget"}
+    assert rep["budget"]["docs_in"] == rep["langid"]["docs_out"]
+
+    result = out["docs"].persist()
+    assert "source" in result.columns
+    # every surviving doc is predicted 'en'
+    langs = predict_lang(result).select("predicted_lang").distinct().collect()
+    assert {r["predicted_lang"] for r in langs} == {"en"}
+    kept_chars = result.agg(F.sum(F.length("text"))).collect()[0][0]
+    # rates are ppm floors of a 20k-char target over the en subset;
+    # allow generous sampling slack but pin the order of magnitude
+    assert 2_000 < kept_chars < 60_000, kept_chars
+    result.unpersist()
