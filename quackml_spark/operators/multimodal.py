@@ -881,3 +881,92 @@ def dhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dhash_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendition fixture for the PERCEPTUAL hash: same 1x/2x/3x
+    nearest-upsample law as multires_media_table, but base pixels are
+    md5-derived per (seed, position) — multires' linear-ramp pattern
+    has SEED-INDEPENDENT gradients (neighbor difference = a constant),
+    which dHash ignores by design, collapsing every seed into one
+    hash. md5 pixels give each seed class a distinct gradient
+    structure."""
+    import hashlib
+
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quackml_spark.operators.codecs import PPM_MIME, encode_ppm
+
+        w0, h0 = 8, 4
+        base_cache: dict = {}
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 3 != 0:
+                    continue
+                seed = doc_id % 40
+                if seed not in base_cache:
+                    raw = b"".join(
+                        hashlib.md5(f"{seed}|{i}".encode()).digest()
+                        for i in range((w0 * h0 * 3) // 16 + 1)
+                    )
+                    base_cache[seed] = np.frombuffer(
+                        raw[: w0 * h0 * 3], dtype=np.uint8
+                    ).reshape(h0, w0, 3)
+                base = base_cache[seed]
+                s = (doc_id // 3) % 3 + 1
+                px = np.repeat(np.repeat(base, s, axis=0), s, axis=1)
+                rows.append(
+                    (doc_id, "image", PPM_MIME, w0 * s, h0 * s, None,
+                     encode_ppm(px))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "modality", "mime", "width", "height",
+                         "duration_s", "payload"],
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_dhash_resize_dedup",
+    extra=True,
+    doc="Perceptual dHash through the oracle gate: 1x/2x/3x renditions "
+    "of md5-pixel base images collapse onto one 64-bit dHash because "
+    "nearest-downsample composes exactly over nearest-upsample "
+    "(floor(floor(x*s)/s) = floor(x)) — and DIFFERENT seeds stay "
+    "distinct because md5 pixels give each class its own gradient "
+    "structure (a linear-ramp fixture collapses every seed: dHash "
+    "ignores DC offsets by design — caught during development). The "
+    "oracle replays the seed classes from the formula; real decode + "
+    "resize + gradient hash runs on every row, 8 bytes/image leave "
+    "the task.",
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id, doc_id % 40 AS seed FROM documents WHERE doc_id % 3 = 0
+)
+SELECT i.doc_id,
+       (SELECT MIN(j.doc_id) FROM imgs j WHERE j.seed = i.seed) AS keeper,
+       (SELECT COUNT(*) FROM imgs j WHERE j.seed = i.seed) AS n_class
+FROM imgs i
+ORDER BY i.doc_id
+""",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_dhash_resize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = dhash_media_table(spark, sf_dir)
+    hashed = dhash_images(media)
+    w = Window.partitionBy("dhash")
+    return (
+        hashed.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("keeper"),
+            F.count(F.lit(1)).over(w).alias("n_class"),
+        )
+        .orderBy("doc_id")
+    )
