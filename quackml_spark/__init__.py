@@ -47,6 +47,15 @@ _LAZY = {
     "execute": ("quackml_spark.sql", "execute"),
     "Catalog": ("quackml_spark.catalog", "Catalog"),
     "validate_dependencies": ("quackml_spark.env", "validate_dependencies"),
+    # pipeline / monitoring / retrieval surface
+    "curate": ("quackml_spark.operators.pipeline", "curate"),
+    "permutation_importance": ("quackml_spark.ml", "permutation_importance"),
+    "fit_isotonic": ("quackml_spark.ml.calibrate", "fit_isotonic"),
+    "fit_platt": ("quackml_spark.ml.calibrate", "fit_platt"),
+    "calibrate_expr": ("quackml_spark.ml.calibrate", "calibrate_expr"),
+    "feature_drift_psi": ("quackml_spark.ml.monitor", "feature_drift_psi"),
+    "feature_drift_ks": ("quackml_spark.ml.monitor", "feature_drift_ks"),
+    "audit_plan": ("quackml_spark.plans.audit", "audit_plan"),
 }
 
 
