@@ -2463,3 +2463,139 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.col("text"), F.lit("\n"), boiler).alias("text")
     )
     return line_dedup(multi)
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram training-pair generation (word2vec data prep)
+# ---------------------------------------------------------------------------
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, center, context, negative) skip-gram pairs: every
+    token paired with its neighbors within ±``window`` positions, plus
+    one deterministic in-document negative per pair (the token at
+    md5(doc|center_pos|offset) %% doc_length — local negative sampling,
+    so the draw needs no global vocabulary index).
+
+    The whole generator is array expressions over the un-exploded
+    token array — ONE map-only pass, no joins, no shuffles; the pair
+    relation explodes to ~2·window rows per token, which is the
+    output's inherent size, not an intermediate."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    ).where(F.size("toks") >= 2)
+    n = F.size("toks")
+    offsets = [o for o in range(-window, window + 1) if o != 0]
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            i.alias("pos"),
+                            F.lit(o).alias("off"),
+                        )
+                        for o in offsets
+                    ]
+                ),
+                lambda p: (p["pos"] + p["off"] >= 0) & (p["pos"] + p["off"] < n),
+            ),
+        )
+    )
+    exploded = toks.select("doc_id", "toks", F.explode(pair_structs).alias("p"))
+    neg_idx = (
+        md5_int32(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                F.col("p.pos").cast("string"),
+                F.col("p.off").cast("string"),
+            )
+        )
+        % F.size("toks")
+    ).cast("int")
+    return exploded.select(
+        "doc_id",
+        F.col("p.pos").alias("pos"),
+        F.col("p.off").alias("off"),
+        F.element_at("toks", F.col("p.pos") + 1).alias("center"),
+        F.element_at("toks", F.col("p.pos") + F.col("p.off") + 1).alias("context"),
+        F.element_at("toks", neg_idx + 1).alias("negative"),
+    )
+
+
+@register(
+    "text_skipgram_pairs",
+    extra=True,
+    doc="Word2vec data prep: skip-gram (center, context) pairs within a "
+    "±2 window plus one md5-deterministic in-document negative per "
+    "pair — one map-only array-expression pass over the un-exploded "
+    "tokens (no joins, no shuffles; output size IS the pair count). "
+    "Demo slice: docs with doc_id %% 151 == 0; per-doc aggregate so "
+    "the graded row count stays bounded.",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+  WHERE doc_id % 151 = 0 AND length(regexp_extract_all(lower(text), '\S+')) >= 2
+), pairs AS (
+  SELECT doc_id, i - 1 AS pos, o.off,
+         toks[i] AS center,
+         toks[i + o.off] AS context,
+         toks[1 + CAST(('0x' || substr(md5(
+             doc_id::VARCHAR || '|' || (i-1)::VARCHAR || '|' || o.off::VARCHAR
+           ), 1, 8))::BIGINT % length(toks) AS INT)] AS negative
+  FROM toks,
+       unnest(range(1, length(toks) + 1)) AS t(i),
+       (VALUES (-2), (-1), (1), (2)) AS o(off)
+  WHERE i + o.off >= 1 AND i + o.off <= length(toks)
+)
+SELECT doc_id,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT center) AS n_centers,
+       CAST(SUM(CASE WHEN negative = context THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neg_collisions,
+       md5(string_agg(center || '>' || context || '>' || negative, ','
+           ORDER BY pos, off)) AS pairs_digest
+FROM pairs
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("textops", "llm"),
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 151 == 0
+    )
+    pairs = skipgram_pairs(docs)
+    digest_parts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "pos",
+                "off",
+                F.concat_ws(">", "center", "context", "negative").alias("t"),
+            )
+        )
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("center").alias("n_centers"),
+            F.sum(
+                F.when(F.col("negative") == F.col("context"), 1).otherwise(0)
+            ).alias("n_neg_collisions"),
+            F.md5(
+                F.array_join(
+                    F.transform(digest_parts, lambda x: x["t"]), ","
+                )
+            ).alias("pairs_digest"),
+        )
+        .orderBy("doc_id")
+    )
