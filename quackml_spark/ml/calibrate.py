@@ -29,13 +29,20 @@ from pyspark.sql import functions as F
 
 
 def fit_isotonic(
-    scored: DataFrame, label_col: str = "label", proba_col: str = "probability"
+    scored: DataFrame,
+    label_col: str = "label",
+    proba_col: str = "probability",
+    max_knots: int = 512,
 ) -> dict:
     """Distributed isotonic fit -> portable {boundaries, predictions}.
 
-    MLlib's IsotonicRegression parallelizes pool-adjacent-violators;
-    the returned knot arrays are bounded by the number of distinct
-    probability values (post-pooling), collected once."""
+    MLlib's IsotonicRegression parallelizes pool-adjacent-violators.
+    Post-PAV knot count scales with DISTINCT probability values (a GBT
+    over 10^6 rows can emit thousands), so the knot arrays are
+    downsampled to ``max_knots`` evenly-spaced knots (endpoints kept —
+    monotonicity survives any subsequence) before collecting: the
+    serving expression and driver state stay bounded whatever the
+    validation-set cardinality."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import IsotonicRegression
 
@@ -46,11 +53,15 @@ def fit_isotonic(
     va = VectorAssembler(inputCols=["p"], outputCol="features")
     iso = IsotonicRegression(labelCol="y", featuresCol="features")
     model = iso.fit(va.transform(df))
-    return {
-        "kind": "isotonic",
-        "boundaries": [float(x) for x in model.boundaries],
-        "predictions": [float(x) for x in model.predictions],
-    }
+    bs = [float(x) for x in model.boundaries]
+    ys = [float(x) for x in model.predictions]
+    if len(bs) > max_knots:
+        idx = sorted(
+            {round(i * (len(bs) - 1) / (max_knots - 1)) for i in range(max_knots)}
+        )
+        bs = [bs[i] for i in idx]
+        ys = [ys[i] for i in idx]
+    return {"kind": "isotonic", "boundaries": bs, "predictions": ys}
 
 
 def fit_platt(
@@ -92,17 +103,30 @@ def calibrate_expr(calib: dict, proba_col: str = "probability") -> Column:
     bs, ys = calib["boundaries"], calib["predictions"]
     if len(bs) == 1:
         return F.lit(ys[0])
-    # piecewise-linear: fold over segments; each WHEN covers one
-    # interval (bounded knot count -> bounded expression tree)
-    expr = F.lit(ys[-1])  # p >= last boundary
-    for i in range(len(bs) - 2, -1, -1):
-        lo, hi, ylo, yhi = bs[i], bs[i + 1], ys[i], ys[i + 1]
-        if hi == lo:
-            seg = F.lit(yhi)
-        else:
-            seg = F.lit(ylo) + (p - F.lit(lo)) * F.lit((yhi - ylo) / (hi - lo))
-        expr = F.when(p < F.lit(hi), seg).otherwise(expr)
-    return F.when(p < F.lit(bs[0]), F.lit(ys[0])).otherwise(expr)
+    # piecewise-linear via ARRAY literals + a constant-size expression:
+    # the knot count affects the literal arrays' length, never the
+    # expression-tree depth (a per-knot nested CASE WHEN blows up
+    # Catalyst analysis at a few thousand knots — code-review catch).
+    # seg = #boundaries strictly below p, computed by one aggregate
+    # fold over the boundary array.
+    bs_arr = F.array(*[F.lit(b) for b in bs])
+    ys_arr = F.array(*[F.lit(y) for y in ys])
+    seg = F.aggregate(
+        bs_arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(b < p, 1).otherwise(0),
+    )
+    i = F.greatest(F.least(seg, F.lit(len(bs) - 1)), F.lit(1))
+    lo, hi = F.element_at(bs_arr, i), F.element_at(bs_arr, i + 1)
+    ylo, yhi = F.element_at(ys_arr, i), F.element_at(ys_arr, i + 1)
+    interp = F.when(hi == lo, yhi).otherwise(
+        ylo + (p - lo) * (yhi - ylo) / (hi - lo)
+    )
+    return (
+        F.when(p <= F.lit(bs[0]), F.lit(ys[0]))
+        .when(p >= F.lit(bs[-1]), F.lit(ys[-1]))
+        .otherwise(interp)
+    )
 
 
 def calibrate_py(calib: dict, p: float) -> float:

@@ -777,9 +777,15 @@ def dedup_index_compact(
       so each output file covers a disjoint band_key range INSIDE its
       band partition — parquet footer min/max then prunes files for
       probe keys, which plain coalesce-compaction would not give;
-    * written to a temp sibling then swapped in, so a concurrent reader
-      never sees a half-written directory (local-FS rename; on an
-      object store run it against a copy and flip a manifest pointer).
+    * written to a temp sibling then swapped in via two renames.
+      Crash recovery is built in: a leftover swap state from a prior
+      crashed run (bands/ missing but bands_old/ present) is rolled
+      back on entry, and stale tmp/old siblings are cleared — the
+      compactor is safely re-runnable after any crash point. The swap
+      itself is two renames, not one atomic op: a reader RACING the
+      swap can hit a brief path-not-found — run compaction in a
+      maintenance window, or on an object store compact a copy and
+      flip a manifest pointer.
 
     Returns before/after file/byte stats. Row content is untouched —
     duplicate band rows from replayed appends are PRESERVED (removing
@@ -792,9 +798,19 @@ def dedup_index_compact(
     from quackml_spark.sources.files import _dir_bytes_files
 
     bands_dir = os.path.join(path, "bands")
+    tmp = os.path.join(path, "bands_compact_tmp")
+    old = os.path.join(path, "bands_old")
+    # recover a prior crashed swap: bands_old holds the only copy when
+    # the crash landed between the two renames
+    if not os.path.exists(bands_dir) and os.path.exists(old):
+        os.rename(old, bands_dir)
+    # stale siblings from any earlier crash point are safe to drop
+    # (tmp is never the only copy; old is only the only copy in the
+    # case handled above)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     bytes_before, files_before = _dir_bytes_files(bands_dir)
     n_out = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
-    tmp = os.path.join(path, "bands_compact_tmp")
     (
         spark.read.parquet(bands_dir)
         .repartitionByRange(n_out, "band_id", "band_key")
@@ -803,7 +819,6 @@ def dedup_index_compact(
         .partitionBy("band_id")
         .parquet(tmp)
     )
-    old = os.path.join(path, "bands_old")
     os.rename(bands_dir, old)
     os.rename(tmp, bands_dir)
     shutil.rmtree(old)

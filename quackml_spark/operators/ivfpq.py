@@ -113,6 +113,55 @@ def _load_codebook(spark: SparkSession, path: str) -> list[list[list[float]]]:
     return cb
 
 
+def _validate_and_load(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    expect_residual: bool,
+):
+    """Shared searcher validation: manifest readable, encoding variant
+    matches the searcher (a raw searcher on residual codes — or vice
+    versa — returns plausible-looking garbage, so BOTH directions fail
+    loudly), codebook consistent with the manifest, query dimension
+    matches. Returns (manifest, sorted centers, codebook)."""
+    try:
+        man = spark.read.parquet(f"{path}/manifest.parquet").first()
+    except Exception as e:
+        raise ValueError(
+            f"IVF-PQ index at {path!r} has no readable manifest — "
+            f"half-built or not an index; rebuild with ivfpq_index_build"
+        ) from e
+    is_residual = str(man["quantizer"]).endswith("residual")
+    if is_residual and not expect_residual:
+        raise ValueError(
+            f"index at {path!r} is residual-encoded "
+            f"(quantizer={man['quantizer']!r}); its codes are meaningless "
+            f"to the raw searcher — use ivfpq_index_search_residual"
+        )
+    if expect_residual and not is_residual:
+        raise ValueError(
+            f"index at {path!r} is not residual-encoded "
+            f"(quantizer={man['quantizer']!r}); use ivfpq_index_search"
+        )
+    centers = [
+        (int(r["list_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
+    ]
+    centers.sort()
+    codebook = _load_codebook(spark, path)
+    if len(codebook) != int(man["m"]):
+        raise ValueError(
+            f"IVF-PQ index at {path!r} inconsistent: manifest m={man['m']}, "
+            f"codebook has {len(codebook)} subspaces"
+        )
+    q_dim = queries.select(F.size("embedding").alias("d")).first()
+    if q_dim is not None and int(q_dim["d"]) != int(man["dim"]):
+        raise ValueError(
+            f"query dimension {q_dim['d']} != index dimension {man['dim']}"
+        )
+    return man, centers, codebook
+
+
 def ivfpq_index_search(
     spark: SparkSession,
     path: str,
@@ -132,29 +181,9 @@ def ivfpq_index_search(
     the exact squared L2 when refining."""
     from quackml_spark.operators.similarity import _cb_struct_array, _dot
 
-    try:
-        man = spark.read.parquet(f"{path}/manifest.parquet").first()
-    except Exception as e:
-        raise ValueError(
-            f"IVF-PQ index at {path!r} has no readable manifest — "
-            f"half-built or not an index; rebuild with ivfpq_index_build"
-        ) from e
-    centers = [
-        (int(r["list_id"]), list(r["centroid"]))
-        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
-    ]
-    centers.sort()
-    codebook = _load_codebook(spark, path)
-    if len(codebook) != int(man["m"]):
-        raise ValueError(
-            f"IVF-PQ index at {path!r} inconsistent: manifest m={man['m']}, "
-            f"codebook has {len(codebook)} subspaces"
-        )
-    q_dim = queries.select(F.size("embedding").alias("d")).first()
-    if q_dim is not None and int(q_dim["d"]) != int(man["dim"]):
-        raise ValueError(
-            f"query dimension {q_dim['d']} != index dimension {man['dim']}"
-        )
+    man, centers, codebook = _validate_and_load(
+        spark, path, queries, expect_residual=False
+    )
     m = len(codebook)
     d_sub = len(codebook[0][0])
 
@@ -171,10 +200,11 @@ def ivfpq_index_search(
             ).cast("decimal(20,12)"),
         )
 
+    # the broadcast carries ONLY ids + LUTs — the raw query embedding
+    # never enters the candidate join payload (code-review catch)
     qx = F.broadcast(
         q.select(
             "query_id",
-            "q_emb",
             *[lut_for(s).alias(f"__lut{s}") for s in range(m)],
             F.explode("probe_lists").alias("list_id"),
         )
@@ -437,18 +467,9 @@ def ivfpq_index_search_residual(
     exact-decimal sum."""
     from quackml_spark.operators.similarity import _cb_struct_array, _dot
 
-    man = spark.read.parquet(f"{path}/manifest.parquet").first()
-    if not str(man["quantizer"]).endswith("residual"):
-        raise ValueError(
-            f"index at {path!r} is not residual-encoded "
-            f"(quantizer={man['quantizer']!r}); use ivfpq_index_search"
-        )
-    centers = [
-        (int(r["list_id"]), list(r["centroid"]))
-        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
-    ]
-    centers.sort()
-    codebook = _load_codebook(spark, path)
+    man, centers, codebook = _validate_and_load(
+        spark, path, queries, expect_residual=True
+    )
     m = len(codebook)
     d_sub = len(codebook[0][0])
     lookup = _centroid_lookup(centers)

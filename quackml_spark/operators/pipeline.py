@@ -277,8 +277,8 @@ def curate(
         F.col(text_col).alias("text"),
         src.alias("__source"),
     )
-    stages: list[tuple[str, int, int]] = []
-    n_prev = cur.count() if report else -1
+    stages: list[tuple] = []
+    n_prev = cur.count() if report else None
 
     def _mark(stage: str, nxt: DataFrame) -> DataFrame:
         nonlocal n_prev
@@ -286,6 +286,10 @@ def curate(
             n = nxt.count()
             stages.append((stage, n_prev, n))
             n_prev = n
+        else:
+            # lazy mode still records WHICH stages ran — counts stay
+            # NULL instead of a misleading '(no stages)' sentinel
+            stages.append((stage, None, None))
         return nxt
 
     if line_dedup_max_freq is not None:
@@ -326,6 +330,15 @@ def curate(
         cur = _mark("dedup_exact", cur.join(keepers, "doc_id"))
     elif dedup is not None:
         raise ValueError(f"unknown dedup mode {dedup!r} (supported: 'exact', None)")
+    if benchmark is not None:
+        bench = benchmark.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        leaked = decontaminate(_decon_grams(cur), _decon_grams(bench)).select(
+            "doc_id"
+        )
+        cur = _mark("decontaminate", cur.join(leaked, "doc_id", "left_anti"))
     if budget_chars is not None:
         from quackml_spark.operators.sampling import (
             budget_rates,
@@ -356,15 +369,6 @@ def curate(
                 sized, rates.select("__source", "rate_ppm"), source_col="__source"
             ).select("doc_id", "text", "__source"),
         )
-    if benchmark is not None:
-        bench = benchmark.select(
-            F.monotonically_increasing_id().alias("doc_id"),
-            F.col(text_col).alias("text"),
-        )
-        leaked = decontaminate(_decon_grams(cur), _decon_grams(bench)).select(
-            "doc_id"
-        )
-        cur = _mark("decontaminate", cur.join(leaked, "doc_id", "left_anti"))
 
 
     cur = (
@@ -373,8 +377,10 @@ def curate(
         else cur.drop("__source")
     )
     rep = spark.createDataFrame(
-        [(s, i, o, i - o) for s, i, o in stages]
-        or [("(no stages)", n_prev, n_prev, 0)],
+        [
+            (s, i, o, (i - o) if i is not None else None)
+            for s, i, o in stages
+        ],
         "stage string, docs_in bigint, docs_out bigint, dropped bigint",
     )
     return {"docs": cur, "report": rep}

@@ -193,6 +193,7 @@ def drift_monitor_stream(
     n_bins: int = 10,
     sink: list | None = None,
     query_name: str = "qml_drift_monitor",
+    on_drift=None,
 ):
     """Hook PSI feature-drift monitoring onto a scoring stream: a
     ``foreachBatch`` over ``scored`` (typically ``streaming_predict``
@@ -208,6 +209,11 @@ def drift_monitor_stream(
     adds no stateful operator to the stream itself. Returns the started
     StreamingQuery; callers drive it (awaitTermination for
     availableNow drains, or leave it running as a live monitor).
+
+    ``on_drift(batch_id, drifted_rows)`` fires once per batch whose
+    PSI crosses the threshold; any dict it returns is merged into that
+    batch's sink records (auto_rollback_on_drift builds on this hook —
+    one copy of the monitoring machinery).
     """
     from quackml_spark.ml.monitor import feature_drift_psi
 
@@ -226,13 +232,19 @@ def drift_monitor_stream(
         both = ref.withColumn("__cur", F.lit(False)).unionByName(
             cur.withColumn("__cur", F.lit(True))
         )
-        for r in feature_drift_psi(both, features, F.col("__cur"), n_bins).collect():
+        rows = feature_drift_psi(both, features, F.col("__cur"), n_bins).collect()
+        drifted = [r for r in rows if r["psi"] > threshold]
+        extra = (
+            on_drift(int(batch_id), drifted) if (drifted and on_drift) else None
+        ) or {}
+        for r in rows:
             results.append(
                 {
                     "batch_id": int(batch_id),
                     "feature": r["feature"],
                     "psi": float(r["psi"]),
                     "drift": bool(r["psi"] > threshold),
+                    **extra,
                 }
             )
 
@@ -681,57 +693,40 @@ def auto_rollback_on_drift(
     """Close the monitoring loop: PSI drift on a scoring stream
     TRIGGERS the catalog's rollback deployment strategy.
 
-    Each micro-batch runs the single-pass stacked PSI of
-    ``feature_drift_psi`` against the static reference window; the
-    first batch where any feature crosses ``threshold`` calls
-    ``deploy(project, strategy='rollback')`` — the same lifecycle
-    path a human operator would use (api.rs deployment strategies) —
-    then arms itself off so one drift episode produces one rollback,
-    not one per subsequent batch. Every check appends
-    {batch_id, feature, psi, drift, rolled_back_to} to ``sink``.
-
-    Scale shape: inherits drift_monitor_stream's (two
-    map-side-combined jobs per batch, driver state = the per-feature
-    result rows + one bool); the rollback itself is a catalog insert.
-    """
-    from quackml_spark.ml.monitor import feature_drift_psi
+    Built ON drift_monitor_stream's ``on_drift`` hook (one copy of the
+    monitoring machinery — code-review catch retired a 40-line
+    duplicate): the first batch where any feature crosses
+    ``threshold`` calls ``deploy(project, strategy='rollback')`` — the
+    same lifecycle path a human operator would use — then disarms, so
+    one drift episode produces one rollback. Sink records carry
+    ``rolled_back_to`` (the restored model id) on the triggering
+    batch, None elsewhere."""
     from quackml_spark.ml.predict import deploy
 
-    results = sink if sink is not None else []
-    ref = reference.select(*features).persist()
     state = {"rolled_back": False}
+    results = sink if sink is not None else []
 
-    def _check(batch_df, batch_id):
-        cur = batch_df.select(*features)
-        if not cur.take(1):
-            return
-        both = ref.withColumn("__cur", F.lit(False)).unionByName(
-            cur.withColumn("__cur", F.lit(True))
-        )
-        rows = feature_drift_psi(both, features, F.col("__cur"), n_bins).collect()
-        drifted = [r for r in rows if r["psi"] > threshold]
-        rolled_to = None
-        if drifted and not state["rolled_back"]:
-            rolled_to = deploy(project_name, strategy="rollback", catalog=catalog)
-            state["rolled_back"] = True
-        for r in rows:
-            results.append(
-                {
-                    "batch_id": int(batch_id),
-                    "feature": r["feature"],
-                    "psi": float(r["psi"]),
-                    "drift": bool(r["psi"] > threshold),
-                    "rolled_back_to": rolled_to,
-                }
+    def _rollback(batch_id: int, drifted):
+        if state["rolled_back"]:
+            return {"rolled_back_to": None}
+        state["rolled_back"] = True
+        return {
+            "rolled_back_to": deploy(
+                project_name, strategy="rollback", catalog=catalog
             )
+        }
 
-    return (
-        scored.writeStream.foreachBatch(_check)
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    q = drift_monitor_stream(
+        scored,
+        reference,
+        features,
+        threshold=threshold,
+        n_bins=n_bins,
+        sink=results,
+        query_name=query_name,
+        on_drift=_rollback,
     )
+    return q
 
 
 def streaming_topk(events: DataFrame, k: int = 5) -> DataFrame:

@@ -262,3 +262,32 @@ def test_dedup_index_compact_preserves_content_and_shrinks_files(
     )
     hits = dedup_index_check(copy, index_path).collect()
     assert any(r["index_doc_id"] == 7 for r in hits)
+
+
+def test_dedup_index_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
+    """A crash between the two swap renames leaves bands_old as the
+    only copy; the next compact run must roll it back and complete."""
+    import os
+    import shutil
+
+    from quackml_spark.operators.dedup import dedup_index_compact
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = str(tmp_path / "idx")
+    dedup_index_build(docs.where("doc_id < 60"), index_path)
+    before = {
+        (r["doc_id"], r["band_id"], r["band_key"])
+        for r in spark.read.parquet(f"{index_path}/bands").collect()
+    }
+    # simulate the crash point: bands renamed away, tmp half-written
+    os.rename(f"{index_path}/bands", f"{index_path}/bands_old")
+    os.makedirs(f"{index_path}/bands_compact_tmp/junk")
+    dedup_index_compact(spark, index_path)
+    after = {
+        (r["doc_id"], r["band_id"], r["band_key"])
+        for r in spark.read.parquet(f"{index_path}/bands").collect()
+    }
+    assert after == before
+    assert not os.path.exists(f"{index_path}/bands_old")
+    assert not os.path.exists(f"{index_path}/bands_compact_tmp")

@@ -665,7 +665,9 @@ def test_curate_lazy_mode_no_report_counts(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = curate(docs, min_quality=0.2, report=False)
-    assert out["report"].collect()[0]["stage"] == "(no stages)"
+    rows = out["report"].collect()
+    assert [r["stage"] for r in rows] == ["clean", "quality", "dedup_exact"]
+    assert all(r["docs_in"] is None and r["dropped"] is None for r in rows)
     assert out["docs"].count() > 0
 
 
