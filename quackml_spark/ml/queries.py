@@ -1119,3 +1119,55 @@ def ml_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold",
         F.round("te", 6).cast("double").alias("te"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "ml_calibrate_isotonic",
+    extra=True,
+    doc="Probability-calibration lifecycle under the driver gate: a "
+    "deterministically miscalibrated scoring relation (p = "
+    "l_discount*10 clipped to (0,1), true event rate p^2 via md5 "
+    "draws) is isotonic-calibrated (distributed PAV) and re-scored; "
+    "returns the Brier improvement and knot count. PAV's pooling "
+    "iterations are not SQL-expressible, so this is a rows-only "
+    "check; expression/Python serving parity and Brier improvement "
+    "are value-pinned in tests/test_calibrate.py.",
+    tags=("ml",),
+)
+def ml_calibrate_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml.calibrate import (
+        brier_score,
+        calibrate_expr,
+        fit_isotonic,
+    )
+    from quackml_spark.operators.text import md5_int32
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"),
+        F.least(
+            F.greatest(F.col("l_discount") * 10.0, F.lit(0.02)), F.lit(0.98)
+        ).alias("probability"),
+    )
+    scored = li.withColumn(
+        "label",
+        (
+            (md5_int32(F.col("l_orderkey").cast("string")) % 1000000) / 1000000.0
+            < F.col("probability") * F.col("probability")
+        ).cast("double"),
+    )
+    calib = fit_isotonic(scored)
+    before = brier_score(scored)
+    after = brier_score(
+        scored.withColumn("probability", calibrate_expr(calib))
+    )
+    return spark.createDataFrame(
+        [
+            (
+                round(before, 6),
+                round(after, 6),
+                after < before,
+                len(calib["boundaries"]),
+            )
+        ],
+        "brier_before double, brier_after double, improved boolean, n_knots int",
+    )
