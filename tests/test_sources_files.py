@@ -87,3 +87,23 @@ def test_sorted_write_disjoint_file_ranges(spark, sf_dir, tmp_path):
         assert hi_prev < lo_next
     back = spark.read.parquet(out)
     assert back.count() == docs.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Production tables gain columns over time; the engine's readers
+    must survive mixed-footer directories: mergeSchema unions the
+    fields, old files read NULL for new columns, and column pruning
+    still reaches the scan."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 30.0)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 30.0
+    # pruned single-column read still works over mixed footers
+    assert sorted(r["id"] for r in df.select("id").collect()) == [1, 2, 3]
