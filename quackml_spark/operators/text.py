@@ -2599,3 +2599,57 @@ def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_ngram_novelty",
+    extra=True,
+    doc="Template/boilerplate detection signal: per-document fraction "
+    "of its DISTINCT 5-gram shingles that appear in no other document "
+    "(novelty 1.0 = fully original text; low novelty = templated/"
+    "near-duplicated). Reuses the decontamination gram extraction "
+    "verbatim (one explode + one map-side-combined groupBy(gram) + "
+    "one join back — the gram-frequency relation is corpus-sized and "
+    "never broadcast). Exact-integer ratio in DECIMAL.",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(toks[i:i+{_DECON_K - 1}], 'string_agg', ' ')) AS gram
+  FROM toks, unnest(range(1, length(toks) - {_DECON_K - 2})) AS t(i)
+  WHERE length(toks) >= {_DECON_K}
+), freq AS (
+  SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(ROUND(CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)
+                       AS DECIMAL(18,6)) / COUNT(*), 6) AS DOUBLE) AS novelty
+FROM grams g JOIN freq f USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+    tags=("textops", "dedup"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _decon_grams(docs)
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    unique = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        grams.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            unique.cast("bigint").alias("n_unique"),
+            F.round(
+                unique.cast("decimal(18,6)") / F.count(F.lit(1)), 6
+            )
+            .cast("double")
+            .alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
