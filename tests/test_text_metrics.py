@@ -449,3 +449,26 @@ def test_line_dedup_roundtrip_property(spark):
         assert out == dict(enumerate(texts))
 
     check()
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    """Window clipping at both edges, pair counts, and in-document
+    negatives — the invariants embedding-training data prep relies on."""
+    from quackml_spark.operators.text import skipgram_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    rows = skipgram_pairs(df, window=2).collect()
+    toks = ["a", "b", "c", "d", "e"]
+    # pair count: sum over positions of clipped window sizes
+    assert len(rows) == 2 + 3 + 4 + 3 + 2
+    for r in rows:
+        assert r["center"] == toks[r["pos"]]
+        assert r["context"] == toks[r["pos"] + r["off"]]
+        assert 1 <= abs(r["off"]) <= 2
+        assert r["negative"] in toks  # in-document draw
+    # determinism across partitioning
+    a = sorted(map(tuple, rows))
+    b = sorted(
+        map(tuple, skipgram_pairs(df.repartition(7), window=2).collect())
+    )
+    assert a == b
