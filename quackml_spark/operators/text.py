@@ -2653,3 +2653,175 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser–Ney TRIGRAM LM — the recursive interpolation order up from
+# the bigram model (same relational construction; the backoff
+# distribution is itself a KN bigram built from continuation counts):
+#
+#   P(w3|w1w2) = max(c123−D,0)/c12 + D·N1+(w1w2·)/c12 · Pkn(w3|w2)
+#   Pkn(w3|w2) = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+#                + D·N1+(w2·)/N1+(·w2·) · Pcont(w3)
+#   Pcont(w3)  = N1+(·w3) / |distinct bigram types|
+# ---------------------------------------------------------------------------
+
+
+def doc_trigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, w1, w2, w3) consecutive-token triples, multiplicity
+    kept; docs with fewer than three tokens contribute no rows."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    ).where(F.size("toks") >= 3)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.struct(
+                    F.col("toks")[i].alias("w1"),
+                    F.col("toks")[i + 1].alias("w2"),
+                    F.col("toks")[i + 2].alias("w3"),
+                ),
+            )
+        ).alias("tg"),
+    ).select(
+        "doc_id",
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+
+
+def trigram_lm(trigrams: DataFrame, discount: float = 0.75) -> DataFrame:
+    """KN trigram model over a (.., w1, w2, w3) relation: one
+    (w1, w2, w3, logp) row per OBSERVED trigram.
+
+    Every statistic is an integer count from a map-side-combined
+    aggregation keyed on progressively coarser n-gram prefixes/
+    suffixes — (w1,w2,w3), (w1,w2), (w2,w3), w2, w3 — none collected,
+    none vocabulary-broadcast; the two scalar type totals re-enter as
+    1-row broadcasts via ReuseExchange. The model join chain is five
+    key-partitioned joins, each on its own natural key."""
+    d = float(discount)
+    c123 = trigrams.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    ctx = c123.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n1_ctx")
+    )
+    # N1+(.w2w3): distinct w1 preceding each (w2, w3)
+    mid = c123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("m23"))
+    # N1+(.w2.): total continuation mass of context w2
+    midsum = mid.groupBy("w2").agg(F.sum("m23").alias("m2"))
+    # N1+(w2.): distinct w3 types following w2 (bigram fan-out)
+    bt = (
+        trigrams.select(F.col("w2").alias("bw2"), F.col("w3").alias("bw3"))
+        .distinct()
+        .groupBy("bw2")
+        .agg(F.count(F.lit(1)).alias("f2"))
+        .withColumnRenamed("bw2", "w2")
+    )
+    # N1+(.w3) and T2 from the model's OWN bigram-type relation
+    # ((w2, w3) types seen inside trigrams)
+    b_types = c123.select("w2", "w3").distinct()
+    cont = b_types.groupBy("w3").agg(F.count(F.lit(1)).alias("r3"))
+    t2 = b_types.agg(F.count(F.lit(1)).alias("t"))
+
+    pcont = F.col("r3") / F.col("t")
+    pkn2 = (
+        F.greatest(F.col("m23") - d, F.lit(0.0)) / F.col("m2")
+        + d * F.col("f2") / F.col("m2") * pcont
+    )
+    logp = F.log(
+        (F.col("c123") - d) / F.col("c12")
+        + d * F.col("n1_ctx") / F.col("c12") * pkn2
+    )
+    return (
+        c123.join(ctx, ["w1", "w2"])
+        .join(mid, ["w2", "w3"])
+        .join(midsum, "w2")
+        .join(bt, "w2")
+        .join(cont, "w3")
+        .join(F.broadcast(t2))
+        .select("w1", "w2", "w3", logp.alias("logp"))
+    )
+
+
+@register(
+    "text_trigram_perplexity",
+    extra=True,
+    doc="The KN interpolation order up from the graded bigram LM: "
+    "trigram probabilities backing off through a continuation-count "
+    "bigram model to the continuation unigram — the standard "
+    "recursive Kneser-Ney ladder, built from five map-side-combined "
+    "integer aggregations and a five-join model chain (each join on "
+    "its own natural key; nothing vocabulary-sized is broadcast or "
+    "collected). Self-scoring keeps every trigram observed, so the "
+    "oracle replays the full ladder with inner joins; per-doc AVG is "
+    "the only rounded quantity.",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), tg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+  FROM toks, unnest(range(1, length(toks) - 1)) AS t(i)
+  WHERE length(toks) >= 3
+), c123 AS (
+  SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg GROUP BY w1, w2, w3
+), ctx AS (
+  SELECT w1, w2, SUM(c123) AS c12, COUNT(*) AS n1_ctx
+  FROM c123 GROUP BY w1, w2
+), mid AS (
+  SELECT w2, w3, COUNT(*) AS m23 FROM c123 GROUP BY w2, w3
+), midsum AS (
+  SELECT w2, SUM(m23) AS m2 FROM mid GROUP BY w2
+), bt AS (
+  SELECT w2, COUNT(*) AS f2 FROM (SELECT DISTINCT w2, w3 FROM tg) GROUP BY w2
+), b_types AS (
+  SELECT DISTINCT w2, w3 FROM c123
+), cont AS (
+  SELECT w3, COUNT(*) AS r3 FROM b_types GROUP BY w3
+), tot AS (SELECT COUNT(*) AS t FROM b_types),
+model AS (
+  SELECT c.w1, c.w2, c.w3,
+         ln((c.c123 - 0.75) / x.c12
+            + 0.75 * x.n1_ctx / x.c12 *
+              (greatest(m.m23 - 0.75, 0.0) / s.m2
+               + 0.75 * b.f2 / s.m2 * (r.r3 / (SELECT t FROM tot)))
+         ) AS logp
+  FROM c123 c
+  JOIN ctx x ON x.w1 = c.w1 AND x.w2 = c.w2
+  JOIN mid m ON m.w2 = c.w2 AND m.w3 = c.w3
+  JOIN midsum s ON s.w2 = c.w2
+  JOIN bt b ON b.w2 = c.w2
+  JOIN cont r ON r.w3 = c.w3
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_trigrams,
+       CAST(ROUND(AVG(m.logp), 6) AS DOUBLE) AS mean_logp,
+       CAST(ROUND(EXP(-AVG(m.logp)), 3) AS DOUBLE) AS ppl
+FROM tg g JOIN model m
+  ON m.w1 = g.w1 AND m.w2 = g.w2 AND m.w3 = g.w3
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+    tags=("textops", "llm"),
+)
+def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tg = doc_trigrams(docs)
+    model = trigram_lm(tg)
+    return (
+        tg.join(model, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg("logp"), 6).cast("double").alias("mean_logp"),
+            F.round(F.exp(-F.avg("logp")), 3).cast("double").alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

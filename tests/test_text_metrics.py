@@ -472,3 +472,43 @@ def test_skipgram_pairs_window_semantics(spark):
         map(tuple, skipgram_pairs(df.repartition(7), window=2).collect())
     )
     assert a == b
+
+
+def test_trigram_lm_hand_computed(spark):
+    """Corpus 'a b c' + 'a b d': by symmetry the full KN ladder gives
+    P(c|ab) = P(d|ab) = 0.5 exactly — (1-.75)/2 + .75*(2/2)*[
+    (1-.75)/2 + .75*(2/2)*(1/2) ]."""
+    import math
+
+    from quackml_spark.operators.text import doc_trigrams, trigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    got = {
+        (r["w1"], r["w2"], r["w3"]): r["logp"]
+        for r in trigram_lm(doc_trigrams(docs)).collect()
+    }
+    assert math.isclose(got[("a", "b", "c")], math.log(0.5), rel_tol=1e-12)
+    assert math.isclose(got[("a", "b", "d")], math.log(0.5), rel_tol=1e-12)
+
+
+def test_trigram_lm_observed_mass_bounded(spark, sf_dir):
+    """Interpolated KN is a proper conditional distribution: the
+    probability mass over OBSERVED continuations of any (w1, w2)
+    context never exceeds 1 (the remainder is reserved for unseen
+    continuations)."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators.text import doc_trigrams, trigram_lm
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    model = trigram_lm(doc_trigrams(docs))
+    worst = (
+        model.groupBy("w1", "w2")
+        .agg(F.sum(F.exp("logp")).alias("mass"))
+        .agg(F.max("mass"))
+        .collect()[0][0]
+    )
+    assert worst <= 1.0 + 1e-9, worst
