@@ -2825,3 +2825,95 @@ def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ranked_by(
+    df: DataFrame, order_cols: list, n_shards: int | None = None
+) -> DataFrame:
+    """Attach ``rank`` (1-based, gap-free) under an arbitrary total
+    ordering WITHOUT a global window: repartitionByRange on the sort
+    key (ties split consistently because the range partitioner sees
+    the full key tuple), sort within partitions, then global rank =
+    partition offset + local position (the decomposed
+    monotonically_increasing_id trick the snapshot split also uses).
+    Driver state: one count per partition."""
+    spark = df.sparkSession
+    n = n_shards or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    arranged = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+    arranged = arranged.persist()
+    pid = F.shiftright("__mid", 33)
+    counts = sorted(
+        (r["p"], r["n"])
+        for r in arranged.groupBy(pid.alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for p, c in counts:
+        offsets[p] = acc
+        acc += c
+    off = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[pid]
+        if offsets
+        else F.lit(0)
+    )
+    out = arranged.withColumn(
+        "rank", off + F.col("__mid").bitwiseAND((1 << 33) - 1) + 1
+    ).drop("__mid")
+    return out
+
+
+@register(
+    "text_zipf_fit",
+    extra=True,
+    doc="Corpus statistics: Zipf-law exponent of the token-frequency "
+    "distribution — OLS slope of ln(freq) on ln(rank) over the "
+    "frequency-ranked vocabulary. The rank is the engine's two-phase "
+    "distributed rank under a NATURAL ordering (freq desc, token): "
+    "range partition + in-partition sort + per-partition offsets — "
+    "no global window, so a 10^9-type vocabulary ranks in one "
+    "shuffle. regr_slope/intercept/r2 are single-pass aggregates; "
+    "round(4) absorbs the sub-ulp aggregation-order differences of "
+    "the ln-product sums between engines.",
+    oracle=r"""
+WITH freq AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents)
+  GROUP BY tok
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank FROM freq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(ROUND(regr_slope(ln(c), ln(rank)), 4) AS DOUBLE) AS zipf_alpha,
+       CAST(ROUND(regr_r2(ln(c), ln(rank)), 4) AS DOUBLE) AS fit_r2
+FROM ranked
+""",
+    tags=("textops",),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_expr("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = ranked_by(freq, [F.desc("c"), F.asc("tok")])
+    out = ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(F.log("c"), F.log("rank")), 4)
+        .cast("double")
+        .alias("zipf_alpha"),
+        F.round(F.regr_r2(F.log("c"), F.log("rank")), 4)
+        .cast("double")
+        .alias("fit_r2"),
+    )
+    result = out.collect()[0]
+    ranked.unpersist()
+    return spark.createDataFrame(
+        [tuple(result)], "vocab_size bigint, zipf_alpha double, fit_r2 double"
+    )

@@ -512,3 +512,32 @@ def test_trigram_lm_observed_mass_bounded(spark, sf_dir):
         .collect()[0][0]
     )
     assert worst <= 1.0 + 1e-9, worst
+
+
+def test_ranked_by_matches_global_row_number(spark):
+    """The two-phase natural-order rank must equal a ROW_NUMBER over
+    the same ordering — including duplicate sort keys straddling range
+    partition boundaries, and at different shard counts."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators.text import ranked_by
+
+    rows = [(i, i % 7) for i in range(500)]  # heavy ties on the key
+    df = spark.createDataFrame(rows, "id long, k long")
+    expected = {
+        r["id"]: r["rn"]
+        for r in spark.createDataFrame(rows, "id long, k long")
+        .selectExpr("id", "k")
+        .selectExpr(
+            "id", "row_number() over (order by k desc, id) as rn"
+        )
+        .collect()
+    }
+    for shards in (3, 17):
+        got = {
+            r["id"]: r["rank"]
+            for r in ranked_by(
+                df, [F.desc("k"), F.asc("id")], n_shards=shards
+            ).collect()
+        }
+        assert got == expected
