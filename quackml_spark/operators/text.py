@@ -2917,3 +2917,91 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [tuple(result)], "vocab_size bigint, zipf_alpha double, fit_r2 double"
     )
+
+
+def curriculum_order(
+    scored: DataFrame,
+    score_col: str,
+    band_size: int = 100,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum training order: rank documents easiest-first (by
+    ``score_col`` desc) into ``band_size``-document difficulty bands,
+    then md5-shuffle WITHIN each band — the standard curriculum-with-
+    stochasticity schedule (strictly sorted curricula overfit the
+    difficulty metric; banding keeps gradient noise while preserving
+    the easy->hard progression).
+
+    Returns (id, band, curriculum_pos): position is the final, gap-free
+    0-based training order. Built on the engine's two-phase
+    natural-order rank (no global window); the within-band shuffle is
+    the shared md5 priority, so the order replays bit-identically
+    anywhere."""
+    ranked = ranked_by(
+        scored.select(F.col(id_col).alias("doc_id"), F.col(score_col)),
+        [F.desc(score_col), F.asc("doc_id")],
+    )
+    banded = ranked.select(
+        "doc_id",
+        ((F.col("rank") - 1) / band_size).cast("bigint").alias("band"),
+        md5_int32(
+            F.concat_ws(
+                "|", F.lit(str(seed)), F.col("doc_id").cast("string")
+            )
+        ).alias("__prio"),
+    )
+    ranked.unpersist()
+    final = ranked_by(banded, [F.asc("band"), F.asc("__prio"), F.asc("doc_id")])
+    out = final.select(
+        "doc_id", "band", (F.col("rank") - 1).alias("curriculum_pos")
+    )
+    return out
+
+
+@register(
+    "text_curriculum_order",
+    extra=True,
+    doc="Curriculum training order over the corpus quality score: "
+    "easiest-first rank -> 100-doc difficulty bands -> deterministic "
+    "md5 shuffle WITHIN bands (sorted curricula overfit the "
+    "difficulty metric; banding keeps gradient noise). Two two-phase "
+    "natural-order ranks, no global window anywhere; the oracle "
+    "replays both rankings with ROW_NUMBERs.",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
+         AS DECIMAL(18,6)) * 0.4
+    + CAST(length(list_filter(toks, x -> list_contains({{STOP}}, x)))
+           AS DECIMAL(18,6)) / greatest(length(toks), 1) * 0.3
+    + CAST(length(list_distinct(toks)) AS DECIMAL(18,6))
+      / greatest(length(toks), 1) * 0.3 AS q
+  FROM t
+), ranked AS (
+  SELECT doc_id,
+         CAST(FLOOR((ROW_NUMBER() OVER (
+                 ORDER BY CAST(ROUND(q, 6) AS DOUBLE) DESC, doc_id) - 1)
+               / 100) AS BIGINT) AS band,
+         ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))::BIGINT AS prio
+  FROM m
+)
+SELECT doc_id, band,
+       CAST(ROW_NUMBER() OVER (ORDER BY band, prio, doc_id) - 1 AS BIGINT)
+         AS curriculum_pos
+FROM ranked
+ORDER BY curriculum_pos
+""".replace("{STOP}", repr(list(STOPWORDS))),
+    tags=("textops", "sampling"),
+)
+def text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = score_quality(docs, keep_cols=False).select(
+        "doc_id", "quality_score"
+    )
+    return curriculum_order(scored, "quality_score").orderBy("curriculum_pos")
