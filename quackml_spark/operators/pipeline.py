@@ -219,6 +219,7 @@ def curate(
     min_quality: float | None = None,
     dedup: str | None = "exact",
     benchmark: DataFrame | None = None,
+    curriculum_band_size: int | None = None,
     budget_chars: int | None = None,
     temperature_alpha: float | None = None,
     source_col: str | None = None,
@@ -248,6 +249,10 @@ def curate(
       dedup='exact'       md5 content groups, keep min-id per group
       decontaminate       drop docs sharing any benchmark n-gram
                           (broadcast probe; pass the eval-suite frame)
+      curriculum          attach (band, curriculum_pos): easiest-first
+                          quality rank in ``curriculum_band_size``-doc
+                          bands, md5-shuffled within bands — the
+                          training order a loader consumes directly
       budget              deterministic md5-ppm sampling toward
                           ``budget_chars`` total — equal per-source
                           budgets, or temperature-flattened shares
@@ -371,6 +376,17 @@ def curate(
         )
 
 
+    if curriculum_band_size is not None:
+        from quackml_spark.operators.text import curriculum_order, score_quality
+
+        order = curriculum_order(
+            score_quality(cur, keep_cols=False).select(
+                "doc_id", "quality_score"
+            ),
+            "quality_score",
+            band_size=curriculum_band_size,
+        )
+        cur = _mark("curriculum", cur.join(order, "doc_id"))
     cur = (
         cur.withColumnRenamed("__source", source_col)
         if source_col

@@ -707,3 +707,36 @@ def test_curate_langid_and_budget_stages(spark, sf_dir):
     # allow generous sampling slack but pin the order of magnitude
     assert 2_000 < kept_chars < 60_000, kept_chars
     result.unpersist()
+
+
+def test_curate_curriculum_stage(spark, sf_dir):
+    """The curriculum stage attaches a gap-free easiest-first training
+    order over the SURVIVING docs: positions are a 0..n-1 bijection,
+    bands are quality-monotone (a later band never contains a doc with
+    strictly higher quality than an earlier band's minimum)."""
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.operators.text import score_quality
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = curate(
+        docs, clean=False, dedup=None, min_quality=0.3,
+        curriculum_band_size=50, report=True,
+    )
+    rows = out["docs"].collect()
+    n = len(rows)
+    assert sorted(r["curriculum_pos"] for r in rows) == list(range(n))
+    q = {
+        r["doc_id"]: r["quality_score"]
+        for r in score_quality(
+            out["docs"].select("doc_id", "text"), keep_cols=False
+        ).select("doc_id", "quality_score").collect()
+    }
+    by_band: dict = {}
+    for r in rows:
+        by_band.setdefault(r["band"], []).append(q[r["doc_id"]])
+    bands = sorted(by_band)
+    for a, b in zip(bands, bands[1:]):
+        assert min(by_band[a]) >= max(by_band[b]) - 1e-9
+    rep = {r["stage"] for r in out["report"].collect()}
+    assert "curriculum" in rep
