@@ -43,6 +43,19 @@ def _donor_mapping(df: DataFrame, id_col: str, seed: int) -> DataFrame:
             f"permutation requires a non-null id column; {id_col!r} has NULLs"
         )
     ids = df.select(id_col)
+    # Duplicate ids would collide on the md5 shuffle priority and then
+    # fan out through the shuffle_pos + donor joins, silently inflating
+    # row counts and biasing both metrics — enforce the documented
+    # uniqueness contract loudly (one aggregate job, same cost class as
+    # the null probe above).
+    dup = ids.agg(
+        (F.count(F.lit(1)) - F.countDistinct(id_col)).alias("d")
+    ).first()["d"]
+    if dup:
+        raise ValueError(
+            f"permutation requires a UNIQUE id column; {id_col!r} has "
+            f"{dup} duplicated row(s)"
+        )
     r = shuffle_order(ids, seed=f"{seed}r", id_col=id_col)
     v = shuffle_order(ids, seed=f"{seed}v", id_col=id_col).select(
         F.col("doc_id").alias("__donor"), "shuffle_pos"

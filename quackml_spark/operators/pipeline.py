@@ -249,16 +249,19 @@ def curate(
       dedup='exact'       md5 content groups, keep min-id per group
       decontaminate       drop docs sharing any benchmark n-gram
                           (broadcast probe; pass the eval-suite frame)
-      curriculum          attach (band, curriculum_pos): easiest-first
-                          quality rank in ``curriculum_band_size``-doc
-                          bands, md5-shuffled within bands — the
-                          training order a loader consumes directly
       budget              deterministic md5-ppm sampling toward
                           ``budget_chars`` total — equal per-source
                           budgets, or temperature-flattened shares
                           when ``temperature_alpha`` is set (needs
                           ``source_col``; without one the whole corpus
                           is a single source)
+      curriculum          attach (band, curriculum_pos): easiest-first
+                          quality rank in ``curriculum_band_size``-doc
+                          bands, md5-shuffled within bands — the
+                          training order a loader consumes directly.
+                          Runs LAST (after budget) so positions stay
+                          gap-free over the documents that actually
+                          survive sampling
 
     Returns {"docs": curated DataFrame, "report": DataFrame(stage,
     docs_in, docs_out, dropped)}. ``report=True`` runs one count per

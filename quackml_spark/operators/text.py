@@ -2836,35 +2836,58 @@ def ranked_by(
     the full key tuple), sort within partitions, then global rank =
     partition offset + local position (the decomposed
     monotonically_increasing_id trick the snapshot split also uses).
-    Driver state: one count per partition."""
+
+    ONE lazy query, no persist, no driver collect: the per-partition
+    counts are a second branch over the SAME range exchange (Catalyst
+    deduplicates it into a ReusedExchange — pinned in test_plans.py,
+    since rank correctness requires both branches to see one shared
+    partitioning: range boundaries are sampled, so two independent
+    exchanges could disagree), cumulated into offsets by a window over
+    the n_shards-row counts table (bounded by config, not data), and
+    joined back broadcast on partition id. Earlier rounds persisted the
+    arranged relation and collected the counts; the persist leaked
+    (callers could not release a cache entry buried inside the returned
+    plan — round-7 verdict) and both are now unnecessary."""
     spark = df.sparkSession
+    if spark.conf.get("spark.sql.exchange.reuse", "true") == "false":
+        # Without exchange reuse each branch samples its own range
+        # boundaries (RangePartitioner seeds by rdd id), the two
+        # partitionings disagree, and the pid->offset join silently
+        # scrambles ranks — verified empirically, so fail loudly.
+        raise ValueError(
+            "ranked_by requires spark.sql.exchange.reuse=true (the "
+            "default): its offset branch must share the main branch's "
+            "materialized range partitioning"
+        )
     n = n_shards or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     arranged = (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33))
     )
-    arranged = arranged.persist()
-    pid = F.shiftright("__mid", 33)
-    counts = sorted(
-        (r["p"], r["n"])
-        for r in arranged.groupBy(pid.alias("p"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    # offsets = exclusive running sum of per-partition counts. The
+    # single-partition window is over <= n_shards rows (config-bounded),
+    # not data-sized, so the lit(0) partitionBy is scale-safe.
+    cum = Window.partitionBy(F.lit(0)).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    offsets, acc = {}, 0
-    for p, c in counts:
-        offsets[p] = acc
-        acc += c
-    off = (
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[pid]
-        if offsets
-        else F.lit(0)
+    offsets = (
+        arranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__n").over(cum), F.lit(0)).alias("__off"),
+        )
     )
-    out = arranged.withColumn(
-        "rank", off + F.col("__mid").bitwiseAND((1 << 33) - 1) + 1
-    ).drop("__mid")
-    return out
+    return (
+        arranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "rank",
+            F.col("__off") + F.col("__mid").bitwiseAND((1 << 33) - 1) + 1,
+        )
+        .drop("__mid", "__pid", "__off")
+    )
 
 
 @register(
@@ -2903,7 +2926,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     ranked = ranked_by(freq, [F.desc("c"), F.asc("tok")])
-    out = ranked.agg(
+    return ranked.agg(
         F.count(F.lit(1)).alias("vocab_size"),
         F.round(F.regr_slope(F.log("c"), F.log("rank")), 4)
         .cast("double")
@@ -2911,11 +2934,6 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.log("c"), F.log("rank")), 4)
         .cast("double")
         .alias("fit_r2"),
-    )
-    result = out.collect()[0]
-    ranked.unpersist()
-    return spark.createDataFrame(
-        [tuple(result)], "vocab_size bigint, zipf_alpha double, fit_r2 double"
     )
 
 
@@ -2951,7 +2969,6 @@ def curriculum_order(
             )
         ).alias("__prio"),
     )
-    ranked.unpersist()
     final = ranked_by(banded, [F.asc("band"), F.asc("__prio"), F.asc("doc_id")])
     out = final.select(
         "doc_id", "band", (F.col("rank") - 1).alias("curriculum_pos")

@@ -65,3 +65,19 @@ def test_permutation_importance_separates_signal_from_noise(spark, sf_dir, tmp_p
     }
     assert imp["q"] > 1.0  # permuting the only real feature wrecks rmse
     assert abs(imp["noise"]) < 1e-6  # zero-coefficient feature is inert
+
+
+def test_donor_mapping_rejects_duplicate_ids(spark):
+    """Round-7 advice: duplicate ids would collide on the md5 priority
+    and silently fan out through the shuffle_pos/donor joins, biasing
+    both metrics — the documented uniqueness contract must fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from quackml_spark.ml.importance import permuted_column
+
+    df = spark.range(0, 10).select(
+        (F.col("id") % 5).alias("rid"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="UNIQUE"):
+        permuted_column(df, "v", id_col="rid")

@@ -740,3 +740,50 @@ def test_curate_curriculum_stage(spark, sf_dir):
         assert min(by_band[a]) >= max(by_band[b]) - 1e-9
     rep = {r["stage"] for r in out["report"].collect()}
     assert "curriculum" in rep
+
+
+def test_ranked_by_is_the_exact_dense_order(spark):
+    """ranked_by must hand back the same 1..n assignment a global
+    window would, on a skewed modular key with heavy ties — the gap-free
+    AND order-correct contract the zipf/curriculum oracles build on."""
+    from quackml_spark.operators.text import ranked_by
+
+    df = spark.range(0, 5007).select(
+        (F.col("id") * 2654435761 % 977).alias("k"), "id"
+    )
+    rows = ranked_by(df, [F.desc("k"), F.asc("id")]).collect()
+    assert sorted(r["rank"] for r in rows) == list(range(1, 5008))
+    by_order = sorted(rows, key=lambda r: (-r["k"], r["id"]))
+    assert [r["rank"] for r in by_order] == list(range(1, 5008))
+
+
+def test_ranked_by_refuses_exchange_reuse_off(spark):
+    """Rank correctness requires the offsets branch to share the main
+    branch's materialized range exchange; with reuse disabled the two
+    partitionings sample boundaries independently and ranks scramble —
+    ranked_by must refuse loudly instead (verified-wrong otherwise)."""
+    from quackml_spark.operators.text import ranked_by
+
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        with pytest.raises(ValueError, match="exchange.reuse"):
+            ranked_by(spark.range(5).select("id"), [F.asc("id")])
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+
+
+def test_ranked_by_queries_leave_cache_empty(spark, sf_dir):
+    """r7 verdict item 1: ranked_by used to persist its arranged
+    relation and leak it (callers' unpersist was a plan-mismatch
+    no-op). It is now one lazy query — after running both
+    ranked_by-backed registered queries end-to-end the Spark SQL cache
+    must be EMPTY."""
+    from quackml_spark.plans import REGISTRY, _load_all
+
+    _load_all()
+    spark.catalog.clearCache()
+    REGISTRY["text_zipf_fit"].builder(spark, sf_dir).collect()
+    REGISTRY["text_curriculum_order"].builder(spark, sf_dir).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "ranked_by leaked a cached relation into the session CacheManager"
+    )

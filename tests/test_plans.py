@@ -64,6 +64,15 @@ PLAN_PINNED = [
     "text_line_dedup",
     "q30_cube_status_year",
     "q31_event_funnel",
+    # round-8 additions (pipeline_curate_report's returned frame is the
+    # driver-constructed attrition report — no lazily-built plan to pin;
+    # its corpus body reuses the exact stage shapes pinned via
+    # pipeline_corpus_manifest / text_clean_normalize / dedup_exact /
+    # text_decontaminate above)
+    "text_trigram_perplexity",
+    "text_zipf_fit",
+    "text_curriculum_order",
+    "ann_ivfpq_topk",
 ]
 
 # intentional broadcast nested-loop joins, all with CONSTANT-size build
@@ -82,6 +91,9 @@ BNLJ_ALLOWED = {
     # no key by construction (scalar fan-in)
     "text_bigram_perplexity",
     "text_temperature_mixture",
+    # same scalar fan-in: the trigram LM joins its 1-row bigram-type
+    # total into the continuation-probability branch
+    "text_trigram_perplexity",
 }
 
 
@@ -178,6 +190,13 @@ def _partitionless_windows(plan: str) -> list[str]:
             d -= ch == ")"
             first += ch
         if " ASC" in first or " DESC" in first:
+            # ranked_by's offsets cumsum is a window over its
+            # per-partition COUNTS table — at most n_shards rows
+            # (config-bounded, never data-sized), keyed on the engine's
+            # reserved __pid column. That one shape is the sanctioned
+            # exception to the global-window ban.
+            if first.lstrip().startswith("__pid"):
+                continue
             out.append(args)
     return out
 
@@ -199,6 +218,32 @@ def test_dedup_minhash_no_embedding_in_shuffle(spark, sf_dir):
     column shows up in an Exchange's schema the 100 TB story is gone."""
     plan = _plan(spark, "dedup_minhash_lsh", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,min_reuse",
+    [("text_zipf_fit", 1), ("text_curriculum_order", 2)],
+)
+def test_ranked_by_offsets_share_the_range_exchange(
+    spark, sf_dir, name, min_reuse
+):
+    """ranked_by's rank arithmetic is only correct when its offsets
+    branch reads the SAME materialized range partitioning as the main
+    branch (range boundaries are sampled per exchange; two independent
+    exchanges can disagree and scramble ranks). AQE deduplicates the
+    identical exchanges at runtime — assert the executed plan actually
+    shows the reuse, once per ranked_by call."""
+    from quackml_spark.plans import REGISTRY, _load_all
+
+    _load_all()
+    df = REGISTRY[name].builder(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    n = executed.count("ReusedExchange")
+    assert n >= min_reuse, (
+        f"{name}: expected >= {min_reuse} ReusedExchange in the executed "
+        f"plan (one per ranked_by offsets branch), saw {n}"
+    )
 
 
 def test_audit_plan_flags_scale_killers(spark, sf_dir):
