@@ -1871,55 +1871,111 @@ def bm25_topk(
     for the default b.
 
     Scale shape (100 TB corpus, handful-of-KB query set) — the corpus
-    text is tokenized exactly TWICE end-to-end (once for the dl/avgdl
-    statistics, once for scoring), and exploded once:
+    is tokenized exactly twice end-to-end, scoring + df (round 8; the
+    r7 shape tokenized it three times — a stats action, the tf branch
+    and the dl join — and also exploded and shuffled every matched
+    token through a (doc, term) aggregation, both gone here):
 
-    * document length is ``size(tokens)`` on the un-exploded token
-      array — no explode and no groupBy(doc_id) shuffle for dl at all
-      (an earlier shape exploded the corpus a third time and shuffled
-      every token to count it back down);
-    * the query-term set is broadcast; the corpus restricts to rows
-      containing a query term with a map-side hash semi-probe BEFORE
-      the per-(doc, term) tf aggregation — the full corpus never
-      shuffles on the token key;
-    * df = per-term row count of the ALREADY-AGGREGATED tf relation
-      (tf is keyed by (doc, term), so its per-term cardinality IS the
-      distinct-doc count) — Spark's ReuseExchange serves tf to both
-      the scoring join and the df aggregate from one shuffle, where
-      the earlier shape re-exploded the corpus for a count_distinct;
+    * the query vocabulary is collected to the driver (bounded by the
+      query batch — the operator's documented contract) and pushed
+      into the scan projection as a literal array: per doc, ONE
+      map-side expression computes dl = size(tokens) plus the
+      (term, tf) pairs for query terms via array_intersect + a nested
+      lambda count — no corpus explode, no (doc, term) groupBy
+      shuffle, no separate dl relation, and only the matched rows
+      (doc_id, dl, tok, tf — query-bounded) ever leave the scan;
+    * df = per-term row count of the matched relation (keyed by
+      (doc, term), so its per-term cardinality IS the distinct-doc
+      count), aggregated with map-side partial combine — skew-immune
+      even when a query term matches most of the corpus — into a
+      <= |query vocab|-row table that broadcasts back. The df branch
+      re-tokenizes (a window over tok would avoid that but serializes
+      each term's group through one task — measured 10x worse on a
+      skewed vocabulary than the second tokenize);
+    * corpus statistics (n_docs, avgdl) are a second scan branch that
+      never tokenizes: dl == regexp_count(text, '\\S+') (case-fold
+      cannot change token boundaries), aggregated map-side and joined
+      in as a 1-row broadcast (scalar fan-in, the bigram-LM shape);
     * per-term contributions are rounded to DECIMAL(38,9) and summed
       exactly, so the score is independent of aggregation order (and
       bit-identical to the DuckDB oracle); ranking ties break on
       doc_id.
     """
     sum_mult = float(k1 + 1.0)
-    toks_arr = docs.select("doc_id", tokens_expr("text").alias("toks"))
-    dl = toks_arr.where(F.size("toks") > 0).select(
-        "doc_id", F.size("toks").alias("dl")
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total")
-    ).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["total"]) / int(stats["n_docs"])
-
     qterms = F.broadcast(queries.select("query_id", "tok").distinct())
-    toks = toks_arr.select("doc_id", F.explode("toks").alias("tok"))
-    # Corpus tokens that appear in ANY query (map-side broadcast probe).
-    qtoks = toks.join(F.broadcast(qterms.select("tok").distinct()), "tok")
-    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = sorted(
+        r["tok"] for r in queries.select("tok").distinct().collect()
+    )
+    spark = docs.sparkSession
+    if not vocab:
+        return spark.createDataFrame(
+            [], "query_id bigint, doc_id bigint, bm25 double, rnk int"
+        )
+    lit_vocab = F.array(*[F.lit(t) for t in vocab])
+    stats = F.broadcast(
+        docs.select(F.regexp_count("text", F.lit(r"\S+")).alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+    )
+    # explode_OUTER + post-generate null filter, NOT plain explode:
+    # InferFiltersFromGenerate would clone the entire tokenize +
+    # intersect + transform chain into a pushed-down `size(qtf) > 0`
+    # filter and re-evaluate it per row (measured 2.6x slower). The
+    # empty-array docs explode to one null row and drop right here.
+    base = docs.select("doc_id", tokens_expr("text").alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.transform(
+            F.array_intersect("toks", lit_vocab),
+            lambda t: F.struct(
+                t.alias("tok"),
+                F.size(
+                    F.filter(F.col("toks"), lambda x: x == t)
+                ).cast("bigint").alias("tf"),
+            ),
+        ).alias("qtf"),
+    )
+    hits = (
+        base.select("doc_id", "dl", F.explode_outer("qtf").alias("h"))
+        .where(F.col("h").isNotNull())
+        .select(
+            "doc_id",
+            "dl",
+            F.col("h.tok").alias("tok"),
+            F.col("h.tf").alias("tf"),
+        )
+    )
+    # df branch recomputes tokenize+intersect but NOT the per-term tf
+    # transform (array_intersect already dedups, so rows are one per
+    # (doc, matched term) — exactly the df grain). Map-side partial
+    # combine keeps it skew-immune when a query term matches most of
+    # the corpus, which is why this is a groupBy + broadcast and not a
+    # count(*) window over tok (measured faster here, but a hot term
+    # would serialize through one window task at 100 TB).
     dfreq = F.broadcast(
-        tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        docs.select(
+            F.explode(
+                F.array_intersect(tokens_expr("text"), lit_vocab)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
 
-    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    denom = F.col("tf") + k1 * (
-        (1.0 - b) + b * F.col("dl") / F.lit(avgdl)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
-    contrib = (idf * (F.col("tf") * sum_mult) / denom).alias("c_dbl")
+    denom = F.col("tf") + k1 * (
+        (1.0 - b) + b * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * sum_mult) / denom
     scored = (
-        tf.join(dfreq, "tok")
+        hits.join(dfreq, "tok")
         .join(qterms, "tok")
-        .join(dl, "doc_id")
+        .crossJoin(stats)
         .select(
             "query_id",
             "doc_id",

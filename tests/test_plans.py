@@ -94,6 +94,9 @@ BNLJ_ALLOWED = {
     # same scalar fan-in: the trigram LM joins its 1-row bigram-type
     # total into the continuation-probability branch
     "text_trigram_perplexity",
+    # BM25's 1-row corpus-stats aggregate (n_docs, avgdl) joins on no
+    # key by construction (scalar fan-in, round-8 single-tokenize shape)
+    "text_bm25_topk",
 }
 
 
