@@ -285,7 +285,6 @@ _PQ_D2 = (
 
 @register(
     "ann_ivfpq_topk",
-    extra=True,
     doc="The FAISS-style IVF-PQ composite, FULLY value-checked: medoid "
     "coarse quantizer (vec_id < 8) prunes to nprobe=3 probed lists "
     "per query; inside the lists only 8 uint8 PQ codes per vector are "

@@ -417,7 +417,6 @@ _CUR_CLEAN_SQL = _CLEAN_SQL.replace("(text,", "(t,")
 
 @register(
     "pipeline_curate_report",
-    extra=True,
     doc="curate()'s END-TO-END attrition accounting value-checked as "
     "one oracle query: planted boilerplate footers -> line_dedup(5) "
     "-> clean -> quality >= 0.35 -> exact dedup -> decontaminate "

@@ -463,6 +463,8 @@ def _ivf_search(
 
 @register(
     "ann_ivf_topk",
+    extra=True,  # r8 curation: the IVF-PQ composite (ann_ivfpq_topk) is the
+    # stronger graded ANN family representative; this stays oracle-checked
     doc="IVF ANN with a deterministic medoid coarse quantizer (centroids "
     "= the first n_lists vectors): map-only assignment to the "
     "highest-dot-product centroid -> inverted lists -> probe the nprobe "

@@ -92,6 +92,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality_score",
+    extra=True,  # r8 curation: quality scoring is exercised end-to-end
+    # inside the graded pipeline_curate_report row
     doc="Quality scoring: stopword ratio, type-token ratio, length-band "
     "flag, composite score — the C4/Gopher-style signals as one scan.",
     oracle=rf"""
