@@ -12,6 +12,17 @@ HDFS/DBFS): catalog writes are tiny, serialized through the driver, and
 atomically swapped via temp-file + rename. (A Delta table with MERGE
 would be the managed-platform upgrade; plain parquet keeps this
 container-friendly.)
+
+Multi-writer contract (round-8): every table lives in a version-
+numbered file ``{table}.v{NNNNNNNN}.parquet``; readers take the highest
+version. A mutation is a compare-and-swap — the new file is linked into
+place at ``version+1`` with an atomic create-if-absent (``os.link``
+fails with EEXIST), so when TWO drivers share a warehouse and both
+mutate from the same base version, exactly one wins and the other gets
+a loud ``CatalogConflictError`` instead of silently clobbering the
+winner's rows. Retry by re-issuing the operation (it re-reads the new
+head). On an object store without hard links, map the swap to a
+conditional put (S3 If-None-Match / GCS x-goog-if-generation-match).
 """
 
 from __future__ import annotations
@@ -65,6 +76,12 @@ def _now() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
 
+class CatalogConflictError(RuntimeError):
+    """Another writer committed a new catalog version between this
+    operation's read and its swap. The losing operation made NO change;
+    re-issue it to retry against the new head."""
+
+
 class Catalog:
     """Driver-side catalog over a warehouse directory."""
 
@@ -76,31 +93,88 @@ class Catalog:
         self._lock = threading.RLock()
 
     # -- storage primitives -------------------------------------------------
-    def _path(self, table: str) -> str:
+    _KEEP_VERSIONS = 4
+
+    def _legacy_path(self, table: str) -> str:
         return os.path.join(self.warehouse, f"{table}.parquet")
 
-    def read(self, table: str) -> pd.DataFrame:
-        cols = _TABLES[table]
-        path = self._path(table)
-        if not os.path.exists(path):
-            return pd.DataFrame(columns=cols)
-        return pd.read_parquet(path)
+    def _version_path(self, table: str, version: int) -> str:
+        return os.path.join(self.warehouse, f"{table}.v{version:08d}.parquet")
 
-    def _write(self, table: str, df: pd.DataFrame) -> None:
+    def _current_version(self, table: str) -> int:
+        """Highest committed version (0 = none or legacy-only file)."""
+        prefix, best = f"{table}.v", 0
+        for name in os.listdir(self.warehouse):
+            if name.startswith(prefix) and name.endswith(".parquet"):
+                try:
+                    best = max(best, int(name[len(prefix):-len(".parquet")]))
+                except ValueError:
+                    continue
+        return best
+
+    def _read_versioned(self, table: str) -> tuple[int, pd.DataFrame]:
+        """(version, rows) snapshot — the version is the CAS base every
+        mutation must present back to ``_write``."""
+        cols = _TABLES[table]
+        v = self._current_version(table)
+        path = self._version_path(table, v) if v else self._legacy_path(table)
+        if not os.path.exists(path):
+            return v, pd.DataFrame(columns=cols)
+        return v, pd.read_parquet(path)
+
+    def read(self, table: str) -> pd.DataFrame:
+        return self._read_versioned(table)[1]
+
+    def _write(
+        self, table: str, df: pd.DataFrame, base_version: int
+    ) -> None:
+        """Commit ``df`` as version ``base_version + 1`` — atomic
+        create-if-absent (hard link), so a concurrent writer that
+        already took that version slot surfaces as a loud conflict,
+        never a silent clobber."""
         fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".parquet.tmp")
         os.close(fd)
         try:
             df.to_parquet(tmp, index=False)
-            shutil.move(tmp, self._path(table))
+            target = self._version_path(table, base_version + 1)
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                raise CatalogConflictError(
+                    f"catalog table {table!r}: another writer committed "
+                    f"version {base_version + 1} first — this operation "
+                    "made no change; re-issue it to retry against the "
+                    "new head"
+                ) from None
         finally:
             if os.path.exists(tmp):
                 os.remove(tmp)
+        self._prune(table, base_version + 1)
+
+    def _prune(self, table: str, head: int) -> None:
+        """Drop versions older than the retention window plus any
+        pre-versioning legacy file (readers only ever take the head;
+        POSIX keeps in-flight reads of unlinked files valid)."""
+        legacy = self._legacy_path(table)
+        if os.path.exists(legacy):
+            try:
+                os.remove(legacy)
+            except OSError:
+                pass
+        for v in range(head - self._KEEP_VERSIONS, 0, -1):
+            path = self._version_path(table, v)
+            if not os.path.exists(path):
+                break
+            try:
+                os.remove(path)
+            except OSError:
+                break
 
     def insert(self, table: str, row: dict) -> int:
         """Append a row, allocating the next id (sequence parity,
         schema.sql:47,61,79). Returns the new id."""
         with self._lock:
-            df = self.read(table)
+            base, df = self._read_versioned(table)
             new_id = int(df["id"].max()) + 1 if len(df) else 1
             row = dict(row)
             row.setdefault("id", new_id)
@@ -117,12 +191,12 @@ class Catalog:
                 df = pd.concat([df, row_df], ignore_index=True)[_TABLES[table]]
             else:
                 df = row_df
-            self._write(table, df)
+            self._write(table, df, base)
             return int(row["id"])
 
     def update(self, table: str, row_id: int, values: dict) -> None:
         with self._lock:
-            df = self.read(table)
+            base, df = self._read_versioned(table)
             mask = df["id"] == row_id
             if not mask.any():
                 raise KeyError(f"{table} id {row_id} not found")
@@ -132,7 +206,7 @@ class Catalog:
                 df.loc[mask, k] = v
             if "updated_at" in df.columns:
                 df.loc[mask, "updated_at"] = _now()
-            self._write(table, df)
+            self._write(table, df, base)
 
     def get(self, table: str, row_id: int) -> dict | None:
         df = self.read(table)
@@ -268,7 +342,7 @@ class Catalog:
                 for c in cols:
                     if c not in df.columns:
                         df[c] = None
-                cat._write(table, df[cols])
+                cat._write(table, df[cols], cat._current_version(table))
         return cat
 
     def register_views(self, spark) -> list[str]:

@@ -106,3 +106,52 @@ def test_concurrent_inserts_unique_ids(catalog):
     [t.join() for t in threads]
     assert len(ids) == 80
     assert len(set(ids)) == 80  # sequence allocation is race-free
+
+
+def test_two_driver_conflict_raises_not_clobbers(tmp_path):
+    """r7 verdict item 5: two drivers sharing a warehouse. Driver B
+    commits between driver A's read and A's swap — A must get the
+    documented CatalogConflictError and the catalog must still hold
+    B's row (no silent clobber). Simulated with two Catalog instances
+    and an interleaved low-level write, exactly the cross-process race
+    (the in-process lock cannot serialize two drivers)."""
+    from quackml_spark.catalog.catalog import Catalog, CatalogConflictError
+
+    a = Catalog(warehouse=str(tmp_path / "wh"))
+    b = Catalog(warehouse=str(tmp_path / "wh"))
+    a.insert("projects", {"name": "base", "task": "regression"})
+
+    # driver A snapshots the table, then driver B commits first
+    base_a, df_a = a._read_versioned("projects")
+    b.insert("projects", {"name": "from_b", "task": "regression"})
+
+    import pandas as pd
+    import pytest as _pytest
+
+    row = {c: None for c in df_a.columns}
+    row.update({"id": 99, "name": "from_a", "task": "regression"})
+    stale = pd.concat([df_a, pd.DataFrame([row])], ignore_index=True)
+    with _pytest.raises(CatalogConflictError, match="another writer"):
+        a._write("projects", stale, base_a)
+
+    names = set(a.read("projects")["name"])
+    assert names == {"base", "from_b"}  # B's commit survived intact
+
+    # the loser retries through the public API and succeeds
+    a.insert("projects", {"name": "from_a", "task": "regression"})
+    assert set(a.read("projects")["name"]) == {"base", "from_b", "from_a"}
+
+
+def test_catalog_versions_pruned(tmp_path):
+    """The version chain keeps a bounded retention window — many
+    mutations must not accumulate unbounded files in the warehouse."""
+    import os
+
+    from quackml_spark.catalog.catalog import Catalog
+
+    c = Catalog(warehouse=str(tmp_path / "wh"))
+    for i in range(12):
+        c.insert("projects", {"name": f"p{i}", "task": "regression"})
+    files = [f for f in os.listdir(c.warehouse) if f.startswith("projects.v")]
+    assert len(files) <= c._KEEP_VERSIONS + 1, files
+    assert len(c.read("projects")) == 12
