@@ -264,9 +264,18 @@ def curate(
                           survive sampling
 
     Returns {"docs": curated DataFrame, "report": DataFrame(stage,
-    docs_in, docs_out, dropped)}. ``report=True`` runs one count per
-    stage boundary (k stages -> k actions — an audit run; pass
-    report=False for a single lazy plan with no counting jobs)."""
+    docs_in, docs_out, dropped)}. ``report`` modes:
+
+      True      one count per stage boundary (k stages -> k actions —
+                the interactive audit run)
+      "fused"   SAME report values in ONE Spark job: the per-stage
+                survivor frames union into a single
+                groupBy(stage).count() action (each unioned branch
+                replays its stage prefix inside the one job — total
+                work matches report=True, driver round-trips drop
+                from k to 1)
+      False     a single lazy plan, no counting jobs; stage names
+                recorded with NULL counts"""
     from quackml_spark.operators.text import (
         _decon_grams,
         clean_text_expr,
@@ -285,19 +294,28 @@ def curate(
         F.col(text_col).alias("text"),
         src.alias("__source"),
     )
+    cur0 = cur
+    if report not in (True, False, "fused"):
+        raise ValueError(
+            f"report must be True, False or 'fused', got {report!r}"
+        )
+    fused = report == "fused"
     stages: list[tuple] = []
-    n_prev = cur.count() if report else None
+    fused_frames: list[tuple[str, DataFrame]] = []
+    n_prev = cur.count() if report is True else None
 
     def _mark(stage: str, nxt: DataFrame) -> DataFrame:
         nonlocal n_prev
-        if report:
+        if report is True:
             n = nxt.count()
             stages.append((stage, n_prev, n))
             n_prev = n
         else:
-            # lazy mode still records WHICH stages ran — counts stay
-            # NULL instead of a misleading '(no stages)' sentinel
+            # lazy/fused modes still record WHICH stages ran — counts
+            # stay NULL here (fused fills them in from its one job)
             stages.append((stage, None, None))
+            if fused:
+                fused_frames.append((stage, nxt))
         return nxt
 
     if line_dedup_max_freq is not None:
@@ -395,6 +413,28 @@ def curate(
         if source_col
         else cur.drop("__source")
     )
+    if fused and stages:
+        from functools import reduce
+
+        union = reduce(
+            DataFrame.unionByName,
+            [
+                df.select(F.lit(s).alias("__stage"), "doc_id")
+                for s, df in [("__input", cur0)] + fused_frames
+            ],
+        )
+        counts = {
+            r["__stage"]: r["n"]
+            for r in union.groupBy("__stage")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_prev = counts["__input"]
+        stages = []
+        for s, _ in fused_frames:
+            n = counts.get(s, 0)
+            stages.append((s, n_prev, n))
+            n_prev = n
     rep = spark.createDataFrame(
         [
             (s, i, o, (i - o) if i is not None else None)

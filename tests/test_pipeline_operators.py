@@ -787,3 +787,78 @@ def test_ranked_by_queries_leave_cache_empty(spark, sf_dir):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "ranked_by leaked a cached relation into the session CacheManager"
     )
+
+
+def test_curate_fused_report_matches_counted_in_one_job(spark, sf_dir):
+    """r7 verdict item 6: report='fused' must produce the SAME attrition
+    numbers as report=True on the planted corpus, with exactly ONE
+    counting job (the per-stage survivor frames union into a single
+    groupBy(stage).count())."""
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.sources import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = "click here to subscribe now please"
+    docs = base.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\n"), F.lit(boiler)).alias("text"),
+    )
+    extra = spark.createDataFrame(
+        [
+            (100001, base.where("doc_id = 3").first()["text"] + "\n" + boiler),
+            (100002, "x\n" + boiler),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(extra)
+    bench = spark.createDataFrame(
+        [(base.where("doc_id = 7").first()["text"],)], "text string"
+    )
+    kwargs = dict(
+        line_dedup_max_freq=5, min_quality=0.35, dedup="exact",
+        benchmark=bench,
+    )
+    counted = curate(docs, report=True, **kwargs)
+
+    # fused mode's promise is ONE driver action for all stage counts
+    # (jobs are a poor proxy: AQE runs a job per query stage and every
+    # broadcast build side submits its own) — count the actions.
+    _DF = type(docs)  # the concrete (classic) DataFrame class —
+    # patching the pyspark.sql.DataFrame ABC would miss its overrides
+
+    actions = {"count": 0, "collect": 0}
+    real_count, real_collect = _DF.count, _DF.collect
+
+    def counting_count(self):
+        actions["count"] += 1
+        return real_count(self)
+
+    def counting_collect(self):
+        actions["collect"] += 1
+        return real_collect(self)
+
+    _DF.count, _DF.collect = counting_count, counting_collect
+    try:
+        fused = curate(docs, report="fused", **kwargs)
+    finally:
+        _DF.count, _DF.collect = real_count, real_collect
+    assert actions == {"count": 0, "collect": 1}, actions
+    as_rows = lambda rep: sorted(
+        (r["stage"], r["docs_in"], r["docs_out"], r["dropped"])
+        for r in rep.collect()
+    )
+    assert as_rows(fused["report"]) == as_rows(counted["report"])
+    # the curated output itself is unchanged by the report mode
+    ids = lambda out: sorted(
+        r["doc_id"] for r in out["docs"].select("doc_id").collect()
+    )
+    assert ids(fused) == ids(counted)
+
+
+def test_curate_rejects_unknown_report_mode(spark, sf_dir):
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with pytest.raises(ValueError, match="report"):
+        curate(docs, report="verbose")
