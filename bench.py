@@ -72,7 +72,7 @@ def main() -> None:
     # before each query isolates it from garbage accumulated by earlier
     # queries in the shared session (r2 showed uniform +20-30% drift on
     # UNCHANGED queries from exactly this cross-query pressure).
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name, qd in bench.items():
         if name in errors:

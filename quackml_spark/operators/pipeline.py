@@ -416,6 +416,14 @@ def curate(
     if fused and stages:
         from functools import reduce
 
+        # Persist each stage frame for the duration of the ONE counting
+        # job: branch k of the union replays stages 1..k, so without
+        # the cache hint the union does O(k^2) stage evaluations; with
+        # it, later branches read earlier stages' materialized rows.
+        # All entries are released right after the collect — the
+        # returned docs plan recomputes lazily, leak-free (the
+        # ranked_by lesson from round 7).
+        cached = [df.persist() for _, df in fused_frames]
         union = reduce(
             DataFrame.unionByName,
             [
@@ -423,12 +431,16 @@ def curate(
                 for s, df in [("__input", cur0)] + fused_frames
             ],
         )
-        counts = {
-            r["__stage"]: r["n"]
-            for r in union.groupBy("__stage")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        try:
+            counts = {
+                r["__stage"]: r["n"]
+                for r in union.groupBy("__stage")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        finally:
+            for df in cached:
+                df.unpersist()
         n_prev = counts["__input"]
         stages = []
         for s, _ in fused_frames:
@@ -551,7 +563,7 @@ SELECT stage, docs_in, docs_out, docs_in - docs_out AS dropped FROM (
 )
 ORDER BY stage
 """.replace("{STOPWORDS}", repr(list(STOPWORDS))),
-    tags=("textops", "pipeline"),
+    tags=("textops", "pipeline", "bench"),
 )
 def pipeline_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -569,5 +581,6 @@ def pipeline_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=_CUR_MINQ,
         dedup="exact",
         benchmark=bench,
+        report="fused",  # same values as report=True, ONE counting job
     )
     return out["report"].orderBy("stage")

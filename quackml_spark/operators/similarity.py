@@ -920,7 +920,7 @@ SELECT s.vec_id, s.list_id,
 FROM assign s LEFT JOIN drops d ON d.vec_b = s.vec_id
 ORDER BY s.vec_id
 """,
-    tags=("dedup", "similarity"),
+    tags=("dedup", "similarity", "bench"),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -2867,7 +2867,7 @@ FROM tg g JOIN model m
 GROUP BY g.doc_id
 ORDER BY g.doc_id
 """,
-    tags=("textops", "llm"),
+    tags=("textops", "llm", "bench"),
 )
 def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
