@@ -481,10 +481,23 @@ ORDER BY component, doc_id
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse the registered LSH pair generator as the edge list
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs).orderBy("component", "doc_id")
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_rounds: int = 64
+) -> DataFrame:
+    """(component, doc_id) labels over an undirected pair graph via
+    iterative min-label propagation — the distributed union-find
+    (O(diameter) join rounds, each a key-partitioned shuffle).
+    ``component`` is the cluster's MIN node id, so component == doc_id
+    identifies the canonical keeper. Generic over any edge frame: the
+    registered dedup_connected_components query and curate()'s
+    near-dup mode both run exactly this."""
     und = pairs.select(
-        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+        F.col(src).alias("s"), F.col(dst).alias("d")
     ).unionByName(
-        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
     und = und.cache()
     labels = und.select(F.col("s").alias("node")).distinct().withColumn(
@@ -495,7 +508,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint truncates lineage each round — without it the plan
     # doubles per iteration and a 64-round run at real diameter blows
     # the optimizer/stack long before the data becomes the problem.
-    for _ in range(64):  # hard bound; real diameter is tiny
+    for _ in range(max_rounds):  # hard bound; real diameter is tiny
         nbr = (
             und.join(labels, und.d == labels.node)
             .select(F.col("s").alias("node"), "label")
@@ -518,9 +531,49 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     out = labels.select(
         F.col("label").alias("component"), F.col("node").alias("doc_id")
-    ).orderBy("component", "doc_id")
+    )
     und.unpersist()
     return out
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (doc_a < doc_b) for ANY (id, text)
+    frame — doc_band_keys' bucket grouping + in-bucket pair generation,
+    the same one-shuffle shape as the registered dedup_minhash_lsh."""
+    bands = doc_band_keys(docs, id_col, text_col)
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(F.explode(_bucket_pairs(max_bucket_size)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def near_dup_drops(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """One-column frame of ids to DROP so each near-duplicate cluster
+    keeps its min-id representative (singletons never appear). Note:
+    the component labeling is driver-iterative (O(diameter) rounds), so
+    this runs Spark jobs at call time — not a lazy transformation."""
+    comp = connected_components(
+        near_dup_pairs(docs, id_col, text_col, max_bucket_size)
+    )
+    return comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
 
 
 @register(

@@ -247,6 +247,11 @@ def curate(
                           ``min_quality`` (same arithmetic the graded
                           text_quality_score query pins)
       dedup='exact'       md5 content groups, keep min-id per group
+      dedup='minhash'     NEAR-duplicate clusters (MinHash-LSH bands ->
+                          in-bucket pairs -> connected components),
+                          keep the min-id representative per cluster —
+                          runs the iterative component labeling at
+                          build time (O(diameter) driver rounds)
       decontaminate       drop docs sharing any benchmark n-gram
                           (broadcast probe; pass the eval-suite frame)
       budget              deterministic md5-ppm sampling toward
@@ -354,8 +359,21 @@ def curate(
             .select("doc_id")
         )
         cur = _mark("dedup_exact", cur.join(keepers, "doc_id"))
+    elif dedup == "minhash":
+        # NEAR-duplicate clusters (MinHash-LSH band buckets -> in-bucket
+        # pairs -> min-label connected components), each collapsed to
+        # its min-id representative. The component labeling is
+        # driver-iterative (O(diameter) rounds), so unlike every other
+        # stage this one runs jobs at curate() build time.
+        from quackml_spark.operators.dedup import near_dup_drops
+
+        drops = near_dup_drops(cur.select("doc_id", "text"))
+        cur = _mark("dedup_minhash", cur.join(drops, "doc_id", "left_anti"))
     elif dedup is not None:
-        raise ValueError(f"unknown dedup mode {dedup!r} (supported: 'exact', None)")
+        raise ValueError(
+            f"unknown dedup mode {dedup!r} "
+            "(supported: 'exact', 'minhash', None)"
+        )
     if benchmark is not None:
         bench = benchmark.select(
             F.monotonically_increasing_id().alias("doc_id"),

@@ -862,3 +862,32 @@ def test_curate_rejects_unknown_report_mode(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     with pytest.raises(ValueError, match="report"):
         curate(docs, report="verbose")
+
+
+def test_curate_minhash_mode_drops_near_duplicates(spark, sf_dir):
+    """dedup='minhash' must collapse NEAR-duplicate clusters (which
+    exact dedup cannot see) to their min-id representative, and leave
+    singletons alone."""
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.sources import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d3 = base.where("doc_id = 3").first()["text"]
+    near = spark.createDataFrame(
+        [
+            (100001, d3 + " trailing-change"),   # near-dup of 3
+            (100002, "prefix-change " + d3),     # another near-dup of 3
+        ],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(near)
+
+    exact = curate(docs, clean=False, dedup="exact", report=False)
+    exact_ids = {r["doc_id"] for r in exact["docs"].select("doc_id").collect()}
+    assert {100001, 100002} <= exact_ids  # exact dedup can't see them
+
+    out = curate(docs, clean=False, dedup="minhash", report=True)
+    ids = {r["doc_id"] for r in out["docs"].select("doc_id").collect()}
+    assert 3 in ids and 100001 not in ids and 100002 not in ids
+    rep = {r["stage"]: r for r in out["report"].collect()}
+    assert rep["dedup_minhash"]["dropped"] >= 2
