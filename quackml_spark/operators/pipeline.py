@@ -602,3 +602,82 @@ def pipeline_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         report="fused",  # same values as report=True, ONE counting job
     )
     return out["report"].orderBy("stage")
+
+
+def _sql_band_rows_from_aug() -> str:
+    """dedup's band-row SQL twin re-pointed at the ``aug`` CTE — single
+    source-table substitution so the near-dup curate oracle can never
+    drift from the shared MinHash geometry."""
+    from quackml_spark.operators.dedup import _SQL_BAND_ROWS
+
+    return _SQL_BAND_ROWS.replace("FROM documents", "FROM aug")
+
+
+@register(
+    "pipeline_curate_neardup",
+    extra=True,
+    doc="curate(dedup='minhash') value-checked END-TO-END: two planted "
+    "near-copies of existing docs (one trailing-edit, one prefix-edit "
+    "— invisible to exact dedup) join the corpus; the pipeline's "
+    "MinHash-LSH bands -> in-bucket pairs -> connected components -> "
+    "min-id keeper chain must agree with DuckDB's recursive-CTE "
+    "transitive closure over the SAME deterministic band keys, doc by "
+    "doc (md5 of the surviving text). Determinism makes the check "
+    "exact whether or not any given pair collides: both engines hash "
+    "identically, so they drop identically.",
+    oracle="""
+WITH RECURSIVE
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zq trailing marker'
+  FROM documents WHERE doc_id = 3
+  UNION ALL
+  SELECT doc_id + 2000000, 'zq prefix marker ' || text
+  FROM documents WHERE doc_id = 5
+),
+bands AS ({BANDS}),
+edges AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+),
+und AS (
+  SELECT doc_a AS s, doc_b AS d FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach(node, label) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, r.label FROM und u JOIN reach r ON r.node = u.d
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+)
+SELECT a.doc_id, md5(a.text) AS content_md5
+FROM aug a LEFT JOIN comp c ON c.doc_id = a.doc_id
+WHERE c.doc_id IS NULL OR c.component = a.doc_id
+ORDER BY a.doc_id
+""".replace("{BANDS}", _sql_band_rows_from_aug()),
+    tags=("textops", "dedup", "pipeline"),
+)
+def pipeline_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.where(F.col("doc_id") == 3).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq trailing marker")).alias("text"),
+        )
+    ).unionByName(
+        docs.where(F.col("doc_id") == 5).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.lit("zq prefix marker "), F.col("text")).alias("text"),
+        )
+    )
+    out = curate(aug, clean=False, dedup="minhash", report=False)
+    return (
+        out["docs"]
+        .select("doc_id", F.md5("text").alias("content_md5"))
+        .orderBy("doc_id")
+    )
