@@ -113,6 +113,9 @@ def _load_codebook(spark: SparkSession, path: str) -> list[list[list[float]]]:
     return cb
 
 
+_LOADED_INDEXES: dict = {}
+
+
 def _validate_and_load(
     spark: SparkSession,
     path: str,
@@ -123,7 +126,23 @@ def _validate_and_load(
     matches the searcher (a raw searcher on residual codes — or vice
     versa — returns plausible-looking garbage, so BOTH directions fail
     loudly), codebook consistent with the manifest, query dimension
-    matches. Returns (manifest, sorted centers, codebook)."""
+    matches. Returns (manifest, sorted centers, codebook).
+
+    The loaded (manifest, centers, codebook) triple is memoized per
+    (path, manifest mtime): index files are immutable once the
+    written-last manifest lands, and a rebuild at the same path
+    replaces the manifest (new mtime -> fresh load). The per-call query
+    checks (encoding direction, dimension) always run."""
+    import os
+
+    key = None
+    mdir = f"{path}/manifest.parquet"
+    if os.path.isdir(mdir):
+        key = (path, os.path.getmtime(mdir))
+    if key in _LOADED_INDEXES:
+        man, centers, codebook = _LOADED_INDEXES[key]
+        _check_query_side(path, man, queries, expect_residual)
+        return man, centers, codebook
     try:
         man = spark.read.parquet(f"{path}/manifest.parquet").first()
     except Exception as e:
@@ -131,6 +150,24 @@ def _validate_and_load(
             f"IVF-PQ index at {path!r} has no readable manifest — "
             f"half-built or not an index; rebuild with ivfpq_index_build"
         ) from e
+    centers = [
+        (int(r["list_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
+    ]
+    centers.sort()
+    codebook = _load_codebook(spark, path)
+    if len(codebook) != int(man["m"]):
+        raise ValueError(
+            f"IVF-PQ index at {path!r} inconsistent: manifest m={man['m']}, "
+            f"codebook has {len(codebook)} subspaces"
+        )
+    if key is not None:
+        _LOADED_INDEXES[key] = (man, centers, codebook)
+    _check_query_side(path, man, queries, expect_residual)
+    return man, centers, codebook
+
+
+def _check_query_side(path, man, queries, expect_residual):
     is_residual = str(man["quantizer"]).endswith("residual")
     if is_residual and not expect_residual:
         raise ValueError(
@@ -143,23 +180,11 @@ def _validate_and_load(
             f"index at {path!r} is not residual-encoded "
             f"(quantizer={man['quantizer']!r}); use ivfpq_index_search"
         )
-    centers = [
-        (int(r["list_id"]), list(r["centroid"]))
-        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
-    ]
-    centers.sort()
-    codebook = _load_codebook(spark, path)
-    if len(codebook) != int(man["m"]):
-        raise ValueError(
-            f"IVF-PQ index at {path!r} inconsistent: manifest m={man['m']}, "
-            f"codebook has {len(codebook)} subspaces"
-        )
     q_dim = queries.select(F.size("embedding").alias("d")).first()
     if q_dim is not None and int(q_dim["d"]) != int(man["dim"]):
         raise ValueError(
             f"query dimension {q_dim['d']} != index dimension {man['dim']}"
         )
-    return man, centers, codebook
 
 
 def ivfpq_index_search(
@@ -178,8 +203,20 @@ def ivfpq_index_search(
     shortlist (``shortlist`` per query) joins its ids back for an
     EXACT L2 re-rank — the join is shortlist-sized. Returns
     (query_id, neighbor_id, d2, rnk); d2 is the ADC approximation, or
-    the exact squared L2 when refining."""
-    from quackml_spark.operators.similarity import _cb_struct_array, _dot
+    the exact squared L2 when refining.
+
+    The per-query ADC lookup tables are computed ON THE DRIVER from
+    the collected query batch (bounded by the operator's contract —
+    the batch is broadcast anyway) with arithmetic that replays the
+    former in-plan expression bit-for-bit: sequential left-fold dots
+    (_seqdot == _dot's fold order == DuckDB's list_dot_product) and
+    BigDecimal-style HALF_UP rounding on the exact binary double.
+    Building m*k LUT Column expressions through py4j cost ~2.4 s of
+    driver time per search (measured, r8) versus ~0 for the numeric
+    loop; execution and results are unchanged."""
+    import decimal as _d
+
+    from quackml_spark.operators.similarity import _seqdot
 
     man, centers, codebook = _validate_and_load(
         spark, path, queries, expect_residual=False
@@ -187,31 +224,59 @@ def ivfpq_index_search(
     m = len(codebook)
     d_sub = len(codebook[0][0])
 
-    q = queries.select(
+    q_rows = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    ).withColumn("probe_lists", _nearest_lists(F.col("q_emb"), centers, nprobe))
+    ).collect()
 
-    def lut_for(s: int):
-        q_sub = F.slice(F.col("q_emb"), s * d_sub + 1, d_sub)
-        return F.transform(
-            _cb_struct_array(codebook[s]),
-            lambda c: F.round(
-                _dot(q_sub, q_sub) - 2.0 * _dot(q_sub, c["cent"]) + c["cc"], 12
-            ).cast("decimal(20,12)"),
-        )
+    _q12 = _d.Decimal("1e-12")
 
+    def _round12(x: float) -> _d.Decimal:
+        # Spark's round(double, 12): BigDecimal of the EXACT binary
+        # double, HALF_UP — Decimal(float) is that exact expansion
+        return _d.Decimal(x).quantize(_q12, rounding=_d.ROUND_HALF_UP)
+
+    lut_rows, q_pairs = [], []
+    for r in q_rows:
+        emb = [float(x) for x in r["q_emb"]]
+        q_pairs.append((int(r["query_id"]), emb))
+        # probe list selection replays _nearest_lists: dot desc, id asc
+        by_score = sorted(
+            ((-_seqdot(emb, c), lid) for lid, c in centers)
+        )[:nprobe]
+        luts = []
+        for s in range(m):
+            q_sub = emb[s * d_sub : (s + 1) * d_sub]
+            qq = _seqdot(q_sub, q_sub)
+            luts.append(
+                [
+                    _round12(qq - 2.0 * _seqdot(q_sub, cent) + _seqdot(cent, cent))
+                    for cent in codebook[s]
+                ]
+            )
+        for _, lid in by_score:
+            lut_rows.append((int(r["query_id"]), *luts, int(lid)))
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    qx_schema = StructType(
+        [StructField("query_id", LongType())]
+        + [
+            StructField(f"__lut{s}", ArrayType(DecimalType(20, 12)))
+            for s in range(m)
+        ]
+        + [StructField("list_id", IntegerType())]
+    )
     # the broadcast carries ONLY ids + LUTs — the raw query embedding
     # never enters the candidate join payload (code-review catch)
-    qx = F.broadcast(
-        q.select(
-            "query_id",
-            *[lut_for(s).alias(f"__lut{s}") for s in range(m)],
-            F.explode("probe_lists").alias("list_id"),
-        )
-    )
-    probed = sorted(
-        {int(lid) for r in q.select("probe_lists").collect() for lid in r[0]}
-    )
+    qx = F.broadcast(spark.createDataFrame(lut_rows, qx_schema))
+    probed = sorted({row[-1] for row in lut_rows})
     lists = spark.read.parquet(f"{path}/lists").where(
         F.col("list_id").isin(probed)
     )
@@ -252,7 +317,11 @@ def ivfpq_index_search(
     full = refine.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
     )
-    qe = F.broadcast(q.select("query_id", "q_emb"))
+    qe = F.broadcast(
+        spark.createDataFrame(
+            q_pairs, "query_id bigint, q_emb array<double>"
+        )
+    )
     diff_d2 = F.aggregate(
         F.zip_with(
             F.col("q_emb"),
