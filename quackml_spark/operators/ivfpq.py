@@ -544,44 +544,73 @@ def ivfpq_index_search_residual(
     on the QUERY RESIDUAL against each probed list's centroid (one LUT
     per (query, probed list) — nprobe * m * k entries per query, still
     a bounded broadcast), then the scoring join is the same m-lookup
-    exact-decimal sum."""
-    from quackml_spark.operators.similarity import _cb_struct_array, _dot
+    exact-decimal sum. LUTs are computed on the driver from the
+    collected query batch with the same bit-replay arithmetic as the
+    raw searcher (see ivfpq_index_search)."""
+    import decimal as _d
+
+    from quackml_spark.operators.similarity import _seqdot
 
     man, centers, codebook = _validate_and_load(
         spark, path, queries, expect_residual=True
     )
     m = len(codebook)
     d_sub = len(codebook[0][0])
-    lookup = _centroid_lookup(centers)
+    center_of = dict(centers)
 
-    q = (
-        queries.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-        )
-        .withColumn("probe_lists", _nearest_lists(F.col("q_emb"), centers, nprobe))
-        .withColumn("list_id", F.explode("probe_lists"))
-        .withColumn("__qres", _residual(F.col("q_emb"), lookup(F.col("list_id"))))
+    q_rows = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).collect()
+
+    _q12 = _d.Decimal("1e-12")
+
+    def _round12(x: float) -> _d.Decimal:
+        return _d.Decimal(x).quantize(_q12, rounding=_d.ROUND_HALF_UP)
+
+    lut_rows = []
+    for r in q_rows:
+        emb = [float(x) for x in r["q_emb"]]
+        by_score = sorted(
+            ((-_seqdot(emb, c), lid) for lid, c in centers)
+        )[:nprobe]
+        for _, lid in by_score:
+            cent0 = center_of[lid]
+            qres = [a - b for a, b in zip(emb, cent0)]
+            luts = []
+            for s in range(m):
+                q_sub = qres[s * d_sub : (s + 1) * d_sub]
+                qq = _seqdot(q_sub, q_sub)
+                luts.append(
+                    [
+                        _round12(
+                            qq - 2.0 * _seqdot(q_sub, cent) + _seqdot(cent, cent)
+                        )
+                        for cent in codebook[s]
+                    ]
+                )
+            lut_rows.append((int(r["query_id"]), int(lid), *luts))
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
 
-    def lut_for(s: int):
-        q_sub = F.slice(F.col("__qres"), s * d_sub + 1, d_sub)
-        return F.transform(
-            _cb_struct_array(codebook[s]),
-            lambda c: F.round(
-                _dot(q_sub, q_sub) - 2.0 * _dot(q_sub, c["cent"]) + c["cc"], 12
-            ).cast("decimal(20,12)"),
-        )
-
-    qx = F.broadcast(
-        q.select(
-            "query_id",
-            "list_id",
-            *[lut_for(s).alias(f"__lut{s}") for s in range(m)],
-        )
+    qx_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("list_id", IntegerType()),
+        ]
+        + [
+            StructField(f"__lut{s}", ArrayType(DecimalType(20, 12)))
+            for s in range(m)
+        ]
     )
-    probed = sorted(
-        {int(r["list_id"]) for r in q.select("list_id").distinct().collect()}
-    )
+    qx = F.broadcast(spark.createDataFrame(lut_rows, qx_schema))
+    probed = sorted({row[1] for row in lut_rows})
     lists = spark.read.parquet(f"{path}/lists").where(
         F.col("list_id").isin(probed)
     )
