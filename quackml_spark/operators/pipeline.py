@@ -219,6 +219,7 @@ def curate(
     min_quality: float | None = None,
     dedup: str | None = "exact",
     benchmark: DataFrame | None = None,
+    decontaminate_mode: str = "exact",
     curriculum_band_size: int | None = None,
     budget_chars: int | None = None,
     temperature_alpha: float | None = None,
@@ -252,8 +253,12 @@ def curate(
                           keep the min-id representative per cluster —
                           runs the iterative component labeling at
                           build time (O(diameter) driver rounds)
-      decontaminate       drop docs sharing any benchmark n-gram
-                          (broadcast probe; pass the eval-suite frame)
+      decontaminate       drop docs sharing any benchmark n-gram (pass
+                          the eval-suite frame). decontaminate_mode
+                          'exact' = broadcast gram probe; 'bloom' =
+                          map-only Bloom bitmap probe (the 100 TB
+                          shape — drops a SUPERSET of exact: false
+                          positives only, the conservative direction)
       budget              deterministic md5-ppm sampling toward
                           ``budget_chars`` total — equal per-source
                           budgets, or temperature-flattened shares
@@ -379,9 +384,32 @@ def curate(
             F.monotonically_increasing_id().alias("doc_id"),
             F.col(text_col).alias("text"),
         )
-        leaked = decontaminate(_decon_grams(cur), _decon_grams(bench)).select(
-            "doc_id"
-        )
+        if decontaminate_mode == "exact":
+            leaked = decontaminate(
+                _decon_grams(cur), _decon_grams(bench)
+            ).select("doc_id")
+        elif decontaminate_mode == "bloom":
+            # The 100 TB path: the benchmark gram set packs into an
+            # m-bit Bloom bitmap (collect bounded by m set positions,
+            # never by benchmark size) and the corpus side is a
+            # map-only probe — no gram join at all. Drops a SUPERSET
+            # of exact mode (false positives only, rate set by m/k) —
+            # the conservative direction for decontamination. Builds
+            # the bitmap at curate() build time (one bounded job).
+            from quackml_spark.operators.text import bloom_build, bloom_probe
+
+            bitmap = bloom_build(_decon_grams(bench))
+            leaked = (
+                bloom_probe(_decon_grams(cur), bitmap)
+                .where(F.col("bloom_hit"))
+                .select("doc_id")
+                .distinct()
+            )
+        else:
+            raise ValueError(
+                f"unknown decontaminate_mode {decontaminate_mode!r} "
+                "(supported: 'exact', 'bloom')"
+            )
         cur = _mark("decontaminate", cur.join(leaked, "doc_id", "left_anti"))
     if budget_chars is not None:
         from quackml_spark.operators.sampling import (

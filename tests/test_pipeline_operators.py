@@ -891,3 +891,28 @@ def test_curate_minhash_mode_drops_near_duplicates(spark, sf_dir):
     assert 3 in ids and 100001 not in ids and 100002 not in ids
     rep = {r["stage"]: r for r in out["report"].collect()}
     assert rep["dedup_minhash"]["dropped"] >= 2
+
+
+def test_curate_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """decontaminate_mode='bloom' must drop every doc exact mode drops
+    (false positives only — the conservative direction for benchmark
+    leakage), and reject unknown modes loudly."""
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.sources import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = spark.createDataFrame(
+        [(base.where("doc_id = 7").first()["text"],)], "text string"
+    )
+    ids = lambda mode: {
+        r["doc_id"]
+        for r in curate(
+            base, clean=False, dedup=None, benchmark=bench,
+            decontaminate_mode=mode, report=False,
+        )["docs"].select("doc_id").collect()
+    }
+    exact_kept, bloom_kept = ids("exact"), ids("bloom")
+    assert 7 not in exact_kept and 7 not in bloom_kept
+    assert bloom_kept <= exact_kept  # bloom drops a superset
+    with pytest.raises(ValueError, match="decontaminate_mode"):
+        curate(base, benchmark=bench, decontaminate_mode="fuzzy")
