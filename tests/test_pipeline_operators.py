@@ -916,3 +916,21 @@ def test_curate_bloom_decontaminate_superset_of_exact(spark, sf_dir):
     assert bloom_kept <= exact_kept  # bloom drops a superset
     with pytest.raises(ValueError, match="decontaminate_mode"):
         curate(base, benchmark=bench, decontaminate_mode="fuzzy")
+
+
+def test_ranked_by_queries_agree_with_aqe_off(spark, sf_dir):
+    """ranked_by's exchange sharing has two runtime mechanisms: AQE
+    stage dedup (default) and the planner ReuseExchange rule (AQE off).
+    Both must yield identical results — a silent divergence here would
+    be a wrong-rank bug, not a perf regression."""
+    from quackml_spark.plans import REGISTRY, _load_all
+
+    _load_all()
+    build = REGISTRY["text_zipf_fit"].builder
+    on = build(spark, sf_dir).collect()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        off = build(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert on == off
