@@ -1103,25 +1103,56 @@ def pq_adc_topk(
     d_sub = len(codebook[0][0])
 
     # The textbook ADC split: the m*k lookup table is computed ONCE per
-    # query row (before the broadcast), so the per-(query, doc) work is
-    # m array lookups + m-1 exact-decimal adds — no dot products in the
-    # scoring join. decimal(20,12), NOT (38,12): Spark's chained decimal
-    # adds grow precision by one digit per term, and at the 38 cap the
-    # planner keeps the integral digits by SHRINKING the scale (silent
-    # precision loss); 20+7 chained adds stays under the cap, so all 12
-    # fractional digits survive to match the DuckDB replay.
-    def lut_for(s: int):
-        q_sub = F.slice(F.col(emb_col), s * d_sub + 1, d_sub)
-        return F.transform(
-            _cb_struct_array(codebook[s]),
-            lambda c: F.round(
-                _dot(q_sub, q_sub) - 2.0 * _dot(q_sub, c["cent"]) + c["cc"],
-                12,
-            ).cast("decimal(20,12)"),
-        )
+    # query ON THE DRIVER (the query batch is collected — it is bounded
+    # and broadcast anyway, and building m*k LUT Column expressions
+    # through py4j measured ~4 s of driver time per call, r8), with
+    # arithmetic that bit-replays the in-plan expression: sequential
+    # left-fold dots (_seqdot == _dot's fold order == DuckDB's
+    # list_dot_product) and BigDecimal-style HALF_UP rounding on the
+    # exact binary double. decimal(20,12), NOT (38,12): Spark's chained
+    # decimal adds grow precision by one digit per term, and at the 38
+    # cap the planner keeps the integral digits by SHRINKING the scale
+    # (silent precision loss); 20+7 chained adds stays under the cap,
+    # so all 12 fractional digits survive to match the DuckDB replay.
+    import decimal as _d
 
-    q_with_lut = queries.select(
-        "query_id", *[lut_for(s).alias(f"__lut{s}") for s in range(m)]
+    _q12 = _d.Decimal("1e-12")
+
+    def _round12(x: float) -> _d.Decimal:
+        return _d.Decimal(x).quantize(_q12, rounding=_d.ROUND_HALF_UP)
+
+    lut_rows = []
+    for r in queries.select("query_id", emb_col).collect():
+        q_vec = [float(x) for x in r[emb_col]]
+        luts = []
+        for s in range(m):
+            q_sub = q_vec[s * d_sub : (s + 1) * d_sub]
+            qq = _seqdot(q_sub, q_sub)
+            luts.append(
+                [
+                    _round12(qq - 2.0 * _seqdot(q_sub, cent) + _seqdot(cent, cent))
+                    for cent in codebook[s]
+                ]
+            )
+        lut_rows.append((int(r["query_id"]), *luts))
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_with_lut = queries.sparkSession.createDataFrame(
+        lut_rows,
+        StructType(
+            [StructField("query_id", LongType())]
+            + [
+                StructField(f"__lut{s}", ArrayType(DecimalType(20, 12)))
+                for s in range(m)
+            ]
+        ),
     )
 
     def term(s: int):
