@@ -487,7 +487,8 @@ def curate(
         finally:
             for df in cached:
                 df.unpersist()
-        n_prev = counts["__input"]
+        # an EMPTY corpus yields no union rows at all — every count 0
+        n_prev = counts.get("__input", 0)
         stages = []
         for s, _ in fused_frames:
             n = counts.get(s, 0)

@@ -934,3 +934,15 @@ def test_ranked_by_queries_agree_with_aqe_off(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert on == off
+
+
+def test_curate_fused_report_on_empty_corpus(spark):
+    """Edge: an empty input corpus must yield an all-zero fused report,
+    not a KeyError (no union rows at all -> no '__input' count row)."""
+    from quackml_spark.operators.pipeline import curate
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = curate(empty, clean=True, dedup="exact", report="fused")
+    rows = out["report"].collect()
+    assert rows and all(r["docs_in"] == 0 and r["docs_out"] == 0 for r in rows)
+    assert out["docs"].count() == 0
