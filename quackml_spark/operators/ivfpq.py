@@ -162,6 +162,8 @@ def _validate_and_load(
             f"codebook has {len(codebook)} subspaces"
         )
     if key is not None:
+        if len(_LOADED_INDEXES) >= 64:  # flush-on-full, predict-cache style
+            _LOADED_INDEXES.clear()
         _LOADED_INDEXES[key] = (man, centers, codebook)
     _check_query_side(path, man, queries, expect_residual)
     return man, centers, codebook
