@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,6 +659,197 @@ def streaming_index_dedup(
         )
         flagged.unpersist()
         bands.unpersist()
+
+    return (
+        _with_checkpoint(
+            docs_stream.writeStream.foreachBatch(_process),
+            checkpoint_location,
+        )
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_curate(
+    docs_stream: DataFrame,
+    state_path: str,
+    *,
+    clean: bool = True,
+    min_quality: float | None = None,
+    benchmark_grams: DataFrame | None = None,
+    sink: list | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "qml_streaming_curate",
+    checkpoint_location: str | None = None,
+):
+    """Continuous corpus curation — curate()'s filter/dedup/decontaminate
+    stages applied to an UNBOUNDED document feed, with the cross-batch
+    state a production crawl pipeline needs:
+
+    per micro-batch (foreachBatch, plain batch relational ops):
+
+    1. clean (map-only normalization, same expression as curate());
+    2. quality gate: ``score_quality >= min_quality`` (same arithmetic
+       the graded text_quality_score pins);
+    3. exact dedup against the persisted ACCEPTED-HASH log at
+       ``{state_path}/hashes`` (anti-join — the log carries 32-byte
+       md5s, never text) plus the intra-batch min-id rule, so a burst
+       of identical docs inside one trigger cannot all slip through;
+       novel filter-passing hashes append to the log;
+    4. decontaminate: drop docs sharing a shingle with
+       ``benchmark_grams`` (broadcast probe — stateless);
+    5. accepted docs append (doc_id, n_tokens, content_md5) to
+       ``{state_path}/manifest``; one decision record per input doc —
+       {batch_id, doc_id, accepted, reason in quality/dup/contaminated/
+       None} — goes to ``sink`` (test/demo) or
+       ``{state_path}/decisions``.
+
+    Decision semantics: FIRST-ACCEPTED-WINS across batches (the hash
+    log), min-id within a batch. When arrival order is id-monotone —
+    including the one-batch availableNow drain the registered
+    streaming_curate_docs query uses — the two coincide, every 'dup'
+    is exactly 'a smaller-id filter-passing doc shares the hash', and
+    the whole run replays as one SQL query over the full corpus (the
+    oracle). Under out-of-order arrival exactly one doc per content
+    still survives; only WHICH one differs (a true stream cannot
+    retro-reject an already-accepted larger-id doc). Hash-log appends
+    are at-least-once on restart without a checkpoint (see
+    _with_checkpoint); duplicate hash rows cannot change any decision
+    (the probe is an EXISTS)."""
+    import os
+
+    from quackml_spark.operators.text import (
+        _decon_grams,
+        clean_text_expr,
+        score_quality,
+        tokens_expr,
+    )
+
+    results = sink if sink is not None else []
+    bench = (
+        F.broadcast(benchmark_grams.select("gram").distinct())
+        if benchmark_grams is not None
+        else None
+    )
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        b = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        if not b.take(1):
+            return
+        if clean:
+            b = b.select("doc_id", clean_text_expr("text").alias("text"))
+        scored = score_quality(b)
+        if min_quality is not None:
+            scored = scored.withColumn(
+                "__pass", F.col("quality_score") >= min_quality
+            )
+        else:
+            scored = scored.withColumn("__pass", F.lit(True))
+        hashed = scored.withColumn(
+            "__h", F.md5(F.lower(F.trim("text")))
+        ).persist()
+
+        passing = hashed.where("__pass")
+        hash_dir = f"{state_path}/hashes"
+        if os.path.isdir(hash_dir):
+            seen = spark.read.parquet(hash_dir)
+            idx_dup = (
+                passing.join(seen.withColumnRenamed("h", "__h"), "__h")
+                .select("doc_id")
+                .distinct()
+            )
+        else:
+            idx_dup = passing.select("doc_id").where(F.lit(False))
+        w = Window.partitionBy("__h")
+        batch_dup = (
+            passing.withColumn("__min", F.min("doc_id").over(w))
+            .where(F.col("doc_id") != F.col("__min"))
+            .select("doc_id")
+        )
+        dup = idx_dup.unionByName(batch_dup).distinct().withColumn(
+            "__dup", F.lit(True)
+        )
+
+        keepers = passing.join(dup.select("doc_id"), "doc_id", "left_anti")
+        if bench is not None:
+            contaminated = (
+                _decon_grams(keepers.select("doc_id", "text"))
+                .join(bench, "gram")
+                .select("doc_id")
+                .distinct()
+                .withColumn("__cont", F.lit(True))
+            )
+        else:
+            contaminated = keepers.select("doc_id").where(
+                F.lit(False)
+            ).withColumn("__cont", F.lit(True))
+
+        decided = (
+            hashed.join(dup, "doc_id", "left")
+            .join(contaminated, "doc_id", "left")
+            .select(
+                "doc_id",
+                "__h",
+                F.size(tokens_expr("text")).cast("bigint").alias("n_tokens"),
+                F.when(~F.col("__pass"), "quality")
+                .when(F.col("__dup"), "dup")
+                .when(F.col("__cont"), "contaminated")
+                .alias("reason"),
+            )
+            .persist()
+        )
+        # novel filter-passing hashes (one row per distinct hash) keep
+        # later batches honest; appended BEFORE decontamination by
+        # design — the dup rule is 'smaller FILTER-PASSING doc with the
+        # same hash', which is what makes the run batch-split invariant
+        (
+            keepers.select(F.col("__h").alias("h"))
+            .distinct()
+            .write.mode("append")
+            .parquet(hash_dir)
+        )
+        accepted = decided.where(F.col("reason").isNull())
+        (
+            accepted.select(
+                "doc_id",
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                F.col("__h").alias("content_md5"),
+            )
+            .write.mode("append")
+            .parquet(f"{state_path}/manifest")
+        )
+        if sink is not None:
+            for r in sorted(
+                decided.select("doc_id", "reason").collect(),
+                key=lambda r: r["doc_id"],
+            ):
+                results.append(
+                    {
+                        "batch_id": int(batch_id),
+                        "doc_id": int(r["doc_id"]),
+                        "accepted": r["reason"] is None,
+                        "reason": r["reason"],
+                    }
+                )
+        else:
+            (
+                decided.select(
+                    F.lit(int(batch_id)).alias("batch_id"),
+                    "doc_id",
+                    F.col("reason").isNull().alias("accepted"),
+                    "reason",
+                )
+                .write.mode("append")
+                .parquet(f"{state_path}/decisions")
+            )
+        decided.unpersist()
+        hashed.unpersist()
 
     return (
         _with_checkpoint(

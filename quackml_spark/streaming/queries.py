@@ -307,3 +307,121 @@ ORDER BY d.doc_id
 
 
 _install_index_dedup_oracle()
+
+
+@register(
+    "streaming_curate_docs",
+    extra=True,
+    doc="Continuous corpus curation (streaming_curate) value-checked "
+    "END-TO-END: the documents table streams through foreachBatch — "
+    "clean -> quality gate (the graded text_quality_score arithmetic) "
+    "-> exact dedup against the persisted accepted-hash log (+ the "
+    "intra-batch min-id rule) -> benchmark-gram decontamination "
+    "(doc_id %% 97 docs play the eval suite). First-accepted-wins "
+    "across batches, min-id within one; under the id-monotone "
+    "availableNow drain used here the two coincide ('dup' = a "
+    "smaller-id filter-passing doc shares the hash), so the whole run "
+    "replays as ONE SQL query over the full corpus.",
+    oracle=None,  # set below — shares the pipeline clean/STOP SQL
+    tags=("streaming", "textops", "pipeline"),
+)
+def streaming_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from quackml_spark.operators.text import _decon_grams, clean_text_expr
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_grams = _decon_grams(
+        docs.where(F.col("doc_id") % 97 == 0).select(
+            "doc_id", clean_text_expr("text").alias("text")
+        )
+    )
+    state_path = tempfile.mkdtemp(prefix="qml_stream_curate_")
+    sink: list = []
+    q = streaming_curate(
+        stream_parquet_table(
+            spark, sf_dir, "documents.parquet", "doc_id long, text string"
+        ).select("doc_id", "text"),
+        state_path,
+        min_quality=0.35,
+        benchmark_grams=bench_grams,
+        sink=sink,
+        query_name=f"qml_stream_curate_{abs(hash(sf_dir)) % 99999}",
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(r["doc_id"], r["accepted"], r["reason"]) for r in sink],
+        "doc_id long, accepted boolean, reason string",
+    ).orderBy("doc_id")
+
+
+def _install_streaming_curate_oracle() -> None:
+    from quackml_spark.operators.pipeline import _CLEAN_SQL
+    from quackml_spark.operators.text import _DECON_K, STOPWORDS
+    from quackml_spark.plans import REGISTRY
+
+    k = _DECON_K
+    REGISTRY["streaming_curate_docs"].oracle = rf"""
+WITH cleaned AS (
+  SELECT doc_id, {_CLEAN_SQL} AS ct FROM documents
+), t AS (
+  SELECT doc_id, ct, length(ct) AS n_chars,
+         regexp_extract_all(lower(ct), '\S+') AS toks
+  FROM cleaned
+), m AS (
+  SELECT doc_id, ct,
+    CAST(ROUND(
+      CAST(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
+           AS DECIMAL(18,6)) * 0.4
+      + CAST(length(list_filter(toks, x -> list_contains({STOPWORDS!r}, x)))
+             AS DECIMAL(18,6)) / greatest(length(toks), 1) * 0.3
+      + CAST(length(list_distinct(toks)) AS DECIMAL(18,6))
+        / greatest(length(toks), 1) * 0.3
+    , 6) AS DOUBLE) AS q
+  FROM t
+), passing AS (
+  SELECT doc_id, ct, md5(lower(trim(ct))) AS h FROM m WHERE q >= 0.35
+), dup AS (
+  SELECT DISTINCT a.doc_id
+  FROM passing a JOIN passing b ON a.h = b.h AND b.doc_id < a.doc_id
+), keepers AS (
+  SELECT doc_id, ct FROM passing
+  WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+), ktoks AS (
+  SELECT doc_id, regexp_extract_all(lower(ct), '\S+') AS toks FROM keepers
+), kgrams AS (
+  SELECT DISTINCT doc_id,
+         md5(list_aggregate(toks[i:i+{k - 1}], 'string_agg', ' ')) AS gram
+  FROM ktoks, unnest(range(1, length(toks) - {k - 2})) AS t(i)
+  WHERE length(toks) >= {k}
+), btoks AS (
+  SELECT doc_id, regexp_extract_all(lower(ct), '\S+') AS toks
+  FROM cleaned WHERE doc_id % 97 = 0
+), bgrams AS (
+  SELECT DISTINCT
+         md5(list_aggregate(toks[i:i+{k - 1}], 'string_agg', ' ')) AS gram
+  FROM btoks, unnest(range(1, length(toks) - {k - 2})) AS t(i)
+  WHERE length(toks) >= {k}
+), contaminated AS (
+  SELECT DISTINCT g.doc_id FROM kgrams g JOIN bgrams USING (gram)
+)
+SELECT d.doc_id,
+       (r.reason IS NULL) AS accepted, r.reason
+FROM documents d
+LEFT JOIN (
+  SELECT m.doc_id,
+         CASE WHEN m.q < 0.35 THEN 'quality'
+              WHEN dup.doc_id IS NOT NULL THEN 'dup'
+              WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         END AS reason
+  FROM m
+  LEFT JOIN dup ON dup.doc_id = m.doc_id
+  LEFT JOIN contaminated c ON c.doc_id = m.doc_id
+) r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+_install_streaming_curate_oracle()

@@ -761,3 +761,70 @@ def test_serve_with_auto_rollback_flips_model_mid_stream(spark, sf_dir, tmp_path
         assert s["model_id"] == r1.model_id, by_batch
     dm = catalog.deployed_models()
     assert int(dm.iloc[0]["model_id"]) == r1.model_id
+
+
+def test_streaming_curate_batch_split_invariant(spark, sf_dir, tmp_path):
+    """streaming_curate under ID-MONOTONE arrival (the order where
+    first-accepted-wins coincides with the min-id rule — see the
+    docstring) must give IDENTICAL decisions whether the corpus arrives
+    as one micro-batch or four: the cross-batch hash log must carry
+    exactly what the intra-batch window rule would have decided.
+    Planted: an exact duplicate pair split across batches."""
+    import os
+
+    from quackml_spark.operators.text import _decon_grams, clean_text_expr
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_curate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup_of_3 = spark.createDataFrame(
+        [(900001, docs.where("doc_id = 3").first()["text"])],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(dup_of_3)
+    bench = _decon_grams(
+        docs.where(F.col("doc_id") % 97 == 0).select(
+            "doc_id", clean_text_expr("text").alias("text")
+        )
+    )
+    n = corpus.count()
+
+    def run(src_dir, state_dir, n_files, qname):
+        # id-ordered range files with ascending mtimes: the file source
+        # orders by (mtime, path), so batches arrive id-monotone
+        os.makedirs(src_dir)
+        step = (900002 // n_files) + 1
+        for i in range(n_files):
+            part = corpus.where(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            )
+            if i == n_files - 1:
+                part = corpus.where(F.col("doc_id") >= i * step)
+            f = f"{src_dir}/part{i:02d}"
+            part.coalesce(1).write.parquet(f)
+            for root, _, files in os.walk(f):
+                for name in files:
+                    os.utime(os.path.join(root, name), (1000 + i, 1000 + i))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/part*")
+        )
+        sink: list = []
+        q = streaming_curate(
+            stream, state_dir, min_quality=0.35, benchmark_grams=bench,
+            sink=sink, query_name=qname,
+        )
+        q.awaitTermination()
+        return {r["doc_id"]: (r["accepted"], r["reason"]) for r in sink}
+
+    one = run(str(tmp_path / "src1"), str(tmp_path / "st1"), 1, "qml_sc_one")
+    many = run(str(tmp_path / "src3"), str(tmp_path / "st3"), 4, "qml_sc_many")
+    assert one == many
+    assert len(one) == corpus.count()
+    # the planted exact duplicate lost to its smaller-id twin
+    assert one[900001] == (False, "dup")
+    # state landed: manifest holds exactly the accepted docs
+    accepted = {d for d, (a, _) in one.items() if a}
+    manifest = spark.read.parquet(str(tmp_path / "st1" / "manifest"))
+    assert {r["doc_id"] for r in manifest.select("doc_id").collect()} == accepted
