@@ -114,13 +114,33 @@ class Catalog:
 
     def _read_versioned(self, table: str) -> tuple[int, pd.DataFrame]:
         """(version, rows) snapshot — the version is the CAS base every
-        mutation must present back to ``_write``."""
+        mutation must present back to ``_write``.
+
+        Retries on FileNotFoundError: a concurrent writer's prune can
+        unlink the version this reader resolved between the listing and
+        the open (path-based opens get no POSIX unlink grace) — the
+        retry re-resolves the new head, which always exists. Bounded by
+        the retention window per iteration; 8 attempts tolerates ~32
+        racing commits mid-read before surfacing the error."""
         cols = _TABLES[table]
-        v = self._current_version(table)
-        path = self._version_path(table, v) if v else self._legacy_path(table)
-        if not os.path.exists(path):
-            return v, pd.DataFrame(columns=cols)
-        return v, pd.read_parquet(path)
+        last_err: Exception | None = None
+        for _ in range(8):
+            v = self._current_version(table)
+            path = (
+                self._version_path(table, v) if v else self._legacy_path(table)
+            )
+            if not os.path.exists(path):
+                if v == 0:
+                    return v, pd.DataFrame(columns=cols)
+                continue  # pruned between listdir and exists — re-resolve
+            try:
+                return v, pd.read_parquet(path)
+            except FileNotFoundError as e:
+                last_err = e
+                continue
+        raise last_err or FileNotFoundError(
+            f"catalog table {table!r}: no readable version"
+        )
 
     def read(self, table: str) -> pd.DataFrame:
         return self._read_versioned(table)[1]

@@ -129,16 +129,27 @@ def _validate_and_load(
     matches. Returns (manifest, sorted centers, codebook).
 
     The loaded (manifest, centers, codebook) triple is memoized per
-    (path, manifest mtime): index files are immutable once the
-    written-last manifest lands, and a rebuild at the same path
-    replaces the manifest (new mtime -> fresh load). The per-call query
-    checks (encoding direction, dimension) always run."""
+    (path, manifest part-file inventory, max mtime_ns): index files are
+    immutable once the written-last manifest lands, and a rebuild at
+    the same path rewrites the manifest with FRESH part-file names
+    (Spark writes task-UUID filenames), so the key changes even on
+    filesystems with coarse mtime granularity (review catch: a bare
+    directory mtime can collide within one second on HFS+/NFS). The
+    per-call query checks (encoding direction, dimension) always run."""
     import os
 
     key = None
     mdir = f"{path}/manifest.parquet"
     if os.path.isdir(mdir):
-        key = (path, os.path.getmtime(mdir))
+        names = sorted(os.listdir(mdir))
+        key = (
+            path,
+            tuple(names),
+            max(
+                (os.stat(os.path.join(mdir, n)).st_mtime_ns for n in names),
+                default=0,
+            ),
+        )
     if key in _LOADED_INDEXES:
         man, centers, codebook = _LOADED_INDEXES[key]
         _check_query_side(path, man, queries, expect_residual)
@@ -233,9 +244,13 @@ def ivfpq_index_search(
     _q12 = _d.Decimal("1e-12")
 
     def _round12(x: float) -> _d.Decimal:
-        # Spark's round(double, 12): BigDecimal of the EXACT binary
-        # double, HALF_UP — Decimal(float) is that exact expansion
-        return _d.Decimal(x).quantize(_q12, rounding=_d.ROUND_HALF_UP)
+        # Spark's round(double, 12) is BigDecimal.valueOf(x) HALF_UP —
+        # i.e. it rounds the SHORTEST decimal repr (Double.toString),
+        # not the exact binary expansion; repr(float) is the same
+        # shortest-roundtrip string, so quantizing it replays Spark's
+        # tie behavior at the 13th digit (review catch: Decimal(x)
+        # from the raw float resolves those ties differently)
+        return _d.Decimal(repr(x)).quantize(_q12, rounding=_d.ROUND_HALF_UP)
 
     lut_rows, q_pairs = [], []
     for r in q_rows:
@@ -434,9 +449,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the registered query caches its index keyed on the SOURCE file's
     # identity (path + mtime + size + build params) — a re-run searches
     # the existing index (manifest still validated by the searcher); any
-    # data or parameter change lands in a fresh directory.
+    # data or parameter change lands in a fresh directory. The cache
+    # root is per-user (multi-user /tmp would PermissionError on
+    # another user's sticky-bit dir) and the build goes into a unique
+    # temp directory that RENAMES into place — two racing processes
+    # each build a complete index and exactly one rename wins, so a
+    # reader can never observe a half-built or interleaved index
+    # (review catch: mode('overwrite') straight into the shared path
+    # could interleave two builders' deletes and writes).
+    import getpass
     import hashlib
     import os
+    import shutil
+    import tempfile
+    import uuid
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     src = os.path.join(sf_dir, "embeddings.parquet")
@@ -444,11 +470,22 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.md5(
         f"{src}|{stat.st_mtime_ns}|{stat.st_size}|medoid|8|8|16".encode()
     ).hexdigest()[:16]
-    path = f"/tmp/qml_ivfpq_cache/{key}/idx"
-    if not os.path.exists(f"{path}/manifest.parquet"):
+    root = os.path.join(
+        tempfile.gettempdir(), f"qml_ivfpq_cache_{getpass.getuser()}", key
+    )
+    path = f"{root}/idx"
+    if not os.path.isdir(f"{path}/manifest.parquet"):
+        build_dir = f"{root}.build-{uuid.uuid4().hex[:8]}"
         ivfpq_index_build(
-            emb, path, n_lists=8, m=8, k_codes=16, quantizer="medoid"
+            emb, f"{build_dir}/idx", n_lists=8, m=8, k_codes=16,
+            quantizer="medoid",
         )
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        try:
+            os.rename(build_dir, root)
+        except OSError:
+            # a concurrent builder won the rename; use its index
+            shutil.rmtree(build_dir, ignore_errors=True)
     queries = emb.where(F.col("vec_id") < 5)
     return ivfpq_index_search(spark, path, queries, k=10, nprobe=3)
 
@@ -567,7 +604,8 @@ def ivfpq_index_search_residual(
     _q12 = _d.Decimal("1e-12")
 
     def _round12(x: float) -> _d.Decimal:
-        return _d.Decimal(x).quantize(_q12, rounding=_d.ROUND_HALF_UP)
+        # shortest-repr quantize — see ivfpq_index_search._round12
+        return _d.Decimal(repr(x)).quantize(_q12, rounding=_d.ROUND_HALF_UP)
 
     lut_rows = []
     for r in q_rows:

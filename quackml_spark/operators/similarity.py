@@ -1119,7 +1119,8 @@ def pq_adc_topk(
     _q12 = _d.Decimal("1e-12")
 
     def _round12(x: float) -> _d.Decimal:
-        return _d.Decimal(x).quantize(_q12, rounding=_d.ROUND_HALF_UP)
+        # shortest-repr quantize — see ivfpq_index_search._round12
+        return _d.Decimal(repr(x)).quantize(_q12, rounding=_d.ROUND_HALF_UP)
 
     lut_rows = []
     for r in queries.select("query_id", emb_col).collect():

@@ -1905,8 +1905,14 @@ def bm25_topk(
     """
     sum_mult = float(k1 + 1.0)
     qterms = F.broadcast(queries.select("query_id", "tok").distinct())
+    # NULL terms match nothing (join semantics in the pre-r8 shape);
+    # dropping them here preserves that — and keeps the sort total
     vocab = sorted(
-        r["tok"] for r in queries.select("tok").distinct().collect()
+        r["tok"]
+        for r in queries.select("tok")
+        .where(F.col("tok").isNotNull())
+        .distinct()
+        .collect()
     )
     spark = docs.sparkSession
     if not vocab:

@@ -46,8 +46,13 @@ def partitionless_windows(plan: str) -> list[str]:
         if " ASC" in first or " DESC" in first:
             # the engine's reserved __pid offsets window (ranked_by)
             # runs over a <= n_shards-row per-partition-counts table —
-            # config-bounded, never data-sized; don't flag it
-            if first.lstrip().startswith("__pid"):
+            # config-bounded, never data-sized; recognize its EXACT
+            # shape (attribute named __pid + the exclusive running-sum
+            # frame), not a bare name prefix a user column could alias
+            if re.fullmatch(r"__pid#\d+L? ASC NULLS FIRST", first.strip()) and (
+                "specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)"
+                in args
+            ):
                 continue
             out.append(args[:120])
     return out

@@ -196,9 +196,14 @@ def _partitionless_windows(plan: str) -> list[str]:
             # ranked_by's offsets cumsum is a window over its
             # per-partition COUNTS table — at most n_shards rows
             # (config-bounded, never data-sized), keyed on the engine's
-            # reserved __pid column. That one shape is the sanctioned
-            # exception to the global-window ban.
-            if first.lstrip().startswith("__pid"):
+            # reserved __pid column. Recognize its EXACT shape (the
+            # exclusive running-sum frame too), not a bare name prefix.
+            if re.fullmatch(
+                r"__pid#\d+L? ASC NULLS FIRST", first.strip()
+            ) and (
+                "specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)"
+                in args
+            ):
                 continue
             out.append(args)
     return out
