@@ -1,0 +1,103 @@
+"""Property tests for the round-8 core primitives: ranked_by (the
+two-phase distributed rank every ordering operator builds on) and the
+near-dup keeper selection (exact-collapse + connected components).
+
+Hypothesis drives the VALUE distributions; each example still runs on
+the shared local Spark session, so examples are capped low and the
+deadline disabled (JVM latency is not a property failure)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+    ),
+    n_shards=st.integers(min_value=1, max_value=9),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ranked_by_matches_python_sort(spark, keys, n_shards):
+    """For ANY multiset of keys and ANY shard count, ranked_by assigns
+    exactly the ranks a stable (key desc, id asc) sort would."""
+    from quackml_spark.operators.text import ranked_by
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    got = {
+        r["id"]: r["rank"]
+        for r in ranked_by(
+            df, [F.desc("k"), F.asc("id")], n_shards=n_shards
+        ).collect()
+    }
+    expected = {
+        rid: pos + 1
+        for pos, (rid, _) in enumerate(
+            sorted(rows, key=lambda t: (-t[1], t[0]))
+        )
+    }
+    assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(
+            [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon eta",
+                "one two three four five six seven",
+                "unrelated words entirely different here now",
+            ]
+        ),
+        min_size=2,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_near_dup_drops_keeps_exactly_one_min_id_per_cluster(spark, texts):
+    """For any mix of exact/near/unique documents: every doc the drop
+    set removes has a smaller-id surviving doc connected to it through
+    the band graph, survivors are cluster minima, and no id is both
+    kept and dropped."""
+    from quackml_spark.operators.dedup import (
+        connected_components,
+        near_dup_drops,
+        near_dup_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    drops = {r["doc_id"] for r in near_dup_drops(docs).collect()}
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(near_dup_pairs(docs)).collect()
+    }
+    # reconstruct FULL-graph clusters: docs sharing text map onto their
+    # graph node via the min-id of the identical-text group
+    by_text: dict = {}
+    for i, t in rows:
+        by_text.setdefault(t, []).append(i)
+    cluster_of = {}
+    for t, ids in by_text.items():
+        rep = min(ids)
+        label = comp.get(rep, rep)
+        for i in ids:
+            cluster_of[i] = label
+    clusters: dict = {}
+    for i, label in cluster_of.items():
+        clusters.setdefault(label, set()).add(i)
+    for label, members in clusters.items():
+        kept = members - drops
+        assert kept == {min(members)}, (label, members, drops)
