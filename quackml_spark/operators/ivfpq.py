@@ -103,6 +103,66 @@ def ivfpq_index_build(
     ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
 
 
+def ivfpq_index_append(
+    new_emb: DataFrame,
+    path: str,
+) -> int:
+    """Append vectors to an EXISTING raw-encoded index — the FAISS
+    `add` semantics: the coarse quantizer and PQ codebook stay FIXED
+    (retraining them would invalidate every stored code), new vectors
+    assign to their nearest list and encode with the existing codebook,
+    and the (vec_id, codes) rows append to the partitioned lists.
+
+    The manifest is rewritten LAST with the updated row count, same
+    write-ordering discipline as the build: a reader that wins a race
+    sees either the old manifest with the old lists or the new manifest
+    with a superset — never codes without a manifest. Searching after
+    append returns EXACTLY what a fresh build over the union would,
+    provided that build derives the same quantizer (pinned by test
+    against the deterministic medoid path). Returns the number of rows
+    appended.
+
+    Scale: assignment + encode are one map-only projection over the new
+    batch (centroids/codebook are literals); the append touches only
+    the partitions the new vectors land in. Residual-encoded indexes
+    need the same treatment on the residual (not implemented — the raw
+    searcher is the bench/demo path)."""
+    spark = new_emb.sparkSession
+    man, centers, codebook = _validate_and_load(
+        spark, path, new_emb.select("vec_id", "embedding"),
+        expect_residual=False,
+    )
+    new_emb = new_emb.select("vec_id", "embedding")
+    assigned = pq_encode(new_emb, codebook).select(
+        "vec_id",
+        "codes",
+        _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
+    )
+    (
+        assigned.repartition("list_id")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+    n_new = int(new_emb.count())
+    spark.createDataFrame(
+        [
+            (
+                int(man["n_lists"]),
+                int(man["m"]),
+                int(man["k_codes"]),
+                int(man["dim"]),
+                int(man["n_rows"]) + n_new,
+                str(man["quantizer"]),
+                int(man["seed"]),
+            )
+        ],
+        "n_lists int, m int, k_codes int, dim int, n_rows bigint, "
+        "quantizer string, seed int",
+    ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
+    return n_new
+
+
 def _load_codebook(spark: SparkSession, path: str) -> list[list[list[float]]]:
     rows = spark.read.parquet(f"{path}/codebook.parquet").collect()
     m = 1 + max(int(r["s"]) for r in rows)

@@ -203,3 +203,54 @@ def test_residual_encoding_beats_raw_adc(spark, tmp_path):
     # searcher dispatch guard
     with pytest.raises(ValueError, match="not residual"):
         ivfpq_index_search_residual(spark, raw_path, queries)
+
+
+def test_ivfpq_append_equals_fresh_union_build(spark, sf_dir, tmp_path):
+    """FAISS `add` semantics: build on the first half, append the
+    second — searching must return EXACTLY what a fresh build over the
+    union returns (the medoid quantizer and first-k codebook derive
+    from the same leading vec_ids either way, so any difference is an
+    append bug, not quantizer drift). Also: the manifest row count
+    advances, and a residual index refuses the raw append path."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators.ivfpq import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_build_residual,
+        ivfpq_index_search,
+    )
+    from quackml_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cut = 60
+    inc_path = str(tmp_path / "inc")
+    ivfpq_index_build(
+        emb.where(F.col("vec_id") < cut), inc_path,
+        n_lists=8, m=8, k_codes=16, quantizer="medoid",
+    )
+    n_new = ivfpq_index_append(emb.where(F.col("vec_id") >= cut), inc_path)
+    assert n_new == emb.where(F.col("vec_id") >= cut).count()
+
+    full_path = str(tmp_path / "full")
+    ivfpq_index_build(
+        emb, full_path, n_lists=8, m=8, k_codes=16, quantizer="medoid"
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    inc = ivfpq_index_search(spark, inc_path, queries, k=10, nprobe=3)
+    full = ivfpq_index_search(spark, full_path, queries, k=10, nprobe=3)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+    man = spark.read.parquet(f"{inc_path}/manifest.parquet").first()
+    assert int(man["n_rows"]) == emb.count()
+    # appended neighbors actually reachable
+    assert inc.where(F.col("neighbor_id") >= cut).count() > 0
+
+    res_path = str(tmp_path / "res")
+    ivfpq_index_build_residual(
+        emb.where(F.col("vec_id") < cut), res_path, n_lists=8, m=8, k_codes=16
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="residual"):
+        ivfpq_index_append(emb.where(F.col("vec_id") >= cut), res_path)
