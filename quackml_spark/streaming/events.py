@@ -863,6 +863,62 @@ def streaming_curate(
     )
 
 
+def streaming_ann_ingest(
+    emb_stream: DataFrame,
+    index_path: str,
+    sink: list | None = None,
+    query_name: str = "qml_ann_ingest",
+    checkpoint_location: str | None = None,
+):
+    """Continuous vector ingestion into the persisted IVF-PQ index —
+    the ANN twin of streaming_index_dedup: the historical corpus is
+    indexed once (ivfpq_index_build), then each arriving micro-batch
+    of (vec_id, embedding) rows assigns to its nearest list against
+    the FIXED coarse quantizer, encodes with the FIXED codebook, and
+    appends partition-locally (ivfpq_index_append — FAISS `add`
+    semantics, manifest rewritten last per batch). Search keeps
+    working mid-ingest and, after the drain, returns exactly what a
+    fresh build over the union would (pinned by the
+    streaming_ann_ingest_vecs oracle).
+
+    One {batch_id, n_appended, n_rows_total} record per micro-batch
+    goes to ``sink``. Appends are at-least-once on restart without a
+    checkpoint — unlike the dedup log, a REPLAYED vector batch
+    re-appends rows and duplicates candidates, so production runs
+    should always pass ``checkpoint_location``."""
+    from quackml_spark.operators.ivfpq import ivfpq_index_append
+
+    results = sink if sink is not None else []
+
+    def _process(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        n = ivfpq_index_append(
+            batch_df.select("vec_id", "embedding"), index_path
+        )
+        man = batch_df.sparkSession.read.parquet(
+            f"{index_path}/manifest.parquet"
+        ).first()
+        results.append(
+            {
+                "batch_id": int(batch_id),
+                "n_appended": int(n),
+                "n_rows_total": int(man["n_rows"]),
+            }
+        )
+
+    return (
+        _with_checkpoint(
+            emb_stream.writeStream.foreachBatch(_process),
+            checkpoint_location,
+        )
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _with_checkpoint(writer, checkpoint_location: str | None):
     """Attach a checkpointLocation when given. For
     streaming_index_dedup a production (unbounded-trigger) run SHOULD

@@ -425,3 +425,58 @@ ORDER BY d.doc_id
 
 
 _install_streaming_curate_oracle()
+
+
+@register(
+    "streaming_ann_ingest_vecs",
+    extra=True,
+    doc="Continuous ANN ingestion value-checked END-TO-END: the IVF-PQ "
+    "index builds on vec_id < 100, the remaining embeddings STREAM in "
+    "through foreachBatch (fixed-quantizer assign + encode + "
+    "partition-local append, FAISS add semantics), and the post-drain "
+    "search must return exactly what the one-shot index over the whole "
+    "table returns — so this row shares ann_ivfpq_topk's oracle SQL "
+    "verbatim (the medoid centroids and first-16 codebook derive from "
+    "vec_id < 8/16, inside the pre-built half either way).",
+    oracle=None,  # set below — shared verbatim with ann_ivfpq_topk
+    tags=("streaming", "similarity"),
+)
+def streaming_ann_ingest_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from quackml_spark.operators.ivfpq import (
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_ann_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index_path = tempfile.mkdtemp(prefix="qml_ann_ingest_") + "/idx"
+    ivfpq_index_build(
+        emb.where(F.col("vec_id") < 100), index_path,
+        n_lists=8, m=8, k_codes=16, quantizer="medoid",
+    )
+    stream = stream_parquet_table(
+        spark, sf_dir, "embeddings.parquet",
+        emb.schema,
+    ).where(F.col("vec_id") >= 100)
+    sink: list = []
+    q = streaming_ann_ingest(
+        stream, index_path, sink=sink,
+        query_name=f"qml_ann_ingest_{abs(hash(sf_dir)) % 99999}",
+    )
+    q.awaitTermination()
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivfpq_index_search(spark, index_path, queries, k=10, nprobe=3)
+
+
+def _install_ann_ingest_oracle() -> None:
+    from quackml_spark.plans import REGISTRY
+
+    REGISTRY["streaming_ann_ingest_vecs"].oracle = REGISTRY[
+        "ann_ivfpq_topk"
+    ].oracle
+
+
+_install_ann_ingest_oracle()
