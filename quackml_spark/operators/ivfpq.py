@@ -107,7 +107,8 @@ def ivfpq_index_append(
     new_emb: DataFrame,
     path: str,
 ) -> int:
-    """Append vectors to an EXISTING raw-encoded index — the FAISS
+    """Append vectors to an EXISTING index (raw- or residual-encoded,
+    dispatched on the manifest) — the FAISS
     `add` semantics: the coarse quantizer and PQ codebook stay FIXED
     (retraining them would invalidate every stored code), new vectors
     assign to their nearest list and encode with the existing codebook,
@@ -125,19 +126,34 @@ def ivfpq_index_append(
     Scale: assignment + encode are one map-only projection over the new
     batch (centroids/codebook are literals); the append touches only
     the partitions the new vectors land in. Residual-encoded indexes
-    need the same treatment on the residual (not implemented — the raw
-    searcher is the bench/demo path)."""
+    append through the same call — the new batch encodes its RESIDUAL
+    against the assigned centroid, exactly as the build did."""
     spark = new_emb.sparkSession
     man, centers, codebook = _validate_and_load(
         spark, path, new_emb.select("vec_id", "embedding"),
-        expect_residual=False,
+        expect_residual=None,
     )
     new_emb = new_emb.select("vec_id", "embedding")
-    assigned = pq_encode(new_emb, codebook).select(
-        "vec_id",
-        "codes",
-        _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
-    )
+    if str(man["quantizer"]).endswith("residual"):
+        lookup = _centroid_lookup(centers)
+        assigned = (
+            new_emb.withColumn(
+                "list_id",
+                _nearest_lists(F.col("embedding"), centers, 1)[0],
+            )
+            .withColumn(
+                "__res", _residual(F.col("embedding"), lookup(F.col("list_id")))
+            )
+        )
+        assigned = pq_encode(assigned, codebook, emb_col="__res").select(
+            "vec_id", "codes", "list_id"
+        )
+    else:
+        assigned = pq_encode(new_emb, codebook).select(
+            "vec_id",
+            "codes",
+            _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
+        )
     (
         assigned.repartition("list_id")
         .write.mode("append")
@@ -241,7 +257,17 @@ def _validate_and_load(
 
 
 def _check_query_side(path, man, queries, expect_residual):
+    """``expect_residual=None`` skips the encoding-direction check
+    (the append path handles both encodings); dimension always
+    checks."""
     is_residual = str(man["quantizer"]).endswith("residual")
+    if expect_residual is None:
+        q_dim = queries.select(F.size("embedding").alias("d")).first()
+        if q_dim is not None and int(q_dim["d"]) != int(man["dim"]):
+            raise ValueError(
+                f"query dimension {q_dim['d']} != index dimension {man['dim']}"
+            )
+        return
     if is_residual and not expect_residual:
         raise ValueError(
             f"index at {path!r} is residual-encoded "

@@ -246,11 +246,26 @@ def test_ivfpq_append_equals_fresh_union_build(spark, sf_dir, tmp_path):
     # appended neighbors actually reachable
     assert inc.where(F.col("neighbor_id") >= cut).count() > 0
 
-    res_path = str(tmp_path / "res")
-    ivfpq_index_build_residual(
-        emb.where(F.col("vec_id") < cut), res_path, n_lists=8, m=8, k_codes=16
-    )
-    import pytest as _pytest
+    # residual append: clones of existing vectors must encode to
+    # IDENTICAL ADC distances (same assignment, residual and codes —
+    # any drift in the append path's replay of the build encode shows
+    # up as a d2 mismatch between original and clone)
+    from quackml_spark.operators.ivfpq import ivfpq_index_search_residual
 
-    with _pytest.raises(ValueError, match="residual"):
-        ivfpq_index_append(emb.where(F.col("vec_id") >= cut), res_path)
+    res_path = str(tmp_path / "res")
+    ivfpq_index_build_residual(emb, res_path, n_lists=8, m=8, k_codes=16)
+    clones = emb.where(F.col("vec_id") >= cut).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    assert ivfpq_index_append(clones, res_path) == clones.count()
+    queries = emb.where(F.col("vec_id") < 5)
+    got = ivfpq_index_search_residual(
+        spark, res_path, queries, k=4 * emb.count(), nprobe=8
+    ).collect()
+    d2 = {(r["query_id"], r["neighbor_id"]): r["d2"] for r in got}
+    checked = 0
+    for (qid, nid), v in d2.items():
+        if nid >= 100000 and (qid, nid - 100000) in d2:
+            assert v == d2[(qid, nid - 100000)], (qid, nid)
+            checked += 1
+    assert checked > 0
