@@ -179,6 +179,57 @@ def ivfpq_index_append(
     return n_new
 
 
+def ivfpq_index_compact(
+    spark: SparkSession, path: str, target_file_mb: int = 512
+) -> dict:
+    """Compact the lists' small-file debt after many appends — the
+    IVF-PQ twin of dedup_index_compact (same crash-safe two-rename
+    swap, same rationale): every ivfpq_index_append / streaming
+    ingest batch adds a file per touched list partition, and after N
+    batches a probed list pays N file opens per search. Rewrites the
+    (vec_id, codes) relation range-partitioned on (list_id, vec_id) and
+    sorted within partitions, so output files cover disjoint vec_id
+    ranges inside each list partition. Row content untouched; the
+    manifest is not rewritten (counts and geometry are unchanged), but
+    the metadata memo keys on the manifest inventory, so cached
+    centers/codebook stay valid across the swap by construction.
+    Returns before/after file/byte stats."""
+    import math
+    import os
+    import shutil
+
+    from quackml_spark.sources.files import _dir_bytes_files
+
+    lists_dir = os.path.join(path, "lists")
+    tmp = os.path.join(path, "lists_compact_tmp")
+    old = os.path.join(path, "lists_old")
+    if not os.path.exists(lists_dir) and os.path.exists(old):
+        os.rename(old, lists_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    bytes_before, files_before = _dir_bytes_files(lists_dir)
+    n_out = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
+    (
+        spark.read.parquet(lists_dir)
+        .repartitionByRange(n_out, "list_id", "vec_id")
+        .sortWithinPartitions("list_id", "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(tmp)
+    )
+    os.rename(lists_dir, old)
+    os.rename(tmp, lists_dir)
+    shutil.rmtree(old)
+    bytes_after, files_after = _dir_bytes_files(lists_dir)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+        "target_files": n_out,
+    }
+
+
 def _load_codebook(spark: SparkSession, path: str) -> list[list[list[float]]]:
     rows = spark.read.parquet(f"{path}/codebook.parquet").collect()
     m = 1 + max(int(r["s"]) for r in rows)

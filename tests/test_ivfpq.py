@@ -269,3 +269,39 @@ def test_ivfpq_append_equals_fresh_union_build(spark, sf_dir, tmp_path):
             assert v == d2[(qid, nid - 100000)], (qid, nid)
             checked += 1
     assert checked > 0
+
+
+def test_ivfpq_compact_content_identical_fewer_files(spark, sf_dir, tmp_path):
+    """Compaction after several appends must shrink the file count and
+    leave search results byte-identical."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators.ivfpq import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_compact,
+        ivfpq_index_search,
+    )
+    from quackml_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    ivfpq_index_build(
+        emb.where(F.col("vec_id") < 40), path,
+        n_lists=8, m=8, k_codes=16, quantizer="medoid",
+    )
+    for lo in (40, 80, 120):
+        ivfpq_index_append(
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 40)),
+            path,
+        )
+    queries = emb.where(F.col("vec_id") < 5)
+    before = sorted(
+        map(tuple, ivfpq_index_search(spark, path, queries, k=10, nprobe=3).collect())
+    )
+    stats = ivfpq_index_compact(spark, path, target_file_mb=512)
+    assert stats["files_after"] < stats["files_before"], stats
+    after = sorted(
+        map(tuple, ivfpq_index_search(spark, path, queries, k=10, nprobe=3).collect())
+    )
+    assert before == after
