@@ -357,16 +357,13 @@ def ivfpq_index_search(
 
     The per-query ADC lookup tables are computed ON THE DRIVER from
     the collected query batch (bounded by the operator's contract —
-    the batch is broadcast anyway) with arithmetic that replays the
-    former in-plan expression bit-for-bit: sequential left-fold dots
-    (_seqdot == _dot's fold order == DuckDB's list_dot_product) and
-    BigDecimal-style HALF_UP rounding on the exact binary double.
-    Building m*k LUT Column expressions through py4j cost ~2.4 s of
-    driver time per search (measured, r8) versus ~0 for the numeric
-    loop; execution and results are unchanged."""
-    import decimal as _d
-
-    from quackml_spark.operators.similarity import _seqdot
+    the batch is broadcast anyway) via similarity.adc_lut, whose
+    arithmetic value-replays the former in-plan expression (fold-order
+    dots + Spark's shortest-repr HALF_UP rounding). Building m*k LUT
+    Column expressions through py4j cost ~2.4 s of driver time per
+    search (measured, r8) versus ~0 for the numeric loop; execution
+    and results are unchanged."""
+    from quackml_spark.operators.similarity import _seqdot, adc_lut
 
     man, centers, codebook = _validate_and_load(
         spark, path, queries, expect_residual=False
@@ -378,17 +375,6 @@ def ivfpq_index_search(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     ).collect()
 
-    _q12 = _d.Decimal("1e-12")
-
-    def _round12(x: float) -> _d.Decimal:
-        # Spark's round(double, 12) is BigDecimal.valueOf(x) HALF_UP —
-        # i.e. it rounds the SHORTEST decimal repr (Double.toString),
-        # not the exact binary expansion; repr(float) is the same
-        # shortest-roundtrip string, so quantizing it replays Spark's
-        # tie behavior at the 13th digit (review catch: Decimal(x)
-        # from the raw float resolves those ties differently)
-        return _d.Decimal(repr(x)).quantize(_q12, rounding=_d.ROUND_HALF_UP)
-
     lut_rows, q_pairs = [], []
     for r in q_rows:
         emb = [float(x) for x in r["q_emb"]]
@@ -397,16 +383,7 @@ def ivfpq_index_search(
         by_score = sorted(
             ((-_seqdot(emb, c), lid) for lid, c in centers)
         )[:nprobe]
-        luts = []
-        for s in range(m):
-            q_sub = emb[s * d_sub : (s + 1) * d_sub]
-            qq = _seqdot(q_sub, q_sub)
-            luts.append(
-                [
-                    _round12(qq - 2.0 * _seqdot(q_sub, cent) + _seqdot(cent, cent))
-                    for cent in codebook[s]
-                ]
-            )
+        luts = adc_lut(emb, codebook, d_sub)
         for _, lid in by_score:
             lut_rows.append((int(r["query_id"]), *luts, int(lid)))
 
@@ -723,9 +700,7 @@ def ivfpq_index_search_residual(
     exact-decimal sum. LUTs are computed on the driver from the
     collected query batch with the same bit-replay arithmetic as the
     raw searcher (see ivfpq_index_search)."""
-    import decimal as _d
-
-    from quackml_spark.operators.similarity import _seqdot
+    from quackml_spark.operators.similarity import _seqdot, adc_lut
 
     man, centers, codebook = _validate_and_load(
         spark, path, queries, expect_residual=True
@@ -738,12 +713,6 @@ def ivfpq_index_search_residual(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     ).collect()
 
-    _q12 = _d.Decimal("1e-12")
-
-    def _round12(x: float) -> _d.Decimal:
-        # shortest-repr quantize — see ivfpq_index_search._round12
-        return _d.Decimal(repr(x)).quantize(_q12, rounding=_d.ROUND_HALF_UP)
-
     lut_rows = []
     for r in q_rows:
         emb = [float(x) for x in r["q_emb"]]
@@ -751,21 +720,10 @@ def ivfpq_index_search_residual(
             ((-_seqdot(emb, c), lid) for lid, c in centers)
         )[:nprobe]
         for _, lid in by_score:
-            cent0 = center_of[lid]
-            qres = [a - b for a, b in zip(emb, cent0)]
-            luts = []
-            for s in range(m):
-                q_sub = qres[s * d_sub : (s + 1) * d_sub]
-                qq = _seqdot(q_sub, q_sub)
-                luts.append(
-                    [
-                        _round12(
-                            qq - 2.0 * _seqdot(q_sub, cent) + _seqdot(cent, cent)
-                        )
-                        for cent in codebook[s]
-                    ]
-                )
-            lut_rows.append((int(r["query_id"]), int(lid), *luts))
+            qres = [a - b for a, b in zip(emb, center_of[lid])]
+            lut_rows.append(
+                (int(r["query_id"]), int(lid), *adc_lut(qres, codebook, d_sub))
+            )
 
     from pyspark.sql.types import (
         ArrayType,

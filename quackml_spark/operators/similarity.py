@@ -989,6 +989,34 @@ def _seqdot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+def adc_lut(vec: list[float], codebook, d_sub: int) -> list:
+    """Per-subspace ADC lookup tables for one query vector, computed ON
+    THE DRIVER with arithmetic that value-replays the in-plan
+    expression: sequential left-fold dots (_seqdot == _dot's fold order
+    == DuckDB's list_dot_product) and Spark's round(double, 12) tie
+    behavior — BigDecimal.valueOf HALF_UP, i.e. quantizing the SHORTEST
+    decimal repr (repr(float)), NOT the exact binary expansion (the
+    two diverge on ties at the 13th digit — r8 review catch). Returns
+    ``luts[s][code] = Decimal(20,12) d2 term``; the single shared
+    implementation behind pq_adc_topk and both IVF-PQ searchers."""
+    import decimal as _d
+
+    q12 = _d.Decimal("1e-12")
+    luts = []
+    for s in range(len(codebook)):
+        q_sub = vec[s * d_sub : (s + 1) * d_sub]
+        qq = _seqdot(q_sub, q_sub)
+        luts.append(
+            [
+                _d.Decimal(
+                    repr(qq - 2.0 * _seqdot(q_sub, cent) + _seqdot(cent, cent))
+                ).quantize(q12, rounding=_d.ROUND_HALF_UP)
+                for cent in codebook[s]
+            ]
+        )
+    return luts
+
+
 def _cb_struct_array(subspace: list[list[float]]):
     """Subspace codebook as ONE literal array<struct{cent, cc, code}>.
 
@@ -1103,39 +1131,21 @@ def pq_adc_topk(
     d_sub = len(codebook[0][0])
 
     # The textbook ADC split: the m*k lookup table is computed ONCE per
-    # query ON THE DRIVER (the query batch is collected — it is bounded
-    # and broadcast anyway, and building m*k LUT Column expressions
-    # through py4j measured ~4 s of driver time per call, r8), with
-    # arithmetic that bit-replays the in-plan expression: sequential
-    # left-fold dots (_seqdot == _dot's fold order == DuckDB's
-    # list_dot_product) and BigDecimal-style HALF_UP rounding on the
-    # exact binary double. decimal(20,12), NOT (38,12): Spark's chained
-    # decimal adds grow precision by one digit per term, and at the 38
-    # cap the planner keeps the integral digits by SHRINKING the scale
-    # (silent precision loss); 20+7 chained adds stays under the cap,
-    # so all 12 fractional digits survive to match the DuckDB replay.
-    import decimal as _d
-
-    _q12 = _d.Decimal("1e-12")
-
-    def _round12(x: float) -> _d.Decimal:
-        # shortest-repr quantize — see ivfpq_index_search._round12
-        return _d.Decimal(repr(x)).quantize(_q12, rounding=_d.ROUND_HALF_UP)
-
-    lut_rows = []
-    for r in queries.select("query_id", emb_col).collect():
-        q_vec = [float(x) for x in r[emb_col]]
-        luts = []
-        for s in range(m):
-            q_sub = q_vec[s * d_sub : (s + 1) * d_sub]
-            qq = _seqdot(q_sub, q_sub)
-            luts.append(
-                [
-                    _round12(qq - 2.0 * _seqdot(q_sub, cent) + _seqdot(cent, cent))
-                    for cent in codebook[s]
-                ]
-            )
-        lut_rows.append((int(r["query_id"]), *luts))
+    # query ON THE DRIVER via adc_lut (the query batch is collected —
+    # it is bounded and broadcast anyway, and building m*k LUT Column
+    # expressions through py4j measured ~4 s of driver time per call,
+    # r8). decimal(20,12), NOT (38,12): Spark's chained decimal adds
+    # grow precision by one digit per term, and at the 38 cap the
+    # planner keeps the integral digits by SHRINKING the scale (silent
+    # precision loss); 20+7 chained adds stays under the cap, so all
+    # 12 fractional digits survive to match the DuckDB replay.
+    lut_rows = [
+        (
+            int(r["query_id"]),
+            *adc_lut([float(x) for x in r[emb_col]], codebook, d_sub),
+        )
+        for r in queries.select("query_id", emb_col).collect()
+    ]
 
     from pyspark.sql.types import (
         ArrayType,
