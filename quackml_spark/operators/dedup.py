@@ -855,63 +855,22 @@ def dedup_index_compact(
     Every streaming_index_dedup / incremental-build append adds a file
     per touched band partition; after N batches a band directory holds
     N small files and the (band_id, band_key) probe join pays N file
-    opens per partition. Compaction rewrites the bands relation:
-
-    * file count computed from on-disk bytes (~``target_file_mb`` each);
-    * repartitionByRange on (band_id, band_key) + sortWithinPartitions,
-      so each output file covers a disjoint band_key range INSIDE its
-      band partition — parquet footer min/max then prunes files for
-      probe keys, which plain coalesce-compaction would not give;
-    * written to a temp sibling then swapped in via two renames.
-      Crash recovery is built in: a leftover swap state from a prior
-      crashed run (bands/ missing but bands_old/ present) is rolled
-      back on entry, and stale tmp/old siblings are cleared — the
-      compactor is safely re-runnable after any crash point. The swap
-      itself is two renames, not one atomic op: a reader RACING the
-      swap can hit a brief path-not-found — run compaction in a
-      maintenance window, or on an object store compact a copy and
-      flip a manifest pointer.
-
-    Returns before/after file/byte stats. Row content is untouched —
-    duplicate band rows from replayed appends are PRESERVED (removing
-    them is a semantic decision for the caller, not a layout pass).
-    """
-    import math
+    opens per partition. Delegates to the shared crash-safe compactor
+    (sources.files.compact_partitioned_dir — two-rename swap, rollback
+    of a prior crashed swap, key-range file layout): each output file
+    covers a disjoint band_key range INSIDE its band partition, so
+    parquet footer min/max prunes files for probe keys. Row content is
+    untouched — duplicate band rows from replayed appends are PRESERVED
+    (removing them is a semantic decision for the caller, not a layout
+    pass). Returns before/after file/byte stats."""
     import os
-    import shutil
 
-    from quackml_spark.sources.files import _dir_bytes_files
+    from quackml_spark.sources.files import compact_partitioned_dir
 
-    bands_dir = os.path.join(path, "bands")
-    tmp = os.path.join(path, "bands_compact_tmp")
-    old = os.path.join(path, "bands_old")
-    # recover a prior crashed swap: bands_old holds the only copy when
-    # the crash landed between the two renames
-    if not os.path.exists(bands_dir) and os.path.exists(old):
-        os.rename(old, bands_dir)
-    # stale siblings from any earlier crash point are safe to drop
-    # (tmp is never the only copy; old is only the only copy in the
-    # case handled above)
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    bytes_before, files_before = _dir_bytes_files(bands_dir)
-    n_out = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
-    (
-        spark.read.parquet(bands_dir)
-        .repartitionByRange(n_out, "band_id", "band_key")
-        .sortWithinPartitions("band_id", "band_key")
-        .write.mode("overwrite")
-        .partitionBy("band_id")
-        .parquet(tmp)
+    return compact_partitioned_dir(
+        spark,
+        os.path.join(path, "bands"),
+        "band_id",
+        ["band_id", "band_key"],
+        target_file_mb,
     )
-    os.rename(bands_dir, old)
-    os.rename(tmp, bands_dir)
-    shutil.rmtree(old)
-    bytes_after, files_after = _dir_bytes_files(bands_dir)
-    return {
-        "files_before": files_before,
-        "files_after": files_after,
-        "bytes_before": bytes_before,
-        "bytes_after": bytes_after,
-        "target_files": n_out,
-    }

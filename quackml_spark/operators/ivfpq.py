@@ -183,51 +183,26 @@ def ivfpq_index_compact(
     spark: SparkSession, path: str, target_file_mb: int = 512
 ) -> dict:
     """Compact the lists' small-file debt after many appends — the
-    IVF-PQ twin of dedup_index_compact (same crash-safe two-rename
-    swap, same rationale): every ivfpq_index_append / streaming
-    ingest batch adds a file per touched list partition, and after N
-    batches a probed list pays N file opens per search. Rewrites the
-    (vec_id, codes) relation range-partitioned on (list_id, vec_id) and
-    sorted within partitions, so output files cover disjoint vec_id
-    ranges inside each list partition. Row content untouched; the
-    manifest is not rewritten (counts and geometry are unchanged), but
-    the metadata memo keys on the manifest inventory, so cached
-    centers/codebook stay valid across the swap by construction.
-    Returns before/after file/byte stats."""
-    import math
+    IVF-PQ twin of dedup_index_compact, via the same shared crash-safe
+    compactor (sources.files.compact_partitioned_dir): every
+    ivfpq_index_append / streaming ingest batch adds a file per touched
+    list partition, and after N batches a probed list pays N file opens
+    per search. Output files cover disjoint vec_id ranges inside each
+    list partition. The manifest is not rewritten (counts and geometry
+    are unchanged); the metadata memo keys on the manifest inventory,
+    so cached centers/codebook stay valid across the swap by
+    construction. Returns before/after file/byte stats."""
     import os
-    import shutil
 
-    from quackml_spark.sources.files import _dir_bytes_files
+    from quackml_spark.sources.files import compact_partitioned_dir
 
-    lists_dir = os.path.join(path, "lists")
-    tmp = os.path.join(path, "lists_compact_tmp")
-    old = os.path.join(path, "lists_old")
-    if not os.path.exists(lists_dir) and os.path.exists(old):
-        os.rename(old, lists_dir)
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    bytes_before, files_before = _dir_bytes_files(lists_dir)
-    n_out = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
-    (
-        spark.read.parquet(lists_dir)
-        .repartitionByRange(n_out, "list_id", "vec_id")
-        .sortWithinPartitions("list_id", "vec_id")
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(tmp)
+    return compact_partitioned_dir(
+        spark,
+        os.path.join(path, "lists"),
+        "list_id",
+        ["list_id", "vec_id"],
+        target_file_mb,
     )
-    os.rename(lists_dir, old)
-    os.rename(tmp, lists_dir)
-    shutil.rmtree(old)
-    bytes_after, files_after = _dir_bytes_files(lists_dir)
-    return {
-        "files_before": files_before,
-        "files_after": files_after,
-        "bytes_before": bytes_before,
-        "bytes_after": bytes_after,
-        "target_files": n_out,
-    }
 
 
 def _load_codebook(spark: SparkSession, path: str) -> list[list[list[float]]]:
@@ -337,6 +312,29 @@ def _check_query_side(path, man, queries, expect_residual):
         )
 
 
+def _probe_lists(emb, centers, nprobe):
+    """Top-``nprobe`` list ids for one query vector — replays
+    _nearest_lists' ordering exactly (dot desc, list_id asc) with the
+    same fold-order dots; shared by both searchers."""
+    from quackml_spark.operators.similarity import _seqdot
+
+    return [
+        lid
+        for _, lid in sorted(
+            ((-_seqdot(emb, c), lid) for lid, c in centers)
+        )[:nprobe]
+    ]
+
+
+def _lut_fields(m: int):
+    from pyspark.sql.types import ArrayType, DecimalType, StructField
+
+    return [
+        StructField(f"__lut{s}", ArrayType(DecimalType(20, 12)))
+        for s in range(m)
+    ]
+
+
 def ivfpq_index_search(
     spark: SparkSession,
     path: str,
@@ -363,7 +361,7 @@ def ivfpq_index_search(
     Column expressions through py4j cost ~2.4 s of driver time per
     search (measured, r8) versus ~0 for the numeric loop; execution
     and results are unchanged."""
-    from quackml_spark.operators.similarity import _seqdot, adc_lut
+    from quackml_spark.operators.similarity import adc_lut
 
     man, centers, codebook = _validate_and_load(
         spark, path, queries, expect_residual=False
@@ -379,29 +377,15 @@ def ivfpq_index_search(
     for r in q_rows:
         emb = [float(x) for x in r["q_emb"]]
         q_pairs.append((int(r["query_id"]), emb))
-        # probe list selection replays _nearest_lists: dot desc, id asc
-        by_score = sorted(
-            ((-_seqdot(emb, c), lid) for lid, c in centers)
-        )[:nprobe]
         luts = adc_lut(emb, codebook, d_sub)
-        for _, lid in by_score:
+        for lid in _probe_lists(emb, centers, nprobe):
             lut_rows.append((int(r["query_id"]), *luts, int(lid)))
 
-    from pyspark.sql.types import (
-        ArrayType,
-        DecimalType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     qx_schema = StructType(
         [StructField("query_id", LongType())]
-        + [
-            StructField(f"__lut{s}", ArrayType(DecimalType(20, 12)))
-            for s in range(m)
-        ]
+        + _lut_fields(m)
         + [StructField("list_id", IntegerType())]
     )
     # the broadcast carries ONLY ids + LUTs — the raw query embedding
@@ -700,7 +684,7 @@ def ivfpq_index_search_residual(
     exact-decimal sum. LUTs are computed on the driver from the
     collected query batch with the same bit-replay arithmetic as the
     raw searcher (see ivfpq_index_search)."""
-    from quackml_spark.operators.similarity import _seqdot, adc_lut
+    from quackml_spark.operators.similarity import adc_lut
 
     man, centers, codebook = _validate_and_load(
         spark, path, queries, expect_residual=True
@@ -716,33 +700,20 @@ def ivfpq_index_search_residual(
     lut_rows = []
     for r in q_rows:
         emb = [float(x) for x in r["q_emb"]]
-        by_score = sorted(
-            ((-_seqdot(emb, c), lid) for lid, c in centers)
-        )[:nprobe]
-        for _, lid in by_score:
+        for lid in _probe_lists(emb, centers, nprobe):
             qres = [a - b for a, b in zip(emb, center_of[lid])]
             lut_rows.append(
                 (int(r["query_id"]), int(lid), *adc_lut(qres, codebook, d_sub))
             )
 
-    from pyspark.sql.types import (
-        ArrayType,
-        DecimalType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     qx_schema = StructType(
         [
             StructField("query_id", LongType()),
             StructField("list_id", IntegerType()),
         ]
-        + [
-            StructField(f"__lut{s}", ArrayType(DecimalType(20, 12)))
-            for s in range(m)
-        ]
+        + _lut_fields(m)
     )
     qx = F.broadcast(spark.createDataFrame(lut_rows, qx_schema))
     probed = sorted({row[1] for row in lut_rows})

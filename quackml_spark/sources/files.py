@@ -252,3 +252,58 @@ def write_zorder(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_partitioned_dir(
+    spark: SparkSession,
+    data_dir: str,
+    partition_col: str,
+    range_cols: list[str],
+    target_file_mb: int = 512,
+) -> dict:
+    """The shared crash-safe compactor behind dedup_index_compact and
+    ivfpq_index_compact: rewrite a partitioned parquet directory's
+    small-file debt into ~``target_file_mb`` files whose contents cover
+    disjoint ``range_cols`` ranges inside each ``partition_col``
+    partition (parquet footer min/max then prunes files for point
+    probes — plain coalesce-compaction would not give that), then swap
+    it in via two renames.
+
+    Crash recovery is built in: a leftover swap state from a prior
+    crashed run (data_dir missing but ``<data_dir>_old`` present) rolls
+    back on entry, and stale tmp/old siblings are cleared — safely
+    re-runnable after any crash point. The swap itself is two renames,
+    not one atomic op: a reader RACING the swap can hit a brief
+    path-not-found — run compaction in a maintenance window, or on an
+    object store compact a copy and flip a manifest pointer. Row
+    content is untouched. Returns before/after file/byte stats."""
+    import math
+    import shutil
+
+    tmp = data_dir.rstrip("/") + "_compact_tmp"
+    old = data_dir.rstrip("/") + "_old"
+    if not os.path.exists(data_dir) and os.path.exists(old):
+        os.rename(old, data_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    bytes_before, files_before = _dir_bytes_files(data_dir)
+    n_out = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
+    (
+        spark.read.parquet(data_dir)
+        .repartitionByRange(n_out, *range_cols)
+        .sortWithinPartitions(*range_cols)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    os.rename(data_dir, old)
+    os.rename(tmp, data_dir)
+    shutil.rmtree(old)
+    bytes_after, files_after = _dir_bytes_files(data_dir)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+        "target_files": n_out,
+    }
