@@ -56,6 +56,34 @@ _LAZY = {
     "feature_drift_psi": ("quackml_spark.ml.monitor", "feature_drift_psi"),
     "feature_drift_ks": ("quackml_spark.ml.monitor", "feature_drift_ks"),
     "audit_plan": ("quackml_spark.plans.audit", "audit_plan"),
+    # round-8 surface: near-dup keepers, index lifecycle, streaming ops
+    "near_dup_drops": ("quackml_spark.operators.dedup", "near_dup_drops"),
+    "connected_components": (
+        "quackml_spark.operators.dedup",
+        "connected_components",
+    ),
+    "ivfpq_index_build": ("quackml_spark.operators.ivfpq", "ivfpq_index_build"),
+    "ivfpq_index_append": (
+        "quackml_spark.operators.ivfpq",
+        "ivfpq_index_append",
+    ),
+    "ivfpq_index_compact": (
+        "quackml_spark.operators.ivfpq",
+        "ivfpq_index_compact",
+    ),
+    "ivfpq_index_search": (
+        "quackml_spark.operators.ivfpq",
+        "ivfpq_index_search",
+    ),
+    "streaming_curate": ("quackml_spark.streaming", "streaming_curate"),
+    "streaming_ann_ingest": (
+        "quackml_spark.streaming",
+        "streaming_ann_ingest",
+    ),
+    "serve_with_auto_rollback": (
+        "quackml_spark.streaming",
+        "serve_with_auto_rollback",
+    ),
 }
 
 
