@@ -300,3 +300,221 @@ def text_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+
+def dsir_features(
+    docs: DataFrame,
+    buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed bag-of-ngrams features, the DSIR representation: unigrams
+    + space-joined bigrams of the whitespace tokens, each hashed into
+    ``buckets`` via the engine's shared 32-bit md5 integer. One
+    map-only explode per corpus — (id_col, bucket) with multiplicity
+    kept. DuckDB twin: the same md5 idiom over
+    list_concat(toks, list_transform(...))."""
+    from quackml_spark.operators.text import md5_int32, tokens_expr
+
+    toks = tokens_expr(text_col)
+    grams = F.concat(
+        toks,
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(id_col, (md5_int32(F.col("__g")) % buckets).alias("bucket"))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-raw-document DSIR importance log-weight: log of the
+    likelihood ratio of the doc's hashed-ngram features under the
+    TARGET distribution vs the RAW distribution, the published
+    data-selection criterion (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"). Both distributions
+    are add-``alpha``-smoothed bag-of-hashed-ngram models over
+    ``buckets`` buckets.
+
+    Returns (id_col, log_w DECIMAL(25,12)) — EVERY raw doc appears
+    (featureless docs get 0, the empty product).
+
+    Determinism & scale shape: the two bucket-count aggregations are
+    map-side combined and bounded by ``buckets`` rows; the per-bucket
+    log-ratio lambda is rounded to DECIMAL(20,12) (safe: ulps live at
+    the ~16th digit of O(10) values) and joined back BROADCAST, so
+    scoring is one map-side join + one docs-sized groupBy whose
+    partial sums are EXACT decimal — log_w is independent of
+    aggregation order and partitioning, hence identical across
+    engines, retries, and cluster sizes. No driver collect anywhere;
+    the corpus is never shuffled except the doc-keyed score combine."""
+    tcnt = dsir_features(target, buckets, id_col, text_col).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("ct"))
+    feats = dsir_features(raw, buckets, id_col, text_col)
+    rcnt = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tot = tcnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")).crossJoin(
+        rcnt.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
+    )
+    ab = float(alpha) * buckets
+    lam = (
+        tcnt.join(rcnt, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("nt") + F.lit(ab))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("nr") + F.lit(ab))
+                ),
+                12,
+            )
+            .cast("decimal(20,12)")
+            .alias("lam"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("lam").cast("decimal(25,12)").alias("log_w"))
+    )
+    zero = F.lit("0").cast("decimal(25,12)")
+    return raw.select(id_col).join(scored, id_col, "left").select(
+        id_col, F.coalesce(F.col("log_w"), zero).alias("log_w")
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n_select: int,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Select ``n_select`` raw docs distributed like the TARGET corpus:
+    Gumbel top-k over the DSIR importance log-weights — the paper's
+    sampling-without-replacement step, made reproducible: each doc's
+    Gumbel noise g = -ln(-ln(u)) derives from the engine's
+    deterministic md5-ppm draw u = (hash_ppm(id)+0.5)/1e6, so the
+    selection is a pure function of (corpus, target, seed) — no RNG
+    state, identical on any cluster and in the DuckDB oracle.
+
+    Returns (id_col, log_w, sel_key) for the winners, highest key
+    first. Scale shape: everything in dsir_log_weights plus ONE
+    TakeOrdered(n_select) — no partition-less window, no collect."""
+    logw = dsir_log_weights(raw, target, buckets, alpha, id_col, text_col)
+    u = (hash_ppm(id_col, seed) + F.lit(0.5)) / F.lit(float(PPM))
+    g = F.round(-F.log(-F.log(u)), 12).cast("decimal(20,12)")
+    return (
+        logw.withColumn("sel_key", (F.col("log_w") + g).cast("decimal(26,12)"))
+        .orderBy(F.desc("sel_key"), F.asc(id_col))
+        .limit(n_select)
+        .select(
+            # exact decimals cast straight to double: both engines
+            # convert the same rational to the same nearest double,
+            # so no rounding step (and no tie risk) is needed
+            id_col,
+            F.col("log_w").cast("double").alias("log_w"),
+            F.col("sel_key").cast("double").alias("sel_key"),
+        )
+    )
+
+
+_DSIR_BUCKETS = 4096
+_DSIR_N = 100
+
+
+@register(
+    "text_dsir_select",
+    extra=True,
+    doc="DSIR targeted data selection (Xie et al. 2023): docs with "
+    "doc_id % 7 == 0 act as the TARGET domain, the rest as the RAW "
+    "pool; hashed unigram+bigram bag models (4096 md5 buckets, "
+    "add-1 smoothing) give each raw doc a log importance weight, and "
+    "a deterministic Gumbel top-100 (md5-ppm noise) samples the pool "
+    "toward the target distribution. Two bounded bucket aggregations "
+    "+ one broadcast join + one docs-sized exact-decimal combine + "
+    "TakeOrdered — no collect, no partition-less window.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           toks,
+           list_transform(range(1, length(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]))) AS g
+  FROM toks
+), feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM grams
+), tcnt AS (
+  SELECT bucket, COUNT(*) AS ct FROM feats WHERE doc_id % 7 = 0
+  GROUP BY bucket
+), rcnt AS (
+  SELECT bucket, COUNT(*) AS cr FROM feats WHERE doc_id % 7 <> 0
+  GROUP BY bucket
+), tot AS (
+  SELECT (SELECT COALESCE(SUM(ct), 0) FROM tcnt) AS nt,
+         (SELECT COALESCE(SUM(cr), 0) FROM rcnt) AS nr
+), lam AS (
+  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+         CAST(ROUND(ln((COALESCE(ct, 0) + 1.0) / (nt + {_DSIR_BUCKETS}.0))
+                    - ln((COALESCE(cr, 0) + 1.0) / (nr + {_DSIR_BUCKETS}.0)),
+                    12) AS DECIMAL(20,12)) AS lam
+  FROM tcnt t FULL OUTER JOIN rcnt r ON t.bucket = r.bucket, tot
+), scored AS (
+  SELECT f.doc_id, CAST(SUM(l.lam) AS DECIMAL(25,12)) AS log_w
+  FROM feats f JOIN lam l USING (bucket)
+  WHERE f.doc_id % 7 <> 0
+  GROUP BY f.doc_id
+), keyed AS (
+  SELECT d.doc_id,
+         COALESCE(s.log_w, CAST(0 AS DECIMAL(25,12))) AS log_w,
+         CAST(COALESCE(s.log_w, CAST(0 AS DECIMAL(25,12)))
+              + CAST(ROUND(-ln(-ln(
+                  ((('0x' || substr(md5('0|' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+                    % {PPM}) + 0.5) / {PPM}.0)), 12) AS DECIMAL(20,12))
+              AS DECIMAL(26,12)) AS sel_key
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+  WHERE d.doc_id % 7 <> 0
+)
+SELECT doc_id, CAST(log_w AS DOUBLE) AS log_w,
+       CAST(sel_key AS DOUBLE) AS sel_key
+FROM keyed
+ORDER BY sel_key DESC, doc_id
+LIMIT {_DSIR_N}
+""",
+    tags=("textops", "sampling", "llm"),
+)
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    raw = docs.where(F.col("doc_id") % 7 != 0)
+    return dsir_select(raw, target, _DSIR_N, buckets=_DSIR_BUCKETS, seed=0)

@@ -101,3 +101,61 @@ def test_temperature_rates_alpha_one_is_proportional(spark):
     rates = {r["source"]: r for r in temperature_rates(df, 5_000, alpha=1.0).collect()}
     # alpha=1: share ∝ chars -> every source keeps the same fraction
     assert abs(rates["a"]["rate_ppm"] - rates["b"]["rate_ppm"]) <= 1
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _dsir_corpus(spark):
+    """Raw pool: 40 'code-like' + 40 'prose-like' docs; target: 20
+    code-like docs. DSIR must prefer the code-like half of the pool."""
+    rows = []
+    for i in range(40):
+        rows.append((i, f"def fn{i % 5} return value import module end"))
+    for i in range(40, 80):
+        rows.append((i, f"the cat sat on the warm mat today {i % 5}"))
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, "def helper return import module value code") for i in range(20)],
+        "doc_id long, text string",
+    )
+    return raw, target
+
+
+def test_dsir_log_weights_cover_every_doc(spark):
+    from quackml_spark.operators.sampling import dsir_log_weights
+
+    raw, target = _dsir_corpus(spark)
+    # add a featureless doc: empty text -> no n-grams -> log_w must be 0
+    raw = raw.union(spark.createDataFrame([(999, "")], raw.schema))
+    got = {r["doc_id"]: float(r["log_w"]) for r in dsir_log_weights(raw, target).collect()}
+    assert len(got) == 81  # every raw doc exactly once
+    assert got[999] == 0.0
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from quackml_spark.operators.sampling import dsir_log_weights, dsir_select
+
+    raw, target = _dsir_corpus(spark)
+    logw = {r["doc_id"]: float(r["log_w"])
+            for r in dsir_log_weights(raw, target).collect()}
+    code_mean = sum(logw[i] for i in range(40)) / 40
+    prose_mean = sum(logw[i] for i in range(40, 80)) / 40
+    assert code_mean > prose_mean  # likelihood ratio separates the domains
+    # Gumbel top-20 should be dominated by code-like docs
+    sel = [r["doc_id"] for r in dsir_select(raw, target, 20).collect()]
+    assert len(sel) == 20
+    assert sum(1 for d in sel if d < 40) >= 15
+
+
+def test_dsir_select_is_deterministic_and_seed_sensitive(spark):
+    from quackml_spark.operators.sampling import dsir_select
+
+    raw, target = _dsir_corpus(spark)
+    a = [r["doc_id"] for r in dsir_select(raw, target, 10, seed=0).collect()]
+    b = [r["doc_id"] for r in dsir_select(raw, target, 10, seed=0).collect()]
+    c = {r["doc_id"] for r in dsir_select(raw, target, 10, seed=7).collect()}
+    assert a == b  # pure function of (corpus, target, seed)
+    assert set(a) != c  # noise actually depends on the seed
