@@ -1,0 +1,154 @@
+"""fastText-style quality classifier: hashed bag-of-ngrams + logistic
+regression, trained on seed labels and scored corpus-wide.
+
+The standard pretraining-data component (CCNet / GPT-3 / LLaMA corpus
+construction): take a small set of "looks high quality" seed documents
+(a trusted source, or a heuristic's top band), train a linear
+classifier over hashed n-gram features, then score EVERY document and
+keep the high-probability band. The reference exposes the same shape
+through its `train`/`predict` SQL surface (classification task over
+text-derived features — /root/reference/src/api.rs train/predict);
+here it is a first-class corpus operator.
+
+Spark-first: tokenization is a built-in expression, featurization is
+MLlib ``HashingTF`` (JVM-side, no Python in the hot path), the model
+is MLlib ``LogisticRegression`` (distributed L-BFGS), and scoring is
+``model.transform`` — broadcastable coefficients, map-only. At 100 TB
+the train set is the small seed sample; the corpus-wide score pass is
+one map-only scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import HashingTF
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackml_spark.plans import register
+from quackml_spark.sources import load_table
+
+
+def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace unigrams + space-joined bigrams, the fastText feature
+    recipe, as one built-in expression (no Python UDF)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    grams = F.concat(
+        toks,
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return df.withColumn("__grams", grams)
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 1 << 18,
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+):
+    """Fit the hashed-ngram logistic model on a (text, 0/1 label) seed
+    frame. Returns (hashing_tf, lr_model) — the featurizer is
+    stateless (hashing, no vocabulary fit), so the pair is fully
+    broadcastable: scoring never needs the training data again."""
+    tf = HashingTF(
+        inputCol="__grams", outputCol="__features", numFeatures=num_features
+    )
+    feats = tf.transform(_with_tokens(labeled, text_col)).select(
+        F.col(label_col).cast("double").alias("label"), "__features"
+    )
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol="label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=False,
+    )
+    return tf, lr.fit(feats)
+
+
+def score_quality_classifier(
+    docs: DataFrame,
+    model,
+    text_col: str = "text",
+    prob_col: str = "ql_prob",
+) -> DataFrame:
+    """Map-only corpus scan: P(quality=1) for every document. The
+    coefficient vector rides to executors inside the MLlib model
+    broadcast — no join, no shuffle."""
+    from pyspark.ml.functions import vector_to_array
+
+    tf, lr_model = model
+    feats = tf.transform(_with_tokens(docs, text_col))
+    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    return (
+        lr_model.transform(feats)
+        .withColumn(prob_col, p1)
+        .drop("__grams", "__features", "rawPrediction", "probability",
+              "prediction")
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    model,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents the classifier scores at or above ``threshold``."""
+    scored = score_quality_classifier(docs, model, text_col)
+    return scored.where(F.col("ql_prob") >= threshold).drop("ql_prob")
+
+
+@register(
+    "text_quality_classifier",
+    extra=True,
+    # No DuckDB oracle: the L-BFGS fit is iterative and not
+    # SQL-expressible; the driver records the rows-only check. The
+    # learned separation itself is value-checked in
+    # tests/test_qualityclf.py on a planted separable corpus.
+    doc="fastText-style quality classifier: seed labels from the "
+    "heuristic quality score's top/bottom bands, hashed "
+    "unigram+bigram features (2^18, MLlib HashingTF), distributed "
+    "logistic regression, then one map-only corpus-wide score pass — "
+    "the CCNet/GPT-3 quality-filter shape. Returns every doc with "
+    "its learned probability band.",
+    tags=("textops", "ml", "llm"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import score_quality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = score_quality(docs).select("doc_id", "text", "quality_score")
+    # Seed supervision: distill the heuristic's confident bands (top /
+    # bottom quartile by score) into the generalizing classifier —
+    # the standard bootstrap when no human-labeled seed set exists.
+    bounds = scored.agg(
+        F.expr("percentile(quality_score, 0.75)").alias("hi"),
+        F.expr("percentile(quality_score, 0.25)").alias("lo"),
+    )
+    seed = (
+        scored.crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("quality_score") >= F.col("hi"))
+            | (F.col("quality_score") <= F.col("lo"))
+        )
+        .select(
+            "doc_id",
+            "text",
+            (F.col("quality_score") >= F.col("hi")).cast("int").alias("label"),
+        )
+    )
+    model = train_quality_classifier(seed)
+    return (
+        score_quality_classifier(docs, model)
+        .select("doc_id", (F.col("ql_prob") >= 0.5).alias("ql_keep"))
+        .orderBy("doc_id")
+    )

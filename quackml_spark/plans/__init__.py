@@ -117,6 +117,8 @@ _QUERY_MODULES = (
     "quackml_spark.operators.dedup",
     "quackml_spark.operators.text",
     "quackml_spark.operators.sampling",
+    "quackml_spark.operators.profile",
+    "quackml_spark.operators.qualityclf",
     "quackml_spark.operators.similarity",
     "quackml_spark.operators.multimodal",
     "quackml_spark.operators.pipeline",

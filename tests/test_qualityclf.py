@@ -1,0 +1,72 @@
+"""Value checks for the fastText-style quality classifier: on a
+planted, perfectly separable corpus the learned model must rank every
+positive above every negative and generalize to held-out docs built
+from the same vocabularies."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _planted(spark, n=40):
+    good_vocab = ["the", "study", "results", "show", "clear", "methods"]
+    bad_vocab = ["click", "buy", "now", "free", "winner", "prize"]
+    rows = []
+    for i in range(n):
+        g = " ".join(good_vocab[(i + j) % len(good_vocab)] for j in range(12))
+        b = " ".join(bad_vocab[(i + j) % len(bad_vocab)] for j in range(12))
+        rows.append((2 * i, g, 1))
+        rows.append((2 * i + 1, b, 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_separates_planted_corpus(spark):
+    from quackml_spark.operators.qualityclf import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    df = _planted(spark)
+    model = train_quality_classifier(df, num_features=1 << 12)
+    scored = score_quality_classifier(df, model).select(
+        "doc_id", "label", "ql_prob"
+    )
+    rows = scored.collect()
+    pos = [r["ql_prob"] for r in rows if r["label"] == 1]
+    neg = [r["ql_prob"] for r in rows if r["label"] == 0]
+    assert min(pos) > max(neg)
+    assert min(pos) > 0.9 and max(neg) < 0.1
+
+
+def test_generalizes_to_heldout(spark):
+    from quackml_spark.operators.qualityclf import (
+        quality_filter,
+        train_quality_classifier,
+    )
+
+    train = _planted(spark, n=30)
+    model = train_quality_classifier(train, num_features=1 << 12)
+    heldout = spark.createDataFrame(
+        [
+            (1000, "methods show clear results the study results show"),
+            (1001, "free prize winner click buy now free prize"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = [r["doc_id"] for r in quality_filter(heldout, model).collect()]
+    assert kept == [1000]
+
+
+def test_registered_query_scores_every_doc(spark, sf_dir):
+    from quackml_spark.plans import REGISTRY, _load_all
+
+    _load_all()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    out = REGISTRY["text_quality_classifier"].builder(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == docs_n
+    assert set(out.columns) == {"doc_id", "ql_keep"}
+    # The distilled classifier must broadly agree with its teacher's
+    # confident bands: every doc gets a decision, both classes appear.
+    decisions = {r["ql_keep"] for r in rows}
+    assert decisions == {True, False}
