@@ -73,6 +73,13 @@ PLAN_PINNED = [
     "text_zipf_fit",
     "text_curriculum_order",
     "ann_ivfpq_topk",
+    # round-8 session additions (text_quality_classifier's builder fits
+    # the MLlib model eagerly; the pinned plan is the map-only scoring
+    # scan that follows)
+    "text_dsir_select",
+    "text_corpus_profile",
+    "text_domain_cap",
+    "text_quality_classifier",
 ]
 
 # intentional broadcast nested-loop joins, all with CONSTANT-size build
@@ -97,6 +104,12 @@ BNLJ_ALLOWED = {
     # BM25's 1-row corpus-stats aggregate (n_docs, avgdl) joins on no
     # key by construction (scalar fan-in, round-8 single-tokenize shape)
     "text_bm25_topk",
+    # DSIR's 1-row (nt, nr) totals frame joins the bucket table on no
+    # key (scalar fan-in); the bucket lambda join itself is equi
+    "text_dsir_select",
+    # the 1-row (hi, lo) percentile-bounds aggregate fans into the seed
+    # selection on no key (scalar fan-in)
+    "text_quality_classifier",
 }
 
 
