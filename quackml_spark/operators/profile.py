@@ -195,11 +195,14 @@ WITH d AS (
 ), per_hash AS (
   SELECT source, h, COUNT(*) AS c FROM d GROUP BY source, h
 ), dup AS (
-  SELECT source, SUM(c) AS n_docs, COUNT(*) AS distinct_texts,
-         COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup_docs
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+         COUNT(*) AS distinct_texts,
+         CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+           AS dup_docs
   FROM per_hash GROUP BY source
 ), vol AS (
-  SELECT source, SUM(n_chars) AS total_chars, SUM(n_tokens) AS total_tokens
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
   FROM d GROUP BY source
 ), ranked AS (
   SELECT source, n_chars,

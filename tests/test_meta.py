@@ -81,6 +81,8 @@ _BROADCAST_ALLOWLIST = {
     "streaming/events.py": 1,  # streaming_curate's benchmark gram set (eval-suite-sized, the text_decontaminate bound)
     "ml/pergroup.py": 1,         # per-group coefficient table (|groups| rows; serve_per_group documents the broadcast-size contract — callers with ~10^7+ groups should join unhinted)
     "operators/pipeline.py": 1,  # composed pipeline's benchmark gram set (eval-suite-sized, same bound as text_decontaminate's)
+    "operators/profile.py": 1,   # per-source doc-count table (|sources| rows, same bound as the mixture rates broadcast)
+    "operators/qualityclf.py": 1,  # 1-row percentile-bounds aggregate (scalar fan-in for the seed-label selection)
 }
 
 
