@@ -29,12 +29,14 @@ from quackml_spark.plans import register
 from quackml_spark.sources import load_table
 
 
-def _int_ceil_rank(n_col, p_num: int, p_den: int):
+def _int_ceil_rank(n_name: str, p_num: int, p_den: int):
     """ceil(p_num/p_den * n) in pure integer arithmetic — the rank of
-    the discrete percentile (smallest value with cume_dist >= p). No
-    doubles anywhere, so Spark and DuckDB agree at every n (0.9*10
-    in IEEE double is 9.000000000000002; ceil of that is wrong)."""
-    return F.floor((n_col * p_num + (p_den - 1)) / p_den).cast("bigint")
+    the discrete percentile (smallest value with cume_dist >= p).
+    Spark SQL's ``div`` is integral division on BIGINTs, so no double
+    ever appears — `/`-then-floor would round through IEEE double
+    (0.9*10 is 9.000000000000002, and past 2^53 the quotient itself
+    loses ulps), diverging from DuckDB's exact `//`."""
+    return F.expr(f"({n_name} * {p_num} + {p_den - 1}) div {p_den}")
 
 
 def corpus_profile(
@@ -84,17 +86,22 @@ def corpus_profile(
     # row at the integer rank ceil(p*n). Partition-ful window — the
     # per-source sort is the whole cost, and it parallelizes across
     # sources exactly like ranked_by's range exchange.
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    # Explicit NULLS LAST on both engines: Spark's ASC default is
+    # NULLS FIRST, DuckDB's is NULLS LAST — on a corpus with NULL text
+    # the percentile rows would silently diverge otherwise.
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc_nulls_last(), F.col("doc_id").asc_nulls_last()
+    )
     ranked = d.select("source", "n_chars", "doc_id").withColumn(
         "rn", F.row_number().over(w)
     ).drop("doc_id")
     ranked = ranked.join(F.broadcast(dup.select("source", "n_docs")), "source")
     p50 = (
-        ranked.where(F.col("rn") == _int_ceil_rank(F.col("n_docs"), 1, 2))
+        ranked.where(F.col("rn") == _int_ceil_rank("n_docs", 1, 2))
         .select("source", F.col("n_chars").alias("p50_chars"))
     )
     p90 = (
-        ranked.where(F.col("rn") == _int_ceil_rank(F.col("n_docs"), 9, 10))
+        ranked.where(F.col("rn") == _int_ceil_rank("n_docs", 9, 10))
         .select("source", F.col("n_chars").alias("p90_chars"))
     )
 
@@ -127,7 +134,8 @@ def corpus_profile(
 
     if lang_col:
         lw = Window.partitionBy("source").orderBy(
-            F.desc("lang_docs"), F.asc("lang")
+            F.col("lang_docs").desc_nulls_last(),
+            F.col("lang").asc_nulls_last(),
         )
         top_lang = (
             d.groupBy("source", "lang")
@@ -207,7 +215,8 @@ WITH d AS (
 ), ranked AS (
   SELECT source, n_chars,
          ROW_NUMBER() OVER (PARTITION BY source
-                            ORDER BY n_chars, doc_id) AS rn
+                            ORDER BY n_chars NULLS LAST,
+                                     doc_id NULLS LAST) AS rn
   FROM d
 ), p50 AS (
   SELECT r.source, r.n_chars AS p50_chars
@@ -222,7 +231,8 @@ WITH d AS (
   FROM (
     SELECT source, lang, COUNT(*) AS lang_docs,
            ROW_NUMBER() OVER (PARTITION BY source
-                              ORDER BY COUNT(*) DESC, lang) AS lr
+                              ORDER BY COUNT(*) DESC NULLS LAST,
+                                       lang NULLS LAST) AS lr
     FROM d GROUP BY source, lang
   ) WHERE lr = 1
 )

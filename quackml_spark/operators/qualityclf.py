@@ -30,20 +30,12 @@ from quackml_spark.sources import load_table
 
 
 def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
-    """Whitespace unigrams + space-joined bigrams, the fastText feature
-    recipe, as one built-in expression (no Python UDF)."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
-    grams = F.concat(
-        toks,
-        F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
-                lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
-    return df.withColumn("__grams", grams)
+    """Whitespace unigrams + space-joined bigrams via the engine's ONE
+    shared gram recipe (text.grams_expr — the same features DSIR
+    hashes), as one built-in expression (no Python UDF)."""
+    from quackml_spark.operators.text import grams_expr
+
+    return df.withColumn("__grams", grams_expr(text_col))
 
 
 def train_quality_classifier(
@@ -130,9 +122,13 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Seed supervision: distill the heuristic's confident bands (top /
     # bottom quartile by score) into the generalizing classifier —
     # the standard bootstrap when no human-labeled seed set exists.
+    # approx_percentile, NOT exact percentile: the exact aggregate
+    # buffers every score in one task — O(corpus) memory the 100 TB
+    # story cannot pay. The sketch is map-side combinable and the
+    # bands only bootstrap labels, so sketch error is immaterial.
     bounds = scored.agg(
-        F.expr("percentile(quality_score, 0.75)").alias("hi"),
-        F.expr("percentile(quality_score, 0.25)").alias("lo"),
+        F.expr("approx_percentile(quality_score, 0.75, 10000)").alias("hi"),
+        F.expr("approx_percentile(quality_score, 0.25, 10000)").alias("lo"),
     )
     seed = (
         scored.crossJoin(F.broadcast(bounds))

@@ -319,21 +319,10 @@ def dsir_features(
     map-only explode per corpus — (id_col, bucket) with multiplicity
     kept. DuckDB twin: the same md5 idiom over
     list_concat(toks, list_transform(...))."""
-    from quackml_spark.operators.text import md5_int32, tokens_expr
+    from quackml_spark.operators.text import grams_expr, md5_int32
 
-    toks = tokens_expr(text_col)
-    grams = F.concat(
-        toks,
-        F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
-                lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
     return docs.select(
-        F.col(id_col), F.explode(grams).alias("__g")
+        F.col(id_col), F.explode(grams_expr(text_col)).alias("__g")
     ).select(id_col, (md5_int32(F.col("__g")) % buckets).alias("bucket"))
 
 

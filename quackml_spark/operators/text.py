@@ -47,6 +47,26 @@ def tokens_expr(col: str):
     return F.regexp_extract_all(F.lower(F.col(col)), F.lit(r"\S+"), 0)
 
 
+def grams_expr(col: str):
+    """Whitespace unigrams + space-joined bigrams — the shared
+    fastText/DSIR feature recipe. ONE definition (like md5_int32) so
+    the hashed-feature operators (DSIR weighting, the quality
+    classifier) can never drift from each other or from their DuckDB
+    twins (list_concat(toks, list_transform(range(1, len), i ->
+    toks[i] || ' ' || toks[i+1])))."""
+    toks = tokens_expr(col)
+    return F.concat(
+        toks,
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
 @register(
     "text_token_stats",
     doc="Token counting: whitespace tokens, distinct tokens, chars, mean "

@@ -1,0 +1,73 @@
+"""Value checks for corpus_profile / domain_cap_sample beyond the
+DuckDB parity rows: planted duplicate accounting, integer-exact
+percentile ranks, NULL ordering, and the cap contract."""
+
+from __future__ import annotations
+
+
+def test_profile_counts_and_percentiles(spark):
+    from quackml_spark.operators.profile import corpus_profile
+
+    rows = [
+        # src a: 4 docs, one exact dup pair, lengths 1..4 chars
+        (0, "x", "en", "a"),
+        (1, "xy", "en", "a"),
+        (2, "xyz", "fr", "a"),
+        (3, "x", "en", "a"),
+        # src b: 2 distinct docs
+        (4, "hello world", "en", "b"),
+        (5, "bye", "fr", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["source"]: r.asDict() for r in corpus_profile(df).collect()}
+    a = out["a"]
+    assert a["n_docs"] == 4 and a["distinct_texts"] == 3 and a["dup_docs"] == 2
+    assert a["dup_rate"] == 0.5
+    assert a["top_lang"] == "en" and a["top_lang_docs"] == 3
+    # lengths sorted: [1, 1, 2, 3]; p50 rank=ceil(4/2)=2 -> 1,
+    # p90 rank=ceil(3.6)=4 -> 3
+    assert a["p50_chars"] == 1 and a["p90_chars"] == 3
+    b = out["b"]
+    assert b["n_docs"] == 2 and b["dup_docs"] == 0 and b["dup_rate"] == 0.0
+    # lengths [3, 11]: p50 rank=1 -> 3, p90 rank=ceil(1.8)=2 -> 11
+    assert b["p50_chars"] == 3 and b["p90_chars"] == 11
+
+
+def test_profile_nulls_sort_last(spark):
+    """NULL text lengths and NULL langs must rank LAST (the DuckDB
+    default) — the review-caught Spark ASC-NULLS-FIRST divergence."""
+    from quackml_spark.operators.profile import corpus_profile
+
+    rows = [
+        (0, "ab", "en", "s"),
+        (1, "abcd", None, "s"),
+        (2, None, "en", "s"),
+        (3, "a", None, "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    r = corpus_profile(df).collect()[0]
+    # lengths NULLS LAST: [1, 2, 4, NULL]; p50 rank=2 -> 2, p90 rank=4 -> NULL
+    assert r["p50_chars"] == 2
+    assert r["p90_chars"] is None
+    # lang counts: en=2, NULL=2 — the tie must resolve to the non-NULL lang
+    assert r["top_lang"] == "en"
+
+
+def test_domain_cap_contract(spark):
+    from quackml_spark.operators.profile import domain_cap_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap_sample(df, cap=4)
+    per_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_src == {"s0": 4, "s1": 4, "s2": 4}
+    # deterministic: same corpus + seed -> same sample
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in domain_cap_sample(df, cap=4).collect())
+    assert a == b
+    # different seed -> (almost surely) different sample, same sizes
+    c = sorted(r["doc_id"] for r in domain_cap_sample(df, cap=4, seed=1).collect())
+    assert len(c) == len(a)
