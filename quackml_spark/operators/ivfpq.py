@@ -33,6 +33,8 @@ is real.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -161,7 +163,7 @@ def ivfpq_index_append(
         .parquet(f"{path}/lists")
     )
     n_new = int(new_emb.count())
-    spark.createDataFrame(
+    mdf = spark.createDataFrame(
         [
             (
                 int(man["n_lists"]),
@@ -175,7 +177,18 @@ def ivfpq_index_append(
         ],
         "n_lists int, m int, k_codes int, dim int, n_rows bigint, "
         "quantizer string, seed int",
-    ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
+    )
+    # Two-rename swap, NOT mode("overwrite") into the live path: the
+    # overwrite deletes the manifest for the whole write job, so a
+    # mid-ingest search in that window would see "no readable
+    # manifest" (review catch). The swap narrows the window to two
+    # rename syscalls and the searcher's read retries once across it.
+    from quackml_spark.sources.files import replace_dir
+
+    replace_dir(
+        lambda tmp: mdf.write.mode("overwrite").parquet(tmp),
+        f"{path}/manifest.parquet",
+    )
     return n_new
 
 
@@ -216,6 +229,12 @@ def _load_codebook(spark: SparkSession, path: str) -> list[list[list[float]]]:
 
 
 _LOADED_INDEXES: dict = {}
+# The memo is read on the searcher's thread and written on whatever
+# thread ran the last append/build (streaming ingests run appends on
+# the stream-execution thread) — the flush-on-full clear() racing an
+# unlocked check-then-index read was a KeyError waiting to happen
+# (review catch). All access goes through this lock.
+_LOADED_INDEXES_LOCK = threading.Lock()
 
 
 def _validate_and_load(
@@ -252,17 +271,29 @@ def _validate_and_load(
                 default=0,
             ),
         )
-    if key in _LOADED_INDEXES:
-        man, centers, codebook = _LOADED_INDEXES[key]
+    with _LOADED_INDEXES_LOCK:
+        cached = _LOADED_INDEXES.get(key) if key is not None else None
+    if cached is not None:
+        man, centers, codebook = cached
         _check_query_side(path, man, queries, expect_residual)
         return man, centers, codebook
-    try:
-        man = spark.read.parquet(f"{path}/manifest.parquet").first()
-    except Exception as e:
-        raise ValueError(
-            f"IVF-PQ index at {path!r} has no readable manifest — "
-            f"half-built or not an index; rebuild with ivfpq_index_build"
-        ) from e
+    man = None
+    for attempt in (0, 1):
+        try:
+            man = spark.read.parquet(f"{path}/manifest.parquet").first()
+            break
+        except Exception as e:
+            # One retry masks the append path's two-rename manifest
+            # swap window; a second miss is a genuinely absent index.
+            if attempt == 1:
+                raise ValueError(
+                    f"IVF-PQ index at {path!r} has no readable manifest — "
+                    f"half-built or not an index; rebuild with "
+                    f"ivfpq_index_build"
+                ) from e
+            import time
+
+            time.sleep(0.05)
     centers = [
         (int(r["list_id"]), list(r["centroid"]))
         for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
@@ -275,9 +306,10 @@ def _validate_and_load(
             f"codebook has {len(codebook)} subspaces"
         )
     if key is not None:
-        if len(_LOADED_INDEXES) >= 64:  # flush-on-full, predict-cache style
-            _LOADED_INDEXES.clear()
-        _LOADED_INDEXES[key] = (man, centers, codebook)
+        with _LOADED_INDEXES_LOCK:
+            if len(_LOADED_INDEXES) >= 64:  # flush-on-full, predict-cache
+                _LOADED_INDEXES.clear()
+            _LOADED_INDEXES[key] = (man, centers, codebook)
     _check_query_side(path, man, queries, expect_residual)
     return man, centers, codebook
 

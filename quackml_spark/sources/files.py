@@ -254,6 +254,35 @@ def write_zorder(
     )
 
 
+def replace_dir(write_fn, target: str) -> None:
+    """Replace the parquet directory ``target`` with freshly-written
+    content while narrowing the no-readable-target window to two
+    rename syscalls (Spark's ``mode("overwrite")`` straight into the
+    live path deletes first and leaves the path unreadable for the
+    whole write job — the manifest-rewrite race the review caught).
+
+    ``write_fn(tmp_path)`` writes the new content to a sibling temp
+    dir; the swap then renames target→_old, tmp→target, and clears
+    _old. Crash recovery on entry: target missing with _old present
+    rolls back, stale tmp/_old siblings are cleared — re-runnable
+    after any crash point. Same documented caveat as
+    compact_partitioned_dir: a reader racing the two renames can hit
+    a brief path-not-found; callers that must mask it retry once."""
+    import shutil
+
+    tmp = target.rstrip("/") + "_swap_tmp"
+    old = target.rstrip("/") + "_old"
+    if not os.path.exists(target) and os.path.exists(old):
+        os.rename(old, target)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    write_fn(tmp)
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(tmp, target)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_partitioned_dir(
     spark: SparkSession,
     data_dir: str,

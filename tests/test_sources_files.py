@@ -107,3 +107,32 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert rows[1]["score"] is None and rows[3]["score"] == 30.0
     # pruned single-column read still works over mixed footers
     assert sorted(r["id"] for r in df.select("id").collect()) == [1, 2, 3]
+
+
+def test_replace_dir_swaps_and_recovers(spark, tmp_path):
+    """replace_dir: the live dir is readable before and after the swap
+    with either old or new content (never missing for a whole write
+    job), and a crash between the two renames rolls back on the next
+    call."""
+    import os
+
+    from quackml_spark.sources.files import replace_dir
+
+    target = str(tmp_path / "manifest.parquet")
+    spark.createDataFrame([(1,)], "v long").write.parquet(target)
+
+    replace_dir(
+        lambda t: spark.createDataFrame([(2,)], "v long").write.parquet(t),
+        target,
+    )
+    assert spark.read.parquet(target).first()["v"] == 2
+    assert not os.path.exists(target + "_old")
+    assert not os.path.exists(target + "_swap_tmp")
+
+    # simulate a crash after rename(target -> _old): next call recovers
+    os.rename(target, target + "_old")
+    replace_dir(
+        lambda t: spark.createDataFrame([(3,)], "v long").write.parquet(t),
+        target,
+    )
+    assert spark.read.parquet(target).first()["v"] == 3
