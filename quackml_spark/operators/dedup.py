@@ -493,31 +493,52 @@ def connected_components(
     ``component`` is the cluster's MIN node id, so component == doc_id
     identifies the canonical keeper. Generic over any edge frame: the
     registered dedup_connected_components query and curate()'s
-    near-dup mode both run exactly this."""
+    near-dup mode both run exactly this.
+
+    Raises if the graph has not converged within ``max_rounds``
+    (diameter > bound) — silently returning partial labels would keep
+    multiple representatives of one cluster and under-dedup downstream
+    (review catch). Lineage is truncated each round with a RELIABLE
+    checkpoint when ``spark.sparkContext.setCheckpointDir`` has been
+    called (survives executor loss — set it on a real cluster), else
+    an executor-local localCheckpoint."""
     und = pairs.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).unionByName(
         pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        # lineage truncation each round — without it the plan doubles
+        # per iteration and a 64-round run at real diameter blows the
+        # optimizer/stack long before the data becomes the problem.
+        # Reliable checkpoint when a dir is configured: the returned
+        # labels then survive executor loss, so callers embedding them
+        # in a lazy plan (near_dup_drops -> curate) stay recomputable.
+        return (
+            df.checkpoint(eager=True)
+            if reliable
+            else df.localCheckpoint(eager=True)
+        )
+
     und = und.cache()
     labels = und.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).cache()
     # min-label propagation: each round, every node takes the min of its
     # own label and its neighbors' labels; converges in O(diameter).
-    # localCheckpoint truncates lineage each round — without it the plan
-    # doubles per iteration and a 64-round run at real diameter blows
-    # the optimizer/stack long before the data becomes the problem.
-    for _ in range(max_rounds):  # hard bound; real diameter is tiny
+    for _ in range(max_rounds):
         nbr = (
             und.join(labels, und.d == labels.node)
             .select(F.col("s").alias("node"), "label")
         )
-        new = (
+        new = _truncate(
             labels.select("node", "label").unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
+        )
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")
@@ -529,6 +550,14 @@ def connected_components(
         labels = new
         if not changed:
             break
+    else:
+        und.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            f"rounds — the pair graph's diameter exceeds the bound, and "
+            f"partial labels would silently under-dedup. Re-run with a "
+            f"larger max_rounds."
+        )
     out = labels.select(
         F.col("label").alias("component"), F.col("node").alias("doc_id")
     )

@@ -101,3 +101,52 @@ def test_near_dup_drops_keeps_exactly_one_min_id_per_cluster(spark, texts):
     for label, members in clusters.items():
         kept = members - drops
         assert kept == {min(members)}, (label, members, drops)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A path graph of diameter 8 with max_rounds=2 must raise, not
+    silently return partial labels (partial labels keep multiple
+    representatives of one cluster and under-dedup downstream)."""
+    import pytest
+
+    from quackml_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=2)
+    # and with an adequate bound the same graph labels correctly
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(chain, max_rounds=16).collect()
+    }
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_uses_reliable_checkpoint_dir(spark, tmp_path):
+    """With a checkpoint dir configured the labeling must use RELIABLE
+    checkpoints (files under the dir), so labels embedded in a lazy
+    caller plan survive executor loss."""
+    import os
+
+    from quackml_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+        )
+        comp = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert comp == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+        walked = [
+            f for _, _, fs in os.walk(ckpt) for f in fs
+        ]
+        assert walked, "no reliable checkpoint files were written"
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
