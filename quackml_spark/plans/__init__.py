@@ -123,6 +123,7 @@ _QUERY_MODULES = (
     "quackml_spark.operators.multimodal",
     "quackml_spark.operators.pipeline",
     "quackml_spark.operators.hll",
+    "quackml_spark.operators.histsketch",
     "quackml_spark.operators.ivfpq",
     "quackml_spark.functions.queries",
     "quackml_spark.ml.queries",
