@@ -217,6 +217,8 @@ def curate(
     line_dedup_max_freq: int | None = None,
     langs: set[str] | None = None,
     min_quality: float | None = None,
+    quality_model=None,
+    quality_model_threshold: float = 0.5,
     dedup: str | None = "exact",
     benchmark: DataFrame | None = None,
     decontaminate_mode: str = "exact",
@@ -247,6 +249,12 @@ def curate(
       quality             keep docs with composite quality_score >=
                           ``min_quality`` (same arithmetic the graded
                           text_quality_score query pins)
+      quality_model       keep docs a trained fastText-style classifier
+                          (qualityclf.train_quality_classifier's
+                          (hashing_tf, lr_model) pair) scores >=
+                          ``quality_model_threshold`` — map-only
+                          scoring, coefficients ride the MLlib
+                          broadcast
       dedup='exact'       md5 content groups, keep min-id per group
       dedup='minhash'     NEAR-duplicate clusters (MinHash-LSH bands ->
                           in-bucket pairs -> connected components),
@@ -357,6 +365,22 @@ def curate(
             .where(F.col("quality_score") >= min_quality)
             .select("doc_id", "text", "__source"),
         )
+    if quality_model is not None:
+        # learned quality filter (the CCNet/GPT-3 classifier stage):
+        # a (hashing_tf, lr_model) pair from train_quality_classifier —
+        # map-only scoring, coefficients ride the MLlib broadcast
+        from quackml_spark.operators.qualityclf import (
+            score_quality_classifier,
+        )
+
+        keep_ql = (
+            score_quality_classifier(
+                cur.select("doc_id", "text"), quality_model
+            )
+            .where(F.col("ql_prob") >= quality_model_threshold)
+            .select("doc_id")
+        )
+        cur = _mark("quality_model", cur.join(keep_ql, "doc_id"))
     if dedup == "exact":
         keepers = (
             cur.groupBy(F.md5(F.lower(F.trim("text"))).alias("__h"))

@@ -70,3 +70,30 @@ def test_registered_query_scores_every_doc(spark, sf_dir):
     # confident bands: every doc gets a decision, both classes appear.
     decisions = {r["ql_keep"] for r in rows}
     assert decisions == {True, False}
+
+
+def test_curate_quality_model_stage(spark):
+    """curate(quality_model=...) drops exactly the docs the trained
+    classifier scores below threshold, and the stage shows up in the
+    attrition report."""
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.operators.qualityclf import train_quality_classifier
+
+    train = _planted(spark, n=30)
+    model = train_quality_classifier(train, num_features=1 << 12)
+    corpus = spark.createDataFrame(
+        [
+            (1, "the study results show clear methods and results"),
+            (2, "click buy now free winner prize click buy now"),
+            (3, "methods show the study clear results the methods"),
+        ],
+        "doc_id long, text string",
+    )
+    out = curate(
+        corpus, clean=False, dedup=None, quality_model=model, report=True
+    )
+    kept = sorted(r["doc_id"] for r in out["docs"].collect())
+    assert kept == [1, 3]
+    stages = {r["stage"]: r for r in out["report"].collect()}
+    assert stages["quality_model"]["docs_in"] == 3
+    assert stages["quality_model"]["docs_out"] == 2
