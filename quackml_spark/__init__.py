@@ -84,6 +84,33 @@ _LAZY = {
         "quackml_spark.streaming",
         "serve_with_auto_rollback",
     ),
+    # round-8 session surface: profiling, learned quality, sketches,
+    # targeted selection
+    "corpus_profile": ("quackml_spark.operators.profile", "corpus_profile"),
+    "domain_cap_sample": (
+        "quackml_spark.operators.profile",
+        "domain_cap_sample",
+    ),
+    "train_quality_classifier": (
+        "quackml_spark.operators.qualityclf",
+        "train_quality_classifier",
+    ),
+    "score_quality_classifier": (
+        "quackml_spark.operators.qualityclf",
+        "score_quality_classifier",
+    ),
+    "quality_filter": ("quackml_spark.operators.qualityclf", "quality_filter"),
+    "hist_sketch": ("quackml_spark.operators.histsketch", "hist_sketch"),
+    "hist_merge": ("quackml_spark.operators.histsketch", "hist_merge"),
+    "hist_quantiles": (
+        "quackml_spark.operators.histsketch",
+        "hist_quantiles",
+    ),
+    "dsir_log_weights": (
+        "quackml_spark.operators.sampling",
+        "dsir_log_weights",
+    ),
+    "dsir_select": ("quackml_spark.operators.sampling", "dsir_select"),
 }
 
 
