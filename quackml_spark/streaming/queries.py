@@ -480,3 +480,52 @@ def _install_ann_ingest_oracle() -> None:
 
 
 _install_ann_ingest_oracle()
+
+
+@register(
+    "streaming_length_histogram_docs",
+    extra=True,
+    doc="Live dataset card: the mergeable power-of-two histogram "
+    "sketch maintained as a plain streaming aggregation — the sketch "
+    "state is (source, bin) counts, bounded by |sources| x 64 keys, "
+    "so Spark's state store IS the sketch and every micro-batch "
+    "merge is the exact hist_merge sum. Drained output equals the "
+    "batch sketch_length_histogram bit-for-bit (shared oracle).",
+    tags=("streaming", "textops", "sketch"),
+)
+def streaming_length_histogram_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from quackml_spark.operators.histsketch import _bin_expr, hist_quantiles
+    from quackml_spark.sources import load_table
+
+    batch_schema = load_table(spark, sf_dir, "documents").schema
+    stream = stream_parquet_table(
+        spark, sf_dir, "documents.parquet", batch_schema
+    ).select("source", F.length("text").alias("len"))
+    sketch_stream = stream.groupBy(
+        "source", _bin_expr(F.col("len")).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sketch = run_to_completion(
+        sketch_stream,
+        f"qml_stream_hist_{abs(hash(sf_dir)) % 99999}",
+        output_mode="complete",
+    )
+    return hist_quantiles(sketch, group_cols=["source"]).select(
+        "source",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("p50").cast("bigint").alias("p50"),
+        F.col("p90").cast("bigint").alias("p90"),
+        F.col("p99").cast("bigint").alias("p99"),
+    )
+
+
+def _install_stream_hist_oracle() -> None:
+    from quackml_spark.plans import REGISTRY
+
+    REGISTRY["streaming_length_histogram_docs"].oracle = REGISTRY[
+        "sketch_length_histogram"
+    ].oracle
+
+
+_install_stream_hist_oracle()

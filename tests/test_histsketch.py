@@ -52,3 +52,41 @@ def test_zero_and_negative_values_bin_separately(spark):
     assert bins[-1] == 2          # 0 and -5
     assert bins[0] == 1           # v=1 -> floor(log2)=0
     assert bins[1] == 2           # v in {2,3}
+
+
+def test_streaming_sketch_merges_across_batches(spark, tmp_path):
+    """Force multiple micro-batches (maxFilesPerTrigger=1 over several
+    part files): the drained streaming sketch must equal the batch
+    sketch — the state-store merge IS hist_merge."""
+    from quackml_spark.operators.histsketch import _bin_expr, hist_sketch
+
+    from pyspark.sql import functions as F
+
+    rows = [(i % 4, (i * 131) % 3000 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "g int, v long")
+    p = str(tmp_path / "parts")
+    df.repartition(3).write.parquet(p)
+
+    batch = {
+        (r["g"], r["bin"]): r["n"] for r in hist_sketch(df, "v", ["g"]).collect()
+    }
+    stream = (
+        spark.readStream.schema("g int, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p)
+        .groupBy("g", _bin_expr(F.col("v")).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hist_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["g"], r["bin"]): r["n"]
+        for r in spark.table("hist_stream_test").collect()
+    }
+    assert streamed == batch
