@@ -346,42 +346,51 @@ def dsir_log_weights(
     (featureless docs get 0, the empty product).
 
     Determinism & scale shape: the two bucket-count aggregations are
-    map-side combined and bounded by ``buckets`` rows; the per-bucket
-    log-ratio lambda is rounded to DECIMAL(20,12) (safe: ulps live at
+    map-side combined and bounded by ``buckets`` rows, and both
+    COLLECT to the driver (the ADC-LUT pattern — bounded by config,
+    never by data) so the per-bucket log-ratio lambda table is built
+    once driver-side instead of re-deriving the corpus explode through
+    the lazy lambda/totals dependency graph (measured ~4 gram passes;
+    now exactly the two-corpus-pass contract BM25 documents). Lambda
+    is rounded to DECIMAL(20,12) Spark-side (safe: log ulps live at
     the ~16th digit of O(10) values) and joined back BROADCAST, so
     scoring is one map-side join + one docs-sized groupBy whose
     partial sums are EXACT decimal — log_w is independent of
     aggregation order and partitioning, hence identical across
-    engines, retries, and cluster sizes. No driver collect anywhere;
-    the corpus is never shuffled except the doc-keyed score combine."""
-    tcnt = dsir_features(target, buckets, id_col, text_col).groupBy(
-        "bucket"
-    ).agg(F.count(F.lit(1)).alias("ct"))
+    engines, retries, and cluster sizes. The corpus itself is never
+    collected or shuffled except the doc-keyed score combine."""
+    import math
+
+    spark = raw.sparkSession
+    tcnt = {
+        int(r["bucket"]): int(r["ct"])
+        for r in dsir_features(target, buckets, id_col, text_col)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .collect()  # bounded: <= buckets rows
+    }
     feats = dsir_features(raw, buckets, id_col, text_col)
-    rcnt = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tot = tcnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")).crossJoin(
-        rcnt.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
-    )
+    rcnt = {
+        int(r["bucket"]): int(r["cr"])
+        for r in feats.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cr"))
+        .collect()  # bounded: <= buckets rows
+    }
+    nt, nr = sum(tcnt.values()), sum(rcnt.values())
     ab = float(alpha) * buckets
-    lam = (
-        tcnt.join(rcnt, "bucket", "full_outer")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(float(alpha)))
-                    / (F.col("nt") + F.lit(ab))
-                )
-                - F.log(
-                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(float(alpha)))
-                    / (F.col("nr") + F.lit(ab))
-                ),
-                12,
-            )
-            .cast("decimal(20,12)")
-            .alias("lam"),
+    lam_rows = [
+        (
+            b,
+            math.log((tcnt.get(b, 0) + float(alpha)) / (nt + ab))
+            - math.log((rcnt.get(b, 0) + float(alpha)) / (nr + ab)),
         )
+        for b in sorted(set(tcnt) | set(rcnt))
+    ]
+    lam = spark.createDataFrame(
+        lam_rows, "bucket bigint, lam_raw double"
+    ).select(
+        "bucket",
+        F.round("lam_raw", 12).cast("decimal(20,12)").alias("lam"),
     )
     scored = (
         feats.join(F.broadcast(lam), "bucket")
