@@ -138,7 +138,7 @@ SELECT source, CAST(SUM(n) AS BIGINT) AS n_rows,
 FROM c GROUP BY source
 ORDER BY source
 """,
-    tags=("textops", "sketch"),
+    tags=("textops", "sketch", "bench"),
 )
 def sketch_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(

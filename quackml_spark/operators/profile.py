@@ -250,7 +250,7 @@ JOIN p90 USING (source)
 JOIN top_lang USING (source)
 ORDER BY source
 """,
-    tags=("textops", "pipeline"),
+    tags=("textops", "pipeline", "bench"),
 )
 def text_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
