@@ -33,7 +33,17 @@ def test_queries_without_oracle_still_run(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["q01_pricing_summary", "text_bm25_topk", "embedding_pq_topk"],
+    [
+        "q01_pricing_summary",
+        "text_bm25_topk",
+        "embedding_pq_topk",
+        # round-8 session: DSIR's decimal log-weight combine + Gumbel
+        # top-k, and the two rank-statistic profiles (row_number over
+        # per-source sorts must not depend on shuffle width)
+        "text_dsir_select",
+        "text_corpus_profile",
+        "sketch_length_histogram",
+    ],
 )
 def test_results_partitioning_independent(spark, sf_dir, name):
     """The DECIMAL aggregation discipline must make results identical
