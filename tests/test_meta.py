@@ -74,7 +74,7 @@ _BROADCAST_ALLOWLIST = {
     "operators/dedup.py": 1,     # simhash 32-row bit table
     "operators/similarity.py": 6, # 5-query sets + 16/32-row plane tables + IVF probe set (|queries|·nprobe rows) + PQ ADC query batch with its m*k-entry LUT columns (|queries| rows)
     "operators/ivfpq.py": 3,     # query batch with per-query LUTs (bounded query set) + the same batch for the shortlist exact re-rank join + the residual searcher's per-(query, probed-list) LUT batch (nprobe x query set, bounded)
-    "operators/sampling.py": 4,  # mixture rates (|sources| rows) + temperature share total (1 row) + DSIR grand-total aggregate (1 row) + DSIR per-bucket log-ratio table (<= buckets rows, 4096 default)
+    "operators/sampling.py": 3,  # mixture rates (|sources| rows) + temperature share total (1 row) + DSIR per-bucket log-ratio table (<= buckets rows, 4096 default; its grand totals moved driver-side with the bounded collects)
     "ml/monitor.py": 3,          # PSI per-feature span/total tables (k rows
                                  # each) + KS shard offsets (≤ n_shards rows)
     "operators/text.py": 14,     # langid lexicon (24 rows), benchmark grams (eval-suite-sized), sequence-pack shard offsets (|shards| rows), count-min sketch (<= depth*width = 4096 cells), token-budget shard offsets (<= n_sources * n_shards rows), shuffle-order shard counts (<= n_shards rows), BM25 query-term set (bounded by the query batch, the operator's documented contract) + 1-row corpus-stats aggregate + query-vocab df table (<= |query vocab| rows), bigram-LM type total x2 (1-row aggregates), trigram-LM bigram-type total (1-row aggregate), hybrid-RRF query-embedding batch (bounded by the query-set cap), ranked_by partition-offset table (<= n_shards rows)
