@@ -2275,6 +2275,108 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_score(bg, bigram_lm(bg))
 
 
+def ccnet_buckets(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The published CCNet bucketing step (Wenzek et al. 2020): score
+    every document's LM perplexity, then split EACH group (CCNet uses
+    language; here any group column) into head / middle / tail tertiles
+    by ascending perplexity — head is the most-fluent third the
+    pipeline keeps, tail is what it drops or down-samples.
+
+    Tertile boundaries are integer ranks (ceil(n/3), ceil(2n/3) via
+    integral `div`), the rank order is (ppl NULLS LAST, id) — docs too
+    short to score (< 2 tokens, no bigrams) land in the tail
+    deterministically. Returns (id, group, ppl, bucket).
+
+    Scale shape: the LM train/score is the graded
+    text_bigram_perplexity plan (three map-side aggregations, zero
+    collects); the bucketing adds ONE partition-ful per-group sort —
+    ranked_by's shape — and a |groups|-row broadcast of counts."""
+    bg = doc_bigrams(docs, id_col, text_col)
+    scored = bigram_score(bg, bigram_lm(bg)).select("doc_id", "ppl")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("__grp")
+    ).join(scored, "doc_id", "left")
+    w = Window.partitionBy("__grp").orderBy(
+        F.col("ppl").asc_nulls_last(), F.col("doc_id").asc_nulls_last()
+    )
+    counts = base.groupBy("__grp").agg(F.count(F.lit(1)).alias("__n"))
+    ranked = base.withColumn("__rn", F.row_number().over(w)).join(
+        F.broadcast(counts), "__grp"
+    )
+    bucket = (
+        F.when(F.col("__rn") <= F.expr("(__n + 2) div 3"), F.lit("head"))
+        .when(F.col("__rn") <= F.expr("(__n * 2 + 2) div 3"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("__grp").alias(group_col),
+        "ppl",
+        bucket.alias("bucket"),
+    )
+
+
+@register(
+    "text_ccnet_buckets",
+    extra=True,
+    doc="CCNet head/middle/tail perplexity bucketing (Wenzek et al. "
+    "2020): KN bigram perplexity per doc (the graded "
+    "text_bigram_perplexity arithmetic), then per-source tertiles by "
+    "integer rank (ceil(n/3) via integral div, NULLS LAST so "
+    "unscorable docs fall in the tail). One partition-ful per-source "
+    "sort on top of the LM plan.",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM toks, unnest(range(1, length(toks))) AS t(i)
+  WHERE length(toks) >= 2
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1 FROM c12 GROUP BY w1
+), cont AS (
+  SELECT w2, COUNT(*) AS r2 FROM c12 GROUP BY w2
+), tot AS (SELECT COUNT(*) AS t FROM c12),
+model AS (
+  SELECT w1, w2,
+         ln((c12 - 0.75) / c1
+            + 0.75 * n1 / c1 * (r2 / (SELECT t FROM tot))) AS logp
+  FROM c12 JOIN ctx USING (w1) JOIN cont USING (w2)
+), sc AS (
+  SELECT b.doc_id,
+         CAST(ROUND(EXP(-AVG(m.logp)), 3) AS DOUBLE) AS ppl
+  FROM bg b JOIN model m USING (w1, w2)
+  GROUP BY b.doc_id
+), ranked AS (
+  SELECT d.doc_id, d.source, sc.ppl,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY sc.ppl NULLS LAST,
+                                     d.doc_id NULLS LAST) AS rn,
+         COUNT(*) OVER (PARTITION BY d.source) AS n
+  FROM documents d LEFT JOIN sc USING (doc_id)
+)
+SELECT doc_id, source, ppl,
+       CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+            WHEN rn <= (n * 2 + 2) // 3 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+ORDER BY doc_id
+""",
+    tags=("textops", "llm", "pipeline"),
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ccnet_buckets(docs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Hybrid retrieval: reciprocal-rank fusion of lexical + dense rankings
 # ---------------------------------------------------------------------------

@@ -43,6 +43,7 @@ def test_queries_without_oracle_still_run(spark, sf_dir):
         "text_dsir_select",
         "text_corpus_profile",
         "sketch_length_histogram",
+        "text_ccnet_buckets",
     ],
 )
 def test_results_partitioning_independent(spark, sf_dir, name):

@@ -80,6 +80,7 @@ PLAN_PINNED = [
     "text_corpus_profile",
     "text_domain_cap",
     "text_quality_classifier",
+    "text_ccnet_buckets",
 ]
 
 # intentional broadcast nested-loop joins, all with CONSTANT-size build
@@ -110,6 +111,8 @@ BNLJ_ALLOWED = {
     # the 1-row (hi, lo) percentile-bounds aggregate fans into the seed
     # selection on no key (scalar fan-in)
     "text_quality_classifier",
+    # inherits the bigram LM's 1-row type-total scalar fan-in
+    "text_ccnet_buckets",
 }
 
 
