@@ -89,6 +89,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    extra=True,  # r8 session curation: shingle-pair twin of the graded
+    # dedup_minhash_lsh (same candidate geometry, exact instead of
+    # sketched); its slot goes to the new profiling family's
+    # text_corpus_profile. Still oracle-checked at every pytest run.
     doc="Near-dup candidate pairs by word-3-gram Jaccard >= 0.2 via a "
     "sparse shingle self-join (document-frequency-capped at 100).",
     oracle=f"""

@@ -186,7 +186,9 @@ _CAP = 60
 
 @register(
     "text_corpus_profile",
-    extra=True,
+    # graded representative of the (new) corpus-profiling family —
+    # promoted in the r8 session curation in place of the
+    # dedup_ngram_jaccard twin
     doc="Dataset card: one row per source with doc counts, exact-dup "
     "rate, char/token volume, integer-exact discrete length "
     "percentiles (rank = ceil(p*n) computed integer-only), and the "
