@@ -111,6 +111,7 @@ _LAZY = {
         "dsir_log_weights",
     ),
     "dsir_select": ("quackml_spark.operators.sampling", "dsir_select"),
+    "ccnet_buckets": ("quackml_spark.operators.text", "ccnet_buckets"),
 }
 
 
