@@ -1138,3 +1138,123 @@ def streaming_topk(events: DataFrame, k: int = 5) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+def streaming_corpus_profile(
+    docs_stream: DataFrame,
+    state_path: str,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    query_name: str = "qml_streaming_profile",
+    checkpoint_location: str | None = None,
+):
+    """Live dataset card: maintain the per-source corpus profile over an
+    UNBOUNDED document feed with nothing but MERGEABLE state.
+
+    Per micro-batch (foreachBatch), three bounded per-source part-states
+    append under ``state_path``:
+
+    * ``volumes`` — (source, n_docs, total_chars, total_tokens): exact
+      sums, associative by addition;
+    * ``hll`` — (source, sketch): a Datasketches HLL over the text md5,
+      so the DISTINCT-TEXT estimate (and hence the dup-rate estimate)
+      merges by sketch union — the hll_rollup contract, union-of-parts
+      == sketch-of-whole bit-identically;
+    * ``hist`` — (source, bin, n): the power-of-two length histogram
+      (operators.histsketch), exact-mergeable, giving deterministic
+      p50/p90.
+
+    :func:`profile_from_state` folds all appended parts into the
+    current card at any time — no raw-data rescan, the persisted state
+    is a few rows per source per batch. Appends are at-least-once on
+    restart without a checkpoint (see _with_checkpoint); pass one in
+    production — a replayed batch would double-count volumes."""
+    from quackml_spark.operators.histsketch import _bin_expr
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            F.col(source_col).alias("source"),
+            F.col(text_col).alias("text"),
+            F.length(text_col).alias("len"),
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(r"\S+"), 0
+                )
+            ).alias("n_tokens"),
+        )
+        b.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        ).write.mode("append").parquet(f"{state_path}/volumes")
+        b.groupBy("source").agg(
+            F.hll_sketch_agg(F.md5("text"), F.lit(12)).alias("sketch")
+        ).write.mode("append").parquet(f"{state_path}/hll")
+        b.groupBy(
+            "source", _bin_expr(F.col("len")).alias("bin")
+        ).agg(F.count(F.lit(1)).alias("n")).write.mode("append").parquet(
+            f"{state_path}/hist"
+        )
+
+    writer = _with_checkpoint(
+        docs_stream.writeStream.foreachBatch(_step)
+        .queryName(query_name)
+        .trigger(availableNow=True),
+        checkpoint_location,
+    )
+    return writer.start()
+
+
+def profile_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Fold the streaming profile state into the current dataset card:
+    (source, n_docs, total_chars, total_tokens, distinct_est, dup_rate_est,
+    p50_chars, p90_chars). Touches ONLY the part-state relations."""
+    from quackml_spark.operators.histsketch import hist_merge, hist_quantiles
+
+    vol = (
+        spark.read.parquet(f"{state_path}/volumes")
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_chars").alias("total_chars"),
+            F.sum("total_tokens").alias("total_tokens"),
+        )
+    )
+    hll = (
+        spark.read.parquet(f"{state_path}/hll")
+        .groupBy("source")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("sketch"), F.lit(False))
+            ).alias("distinct_est")
+        )
+    )
+    hist = hist_quantiles(
+        hist_merge(spark.read.parquet(f"{state_path}/hist"), ["source"]),
+        percentiles=[("p50", 1, 2), ("p90", 9, 10)],
+        group_cols=["source"],
+    ).select(
+        "source",
+        F.col("p50").alias("p50_chars"),
+        F.col("p90").alias("p90_chars"),
+    )
+    return (
+        vol.join(hll, "source")
+        .join(hist, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "distinct_est",
+            F.round(
+                (F.col("n_docs") - F.col("distinct_est"))
+                / F.col("n_docs"),
+                4,
+            ).alias("dup_rate_est"),
+            "p50_chars",
+            "p90_chars",
+        )
+        .orderBy("source")
+    )

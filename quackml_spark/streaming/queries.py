@@ -529,3 +529,83 @@ def _install_stream_hist_oracle() -> None:
 
 
 _install_stream_hist_oracle()
+
+
+@register(
+    "streaming_corpus_profile_docs",
+    extra=True,
+    doc="Live dataset card from purely MERGEABLE state: per micro-batch "
+    "the stream appends per-source part-states (exact volume sums, an "
+    "HLL sketch of text hashes, the power-of-two length histogram) "
+    "and profile_from_state folds them at any time with no raw-data "
+    "rescan. Oracle checks the EXACT columns (counts, volumes, "
+    "histogram percentiles) — the streaming_events_hourly precedent; "
+    "the HLL distinct/dup-rate estimates are pinned in pytest "
+    "against the exact batch answer instead.",
+    oracle=r"""
+WITH d AS (
+  SELECT source, length(text) AS len,
+         length(regexp_extract_all(lower(text), '\S+')) AS n_tokens
+  FROM documents
+), vol AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len) AS BIGINT) AS total_chars,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM d GROUP BY source
+), s AS (
+  SELECT source,
+         CASE WHEN len <= 0 THEN -1 ELSE length(bin(len)) - 1 END AS bin,
+         COUNT(*) AS n
+  FROM d GROUP BY 1, 2
+), c AS (
+  SELECT source, bin, n,
+         SUM(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         SUM(n) OVER (PARTITION BY source) AS total
+  FROM s
+), q AS (
+  SELECT source,
+    CAST(MIN(CASE WHEN cum >= (total + 1) // 2
+        THEN CASE WHEN bin < 0 THEN 0
+             ELSE (CAST(1 AS BIGINT) << (bin + 1)) - 1 END END) AS BIGINT)
+      AS p50_chars,
+    CAST(MIN(CASE WHEN cum >= (total * 9 + 9) // 10
+        THEN CASE WHEN bin < 0 THEN 0
+             ELSE (CAST(1 AS BIGINT) << (bin + 1)) - 1 END END) AS BIGINT)
+      AS p90_chars
+  FROM c GROUP BY source
+)
+SELECT vol.source, n_docs, total_chars, total_tokens, p50_chars, p90_chars
+FROM vol JOIN q USING (source)
+ORDER BY vol.source
+""",
+    tags=("streaming", "textops", "pipeline", "sketch"),
+)
+def streaming_corpus_profile_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import (
+        profile_from_state,
+        streaming_corpus_profile,
+    )
+
+    batch_schema = load_table(spark, sf_dir, "documents").schema
+    stream = stream_parquet_table(
+        spark, sf_dir, "documents.parquet", batch_schema
+    )
+    state = tempfile.mkdtemp(prefix="qml_stream_profile_")
+    q = streaming_corpus_profile(
+        stream, state,
+        query_name=f"qml_stream_profile_{abs(hash(sf_dir)) % 99999}",
+    )
+    q.awaitTermination()
+    return profile_from_state(spark, state).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("p50_chars").cast("bigint").alias("p50_chars"),
+        F.col("p90_chars").cast("bigint").alias("p90_chars"),
+    )
