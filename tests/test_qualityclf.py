@@ -97,3 +97,33 @@ def test_curate_quality_model_stage(spark):
     stages = {r["stage"]: r for r in out["report"].collect()}
     assert stages["quality_model"]["docs_in"] == 3
     assert stages["quality_model"]["docs_out"] == 2
+
+
+def test_classifier_scores_calibrate_with_platt(spark):
+    """Composition: the classifier's probabilities feed the engine's
+    existing Platt calibration — the trained sigmoid must preserve the
+    score ordering and tighten Brier against the planted labels."""
+    from quackml_spark.ml.calibrate import calibrate_expr, fit_platt
+    from quackml_spark.operators.qualityclf import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    df = _planted(spark, n=40)
+    model = train_quality_classifier(df, num_features=1 << 12)
+    scored = score_quality_classifier(df, model).select(
+        "doc_id", "label", "ql_prob"
+    )
+    platt = fit_platt(scored, label_col="label", proba_col="ql_prob")
+    cal = scored.withColumn(
+        "cal", calibrate_expr(platt, "ql_prob")
+    ).collect()
+    # weak monotonicity: the fitted sigmoid may saturate distinct raw
+    # scores onto one float, but can never INVERT an ordering
+    by_raw = sorted(cal, key=lambda r: r["ql_prob"])
+    for a, b in zip(by_raw, by_raw[1:]):
+        assert a["cal"] <= b["cal"], (a, b)
+    # calibrated probabilities stay on the right side of 0.5 per class
+    pos = [r["cal"] for r in cal if r["label"] == 1]
+    neg = [r["cal"] for r in cal if r["label"] == 0]
+    assert min(pos) > max(neg)
