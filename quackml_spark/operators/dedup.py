@@ -574,20 +574,62 @@ def near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int = 1024,
+    verify_threshold: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a < doc_b) for ANY (id, text)
     frame — doc_band_keys' bucket grouping + in-bucket pair generation,
-    the same one-shuffle shape as the registered dedup_minhash_lsh."""
+    the same one-shuffle shape as the registered dedup_minhash_lsh.
+
+    ``verify_threshold`` adds the RefinedWeb-style precision step:
+    each CANDIDATE pair's TRUE word-3-gram Jaccard is computed and
+    pairs below the threshold are dropped — band collisions are a
+    probabilistic proxy, and at a low band count a same-bucket pair
+    can sit well under the intended similarity. Scale shape: the
+    verifier touches only shingles of CANDIDATE docs (semi-join), and
+    the per-pair intersection count joins through the candidate pair
+    list — candidate-bounded, never corpus-quadratic."""
     bands = doc_band_keys(docs, id_col, text_col)
     buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    return (
+    pairs = (
         buckets.select(F.explode(_bucket_pairs(max_bucket_size)).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+    if verify_threshold is None:
+        return pairs
+    sh = word_shingles(docs, id_col, text_col, distinct=True)
+    cand = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    s = sh.join(cand, "doc_id")
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        pairs.join(
+            s.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            s.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("decimal(18,6)") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("c")
+    )
+    return (
+        common.join(
+            sizes.alias("sa"), F.col("sa.doc_id") == F.col("doc_a")
+        )
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= float(verify_threshold))
+        .select("doc_a", "doc_b")
     )
 
 
@@ -596,6 +638,7 @@ def near_dup_drops(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int = 1024,
+    verify_threshold: float | None = None,
 ) -> DataFrame:
     """One-column frame of ids to DROP so each near-duplicate cluster
     keeps its min-id representative (singletons never appear).
@@ -622,7 +665,9 @@ def near_dup_drops(
         .select("doc_id", "text")
     )
     comp = connected_components(
-        near_dup_pairs(rep_docs, "doc_id", "text", max_bucket_size)
+        near_dup_pairs(
+            rep_docs, "doc_id", "text", max_bucket_size, verify_threshold
+        )
     )
     rep_keep = reps.join(
         comp, reps.rep == comp.doc_id, "left"
@@ -712,12 +757,17 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def doc_band_keys(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def word_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = False,
 ) -> DataFrame:
-    """(doc_id, band_id, band_key) MinHash-LSH band rows for any
-    (id, text) frame — the exact pipeline dedup_minhash_lsh runs,
-    exposed for index build/check so both sides hash identically."""
+    """(doc_id, word-3-gram shingle) rows for ANY (id, text) frame —
+    the ONE shingle definition the band pipeline, the Jaccard verifier
+    and the table-bound shingles_df all share. ``distinct=True`` adds
+    the per-doc set-dedup shuffle Jaccard counting needs; MinHash
+    consumers skip it (MIN is duplicate-insensitive)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
     )
@@ -732,6 +782,16 @@ def doc_band_keys(
             )
         ).alias("shingle"),
     )
+    return sh.distinct() if distinct else sh
+
+
+def doc_band_keys(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, band_id, band_key) MinHash-LSH band rows for any
+    (id, text) frame — the exact pipeline dedup_minhash_lsh runs,
+    exposed for index build/check so both sides hash identically."""
+    sh = word_shingles(docs, id_col, text_col)
     sigs = _hashed_shingles(sh).groupBy("doc_id").agg(*_minhash_aggs())
     band_structs = F.array(
         *[

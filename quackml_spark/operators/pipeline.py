@@ -220,6 +220,7 @@ def curate(
     quality_model=None,
     quality_model_threshold: float = 0.5,
     dedup: str | None = "exact",
+    minhash_verify_threshold: float | None = None,
     benchmark: DataFrame | None = None,
     decontaminate_mode: str = "exact",
     curriculum_band_size: int | None = None,
@@ -396,7 +397,10 @@ def curate(
         # stage this one runs jobs at curate() build time.
         from quackml_spark.operators.dedup import near_dup_drops
 
-        drops = near_dup_drops(cur.select("doc_id", "text"))
+        drops = near_dup_drops(
+            cur.select("doc_id", "text"),
+            verify_threshold=minhash_verify_threshold,
+        )
         cur = _mark("dedup_minhash", cur.join(drops, "doc_id", "left_anti"))
     elif dedup is not None:
         raise ValueError(

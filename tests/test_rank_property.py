@@ -150,3 +150,48 @@ def test_connected_components_uses_reliable_checkpoint_dir(spark, tmp_path):
         assert walked, "no reliable checkpoint files were written"
     finally:
         sc._jsc.sc().setCheckpointDir(None)
+
+
+def test_near_dup_pairs_verify_threshold_matches_true_jaccard(spark):
+    """The verify step must keep EXACTLY the candidate pairs whose true
+    word-3-gram Jaccard clears the threshold — checked against an
+    independent Python computation over the same shingle definition."""
+    from quackml_spark.operators.dedup import near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        0: base,
+        1: base + " tail",                      # near-copy of 0
+        2: base.replace("quick", "slow"),        # edited copy of 0
+        3: "completely different words appear in this other document here",
+        4: "completely different words appear in this other document here",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    def shingles(t):
+        toks = t.lower().split()
+        n = max(len(toks) - 3, 0)
+        return {
+            " ".join(toks[i : i + 3]) for i in range(n + 1)
+        }
+
+    def jac(a, b):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        return len(sa & sb) / len(sa | sb)
+
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pairs(docs).collect()
+    }
+    assert cands, "planted near-copies must band-collide"
+    for thr in (0.0, 0.5, 0.9):
+        kept = {
+            (r["doc_a"], r["doc_b"])
+            for r in near_dup_pairs(docs, verify_threshold=thr).collect()
+        }
+        expected = {p for p in cands if jac(*p) >= thr}
+        assert kept == expected, (thr, kept, expected)
+    # an impossible threshold empties the set
+    assert not near_dup_pairs(docs, verify_threshold=1.01).collect()
