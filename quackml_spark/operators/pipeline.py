@@ -261,7 +261,11 @@ def curate(
                           in-bucket pairs -> connected components),
                           keep the min-id representative per cluster —
                           runs the iterative component labeling at
-                          build time (O(diameter) driver rounds)
+                          build time (O(diameter) driver rounds);
+                          ``minhash_verify_threshold`` gates each
+                          candidate pair on its TRUE word-3-gram
+                          Jaccard first (the RefinedWeb precision
+                          step, candidate-bounded)
       decontaminate       drop docs sharing any benchmark n-gram (pass
                           the eval-suite frame). decontaminate_mode
                           'exact' = broadcast gram probe; 'bloom' =
