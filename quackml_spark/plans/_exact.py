@@ -57,4 +57,14 @@ SQL_CHARGE = (
 
 
 def sql_out(expr: str, digits: int = 6) -> str:
-    return f"CAST(ROUND({expr}, {digits}) AS DOUBLE)"
+    """Output boundary for the DuckDB oracle: ROUND the exact decimal,
+    then reach DOUBLE **through VARCHAR**. DuckDB's direct
+    decimal->double cast converts the UNSCALED int128 to double first
+    and then scales — two roundings, off by 1 ulp-of-2^53 once the
+    unscaled value passes 2^53 (~9e9 at 6 digits; q08's sum of squared
+    balances hit it at sf0.1, caught by tools/sweep_oracles.py). The
+    VARCHAR hop parses with strtod, which is correctly rounded to the
+    closest double — the same contract as Spark's
+    BigDecimal.doubleValue, so the two engines agree at ANY
+    magnitude."""
+    return f"CAST(CAST(ROUND({expr}, {digits}) AS VARCHAR) AS DOUBLE)"

@@ -372,7 +372,17 @@ ORDER BY c_mktsegment
 )
 def q08_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
-    bal = dec("c_acctbal", 19)
+    # ASYMMETRIC widths, both exact: Spark multiplies at (18,6) — a
+    # (19,6)x(19,6) product needs precision 39 > 38 and Spark resolves
+    # the overflow by TRUNCATING the scale to 11, which accumulated
+    # half-ulp-per-row losses into the 6th decimal of var_bal at sf0.1
+    # (caught by tools/sweep_oracles.py; invisible at sf<=0.01). The
+    # DuckDB oracle keeps (19,6) factors because DuckDB multiplies
+    # width-18 decimals in int64, which overflows per-row — width 19
+    # forces int128. (18,6)x(18,6)=(37,12) in Spark and
+    # (19,6)x(19,6)=(38,12) in DuckDB are both EXACT, so the sums are
+    # equal.
+    bal = dec("c_acctbal", 18)
     n = F.count(F.lit(1))
     s1 = out_double(F.sum(bal))
     s2 = out_double(F.sum(bal * bal))
