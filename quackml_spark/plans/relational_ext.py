@@ -687,25 +687,34 @@ def q27_orders_by_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per event: z-score of `value` against the same user's preceding "
     "20 events (ROWS frame, excluding current) — the classic streaming "
     "ops-metric anomaly rule, batch-expressed. One shuffle on user_id; "
-    "the window's sum/sum-of-squares accumulate in DECIMAL(19,6) "
-    "(19 so DuckDB's decimal multiply stays off the int64 overflow "
-    "path) making the double-valued z bit-identical across engines.",
+    "the window's sum/sum-of-squares accumulate in exact DECIMAL "
+    "(Spark multiplies at width 18 — a 19x19 product would overflow "
+    "precision 38 and silently truncate the scale; the oracle keeps "
+    "width 19 to stay off DuckDB's int64 multiply path) and reach "
+    "DOUBLE through the correctly-rounded VARCHAR hop, making the "
+    "double-valued z bit-identical across engines at any magnitude.",
     oracle="""
 WITH w AS (
   SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
     COUNT(*) OVER win AS n,
-    CAST(SUM(CAST(value AS DECIMAL(19,6))) OVER win AS DOUBLE) AS s,
+    CAST(SUM(CAST(value AS DECIMAL(19,6))) OVER win
+         AS DECIMAL(19,6)) AS s_dec,
     CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
-         OVER win AS DOUBLE) AS sq
+         OVER win AS DECIMAL(26,12)) AS sq_dec,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(19,6))) OVER win AS VARCHAR)
+         AS DOUBLE) AS s,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+         OVER win AS VARCHAR) AS DOUBLE) AS sq
   FROM events
   WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
 )
 SELECT event_id,
   CAST(n AS BIGINT) AS n_window,
-  CAST(ROUND((v - s / n) / sqrt((sq - s * s / n) / (n - 1)), 6) AS DOUBLE) AS z
+  (v - s / n) / sqrt((sq - s * s / n) / (n - 1)) AS z
 FROM w
-WHERE n >= 5 AND (sq - s * s / n) / (n - 1) > 0
+WHERE n >= 5
+  AND CAST(n AS DECIMAL(3,0)) * sq_dec > s_dec * s_dec
 ORDER BY event_id
 """,
     tags=("relational",),
@@ -717,22 +726,40 @@ def q28_events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-20, -1)
     )
-    d = F.col("value").cast("decimal(19,6)")
+    # width 18, not 19: Spark's (19,6)x(19,6) product needs precision
+    # 39 and truncates the scale to 11 per row (the q08 bug class,
+    # caught at sf1.0 where replicated events make near-zero-variance
+    # windows that amplify the loss). (18,6)x(18,6) = (37,12), exact.
+    d = F.col("value").cast("decimal(18,6)")
     n = F.count(F.lit(1)).over(win)
-    s = F.sum(d).over(win).cast("double")
-    sq = F.sum(d * d).over(win).cast("double")
+    s_dec = F.sum(d).over(win).cast("decimal(18,6)")
+    sq_dec = F.sum(d * d).over(win).cast("decimal(26,12)")
+    s = s_dec.cast("double")
+    sq = sq_dec.cast("double")
     v = F.col("value").cast("double")
     var = (sq - s * s / n) / (n - 1)
     z = (v - s / n) / F.sqrt(var)
+    # Degenerate windows (all values equal -> true variance ZERO) must
+    # be excluded by the EXACT integer identity n*Σx² > (Σx)², not by
+    # `float_var > 0`: the float variance of a zero-variance window is
+    # pure cancellation noise, and the resulting z (deviation / noise)
+    # is astronomically large AND engine-dependent. z itself is
+    # emitted as the raw double — every op in its chain is IEEE
+    # correctly-rounded on bit-identical inputs, whereas ROUND on a
+    # ~1e9 double disagrees between engines (the rounding grain sits
+    # below the double's own resolution there).
+    nondegenerate = (
+        n.cast("decimal(3,0)") * sq_dec > s_dec * s_dec
+    )
     return (
         ev.select(
             "event_id",
             n.cast("bigint").alias("n_window"),
-            var.alias("__var"),
-            F.round(z, 6).alias("z"),
+            nondegenerate.alias("__nd"),
+            z.alias("z"),
         )
-        .where((F.col("n_window") >= 5) & (F.col("__var") > 0))
-        .drop("__var")
+        .where((F.col("n_window") >= 5) & F.col("__nd"))
+        .drop("__nd")
         .orderBy("event_id")
     )
 

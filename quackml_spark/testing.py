@@ -32,10 +32,15 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
-            )
+        if not os.path.exists(path):
+            continue
+        # the driver testdata ships single files; Spark-written tables
+        # (tools/make_scale.py output) are DIRECTORIES of part files
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{pattern}')"
+        )
     return con
 
 
