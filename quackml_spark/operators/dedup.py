@@ -30,6 +30,17 @@ from quackml_spark.operators.text import tokens_expr
 from quackml_spark.plans import register
 from quackml_spark.sources import load_table
 
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API, so the
+    connected-components round snapshots are cleaned up on whatever
+    filesystem the checkpoint dir lives on (local here, HDFS/object
+    store on a real cluster)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 # shared shingle SQL (DuckDB side): word 3-grams, distinct per doc
 _SQL_SHINGLES = r"""
   SELECT DISTINCT doc_id,
@@ -502,30 +513,47 @@ def connected_components(
     Raises if the graph has not converged within ``max_rounds``
     (diameter > bound) — silently returning partial labels would keep
     multiple representatives of one cluster and under-dedup downstream
-    (review catch). Lineage is truncated each round with a RELIABLE
-    checkpoint when ``spark.sparkContext.setCheckpointDir`` has been
-    called (survives executor loss — set it on a real cluster), else
-    an executor-local localCheckpoint."""
+    (review catch). Lineage is truncated each round — RELIABLY when
+    ``spark.sparkContext.setCheckpointDir`` has been called (survives
+    executor loss — set it on a real cluster), else with an
+    executor-local localCheckpoint. The reliable path snapshots labels
+    to parquet under the checkpoint dir and DELETES each round's
+    snapshot once the round after next supersedes it — Spark's own
+    df.checkpoint never cleans up unless
+    spark.cleaner.referenceTracking.cleanCheckpoints is flipped on, so
+    a long session running curate(dedup='minhash') repeatedly would
+    leak |nodes| x rounds x calls of checkpoint disk (review catch).
+    Only the FINAL round's snapshot outlives the call (the returned
+    labels read from it), exactly the lifetime df.checkpoint gives."""
     und = pairs.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).unionByName(
         pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
-    sc = pairs.sparkSession.sparkContext
-    reliable = sc.getCheckpointDir() is not None
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
+    ckpt_base = sc.getCheckpointDir()
+    reliable = ckpt_base is not None
+    if reliable:
+        import uuid
+
+        run_dir = f"{ckpt_base}/qml_cc_{uuid.uuid4().hex}"
+    rounds_written: list[str] = []
 
     def _truncate(df: DataFrame) -> DataFrame:
         # lineage truncation each round — without it the plan doubles
         # per iteration and a 64-round run at real diameter blows the
         # optimizer/stack long before the data becomes the problem.
-        # Reliable checkpoint when a dir is configured: the returned
-        # labels then survive executor loss, so callers embedding them
-        # in a lazy plan (near_dup_drops -> curate) stay recomputable.
-        return (
-            df.checkpoint(eager=True)
-            if reliable
-            else df.localCheckpoint(eager=True)
-        )
+        if not reliable:
+            return df.localCheckpoint(eager=True)
+        path = f"{run_dir}/round_{len(rounds_written)}"
+        df.write.mode("error").parquet(path)
+        rounds_written.append(path)
+        # round r-2 is fully superseded: r-1 still feeds this round's
+        # `changed` comparison, but nothing references r-2 anymore.
+        if len(rounds_written) > 2:
+            _fs_delete(spark, rounds_written[-3])
+        return spark.read.parquet(path)
 
     und = und.cache()
     labels = und.select(F.col("s").alias("node")).distinct().withColumn(
@@ -556,12 +584,18 @@ def connected_components(
             break
     else:
         und.unpersist()
+        for p in rounds_written:  # nothing is returned — free them all
+            _fs_delete(spark, p)
         raise RuntimeError(
             f"connected_components did not converge within {max_rounds} "
             f"rounds — the pair graph's diameter exceeds the bound, and "
             f"partial labels would silently under-dedup. Re-run with a "
             f"larger max_rounds."
         )
+    # the final snapshot backs the returned labels; its predecessor is
+    # now superseded too (the loop cleaned up through r-2 only)
+    for p in rounds_written[:-1][-1:]:
+        _fs_delete(spark, p)
     out = labels.select(
         F.col("label").alias("component"), F.col("node").alias("doc_id")
     )
@@ -587,7 +621,16 @@ def near_dup_pairs(
     can sit well under the intended similarity. Scale shape: the
     verifier touches only shingles of CANDIDATE docs (semi-join), and
     the per-pair intersection count joins through the candidate pair
-    list — candidate-bounded, never corpus-quadratic."""
+    list — candidate-bounded, never corpus-quadratic. The candidate
+    pair list and the candidate shingles are MATERIALIZED here (eager
+    localCheckpoint): the verify plan references each ~3x (cand
+    derivation + two sides of the intersection join), and downstream
+    connected_components evaluates the whole returned plan twice more
+    through its union — without truncation the corpus band pipeline
+    and shingle explode would re-run at every reference (review
+    catch). Both relations are candidate-bounded, and the blocks are
+    freed by the ContextCleaner when the plan is garbage-collected —
+    no caller-side release protocol (the ranked_by leak lesson)."""
     bands = doc_band_keys(docs, id_col, text_col)
     buckets = (
         bands.groupBy("band_id", "band_key")
@@ -601,13 +644,14 @@ def near_dup_pairs(
     )
     if verify_threshold is None:
         return pairs
+    pairs = pairs.localCheckpoint(eager=True)
     sh = word_shingles(docs, id_col, text_col, distinct=True)
     cand = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    s = sh.join(cand, "doc_id")
+    s = sh.join(cand, "doc_id").localCheckpoint(eager=True)
     sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         pairs.join(

@@ -35,9 +35,14 @@ from quackml_spark.sources import load_table
 
 def _bin_expr(value):
     """Binary-magnitude bin: floor(log2 v) for v >= 1 via
-    length(binary-string) - 1; v <= 0 lands in bin -1. Integer-exact in
-    Spark (conv) and DuckDB (bin()) alike."""
-    return F.when(value <= 0, F.lit(-1)).otherwise(
+    length(binary-string) - 1; v <= 0 AND NULL land in bin -1.
+    Integer-exact in Spark (conv) and DuckDB (bin()) alike.
+
+    NULL must map explicitly: a NULL bin row would sort NULLS FIRST in
+    Spark's cumulative window but NULLS LAST under DuckDB's ORDER BY,
+    shifting every real bin's cumulative count and silently diverging
+    the percentile estimates between the engines (review catch)."""
+    return F.when(value.isNull() | (value <= 0), F.lit(-1)).otherwise(
         F.length(F.conv(value.cast("bigint"), 10, 2)) - 1
     )
 
@@ -115,7 +120,7 @@ def hist_quantiles(
     oracle="""
 WITH s AS (
   SELECT source,
-         CASE WHEN n_chars <= 0 THEN -1
+         CASE WHEN n_chars IS NULL OR n_chars <= 0 THEN -1
               ELSE length(bin(n_chars)) - 1 END AS bin,
          COUNT(*) AS n
   FROM documents GROUP BY 1, 2

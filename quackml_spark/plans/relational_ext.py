@@ -700,7 +700,7 @@ WITH w AS (
     CAST(SUM(CAST(value AS DECIMAL(19,6))) OVER win
          AS DECIMAL(19,6)) AS s_dec,
     CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
-         OVER win AS DECIMAL(26,12)) AS sq_dec,
+         OVER win AS DECIMAL(30,12)) AS sq_dec,
     CAST(CAST(SUM(CAST(value AS DECIMAL(19,6))) OVER win AS VARCHAR)
          AS DOUBLE) AS s,
     CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
@@ -715,6 +715,7 @@ SELECT event_id,
 FROM w
 WHERE n >= 5
   AND CAST(n AS DECIMAL(3,0)) * sq_dec > s_dec * s_dec
+  AND (sq - s * s / n) > 0
 ORDER BY event_id
 """,
     tags=("relational",),
@@ -733,7 +734,12 @@ def q28_events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("value").cast("decimal(18,6)")
     n = F.count(F.lit(1)).over(win)
     s_dec = F.sum(d).over(win).cast("decimal(18,6)")
-    sq_dec = F.sum(d * d).over(win).cast("decimal(26,12)")
+    # (30,12), not (26,12): 18 integer digits lets the sum-of-squares
+    # hold |value| up to ~2e8 over a 20-row window; at (26,12) a window
+    # of ~1e8 values overflows the cast — an ANSI error, not a wrong
+    # answer, but the operator should survive any plausible metric
+    # magnitude (review catch)
+    sq_dec = F.sum(d * d).over(win).cast("decimal(30,12)")
     s = s_dec.cast("double")
     sq = sq_dec.cast("double")
     v = F.col("value").cast("double")
@@ -751,11 +757,19 @@ def q28_events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     nondegenerate = (
         n.cast("decimal(3,0)") * sq_dec > s_dec * s_dec
     )
+    # The converse hazard (review catch): a window whose TRUE variance
+    # is positive but tiny relative to the values' magnitude passes the
+    # exact identity while the FLOAT sq - s*s/n cancels to <= 0 — then
+    # sqrt gives NaN (or z = ±Inf at exactly 0.0). Both engines compute
+    # the identical doubles, so guarding on the float sign is itself
+    # bit-portable; the dropped rows are exactly the cancellation-
+    # dominated ones whose z would be numeric noise anyway.
+    float_positive = (sq - s * s / n) > 0
     return (
         ev.select(
             "event_id",
             n.cast("bigint").alias("n_window"),
-            nondegenerate.alias("__nd"),
+            (nondegenerate & float_positive).alias("__nd"),
             z.alias("z"),
         )
         .where((F.col("n_window") >= 5) & F.col("__nd"))

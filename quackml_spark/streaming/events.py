@@ -1167,35 +1167,51 @@ def streaming_corpus_profile(
 
     :func:`profile_from_state` folds all appended parts into the
     current card at any time — no raw-data rescan, the persisted state
-    is a few rows per source per batch. Appends are at-least-once on
-    restart without a checkpoint (see _with_checkpoint); pass one in
-    production — a replayed batch would double-count volumes."""
+    is a few rows per source per batch. Every appended row carries its
+    ``batch_id`` and the fold DEDUPLICATES on it, so the appends are
+    IDEMPOTENT under replay: a micro-batch whose volumes committed but
+    whose hll/hist appends died mid-write is replayed in full on
+    restart (the batch never committed to the checkpoint), and the
+    fold keeps exactly one copy of each (batch, source) part-state —
+    without the dedup a checkpoint only protects FULLY-committed
+    batches and the partial-failure window double-counts (review
+    catch). Part-states are deterministic per batch (same offsets ->
+    same rows), so any copy is the right one."""
     from quackml_spark.operators.histsketch import _bin_expr
+    from quackml_spark.operators.text import tokens_expr
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
+        # ONE scan + tokenize per batch: the three part-state writes all
+        # read the persisted projection (the tokenize regexp over full
+        # text is the expensive column; without the persist each write
+        # job re-derives it from the source).
         b = batch_df.select(
             F.col(source_col).alias("source"),
             F.col(text_col).alias("text"),
             F.length(text_col).alias("len"),
-            F.size(
-                F.regexp_extract_all(
-                    F.lower(F.col(text_col)), F.lit(r"\S+"), 0
-                )
-            ).alias("n_tokens"),
-        )
-        b.groupBy("source").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("len").alias("total_chars"),
-            F.sum("n_tokens").alias("total_tokens"),
-        ).write.mode("append").parquet(f"{state_path}/volumes")
-        b.groupBy("source").agg(
-            F.hll_sketch_agg(F.md5("text"), F.lit(12)).alias("sketch")
-        ).write.mode("append").parquet(f"{state_path}/hll")
-        b.groupBy(
-            "source", _bin_expr(F.col("len")).alias("bin")
-        ).agg(F.count(F.lit(1)).alias("n")).write.mode("append").parquet(
-            f"{state_path}/hist"
-        )
+            F.size(tokens_expr(text_col)).alias("n_tokens"),
+        ).persist()
+        try:
+            bid = F.lit(int(batch_id)).alias("batch_id")
+            b.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("len").alias("total_chars"),
+                F.sum("n_tokens").alias("total_tokens"),
+            ).select("*", bid).write.mode("append").parquet(
+                f"{state_path}/volumes"
+            )
+            b.groupBy("source").agg(
+                F.hll_sketch_agg(F.md5("text"), F.lit(12)).alias("sketch")
+            ).select("*", bid).write.mode("append").parquet(
+                f"{state_path}/hll"
+            )
+            b.groupBy(
+                "source", _bin_expr(F.col("len")).alias("bin")
+            ).agg(F.count(F.lit(1)).alias("n")).select(
+                "*", bid
+            ).write.mode("append").parquet(f"{state_path}/hist")
+        finally:
+            b.unpersist()
 
     writer = _with_checkpoint(
         docs_stream.writeStream.foreachBatch(_step)
@@ -1209,11 +1225,27 @@ def streaming_corpus_profile(
 def profile_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Fold the streaming profile state into the current dataset card:
     (source, n_docs, total_chars, total_tokens, distinct_est, dup_rate_est,
-    p50_chars, p90_chars). Touches ONLY the part-state relations."""
+    p50_chars, p90_chars). Touches ONLY the part-state relations.
+
+    Replay-safe: each part-state row carries the batch_id that wrote
+    it, and the fold keeps ONE copy per natural key x batch (max — the
+    copies are identical, being deterministic aggregates of the same
+    source offsets), so an at-least-once replayed append can never
+    double-count."""
     from quackml_spark.operators.histsketch import hist_merge, hist_quantiles
 
+    def _once(df: DataFrame, keys: list[str], vals: list[str]) -> DataFrame:
+        # collapse replayed duplicate appends: one row per (keys, batch)
+        return df.groupBy(*keys, "batch_id").agg(
+            *[F.max(v).alias(v) for v in vals]
+        )
+
     vol = (
-        spark.read.parquet(f"{state_path}/volumes")
+        _once(
+            spark.read.parquet(f"{state_path}/volumes"),
+            ["source"],
+            ["n_docs", "total_chars", "total_tokens"],
+        )
         .groupBy("source")
         .agg(
             F.sum("n_docs").alias("n_docs"),
@@ -1222,7 +1254,7 @@ def profile_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         )
     )
     hll = (
-        spark.read.parquet(f"{state_path}/hll")
+        _once(spark.read.parquet(f"{state_path}/hll"), ["source"], ["sketch"])
         .groupBy("source")
         .agg(
             F.hll_sketch_estimate(
@@ -1231,7 +1263,14 @@ def profile_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         )
     )
     hist = hist_quantiles(
-        hist_merge(spark.read.parquet(f"{state_path}/hist"), ["source"]),
+        hist_merge(
+            _once(
+                spark.read.parquet(f"{state_path}/hist"),
+                ["source", "bin"],
+                ["n"],
+            ),
+            ["source"],
+        ),
         percentiles=[("p50", 1, 2), ("p90", 9, 10)],
         group_cols=["source"],
     ).select(

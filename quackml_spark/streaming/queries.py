@@ -554,7 +554,8 @@ WITH d AS (
   FROM d GROUP BY source
 ), s AS (
   SELECT source,
-         CASE WHEN len <= 0 THEN -1 ELSE length(bin(len)) - 1 END AS bin,
+         CASE WHEN len IS NULL OR len <= 0 THEN -1
+              ELSE length(bin(len)) - 1 END AS bin,
          COUNT(*) AS n
   FROM d GROUP BY 1, 2
 ), c AS (

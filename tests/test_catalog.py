@@ -130,7 +130,12 @@ def test_two_driver_conflict_raises_not_clobbers(tmp_path):
 
     row = {c: None for c in df_a.columns}
     row.update({"id": 99, "name": "from_a", "task": "regression"})
-    stale = pd.concat([df_a, pd.DataFrame([row])], ignore_index=True)
+    # cast the one-row frame to df_a's dtypes first: concat of an
+    # all-NA-column frame is deprecated in pandas 2.x
+    new = pd.DataFrame([row]).astype(
+        {c: df_a[c].dtype for c in df_a.columns}, errors="ignore"
+    )
+    stale = pd.concat([df_a, new], ignore_index=True)
     with _pytest.raises(CatalogConflictError, match="another writer"):
         a._write("projects", stale, base_a)
 

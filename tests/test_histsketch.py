@@ -140,3 +140,63 @@ def test_streaming_corpus_profile_folds_across_batches(spark, tmp_path):
         assert card[s]["total_chars"] == exact[s]["total_chars"]
         est, true = card[s]["distinct_est"], exact[s]["n_distinct"]
         assert math.isclose(est, true, rel_tol=0.05), (s, est, true)
+
+
+def test_null_values_land_in_bin_minus_one(spark):
+    """A NULL value must bin to -1 explicitly: a NULL bin row sorts
+    NULLS FIRST in Spark's cumulative window but NULLS LAST under the
+    DuckDB oracle's ORDER BY, silently shifting every percentile
+    (review catch)."""
+    from quackml_spark.operators.histsketch import hist_quantiles, hist_sketch
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (0,), (7,), (100,)], "v long"
+    )
+    sk = {r["bin"]: r["n"] for r in hist_sketch(df, "v").collect()}
+    assert None not in sk
+    assert sk[-1] == 2  # the NULL and the 0
+    out = hist_quantiles(hist_sketch(df, "v")).collect()[0]
+    assert out["n_rows"] == 5
+    assert out["p50"] is not None
+
+
+def test_profile_fold_is_idempotent_under_replayed_appends(spark, tmp_path):
+    """At-least-once delivery: re-appending one micro-batch's part-state
+    rows (same batch_id — exactly what a replayed foreachBatch writes)
+    must NOT change the folded card. Without the batch_id dedup the
+    volumes double-count (review catch)."""
+    from quackml_spark.streaming.events import (
+        profile_from_state,
+        streaming_corpus_profile,
+    )
+
+    rows = [
+        (i, f"doc {i % 50} body {'y' * (i % 23)}", f"s{i % 2}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    src = str(tmp_path / "docs")
+    df.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    q = streaming_corpus_profile(stream, state, query_name="profile_replay_test")
+    q.awaitTermination()
+    before = sorted(
+        tuple(r) for r in profile_from_state(spark, state).collect()
+    )
+
+    # replay: duplicate the FIRST batch's appends verbatim
+    for part in ("volumes", "hll", "hist"):
+        p = f"{state}/{part}"
+        d = spark.read.parquet(p)
+        first = d.agg({"batch_id": "min"}).collect()[0][0]
+        d.where(f"batch_id = {first}").write.mode("append").parquet(p)
+
+    after = sorted(
+        tuple(r) for r in profile_from_state(spark, state).collect()
+    )
+    assert after == before

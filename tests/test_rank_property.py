@@ -126,8 +126,14 @@ def test_connected_components_raises_on_nonconvergence(spark):
 
 def test_connected_components_uses_reliable_checkpoint_dir(spark, tmp_path):
     """With a checkpoint dir configured the labeling must use RELIABLE
-    checkpoints (files under the dir), so labels embedded in a lazy
-    caller plan survive executor loss."""
+    snapshots (files under the dir) so labels embedded in a lazy caller
+    plan survive executor loss — and must CLEAN UP superseded rounds:
+    Spark's own df.checkpoint leaks every round's snapshot for the
+    session lifetime unless the non-default cleanCheckpoints flag is
+    on, so a long-diameter run (or repeated curate(dedup='minhash')
+    calls) would accumulate |nodes| x rounds of disk (review catch).
+    Exactly ONE round snapshot (the one backing the returned labels)
+    may outlive each call."""
     import os
 
     from quackml_spark.operators.dedup import connected_components
@@ -136,18 +142,31 @@ def test_connected_components_uses_reliable_checkpoint_dir(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     sc.setCheckpointDir(ckpt)
     try:
+        # a diameter-8 chain forces many propagation rounds, so the
+        # per-round cleanup actually has rounds to clean
         pairs = spark.createDataFrame(
-            [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+            [(i, i + 1) for i in range(8)] + [(20, 21)],
+            "doc_a long, doc_b long",
         )
         comp = {
             r["doc_id"]: r["component"]
             for r in connected_components(pairs).collect()
         }
-        assert comp == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
-        walked = [
-            f for _, _, fs in os.walk(ckpt) for f in fs
+        assert comp == {i: 0 for i in range(9)} | {20: 20, 21: 20}
+        # Spark resolves setCheckpointDir(ckpt) to ckpt/<uuid>/, so walk
+        run_dirs = [
+            os.path.join(root, d)
+            for root, ds, _ in os.walk(ckpt)
+            for d in ds
+            if d.startswith("qml_cc_")
         ]
-        assert walked, "no reliable checkpoint files were written"
+        assert run_dirs, "no reliable snapshots were written"
+        rounds = [
+            d for d in os.listdir(run_dirs[0]) if d.startswith("round_")
+        ]
+        assert len(rounds) == 1, (
+            f"superseded round snapshots not cleaned up: {sorted(rounds)}"
+        )
     finally:
         sc._jsc.sc().setCheckpointDir(None)
 
