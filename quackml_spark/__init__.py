@@ -57,6 +57,14 @@ _LAZY = {
     "feature_drift_ks": ("quackml_spark.ml.monitor", "feature_drift_ks"),
     "audit_plan": ("quackml_spark.plans.audit", "audit_plan"),
     # round-8 surface: near-dup keepers, index lifecycle, streaming ops
+    "hard_negatives": (
+        "quackml_spark.operators.similarity",
+        "hard_negatives",
+    ),
+    "semantic_decontaminate": (
+        "quackml_spark.operators.similarity",
+        "semantic_decontaminate",
+    ),
     "near_dup_drops": ("quackml_spark.operators.dedup", "near_dup_drops"),
     "connected_components": (
         "quackml_spark.operators.dedup",

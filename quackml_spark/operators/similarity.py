@@ -391,6 +391,216 @@ def cosine_dedup_pairs(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """ANN hard-negative mining — the E5/BGE/SimCSE data-prep step for
+    contrastive embedding training: for each query, the ``k`` corpus
+    vectors NEAREST by cosine whose label differs from the query's.
+    Random negatives (pipeline_contrastive_triples) are trivially
+    separable and teach the encoder little; the nearest wrong-label
+    vectors are exactly the decision boundary.
+
+    Returns (query_id, neg_id, cosine, rnk), rnk 1-based. Scale shape:
+    the query batch broadcasts with precomputed norms (the bounded
+    query-batch contract BM25 documents), the corpus is scanned ONCE
+    map-side with the label-mismatch predicate inside the join, and
+    the per-query top-k window partitions on query_id — identical to
+    the graded ann_cosine_topk plan, whose 1000x span is measured in
+    SCALE.md."""
+    corpus = _with_norm(
+        emb.select(
+            F.col(id_col).alias("neg_id"),
+            F.col(emb_col).alias("c_emb"),
+            F.col(label_col).alias("c_label"),
+        ),
+        "c_emb",
+        "c_norm",
+    )
+    q = F.broadcast(
+        _with_norm(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(emb_col).alias("q_emb"),
+                F.col(label_col).alias("q_label"),
+            ),
+            "q_emb",
+            "q_norm",
+        )
+    )
+    scored = corpus.join(
+        q, F.col("c_label") != F.col("q_label")
+    ).select(
+        "query_id",
+        "neg_id",
+        F.round(
+            cosine_with_norms(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ).cast("decimal(18,9)"),
+            6,
+        )
+        .cast("double")
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "embedding_hard_negatives",
+    extra=True,
+    doc="Hard-negative mining for contrastive embedding training: for "
+    "each of the first 5 vectors as queries, the 10 cosine-NEAREST "
+    "corpus vectors with a DIFFERENT label — the E5/BGE step that "
+    "replaces random negatives (trivially separable) with "
+    "decision-boundary ones. Broadcast query batch + one map-side "
+    "corpus scan + per-query top-k window, the graded ann_cosine_topk "
+    "shape.",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neg_id,
+         CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE)
+           AS cosine
+  FROM q, embeddings v
+  WHERE v.label <> q.label
+)
+SELECT query_id, neg_id, cosine, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neg_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+ORDER BY query_id, rnk
+""",
+    tags=("similarity", "llm"),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    return hard_negatives(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination — the fuzzy complement of the
+    exact/Bloom n-gram decontaminators: a train vector is contaminated
+    when its cosine against ANY benchmark vector reaches ``threshold``
+    (paraphrased or lightly-edited eval leakage that shares no 13-gram
+    with the benchmark still lands next to it in embedding space).
+
+    Returns the full decision relation (id, max_benchmark_cosine,
+    contaminated) so callers can audit near-misses, not just drop rows.
+    Scale shape: the benchmark suite broadcasts with precomputed norms
+    (eval suites are bounded — the same contract as the gram-set
+    decontaminators), the corpus is scanned once map-side, and the
+    per-vector MAX aggregates with map-side combine — each train id
+    lives in one partition after the broadcast join, so the exchange
+    carries one (id, max) row per vector, never the pair relation."""
+    b = F.broadcast(
+        _with_norm(
+            benchmark.select(
+                F.col(id_col).alias("bench_id"),
+                F.col(emb_col).alias("b_emb"),
+            ),
+            "b_emb",
+            "b_norm",
+        )
+    )
+    t = _with_norm(
+        train.select(F.col(id_col), F.col(emb_col).alias("t_emb")),
+        "t_emb",
+        "t_norm",
+    )
+    pair_cos = (
+        F.round(
+            cosine_with_norms(
+                F.col("t_emb"), F.col("b_emb"), F.col("t_norm"), F.col("b_norm")
+            ).cast("decimal(18,9)"),
+            6,
+        )
+        .cast("double")
+    )
+    return (
+        t.crossJoin(b)
+        .select(id_col, pair_cos.alias("cosine"))
+        .groupBy(id_col)
+        .agg(F.max("cosine").alias("max_benchmark_cosine"))
+        .select(
+            id_col,
+            "max_benchmark_cosine",
+            (F.col("max_benchmark_cosine") >= float(threshold)).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy(id_col)
+    )
+
+
+@register(
+    "embedding_decontaminate",
+    extra=True,
+    doc="Embedding-space (semantic) decontamination: vectors with "
+    "vec_id % 97 == 0 play the benchmark suite; the train side is the "
+    "rest PLUS planted copies of every benchmark vector (vec_id + "
+    "1000000 — the synthetic corpus tops out near cosine 0.52 "
+    "naturally, so without planting the check is vacuous, the "
+    "embedding_cosine_dedup precedent). Each train vector gets its MAX "
+    "cosine against the broadcast benchmark set; >= 0.99 flags it — "
+    "exactly the planted leaks. The fuzzy complement of the exact/"
+    "Bloom n-gram decontaminators: paraphrased eval leakage shares no "
+    "13-gram but still lands next to the benchmark in embedding "
+    "space.",
+    oracle=f"""
+WITH bench AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
+),
+train AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM bench
+),
+scored AS (
+  SELECT q.vec_id,
+         CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE)
+           AS cosine
+  FROM train q, bench v
+)
+SELECT vec_id,
+       MAX(cosine) AS max_benchmark_cosine,
+       MAX(cosine) >= 0.99 AS contaminated
+FROM scored
+GROUP BY vec_id
+ORDER BY vec_id
+""",
+    tags=("similarity", "llm"),
+)
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.where(F.col("vec_id") % 97 == 0)
+    train = emb.where(F.col("vec_id") % 97 != 0).unionByName(
+        bench.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    return semantic_decontaminate(train, bench, threshold=0.99)
+
+
 def _nearest_lists(emb_col, centers: list[tuple[int, list[float]]], n: int):
     """Array of the ``n`` list_ids whose centroids score highest by dot
     product against ``emb_col`` (ties -> smaller list_id). Centroids are

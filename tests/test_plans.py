@@ -81,6 +81,8 @@ PLAN_PINNED = [
     "text_domain_cap",
     "text_quality_classifier",
     "text_ccnet_buckets",
+    "embedding_hard_negatives",
+    "embedding_decontaminate",
 ]
 
 # intentional broadcast nested-loop joins, all with CONSTANT-size build
@@ -113,6 +115,12 @@ BNLJ_ALLOWED = {
     "text_quality_classifier",
     # inherits the bigram LM's 1-row type-total scalar fan-in
     "text_ccnet_buckets",
+    # broadcasts the bounded query batch against the corpus with the
+    # label-mismatch predicate (ann_cosine_topk's constant-build shape)
+    "embedding_hard_negatives",
+    # broadcasts the bounded benchmark suite against the corpus
+    # (the gram-set decontaminators' bounded-eval-suite contract)
+    "embedding_decontaminate",
 }
 
 
