@@ -861,9 +861,14 @@ def dedup_index_build(
     docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> None:
     """Persist the corpus's band keys at ``path`` (bands/ partitioned by
-    band_id + a written-last manifest recording the hash geometry)."""
+    band_id + a written-last manifest recording the hash geometry).
+    Every band row carries the batch_id that wrote it (-1 for the
+    initial build) so streaming appenders can exclude their own
+    current batch's rows on replay (see dedup_index_check)."""
     spark = docs.sparkSession
-    bands = doc_band_keys(docs, id_col, text_col)
+    bands = doc_band_keys(docs, id_col, text_col).withColumn(
+        "batch_id", F.lit(-1).cast("bigint")
+    )
     (
         bands.repartition("band_id")
         .write.mode("overwrite")
@@ -879,14 +884,31 @@ def dedup_index_build(
 
 
 def dedup_index_check(
-    new_docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: DataFrame | None = None,
+    exclude_batch: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Candidate duplicates of ``new_docs`` against the persisted index:
     (new_doc_id, index_doc_id, shared_bands). Only the new batch is
     shingled; the index side is a partitioned parquet scan joined on
     (band_id, band_key). Validates the manifest's hash geometry first —
     an index built under different MinHash parameters fails loudly
-    instead of silently missing every duplicate."""
+    instead of silently missing every duplicate.
+
+    ``bands`` lets a caller that already band-keyed the batch (the
+    streaming appender persists that frame for its intra-batch join
+    and the novelty append) pass it in instead of paying the shingle +
+    K-minhash pipeline a second time (review catch). ``exclude_batch``
+    skips index rows whose recorded batch_id equals the given value:
+    a replayed micro-batch (crash after its band append, before the
+    checkpoint commit) would otherwise match every previously-novel
+    doc against its OWN appended bands and flip it to a duplicate
+    (review catch). ``ordered=False`` drops the presentation sort for
+    callers that aggregate the result anyway."""
     spark = new_docs.sparkSession
     try:
         m = spark.read.parquet(f"{path}/manifest.parquet").first()
@@ -903,18 +925,23 @@ def dedup_index_check(
             f"(k, bands, rows, modulus, shingle)={got}, engine expects "
             f"{want} — rebuild the index"
         )
-    idx = spark.read.parquet(f"{path}/bands").select(
+    idx = spark.read.parquet(f"{path}/bands")
+    if exclude_batch is not None and "batch_id" in idx.columns:
+        idx = idx.where(F.col("batch_id") != int(exclude_batch))
+    idx = idx.select(
         F.col("doc_id").alias("index_doc_id"), "band_id", "band_key"
     )
-    nb = doc_band_keys(new_docs, id_col, text_col).select(
-        F.col("doc_id").alias("new_doc_id"), "band_id", "band_key"
-    )
-    return (
+    nb = (
+        bands
+        if bands is not None
+        else doc_band_keys(new_docs, id_col, text_col)
+    ).select(F.col("doc_id").alias("new_doc_id"), "band_id", "band_key")
+    out = (
         nb.join(idx, ["band_id", "band_key"])
         .groupBy("new_doc_id", "index_doc_id")
         .agg(F.count(F.lit(1)).alias("shared_bands"))
-        .orderBy("new_doc_id", "index_doc_id")
     )
+    return out.orderBy("new_doc_id", "index_doc_id") if ordered else out
 
 
 @register(

@@ -156,13 +156,21 @@ def ivfpq_index_append(
             "codes",
             _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
         )
-    (
-        assigned.repartition("list_id")
-        .write.mode("append")
-        .partitionBy("list_id")
-        .parquet(f"{path}/lists")
-    )
-    n_new = int(new_emb.count())
+    # persist: the write job and the row count would otherwise each
+    # evaluate the source batch from scratch (doubling ingest I/O per
+    # micro-batch), and a non-deterministic source could then record an
+    # n_rows that differs from the rows actually written (review catch)
+    assigned = assigned.persist()
+    try:
+        (
+            assigned.repartition("list_id")
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(f"{path}/lists")
+        )
+        n_new = int(assigned.count())
+    finally:
+        assigned.unpersist()
     mdf = spark.createDataFrame(
         [
             (
@@ -261,16 +269,25 @@ def _validate_and_load(
 
     key = None
     mdir = f"{path}/manifest.parquet"
-    if os.path.isdir(mdir):
-        names = sorted(os.listdir(mdir))
-        key = (
-            path,
-            tuple(names),
-            max(
-                (os.stat(os.path.join(mdir, n)).st_mtime_ns for n in names),
-                default=0,
-            ),
-        )
+    try:
+        if os.path.isdir(mdir):
+            names = sorted(os.listdir(mdir))
+            key = (
+                path,
+                tuple(names),
+                max(
+                    (os.stat(os.path.join(mdir, n)).st_mtime_ns for n in names),
+                    default=0,
+                ),
+            )
+    except FileNotFoundError:
+        # a concurrent append's two-rename manifest swap can remove the
+        # listed files between listdir and stat (search-during-ingest is
+        # a supported mode); skip the memo for this call — the Spark
+        # read below has its own retry across the same window (review
+        # catch: the key computation crashed here while only the read
+        # was guarded)
+        key = None
     with _LOADED_INDEXES_LOCK:
         cached = _LOADED_INDEXES.get(key) if key is not None else None
     if cached is not None:

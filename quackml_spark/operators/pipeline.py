@@ -318,7 +318,10 @@ def curate(
         src.alias("__source"),
     )
     cur0 = cur
-    if report not in (True, False, "fused"):
+    # identity checks, not `in (True, False, "fused")`: 1 == True in
+    # Python, so report=1 would slip past the membership test and then
+    # silently select lazy mode (review catch)
+    if not (report is True or report is False or report == "fused"):
         raise ValueError(
             f"report must be True, False or 'fused', got {report!r}"
         )

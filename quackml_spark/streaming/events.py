@@ -309,7 +309,12 @@ def ewma_stream(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         out = []
         for v in rows["value"]:
             v = float(v)
-            last = v if last is None else alpha * v + (1.0 - alpha) * last
+            # a NULL value (NaN after Arrow) must not enter the
+            # recurrence: alpha*NaN + ... = NaN would poison this
+            # user's state for every later micro-batch (review catch).
+            # NULL-valued events pass through with the current EWMA.
+            if v == v:  # not NaN
+                last = v if last is None else alpha * v + (1.0 - alpha) * last
             out.append(last)
         state.update((last,))
         yield _pd.DataFrame(
@@ -374,6 +379,24 @@ def stream_stream_lookback_join(
     )
 
 
+def _bloom_positions(key: str, k: int, m_bits: int) -> list[int]:
+    """The k Bloom bit positions for a key: each position gets its OWN
+    prefixed md5 (the streaming_countmin recipe). Slicing one digest —
+    the earlier design — made position 0 share the shard expression's
+    md5 prefix, and with power-of-two (n_shards, m_bits) that confined
+    hash 0 to the 1/n_shards of the bitmap congruent to its shard,
+    inflating the false-positive rate ~n_shards-fold on that hash
+    (review catch, verified numerically; decorrelation is pinned by
+    test)."""
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(f"{i}|{key}".encode()).digest()[:4], "big")
+        % m_bits
+        for i in range(k)
+    ]
+
+
 def streaming_bloom_dedup(
     events: DataFrame,
     key_cols: list[str],
@@ -405,7 +428,12 @@ def streaming_bloom_dedup(
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     if not (1 <= k <= 4):
-        raise ValueError("k must be in 1..4 (positions are md5-digest slices)")
+        raise ValueError("k must be in 1..4")
+    if m_bits <= 0 or m_bits % 8:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 8 (bitmap is "
+            f"m_bits//8 bytes); got {m_bits}"
+        )
     # generic over the input schema (code-review catch: an earlier draft
     # hardcoded the events fixture's columns, breaking the advertised
     # "any keyed stream" use and dropping key columns from the output)
@@ -429,8 +457,6 @@ def streaming_bloom_dedup(
                  + [c for c in cols if c != "ts" and c not in key_cols])
 
     def fn(key, pdfs, state: GroupState):
-        import hashlib as _hashlib
-
         import pandas as _pd
 
         bitmap = bytearray(state.get[0]) if state.exists else bytearray(m_bits // 8)
@@ -438,11 +464,7 @@ def streaming_bloom_dedup(
         rows = rows.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         keep = []
         for s in rows["__key"]:
-            digest = _hashlib.md5(s.encode()).digest()
-            pos = [
-                int.from_bytes(digest[4 * i : 4 * i + 4], "big") % m_bits
-                for i in range(k)
-            ]
+            pos = _bloom_positions(s, k, m_bits)
             if all(bitmap[p >> 3] & (1 << (p & 7)) for p in pos):
                 keep.append(False)  # seen (or false positive): drop
             else:
@@ -593,13 +615,25 @@ def streaming_index_dedup(
         )
         if not batch_df.take(1):
             return
-        # geometry-validated candidate hits vs the persisted index
+        bands = doc_band_keys(batch_df).persist()
+        # geometry-validated candidate hits vs the persisted index. The
+        # persisted band frame is passed in (the shingle + K-minhash
+        # pipeline runs ONCE per trigger, not once per consumer), and
+        # exclude_batch keeps a replayed batch from matching the bands
+        # its own failed attempt appended — without it every
+        # previously-novel doc flips to is_dup='index' on replay
+        # (review catches).
         hits = (
-            dedup_index_check(batch_df, index_path)
+            dedup_index_check(
+                batch_df,
+                index_path,
+                bands=bands,
+                exclude_batch=int(batch_id),
+                ordered=False,
+            )
             .groupBy("new_doc_id")
             .agg(F.count(F.lit(1)).alias("n_index_hits"))
         )
-        bands = doc_band_keys(batch_df).persist()
         intra = (
             bands.alias("a")
             .join(
@@ -652,6 +686,7 @@ def streaming_index_dedup(
         )
         (
             bands.join(novel, "doc_id")
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
             .repartition("band_id")
             .write.mode("append")
             .partitionBy("band_id")
@@ -715,10 +750,18 @@ def streaming_curate(
     the whole run replays as one SQL query over the full corpus (the
     oracle). Under out-of-order arrival exactly one doc per content
     still survives; only WHICH one differs (a true stream cannot
-    retro-reject an already-accepted larger-id doc). Hash-log appends
-    are at-least-once on restart without a checkpoint (see
-    _with_checkpoint); duplicate hash rows cannot change any decision
-    (the probe is an EXISTS)."""
+    retro-reject an already-accepted larger-id doc).
+
+    Replay safety: every state row (hash log, manifest, decisions)
+    carries its batch_id. The dedup probe reads only hashes with
+    batch_id < the current batch, so a batch replayed after a crash
+    between its hash append and its manifest append sees exactly the
+    view its first attempt saw — without the filter the replay would
+    find its OWN hashes, flag every accepted doc 'dup', and
+    permanently lose the batch (review catch). A replay that re-runs
+    fully-committed writes appends byte-identical rows with the same
+    batch_id; manifest/decisions readers dedup with DISTINCT (the
+    rows are deterministic per batch)."""
     import os
 
     from quackml_spark.operators.text import (
@@ -758,9 +801,21 @@ def streaming_curate(
         passing = hashed.where("__pass")
         hash_dir = f"{state_path}/hashes"
         if os.path.isdir(hash_dir):
-            seen = spark.read.parquet(hash_dir)
+            # only hashes from EARLIER batches count as "seen": a
+            # replayed batch (crash between its hash append and its
+            # manifest append — foreachBatch is at-least-once) would
+            # otherwise find its own first attempt's hashes, flag every
+            # accepted doc 'dup', and permanently drop the batch from
+            # the manifest (review catch). Replays carry the same
+            # batch_id, so batch_id < bid reproduces the first
+            # attempt's view exactly.
+            seen = spark.read.parquet(hash_dir).where(
+                F.col("batch_id") < int(batch_id)
+            )
             idx_dup = (
-                passing.join(seen.withColumnRenamed("h", "__h"), "__h")
+                passing.join(
+                    seen.select(F.col("h").alias("__h")), "__h"
+                )
                 .select("doc_id")
                 .distinct()
             )
@@ -809,7 +864,10 @@ def streaming_curate(
         # design — the dup rule is 'smaller FILTER-PASSING doc with the
         # same hash', which is what makes the run batch-split invariant
         (
-            keepers.select(F.col("__h").alias("h"))
+            keepers.select(
+                F.col("__h").alias("h"),
+                F.lit(int(batch_id)).alias("batch_id"),
+            )
             .distinct()
             .write.mode("append")
             .parquet(hash_dir)
@@ -820,6 +878,7 @@ def streaming_curate(
                 "doc_id",
                 F.col("n_tokens").cast("bigint").alias("n_tokens"),
                 F.col("__h").alias("content_md5"),
+                F.lit(int(batch_id)).alias("batch_id"),
             )
             .write.mode("append")
             .parquet(f"{state_path}/manifest")

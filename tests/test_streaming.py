@@ -828,3 +828,208 @@ def test_streaming_curate_batch_split_invariant(spark, sf_dir, tmp_path):
     accepted = {d for d, (a, _) in one.items() if a}
     manifest = spark.read.parquet(str(tmp_path / "st1" / "manifest"))
     assert {r["doc_id"] for r in manifest.select("doc_id").collect()} == accepted
+
+
+def test_bloom_positions_decorrelated_from_shard(spark):
+    """Hash 0's bit position must be independent of the shard
+    expression: the earlier single-digest slicing made pos0 % n_shards
+    equal the key's shard for power-of-two (n_shards, m_bits),
+    confining hash 0 to 1/n_shards of its shard's bitmap and inflating
+    the false-positive rate ~n_shards-fold (review catch). With
+    prefixed per-hash md5s the residues spread."""
+    from quackml_spark.operators.text import md5_int32
+    from quackml_spark.streaming.events import _bloom_positions
+
+    n_shards, m_bits = 32, 1 << 17
+    # keys all landing in ONE shard (the regime where the old scheme
+    # collapsed): compute shards with the same expression the operator
+    # uses, then check hash-0 residues within the shard
+    keys = [f"k{i}" for i in range(4000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    import pyspark.sql.functions as F
+
+    shards = {
+        r["k"]: r["s"]
+        for r in df.select("k", (md5_int32(F.col("k")) % n_shards).alias("s")).collect()
+    }
+    one_shard = [k for k in keys if shards[k] == 0][:50]
+    assert len(one_shard) >= 30
+    residues = {
+        _bloom_positions(k, 1, m_bits)[0] % n_shards for k in one_shard
+    }
+    # old scheme: residues == {0}; decorrelated: spread over many values
+    assert len(residues) > 10, residues
+
+
+def test_ewma_null_value_does_not_poison_state(spark, tmp_path):
+    """A NULL event value must not enter the EWMA recurrence: one NaN
+    would propagate to every later event of that user across all
+    micro-batches (review catch). NULL rows pass through carrying the
+    current EWMA; subsequent real values keep updating it."""
+    import math
+
+    from quackml_spark.streaming.events import ewma_stream
+
+    d = tmp_path / "ewma_null_in"
+    d.mkdir()
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", 4.0),
+        (1, 11, "2024-01-01 00:01:00", None),
+        (1, 12, "2024-01-01 00:02:00", 8.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(d / "p0")
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double"
+        )
+        .parquet(str(d) + "/p*")
+    )
+    q = (
+        ewma_stream(stream, alpha=0.5)
+        .writeStream.format("memory")
+        .queryName("qml_ewma_null")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in spark.table("qml_ewma_null").collect()
+    }
+    assert got[10] == 4.0
+    assert got[11] == 4.0  # NULL passes through with the current EWMA
+    assert got[12] == 6.0  # 0.5*8 + 0.5*4 — the NaN never entered
+    assert all(not math.isnan(v) for v in got.values())
+
+
+def test_streaming_curate_seen_filter_excludes_own_batch(spark, sf_dir, tmp_path):
+    """The accepted-hash probe must see EARLIER batches' hashes but
+    never the current batch id's own (a replayed batch would match its
+    first attempt's appends and flag every accepted doc 'dup',
+    permanently losing the batch — review catch). Seeded directly:
+    one doc's hash planted with batch_id=-5 (past -> dup), another
+    with batch_id=9999 (own/future attempt -> invisible)."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators.text import clean_text_expr
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_curate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # two docs that pass the quality gate in the registered run
+    probe = docs.where(F.col("doc_id").isin(3, 4)).select(
+        "doc_id",
+        F.md5(F.lower(F.trim(clean_text_expr("text")))).alias("h"),
+    )
+    hashes = {r["doc_id"]: r["h"] for r in probe.collect()}
+    state = str(tmp_path / "curate_state")
+    spark.createDataFrame(
+        [(hashes[3], -5), (hashes[4], 9999)], "h string, batch_id long"
+    ).write.parquet(f"{state}/hashes")
+
+    sink: list = []
+    from quackml_spark.streaming.events import stream_parquet_table
+
+    stream = stream_parquet_table(
+        spark, sf_dir, "documents.parquet", "doc_id long, text string"
+    ).select("doc_id", "text")
+    q = streaming_curate(
+        stream, state, min_quality=0.0, sink=sink,
+        query_name="qml_curate_seen_filter",
+    )
+    q.awaitTermination()
+    decisions = {r["doc_id"]: r for r in sink}
+    assert decisions[3]["reason"] == "dup"      # past batch hash counts
+    assert decisions[4]["reason"] is None        # own-attempt hash ignored
+    assert decisions[4]["accepted"] is True
+
+
+def test_streaming_index_dedup_replay_does_not_self_match(spark, tmp_path):
+    """Bands appended by a failed attempt of the SAME batch id must be
+    invisible to the index probe on replay — otherwise every
+    previously-novel doc flips to is_dup='index' (review catch). Bands
+    from the initial build (batch_id=-1) and earlier batches still
+    count."""
+    from quackml_spark.operators.dedup import (
+        dedup_index_build,
+        doc_band_keys,
+    )
+    from quackml_spark.streaming.events import streaming_index_dedup
+
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    index_path = str(tmp_path / "idx")
+    dedup_index_build(base, index_path)
+
+    novel = spark.createDataFrame(
+        [(7, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    # simulate the failed first attempt of batch 0: its bands are
+    # already in the index, tagged with the batch id the replay reuses
+    (
+        doc_band_keys(novel)
+        .withColumn("batch_id", F.lit(0).cast("bigint"))
+        .repartition("band_id")
+        .write.mode("append")
+        .partitionBy("band_id")
+        .parquet(f"{index_path}/bands")
+    )
+
+    d = tmp_path / "replay_in"
+    d.mkdir()
+    novel.coalesce(1).write.parquet(str(d / "p0"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(d) + "/p*")
+    )
+    sink: list = []
+    q = streaming_index_dedup(
+        stream, index_path, sink=sink, query_name="qml_idx_replay"
+    )
+    q.awaitTermination()
+    assert len(sink) == 1
+    # the replayed batch (id 0) must NOT match its own appended bands
+    assert sink[0]["is_dup"] is False and sink[0]["via"] is None
+
+    # but a LATER run (fresh query, batch ids restart at 0... so plant
+    # the same bands as batch_id=3 to play an EARLIER batch) does match
+    import shutil
+
+    index2 = str(tmp_path / "idx2")
+    dedup_index_build(base, index2)
+    (
+        doc_band_keys(novel)
+        .withColumn("batch_id", F.lit(3).cast("bigint"))
+        .repartition("band_id")
+        .write.mode("append")
+        .partitionBy("band_id")
+        .parquet(f"{index2}/bands")
+    )
+    sink2: list = []
+    q2 = streaming_index_dedup(
+        stream, index2, sink=sink2, query_name="qml_idx_replay2"
+    )
+    q2.awaitTermination()
+    assert sink2[0]["is_dup"] is True and sink2[0]["via"] == "index"
+
+
+def test_curate_report_int_one_rejected(spark):
+    """report=1 must raise, not silently select lazy mode: 1 == True in
+    Python, so a membership test would let it through (review catch)."""
+    import pytest as _pytest
+
+    from quackml_spark.operators.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="report must be"):
+        curate(docs, report=1)
