@@ -41,35 +41,30 @@ def _fs_delete(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
-# shared shingle SQL (DuckDB side): word 3-grams, distinct per doc
+# shared shingle SQL (DuckDB side): word 3-grams, distinct per doc.
+# Docs with < 3 tokens contribute no shingles — mirrors word_shingles'
+# size filter (the unguarded version emitted NULL shingles for short
+# docs, while Spark's concat_ws emitted a partial string: divergence)
 _SQL_SHINGLES = r"""
   SELECT DISTINCT doc_id,
          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
   FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
-       unnest(range(1, greatest(length(toks) - 1, 2))) AS t(i)
+       unnest(range(1, length(toks) - 1)) AS t(i)
+  WHERE length(toks) >= 3
 """
 
 
 def shingles_df(
     spark: SparkSession, sf_dir: str, distinct: bool = True
 ) -> DataFrame:
-    """(doc_id, word-3-gram shingle) rows; ``distinct=False`` skips the
-    dedup shuffle for consumers whose aggregate is duplicate-insensitive
-    (MIN for MinHash signatures) — Jaccard counting NEEDS the distinct."""
+    """(doc_id, word-3-gram shingle) rows over the documents table —
+    word_shingles bound to the sf_dir loader (ONE shingle definition;
+    an earlier copy of the transform here is exactly the drift this
+    delegation removes). ``distinct=False`` skips the dedup shuffle for
+    consumers whose aggregate is duplicate-insensitive (MIN for MinHash
+    signatures) — Jaccard counting NEEDS the distinct."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
-    out = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
-                ),
-            )
-        ).alias("shingle"),
-    )
-    return out.distinct() if distinct else out
+    return word_shingles(docs, distinct=distinct)
 
 
 @register(
@@ -235,42 +230,33 @@ def dedup_minhash_lsh(
     # broadcast boundary); here it runs once with a single shuffle on the
     # bucket key. Hot buckets (near-identical doc clusters) are the skew
     # point — their pair fan-out is inherent to LSH; cap bucket size in
-    # production if clusters can be huge.
-    # distinct=False: MIN is duplicate-insensitive, so the signatures
-    # are identical without the shingle-dedup shuffle
-    s = _hashed_shingles(shingles_df(spark, sf_dir, distinct=False))
-    sigs = s.groupBy("doc_id").agg(*_minhash_aggs())
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat(
-                        *[
-                            F.col(f"mh{b * _R + r}").cast("string")
-                            for r in range(_R)
-                        ]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(_BANDS)
-        ]
+    # production if clusters can be huge. The band pipeline and the
+    # in-bucket pair block are the SHARED doc_band_keys/_bucket_pair_rows
+    # (an earlier inline copy here is exactly the drift the shared
+    # helpers exist to prevent — review catch).
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _bucket_pair_rows(doc_band_keys(docs), max_bucket_size)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .orderBy("doc_a", "doc_b")
     )
-    bands = sigs.select(
-        "doc_id", F.explode(band_structs).alias("band")
-    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+
+
+def _bucket_pair_rows(bands: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(doc_a, doc_b) candidate rows from a (doc_id, band_id, band_key)
+    relation, ONE ROW PER SHARED BAND (callers count or distinct):
+    bucket docs per band key, generate pairs inside each bucket via
+    _bucket_pairs (with its giant-bucket star degrade). The shared
+    in-bucket pair block of dedup_minhash_lsh and near_dup_pairs."""
     buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    return (
-        buckets.select(F.explode(_bucket_pairs(max_bucket_size)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared_bands"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return buckets.select(
+        F.explode(_bucket_pairs(max_bucket_size)).alias("p")
+    ).select("p.doc_a", "p.doc_b")
 
 
 def _bucket_pairs(max_bucket_size: int):
@@ -632,16 +618,7 @@ def near_dup_pairs(
     freed by the ContextCleaner when the plan is garbage-collected —
     no caller-side release protocol (the ranked_by leak lesson)."""
     bands = doc_band_keys(docs, id_col, text_col)
-    buckets = (
-        bands.groupBy("band_id", "band_key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    pairs = (
-        buckets.select(F.explode(_bucket_pairs(max_bucket_size)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    pairs = _bucket_pair_rows(bands, max_bucket_size).distinct()
     if verify_threshold is None:
         return pairs
     pairs = pairs.localCheckpoint(eager=True)
@@ -811,15 +788,22 @@ def word_shingles(
     the ONE shingle definition the band pipeline, the Jaccard verifier
     and the table-bound shingles_df all share. ``distinct=True`` adds
     the per-doc set-dedup shuffle Jaccard counting needs; MinHash
-    consumers skip it (MIN is duplicate-insensitive)."""
+    consumers skip it (MIN is duplicate-insensitive).
+
+    Documents with fewer than 3 tokens contribute NO shingles (hence no
+    bands, no candidate pairs) — without the size filter the i+2 index
+    read is out of bounds under Spark 4's default ANSI mode, crashing
+    every shingle consumer on the first short document (review catch,
+    reproduced live); with ANSI off it instead emitted a partial
+    shingle the DuckDB oracle renders as NULL, a silent divergence."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
-    )
+    ).where(F.size("toks") >= 3)
     sh = toks.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0))),
+                F.sequence(F.lit(0), F.size("toks") - 3),
                 lambda i: F.concat_ws(
                     " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
                 ),

@@ -1541,14 +1541,24 @@ def ivf_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> int:
     * new vectors assign to lists MAP-ONLY against the existing
       centroids (the index's quantizer is frozen — standard IVF
       practice; re-train centroids by rebuilding when drift warrants);
-    * only the AFFECTED list partitions are rewritten (their current
-      rows are read back partition-pruned, unioned with the batch, and
-      dynamically overwritten) — cost is O(affected lists + batch),
-      not O(index);
+    * the batch APPENDS new files into its list partitions (FAISS add
+      semantics, the ivfpq_index_append shape) — cost is O(batch), and
+      existing files are never deleted, so a search racing the append
+      sees either the old lists or a superset, never a hole. An
+      earlier version read the affected partitions back and
+      dynamically overwrote them: O(affected lists + batch) I/O and a
+      window where racing readers saw partially-replaced partitions
+      (review catch);
     * a vec_id already present in an affected list raises (append-only
-      contract, checked where it is free); the manifest's n_rows is
-      updated LAST, so a crashed append leaves a manifest that fails
-      the searcher's row-count consistency rather than lying.
+      contract, checked partition-pruned where it is free);
+    * the manifest's n_rows updates LAST through the two-rename
+      replace_dir swap (mode('overwrite') into the live path left the
+      manifest unreadable for the whole write job — review catch). A
+      crash between the lists append and the manifest swap leaves the
+      lists a superset with a stale n_rows: searches stay CORRECT
+      (they scan the probed partitions in full; n_rows is
+      informational metadata), and re-running the append raises on
+      the duplicate vec_ids rather than double-inserting.
 
     Returns the number of appended vectors."""
     try:
@@ -1574,43 +1584,48 @@ def ivf_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> int:
             f"batch embedding dimension {d_row['d']} does not match index "
             f"dimension {man['dim']} (index at {path!r})"
         )
+    # persist: the affected-lists collect, the dup check, the count and
+    # the write would otherwise each re-evaluate the batch pipeline
+    # (norms + nearest-centroid scoring), and a non-deterministic
+    # source could record an n_rows differing from the rows actually
+    # written (review catch — the ivfpq_index_append precedent)
     assigned = batch.select(
         "vec_id",
         "embedding",
         "v_norm",
         _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
-    )
-    affected = sorted(
-        {int(r["list_id"]) for r in assigned.select("list_id").distinct().collect()}
-    )
-    current = spark.read.parquet(f"{path}/lists").where(
-        F.col("list_id").isin(affected)
-    )
-    dup = current.join(
-        assigned.select("vec_id"), "vec_id"
-    ).limit(1).collect()
-    if dup:
-        raise ValueError(
-            f"ivf_index_append is append-only: vec_id {dup[0]['vec_id']} "
-            f"already exists in the index at {path!r}"
-        )
-    n_new = assigned.count()
-    merged = current.select("vec_id", "embedding", "v_norm", "list_id").unionByName(
-        assigned.select("vec_id", "embedding", "v_norm", "list_id")
-    )
-    conf = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(conf, "static")
-    spark.conf.set(conf, "dynamic")
+    ).persist()
     try:
+        affected = sorted(
+            {
+                int(r["list_id"])
+                for r in assigned.select("list_id").distinct().collect()
+            }
+        )
+        current = spark.read.parquet(f"{path}/lists").where(
+            F.col("list_id").isin(affected)
+        )
+        dup = current.join(
+            assigned.select("vec_id"), "vec_id"
+        ).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"ivf_index_append is append-only: vec_id {dup[0]['vec_id']} "
+                f"already exists in the index at {path!r}"
+            )
         (
-            merged.repartition("list_id")
-            .write.mode("overwrite")
+            assigned.select("vec_id", "embedding", "v_norm", "list_id")
+            .repartition("list_id")
+            .write.mode("append")
             .partitionBy("list_id")
             .parquet(f"{path}/lists")
         )
+        n_new = int(assigned.count())
     finally:
-        spark.conf.set(conf, old)
-    spark.createDataFrame(
+        assigned.unpersist()
+    from quackml_spark.sources.files import replace_dir
+
+    mdf = spark.createDataFrame(
         [
             (
                 int(man["n_lists"]),
@@ -1621,5 +1636,9 @@ def ivf_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> int:
             )
         ],
         "n_lists int, dim int, n_rows bigint, quantizer string, seed int",
-    ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
+    )
+    replace_dir(
+        lambda tmp: mdf.write.mode("overwrite").parquet(tmp),
+        f"{path}/manifest.parquet",
+    )
     return n_new

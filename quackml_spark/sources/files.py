@@ -74,6 +74,22 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def _require_local(path: str, op: str) -> None:
+    """The os/shutil-based maintenance passes (compaction, two-rename
+    swaps, footer scans) only work on a local filesystem; on a URI
+    path (hdfs://, s3a://, ...) os.walk silently finds nothing, the
+    size math degrades to coalesce(1) over the whole dataset, and the
+    final os.rename crashes AFTER the wasted rewrite (review catch).
+    Fail fast instead."""
+    if "://" in path:
+        raise NotImplementedError(
+            f"{op} uses local-filesystem rename/stat primitives and got "
+            f"the URI path {path!r}; on HDFS/object stores run it "
+            f"against a local mount or port it to the Hadoop FileSystem "
+            f"API first"
+        )
+
+
 def _dir_bytes_files(path: str, suffix: str = ".parquet") -> tuple[int, int]:
     total, n = 0, 0
     for root, _dirs, names in os.walk(path):
@@ -97,6 +113,8 @@ def compact_parquet(
     shuffle-free read+write (each output task concatenates whole input
     files). Returns before/after stats so pipelines can assert the
     effect."""
+    _require_local(src, "compact_parquet")
+    _require_local(dst, "compact_parquet")
     bytes_before, files_before = _dir_bytes_files(src)
     n_out = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src)
@@ -135,6 +153,7 @@ def file_key_ranges(path: str, column: str) -> list[tuple]:
     sorted layout actually landed disjoint."""
     import pyarrow.parquet as pq
 
+    _require_local(path, "file_key_ranges")
     ranges = []
     for root, _dirs, names in os.walk(path):
         for f in sorted(names):
@@ -219,6 +238,11 @@ def write_zorder(
         scaled_col = f"__z_{c}"
         tmp_cols.append(scaled_col)
         if len(uniq) <= 64:
+            # NULLs land in bucket 0 (when(NULL > edge) -> otherwise
+            # branch); the pandas branch below applies the same rule so
+            # the Morton layout for identical data cannot flip with the
+            # edge count (review catch: np.searchsorted sent NaN to the
+            # TOP bucket while this branch sent NULL to the bottom)
             e = F.lit(0)
             for edge in uniq:
                 e = e + F.when(F.col(c) > F.lit(edge), 1).otherwise(0)
@@ -238,7 +262,11 @@ def write_zorder(
             def _bucketize(s):
                 import numpy as np
 
-                arr = np.searchsorted(np.array(b.value), s.to_numpy(), side="left")
+                vals = s.to_numpy()
+                arr = np.searchsorted(np.array(b.value), vals, side="left")
+                # same NULL rule as the expression branch: bucket 0
+                # (searchsorted sends NaN past every edge -> top bucket)
+                arr = np.where(pd.isna(s).to_numpy(), 0, arr)
                 return pd.Series(arr * max(factor, 1))
 
             bucketize = pandas_udf(_bucketize, "bigint")
@@ -270,6 +298,7 @@ def replace_dir(write_fn, target: str) -> None:
     a brief path-not-found; callers that must mask it retry once."""
     import shutil
 
+    _require_local(target, "replace_dir")
     tmp = target.rstrip("/") + "_swap_tmp"
     old = target.rstrip("/") + "_old"
     if not os.path.exists(target) and os.path.exists(old):
@@ -309,6 +338,7 @@ def compact_partitioned_dir(
     import math
     import shutil
 
+    _require_local(data_dir, "compact_partitioned_dir")
     tmp = data_dir.rstrip("/") + "_compact_tmp"
     old = data_dir.rstrip("/") + "_old"
     if not os.path.exists(data_dir) and os.path.exists(old):

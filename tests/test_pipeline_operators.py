@@ -946,3 +946,63 @@ def test_curate_fused_report_on_empty_corpus(spark):
     rows = out["report"].collect()
     assert rows and all(r["docs_in"] == 0 and r["docs_out"] == 0 for r in rows)
     assert out["docs"].count() == 0
+
+
+def test_short_documents_do_not_crash_shingle_consumers(spark, tmp_path):
+    """Documents with fewer than 3 tokens must contribute NO shingles —
+    under Spark 4's default ANSI mode the unguarded i+2 index read threw
+    INVALID_ARRAY_INDEX on the first short doc, killing every shingle
+    consumer (review catch, reproduced live); with ANSI off it emitted a
+    partial shingle the DuckDB oracle renders as NULL (divergence). The
+    planted corpus mixes short docs with a real near-dup pair and must
+    hash-match the oracle."""
+    from quackml_spark.operators.dedup import near_dup_pairs, word_shingles
+    from quackml_spark.plans import REGISTRY
+    from quackml_spark.testing import compare, duckdb_connection
+
+    rows = [
+        (0, "hi"),                                  # 1 token
+        (1, "hello world"),                         # 2 tokens
+        (2, "one two three four five six seven"),   # real doc
+        (3, "one two three four five six seven"),   # its exact dup
+        (4, ""),                                    # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # direct: no crash, no shingles for short docs, pair found
+    sh = word_shingles(docs)
+    assert sh.where("doc_id in (0, 1, 4)").count() == 0
+    pairs = {(r["doc_a"], r["doc_b"]) for r in near_dup_pairs(docs).collect()}
+    assert (2, 3) in pairs
+    assert all(a not in (0, 1, 4) and b not in (0, 1, 4) for a, b in pairs)
+
+    # registered query + oracle on the planted table
+    d = str(tmp_path / "sf_short")
+    docs.coalesce(1).write.parquet(d + "/documents.parquet")
+    qd = REGISTRY["dedup_minhash_lsh"]
+    con = duckdb_connection(d)
+    ok, msg = compare(qd.builder(spark, d), con, qd.oracle)
+    assert ok, msg
+
+
+def test_require_local_rejects_uri_paths(spark):
+    """The os/shutil-based maintenance passes must fail FAST on a URI
+    path: os.walk on 's3a://...' silently finds nothing, the size math
+    degrades to coalesce(1) over the whole dataset, and the final
+    os.rename crashes only after the wasted rewrite (review catch)."""
+    import pytest as _pytest
+
+    from quackml_spark.sources.files import (
+        compact_parquet,
+        compact_partitioned_dir,
+        file_key_ranges,
+        replace_dir,
+    )
+
+    with _pytest.raises(NotImplementedError, match="local-filesystem"):
+        compact_parquet(spark, "s3a://bucket/x", "s3a://bucket/y")
+    with _pytest.raises(NotImplementedError, match="local-filesystem"):
+        compact_partitioned_dir(spark, "hdfs://nn/x", "p", ["k"])
+    with _pytest.raises(NotImplementedError, match="local-filesystem"):
+        file_key_ranges("s3a://bucket/x", "k")
+    with _pytest.raises(NotImplementedError, match="local-filesystem"):
+        replace_dir(lambda t: None, "s3a://bucket/x")

@@ -136,3 +136,40 @@ def test_replace_dir_swaps_and_recovers(spark, tmp_path):
         target,
     )
     assert spark.read.parquet(target).first()["v"] == 3
+
+
+def test_write_zorder_nulls_bucket_low_in_both_branches(spark, tmp_path):
+    """NULL key values must land in bucket 0 under BOTH bucketization
+    branches (<=64 edges: pure expressions; >64: the pandas UDF) — the
+    pandas branch previously sent NaN past every edge into the TOP
+    bucket, so the Morton layout for identical data flipped with the
+    edge count and NULL-heavy columns piled into one extreme
+    hyper-rectangle (review catch)."""
+    import pyspark.sql.functions as F
+
+    from quackml_spark.sources.files import write_zorder
+
+    rows = [(i, float(i % 997), float((i * 31) % 991)) for i in range(3000)]
+    rows += [(90000 + j, None, 5.0) for j in range(40)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+
+    for bits, branch in ((6, "expr"), (16, "pandas")):
+        out = str(tmp_path / f"z_{branch}")
+        write_zorder(df, out, ["a", "b"], n_files=6, bits=bits)
+        back = spark.read.parquet(out).withColumn(
+            "f", F.input_file_name()
+        )
+        null_files = {
+            r["f"] for r in back.where("a is null").select("f").collect()
+        }
+        # bucket 0 = the low end: every file holding NULL rows must also
+        # hold low-a rows (nulls co-locate with the minimum, not the max)
+        for f in null_files:
+            stats = back.where(back.f == f).agg(
+                F.min("a").alias("lo"), F.max("a").alias("hi")
+            ).collect()[0]
+            assert stats["lo"] is not None and stats["lo"] <= 5.0, (
+                branch,
+                f,
+                stats,
+            )
