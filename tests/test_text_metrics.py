@@ -541,3 +541,134 @@ def test_ranked_by_matches_global_row_number(spark):
             ).collect()
         }
         assert got == expected
+
+
+def test_bpe_train_leaves_cache_empty(spark, sf_dir):
+    """bpe_train cached its word-frequency vocab and then rebound the
+    handle inside the merge loop, so the finally-block unpersist was a
+    plan-mismatch no-op — the ranked_by leak class the r7 verdict
+    flagged (review catch). After a full run the session cache must be
+    EMPTY."""
+    from quackml_spark.operators.text import bpe_train
+    from quackml_spark.sources import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    merges = bpe_train(docs, n_merges=3)
+    assert merges  # the run actually merged something
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "bpe_train leaked its cached vocab relation"
+    )
+
+
+def test_fingerprint_short_docs_match_oracle(spark, tmp_path):
+    """Docs with < 3 tokens must emit (fingerprint NULL, n_shingles 0)
+    — the partial-shingle rendering diverged from the oracle's NULL
+    concat and the index read was out of bounds under ANSI (review
+    catch)."""
+    from quackml_spark.plans import REGISTRY
+    from quackml_spark.testing import compare, duckdb_connection
+
+    rows = [
+        (0, "solo"),
+        (1, "two tokens"),
+        (2, "three tokens here"),
+        (3, ""),
+        (4, "a much longer document with plenty of words inside"),
+    ]
+    d = str(tmp_path / "sf_fp")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(d + "/documents.parquet")
+    qd = REGISTRY["text_fingerprint"]
+    out = {r["doc_id"]: r.asDict() for r in qd.builder(spark, d).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}  # every doc keeps its row
+    for short in (0, 1, 3):
+        assert out[short]["fingerprint"] is None
+        assert out[short]["n_shingles"] == 0
+    assert out[2]["fingerprint"] is not None and out[2]["n_shingles"] == 1
+    ok, msg = compare(qd.builder(spark, d), duckdb_connection(d), qd.oracle)
+    assert ok, msg
+
+
+def test_countmin_estimate_unseen_item_reads_zero(spark):
+    """A count-min readout must treat an empty cell as 0: the
+    inner-join version computed the min over only the cells other
+    grams happened to touch (overcount) and dropped fully-unseen items
+    from the output entirely (review catch)."""
+    from quackml_spark.operators.text import countmin_build, countmin_estimate
+
+    items = spark.createDataFrame(
+        [("apple",)] * 5 + [("banana",)] * 2, "gram string"
+    )
+    sketch = countmin_build(items, "gram")
+    queries = spark.createDataFrame(
+        [("apple",), ("never-inserted-gram",)], "gram string"
+    )
+    est = {
+        r["gram"]: r["cm_estimate"]
+        for r in countmin_estimate(queries, sketch).collect()
+    }
+    assert set(est) == {"apple", "never-inserted-gram"}
+    assert est["apple"] >= 5  # overcount-only guarantee intact
+    assert est["never-inserted-gram"] == 0
+
+
+def test_pii_scan_catches_uppercase_emails(spark):
+    """The email pattern must be case-insensitive by character class:
+    the scan runs over UN-lowered text, and the lowercase-only pattern
+    silently skipped 'John.Doe@Example.com' — a false-negative leak
+    from the redaction component (review catch)."""
+    from quackml_spark.operators.text import pii_scan
+
+    df = spark.createDataFrame(
+        [(1, "Contact John.Doe@Example.COM for details")],
+        "id long, text string",
+    )
+    row = pii_scan(df, "text").collect()[0]
+    assert row["n_email"] == 1
+    assert row["has_pii"] is True
+    assert "Example" not in row["redacted_tail"]
+    assert "<EMAIL>" in row["redacted_tail"]
+
+
+def test_html_entity_decode_does_not_double_decode(spark):
+    """&amp; must decode LAST: a page displaying the literal text
+    '&lt;b&gt;' is encoded '&amp;lt;b&amp;gt;', and decoding &amp;
+    first fabricated live '<b>' markup from escaped source text
+    (review catch)."""
+    from quackml_spark.operators.text import html_extract_expr
+
+    html = (
+        "<html><body><p>the snippet &amp;lt;b&amp;gt; shows raw markup "
+        "escaping in seven plus words</p></body></html>"
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(html,)], "page string")
+    out = df.select(
+        html_extract_expr(F.col("page"))["content"].alias("content")
+    ).collect()[0]["content"]
+    assert "&lt;b&gt;" in out
+    assert "<b>" not in out
+
+
+def test_mean_token_len_ignores_all_whitespace(spark, tmp_path):
+    """Tabs/newlines must not count as token characters: tokens split
+    on \\S+ but the old numerator stripped only ASCII spaces (review
+    catch). 'a<TAB>b<NL>c' = 3 one-char tokens -> mean 1.0, and the
+    planted table still hash-matches the oracle."""
+    from quackml_spark.plans import REGISTRY
+    from quackml_spark.testing import compare, duckdb_connection
+
+    d = str(tmp_path / "sf_ws")
+    spark.createDataFrame(
+        [(0, "a\tb\nc"), (1, "plain words here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    qd = REGISTRY["text_token_stats"]
+    out = {r["doc_id"]: r.asDict() for r in qd.builder(spark, d).collect()}
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["mean_token_len"] == 1.0
+    ok, msg = compare(qd.builder(spark, d), duckdb_connection(d), qd.oracle)
+    assert ok, msg
