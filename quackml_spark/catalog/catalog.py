@@ -353,7 +353,14 @@ class Catalog:
 
     @classmethod
     def load_dump(cls, path: str, warehouse: str | None = None) -> "Catalog":
-        """Rebuild a catalog from a ``dump()`` directory."""
+        """Rebuild a catalog from a ``dump()`` directory.
+
+        Timestamp columns are parsed back to datetimes: a restored
+        table with string created_at would mix str and datetime in one
+        object column on the FIRST insert (parquet serialization error,
+        and deployed_models()' sort_values raises comparing them) —
+        the whole restore workflow broke on first mutation (review
+        catch)."""
         cat = cls(warehouse=warehouse)
         for table, cols in _TABLES.items():
             src = os.path.join(path, f"{table}.csv")
@@ -362,6 +369,9 @@ class Catalog:
                 for c in cols:
                     if c not in df.columns:
                         df[c] = None
+                for c in ("created_at", "updated_at"):
+                    if c in df.columns:
+                        df[c] = pd.to_datetime(df[c], errors="coerce")
                 cat._write(table, df[cols], cat._current_version(table))
         return cat
 

@@ -159,7 +159,11 @@ def _cat_key(col: str) -> F.Column:
 
 
 def fit_categorical(
-    train: DataFrame, spec: ColumnSpec, label_col: str | None, order_col: str
+    train: DataFrame,
+    spec: ColumnSpec,
+    label_col: str | None,
+    order_col: str,
+    label_expr: F.Column | None = None,
 ) -> FittedColumn:
     """Build the category -> value map from the train split only.
 
@@ -167,6 +171,11 @@ def fit_categorical(
     (deterministic because the split ordering is seeded); __NULL__ -> 0.
     ordinal: explicit list, 1-based; target: mean label per category
     (NULL category -> overall mean, snapshot.rs:271-274).
+
+    ``label_expr`` is the NUMERIC label expression target encoding
+    averages — callers with string class labels pass the label-map
+    lookup (a bare cast of 'yes'/'no' to double yields NULL for every
+    row and the map build crashed on float(None) — review catch).
     """
     enc = spec.encode or "native"
     key = _cat_key(spec.name)
@@ -176,15 +185,18 @@ def fit_categorical(
         for i, v in enumerate(values):
             encode_map[str(v)] = float(i + 1)
     elif enc == "target":
-        if not label_col:
+        if label_expr is None and not label_col:
             raise ValueError(f"target encoding for {spec.name} requires a label")
+        y = label_expr if label_expr is not None else F.col(label_col).cast("double")
         rows = (
             train.groupBy(key.alias("k"))
-            .agg(F.avg(F.col(label_col).cast("double")).alias("v"))
+            .agg(F.avg(y).alias("v"))
             .collect()
         )
-        overall = train.agg(F.avg(F.col(label_col).cast("double"))).collect()[0][0]
-        encode_map = {r["k"]: float(r["v"]) for r in rows}
+        overall = train.agg(F.avg(y)).collect()[0][0]
+        encode_map = {
+            r["k"]: float(r["v"]) if r["v"] is not None else 0.0 for r in rows
+        }
         encode_map[NULL_CATEGORY] = float(overall if overall is not None else 0.0)
     else:  # native / one_hot share the first-seen ordinal map
         rows = (
@@ -203,8 +215,16 @@ def fit_categorical(
 
 
 def numeric_stats_exprs(col: str) -> list[F.Column]:
-    """Single-pass aggregate expressions for one numeric column."""
-    c = F.col(col).cast("double")
+    """Single-pass aggregate expressions for one numeric column.
+
+    NaN values are treated as MISSING throughout (masked to NULL so
+    every aggregate ignores them, exactly as it ignores NULLs): a NaN
+    entry would otherwise propagate into mean/std, persist
+    center=NaN, and turn the whole scaled feature column NaN at
+    transform time (review catch); the missing counter counts both
+    NULL and NaN, and imputation repairs both at transform."""
+    raw = F.col(col).cast("double")
+    c = F.when(F.isnan(raw), F.lit(None)).otherwise(raw)
     return [
         F.min(c).alias(f"{col}__min"),
         F.max(c).alias(f"{col}__max"),
@@ -212,7 +232,7 @@ def numeric_stats_exprs(col: str) -> list[F.Column]:
         F.avg(c).alias(f"{col}__mean"),
         F.variance(c).alias(f"{col}__variance"),
         F.stddev(c).alias(f"{col}__std_dev"),
-        F.sum(F.when(c.isNull() | F.isnan(c), 1).otherwise(0)).alias(f"{col}__missing"),
+        F.sum(F.when(raw.isNull() | F.isnan(raw), 1).otherwise(0)).alias(f"{col}__missing"),
         # approx variants: exact count_distinct/percentile need a full
         # shuffle / per-group value materialization — unusable at 100 TB.
         # HLL + QuantileSummaries keep this a single map-side-combined pass.
@@ -273,7 +293,10 @@ def finish_numeric_fit(
             div = 1.0
         if isinstance(div, float) and math.isnan(div):
             div = 1.0
-        fitted.scale_params = {"center": float(center or 0.0), "divisor": float(div)}
+        center = float(center or 0.0)
+        if math.isnan(center):  # belt: NaN is truthy, `or` can't catch it
+            center = 0.0
+        fitted.scale_params = {"center": center, "divisor": float(div)}
 
 
 # ---------------------------------------------------------------------------

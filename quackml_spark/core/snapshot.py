@@ -72,7 +72,9 @@ _MID = "__qml_mid"
 _MID_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid<<33 | row-in-partition
 
 
-def _ordered(df: DataFrame, sampling: Sampling, y_columns: list[str], seed: int) -> tuple[DataFrame, int]:
+def _ordered(
+    df: DataFrame, sampling: Sampling, y_columns: list[str], seed: int
+) -> tuple[DataFrame, int, DataFrame]:
     """Attach the reference's sampled ordering as an exact global rank.
 
     Two-phase distributed ranking: range-partition on the sampling key,
@@ -98,7 +100,13 @@ def _ordered(df: DataFrame, sampling: Sampling, y_columns: list[str], seed: int)
     if sampling != Sampling.last:
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
         df = df.repartitionByRange(n_part, F.col(_KEY)).sortWithinPartitions(_KEY)
-    df = df.withColumn(_MID, F.monotonically_increasing_id()).cache()
+    # `cached` is the handle callers must unpersist: the returned frame
+    # is a DERIVED plan over it, and unpersist() on a derived plan is a
+    # silent no-op (Spark uncaches only the exact cached plan) — before
+    # this, EVERY Snapshot.create leaked one cached relation per call,
+    # success or failure (caught by the create-failure cache test)
+    cached = df.withColumn(_MID, F.monotonically_increasing_id()).cache()
+    df = cached
 
     # one tiny aggregate: rows per physical partition → cumulative
     # offsets; label NULL counts piggyback on the same pass (the
@@ -126,7 +134,37 @@ def _ordered(df: DataFrame, sampling: Sampling, y_columns: list[str], seed: int)
     df = df.withColumn(
         ORDER_COL, off_expr + F.col(_MID).bitwiseAND(F.lit(_MID_MASK)) + 1
     ).drop(_KEY, _MID)
-    return df, acc
+    return df, acc, cached
+
+
+def _cat_impute_value(train: DataFrame, fc, s) -> float:
+    """Impute value for an ENCODED categorical column, computed over the
+    encoded train values — before this, fit_categorical never set
+    impute_value, so a requested impute on an encoded column was a
+    silent no-op and unseen-at-serve categories stayed NaN instead of
+    being repaired, contradicting the module contract (review catch).
+    Runs only when the user opted into an impute strategy."""
+    from quackml_spark.core.preprocess import transform_columns
+
+    if s.impute == "zero":
+        return 0.0
+    enc_df, enc_names = transform_columns(train.select(s.name), fc)
+    c = F.col(enc_names[0])
+    valid = enc_df.where(c.isNotNull() & ~F.isnan(c))
+    if s.impute == "mode":
+        row = (
+            valid.groupBy(c.alias("v"))
+            .count()
+            .orderBy(F.desc("count"), F.asc("v"))
+            .first()
+        )
+        return float(row["v"]) if row else 0.0
+    if s.impute == "median":
+        row = valid.agg(F.percentile_approx(c, 0.5, 2000).alias("v")).first()
+    else:
+        agg = {"mean": F.avg, "min": F.min, "max": F.max}[s.impute]
+        row = valid.agg(agg(c).alias("v")).first()
+    return float(row["v"]) if row and row["v"] is not None else 0.0
 
 
 @dataclass
@@ -172,142 +210,175 @@ class Snapshot:
         parse_preprocess_spec(preprocess, specs)
 
         # label-NULL validation happens inside _ordered's counts pass
-        ordered, num_rows = _ordered(df, sampling, y_columns, seed)
-        num_test = int(test_size) if test_size > 1.0 else round(num_rows * test_size)
-        num_train = num_rows - num_test
-        if num_train <= 0:
-            raise ValueError(
-                f"test_size {test_size} leaves no training rows (n={num_rows})"
-            )
-        train = ordered.where(F.col(ORDER_COL) <= num_train)
-        test = ordered.where(F.col(ORDER_COL) > num_train)
-
-        # --- fit feature columns (train split only) ---
-        fitted: list[FittedColumn] = []
-        label_col = y_columns[0] if y_columns else None
-
-        # array width discovery (size fixed by first row, snapshot.rs:1497-1507)
-        for s in specs:
-            if s.is_array and not s.is_label:
-                flat = (
-                    F.size(F.flatten(F.col(s.name)))
-                    if s.dtype.count("array") > 1
-                    else F.size(F.col(s.name))
-                )
-                first = train.where(F.col(s.name).isNotNull()).select(
-                    flat.alias("w")
-                ).first()
-                if first is None:
-                    raise ValueError(f"array column {s.name} is all NULL")
-                s.size = int(first["w"])
-                bad = train.where(F.col(s.name).isNotNull() & (flat != s.size)).count()
-                if bad:
-                    raise ValueError(
-                        f"array column {s.name}: {bad} rows deviate from the "
-                        f"first-row width {s.size} (snapshot.rs:1497-1507 semantics)"
-                    )
-
-        numeric_feats = [
-            s for s in specs if (not s.is_label) and s.is_numeric and s.encode is None and not s.is_array
-        ]
-        cat_feats = [
-            s for s in specs if (not s.is_label) and (s.is_categorical) and not s.is_array
-        ]
-        array_feats = [s for s in specs if (not s.is_label) and s.is_array]
-
-        stats_row: dict = {}
-        if numeric_feats:
-            exprs = []
-            for s in numeric_feats:
-                exprs.extend(numeric_stats_exprs(s.name))
-            stats_row = train.agg(*exprs).collect()[0].asDict()
-
-        for s in numeric_feats:
-            fc = FittedColumn(spec=s)
-            mode_value = None
-            if s.impute == "mode":
-                mode_row = (
-                    train.where(F.col(s.name).isNotNull())
-                    .groupBy(F.col(s.name).cast("double").alias("v"))
-                    .count()
-                    .orderBy(F.desc("count"), F.asc("v"))
-                    .first()
-                )
-                mode_value = mode_row["v"] if mode_row else None
-            finish_numeric_fit(fc, stats_row, mode_value)
-            if fc.statistics.get("missing") and s.impute == "panic":
+        ordered, num_rows, split_cache = _ordered(df, sampling, y_columns, seed)
+        # every error path below must release the split cache _ordered
+        # just pinned — before this guard a failed fit (panic impute,
+        # width mismatch, catalog conflict) leaked one full-relation
+        # cache entry per attempt for the session lifetime (review catch)
+        try:
+            num_test = int(test_size) if test_size > 1.0 else round(num_rows * test_size)
+            num_train = num_rows - num_test
+            if num_train <= 0:
                 raise ValueError(
-                    f"column {s.name!r} has {fc.statistics['missing']} missing "
-                    f"values and impute='panic'; set a preprocess impute "
-                    f"strategy or filter NULLs"
+                    f"test_size {test_size} leaves no training rows (n={num_rows})"
                 )
-            fitted.append(fc)
+            train = ordered.where(F.col(ORDER_COL) <= num_train)
+            test = ordered.where(F.col(ORDER_COL) > num_train)
 
-        for s in cat_feats:
-            fitted.append(fit_categorical(train, s, label_col, ORDER_COL))
+            # --- fit feature columns (train split only) ---
+            fitted: list[FittedColumn] = []
+            label_col = y_columns[0] if y_columns else None
 
-        for s in array_feats:
-            fc = FittedColumn(spec=s)
-            fitted.append(fc)
-
-        # --- label handling ---
-        label_map = None
-        if label_col is not None:
-            lspec = next(sp for sp in specs if sp.name == label_col)
-            if classification_label or not lspec.is_numeric:
-                vals = [
-                    r["v"]
-                    for r in train.select(
-                        F.col(label_col).cast("string").alias("v")
+            # array width discovery (size fixed by first row, snapshot.rs:1497-1507)
+            for s in specs:
+                if s.is_array and not s.is_label:
+                    flat = (
+                        F.size(F.flatten(F.col(s.name)))
+                        if s.dtype.count("array") > 1
+                        else F.size(F.col(s.name))
                     )
-                    .distinct()
-                    .orderBy("v")
-                    .collect()
-                ]
-                label_map = {v: float(i) for i, v in enumerate(vals)}
+                    first = train.where(F.col(s.name).isNotNull()).select(
+                        flat.alias("w")
+                    ).first()
+                    if first is None:
+                        raise ValueError(f"array column {s.name} is all NULL")
+                    s.size = int(first["w"])
+                    bad = train.where(F.col(s.name).isNotNull() & (flat != s.size)).count()
+                    if bad:
+                        raise ValueError(
+                            f"array column {s.name}: {bad} rows deviate from the "
+                            f"first-row width {s.size} (snapshot.rs:1497-1507 semantics)"
+                        )
 
-        # --- persist ---
-        columns_json = [fc.to_json() for fc in fitted]
-        analysis = {
-            "num_rows": num_rows,
-            "num_train_rows": num_train,
-            "num_test_rows": num_test,
-            "label_map": label_map,
-            "y_columns": y_columns,
-            "seed": seed,
-        }
-        snap_id = catalog.insert(
-            "snapshots",
-            {
-                "relation_name": relation_name,
-                "y_column_name": json.dumps(y_columns),
-                "test_size": float(test_size),
-                "test_sampling": sampling.value,
-                "status": "successful",
-                "columns": json.dumps(columns_json),
-                "analysis": json.dumps(analysis),
-                "materialized_path": None,
-            },
-        )
-        snap = cls(
-            id=snap_id,
-            catalog=catalog,
-            fitted=fitted,
-            y_columns=y_columns,
-            label_map=label_map,
-            num_rows=num_rows,
-            num_train_rows=num_train,
-            num_test_rows=num_test,
-        )
-        snap._cached = ordered  # unpersist() releases the split cache
-        if materialize:
-            path = catalog.snapshot_dir(snap_id)
-            train.write.mode("overwrite").parquet(path + "/train")
-            test.write.mode("overwrite").parquet(path + "/test")
-            catalog.update("snapshots", snap_id, {"materialized_path": path})
-            train = spark.read.parquet(path + "/train")
-            test = spark.read.parquet(path + "/test")
-        return snap, train, test
+            numeric_feats = [
+                s for s in specs if (not s.is_label) and s.is_numeric and s.encode is None and not s.is_array
+            ]
+            cat_feats = [
+                s for s in specs if (not s.is_label) and (s.is_categorical) and not s.is_array
+            ]
+            array_feats = [s for s in specs if (not s.is_label) and s.is_array]
+
+            stats_row: dict = {}
+            if numeric_feats:
+                exprs = []
+                for s in numeric_feats:
+                    exprs.extend(numeric_stats_exprs(s.name))
+                stats_row = train.agg(*exprs).collect()[0].asDict()
+
+            for s in numeric_feats:
+                fc = FittedColumn(spec=s)
+                mode_value = None
+                if s.impute == "mode":
+                    mv = F.col(s.name).cast("double")
+                    mode_row = (
+                        # NaN is missing (like NULL): it must never win
+                        # the mode and become the imputed value
+                        train.where(mv.isNotNull() & ~F.isnan(mv))
+                        .groupBy(mv.alias("v"))
+                        .count()
+                        .orderBy(F.desc("count"), F.asc("v"))
+                        .first()
+                    )
+                    mode_value = mode_row["v"] if mode_row else None
+                finish_numeric_fit(fc, stats_row, mode_value)
+                if fc.statistics.get("missing") and s.impute == "panic":
+                    raise ValueError(
+                        f"column {s.name!r} has {fc.statistics['missing']} missing "
+                        f"values and impute='panic'; set a preprocess impute "
+                        f"strategy or filter NULLs"
+                    )
+                fitted.append(fc)
+
+            # --- label handling (BEFORE categorical fitting: target
+            # encoding with a string class label needs the label-map
+            # lookup, not a cast that nulls every row) ---
+            label_map = None
+            if label_col is not None:
+                lspec = next(sp for sp in specs if sp.name == label_col)
+                if classification_label or not lspec.is_numeric:
+                    # distinct over the FULL relation, not the train
+                    # split: a rare class whose rows all land in the
+                    # test split would otherwise map to NULL label and
+                    # crash metric computation with an unsortable None
+                    # (review catch; same map when both splits share
+                    # the class set, so existing fits are unchanged)
+                    vals = [
+                        r["v"]
+                        for r in ordered.select(
+                            F.col(label_col).cast("string").alias("v")
+                        )
+                        .distinct()
+                        .orderBy("v")
+                        .collect()
+                    ]
+                    label_map = {v: float(i) for i, v in enumerate(vals)}
+
+            label_expr = None
+            if label_col is not None:
+                if label_map:
+                    label_expr = F.create_map(
+                        *[F.lit(x) for kv in label_map.items() for x in kv]
+                    )[F.col(label_col).cast("string")]
+                else:
+                    label_expr = F.col(label_col).cast("double")
+
+            for s in cat_feats:
+                fc = fit_categorical(
+                    train, s, label_col, ORDER_COL, label_expr=label_expr
+                )
+                if s.impute != "panic" and s.encode != "one_hot":
+                    fc.impute_value = _cat_impute_value(train, fc, s)
+                fitted.append(fc)
+
+            for s in array_feats:
+                fc = FittedColumn(spec=s)
+                fitted.append(fc)
+
+            # --- persist ---
+            columns_json = [fc.to_json() for fc in fitted]
+            analysis = {
+                "num_rows": num_rows,
+                "num_train_rows": num_train,
+                "num_test_rows": num_test,
+                "label_map": label_map,
+                "y_columns": y_columns,
+                "seed": seed,
+            }
+            snap_id = catalog.insert(
+                "snapshots",
+                {
+                    "relation_name": relation_name,
+                    "y_column_name": json.dumps(y_columns),
+                    "test_size": float(test_size),
+                    "test_sampling": sampling.value,
+                    "status": "successful",
+                    "columns": json.dumps(columns_json),
+                    "analysis": json.dumps(analysis),
+                    "materialized_path": None,
+                },
+            )
+            snap = cls(
+                id=snap_id,
+                catalog=catalog,
+                fitted=fitted,
+                y_columns=y_columns,
+                label_map=label_map,
+                num_rows=num_rows,
+                num_train_rows=num_train,
+                num_test_rows=num_test,
+            )
+            snap._cached = split_cache  # unpersist() releases the split cache
+            if materialize:
+                path = catalog.snapshot_dir(snap_id)
+                train.write.mode("overwrite").parquet(path + "/train")
+                test.write.mode("overwrite").parquet(path + "/test")
+                catalog.update("snapshots", snap_id, {"materialized_path": path})
+                train = spark.read.parquet(path + "/train")
+                test = spark.read.parquet(path + "/test")
+            return snap, train, test
+        except BaseException:
+            split_cache.unpersist()
+            raise
 
     def unpersist(self) -> None:
         """Release the cached split (call when training is done)."""
@@ -344,13 +415,16 @@ class Snapshot:
             if s.is_array:
                 names.extend(f"{s.name}_{i}" for i in range(s.size))
             elif s.encode == "one_hot":
-                cats = sorted(
+                # EXACTLY transform_columns' indicator layout: the
+                # __NULL__ slot leads and only the FINAL category is
+                # dropped. The earlier k-1 non-null list under-counted
+                # by one per one_hot column (num_features metadata too
+                # small, name/feature zips shifted — review catch).
+                cats = ["__NULL__"] + sorted(
                     (k for k in fc.encode_map if k != "__NULL__"),
                     key=lambda k: fc.encode_map[k],
                 )
-                names.extend(
-                    f"{s.name}_{c}" for c in (cats[:-1] if len(cats) > 1 else cats)
-                )
+                names.extend(f"{s.name}_{c}" for c in cats[:-1])
             elif fc.encode_map is not None:
                 names.append(f"{s.name}__enc")
             else:

@@ -165,7 +165,18 @@ def deploy(
     if strategy == Strategy.specific:
         if model_id is None:
             raise ValueError("strategy='specific' requires model_id")
-        chosen = model_id
+        # validate against the project's successful models: an id from
+        # another project (or a failed/nonexistent fit) would insert a
+        # deployments row that silently serves a wrong-task model — or
+        # only fails at serve time with a missing artifact (review
+        # catch). Fail here, at deploy time.
+        valid_ids = {int(i) for i in models["id"]}
+        if int(model_id) not in valid_ids:
+            raise ValueError(
+                f"model_id {model_id} is not a successful model of "
+                f"project {project_name!r} (valid: {sorted(valid_ids)})"
+            )
+        chosen = int(model_id)
     elif strategy == Strategy.most_recent:
         chosen = int(models.sort_values(["created_at", "id"]).iloc[-1]["id"])
     elif strategy == Strategy.rollback:

@@ -70,16 +70,55 @@ def _fit_one(task, algorithm, params, seed, train_vec, num_classes):
     return res, model, fit_time
 
 
-def _score(task, trained: TrainedModel, test_vec: DataFrame) -> dict:
+def _score(
+    task,
+    trained: TrainedModel,
+    test_vec: DataFrame,
+    num_classes: int | None = None,
+    y_columns: list[str] | None = None,
+) -> dict:
     if task == Task.regression:
         if trained.is_joint:
-            return {}
+            # per-target regression metrics + their mean r2, so the
+            # deploy decision compares joint models on real quality —
+            # the empty dict this used to return made every joint fit
+            # unconditionally replace the incumbent (review catch)
+            pred = trained.transform(test_vec)
+            names = y_columns or [
+                f"target_{i}" for i in range(len(trained.spark_model))
+            ]
+            per, r2s = {}, []
+            for i, name in enumerate(names):
+                sub = pred.select(
+                    F.col("predictions")[i].alias("prediction"),
+                    F.col("labels")[i].alias("label"),
+                )
+                m_i = regression_metrics(sub)
+                per[name] = m_i
+                if m_i.get("r2") is not None:
+                    r2s.append(float(m_i["r2"]))
+            out: dict = {"per_target": per}
+            if r2s:
+                out["r2"] = sum(r2s) / len(r2s)
+            return out
         pred = trained.transform(test_vec)
         return regression_metrics(pred)
     if task == Task.classification:
         pred = trained.transform(test_vec)
         m = classification_metrics(pred)
-        if pred.select(F.count_distinct("label")).collect()[0][0] == 2:
+        # binary means the MODEL is binary (num_classes from the fitted
+        # label map), not "the test split happens to hold two classes":
+        # a 3-class model whose test split contains {0, 2} would score
+        # P(class 1) as the positive probability and persist garbage
+        # roc_auc/log_loss (review catch). Fall back to the split count
+        # only when the class count is genuinely unknown.
+        if num_classes is not None:
+            is_binary = num_classes == 2
+        else:
+            is_binary = (
+                pred.select(F.count_distinct("label")).collect()[0][0] == 2
+            )
+        if is_binary:
             m.update(binary_extra_metrics(pred))
         return m
     if task == Task.clustering:
@@ -173,26 +212,35 @@ def train(
     if isinstance(source, str):
         catalog.update("snapshots", snap.id, {"relation_name": source})
 
+    # the unpersist guard starts HERE: a failure between these cache()
+    # calls and the old try block (the models-row insert, e.g. a catalog
+    # conflict) used to leak both cached splits (review catch)
     train_vec = _with_features_vec(snap.transform(train_df)).cache()
     test_vec = _with_features_vec(snap.transform(test_df)).cache()
-    num_classes = len(snap.label_map) if snap.label_map else None
-    if task == Task.classification and num_classes is None:
-        num_classes = train_vec.select(F.count_distinct("label")).collect()[0][0]
+    try:
+        num_classes = len(snap.label_map) if snap.label_map else None
+        if task == Task.classification and num_classes is None:
+            num_classes = train_vec.select(F.count_distinct("label")).collect()[0][0]
 
-    model_id = catalog.insert(
-        "models",
-        {
-            "project_id": project_id,
-            "snapshot_id": snap.id,
-            "num_features": len(snap.feature_names),
-            "algorithm": algorithm.value,
-            "hyperparams": __import__("json").dumps(hyperparams or {}),
-            "status": Status.in_progress.value,
-            "search": search.value if search else None,
-            "search_params": __import__("json").dumps(search_params or {}),
-            "search_args": __import__("json").dumps(search_args or {}),
-        },
-    )
+        model_id = catalog.insert(
+            "models",
+            {
+                "project_id": project_id,
+                "snapshot_id": snap.id,
+                "num_features": len(snap.feature_names),
+                "algorithm": algorithm.value,
+                "hyperparams": __import__("json").dumps(hyperparams or {}),
+                "status": Status.in_progress.value,
+                "search": search.value if search else None,
+                "search_params": __import__("json").dumps(search_params or {}),
+                "search_args": __import__("json").dumps(search_args or {}),
+            },
+        )
+    except BaseException:
+        train_vec.unpersist()
+        test_vec.unpersist()
+        snap.unpersist()
+        raise
 
     try:
         # --- search (optional) ---
@@ -209,7 +257,7 @@ def train(
 
             def score_fn(model, cv_test):
                 tm = TrainedModel(task, algorithm.value, "cv", model)
-                vals = _score(task, tm, cv_test)
+                vals = _score(task, tm, cv_test, num_classes=num_classes)
                 return float(vals.get(metric_key, 0.0))
 
             best_params, search_results = run_search(
@@ -243,7 +291,10 @@ def train(
             trained.portable = _extract_portable(fitted)
 
         t0 = time.perf_counter()
-        metrics = _score(task, trained, test_vec)
+        metrics = _score(
+            task, trained, test_vec,
+            num_classes=num_classes, y_columns=snap.y_columns,
+        )
         score_time = time.perf_counter() - t0
         metrics["fit_time"] = fit_time
         metrics["score_time"] = score_time

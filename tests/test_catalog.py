@@ -160,3 +160,25 @@ def test_catalog_versions_pruned(tmp_path):
     files = [f for f in os.listdir(c.warehouse) if f.startswith("projects.v")]
     assert len(files) <= c._KEEP_VERSIONS + 1, files
     assert len(c.read("projects")) == 12
+
+
+def test_load_dump_then_mutate(tmp_path):
+    """A restored catalog must accept inserts: load_dump used to read
+    created_at back as strings, so the first insert mixed str and
+    datetime in one column and crashed on parquet write (or later in
+    deployed_models' sort) — the restore workflow broke on first
+    mutation (review catch)."""
+    from quackml_spark.catalog import Catalog
+
+    a = Catalog(warehouse=str(tmp_path / "wh1"))
+    a.insert("projects", {"name": "p1", "task": "regression"})
+    dump_dir = str(tmp_path / "dump")
+    a.dump(dump_dir)
+
+    b = Catalog.load_dump(dump_dir, warehouse=str(tmp_path / "wh2"))
+    b.insert("projects", {"name": "p2", "task": "classification"})
+    names = set(b.read("projects")["name"])
+    assert names == {"p1", "p2"}
+    # and the timestamp column stays order-comparable
+    df = b.read("projects").sort_values(["created_at", "id"])
+    assert list(df["name"])[-1] == "p2"

@@ -214,3 +214,168 @@ def test_one_hot_all_null_column_emits_zero_indicators(spark, catalog):
     assert snap.feature_names == ["num__f"], snap.feature_names
     out = snap.transform(train_df)
     assert [c for c in out.columns if c.startswith("cat_")] == []
+
+
+def test_categorical_impute_repairs_unseen_categories(spark, tmp_path):
+    """A requested impute on an encoded column must actually fit an
+    impute_value (it was silently None — fit_categorical never set it)
+    so unseen-at-serve categories encode to the imputed value instead
+    of NaN, per the module contract (review catch)."""
+    import math
+
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.core.snapshot import Snapshot
+
+    df = spark.createDataFrame(
+        [("red", 1.0), ("blue", 2.0), ("red", 3.0), ("green", 4.0)] * 5,
+        "color string, y double",
+    )
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    snap, _, _ = Snapshot.create(
+        spark, cat, df, "y", test_size=0.25, test_sampling="random",
+        preprocess={"color": {"encode": "native", "impute": "zero"}},
+    )
+    try:
+        fc = next(f for f in snap.fitted if f.spec.name == "color")
+        assert fc.impute_value == 0.0
+        serve = spark.createDataFrame([("ultraviolet",)], "color string")
+        feats = snap.transform(serve, with_label=False).select(
+            "features"
+        ).collect()[0]["features"]
+        assert not math.isnan(feats[0])
+        assert feats[0] == 0.0
+    finally:
+        snap.unpersist()
+
+
+def test_one_hot_feature_names_match_transform_width(spark, tmp_path):
+    """feature_names must mirror transform_columns' indicator layout
+    exactly (__NULL__ slot leads, final category dropped) — it used to
+    report one name fewer per one_hot column, so num_features metadata
+    and any name/feature zip were off by one (review catch)."""
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.core.snapshot import Snapshot
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0), ("a", 4.0)] * 5,
+        "k string, y double",
+    )
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    snap, train_df, _ = Snapshot.create(
+        spark, cat, df, "y", test_sampling="random",
+        preprocess={"k": {"encode": "one_hot"}},
+    )
+    try:
+        out = snap.transform(train_df)
+        width = len(out.select("features").first()["features"])
+        assert len(snap.feature_names) == width
+        assert snap.feature_names[0] == "k___NULL__"
+    finally:
+        snap.unpersist()
+
+
+def test_target_encoding_with_string_labels(spark, tmp_path):
+    """Target encoding on a classification project with STRING labels
+    must average the label-map indices — the bare double cast nulled
+    every label and crashed on float(None) (review catch)."""
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.core.snapshot import Snapshot
+
+    df = spark.createDataFrame(
+        [("paris", "yes"), ("paris", "no"), ("lyon", "yes"), ("lyon", "yes")] * 5,
+        "city string, outcome string",
+    )
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    snap, _, _ = Snapshot.create(
+        spark, cat, df, "outcome", test_sampling="random",
+        preprocess={"city": {"encode": "target"}},
+        classification_label=True,
+    )
+    try:
+        fc = next(f for f in snap.fitted if f.spec.name == "city")
+        # label_map: no -> 0, yes -> 1; means are train-split 'yes'
+        # rates — lyon is all-yes, paris is mixed, both must be real
+        # numbers in [0, 1] (the old cast nulled every label)
+        assert fc.encode_map["lyon"] == 1.0
+        assert 0.0 < fc.encode_map["paris"] < 1.0
+    finally:
+        snap.unpersist()
+
+
+def test_label_map_covers_test_only_classes(spark, tmp_path):
+    """A class whose rows all land in the test split must still be in
+    the label_map — it mapped to NULL label and crashed metric
+    computation with an unsortable None (review catch)."""
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.core.snapshot import Snapshot
+
+    rows = [(float(i), "common") for i in range(30)]
+    rows += [(100.0 + i, "rare") for i in range(3)]  # tail -> test under 'last'
+    df = spark.createDataFrame(rows, "x double, cls string")
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    snap, _, test_df = Snapshot.create(
+        spark, cat, df, "cls", test_size=4, test_sampling="last",
+        classification_label=True,
+    )
+    try:
+        assert set(snap.label_map) == {"common", "rare"}
+        labels = [
+            r["label"] for r in snap.transform(test_df).select("label").collect()
+        ]
+        assert None not in labels
+    finally:
+        snap.unpersist()
+
+
+def test_snapshot_create_failure_releases_cache(spark, tmp_path):
+    """Every error path in Snapshot.create must release the split cache
+    — a failed fit (here: panic impute on a NULL column) used to leak
+    one full-relation cache entry per attempt (review catch)."""
+    import pytest as _pytest
+
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.core.snapshot import Snapshot
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (None, 2.0), (3.0, 3.0)] * 5, "x double, y double"
+    )
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    with _pytest.raises(ValueError, match="panic"):
+        Snapshot.create(spark, cat, df, "y", test_sampling="random")
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "failed Snapshot.create leaked its split cache"
+    )
+
+
+def test_nan_values_treated_as_missing_in_fit(spark, tmp_path):
+    """NaN entries must not poison the fitted statistics: with the old
+    aggregates avg() propagated NaN into center=NaN and every scaled
+    value became NaN silently (review catch). NaN counts as missing,
+    imputation repairs it, scaling stats come from the real values."""
+    import math
+
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.core.snapshot import Snapshot
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (float("nan"), 2.0), (3.0, 3.0), (2.0, 4.0)] * 5,
+        "x double, y double",
+    )
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    snap, train_df, _ = Snapshot.create(
+        spark, cat, df, "y", test_sampling="random",
+        preprocess={"x": {"impute": "mean", "scale": "standard"}},
+    )
+    try:
+        fc = next(f for f in snap.fitted if f.spec.name == "x")
+        assert fc.impute_value is not None and math.isfinite(fc.impute_value)
+        assert math.isfinite(fc.scale_params["center"])
+        assert fc.statistics["missing"] > 0
+        feats = [
+            r["features"][0]
+            for r in snap.transform(train_df).select("features").collect()
+        ]
+        assert all(math.isfinite(v) for v in feats)
+    finally:
+        snap.unpersist()

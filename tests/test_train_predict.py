@@ -618,3 +618,76 @@ def test_target_encode_oof_no_leak_and_fallback(spark):
     # B has no rows outside fold 0 -> global leave-out mean of fold 0:
     # mean of fold-1 ys = (40 + 7) / 2
     assert abs(out[("B", 0, 100.0)] - 23.5) < 1e-12
+
+
+def test_joint_regression_records_per_target_metrics(spark, tmp_path):
+    """Joint (multi-target) regression used to persist NO quality
+    metrics, so every joint fit auto-deployed unconditionally (review
+    catch). It must now record per-target regression metrics plus their
+    mean r2 for the deploy comparison."""
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.ml import train
+
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1.0, -1.0 * i + 3.0) for i in range(40)],
+        "x double, y1 double, y2 double",
+    )
+    res = train(
+        spark, "joint demo", task="regression", df=df,
+        y_column_name=["y1", "y2"], catalog=cat, test_sampling="random",
+    )
+    assert "r2" in res.metrics
+    assert res.metrics["r2"] > 0.9  # both targets are exact lines
+    assert set(res.metrics["per_target"]) == {"y1", "y2"}
+    assert res.metrics["per_target"]["y1"]["r2"] > 0.9
+
+
+def test_deploy_specific_validates_model_id(spark, tmp_path):
+    """deploy(strategy='specific') must reject a model id that is not a
+    successful model of THE project — it used to insert a deployments
+    row pointing at another project's (or a nonexistent) model and only
+    fail at serve time, or serve silently wrong outputs (review
+    catch)."""
+    import pytest as _pytest
+
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.ml import train
+    from quackml_spark.ml.predict import deploy
+
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i) for i in range(30)], "x double, y double"
+    )
+    res = train(
+        spark, "proj a", task="regression", df=df,
+        catalog=cat, y_column_name="y", test_sampling="random",
+    )
+    with _pytest.raises(ValueError, match="not a successful model"):
+        deploy("proj a", "specific", model_id=res.model_id + 999, catalog=cat)
+    # the happy path still works
+    assert deploy("proj a", "specific", model_id=res.model_id, catalog=cat) == res.model_id
+
+
+def test_train_leaves_cache_empty(spark, tmp_path):
+    """The full train() lifecycle must release every cached relation:
+    _ordered used to return a DERIVED plan over its cached frame, so
+    snap.unpersist() was a plan-mismatch no-op and EVERY train() call
+    leaked one cache entry for the session lifetime (review catch —
+    found by the create-failure test, present on the success path
+    too)."""
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.ml import train
+
+    spark.catalog.clearCache()
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(float(i), 3.0 * i - 2.0) for i in range(30)], "x double, y double"
+    )
+    train(
+        spark, "cache demo", task="regression", df=df,
+        catalog=cat, y_column_name="y", test_sampling="random",
+    )
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "train() left cached relations behind"
+    )
