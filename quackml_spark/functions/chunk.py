@@ -34,6 +34,49 @@ def _split_fixed(text: str, size: int, overlap: int) -> list[str]:
     return [text[i : i + size] for i in range(0, len(text), step) if text[i : i + size]]
 
 
+def _keep_sep_parts(text: str, sep: str) -> list[str]:
+    """Split on ``sep`` keeping the separator at the START of each
+    following part (LangChain keep_separator semantics): an earlier
+    version dropped the separator, so chunks beginning at a split
+    boundary lost their structural tokens — a markdown chunk started
+    without its '## ', a python chunk without 'class ' (review
+    catch). Concatenating the parts reproduces the input exactly."""
+    raw = text.split(sep)
+    return [p for p in ([raw[0]] + [sep + r for r in raw[1:]]) if p]
+
+
+def _merge_parts(parts: list[str], size: int, overlap: int) -> list[str]:
+    """Greedy merge of separator-carrying parts into chunks of at most
+    ``size`` characters, retaining a tail of whole parts totalling at
+    most ``chunk_overlap`` characters into the next chunk (the
+    LangChain _merge_splits contract — overlap used to be honored only
+    by the fixed-width fallback; review catch)."""
+    chunks: list[str] = []
+    buf: list[str] = []
+    blen = 0
+    fresh = False  # buf holds content not yet emitted
+    for p in parts:
+        if buf and blen + len(p) > size:
+            chunks.append("".join(buf))
+            keep: list[str] = []
+            klen = 0
+            for q in reversed(buf):
+                if klen + len(q) > overlap:
+                    break
+                keep.insert(0, q)
+                klen += len(q)
+            buf, blen = keep, klen
+            if blen + len(p) > size:  # tail + next part would overflow
+                buf, blen = [], 0
+            fresh = False
+        buf.append(p)
+        blen += len(p)
+        fresh = True
+    if buf and fresh:
+        chunks.append("".join(buf))
+    return [c for c in chunks if c]
+
+
 def _split_recursive(text: str, separators: list[str], size: int, overlap: int) -> list[str]:
     if len(text) <= size:
         return [text] if text else []
@@ -41,26 +84,15 @@ def _split_recursive(text: str, separators: list[str], size: int, overlap: int) 
         if sep == "":
             return _split_fixed(text, size, overlap)
         if sep in text:
-            parts = text.split(sep)
-            chunks: list[str] = []
-            buf = ""
-            for part in parts:
-                candidate = (buf + sep + part) if buf else part
-                if len(candidate) <= size:
-                    buf = candidate
+            expanded: list[str] = []
+            for part in _keep_sep_parts(text, sep):
+                if len(part) > size:
+                    expanded.extend(
+                        _split_recursive(part, separators[i + 1 :], size, overlap)
+                    )
                 else:
-                    if buf:
-                        chunks.append(buf)
-                    if len(part) > size:
-                        chunks.extend(
-                            _split_recursive(part, separators[i + 1 :], size, overlap)
-                        )
-                        buf = ""
-                    else:
-                        buf = part
-            if buf:
-                chunks.append(buf)
-            return [c for c in chunks if c]
+                    expanded.append(part)
+            return _merge_parts(expanded, size, overlap)
     return _split_fixed(text, size, overlap)
 
 
@@ -148,7 +180,17 @@ def split_text(splitter: str, text: str, kwargs: dict) -> list[str]:
     if splitter == "character":
         sep = kwargs.get("separator", "\n\n")
         if sep and sep in (text or ""):
-            return [c for c in (text or "").split(sep) if c]
+            # split parts still merge back to chunk_size (LangChain's
+            # CharacterTextSplitter contract) — returning the raw split
+            # ignored chunk_size entirely for any text containing the
+            # separator (review catch)
+            expanded: list[str] = []
+            for part in _keep_sep_parts(text or "", sep):
+                if len(part) > size:
+                    expanded.extend(_split_fixed(part, size, overlap))
+                else:
+                    expanded.append(part)
+            return _merge_parts(expanded, size, overlap)
         return _split_fixed(text or "", size, overlap)
     if splitter in _SEPARATORS:
         return _split_recursive(text or "", _SEPARATORS[splitter], size, overlap)

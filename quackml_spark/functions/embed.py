@@ -87,7 +87,14 @@ def make_embed_udf(transformer: str = "hash", kwargs: dict | None = None):
 
                 return SentenceTransformer(transformer, **json.loads(kw_json))
 
-            model = get_or_create("sentence_transformers", transformer, load)
+            # cache key includes the constructor kwargs: keyed on the
+            # model name alone, two embed UDFs with the same model but
+            # different device/revision/trust_remote_code silently
+            # shared whichever instance loaded first on a reused worker
+            # (review catch; transform.py already keys by full task JSON)
+            model = get_or_create(
+                "sentence_transformers", f"{transformer}|{kw_json}", load
+            )
             inputs = texts.fillna("")
             if prompt:  # instructor-model prompt prefix (transformers.py:544-547)
                 inputs = prompt + inputs

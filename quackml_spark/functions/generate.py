@@ -66,9 +66,11 @@ def make_generate_udf(checkpoint: str | None, config: dict | None = None):
             return pd.Series(tok.batch_decode(out, skip_special_tokens=True))
         results = []
         for text in inputs:
-            seed = int.from_bytes(
-                hashlib.md5((text or "").encode()).digest()[:4], "big"
-            )
+            # a NULL/NaN prompt must not render as the literal 'None'/
+            # 'nan' in the output (review catch) — treat it as empty
+            if text is None or (isinstance(text, float) and text != text):
+                text = ""
+            seed = int.from_bytes(hashlib.md5(text.encode()).digest()[:4], "big")
             cont = " ".join(f"tok{(seed + i) % 997}" for i in range(min(max_new, 16)))
             results.append(f"{text} {cont}".strip())
         return pd.Series(results)

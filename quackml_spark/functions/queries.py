@@ -149,13 +149,17 @@ inter AS (
   SELECT qw.query_id, dw.corpus_id, COUNT(*) AS ni
   FROM qw JOIN dw USING (w) GROUP BY qw.query_id, dw.corpus_id
 ), scored AS (
+  -- drive from docs, not dsize: a token-less document has no dw rows,
+  -- so dsize omits it while the engine scores it 0 — row counts and
+  -- every later rank_pos would diverge (review catch)
   SELECT q.query_id, d.corpus_id,
-         CASE WHEN COALESCE(qs.nq, 0) = 0 OR d.nd = 0 THEN 0.0
+         CASE WHEN COALESCE(qs.nq, 0) = 0 OR COALESCE(ds.nd, 0) = 0 THEN 0.0
               ELSE COALESCE(i.ni, 0)::DOUBLE
-                   / (d.nd + qs.nq - COALESCE(i.ni, 0))
+                   / (ds.nd + qs.nq - COALESCE(i.ni, 0))
          END AS score
   FROM queries q
-  CROSS JOIN dsize d
+  CROSS JOIN docs d
+  LEFT JOIN dsize ds ON ds.corpus_id = d.corpus_id
   LEFT JOIN qsize qs ON qs.query_id = q.query_id
   LEFT JOIN inter i ON i.query_id = q.query_id AND i.corpus_id = d.corpus_id
 )
@@ -320,11 +324,14 @@ sizes AS (
          COUNT(*) FILTER (WHERE w IN (SELECT w FROM q)) AS inter
   FROM dtd GROUP BY corpus_id
 ), scored AS (
-  SELECT corpus_id,
-         CASE WHEN nd = 0 THEN 0.0
-              ELSE inter::DOUBLE / (nd + (SELECT COUNT(*) FROM q) - inter)
+  -- drive from docs: a token-less document has no dtd rows, so sizes
+  -- omits it while the engine scores it 0 (review catch)
+  SELECT d.corpus_id,
+         CASE WHEN COALESCE(s.nd, 0) = 0 THEN 0.0
+              ELSE s.inter::DOUBLE
+                   / (s.nd + (SELECT COUNT(*) FROM q) - s.inter)
          END AS score
-  FROM sizes
+  FROM docs d LEFT JOIN sizes s USING (corpus_id)
 )
 SELECT ROW_NUMBER() OVER (ORDER BY score DESC, corpus_id) - 1 AS rank_pos,
        corpus_id, score

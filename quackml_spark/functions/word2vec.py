@@ -22,6 +22,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _w2v_tokens(text_col: str):
+    """Shared tokenizer for train + serve: NULL text becomes an empty
+    token list (F.split of NULL is a NULL array, which MLlib Word2Vec
+    rejects with an opaque NullPointerException deep in fit/transform —
+    review catch), and empty-string tokens from leading/duplicate
+    whitespace are dropped so they never enter the vocabulary."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+
+
 def train_word2vec(
     docs: DataFrame,
     text_col: str = "text",
@@ -39,9 +51,7 @@ def train_word2vec(
     determinism for speed — the caller's knob, stated not hidden)."""
     from pyspark.ml.feature import Word2Vec
 
-    toks = docs.withColumn(
-        "__tokens", F.split(F.lower(F.col(text_col)), r"\s+")
-    )
+    toks = docs.withColumn("__tokens", _w2v_tokens(text_col))
     w2v = Word2Vec(
         vectorSize=dim,
         minCount=min_count,
@@ -59,9 +69,7 @@ def doc_vectors(model, docs: DataFrame, text_col: str = "text") -> DataFrame:
     operators."""
     from pyspark.ml.functions import vector_to_array
 
-    toks = docs.withColumn(
-        "__tokens", F.split(F.lower(F.col(text_col)), r"\s+")
-    )
+    toks = docs.withColumn("__tokens", _w2v_tokens(text_col))
     out = model.transform(toks)
     return out.withColumn(
         "embedding", vector_to_array("__docvec", "float32")

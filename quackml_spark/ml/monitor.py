@@ -94,11 +94,30 @@ def feature_drift_psi(
     )
     r = F.greatest(F.col("ref_n") / F.col("ref_t"), F.lit(EPS))
     c = F.greatest(F.col("cur_n") / F.col("cur_t"), F.lit(EPS))
+    # A feature with ZERO rows in one window has no distribution to
+    # compare: 0/0 is NULL, greatest() skips NULLs, and every bin rate
+    # floors to eps — PSI ≈ ln(1/eps) ≈ 13.8, fake extreme drift that
+    # would fire auto-rollback on every batch (review catch). Fail
+    # loudly instead, the same contract as the KS twin below; the
+    # raise_error stays inside the lazy plan, so the check costs
+    # nothing until the bad case actually exists.
+    bad = (F.col("ref_t") == 0) | (F.col("cur_t") == 0)
+    err = F.raise_error(
+        F.concat(
+            F.lit("feature_drift_psi: feature '"),
+            F.col("feature"),
+            F.lit(
+                "' has zero rows in one window — PSI is undefined; "
+                "check the window predicate"
+            ),
+        )
+    ).cast("double")
+    term = F.when(bad, err).otherwise((c - r) * F.log(c / r))
     return (
         counts.join(F.broadcast(tot), "feature")
         .groupBy("feature")
         .agg(
-            F.round(F.sum((c - r) * F.log(c / r)), 6).alias("psi"),
+            F.round(F.sum(term), 6).alias("psi"),
             F.count(F.lit(1)).alias("n_bins"),
         )
         .orderBy("feature")

@@ -426,12 +426,6 @@ def ml_predict_proba(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("xf")
 
 
-def json_dumps(obj) -> str:
-    import json
-
-    return json.dumps(obj, sort_keys=True)
-
-
 @register(
     "ml_train_gbt",
     doc="tree-family VALUE check: GBT regression on an exactly-"

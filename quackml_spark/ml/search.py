@@ -72,7 +72,20 @@ def run_search(
         (F.col(ORDER_COL) - 1) * cv / F.lit(num_train_rows)
     ).cast("int")
     folded = train_df.withColumn("__qml_fold", fold_col).cache()
+    try:
+        return _run_over_folds(
+            folded, combos, cv, fit_fn, score_fn, higher_is_better, holdout_only
+        )
+    finally:
+        # one failing combo (e.g. an invalid hyperparameter raising in
+        # MLlib's fit) must not leak the cached CV split for the
+        # session lifetime (review catch)
+        folded.unpersist()
 
+
+def _run_over_folds(
+    folded, combos, cv, fit_fn, score_fn, higher_is_better, holdout_only
+):
     results = {
         "params": [],
         "mean_fit_time": [],
@@ -117,5 +130,4 @@ def run_search(
     results["rank_test_score"] = ranks
     best_index = order[0]
     results["best_index"] = best_index
-    folded.unpersist()
     return combos[best_index], results

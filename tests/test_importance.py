@@ -81,3 +81,21 @@ def test_donor_mapping_rejects_duplicate_ids(spark):
     )
     with pytest.raises(ValueError, match="UNIQUE"):
         permuted_column(df, "v", id_col="rid")
+
+
+def test_psi_raises_on_empty_window_instead_of_fake_drift(spark):
+    """A feature with ZERO rows in one window must raise — 0/0 is NULL,
+    greatest() skips NULLs, and every bin rate floored to eps, so PSI
+    read ~13.8 (fake extreme drift that would fire auto-rollback on
+    every batch — review catch). The KS twin already raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from quackml_spark.ml.monitor import feature_drift_psi
+
+    rows = [(float(i % 7), True) for i in range(50)]  # current only
+    rows += [(None, False)] * 20                      # reference all-NULL
+    df = spark.createDataFrame(rows, "x double, win boolean")
+    with _pytest.raises(Exception, match="zero rows in one window"):
+        feature_drift_psi(df, ["x"], F.col("win")).collect()

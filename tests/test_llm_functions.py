@@ -368,3 +368,92 @@ def test_word2vec_deterministic_and_ann_compatible(spark, sf_dir):
         .first()
     )
     assert abs(row["c"] - 1.0) < 1e-6
+
+
+def test_chunk_keeps_structural_separators(spark):
+    """Separator-boundary chunks must keep their structural tokens: the
+    old merge dropped the separator, so a python chunk began 'Bar:'
+    with 'class ' gone and a markdown chunk lost its '## ' header
+    (review catch). Joining the chunks also reproduces the input."""
+    from quackml_spark.functions.chunk import split_text
+
+    body_a = "def a():\n    return 1\n" + "# pad\n" * 10
+    body_b = "def b():\n    return 2\n" + "# pad\n" * 10
+    src = "class Foo:\n" + body_a + "\nclass Bar:\n" + body_b
+    chunks = split_text("python", src, {"chunk_size": 120, "chunk_overlap": 0})
+    assert len(chunks) >= 2
+    assert any(c.lstrip().startswith("class Bar") for c in chunks), chunks
+    assert "".join(chunks) == src
+
+    md = "intro text\n## Section One\n" + "alpha " * 40 + "\n## Section Two\nbeta"
+    mchunks = split_text("markdown", md, {"chunk_size": 100, "chunk_overlap": 0})
+    # the header token must SURVIVE (the old merge deleted it); it may
+    # legitimately merge with preceding content when it fits
+    assert any("\n## Section Two" in c for c in mchunks), mchunks
+    assert "".join(mchunks) == md
+
+
+def test_chunk_character_honors_chunk_size(spark):
+    """The character splitter must merge/re-split to chunk_size even
+    when the separator occurs in the text — it used to return the raw
+    split parts at unbounded length (review catch)."""
+    from quackml_spark.functions.chunk import split_text
+
+    text = "intro\n\n" + "x" * 1000 + "\n\nshort tail"
+    chunks = split_text(
+        "character", text, {"chunk_size": 200, "chunk_overlap": 0}
+    )
+    assert all(len(c) <= 200 for c in chunks)
+    assert "".join(chunks) == text
+
+
+def test_chunk_overlap_is_honored_on_merge_path(spark):
+    """chunk_overlap must produce shared content between consecutive
+    merged chunks, not only in the fixed-width fallback (review
+    catch)."""
+    from quackml_spark.functions.chunk import split_text
+
+    paras = [f"paragraph {i} with some words here." for i in range(20)]
+    text = "\n\n".join(paras)
+    chunks = split_text(
+        "recursive_character", text, {"chunk_size": 150, "chunk_overlap": 60}
+    )
+    assert len(chunks) >= 3
+    overlapped = sum(
+        1
+        for a, b in zip(chunks, chunks[1:])
+        if a[-30:].strip() and a[-30:].strip() in b
+    )
+    assert overlapped >= 1, chunks[:3]
+
+
+def test_generate_null_prompt_has_no_literal_none(spark):
+    """A NULL prompt must not surface as the literal string 'None' in
+    the deterministic fallback's output (review catch)."""
+    import pyspark.sql.functions as F
+
+    from quackml_spark.functions.generate import make_generate_udf
+
+    df = spark.createDataFrame([(1, None), (2, "hello")], "id long, txt string")
+    udf = make_generate_udf(None, {"max_new_tokens": 4})
+    out = {
+        r["id"]: r["g"]
+        for r in df.select("id", udf(F.col("txt")).alias("g")).collect()
+    }
+    assert not out[1].startswith("None")
+    assert out[2].startswith("hello")
+
+
+def test_word2vec_survives_null_text(spark):
+    """A NULL text row must not crash MLlib Word2Vec with an opaque
+    NullPointerException (review catch): it contributes no tokens."""
+    from quackml_spark.functions.word2vec import doc_vectors, train_word2vec
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha beta"), (1, None), (2, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    model = train_word2vec(df, dim=4, min_count=1)
+    vecs = doc_vectors(model, df)
+    assert vecs.count() == 3
+    assert "" not in {r["word"] for r in model.getVectors().collect()}

@@ -691,3 +691,28 @@ def test_train_leaves_cache_empty(spark, tmp_path):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "train() left cached relations behind"
     )
+
+
+def test_search_failure_releases_cv_cache(spark, tmp_path):
+    """A combo whose fit raises must not leak the cached CV split —
+    run_search's unpersist was not in a finally block (review catch)."""
+    import pytest as _pytest
+
+    from quackml_spark.core.snapshot import ORDER_COL
+    from quackml_spark.ml.search import run_search
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(i + 1, float(i)) for i in range(20)], f"{ORDER_COL} long, v double"
+    )
+
+    def fit_fn(params, cv_train):
+        raise RuntimeError("boom: invalid hyperparameter")
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        run_search(
+            df, [{"a": 1}, {"a": 2}], 2, fit_fn, lambda m, t: 0.0, True, 20
+        )
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "run_search leaked its cached CV split"
+    )
