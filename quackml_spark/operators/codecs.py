@@ -33,13 +33,16 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
-def _parse_ppm_header(data: bytes) -> tuple[int, int, int]:
-    """Parse a P6 header; returns (w, h, pixel_data_start_offset).
-    Handles comment lines and any whitespace between header tokens
-    (the format's full generality)."""
-    if not data.startswith(b"P6"):
+def _parse_ppm_header(data: bytes, start: int = 0) -> tuple[int, int, int]:
+    """Parse a P6 header beginning at ``start``; returns (w, h,
+    absolute_pixel_data_offset). Handles comment lines and any
+    whitespace between header tokens (the format's full generality).
+    ``start`` lets the frame iterator parse in place — slicing the
+    remaining payload per frame copied the whole unread tail each time,
+    O(frames x bytes) for concatenated video payloads (review catch)."""
+    if data[start : start + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    pos = 2
+    pos = start + 2
     vals: list[int] = []
     while len(vals) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
@@ -80,13 +83,14 @@ def ppm_frames(data: bytes):
     while pos < len(data):
         if data[pos : pos + 2] != b"P6":
             raise ValueError(f"bad frame magic at offset {pos}")
-        w, h, data_start = _parse_ppm_header(data[pos:])
+        w, h, px_start = _parse_ppm_header(data, pos)
         n = w * h * 3
-        raw = data[pos + data_start : pos + data_start + n]
-        if len(raw) < n:
+        if px_start + n > len(data):
             raise ValueError("truncated PPM frame")
-        pos += data_start + n
-        yield np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        # frombuffer with offset/count: zero copies per frame
+        frame = np.frombuffer(data, dtype=np.uint8, count=n, offset=px_start)
+        pos = px_start + n
+        yield frame.reshape(h, w, 3)
 
 
 def resize_nearest(pixels: np.ndarray, tw: int, th: int) -> np.ndarray:
@@ -140,7 +144,21 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                     f"only PCM16 mono supported (fmt={audio_format}, "
                     f"bits={bits}, channels={channels})"
                 )
-            samples = np.frombuffer(data[body : body + size], dtype="<i2")
+            # trust nothing about the declared size (review catch): a
+            # size past the buffer silently returned fewer samples than
+            # declared; an odd size crashed frombuffer with an opaque
+            # message. PCM16 mono with an odd byte count is malformed.
+            avail = len(data) - body
+            if size > avail:
+                raise ValueError(
+                    f"WAV data chunk declares {size} bytes but only "
+                    f"{avail} remain — truncated payload"
+                )
+            if size % 2:
+                raise ValueError(
+                    f"WAV PCM16 data chunk has odd byte size {size}"
+                )
+            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
             return samples, rate
         pos = body + size + (size & 1)  # chunks are word-aligned
     raise ValueError("no data chunk in WAV payload")

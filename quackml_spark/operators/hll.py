@@ -108,11 +108,19 @@ def sketch_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |weeks|-row collects — the check is why the sketch path runs
     # under the driver gate at all)
     est = {r["week"]: float(r["n_distinct_est"]) for r in weekly_est.collect()}
-    for r in exact.collect():
+    exact_rows = exact.collect()
+    for r in exact_rows:
         e = est.get(r["week"])
         if e is None or abs(e - r["n_users_exact"]) > 0.10 * max(r["n_users_exact"], 1):
             raise AssertionError(
                 f"HLL weekly estimate {e} deviates >10% from exact "
                 f"{r['n_users_exact']} for week {r['week']}"
             )
-    return exact
+    # rebuild the result from the ALREADY-collected rows: returning the
+    # lazy `exact` plan re-ran the count-distinct aggregation from
+    # scratch when the harness collected it — the most expensive stage
+    # of the query executed twice per invocation (review catch)
+    return ev.sparkSession.createDataFrame(
+        [(r["week"], r["n_users_exact"], r["n_events"]) for r in exact_rows],
+        "week string, n_users_exact bigint, n_events bigint",
+    ).orderBy("week")

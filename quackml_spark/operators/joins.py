@@ -109,9 +109,14 @@ def asof_join(
         .where(F.col("__tag") == 1)
     )
     if tolerance_seconds is not None:
-        dist = F.abs(
-            F.col("__at").cast("double") - F.col("__match_at").cast("double")
-        )
+        # cast via timestamp: DATE cannot cast straight to DOUBLE, so a
+        # date-typed `on` column (supported everywhere else in this
+        # join) crashed the tolerance path with an AnalysisException
+        # (review catch); TIMESTAMP -> DOUBLE is epoch seconds either way
+        def _secs(c):
+            return F.col(c).cast("timestamp").cast("double")
+
+        dist = F.abs(_secs("__at") - _secs("__match_at"))
         carried = carried.withColumn(
             "__match",
             F.when(dist <= float(tolerance_seconds), F.col("__match")),

@@ -58,6 +58,19 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_report(hashed: DataFrame, hash_col: str) -> DataFrame:
+    """(doc_id, keeper, n_class) over any (doc_id, <hash>) relation:
+    keeper = min doc_id per hash class, n_class = class size — the ONE
+    report shape behind the three image-dedup builders (it was
+    copy-pasted into each; review catch)."""
+    w = Window.partitionBy(hash_col)
+    return hashed.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("keeper"),
+        F.count(F.lit(1)).over(w).alias("n_class"),
+    ).orderBy("doc_id")
+
+
 def codec_media_table(
     spark: SparkSession, sf_dir: str, pixel_seed_mod: int | None = None
 ) -> DataFrame:
@@ -561,15 +574,7 @@ ORDER BY i.doc_id
 def multimodal_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = codec_media_table(spark, sf_dir, pixel_seed_mod=50)
     decoded = decode_image(media).select("doc_id", "pixel_md5")
-    w = Window.partitionBy("pixel_md5")
-    return (
-        decoded.select(
-            "doc_id",
-            F.min("doc_id").over(w).alias("keeper"),
-            F.count(F.lit(1)).over(w).alias("n_class"),
-        )
-        .orderBy("doc_id")
-    )
+    return dedup_report(decoded, "pixel_md5")
 
 
 def multires_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,7 +640,19 @@ def canonical_pixel_md5(
                 px = decode_ppm(bytes(r[payload_col]))  # (h, w, 3)
                 h, w = px.shape[0], px.shape[1]
                 if h % h0 or w % w0:
-                    continue  # not an integer rendition of the canon grid
+                    # not an integer rendition of the canon grid: the
+                    # image still gets a ROW (its raw-pixel hash, a
+                    # namespaced singleton class) — silently dropping it
+                    # made the dedup report claim the doc didn't exist
+                    # (review catch). Exact duplicates of odd sizes
+                    # still collapse together.
+                    rows.append(
+                        (
+                            int(r["doc_id"]),
+                            "raw:" + hashlib.md5(px.tobytes()).hexdigest(),
+                        )
+                    )
+                    continue
                 sy, sx = h // h0, w // w0
                 canon = px[::sy, ::sx, :]
                 rows.append(
@@ -670,15 +687,7 @@ ORDER BY i.doc_id
 def multimodal_resize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multires_media_table(spark, sf_dir)
     hashed = canonical_pixel_md5(media)
-    w = Window.partitionBy("canon_md5")
-    return (
-        hashed.select(
-            "doc_id",
-            F.min("doc_id").over(w).alias("keeper"),
-            F.count(F.lit(1)).over(w).alias("n_class"),
-        )
-        .orderBy("doc_id")
-    )
+    return dedup_report(hashed, "canon_md5")
 
 
 def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -961,12 +970,4 @@ ORDER BY i.doc_id
 def multimodal_dhash_resize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = dhash_media_table(spark, sf_dir)
     hashed = dhash_images(media)
-    w = Window.partitionBy("dhash")
-    return (
-        hashed.select(
-            "doc_id",
-            F.min("doc_id").over(w).alias("keeper"),
-            F.count(F.lit(1)).over(w).alias("n_class"),
-        )
-        .orderBy("doc_id")
-    )
+    return dedup_report(hashed, "dhash")

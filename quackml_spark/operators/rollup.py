@@ -25,19 +25,24 @@ from pyspark.sql import functions as F
 
 
 def _hourly_partial(events: DataFrame) -> DataFrame:
-    # Partition keys must be SESSION-TIMEZONE-INDEPENDENT: date_trunc/
-    # date_format render in spark.sql.session.timeZone, so a build under
-    # UTC and an upsert under another zone would silently land the same
-    # instants in different (day, hour) buckets (code-review catch).
-    # to_utc_timestamp(ts, session_tz) shifts the instant so that
-    # session-zone rendering equals UTC rendering — keys are the UTC
-    # calendar regardless of who runs the job.
-    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
-    ts_utc = F.to_utc_timestamp(F.col("ts"), tz)
-    return events.groupBy(
-        F.date_format(F.date_trunc("day", ts_utc), "yyyy-MM-dd").alias("day"),
-        F.date_format(F.date_trunc("hour", ts_utc), "HH:00").alias("hour"),
-    ).agg(
+    # Partition keys must be SESSION-TIMEZONE-INDEPENDENT. The earlier
+    # to_utc_timestamp(ts, session_tz) shift got the common case right
+    # but still rendered through the session zone's CALENDAR, so a UTC
+    # wall time falling inside that zone's DST spring-forward gap
+    # resolved to the shifted hour — one UTC hour per year landed in
+    # different buckets depending on who ran the job (review catch).
+    # Pure epoch-second integer arithmetic has no calendar at all:
+    # epoch-day -> DATE via date_add (tz-free), hour = pmod//3600.
+    secs = F.unix_timestamp(F.col("ts"))
+    epoch_day = F.floor(secs / 86400)
+    day = F.date_add(
+        F.to_date(F.lit("1970-01-01")), epoch_day.cast("int")
+    ).cast("string")
+    hour = F.concat(
+        F.lpad((F.pmod(secs, 86400) / 3600).cast("int").cast("string"), 2, "0"),
+        F.lit(":00"),
+    )
+    return events.groupBy(day.alias("day"), hour.alias("hour")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)"))
         .cast("decimal(28,6)")
@@ -66,12 +71,23 @@ def rollup_upsert(new_events: DataFrame, path: str) -> list[str]:
     # — persist so the batch (and its upstream plan) is scanned once
     part = _hourly_partial(new_events).persist()
     try:
-        days = sorted(r["day"] for r in part.select("day").distinct().collect())
-        if not days:
+        day_rows = {r["day"] for r in part.select("day").distinct().collect()}
+        # NULL-timestamp events roll into the NULL day bucket (Hive
+        # default partition). They must join the day list explicitly:
+        # sorted() over a None raises, and isin([None]) matches NOTHING
+        # (NULL comparison), so the existing NULL-day partial was
+        # excluded from the merge and the overwrite silently DESTROYED
+        # the historical NULL-day aggregate (review catch).
+        has_null_day = None in day_rows
+        days = sorted(d for d in day_rows if d is not None)
+        if not days and not has_null_day:
             return []
+        day_filter = F.col("day").isin(days) if days else F.lit(False)
+        if has_null_day:
+            day_filter = day_filter | F.col("day").isNull()
         existing = (
             spark.read.parquet(path)
-            .where(F.col("day").isin(days))
+            .where(day_filter)
             .select("day", "hour", "n_events", "sum_value")
         )
         merged = (
@@ -94,7 +110,7 @@ def rollup_upsert(new_events: DataFrame, path: str) -> list[str]:
             )
         finally:
             spark.conf.set(conf, old)
-        return days
+        return days + (["__HIVE_DEFAULT_PARTITION__"] if has_null_day else [])
     finally:
         part.unpersist()
 

@@ -118,7 +118,11 @@ def _rewrite_scalars(sql: str) -> str:
     """Map the reference's bare scalar names (predict(...), embed(...))
     onto the registered quackml_* UDFs, skipping string literals."""
     out, last = [], 0
-    for m in re.finditer(r"'(?:[^']|'')*'", sql):  # protect literals
+    # protect single-quoted AND double-quoted literals: Spark's default
+    # parser (doubleQuotedIdentifiers=false) treats "..." as a string
+    # literal too, and rewriting inside one silently altered user data
+    # (review catch)
+    for m in re.finditer(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", sql):
         seg = sql[last : m.start()]
         out.append(_SCALAR_RE.sub(lambda g: _SCALAR_REWRITES[g.group(1).lower()] + "(", seg))
         out.append(m.group(0))
@@ -153,9 +157,30 @@ def execute(
             f"or named; got args={args} kwargs={sorted(kw)}"
         )
 
+    def _rest(*names: str) -> None:
+        """Map positional args after the first onto ``names`` (the
+        reference's positional call shape), then REFUSE leftovers: the
+        earlier behavior silently dropped args[1:], so
+        train('p','regression','tbl','y') trained a default-task model
+        on the wrong relation without any error (review catch)."""
+        for i, n in enumerate(names, start=1):
+            if len(args) > i:
+                if n in kw:
+                    raise ValueError(
+                        f"{fn}(...): argument {n!r} given both "
+                        f"positionally and by name"
+                    )
+                kw[n] = args[i]
+        if len(args) > 1 + len(names):
+            raise ValueError(
+                f"{fn}(...) got {len(args) - 1 - len(names)} extra "
+                f"positional argument(s) beyond ({', '.join(names)})"
+            )
+
     if fn == "train":
         from quackml_spark.ml import train
 
+        _rest("task", "relation_name", "y_column_name")
         res = train(spark, _first("project", "project_name"), catalog=catalog, **kw)
         return spark.createDataFrame(
             [(res.project, res.task, res.algorithm, bool(res.deployed))],
@@ -164,6 +189,7 @@ def execute(
     if fn == "finetune":
         from quackml_spark.ml.finetune import finetune
 
+        _rest("task", "relation_name", "y_column_name")
         res = finetune(
             spark, _first("project", "project_name"), catalog=catalog, **kw
         )
@@ -202,6 +228,7 @@ def execute(
     if fn == "load_dataset":
         from quackml_spark.ml import load_dataset
 
+        _rest()
         df = load_dataset(spark, _first("source", "source_name", "name"), **kw)
         return spark.createDataFrame([(df.count(),)], "rows bigint")
     # deploy(project, strategy[, model_id]) — positional or named args

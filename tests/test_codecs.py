@@ -286,3 +286,51 @@ def test_dhash_band_candidates_equal_bruteforce(spark):
         ).collect()
     }
     assert banded == brute
+
+
+def test_decode_wav_rejects_truncated_and_odd_sizes():
+    """The declared data-chunk size is untrusted input: oversized
+    declarations silently truncated the sample stream; odd sizes
+    crashed frombuffer with an opaque message (review catch)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from quackml_spark.operators.codecs import decode_wav, encode_wav
+
+    good = encode_wav(np.arange(10, dtype=np.int16))
+    # declare 4 more bytes than exist
+    oversized = good[:40] + struct.pack("<I", 24) + good[44:]
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(oversized)
+    odd = good[:40] + struct.pack("<I", 19) + good[44:]
+    with _pytest.raises(ValueError, match="odd byte size"):
+        decode_wav(odd)
+
+
+def test_canonical_pixel_md5_keeps_odd_sized_images(spark):
+    """An image whose dimensions are not integer multiples of the canon
+    grid must still appear in the dedup report (as its own raw-hash
+    class) — it used to vanish entirely (review catch)."""
+    from quackml_spark.operators.codecs import encode_ppm
+    from quackml_spark.operators.multimodal import canonical_pixel_md5
+
+    import numpy as np
+
+    def img(seed, w, h):
+        i = np.arange(w * h * 3, dtype=np.int64)
+        return encode_ppm(((seed * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w, 3))
+
+    rows = [
+        (0, "image", "image/x-portable-pixmap", 8, 4, None, img(1, 8, 4)),
+        (1, "image", "image/x-portable-pixmap", 10, 4, None, img(2, 10, 4)),  # 10 % 8 != 0
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id bigint, modality string, mime string, width int, "
+        "height int, duration_s double, payload binary",
+    )
+    out = {r["doc_id"]: r["canon_md5"] for r in canonical_pixel_md5(media).collect()}
+    assert set(out) == {0, 1}
+    assert out[1].startswith("raw:")

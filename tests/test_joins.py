@@ -210,3 +210,25 @@ def test_interval_join_point_in_time_matches_duckdb(spark, sf_dir, duck):
     assert got == want
     assert any(v is not None for v in got.values())
     assert any(v is None for v in got.values())
+
+
+def test_asof_tolerance_on_date_columns(spark):
+    """tolerance_seconds on a DATE 'on' column must work: DATE cannot
+    cast straight to DOUBLE, so the tolerance path crashed with an
+    AnalysisException on inputs the tolerance-less join handled fine
+    (review catch)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-10"), (2, "2024-03-01")], "id long, d string"
+    ).select("id", F.lit(1).alias("k"), F.to_date("d").alias("d"))
+    right = spark.createDataFrame(
+        [("2024-01-08", 100.0)], "d string, px double"
+    ).select(F.lit(1).alias("k"), F.to_date("d").alias("d"), "px")
+    out = {
+        r["id"]: r["px"]
+        for r in asof_join(
+            left, right, on="d", by_left="k", by_right="k",
+            tolerance_seconds=7 * 86400,
+        ).collect()
+    }
+    assert out[1] == 100.0       # 2 days back, inside tolerance
+    assert out[2] is None        # 53 days back, outside

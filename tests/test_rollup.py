@@ -113,3 +113,58 @@ def test_rollup_keys_timezone_independent(spark, sf_dir, tmp_path):
     assert len(ny_rows) == len(utc_rows)
     assert [(d, h) for d, h, *_ in ny_rows] == [(d, h) for d, h, *_ in utc_rows]
     assert all(n2 == 2 * n1 for (_, _, n1, _), (_, _, n2, _) in zip(utc_rows, ny_rows))
+
+
+def test_upsert_preserves_null_day_partition(spark, tmp_path):
+    """NULL-timestamp events roll into the NULL day bucket; an upsert
+    touching it used to EXCLUDE the existing NULL-day partial from the
+    merge (isin([None]) matches nothing) and the dynamic overwrite then
+    destroyed the historical aggregate (review catch)."""
+    path = str(tmp_path / "roll")
+    base = spark.createDataFrame(
+        [(None, 10.0), (None, 20.0), ("2024-01-01 05:00:00", 1.0)],
+        "ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rollup_build(base, path)
+    batch = spark.createDataFrame(
+        [(None, 5.0)], "ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    days = rollup_upsert(batch, path)
+    assert "__HIVE_DEFAULT_PARTITION__" in days
+    null_row = (
+        spark.read.parquet(path).where(F.col("day").isNull()).collect()
+    )
+    assert len(null_row) == 1
+    assert null_row[0]["n_events"] == 3  # 2 history + 1 batch, not 1
+    assert float(null_row[0]["sum_value"]) == 35.0
+
+
+def test_rollup_keys_survive_dst_gap(spark, tmp_path):
+    """An instant whose UTC wall time falls in the session zone's DST
+    spring-forward gap must key identically under any session timezone:
+    the old to_utc_timestamp rendering resolved the nonexistent local
+    hour by shifting it (review catch). 2026-03-08T02:30:00Z reads as
+    local 02:30 in America/New_York's gap."""
+    from quackml_spark.operators.rollup import _hourly_partial
+
+    ev = spark.createDataFrame(
+        [("2026-03-08 02:30:00", 1.0)], "ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))  # parsed under current tz
+
+    tz_conf = "spark.sql.session.timeZone"
+    old = spark.conf.get(tz_conf)
+    try:
+        spark.conf.set(tz_conf, "UTC")
+        ev_utc = spark.createDataFrame(
+            [("2026-03-08 02:30:00", 1.0)], "ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        under_utc = _hourly_partial(ev_utc).collect()[0]
+        spark.conf.set(tz_conf, "America/New_York")
+        under_ny = _hourly_partial(ev_utc).collect()[0]
+    finally:
+        spark.conf.set(tz_conf, old)
+    assert (under_utc["day"], under_utc["hour"]) == (
+        under_ny["day"],
+        under_ny["hour"],
+    ), (under_utc, under_ny)
+    assert under_utc["hour"] == "02:00"

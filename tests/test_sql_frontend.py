@@ -139,3 +139,45 @@ def test_pipeline_table_function_positional_and_missing_args(spark, sf_dir):
     assert df.count() > 0
     with _pytest.raises(ValueError, match="needs the data directory"):
         execute(spark, "SELECT * FROM pipeline('dedup_exact')")
+
+
+def test_train_positional_args_are_consumed(spark, tmp_path):
+    """The reference's positional call shape train('p','task','tbl','y')
+    must map args onto (task, relation_name, y_column_name) — they were
+    silently dropped, training a default-task model on the wrong
+    relation (review catch); extras raise."""
+    import pytest as _pytest
+
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.sql import execute
+
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    spark.createDataFrame(
+        [(float(i), 2.0 * i) for i in range(30)], "x double, y double"
+    ).createOrReplaceTempView("sqltrain_tbl")
+    out = execute(
+        spark,
+        "SELECT * FROM train('sql pos proj', 'regression', 'sqltrain_tbl', "
+        "'y', test_sampling => 'random')",
+        catalog=cat,
+    ).collect()[0]
+    assert out["task"] == "regression"
+    # the trained model actually used the named relation and label
+    models = cat.read("models")
+    assert len(models) == 1
+    with _pytest.raises(ValueError, match="extra positional"):
+        execute(
+            spark,
+            "SELECT * FROM train('p2', 'regression', 'sqltrain_tbl', 'y', "
+            "'surplus')",
+            catalog=cat,
+        )
+
+
+def test_double_quoted_literals_not_rewritten(spark):
+    """Spark's default parser treats \"...\" as a string literal; the
+    scalar rewrite must not alter text inside it (review catch)."""
+    from quackml_spark.sql import execute
+
+    row = execute(spark, 'SELECT "call predict(x) now" AS s').collect()[0]
+    assert row["s"] == "call predict(x) now"
