@@ -133,6 +133,11 @@ def run_hf_finetune(
     tf = _import_transformers()
     hp = dict(hyperparams)
     training_args_dict, hp = _split_training_args(hp)
+    # honor the fallback path's 'epochs' alias: it was silently dropped
+    # here, so the same finetune(...) call trained 2 epochs with
+    # transformers installed and N without (review catch)
+    if "epochs" in hp and "num_train_epochs" not in training_args_dict:
+        training_args_dict["num_train_epochs"] = int(hp.pop("epochs"))
     training_args_dict.setdefault("num_train_epochs", 2)
     callback = make_log_callback(tf, catalog, project_id, model_id)
     tokenizer = tf.AutoTokenizer.from_pretrained(model_name)
@@ -164,17 +169,43 @@ def run_hf_finetune(
             id2label=id2label,
             label2id=label2id,
         )
+
+        def compute_metrics(eval_pred):
+            # accuracy + macro F1: without these the Trainer reports
+            # only loss/runtime, so deploy(best_score) could never
+            # select an HF-trained classifier on the task's default
+            # metric (review catch)
+            import numpy as _np
+
+            logits, labels = eval_pred
+            preds = _np.argmax(logits, axis=-1)
+            labels = _np.asarray(labels)
+            acc = float((preds == labels).mean()) if len(labels) else 0.0
+            f1s = []
+            for c in range(len(classes)):
+                tp = int(((preds == c) & (labels == c)).sum())
+                fp = int(((preds == c) & (labels != c)).sum())
+                fn = int(((preds != c) & (labels == c)).sum())
+                f1s.append(
+                    2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
+                )
+            return {
+                "accuracy": acc,
+                "f1": float(_np.mean(f1s)) if f1s else 0.0,
+            }
+
         trainer = tf.Trainer(
             model=model,
             args=tf.TrainingArguments(output_dir=path, logging_dir=path, **training_args_dict),
             train_dataset=_as_dataset(tf, encode(train_rows)),
             eval_dataset=_as_dataset(tf, encode(test_rows)),
             callbacks=[callback],
+            compute_metrics=compute_metrics,
         )
         trainer.train()
         trainer.save_model(path)
         metrics = _clean_eval_metrics(trainer.evaluate())
-        artifact = {"classes": classes, "label2id": label2id}
+        artifact = {"classes": classes, "label2id": label2id, "hf_checkpoint": path}
 
     elif task == "summarization":
         max_in = int(hp.get("max_input_length", 1024))
@@ -189,12 +220,20 @@ def run_hf_finetune(
                     padding="max_length",
                 )
             )
-            enc["labels"] = tokenizer(
+            raw_labels = tokenizer(
                 [r["summary"] for r in rows],
                 max_length=max_out,
                 truncation=True,
                 padding="max_length",
             )["input_ids"]
+            # mask pad positions to -100: labels are PRE-padded, so
+            # DataCollatorForSeq2Seq never substitutes its
+            # label_pad_token_id and the cross-entropy would otherwise
+            # mostly learn "predict the pad token" (review catch)
+            pad = tokenizer.pad_token_id
+            enc["labels"] = [
+                [(t if t != pad else -100) for t in seq] for seq in raw_labels
+            ]
             return enc
 
         model = tf.AutoModelForSeq2SeqLM.from_pretrained(model_name)

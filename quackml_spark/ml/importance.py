@@ -128,13 +128,18 @@ def permutation_importance(
                 if "prediction_label" in scored.columns
                 else "prediction"
             )
+            # NULL-safe equality: a NULL prediction (or label) must
+            # count as WRONG, not drop out of the denominator — avg
+            # skips NULLs, so a permutation that produced MORE NULL
+            # predictions could raise measured accuracy and flip the
+            # feature's importance sign (review catch)
             return float(
                 scored.agg(
                     F.avg(
-                        (
-                            F.col(pred_col).cast("string")
-                            == F.col(label_col).cast("string")
-                        ).cast("double")
+                        F.col(pred_col)
+                        .cast("string")
+                        .eqNullSafe(F.col(label_col).cast("string"))
+                        .cast("double")
                     )
                 ).collect()[0][0]
             )

@@ -40,6 +40,12 @@ def fit_ols_per_group(
     def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[x_col].astype("float64").to_numpy()
         y = pdf[y_col].astype("float64").to_numpy()
+        # regr_slope semantics: NULL pairs are IGNORED, not propagated —
+        # one NULL x in a 100-row group used to NaN the whole group's
+        # fit (mx/sxx NaN sails past the sxx == 0 guard) while DuckDB
+        # returned the valid-pair fit (review catch)
+        ok = ~(pd.isna(x) | pd.isna(y))
+        x, y = x[ok], y[ok]
         n = len(x)
         gid = pdf[group_col].iloc[0]
         gid = None if pd.isna(gid) else gid

@@ -25,6 +25,8 @@ class _FakeBatch(dict):
 
 class _FakeTokenizer:
     eos_token = "</s>"
+    pad_token_id = 0  # real tokenizers expose it; the seq2seq label
+    # masking reads it to turn pad positions into -100
 
     def __call__(self, texts, second=None, **kw):
         def ids(t):

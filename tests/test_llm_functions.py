@@ -457,3 +457,100 @@ def test_word2vec_survives_null_text(spark):
     vecs = doc_vectors(model, df)
     assert vecs.count() == 3
     assert "" not in {r["word"] for r in model.getVectors().collect()}
+
+
+def test_finetune_failure_marks_model_failed(spark, tmp_path, monkeypatch):
+    """An exception after the models row is inserted must flip it to
+    'failed' (train() parity) — it stayed in_progress forever, so
+    catalog views and deploy saw an eternally-running model (review
+    catch)."""
+    import pytest as _pytest
+
+    import quackml_spark.ml.finetune as ft
+    from quackml_spark.catalog import Catalog
+
+    def boom(*a, **k):
+        raise RuntimeError("fit exploded")
+
+    monkeypatch.setattr(ft.NaiveBayesTextModel, "fit", boom)
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [("hello world", "en"), ("bonjour monde", "fr")] * 5,
+        "text string, class string",
+    )
+    with _pytest.raises(RuntimeError, match="fit exploded"):
+        ft.finetune(spark, "ft fail", "text_classification", df=df, catalog=cat)
+    models = cat.read("models")
+    assert len(models) == 1
+    assert models.iloc[0]["status"] == "failed"
+
+
+def test_naive_bayes_unseen_default_is_per_class(spark):
+    """The unseen-token default must be the per-class Laplace value
+    log(1/(class_total+V)): the old constant log(1/V) made a token seen
+    once in a LARGE class score below a class with no evidence at all,
+    voting against the class it appeared in (review catch)."""
+    from quackml_spark.ml.finetune import NaiveBayesTextModel
+
+    # class 'big' has lots of tokens; 'rare-token' appears ONLY in big
+    texts = [("filler" + str(i % 97)) * 1 for i in range(300)]
+    big_texts = [" ".join(texts[i : i + 50]) for i in range(0, 250, 50)]
+    big_texts[0] += " rare-token"
+    small_texts = ["tiny doc here", "another tiny doc"]
+    model = NaiveBayesTextModel.fit(
+        big_texts + small_texts, ["big"] * len(big_texts) + ["small"] * 2
+    )
+    # a doc that is ONLY the rare token must classify as the class that
+    # actually saw it
+    assert model.predict("rare-token") == "big"
+    # round-trip keeps the per-class defaults
+    clone = NaiveBayesTextModel.from_json(model.to_json())
+    assert clone.class_default == model.class_default
+
+
+def test_predict_text_accepts_hf_artifacts(spark, tmp_path):
+    """An HF-trained classifier artifact (trained_with=hf-trainer,
+    classes, no 'model' key) must build a serving plan instead of
+    raising 'not a text classifier' (review catch); without
+    transformers on the worker, EXECUTING it raises the documented
+    ImportError, never the misleading ValueError."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from quackml_spark.catalog import Catalog
+    from quackml_spark.ml.finetune import predict_text
+
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    pid = cat.insert("projects", {"name": "hf proj", "task": "text_classification"})
+    mid = cat.insert(
+        "models",
+        {"project_id": pid, "snapshot_id": 1, "algorithm": "transformers",
+         "status": "successful", "metrics": "{}"},
+    )
+    path = cat.model_dir(mid)
+    os.makedirs(path, exist_ok=True)
+    with open(path + "/checkpoint.json", "w") as f:
+        _json.dump(
+            {"task": "text_classification", "classes": ["a", "b"],
+             "label2id": {"a": 0, "b": 1}, "trained_with": "hf-trainer"},
+            f,
+        )
+    cat.insert("files", {"model_id": mid, "path": path, "part": 0})
+    cat.insert(
+        "deployments",
+        {"project_id": pid, "model_id": mid, "strategy": "new_score"},
+    )
+    df = spark.createDataFrame([(1, "some text")], "id long, text string")
+    out = predict_text(df, "hf proj", "text", catalog=cat)  # plan builds
+    assert "predicted_class" in out.columns
+    try:
+        import transformers  # noqa: F401
+
+        has_tf = True
+    except ImportError:
+        has_tf = False
+    if not has_tf:
+        with _pytest.raises(Exception, match="requires transformers"):
+            out.collect()

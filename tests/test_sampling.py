@@ -159,3 +159,20 @@ def test_dsir_select_is_deterministic_and_seed_sensitive(spark):
     c = {r["doc_id"] for r in dsir_select(raw, target, 10, seed=7).collect()}
     assert a == b  # pure function of (corpus, target, seed)
     assert set(a) != c  # noise actually depends on the seed
+
+
+def test_per_group_ols_ignores_null_pairs(spark):
+    """regr_slope parity: NULL (x or y) pairs are IGNORED — one NULL x
+    in a group used to NaN the whole group's fit (NaN mean sails past
+    the zero-variance guard) while DuckDB returned the valid-pair fit
+    (review catch)."""
+    from quackml_spark.ml.pergroup import fit_ols_per_group
+
+    rows = [("g1", float(i), 2.0 * i + 1.0) for i in range(10)]
+    rows.append(("g1", None, 5.0))    # NULL x
+    rows.append(("g1", 3.0, None))    # NULL y
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = fit_ols_per_group(df, "g", "x", "y").collect()[0]
+    assert out["slope"] is not None
+    assert abs(out["slope"] - 2.0) < 1e-9
+    assert abs(out["intercept"] - 1.0) < 1e-9
