@@ -76,8 +76,15 @@ def _fit_lars(X, y, hp, seed):
         u = Xa @ w
         a = Xc.T @ u
         C = abs(c[active[0]]) if len(active) == 1 else np.abs(c[active]).max()
-        if len(active) == min(d, n - 1) or len(active) == n_active_max:
-            gamma = C / A  # last step: go all the way to the OLS fit
+        if len(active) == min(d, n - 1):
+            # true path END: no competitor can enter — the full OLS jump
+            # is the last knot. An n_nonzero_coefs cut must NOT take
+            # this jump: sklearn stops at the knot where the next
+            # variable would enter, and jumping to OLS there returned
+            # systematically larger coefficients (review catch); the
+            # competitor-gamma branch below handles the cut correctly
+            # (no inactive competitors -> it falls back to C/A anyway).
+            gamma = C / A
         else:
             gammas = []
             for j in range(d):
@@ -833,7 +840,15 @@ def _fit_ada_boost_reg(X, y, hp, seed):
 
 def _fit_bagging(X, y, hp, seed, classification=False):
     """Bootstrap-aggregated deep CARTs (sklearn's default base is an
-    unpruned tree; depth 10 approximates it under the row budget)."""
+    unpruned tree; depth 10 approximates it under the row budget).
+
+    Classification fits ONE INDICATOR TREE PER CLASS per bootstrap
+    (y==c -> 1/0) and votes by per-estimator argmax — _cart_fit's own
+    contract ('classification callers pass ±1/one-hot targets'). The
+    earlier version fit regression CARTs on the RAW ordinal labels, so
+    a leaf mixing classes 0 and 2 averaged to 1.0 and predicted class
+    1, a class present in neither (review catch); for binary the
+    indicator-variance split ranks candidates exactly like gini."""
     n_estimators = int(hp.get("n_estimators", 10))
     max_depth = int(hp.get("max_depth", 10))
     rng = np.random.default_rng(seed)
@@ -843,7 +858,20 @@ def _fit_bagging(X, y, hp, seed, classification=False):
     for _ in range(n_estimators):
         idx = rng.choice(n, size=n, replace=True)
         w = np.full(len(idx), 1.0 / len(idx))
-        trees.append(_cart_fit(X[idx], y[idx], w, max_depth=max_depth))
+        if classification:
+            trees.append(
+                [
+                    _cart_fit(
+                        X[idx],
+                        (y[idx] == c).astype("float64"),
+                        w,
+                        max_depth=max_depth,
+                    )
+                    for c in classes
+                ]
+            )
+        else:
+            trees.append(_cart_fit(X[idx], y[idx], w, max_depth=max_depth))
     return {
         "kind": "ensemble",
         "mode": "bagging_clf" if classification else "bagging_reg",
@@ -1190,10 +1218,11 @@ def _ensemble_predict_fn(p):
 
         def fn(X):
             votes = np.zeros((len(X), len(classes)))
-            for t in trees:
-                pred = _cart_predict(t, X)
-                nearest = np.abs(pred[:, None] - classes[None, :]).argmin(axis=1)
-                votes[np.arange(len(X)), nearest] += 1
+            for per_class in trees:  # one estimator = per-class trees
+                scores = np.stack(
+                    [_cart_predict(t, X) for t in per_class], axis=1
+                )
+                votes[np.arange(len(X)), scores.argmax(axis=1)] += 1
             return classes[votes.argmax(axis=1)]
 
         return fn

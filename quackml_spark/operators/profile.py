@@ -173,7 +173,13 @@ def domain_cap_sample(
     key = F.md5(
         F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
     )
-    w = Window.partitionBy(source_col).orderBy(key.asc(), F.col(id_col).asc())
+    # NULLS LAST on both engines: a NULL id's md5 key is NULL, which
+    # Spark's plain ASC sorts FIRST (always inside the cap, displacing
+    # a real doc) while DuckDB sorts it LAST — the exact divergence
+    # corpus_profile's window already guards (review catch)
+    w = Window.partitionBy(source_col).orderBy(
+        key.asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
     return (
         docs.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= cap)

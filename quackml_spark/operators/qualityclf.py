@@ -32,10 +32,17 @@ from quackml_spark.sources import load_table
 def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
     """Whitespace unigrams + space-joined bigrams via the engine's ONE
     shared gram recipe (text.grams_expr — the same features DSIR
-    hashes), as one built-in expression (no Python UDF)."""
+    hashes), as one built-in expression (no Python UDF). NULL text
+    coalesces to an EMPTY gram array: grams_expr(NULL) is a NULL array
+    and MLlib HashingTF.transform throws an opaque NPE on it, killing
+    the whole corpus scoring job on one NULL row (review catch — the
+    word2vec class, fixed the same way)."""
     from quackml_spark.operators.text import grams_expr
 
-    return df.withColumn("__grams", grams_expr(text_col))
+    return df.withColumn(
+        "__grams",
+        F.coalesce(grams_expr(text_col), F.array().cast("array<string>")),
+    )
 
 
 def train_quality_classifier(

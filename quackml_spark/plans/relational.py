@@ -524,8 +524,14 @@ ORDER BY grp
 )
 def q11_ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    x = dec("l_quantity", 19)
-    y = dec("l_extendedprice", 19)
+    # width 18, not 19, on the SPARK side: a (19,6)x(19,6) product needs
+    # precision 39 > 38 and Spark silently truncates the scale to 11 per
+    # row — the q08 bug class (commit f20bd2b), latent here until a
+    # larger SF amplifies the cancellation-prone n*sxx - sx*sx forms
+    # (review catch). The oracle keeps width 19: DuckDB's width-18
+    # multiply runs in int64 and overflows per-row.
+    x = dec("l_quantity", 18)
+    y = dec("l_extendedprice", 18)
     m = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
         F.count(F.lit(1)).alias("n"),
         out_double(F.sum(x)).alias("sx"),

@@ -211,14 +211,20 @@ def q18_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session aggregate keys on (user_id, session_no), which that
     # partitioning already co-locates; the tail sort exists only for
     # deterministic oracle output.
-    from quackml_spark.sources.tables import ts_epoch_seconds
+    from quackml_spark.sources.tables import ts_epoch_micros, ts_epoch_seconds
 
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = ts_epoch_seconds("ts") - F.lag(ts_epoch_seconds("ts")).over(w)
+    # gap compares MICROSECONDS: the oracle's `ts - LAG(ts) > INTERVAL
+    # 30 MINUTE` is exact, so a floor-to-second gap of exactly 1800 s
+    # whose true interval is 1800.x s sessionized differently per
+    # engine (review catch; q19 already compares micros). duration_s
+    # stays on floor-second epochs — DuckDB's date_diff('second')
+    # counts boundary crossings, which IS the floor-epoch difference.
+    gap = ts_epoch_micros("ts") - F.lag(ts_epoch_micros("ts")).over(w)
     marked = ev.withColumn(
         "new_sess",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     )
     sess = marked.withColumn(
         "session_no",
@@ -374,8 +380,12 @@ def q20_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     y97 = cohort("1997-01-01", "1998-01-01")
     rows = [
         ("both", y96.intersect(y97)),
-        ("only_96", y96.exceptAll(y97.intersect(y96))),
-        ("only_97", y97.exceptAll(y96.intersect(y97))),
+        # subtract == EXCEPT-distinct, exactly the oracle's EXCEPT; the
+        # earlier exceptAll(intersect(...)) planned a redundant extra
+        # INTERSECT exchange per cohort for the same result (review
+        # catch)
+        ("only_96", y96.subtract(y97)),
+        ("only_97", y97.subtract(y96)),
     ]
     out = None
     for name, df in rows:

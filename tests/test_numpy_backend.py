@@ -915,3 +915,65 @@ def test_svr_kkt_exactness():
     assert kkt_bad(X2, y2, p2, 10.0, 0.05) == 0
     pred = (X2 @ X2.T) @ np.asarray(p2["dual"]) + p2["y_offset"]
     assert np.abs(pred - y2).max() <= 0.05 + 1e-3
+
+
+def test_bagging_multiclass_never_predicts_absent_class():
+    """Regression CARTs on raw ordinal labels averaged a {0, 2} leaf to
+    1.0 and predicted class 1 — a class present in neither branch
+    (review catch). With per-class indicator trees the prediction is
+    always a class the region actually contains, and a separable
+    3-class problem classifies correctly."""
+    from quackml_spark.ml.numpy_backend import (
+        _ensemble_predict_fn,
+        _fit_bagging,
+    )
+
+    rng = np.random.default_rng(7)
+    # classes 0 and 2 are NOT separable in X (same distribution);
+    # class 1 lives far away
+    X02 = rng.uniform(0.0, 1.0, size=(200, 1))
+    y02 = np.array([0.0, 2.0] * 100)
+    X1 = rng.uniform(100.0, 101.0, size=(100, 1))
+    X = np.vstack([X02, X1])
+    y = np.concatenate([y02, np.ones(100)])
+    p = _fit_bagging(X, y, {"max_depth": 4}, 0, classification=True)
+    fn = _ensemble_predict_fn(p)
+    pred02 = fn(X02)
+    # the unseparable region must answer with a class that EXISTS there
+    assert set(np.unique(pred02)) <= {0.0, 2.0}, np.unique(pred02)
+    # and the far class-1 region classifies exactly
+    assert (fn(X1) == 1.0).all()
+
+    # separable 3-class sanity: near-perfect accuracy
+    Xs = np.concatenate([
+        rng.uniform(0, 1, 150), rng.uniform(2, 3, 150), rng.uniform(4, 5, 150)
+    ]).reshape(-1, 1)
+    ys = np.repeat([0.0, 1.0, 2.0], 150)
+    ps = _fit_bagging(Xs, ys, {"max_depth": 4}, 0, classification=True)
+    acc = (_ensemble_predict_fn(ps)(Xs) == ys).mean()
+    assert acc > 0.98, acc
+
+
+def test_lars_early_stop_at_the_knot():
+    """Lars(n_nonzero_coefs=1) must stop at the path knot where the
+    SECOND variable would enter (equal residual correlations), not jump
+    to the single-feature OLS fit (review catch). At the knot,
+    |corr(x1, r)| == |corr(x2, r)|; the OLS jump zeroes corr(x1, r)."""
+    from quackml_spark.ml.numpy_backend import _fit_lars
+
+    rng = np.random.default_rng(11)
+    x1 = rng.normal(size=400)
+    x2 = 0.7 * x1 + 0.7141 * rng.normal(size=400)  # correlated pair
+    X = np.column_stack([x1, x2])
+    y = 3.0 * x1 + 1.0 * x2 + 0.01 * rng.normal(size=400)
+    p = _fit_lars(X, y, {"n_nonzero_coefs": 1}, 0)
+    coef = np.asarray(p["coef"])
+    assert coef[1] == 0.0  # only one active variable
+    # knot property: residual correlations tie (within numeric noise)
+    Xc = X - X.mean(axis=0)
+    r = (y - y.mean()) - Xc @ coef
+    c = np.abs(Xc.T @ r)
+    assert abs(c[0] - c[1]) < 1e-8 * max(c[0], 1.0), c
+    # and the coefficient is SHRUNK vs the single-feature OLS fit
+    ols1 = float((Xc[:, 0] @ (y - y.mean())) / (Xc[:, 0] @ Xc[:, 0]))
+    assert 0.0 < coef[0] < ols1

@@ -92,3 +92,27 @@ def test_q28_zero_variance_window_still_excluded(spark, tmp_path):
     con = duckdb_connection(d)
     ok, msg = compare(qd.builder(spark, d), con, qd.oracle)
     assert ok, msg
+
+
+def test_q18_session_gap_compares_microseconds(spark, tmp_path):
+    """A gap of 1800.5 s (floor-second diff exactly 1800) must start a
+    NEW session: the oracle compares the exact interval, and the old
+    floor-second gap kept the session going — session numbering
+    diverged per engine on microsecond-timestamped data (review
+    catch). Full DuckDB parity on the planted table."""
+    rows = [
+        (0, "2024-01-01 10:00:00.100000", 1, "a", 1.0, "{}"),
+        (1, "2024-01-01 10:30:00.600000", 1, "a", 1.0, "{}"),  # 1800.5s
+        (2, "2024-01-01 10:40:00.000000", 1, "a", 1.0, "{}"),
+    ]
+    d = _plant_events(spark, tmp_path, [
+        (e, __import__("datetime").datetime.strptime(ts, "%Y-%m-%d %H:%M:%S.%f"),
+         u, t, v, pr)
+        for e, ts, u, t, v, pr in rows
+    ])
+    qd = REGISTRY["q18_sessionize_batch"]
+    got = qd.builder(spark, d).collect()
+    assert len(got) == 2  # the 1800.5s gap split the sessions
+    con = duckdb_connection(d)
+    ok, msg = compare(qd.builder(spark, d), con, qd.oracle)
+    assert ok, msg
