@@ -874,6 +874,7 @@ def dedup_index_check(
     text_col: str = "text",
     bands: DataFrame | None = None,
     exclude_batch: int | None = None,
+    exclude_run: str | None = None,
     ordered: bool = True,
 ) -> DataFrame:
     """Candidate duplicates of ``new_docs`` against the persisted index:
@@ -891,8 +892,14 @@ def dedup_index_check(
     a replayed micro-batch (crash after its band append, before the
     checkpoint commit) would otherwise match every previously-novel
     doc against its OWN appended bands and flip it to a duplicate
-    (review catch). ``ordered=False`` drops the presentation sort for
-    callers that aggregate the result anyway."""
+    (review catch). When ``exclude_run`` is also given, the exclusion
+    narrows to rows whose run_key ALSO matches — a new
+    checkpoint-less run's batch ids restart at 0, and a bare batch_id
+    exclusion would skip a PRIOR run's committed batch-0 bands,
+    silently missing those duplicates (advisor catch). Rows written
+    before the run_key / batch_id columns existed read as ''/-1 and
+    are never excluded. ``ordered=False`` drops the presentation sort
+    for callers that aggregate the result anyway."""
     spark = new_docs.sparkSession
     try:
         m = spark.read.parquet(f"{path}/manifest.parquet").first()
@@ -909,9 +916,34 @@ def dedup_index_check(
             f"(k, bands, rows, modulus, shingle)={got}, engine expects "
             f"{want} — rebuild the index"
         )
-    idx = spark.read.parquet(f"{path}/bands")
-    if exclude_batch is not None and "batch_id" in idx.columns:
-        idx = idx.where(F.col("batch_id") != int(exclude_batch))
+    # mergeSchema: the bands dir accretes files across upgrades (pre-r8
+    # files lack batch_id, pre-r9 lack run_key); a single-file-inferred
+    # schema over the mixed directory would either fail column
+    # resolution or NULL the column on new rows, and a NULL batch_id in
+    # the exclusion predicate silently drops the row from the index
+    # side, disabling dedup against pre-upgrade history (advisor
+    # catch). Footers-only cost; compaction keeps the file count small.
+    idx = spark.read.option("mergeSchema", "true").parquet(f"{path}/bands")
+    if exclude_batch is not None:
+        bid_col = (
+            F.coalesce(F.col("batch_id"), F.lit(-1))
+            if "batch_id" in idx.columns
+            else F.lit(-1)
+        )
+        if exclude_run is not None:
+            run_col = (
+                F.coalesce(F.col("run_key"), F.lit(""))
+                if "run_key" in idx.columns
+                else F.lit("")
+            )
+            idx = idx.where(
+                ~(
+                    (run_col == F.lit(exclude_run))
+                    & (bid_col == int(exclude_batch))
+                )
+            )
+        else:
+            idx = idx.where(bid_col != int(exclude_batch))
     idx = idx.select(
         F.col("doc_id").alias("index_doc_id"), "band_id", "band_key"
     )

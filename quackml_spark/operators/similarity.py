@@ -1561,6 +1561,14 @@ def ivf_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> int:
       the duplicate vec_ids rather than double-inserting.
 
     Returns the number of appended vectors."""
+    from quackml_spark.sources.files import _require_local, replace_dir
+
+    # fail fast BEFORE any index mutation: the manifest swap at the end
+    # uses local-filesystem renames (replace_dir), so a URI path
+    # (hdfs://, s3a://) would otherwise append the lists and THEN crash,
+    # leaving a mutated index whose every re-run trips the append-only
+    # duplicate-vec_id check (advisor catch)
+    _require_local(path, "ivf_index_append")
     try:
         man = spark.read.parquet(f"{path}/manifest.parquet").first()
     except Exception as e:
@@ -1623,8 +1631,6 @@ def ivf_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> int:
         n_new = int(assigned.count())
     finally:
         assigned.unpersist()
-    from quackml_spark.sources.files import replace_dir
-
     mdf = spark.createDataFrame(
         [
             (

@@ -347,8 +347,13 @@ def compact_partitioned_dir(
     shutil.rmtree(old, ignore_errors=True)
     bytes_before, files_before = _dir_bytes_files(data_dir)
     n_out = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
+    # mergeSchema: compacted dirs accrete columns across upgrades
+    # (bands gained batch_id in r8, run_key in r9); inferring the
+    # schema from ONE file would silently drop the newer columns from
+    # every row in the rewrite, destroying the replay-scoping state
+    # the appends recorded (advisor-catch class)
     (
-        spark.read.parquet(data_dir)
+        spark.read.option("mergeSchema", "true").parquet(data_dir)
         .repartitionByRange(n_out, *range_cols)
         .sortWithinPartitions(*range_cols)
         .write.mode("overwrite")

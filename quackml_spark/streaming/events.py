@@ -379,6 +379,31 @@ def stream_stream_lookback_join(
     )
 
 
+# bump when _bloom_positions' bit layout changes: persisted bitmaps
+# are only meaningful under the exact hash layout that wrote them
+_BLOOM_STATE_V = 2
+
+
+def _bloom_state_decode(raw: bytes, m_bits: int) -> bytearray:
+    """Decode a persisted Bloom state blob (1 version byte + bitmap),
+    refusing unversioned or incompatible layouts loudly. The r8
+    _bloom_positions fix changed the BIT LAYOUT without changing the
+    blob length, so a checkpoint written under the old layout would
+    silently readmit every previously-seen key once (advisor catch);
+    unversioned blobs (exactly m_bits//8 bytes) are indistinguishable
+    between layouts and must be rejected."""
+    if len(raw) == 1 + m_bits // 8 and raw[0] == _BLOOM_STATE_V:
+        return bytearray(raw[1:])
+    raise ValueError(
+        "streaming_bloom_dedup: persisted Bloom state has an "
+        "unversioned or incompatible bit layout (written by an "
+        "older engine build, or with different m_bits); its "
+        "membership bits cannot be trusted under the current "
+        "hash layout — restart the query from a FRESH "
+        "checkpoint location"
+    )
+
+
 def _bloom_positions(key: str, k: int, m_bits: int) -> list[int]:
     """The k Bloom bit positions for a key: each position gets its OWN
     prefixed md5 (the streaming_countmin recipe). Slicing one digest —
@@ -423,6 +448,12 @@ def streaming_bloom_dedup(
     in batch arrival order (ts when present, then key columns, then
     every remaining column, STABLE sort) so the surviving row is
     identical across replays. Works on any keyed stream schema.
+
+    The persisted bitmap carries a layout-version byte: a bitmap
+    written under a different bit layout (older engine build, or
+    different m_bits) is refused loudly instead of silently
+    readmitting previously-seen keys — restart from a fresh
+    checkpoint after upgrading across a layout change.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import BinaryType, StructField, StructType
@@ -459,7 +490,11 @@ def streaming_bloom_dedup(
     def fn(key, pdfs, state: GroupState):
         import pandas as _pd
 
-        bitmap = bytearray(state.get[0]) if state.exists else bytearray(m_bits // 8)
+        bitmap = (
+            _bloom_state_decode(state.get[0], m_bits)
+            if state.exists
+            else bytearray(m_bits // 8)
+        )
         rows = _pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         keep = []
@@ -471,7 +506,7 @@ def streaming_bloom_dedup(
                 keep.append(True)
                 for p in pos:
                     bitmap[p >> 3] |= 1 << (p & 7)
-        state.update((bytes(bitmap),))
+        state.update((bytes([_BLOOM_STATE_V]) + bytes(bitmap),))
         yield rows.loc[keep, cols]
 
     return src.groupBy("__shard").applyInPandasWithState(
@@ -574,6 +609,7 @@ def streaming_index_dedup(
     text_col: str = "text",
     query_name: str = "qml_index_dedup",
     checkpoint_location: str | None = None,
+    run_key: str | None = None,
 ):
     """Continuous near-dup filtering of a document stream against the
     PERSISTED MinHash-LSH index (operators.dedup.dedup_index_build) —
@@ -606,8 +642,21 @@ def streaming_index_dedup(
     verified Jaccard re-rank the flagged pairs only. Returns the
     started StreamingQuery (availableNow drains in tests; unbounded
     triggers in production).
+
+    Replay scoping: appended bands carry (run_key, batch_id) — the
+    checkpoint location when configured (stable across restarts, so a
+    replayed batch id names the same attempt), else a per-run UUID.
+    The index probe excludes only rows this run's CURRENT batch
+    appended; a bare batch_id exclusion made a new checkpoint-less
+    run's batch 0 skip a prior run's committed batch-0 bands,
+    silently missing those duplicates (advisor catch).
     """
+    import uuid
+
     from quackml_spark.operators.dedup import dedup_index_check, doc_band_keys
+
+    if run_key is None:
+        run_key = checkpoint_location or f"run-{uuid.uuid4().hex}"
 
     def _process(batch_df, batch_id):
         batch_df = batch_df.select(
@@ -629,6 +678,7 @@ def streaming_index_dedup(
                 index_path,
                 bands=bands,
                 exclude_batch=int(batch_id),
+                exclude_run=run_key,
                 ordered=False,
             )
             .groupBy("new_doc_id")
@@ -687,6 +737,7 @@ def streaming_index_dedup(
         (
             bands.join(novel, "doc_id")
             .withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+            .withColumn("run_key", F.lit(run_key))
             .repartition("band_id")
             .write.mode("append")
             .partitionBy("band_id")
@@ -719,6 +770,7 @@ def streaming_curate(
     text_col: str = "text",
     query_name: str = "qml_streaming_curate",
     checkpoint_location: str | None = None,
+    run_key: str | None = None,
 ):
     """Continuous corpus curation — curate()'s filter/dedup/decontaminate
     stages applied to an UNBOUNDED document feed, with the cross-batch
@@ -753,16 +805,29 @@ def streaming_curate(
     retro-reject an already-accepted larger-id doc).
 
     Replay safety: every state row (hash log, manifest, decisions)
-    carries its batch_id. The dedup probe reads only hashes with
-    batch_id < the current batch, so a batch replayed after a crash
-    between its hash append and its manifest append sees exactly the
-    view its first attempt saw — without the filter the replay would
-    find its OWN hashes, flag every accepted doc 'dup', and
-    permanently lose the batch (review catch). A replay that re-runs
-    fully-committed writes appends byte-identical rows with the same
-    batch_id; manifest/decisions readers dedup with DISTINCT (the
-    rows are deterministic per batch)."""
+    carries its batch_id, and hash-log rows additionally carry a
+    ``run_key`` — the checkpoint location when one is configured
+    (durable across restarts, so foreachBatch's batch_id is monotone
+    under it), else a fresh per-run UUID. The dedup probe treats a
+    logged hash as "seen" unless it was written by THIS run's current
+    or a later batch attempt — ``NOT (run_key = current AND batch_id
+    >= bid)``. That keeps the original guarantee (a batch replayed
+    after a crash between its hash append and its manifest append
+    sees exactly the view its first attempt saw — without the filter
+    the replay would find its OWN hashes, flag every accepted doc
+    'dup', and permanently lose the batch — review catch) while
+    fixing the checkpoint-less restart hole: a NEW run's batch ids
+    restart at 0, and the old bare ``batch_id < bid`` filter hid
+    every previously committed hash, silently re-accepting cross-run
+    duplicates (advisor catch). Hash rows written before the run_key
+    column existed read as run_key='' / batch_id=-1 (never the
+    current attempt), so pre-upgrade history keeps deduplicating.
+    A replay that re-runs fully-committed writes appends
+    byte-identical rows with the same batch_id; manifest/decisions
+    readers dedup with DISTINCT (the rows are deterministic per
+    batch)."""
     import os
+    import uuid
 
     from quackml_spark.operators.text import (
         _decon_grams,
@@ -772,6 +837,12 @@ def streaming_curate(
     )
 
     results = sink if sink is not None else []
+    # replay-scoping key: the checkpoint location is stable across
+    # restarts (batch ids are monotone under it), a UUID otherwise (a
+    # checkpoint-less restart restarts batch ids at 0, so only
+    # same-run rows may be scoped out of the seen set)
+    if run_key is None:
+        run_key = checkpoint_location or f"run-{uuid.uuid4().hex}"
     bench = (
         F.broadcast(benchmark_grams.select("gram").distinct())
         if benchmark_grams is not None
@@ -801,16 +872,33 @@ def streaming_curate(
         passing = hashed.where("__pass")
         hash_dir = f"{state_path}/hashes"
         if os.path.isdir(hash_dir):
-            # only hashes from EARLIER batches count as "seen": a
-            # replayed batch (crash between its hash append and its
-            # manifest append — foreachBatch is at-least-once) would
-            # otherwise find its own first attempt's hashes, flag every
-            # accepted doc 'dup', and permanently drop the batch from
-            # the manifest (review catch). Replays carry the same
-            # batch_id, so batch_id < bid reproduces the first
-            # attempt's view exactly.
-            seen = spark.read.parquet(hash_dir).where(
-                F.col("batch_id") < int(batch_id)
+            # a hash counts as "seen" unless THIS run's current (or a
+            # later) batch attempt wrote it: a replayed batch (crash
+            # between its hash append and its manifest append —
+            # foreachBatch is at-least-once) would otherwise find its
+            # own first attempt's hashes, flag every accepted doc
+            # 'dup', and permanently drop the batch from the manifest
+            # (review catch). Scoping the exclusion to run_key fixes
+            # the checkpoint-less restart, whose batch ids reset to 0
+            # and would hide ALL committed hashes under a bare
+            # batch_id < bid (advisor catch). mergeSchema: the log
+            # predates the run_key (and before r8 the batch_id)
+            # column, and a single-file-inferred schema over a mixed
+            # directory would silently drop the column from new rows;
+            # footers-only cost, bounded by the log's file count.
+            raw = spark.read.option("mergeSchema", "true").parquet(hash_dir)
+            run_col = (
+                F.coalesce(F.col("run_key"), F.lit(""))
+                if "run_key" in raw.columns
+                else F.lit("")
+            )
+            bid_col = (
+                F.coalesce(F.col("batch_id"), F.lit(-1))
+                if "batch_id" in raw.columns
+                else F.lit(-1)
+            )
+            seen = raw.where(
+                (run_col != F.lit(run_key)) | (bid_col < int(batch_id))
             )
             idx_dup = (
                 passing.join(
@@ -867,6 +955,7 @@ def streaming_curate(
             keepers.select(
                 F.col("__h").alias("h"),
                 F.lit(int(batch_id)).alias("batch_id"),
+                F.lit(run_key).alias("run_key"),
             )
             .distinct()
             .write.mode("append")

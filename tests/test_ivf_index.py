@@ -124,6 +124,23 @@ def test_ivf_index_append_equals_full_build(spark, sf_dir, tmp_path):
         ivf_index_append(spark, inc, emb.where(F.col("vec_id") == 450))
 
 
+def test_ivf_index_append_uri_path_fails_before_mutation(spark):
+    """A URI path (hdfs://, s3a://) must fail at the TOP of the append —
+    the manifest swap uses local renames, so failing only there would
+    leave the lists already appended (superset + stale manifest) and
+    every re-run tripping the append-only duplicate check (advisor
+    catch). Nothing may be written before the raise."""
+    import pytest as _pytest
+
+    from quackml_spark.operators.similarity import ivf_index_append
+
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(NotImplementedError, match="ivf_index_append"):
+        ivf_index_append(spark, "s3a://bucket/ivf_idx", batch)
+
+
 def test_ivf_index_append_leaves_untouched_partitions_alone(spark, sf_dir, tmp_path):
     import os
     import time

@@ -471,6 +471,35 @@ def test_streaming_bloom_dedup_registered_query(spark, sf_dir):
     assert row["n_kept"] == n_exact
 
 
+def test_bloom_state_version_guard():
+    """Persisted Bloom blobs carry a layout-version byte; unversioned
+    blobs (the pre-r9 layout — same length, DIFFERENT bit layout after
+    the r8 _bloom_positions fix) must be refused loudly, never
+    silently reinterpreted (advisor catch)."""
+    import pytest as _pytest
+
+    from quackml_spark.streaming.events import (
+        _BLOOM_STATE_V,
+        _bloom_state_decode,
+    )
+
+    m_bits = 1 << 10
+    bitmap = bytes(m_bits // 8)
+    # current layout round-trips
+    assert _bloom_state_decode(bytes([_BLOOM_STATE_V]) + bitmap, m_bits) == bytearray(
+        bitmap
+    )
+    # legacy unversioned blob (exactly m_bits//8 bytes): rejected
+    with _pytest.raises(ValueError, match="FRESH"):
+        _bloom_state_decode(bitmap, m_bits)
+    # wrong version byte: rejected
+    with _pytest.raises(ValueError, match="FRESH"):
+        _bloom_state_decode(bytes([_BLOOM_STATE_V + 1]) + bitmap, m_bits)
+    # m_bits mismatch (different blob length): rejected
+    with _pytest.raises(ValueError, match="FRESH"):
+        _bloom_state_decode(bytes([_BLOOM_STATE_V]) + bitmap, m_bits * 2)
+
+
 def test_streaming_bloom_dedup_generic_schema(spark, tmp_path):
     """The operator must work on ANY keyed stream, not just the events
     fixture: a document stream keyed by doc_id keeps one row per key
@@ -913,7 +942,11 @@ def test_streaming_curate_seen_filter_excludes_own_batch(spark, sf_dir, tmp_path
     first attempt's appends and flag every accepted doc 'dup',
     permanently losing the batch — review catch). Seeded directly:
     one doc's hash planted with batch_id=-5 (past -> dup), another
-    with batch_id=9999 (own/future attempt -> invisible)."""
+    with batch_id=9999 under THIS run's run_key (own/future attempt ->
+    invisible). The planted past row uses the PRE-run_key legacy
+    schema (h, batch_id only), so this also pins the mixed-schema
+    read: legacy rows must keep deduplicating after the upgrade
+    (advisor catch)."""
     from pyspark.sql import functions as F
 
     from quackml_spark.operators.text import clean_text_expr
@@ -929,8 +962,12 @@ def test_streaming_curate_seen_filter_excludes_own_batch(spark, sf_dir, tmp_path
     hashes = {r["doc_id"]: r["h"] for r in probe.collect()}
     state = str(tmp_path / "curate_state")
     spark.createDataFrame(
-        [(hashes[3], -5), (hashes[4], 9999)], "h string, batch_id long"
+        [(hashes[3], -5)], "h string, batch_id long"
     ).write.parquet(f"{state}/hashes")
+    spark.createDataFrame(
+        [(hashes[4], 9999, "rk-own")],
+        "h string, batch_id long, run_key string",
+    ).write.mode("append").parquet(f"{state}/hashes")
 
     sink: list = []
     from quackml_spark.streaming.events import stream_parquet_table
@@ -940,13 +977,53 @@ def test_streaming_curate_seen_filter_excludes_own_batch(spark, sf_dir, tmp_path
     ).select("doc_id", "text")
     q = streaming_curate(
         stream, state, min_quality=0.0, sink=sink,
-        query_name="qml_curate_seen_filter",
+        query_name="qml_curate_seen_filter", run_key="rk-own",
     )
     q.awaitTermination()
     decisions = {r["doc_id"]: r for r in sink}
-    assert decisions[3]["reason"] == "dup"      # past batch hash counts
+    assert decisions[3]["reason"] == "dup"      # legacy-schema hash counts
     assert decisions[4]["reason"] is None        # own-attempt hash ignored
     assert decisions[4]["accepted"] is True
+
+
+def test_streaming_curate_checkpointless_restart_still_dedups(
+    spark, sf_dir, tmp_path
+):
+    """A NEW run without a checkpoint restarts batch ids at 0; the old
+    bare ``batch_id < bid`` seen-filter then hid EVERY committed hash
+    and silently re-accepted cross-run duplicates (advisor catch).
+    With run_key scoping, run 2 must flag run 1's accepted docs
+    'dup'."""
+    from quackml_spark.streaming.events import (
+        stream_parquet_table,
+        streaming_curate,
+    )
+
+    state = str(tmp_path / "curate_state")
+    stream = stream_parquet_table(
+        spark, sf_dir, "documents.parquet", "doc_id long, text string"
+    ).select("doc_id", "text")
+
+    sink1: list = []
+    q1 = streaming_curate(
+        stream, state, min_quality=0.0, sink=sink1,
+        query_name="qml_curate_run1",
+    )
+    q1.awaitTermination()
+    accepted1 = {r["doc_id"] for r in sink1 if r["accepted"]}
+    assert accepted1  # the fixture has filter-passing docs
+
+    # restart: fresh query, NO checkpoint — batch ids reset to 0
+    sink2: list = []
+    q2 = streaming_curate(
+        stream, state, min_quality=0.0, sink=sink2,
+        query_name="qml_curate_run2",
+    )
+    q2.awaitTermination()
+    re_accepted = {r["doc_id"] for r in sink2 if r["accepted"]}
+    dup2 = {r["doc_id"] for r in sink2 if r["reason"] == "dup"}
+    assert re_accepted == set()  # nothing slips through twice
+    assert accepted1 <= dup2     # every run-1 acceptance now a dup
 
 
 def test_streaming_index_dedup_replay_does_not_self_match(spark, tmp_path):
@@ -973,10 +1050,12 @@ def test_streaming_index_dedup_replay_does_not_self_match(spark, tmp_path):
         "doc_id long, text string",
     )
     # simulate the failed first attempt of batch 0: its bands are
-    # already in the index, tagged with the batch id the replay reuses
+    # already in the index, tagged with the (run_key, batch id) the
+    # replay reuses
     (
         doc_band_keys(novel)
         .withColumn("batch_id", F.lit(0).cast("bigint"))
+        .withColumn("run_key", F.lit("rk-replay"))
         .repartition("band_id")
         .write.mode("append")
         .partitionBy("band_id")
@@ -992,22 +1071,23 @@ def test_streaming_index_dedup_replay_does_not_self_match(spark, tmp_path):
     )
     sink: list = []
     q = streaming_index_dedup(
-        stream, index_path, sink=sink, query_name="qml_idx_replay"
+        stream, index_path, sink=sink, query_name="qml_idx_replay",
+        run_key="rk-replay",
     )
     q.awaitTermination()
     assert len(sink) == 1
     # the replayed batch (id 0) must NOT match its own appended bands
     assert sink[0]["is_dup"] is False and sink[0]["via"] is None
 
-    # but a LATER run (fresh query, batch ids restart at 0... so plant
-    # the same bands as batch_id=3 to play an EARLIER batch) does match
-    import shutil
-
+    # but a PRIOR run's committed batch-0 bands (same batch id,
+    # DIFFERENT run_key) must still count — the advisor-caught hole:
+    # a new checkpoint-less run's batch 0 used to exclude them
     index2 = str(tmp_path / "idx2")
     dedup_index_build(base, index2)
     (
         doc_band_keys(novel)
-        .withColumn("batch_id", F.lit(3).cast("bigint"))
+        .withColumn("batch_id", F.lit(0).cast("bigint"))
+        .withColumn("run_key", F.lit("rk-prior-run"))
         .repartition("band_id")
         .write.mode("append")
         .partitionBy("band_id")
@@ -1019,6 +1099,26 @@ def test_streaming_index_dedup_replay_does_not_self_match(spark, tmp_path):
     )
     q2.awaitTermination()
     assert sink2[0]["is_dup"] is True and sink2[0]["via"] == "index"
+
+    # legacy pre-upgrade appends (batch_id but NO run_key column) also
+    # keep counting: NULL/absent run_key reads as '' and is never
+    # excluded (advisor catch — NULL comparisons used to drop them)
+    index3 = str(tmp_path / "idx3")
+    dedup_index_build(base, index3)
+    (
+        doc_band_keys(novel)
+        .withColumn("batch_id", F.lit(0).cast("bigint"))
+        .repartition("band_id")
+        .write.mode("append")
+        .partitionBy("band_id")
+        .parquet(f"{index3}/bands")
+    )
+    sink3: list = []
+    q3 = streaming_index_dedup(
+        stream, index3, sink=sink3, query_name="qml_idx_replay3"
+    )
+    q3.awaitTermination()
+    assert sink3[0]["is_dup"] is True and sink3[0]["via"] == "index"
 
 
 def test_curate_report_int_one_rejected(spark):
