@@ -15,6 +15,24 @@ one failing query is recorded in "errors" and CANNOT zero out the other
 queries' numbers (r5 lost all 20 timings to a single AnalysisException).
 If the JVM/session itself dies, the session is rebuilt and the run
 continues.
+
+Self-adjudication (r9): every cross-round perf dispute since r4 came
+down to "was the container busy?" answered by out-of-band prose. The
+artifact now answers it itself:
+
+* ``load_avg.ambient`` — os.getloadavg() sampled BEFORE the Spark
+  session exists, i.e. the neighbors' load. ``load_avg.end`` is
+  sampled after the run and includes this bench's own executor
+  threads, so it is informative, not a contention signal.
+* ``contended`` — ambient 1-min load above
+  $SPARK_GRAFT_BENCH_LOAD_THRESHOLD (default 4.0 on 32 CPUs). A
+  contended run's totals should be read against per-query spread, not
+  taken as a regression.
+* ``spread`` — per-query max-min across the timed repeats (sec). A
+  query whose reported min is reproducible has a small spread; a big
+  spread means the min is a lucky sample and the delta is noise.
+* noisy queries (relative spread > 50% and min > 0.2 s) are re-run
+  once more and the min merged; their names land in ``reruns``.
 """
 
 from __future__ import annotations
@@ -42,9 +60,21 @@ def _session_alive(spark) -> bool:
         return False
 
 
+def _time_once(spark, qd, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    qd.builder(spark, sf_dir).count()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_threshold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESHOLD", "4.0")
+    )
+    # ambient load BEFORE any Spark work: this is the neighbors, the
+    # only sample that can adjudicate "regression vs busy container"
+    ambient = os.getloadavg()
 
     from quackml_spark.plans import REGISTRY, _load_all
 
@@ -66,7 +96,7 @@ def main() -> None:
             if not _session_alive(spark):
                 spark = _fresh_session()
 
-    # min of 2 timed runs per query: container CPU contention adds
+    # min of N timed runs per query: container CPU contention adds
     # multi-second noise to single samples; the minimum reports the
     # reproducible floor (standard microbenchmark practice). A JVM GC
     # before each query isolates it from garbage accumulated by earlier
@@ -74,23 +104,40 @@ def main() -> None:
     # UNCHANGED queries from exactly this cross-query pressure).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, qd in bench.items():
         if name in errors:
             continue
         try:
             spark.sparkContext._jvm.System.gc()
-            best = float("inf")
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                df = qd.builder(spark, sf_dir)
-                df.count()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+            samples = [_time_once(spark, qd, sf_dir) for _ in range(repeats)]
+            timings[name] = round(min(samples), 4)
+            spreads[name] = round(max(samples) - min(samples), 4)
         except Exception:
             errors[name] = traceback.format_exc(limit=2).strip().splitlines()[-1]
             if not _session_alive(spark):
                 spark = _fresh_session()
 
+    # one extra attempt for noisy queries: a >50% spread means the min
+    # itself may be a contended sample — give it one more chance at the
+    # reproducible floor and fold the result into min/spread
+    reruns: list[str] = []
+    for name, qd in bench.items():
+        t = timings.get(name)
+        if t is None or t <= 0.2 or spreads.get(name, 0.0) <= 0.5 * t:
+            continue
+        try:
+            spark.sparkContext._jvm.System.gc()
+            extra = _time_once(spark, qd, sf_dir)
+            reruns.append(name)
+            if extra < t:
+                spreads[name] = round(spreads[name] + (t - extra), 4)
+                timings[name] = round(extra, 4)
+        except Exception:
+            if not _session_alive(spark):
+                spark = _fresh_session()
+
+    end_load = os.getloadavg()
     out = {
         "metric": "quackml_spark bench: headline queries wall-clock",
         "value": round(sum(timings.values()), 4),
@@ -98,10 +145,20 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "methodology": f"per-query: JVM GC, warmup pass, min of {repeats} "
-        "timed runs; per-query fault isolation (failures in 'errors', not "
-        "fatal)",
+        "timed runs (+1 rerun for >50%-spread queries); per-query fault "
+        "isolation (failures in 'errors', not fatal); ambient load "
+        "sampled pre-session",
         "repeats": repeats,
+        "spread": spreads,
+        "load_avg": {
+            "ambient": [round(x, 2) for x in ambient],
+            "end": [round(x, 2) for x in end_load],
+        },
+        "load_threshold": load_threshold,
+        "contended": ambient[0] > load_threshold,
     }
+    if reruns:
+        out["reruns"] = sorted(reruns)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
