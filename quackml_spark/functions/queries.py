@@ -366,6 +366,7 @@ def llm_rank_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_generate_parity",
+    extra=True,  # r9 curation: near-twin demoted for a stronger family rep
     doc="Value-checks the generate() UDF batch path: the deterministic "
     "fallback's md5-seeded token continuation is re-derived in pure SQL "
     "and string-compared.",

@@ -902,8 +902,13 @@ def dedup_index_check(
     for callers that aggregate the result anyway."""
     spark = new_docs.sparkSession
     try:
-        m = spark.read.parquet(f"{path}/manifest.parquet").first()
-    except Exception as e:
+        from quackml_spark.operators._manifest import read_manifest
+
+        # prefers the CAS token chain (authoritative once streaming
+        # appends start bumping n_docs), falls back to the
+        # build-written head directory
+        m = read_manifest(spark, path)[1]
+    except ValueError as e:
         raise ValueError(
             f"dedup index at {path!r} has no manifest (half-built or not "
             f"an index): {e}"

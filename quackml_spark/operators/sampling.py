@@ -448,7 +448,6 @@ _DSIR_N = 100
 
 @register(
     "text_dsir_select",
-    extra=True,
     doc="DSIR targeted data selection (Xie et al. 2023): docs with "
     "doc_id % 7 == 0 act as the TARGET domain, the rest as the RAW "
     "pool; hashed unigram+bigram bag models (4096 md5 buckets, "

@@ -69,6 +69,7 @@ def grams_expr(col: str):
 
 @register(
     "text_token_stats",
+    extra=True,  # r9 curation: near-twin demoted for a stronger family rep
     doc="Token counting: whitespace tokens, distinct tokens, chars, mean "
     "token length (exact decimal), and the BPE-ish (GPT-2 pre-tokenizer "
     "regex shape) token count — the token-budget estimator — all in one "
@@ -814,6 +815,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_tfidf_top_term",
+    extra=True,  # r9 curation: near-twin demoted for a stronger family rep
     doc="TF-IDF: corpus document frequencies -> per-doc top-scoring "
     "term (row_number over score desc, term asc). Two token-keyed "
     "aggregations + a tok-keyed join (no broadcast hint — vocabulary "
@@ -2351,7 +2353,6 @@ def ccnet_buckets(
 
 @register(
     "text_ccnet_buckets",
-    extra=True,
     doc="CCNet head/middle/tail perplexity bucketing (Wenzek et al. "
     "2020): KN bigram perplexity per doc (the graded "
     "text_bigram_perplexity arithmetic), then per-source tertiles by "

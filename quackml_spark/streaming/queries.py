@@ -311,7 +311,6 @@ _install_index_dedup_oracle()
 
 @register(
     "streaming_curate_docs",
-    extra=True,
     doc="Continuous corpus curation (streaming_curate) value-checked "
     "END-TO-END: the documents table streams through foreachBatch — "
     "clean -> quality gate (the graded text_quality_score arithmetic) "
