@@ -745,3 +745,262 @@ def pipeline_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("text").alias("content_md5"))
         .orderBy("doc_id")
     )
+
+
+# --- pipeline_curate_full: curate() at its MAXIMAL configuration -----------
+#
+# The r8 verdict's item 6: per-stage oracles can't see stage-interaction
+# bugs, so the full chain — heuristic quality + LEARNED quality
+# classifier + minhash near-dup + Bloom decontaminate + budget +
+# curriculum, all in ONE curate() call — gets one end-to-end DuckDB
+# replay. The learned stage is made SQL-replayable BY CONSTRUCTION:
+# planted spam docs use a disjoint zzq* vocabulary, so the classifier
+# trained on (aug, label = not-spam) is linearly separable with a huge
+# margin and its keep set on this corpus is exactly doc_id < 3000000 —
+# which the oracle states as a predicate. Every other stage reuses the
+# established SQL twin (quality score CTE, shared MinHash band SQL,
+# Bloom position arithmetic, ppm budget rate, two-phase curriculum
+# rank).
+
+_FULL_SPAM = (
+    "zzqalpha zzqbeta zzqgamma zzqdelta zzqepsilon zzqzeta "
+    "zzqeta zzqtheta zzqiota zzqkappa"
+)
+_FULL_BUDGET = 50_000  # chars; < corpus total at sf>=0.01, so the
+# budget stage genuinely drops docs at the graded SFs (at sf0.001 the
+# rate caps at 1e6 and the stage passes everything through — both
+# engines replay the same arithmetic either way)
+
+_QSCORE_SQL = """
+    CAST(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
+         AS DECIMAL(18,6)) * 0.4
+    + CAST(length(list_filter(toks, x -> list_contains({STOP}, x)))
+           AS DECIMAL(18,6)) / greatest(length(toks), 1) * 0.3
+    + CAST(length(list_distinct(toks)) AS DECIMAL(18,6))
+      / greatest(length(toks), 1) * 0.3
+"""
+
+
+def _curate_full_oracle() -> str:
+    from quackml_spark.operators.dedup import _SQL_BAND_ROWS
+    from quackml_spark.operators.sampling import PPM
+    from quackml_spark.operators.text import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _bloom_pos_sql,
+    )
+
+    gram = (
+        f"md5(list_aggregate(toks[i:i+{_DECON_K - 1}], 'string_agg', ' '))"
+    )
+    gram_range = (
+        f"unnest(range(1, length(toks) - {_DECON_K - 2})) AS u(i) "
+        f"WHERE length(toks) >= {_DECON_K}"
+    )
+    return (
+        rf"""
+WITH RECURSIVE
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zq trailing marker'
+  FROM documents WHERE doc_id = 3
+  UNION ALL
+  SELECT doc_id + 2000000, 'zq prefix marker ' || text
+  FROM documents WHERE doc_id = 5
+  UNION ALL
+  SELECT doc_id + 3000000, '{_FULL_SPAM}'
+  FROM documents WHERE doc_id % 10 = 7
+),
+qtoks AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         regexp_extract_all(lower(text), '\S+') AS toks
+  FROM aug
+),
+qscore AS (
+  SELECT doc_id, text, {_QSCORE_SQL} AS score FROM qtoks
+),
+quality AS (
+  SELECT doc_id, text FROM qscore
+  WHERE CAST(ROUND(score, 6) AS DOUBLE) >= {_CUR_MINQ}
+),
+qmodel AS (
+  -- learned-filter keep set (see module comment: separable by
+  -- construction, so keep == not-planted-spam)
+  SELECT doc_id, text FROM quality WHERE doc_id < 3000000
+),
+bands AS ({{BANDS}}),
+edges AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+),
+und AS (
+  SELECT doc_a AS s, doc_b AS d FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach(node, label) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, r.label FROM und u JOIN reach r ON r.node = u.d
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+),
+neardup AS (
+  SELECT a.doc_id, a.text
+  FROM qmodel a LEFT JOIN comp c ON c.doc_id = a.doc_id
+  WHERE c.doc_id IS NULL OR c.component = a.doc_id
+),
+ndtoks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM neardup
+),
+ndgrams AS (
+  SELECT DISTINCT doc_id, {gram} AS gram FROM ndtoks, {gram_range}
+),
+btoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents WHERE doc_id % 97 = 0
+),
+bgrams AS (
+  SELECT DISTINCT {gram} AS gram FROM btoks, {gram_range}
+),
+bits AS (
+  SELECT DISTINCT {_bloom_pos_sql('gram', _BLOOM_M)} AS pos
+  FROM bgrams, range({_BLOOM_K}) t(i)
+),
+probe AS (
+  SELECT doc_id, gram, {_bloom_pos_sql('gram', _BLOOM_M)} AS pos
+  FROM ndgrams, range({_BLOOM_K}) t(i)
+),
+leaked AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, gram,
+           (COUNT(*) FILTER (WHERE b.pos IS NOT NULL)) = COUNT(*) AS hit
+    FROM probe p LEFT JOIN bits b USING (pos)
+    GROUP BY doc_id, gram
+  ) WHERE hit
+),
+decon AS (
+  SELECT n.doc_id, n.text FROM neardup n
+  WHERE NOT EXISTS (SELECT 1 FROM leaked l WHERE l.doc_id = n.doc_id)
+),
+rate AS (
+  SELECT LEAST(CAST({PPM} AS BIGINT),
+               CAST(FLOOR({PPM * _FULL_BUDGET} / SUM(length(text)))
+                    AS BIGINT)) AS rate_ppm
+  FROM decon
+),
+budget AS (
+  SELECT d.doc_id, d.text FROM decon d, rate r
+  WHERE ('0x' || substr(md5('0|' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+        % {PPM} < r.rate_ppm
+),
+ctoks AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         regexp_extract_all(lower(text), '\S+') AS toks
+  FROM budget
+),
+cscore AS (
+  SELECT doc_id, text, {_QSCORE_SQL} AS q FROM ctoks
+),
+cranked AS (
+  SELECT doc_id, text,
+         CAST(FLOOR((ROW_NUMBER() OVER (
+                 ORDER BY CAST(ROUND(q, 6) AS DOUBLE) DESC, doc_id) - 1)
+               / 100) AS BIGINT) AS band,
+         ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))::BIGINT AS prio
+  FROM cscore
+)
+SELECT doc_id, md5(text) AS content_md5, band,
+       CAST(ROW_NUMBER() OVER (ORDER BY band, prio, doc_id) - 1 AS BIGINT)
+         AS curriculum_pos
+FROM cranked
+ORDER BY doc_id
+"""
+        .replace("{BANDS}", _SQL_BAND_ROWS.replace("FROM documents", "FROM qmodel"))
+        .replace("{STOP}", repr(list(STOPWORDS)))
+    )
+
+
+@register(
+    "pipeline_curate_full",
+    extra=True,
+    doc="curate() at its MAXIMAL configuration, value-checked "
+    "END-TO-END in one oracle: heuristic quality (>= 0.35) -> learned "
+    "fastText-style quality classifier (planted disjoint-vocabulary "
+    "spam, separable by construction so the keep set is "
+    "SQL-stateable) -> MinHash-LSH near-dup clusters (planted "
+    "trailing/prefix near-copies) -> Bloom benchmark decontamination "
+    "-> ppm char-budget sampling -> banded curriculum order. The "
+    "oracle replays every stage in curate()'s exact order over the "
+    "same augmented corpus, so a stage reordering, a filter drifting "
+    "past a dedup, or a budget computed over the wrong stage's chars "
+    "breaks a value check, not just a unit test.",
+    oracle=None,  # installed below (composed from the shared SQL twins)
+    tags=("textops", "pipeline", "dedup", "sampling"),
+)
+def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.qualityclf import train_quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = (
+        docs.unionByName(
+            docs.where(F.col("doc_id") == 3).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq trailing marker")).alias(
+                    "text"
+                ),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") == 5).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.lit("zq prefix marker "), F.col("text")).alias(
+                    "text"
+                ),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.lit(_FULL_SPAM).alias("text"),
+            )
+        )
+    )
+    labeled = aug.withColumn(
+        "label", (F.col("doc_id") < 3000000).cast("int")
+    )
+    model = train_quality_classifier(labeled)
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    out = curate(
+        aug,
+        clean=False,
+        min_quality=_CUR_MINQ,
+        quality_model=model,
+        dedup="minhash",
+        benchmark=bench,
+        decontaminate_mode="bloom",
+        budget_chars=_FULL_BUDGET,
+        curriculum_band_size=100,
+        report=False,
+    )
+    return (
+        out["docs"]
+        .select(
+            "doc_id",
+            F.md5("text").alias("content_md5"),
+            "band",
+            "curriculum_pos",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# composed after registration so the builder above stays the single
+# source of stage order; the SQL reuses the dedup module's band twin
+from quackml_spark.plans import REGISTRY as _REG  # noqa: E402
+
+_REG["pipeline_curate_full"].oracle = _curate_full_oracle()
