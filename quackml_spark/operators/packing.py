@@ -1,0 +1,287 @@
+"""Training-sequence preparation: epoch-shuffled concat-and-chunk
+sequence packing and per-source epoch expansion.
+
+Every pretraining pipeline ends with these two steps after curation:
+
+* **Sequence packing** (``pack_sequences``): documents are laid out in
+  a deterministic (shuffled) order into one token stream and cut into
+  fixed-length training sequences — the GPT/LLaMA "concat and chunk"
+  recipe. The engine computes each document's global token offset with
+  a DISTRIBUTED prefix sum (no global window): range-partition on the
+  order key, per-partition totals cumulated by a config-bounded window
+  (the ``ranked_by`` two-phase shape), and the within-partition running
+  sum as a per-partition-id window whose groups are partition-sized by
+  construction — one extra pid-keyed exchange, each group exactly one
+  former range partition, so parallelism and balance carry over.
+* **Epoch expansion** (``epoch_expand``): the LLaMA/RedPajama data
+  recipe samples high-quality sources for MORE than one epoch (e.g.
+  Wikipedia x2.4) and big raw sources for less than one. Fractional
+  epochs expand exactly: ``floor(e)`` full copies of every document
+  plus one extra copy for a deterministic md5 coin < frac(e) — integer
+  ppm arithmetic end to end, so the expansion is a pure function of
+  (corpus, epochs table, seed) and replays identically in any engine.
+
+Both are oracle-checked: the packing offsets against DuckDB SUM/ROW_
+NUMBER windows, the expansion against generate_series over the same
+ppm coin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quackml_spark.plans import register
+from quackml_spark.sources import load_table
+
+
+def prefix_sum_by(
+    df: DataFrame,
+    weight_col: str,
+    order_cols: list,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Attach ``prefix_sum`` = running total of ``weight_col`` under an
+    arbitrary total ordering (INCLUSIVE of the current row), without a
+    global single-partition window.
+
+    Two-phase, the ``ranked_by`` shape: range-partition + sort on the
+    order key; per-partition totals cumulate into exclusive offsets by
+    a window over the <= n_shards count rows (config-bounded, never
+    data-sized) and broadcast-join back; the within-partition running
+    sum is a window partitioned by the physical partition id — its
+    groups ARE the range partitions (size corpus/n_shards by
+    construction, tune ``n_shards`` so one fits a task), so the one
+    pid-keyed exchange it adds is balanced and the sort inside each
+    group reuses the arranged order. Requires exchange reuse for the
+    same reason ranked_by does: the offsets branch must see the SAME
+    sampled range boundaries as the main branch."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.exchange.reuse", "true") == "false":
+        raise ValueError(
+            "prefix_sum_by requires spark.sql.exchange.reuse=true (the "
+            "default): its offset branch must share the main branch's "
+            "materialized range partitioning"
+        )
+    n = n_shards or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    arranged = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33))
+    )
+    cum = Window.partitionBy(F.lit(0)).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        arranged.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("__w"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__w").over(cum), F.lit(0)).alias("__off"),
+        )
+    )
+    local = Window.partitionBy("__pid").orderBy("__mid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        arranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "prefix_sum", F.col("__off") + F.sum(weight_col).over(local)
+        )
+        .drop("__mid", "__pid", "__off")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_tokens_col: str = "n_tokens",
+    order_cols: list | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk packing plan: each document's placement in the
+    fixed-``seq_len`` training-sequence stream.
+
+    Documents lay out in ``order_cols`` order (default: the engine's
+    deterministic md5 epoch shuffle on the id, then the id — the order
+    a training run would actually consume); ``start_token`` is the
+    document's global offset in the concatenated token stream, and the
+    document occupies sequences ``first_seq..last_seq`` (a document
+    longer than the remainder of its sequence spills into the next —
+    GPT-style splitting, no padding). Zero-token documents are dropped
+    (they occupy no stream positions). Output per doc:
+    (id, n_tokens, start_token, first_seq, last_seq, n_segments).
+
+    One range shuffle + one pid-keyed window exchange total (the
+    prefix-sum shape) — no global window, no driver collect; at 100 TB
+    the stream offsets are exact and the layout is a pure function of
+    (corpus, seq_len, seed)."""
+    from quackml_spark.operators.text import md5_int32
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if order_cols is None:
+        prio = md5_int32(
+            F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
+        )
+        docs = docs.withColumn("__prio", prio)
+        order_cols = [F.asc("__prio"), F.asc(id_col)]
+    sized = docs.where(F.col(n_tokens_col) > 0)
+    summed = prefix_sum_by(sized, n_tokens_col, order_cols)
+    start = F.col("prefix_sum") - F.col(n_tokens_col)
+    return (
+        summed.select(
+            id_col,
+            F.col(n_tokens_col).cast("bigint").alias("n_tokens"),
+            start.cast("bigint").alias("start_token"),
+            F.floor(start / seq_len).cast("bigint").alias("first_seq"),
+            F.floor((F.col("prefix_sum") - 1) / seq_len)
+            .cast("bigint")
+            .alias("last_seq"),
+        )
+        .withColumn(
+            "n_segments", (F.col("last_seq") - F.col("first_seq") + 1)
+        )
+    )
+
+
+_PACK_SEQ_LEN = 512
+
+
+@register(
+    "text_pack_sequences",
+    extra=True,
+    doc="Training-sequence packing plan (GPT/LLaMA concat-and-chunk): "
+    "documents in deterministic md5-shuffled order lay out into one "
+    "token stream cut into 512-token sequences; each doc's global "
+    "start offset and first/last sequence ids come from a two-phase "
+    "distributed prefix sum (range partition + config-bounded offset "
+    "window + per-partition running sum) — no global window. The "
+    "oracle replays the same order with DuckDB SUM windows.",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id,
+         length(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+         ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))::BIGINT AS prio
+  FROM documents
+), sized AS (
+  SELECT * FROM t WHERE n_tokens > 0
+), summed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY prio, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS prefix_sum
+  FROM sized
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prefix_sum - n_tokens AS BIGINT) AS start_token,
+       CAST(FLOOR((prefix_sum - n_tokens) / {_PACK_SEQ_LEN}) AS BIGINT)
+         AS first_seq,
+       CAST(FLOOR((prefix_sum - 1) / {_PACK_SEQ_LEN}) AS BIGINT) AS last_seq,
+       CAST(FLOOR((prefix_sum - 1) / {_PACK_SEQ_LEN})
+            - FLOOR((prefix_sum - n_tokens) / {_PACK_SEQ_LEN}) + 1 AS BIGINT)
+         AS n_segments
+FROM summed
+ORDER BY doc_id
+""",
+    tags=("textops", "sampling"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(docs, _PACK_SEQ_LEN).orderBy("doc_id")
+
+
+def epoch_expand(
+    docs: DataFrame,
+    epochs_ppm: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 0,
+) -> DataFrame:
+    """Expand each document to its source's (possibly fractional)
+    epoch count: ``floor(e)`` full copies plus one extra copy iff the
+    doc's deterministic md5 ppm coin < ``frac(e)`` — the LLaMA-style
+    source-reweighting step expressed exactly in integer ppm
+    arithmetic (``epochs_ppm`` carries (source, epochs_ppm) with
+    epochs_ppm = round(e * 1e6); 2.4 epochs = 2_400_000).
+
+    Output: one row per COPY — (id, source, copy_idx 0-based, n_copies)
+    — the frame a downstream shuffle/pack consumes. The epochs table
+    broadcasts (sources are few); copies materialize map-only via an
+    explode over a sequence expression, so the only data movement is
+    the output itself. A source absent from ``epochs_ppm`` defaults to
+    exactly one epoch."""
+    from quackml_spark.operators.sampling import PPM, hash_ppm
+
+    e = F.coalesce(F.col("epochs_ppm"), F.lit(PPM)).cast("bigint")
+    n_copies = (
+        F.floor(e / PPM)
+        + (hash_ppm(id_col, seed) < e % PPM).cast("bigint")
+    )
+    joined = docs.join(
+        F.broadcast(epochs_ppm), source_col, "left"
+    ).withColumn("n_copies", n_copies)
+    return (
+        joined.where(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            source_col,
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_copies") - 1).cast("int"))
+            ).alias("copy_idx"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "text_epoch_mix",
+    extra=True,
+    doc="Per-source epoch expansion (the LLaMA/RedPajama data-recipe "
+    "step): each source gets a deterministic fractional epoch count "
+    "in [0.5, 2.5) (md5 of the source name, ppm integer arithmetic); "
+    "every doc expands to floor(e) copies plus one md5-coin extra for "
+    "the fractional part. One broadcast join + map-only explode; the "
+    "oracle replays the same coin and generate_series.",
+    oracle=f"""
+WITH eps AS (
+  SELECT source,
+         500000 + ('0x' || substr(md5(source), 1, 8))::BIGINT % 2000000
+           AS epochs_ppm
+  FROM (SELECT DISTINCT source FROM documents)
+), n AS (
+  SELECT d.doc_id, d.source,
+         CAST(FLOOR(e.epochs_ppm / 1000000.0) AS BIGINT)
+         + CASE WHEN ('0x' || substr(md5('0|' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 1000000 < e.epochs_ppm % 1000000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN eps e USING (source)
+)
+SELECT doc_id, source, CAST(u.i AS BIGINT) AS copy_idx, n_copies
+FROM n, unnest(range(0, n_copies)) AS u(i)
+WHERE n_copies > 0
+ORDER BY doc_id, copy_idx
+""",
+    tags=("textops", "sampling"),
+)
+def text_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import md5_int32
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    eps = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (500000 + md5_int32(F.col("source")) % 2000000).alias(
+                "epochs_ppm"
+            ),
+        )
+    )
+    return epoch_expand(docs, eps).orderBy("doc_id", "copy_idx")

@@ -122,6 +122,7 @@ _QUERY_MODULES = (
     "quackml_spark.operators.similarity",
     "quackml_spark.operators.multimodal",
     "quackml_spark.operators.pipeline",
+    "quackml_spark.operators.packing",
     "quackml_spark.operators.hll",
     "quackml_spark.operators.histsketch",
     "quackml_spark.operators.ivfpq",

@@ -83,6 +83,7 @@ _BROADCAST_ALLOWLIST = {
     "operators/pipeline.py": 1,  # composed pipeline's benchmark gram set (eval-suite-sized, same bound as text_decontaminate's)
     "operators/profile.py": 1,   # per-source doc-count table (|sources| rows, same bound as the mixture rates broadcast)
     "operators/qualityclf.py": 1,  # 1-row percentile-bounds aggregate (scalar fan-in for the seed-label selection)
+    "operators/packing.py": 2,   # prefix-sum partition-offset table (<= n_shards rows, the ranked_by bound) + epoch table (|sources| rows, the mixture-rates bound)
 }
 
 

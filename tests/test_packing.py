@@ -1,0 +1,128 @@
+"""Sequence packing + epoch expansion: value and plan checks beyond
+the DuckDB oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_prefix_sum_matches_local(spark):
+    from quackml_spark.operators.packing import prefix_sum_by
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = {
+        r["id"]: r["prefix_sum"]
+        for r in prefix_sum_by(df, "w", [F.asc("id")]).collect()
+    }
+    acc = 0
+    for i, w in rows:
+        acc += w
+        assert got[i] == acc, (i, got[i], acc)
+
+
+def test_prefix_sum_requires_exchange_reuse(spark):
+    from quackml_spark.operators.packing import prefix_sum_by
+
+    df = spark.createDataFrame([(1, 1)], "id long, w long")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        with pytest.raises(ValueError, match="exchange.reuse"):
+            prefix_sum_by(df, "w", [F.asc("id")])
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """The packed layout must tile the stream exactly: consecutive docs
+    (in the shuffled order) abut, segment spans match the div/mod
+    arithmetic, and zero-token docs are absent."""
+    from quackml_spark.operators.packing import _PACK_SEQ_LEN
+    from quackml_spark.plans import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["text_pack_sequences"].builder(spark, sf_dir).collect()
+    assert rows
+    by_start = sorted(rows, key=lambda r: r["start_token"])
+    pos = 0
+    for r in by_start:
+        assert r["n_tokens"] > 0
+        assert r["start_token"] == pos  # no gaps, no overlaps
+        pos += r["n_tokens"]
+        assert r["first_seq"] == r["start_token"] // _PACK_SEQ_LEN
+        assert r["last_seq"] == (r["start_token"] + r["n_tokens"] - 1) // _PACK_SEQ_LEN
+        assert r["n_segments"] == r["last_seq"] - r["first_seq"] + 1
+    # at least one doc must straddle a sequence boundary for the test
+    # to mean anything (512-token sequences vs ~100-token docs)
+    assert any(r["n_segments"] > 1 for r in rows)
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    from quackml_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, 0)
+
+
+def test_epoch_expand_copy_semantics(spark):
+    """floor(e) copies always; the fractional extra is the md5 ppm coin;
+    a source missing from the epochs table defaults to one epoch; zero
+    epochs drops the source entirely."""
+    from quackml_spark.operators.packing import epoch_expand
+    from quackml_spark.operators.sampling import PPM
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 40 else ("b" if i < 80 else "c")) for i in range(120)],
+        "doc_id long, source string",
+    )
+    eps = spark.createDataFrame(
+        [("a", 2 * PPM + PPM // 2), ("b", 0)],  # a: 2.5 epochs, b: 0, c: absent
+        "source string, epochs_ppm long",
+    )
+    out = epoch_expand(docs, eps).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # b-source docs vanish
+    assert all(not (40 <= d < 80) for d in by_doc)
+    # c-source docs default to exactly one copy
+    for d in range(80, 120):
+        assert [r["copy_idx"] for r in by_doc[d]] == [0]
+    # a-source docs get 2 or 3 copies; the fraction is ~0.5
+    counts = [len(by_doc[d]) for d in range(40)]
+    assert set(counts) <= {2, 3} and 2 in counts and 3 in counts
+    # copy_idx is dense 0..n-1 and n_copies consistent
+    for d, rs in by_doc.items():
+        idx = sorted(r["copy_idx"] for r in rs)
+        assert idx == list(range(len(rs)))
+        assert all(r["n_copies"] == len(rs) for r in rs)
+
+
+def test_pack_plan_has_no_global_window(spark, sf_dir):
+    """The packing plan must not contain a single-partition
+    data-sized window: the only windows allowed are the config-bounded
+    offsets cumulation and the per-partition-id running sum."""
+    from quackml_spark.plans import REGISTRY, _load_all
+
+    _load_all()
+    df = REGISTRY["text_pack_sequences"].builder(spark, sf_dir)
+    df.collect()  # AQE deduplicates identical exchanges AT RUNTIME
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # prefix_sum_by's offsets branch must read the SAME materialized
+    # range partitioning as the main branch (sampled boundaries can
+    # disagree between independent exchanges, silently corrupting the
+    # partition offsets) — the ranked_by reuse pin, applied here
+    assert "ReusedExchange" in plan, plan[:2000]
+    # the data-sized windows are the per-partition-id running sum and
+    # the <= n_shards offsets cumulation — never a single-partition
+    # window over the corpus relation. The SinglePartition exchange in
+    # the plan must feed from the post-aggregate count rows (HashAggregate),
+    # not directly from the arranged data.
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n(.*?\n)", plan):
+        nxt = m.group(1)
+        assert "HashAggregate" in nxt or "Sort" in nxt, plan[:2000]
