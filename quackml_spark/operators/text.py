@@ -502,6 +502,119 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Gopher's required-stopword list (Rae et al. 2021 §A1.1): a doc must
+# contain at least 2 of these to pass the "required stop words" rule
+_GOPHER_REQ_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "text_gopher_rules",
+    extra=True,
+    doc="Gopher document-quality rules (Rae et al. 2021 §A1.1 — the "
+    "non-repetition half; the repetition half is "
+    "text_repetition_filters): word count in [50, 100k], mean word "
+    "length in [3, 10], symbol-to-word ratio (# and ellipsis) <= 0.1, "
+    ">= 80%% of words contain an alphabetic character, and >= 2 of the "
+    "8 required stop words present. Every threshold is evaluated in "
+    "INTEGER cross-multiplied arithmetic (10*hits <= n_words, "
+    "5*alpha >= 4*n_words, 3n <= chars <= 10n) so the rule boundary is "
+    "bit-exact across engines — no decimal rounding at the filter "
+    "edge. One map-only scan, zero shuffles.",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+    CAST(length(toks) AS BIGINT) AS n_words,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+      AS word_chars,
+    CAST(length(regexp_extract_all(text, '#')) +
+         length(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+      AS symbol_hits,
+    CAST(length(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+         AS BIGINT) AS alpha_words,
+    CAST(length(list_intersect(list_distinct(toks),
+                               {list(_GOPHER_REQ_STOPS)!r})) AS BIGINT)
+      AS n_req_stops
+  FROM base
+)
+SELECT doc_id, n_words, word_chars, symbol_hits, alpha_words, n_req_stops,
+  (n_words BETWEEN 50 AND 100000) AS rule_word_count,
+  (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+    AS rule_word_len,
+  (10 * symbol_hits <= n_words) AS rule_symbol,
+  (5 * alpha_words >= 4 * n_words) AS rule_alpha,
+  (n_req_stops >= 2) AS rule_stops,
+  ((n_words BETWEEN 50 AND 100000)
+   AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+   AND 10 * symbol_hits <= n_words
+   AND 5 * alpha_words >= 4 * n_words
+   AND n_req_stops >= 2) AS gopher_keep
+FROM stats
+ORDER BY doc_id
+""",
+    tags=("textops", "llm"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Note: the synthetic corpus draws from a vocabulary containing at
+    # most ONE of Gopher's 8 required stop words per doc, so the
+    # composite gopher_keep is all-false here BY CONSTRUCTION — the
+    # value check rides the per-rule flags and raw counts (word-count
+    # and the integer cross-multiplied boundaries all discriminate);
+    # real English corpora pass rule_stops routinely.
+    return gopher_rules(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher quality-rule evaluation (see
+    text_gopher_rules). Map-only; thresholds are the published
+    defaults, evaluated in integer cross-multiplied arithmetic."""
+    toks = tokens_expr(text_col)
+    req = F.array(*[F.lit(s) for s in _GOPHER_REQ_STOPS])
+    stats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("word_chars"),
+        (
+            F.regexp_count(text_col, F.lit("#"))
+            + F.regexp_count(text_col, F.lit(r"\.\.\."))
+        )
+        .cast("bigint")
+        .alias("symbol_hits"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("alpha_words"),
+        F.size(F.array_intersect(F.array_distinct(toks), req))
+        .cast("bigint")
+        .alias("n_req_stops"),
+    )
+    rule_wc = F.col("n_words").between(50, 100000)
+    rule_wl = (3 * F.col("n_words") <= F.col("word_chars")) & (
+        F.col("word_chars") <= 10 * F.col("n_words")
+    )
+    rule_sym = 10 * F.col("symbol_hits") <= F.col("n_words")
+    rule_alpha = 5 * F.col("alpha_words") >= 4 * F.col("n_words")
+    rule_stops = F.col("n_req_stops") >= 2
+    return stats.select(
+        "*",
+        rule_wc.alias("rule_word_count"),
+        rule_wl.alias("rule_word_len"),
+        rule_sym.alias("rule_symbol"),
+        rule_alpha.alias("rule_alpha"),
+        rule_stops.alias("rule_stops"),
+        (rule_wc & rule_wl & rule_sym & rule_alpha & rule_stops).alias(
+            "gopher_keep"
+        ),
+    )
+
+
 _DECON_K = 5  # decontamination n-gram length in tokens
 
 

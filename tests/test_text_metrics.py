@@ -672,3 +672,42 @@ def test_mean_token_len_ignores_all_whitespace(spark, tmp_path):
     assert out[0]["mean_token_len"] == 1.0
     ok, msg = compare(qd.builder(spark, d), duckdb_connection(d), qd.oracle)
     assert ok, msg
+
+
+def test_gopher_rules_boundaries(spark):
+    """Each Gopher rule at its exact integer boundary: the
+    cross-multiplied arithmetic must flip precisely at the published
+    thresholds."""
+    from quackml_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 50 words x 5 chars, 2 required stops -> passes everything
+            (1, "the be " + " ".join(["abcde"] * 48)),
+            # 49 words -> fails word count only
+            (2, "the be " + " ".join(["abcde"] * 47)),
+            # mean word length exactly 10 passes; 10.02 fails:
+            # 50 words x 10 chars
+            (3, "the be" + " " + " ".join(["abcdefghij"] * 48)),
+            # symbol ratio: 5 hashes in 50 words = exactly 0.1 -> passes;
+            # 6 -> fails
+            (4, "the be " + " ".join(["abcde"] * 43) + " # # # # #"),
+            (5, "the be " + " ".join(["abcde"] * 42) + " # # # # # #"),
+            # alpha fraction exactly 0.8: 40 alpha / 50 words passes
+            (6, "the be " + " ".join(["abcde"] * 38) + " " + " ".join(["123"] * 10)),
+            # 39 alpha / 50 -> fails
+            (7, "the be " + " ".join(["abcde"] * 37) + " " + " ".join(["123"] * 11)),
+            # only one required stop word -> fails rule_stops
+            (8, "the xx " + " ".join(["abcde"] * 48)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert got[1]["gopher_keep"] is True
+    assert got[2]["rule_word_count"] is False and got[2]["rule_word_len"] is True
+    assert got[3]["rule_word_len"] is True  # mean exactly 10.0 via "the be"
+    assert got[4]["rule_symbol"] is True and got[4]["n_words"] == 50
+    assert got[5]["rule_symbol"] is False
+    assert got[6]["rule_alpha"] is True and got[6]["alpha_words"] == 40
+    assert got[7]["rule_alpha"] is False
+    assert got[8]["rule_stops"] is False and got[8]["n_req_stops"] == 1
