@@ -329,7 +329,11 @@ ORDER BY doc_a, doc_b
 def dedup_exact_substring(
     spark: SparkSession, sf_dir: str, max_bucket_size: int = 1024
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from quackml_spark.operators.text import fan_out
+
+    # fan out before the ~n_tokens-x window-hash explode (single-file
+    # scan = one task otherwise; no-op on an already-parallel scan)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", tokens_expr("text").alias("toks")
     ).where(F.size("toks") >= _WIN_K)
@@ -796,7 +800,13 @@ def word_shingles(
     every shingle consumer on the first short document (review catch,
     reproduced live); with ANSI off it instead emitted a partial
     shingle the DuckDB oracle renders as NULL, a silent divergence."""
-    toks = docs.select(
+    from quackml_spark.operators.text import fan_out
+
+    # fan out BEFORE the ~n_tokens-x shingle explode: a small-file scan
+    # is one partition and would serialize the whole shingle + K-hash
+    # stream through one core; no-op whenever the scan is already at
+    # session parallelism (any real corpus)
+    toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
     ).where(F.size("toks") >= 3)
     sh = toks.select(

@@ -186,7 +186,7 @@ SELECT doc_id,
 FROM summed
 ORDER BY doc_id
 """,
-    tags=("textops", "sampling"),
+    tags=("textops", "sampling", "bench"),
 )
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.operators.text import tokens_expr

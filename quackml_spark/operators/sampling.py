@@ -318,10 +318,15 @@ def dsir_features(
     ``buckets`` via the engine's shared 32-bit md5 integer. One
     map-only explode per corpus — (id_col, bucket) with multiplicity
     kept. DuckDB twin: the same md5 idiom over
-    list_concat(toks, list_transform(...))."""
-    from quackml_spark.operators.text import grams_expr, md5_int32
+    list_concat(toks, list_transform(...)).
 
-    return docs.select(
+    The doc frame fans out to the session parallelism first: the
+    explode amplifies ~200x, and a small-file scan's single partition
+    would serialize that entire stream through one core (fan_out is a
+    no-op whenever the scan is already parallel — any real corpus)."""
+    from quackml_spark.operators.text import fan_out, grams_expr, md5_int32
+
+    return fan_out(docs).select(
         F.col(id_col), F.explode(grams_expr(text_col)).alias("__g")
     ).select(id_col, (md5_int32(F.col("__g")) % buckets).alias("bucket"))
 
@@ -508,7 +513,7 @@ FROM keyed
 ORDER BY sel_key DESC, doc_id
 LIMIT {_DSIR_N}
 """,
-    tags=("textops", "sampling", "llm"),
+    tags=("textops", "sampling", "llm", "bench"),
 )
 def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -47,6 +47,29 @@ def tokens_expr(col: str):
     return F.regexp_extract_all(F.lower(F.col(col)), F.lit(r"\S+"), 0)
 
 
+def fan_out(df, min_parallelism: int | None = None):
+    """Redistribute rows across the session's default parallelism
+    BEFORE a row-amplifying operation (gram/shingle explode: ~100-200
+    output rows per input row) when the upstream scan yields fewer
+    partitions than cores.
+
+    Why: Spark sizes scan partitions by INPUT bytes
+    (maxPartitionBytes), so a small parquet file is one task — and a
+    downstream explode then runs its 200x-amplified work on ONE core
+    (measured: DSIR's raw-pool bucket count was a 6 s single-task
+    stage at sf0.1 on local[32]). The row-sized shuffle this adds is
+    ~200x smaller than the gram stream it parallelizes. At real scale
+    the scan already has >= cores partitions and this is an exact
+    no-op — no shuffle is added to the 100 TB plan. Deliberately NOT
+    inside load_table: a blanket repartition between scan and filter
+    would block predicate pushdown for every non-amplifying query."""
+    spark = df.sparkSession
+    p = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def grams_expr(col: str):
     """Whitespace unigrams + space-joined bigrams — the shared
     fastText/DSIR feature recipe. ONE definition (like md5_int32) so
@@ -554,7 +577,7 @@ SELECT doc_id, n_words, word_chars, symbol_hits, alpha_words, n_req_stops,
 FROM stats
 ORDER BY doc_id
 """,
-    tags=("textops", "llm"),
+    tags=("textops", "llm", "bench"),
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Note: the synthetic corpus draws from a vocabulary containing at
@@ -2266,8 +2289,11 @@ def doc_bigrams(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, w1, w2) consecutive-token pairs, multiplicity kept.
-    Docs with fewer than two tokens contribute no rows."""
-    toks = docs.select(
+    Docs with fewer than two tokens contribute no rows. Fans out to
+    session parallelism first — the explode amplifies ~n_tokens-x and
+    a small-file scan's single partition would serialize it (no-op on
+    an already-parallel scan)."""
+    toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
     ).where(F.size("toks") >= 2)
     return toks.select(
