@@ -308,10 +308,16 @@ def curate(
         score_quality,
     )
 
+    from quackml_spark.operators.text import fan_out
+
     spark = docs.sparkSession
     src = (
         F.col(source_col) if source_col else F.lit("corpus")
     )
+    # fan out once at pipeline entry: every stage below is per-row
+    # heavy (tokenize/score/shingle) and a small-file scan is a single
+    # partition; no-op whenever the input is already parallel
+    docs = fan_out(docs)
     cur = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),

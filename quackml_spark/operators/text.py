@@ -318,7 +318,7 @@ ORDER BY doc_id
     tags=("textops", "bench"),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
     # word 3-gram shingles via a rolling window over the token array.
     # Docs with < 3 tokens keep their row but with a NULL shingle
@@ -2256,7 +2256,10 @@ ORDER BY query_id, rnk
     tags=("textops", "similarity", "bench"),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan out the corpus side: BM25's two tokenize passes are map-only
+    # but per-row heavy, and a single-file scan would run them on one
+    # core (no-op on an already-parallel scan)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     queries = (
         docs.where((F.col("doc_id") % 101 == 0) & (F.col("doc_id") < 50500))
         .select(F.col("doc_id").alias("query_id"), tokens_expr("text").alias("toks"))
@@ -3025,8 +3028,10 @@ def doc_trigrams(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, w1, w2, w3) consecutive-token triples, multiplicity
-    kept; docs with fewer than three tokens contribute no rows."""
-    toks = docs.select(
+    kept; docs with fewer than three tokens contribute no rows. Fans
+    out to session parallelism first (explode amplification; no-op on
+    an already-parallel scan)."""
+    toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
     ).where(F.size("toks") >= 3)
     return toks.select(
