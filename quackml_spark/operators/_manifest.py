@@ -121,11 +121,31 @@ def read_manifest(spark, path: str) -> tuple[int, dict]:
 def commit_manifest(path: str, fields: dict, base_version: int) -> int:
     """Commit ``fields`` as manifest version ``base_version + 1`` via
     atomic create-if-absent; raises IndexManifestConflictError if that
-    slot is already taken. Returns the committed version. On success
-    the legacy head directory is refreshed best-effort (see module
-    docstring)."""
+    slot is already taken OR the base is older than the committed
+    head. Returns the committed version. On success the legacy head
+    directory is refreshed best-effort (see module docstring)."""
     import pandas as pd
 
+    from quackml_spark.sources.files import _require_local
+
+    # URI paths would silently create a LOCAL './s3a:/...' token dir
+    # (os.makedirs treats the scheme as path components) that later
+    # same-cwd reads would treat as the authoritative chain, while the
+    # head-mirror swap crashes anyway (review catch) — refuse up front.
+    _require_local(path, "index-manifest CAS commit")
+    # A base below the committed head must conflict even when the
+    # retention prune has FREED its slot: linking into a pruned slot
+    # would silently lose this commit to token-chain readers (they
+    # take the max version) and then clobber the head mirror with
+    # stale fields (review catch). The residual check-to-link race
+    # needs >= keep commits to land inside it; a writer that stalls
+    # longer loses the race loudly here or at the link.
+    cur = current_version(path)
+    if base_version < cur:
+        raise IndexManifestConflictError(
+            f"manifest at {path!r} is at version {cur}, base "
+            f"{base_version} is stale; re-read and retry"
+        )
     cas = _cas_dir(path)
     os.makedirs(cas, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=cas, suffix=".parquet.tmp")
@@ -142,9 +162,22 @@ def commit_manifest(path: str, fields: dict, base_version: int) -> int:
             ) from None
     finally:
         os.unlink(tmp)
-    _refresh_head_mirror(path, target)
+    # mirror only while this commit is still the head: a racing later
+    # commit must not have its mirror overwritten by ours
+    if current_version(path) == base_version + 1:
+        _refresh_head_mirror(path, target)
     _prune_tokens(path, keep=8)
     return base_version + 1
+
+
+def clear_manifest_cas(path: str) -> None:
+    """Remove the CAS token chain — EVERY index (re)build must call
+    this before writing its fresh legacy manifest: read_manifest
+    prefers the token chain, so a stale chain from the path's previous
+    life would silently shadow the rebuilt manifest (and keep serving
+    the memoized old centers/codebook against the NEW lists — review
+    catch)."""
+    shutil.rmtree(_cas_dir(path), ignore_errors=True)
 
 
 def _prune_tokens(path: str, keep: int) -> None:

@@ -870,6 +870,11 @@ def dedup_index_build(
         .parquet(f"{path}/bands")
     )
     n_docs = int(docs.count())
+    from quackml_spark.operators._manifest import clear_manifest_cas
+
+    # a stale CAS chain from this path's previous life would shadow the
+    # fresh manifest (read_manifest prefers tokens — review catch)
+    clear_manifest_cas(path)
     spark.createDataFrame(
         [(_K, _BANDS, _R, _P, 3, n_docs)],
         "k int, bands int, rows_per_band int, modulus bigint, "
@@ -885,6 +890,7 @@ def dedup_index_check(
     bands: DataFrame | None = None,
     exclude_batch: int | None = None,
     exclude_run: str | None = None,
+    exclude_legacy: bool = False,
     ordered: bool = True,
 ) -> DataFrame:
     """Candidate duplicates of ``new_docs`` against the persisted index:
@@ -951,12 +957,21 @@ def dedup_index_check(
                 if "run_key" in idx.columns
                 else F.lit("")
             )
-            idx = idx.where(
-                ~(
-                    (run_col == F.lit(exclude_run))
-                    & (bid_col == int(exclude_batch))
-                )
+            own = (run_col == F.lit(exclude_run)) & (
+                bid_col == int(exclude_batch)
             )
+            if exclude_legacy:
+                # a checkpointed caller's batch ids are durable, so a
+                # pre-run_key (legacy '') row with this exact batch id
+                # can only be the current batch's own failed attempt
+                # from the pre-upgrade engine — without this the one
+                # in-flight batch spanning the upgrade replays with
+                # every previously-novel doc flipped to is_dup='index'
+                # (review catch)
+                own = own | (
+                    (run_col == F.lit("")) & (bid_col == int(exclude_batch))
+                )
+            idx = idx.where(~own)
         else:
             idx = idx.where(bid_col != int(exclude_batch))
     idx = idx.select(

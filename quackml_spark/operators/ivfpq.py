@@ -98,6 +98,11 @@ def ivfpq_index_build(
         .parquet(f"{path}/lists")
     )
     dim = int(emb.select(F.size("embedding")).first()[0])
+    from quackml_spark.operators._manifest import clear_manifest_cas
+
+    # a stale CAS chain from this path's previous life would shadow the
+    # fresh manifest (read_manifest prefers tokens — review catch)
+    clear_manifest_cas(path)
     spark.createDataFrame(
         [(n_lists, m, k_codes, dim, int(emb.count()), quantizer, seed)],
         "n_lists int, m int, k_codes int, dim int, n_rows bigint, "
@@ -130,6 +135,14 @@ def ivfpq_index_append(
     the partitions the new vectors land in. Residual-encoded indexes
     append through the same call — the new batch encodes its RESIDUAL
     against the assigned centroid, exactly as the build did."""
+    from quackml_spark.sources.files import _require_local
+
+    # fail fast BEFORE the lists append: the CAS manifest commit uses
+    # local-filesystem link/rename primitives, so a URI path would
+    # otherwise mutate the remote lists and THEN crash, leaving every
+    # re-run tripping the append-only duplicate-vec_id check (review
+    # catch — the ivf_index_append advisor class)
+    _require_local(path, "ivfpq_index_append")
     spark = new_emb.sparkSession
     man, centers, codebook = _validate_and_load(
         spark, path, new_emb.select("vec_id", "embedding"),
@@ -716,6 +729,9 @@ def ivfpq_index_build_residual(
         .parquet(f"{path}/lists")
     )
     dim = int(emb.select(F.size("embedding")).first()[0])
+    from quackml_spark.operators._manifest import clear_manifest_cas
+
+    clear_manifest_cas(path)  # see ivfpq_index_build
     spark.createDataFrame(
         [(n_lists, m, k_codes, dim, int(emb.count()), "kmeans-residual", seed)],
         "n_lists int, m int, k_codes int, dim int, n_rows bigint, "

@@ -910,6 +910,11 @@ def ivf_index_build(
     # so it rides any Hadoop-compatible filesystem.
     dim = int(emb.select(F.size("embedding")).first()[0])
     n_rows = int(emb.count())
+    from quackml_spark.operators._manifest import clear_manifest_cas
+
+    # a stale CAS chain from this path's previous life would shadow the
+    # fresh manifest (read_manifest prefers tokens — review catch)
+    clear_manifest_cas(path)
     spark.createDataFrame(
         [(n_lists, dim, n_rows, quantizer, seed)],
         "n_lists int, dim int, n_rows bigint, quantizer string, seed int",

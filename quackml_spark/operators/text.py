@@ -65,6 +65,20 @@ def fan_out(df, min_parallelism: int | None = None):
     would block predicate pushdown for every non-amplifying query."""
     spark = df.sparkSession
     p = min_parallelism or spark.sparkContext.defaultParallelism
+    # Frames that already carry a shuffle (join/aggregate/window/
+    # repartition/sort) are at shuffle-partitions parallelism — and,
+    # critically, Dataset.rdd under AQE would EXECUTE those shuffle
+    # stages right now just to read a partition count, then the real
+    # action would run them again (exchange reuse does not span
+    # separate executions — review catch; curate() takes arbitrary
+    # caller frames). Only scan/project/filter/union-shaped plans
+    # reach the .rdd probe, where it is stage-free and cheap.
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(
+        tok in plan
+        for tok in ("Join", "Aggregate", "Window", "Repartition", "Sort")
+    ):
+        return df
     if df.rdd.getNumPartitions() >= p:
         return df
     return df.repartition(p)

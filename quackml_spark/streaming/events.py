@@ -679,6 +679,9 @@ def streaming_index_dedup(
                 bands=bands,
                 exclude_batch=int(batch_id),
                 exclude_run=run_key,
+                # durable batch ids only: see dedup_index_check's
+                # exclude_legacy doc (pre-upgrade failed-attempt rows)
+                exclude_legacy=checkpoint_location is not None,
                 ordered=False,
             )
             .groupBy("new_doc_id")
@@ -926,9 +929,21 @@ def streaming_curate(
                 if "batch_id" in raw.columns
                 else F.lit(-1)
             )
-            seen = raw.where(
-                (run_col != F.lit(run_key)) | (bid_col < int(batch_id))
-            )
+            own = (run_col == F.lit(run_key)) & (bid_col >= int(batch_id))
+            if checkpoint_location is not None:
+                # checkpointed batch ids are durable and monotone, so a
+                # pre-run_key (legacy '') row with bid >= the current
+                # batch can ONLY be this batch's own failed attempt
+                # written by the pre-upgrade engine — without this, one
+                # in-flight batch spanning the upgrade replays into
+                # "every accepted doc is a dup" and is permanently lost
+                # (review catch). Checkpoint-less runs skip it: their
+                # batch ids reset, so a legacy bid carries no attempt
+                # identity and counting it as seen is the safe side.
+                own = own | (
+                    (run_col == F.lit("")) & (bid_col >= int(batch_id))
+                )
+            seen = raw.where(~own)
             idx_dup = (
                 passing.join(
                     seen.select(F.col("h").alias("__h")), "__h"

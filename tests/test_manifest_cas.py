@@ -44,7 +44,9 @@ def test_stale_base_commit_conflicts(spark, sf_dir, tmp_path):
     # driver B, still holding base v0, must lose loudly
     b = dict(man)
     b["n_rows"] = int(b["n_rows"]) + 11
-    with pytest.raises(IndexManifestConflictError, match="another writer"):
+    # (detected by the stale-base pre-check; a race that slips past it
+    # still loses at the create-if-absent link)
+    with pytest.raises(IndexManifestConflictError, match="stale|another writer"):
         commit_manifest(path, b, v0)
 
     # the winner's content is what readers see — chain AND head mirror
@@ -201,3 +203,144 @@ def test_streaming_band_append_bumps_n_docs(spark, tmp_path):
     assert int(man["n_docs"]) == 1 + novel
     # geometry validation still passes through the CAS-committed row
     dedup_index_check(base, index_path).collect()
+
+
+def test_rebuild_clears_stale_cas_chain(spark, sf_dir, tmp_path):
+    """An in-place rebuild must not be shadowed by the path's previous
+    CAS token chain: read_manifest prefers tokens, so a stale chain
+    would serve the OLD geometry against the NEW lists (review
+    catch)."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators._manifest import current_version, read_manifest
+    from quackml_spark.operators.ivfpq import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    ivfpq_index_build(
+        emb.where(F.col("vec_id") < 200), path, n_lists=8, m=8, k_codes=16,
+        quantizer="medoid",
+    )
+    ivfpq_index_append(
+        emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), path
+    )
+    assert current_version(path) == 1
+
+    # rebuild the same path over DIFFERENT data
+    ivfpq_index_build(
+        emb.where(F.col("vec_id") < 500), path, n_lists=8, m=8, k_codes=16,
+        quantizer="medoid",
+    )
+    v, man = read_manifest(spark, path)
+    assert v == 0 and int(man["n_rows"]) == 500  # fresh build, no tokens
+
+    # and the rebuilt index searches exactly like a fresh-path build
+    fresh = str(tmp_path / "idx_fresh")
+    ivfpq_index_build(
+        emb.where(F.col("vec_id") < 500), fresh, n_lists=8, m=8, k_codes=16,
+        quantizer="medoid",
+    )
+    q = emb.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, ivfpq_index_search(spark, path, q, k=5, nprobe=3).collect()))
+    b = sorted(map(tuple, ivfpq_index_search(spark, fresh, q, k=5, nprobe=3).collect()))
+    assert a == b
+
+
+def test_commit_below_pruned_head_conflicts(spark, sf_dir, tmp_path):
+    """A base version older than the committed head must conflict even
+    when retention pruning has FREED its slot — linking into it would
+    silently lose the commit to max-version readers and clobber the
+    head mirror with stale fields (review catch)."""
+    from quackml_spark.operators._manifest import (
+        IndexManifestConflictError,
+        commit_manifest,
+        current_version,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "idx")
+    _build_small_ivfpq(spark, sf_dir, path)
+    _, man = read_manifest(spark, path)
+    for i in range(12):
+        m = dict(man)
+        m["n_rows"] = int(man["n_rows"]) + i + 1
+        commit_manifest(path, m, i)
+    assert current_version(path) == 12  # v1..v4 pruned, slots free
+
+    stale = dict(man)
+    stale["n_rows"] = 1
+    with pytest.raises(IndexManifestConflictError, match="stale"):
+        commit_manifest(path, stale, 0)
+    # head (token chain AND mirror) untouched
+    _, now = read_manifest(spark, path)
+    assert int(now["n_rows"]) == int(man["n_rows"]) + 12
+    mirror = spark.read.parquet(f"{path}/manifest.parquet").first()
+    assert int(mirror["n_rows"]) == int(man["n_rows"]) + 12
+
+
+def test_cas_commit_refuses_uri_paths(tmp_path):
+    """commit_manifest on a URI path must fail BEFORE creating a bogus
+    cwd-local 's3a:/...' token directory (review catch)."""
+    import os
+
+    from quackml_spark.operators._manifest import commit_manifest
+
+    with pytest.raises(NotImplementedError, match="CAS commit"):
+        commit_manifest("s3a://bucket/idx", {"n_rows": 1}, 0)
+    assert not os.path.exists("s3a:")
+
+
+def test_ivfpq_append_uri_path_fails_before_mutation(spark):
+    """Same advisor class as ivf_index_append: a URI path must fail at
+    the TOP of the append, before the lists are mutated."""
+    from quackml_spark.operators.ivfpq import ivfpq_index_append
+
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(NotImplementedError, match="ivfpq_index_append"):
+        ivfpq_index_append(batch, "hdfs://nn/idx")
+
+
+def test_index_check_legacy_own_attempt_exclusion(spark, tmp_path):
+    """exclude_legacy=True (checkpointed callers): pre-run_key rows
+    with the CURRENT batch id are the batch's own pre-upgrade failed
+    attempt and must be invisible; other legacy batch ids still
+    count (review catch)."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators.dedup import (
+        dedup_index_build,
+        dedup_index_check,
+        doc_band_keys,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    novel = spark.createDataFrame(
+        [(7, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    for planted_bid, excluded in ((5, True), (3, False)):
+        path = str(tmp_path / f"idx{planted_bid}")
+        dedup_index_build(base, path)
+        # legacy schema: batch_id but NO run_key column
+        (
+            doc_band_keys(novel)
+            .withColumn("batch_id", F.lit(planted_bid).cast("bigint"))
+            .repartition("band_id")
+            .write.mode("append")
+            .partitionBy("band_id")
+            .parquet(f"{path}/bands")
+        )
+        hits = dedup_index_check(
+            novel, path, exclude_batch=5, exclude_run="rk-now",
+            exclude_legacy=True, ordered=False,
+        ).count()
+        assert (hits == 0) is excluded, (planted_bid, hits)

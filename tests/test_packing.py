@@ -126,3 +126,23 @@ def test_pack_plan_has_no_global_window(spark, sf_dir):
     for m in re.finditer(r"Exchange SinglePartition[^\n]*\n(.*?\n)", plan):
         nxt = m.group(1)
         assert "HashAggregate" in nxt or "Sort" in nxt, plan[:2000]
+
+
+def test_fan_out_is_identity_on_shuffled_frames(spark):
+    """fan_out must return already-shuffled frames UNTOUCHED: under AQE
+    Dataset.rdd would execute the upstream shuffle stages just to read
+    a partition count, and the real action would run them again
+    (review catch — curate() takes arbitrary caller frames)."""
+    from quackml_spark.operators.text import fan_out
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    agg = docs.groupBy("text").count()
+    assert fan_out(agg) is agg
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    assert fan_out(joined) is joined
+    # scan/local frames still fan out
+    assert fan_out(docs).rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 2
+    )

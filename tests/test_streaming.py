@@ -1133,3 +1133,49 @@ def test_curate_report_int_one_rejected(spark):
     )
     with _pytest.raises(ValueError, match="report must be"):
         curate(docs, report=1)
+
+
+def test_streaming_curate_checkpointed_legacy_own_attempt(spark, sf_dir, tmp_path):
+    """A checkpointed batch replayed across the r9 upgrade: its failed
+    first attempt's hash rows were written by the PRE-run_key engine
+    (legacy schema). Under a checkpoint, batch ids are durable, so a
+    legacy row with bid >= the current batch can only be that own
+    attempt and must stay invisible — without the fallback the batch
+    replays into all-dup and is permanently lost (review catch).
+    Legacy rows with EARLIER bids still count as seen."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators.text import clean_text_expr
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import (
+        stream_parquet_table,
+        streaming_curate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = docs.where(F.col("doc_id").isin(3, 4)).select(
+        "doc_id",
+        F.md5(F.lower(F.trim(clean_text_expr("text")))).alias("h"),
+    )
+    hashes = {r["doc_id"]: r["h"] for r in probe.collect()}
+    state = str(tmp_path / "curate_state")
+    # legacy schema (no run_key): doc 3 planted at bid -5 (earlier ->
+    # seen), doc 4 at bid 0 (the current batch's own pre-upgrade
+    # attempt -> invisible under a checkpoint)
+    spark.createDataFrame(
+        [(hashes[3], -5), (hashes[4], 0)], "h string, batch_id long"
+    ).write.parquet(f"{state}/hashes")
+
+    sink: list = []
+    stream = stream_parquet_table(
+        spark, sf_dir, "documents.parquet", "doc_id long, text string"
+    ).select("doc_id", "text")
+    q = streaming_curate(
+        stream, state, min_quality=0.0, sink=sink,
+        query_name="qml_curate_legacy_replay",
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    decisions = {r["doc_id"]: r for r in sink}
+    assert decisions[3]["reason"] == "dup"   # earlier legacy bid counts
+    assert decisions[4]["reason"] is None    # own pre-upgrade attempt ignored
