@@ -308,16 +308,16 @@ def curate(
         score_quality,
     )
 
-    from quackml_spark.operators.text import fan_out
-
     spark = docs.sparkSession
     src = (
         F.col(source_col) if source_col else F.lit("corpus")
     )
-    # fan out once at pipeline entry: every stage below is per-row
-    # heavy (tokenize/score/shingle) and a small-file scan is a single
-    # partition; no-op whenever the input is already parallel
-    docs = fan_out(docs)
+    # deliberately NOT fanned out at entry: measured at sf0.1, an
+    # entry repartition made the fused report ~45% SLOWER (2.2 ->
+    # 3.3 s) — the expression stages are map-light, the dedup/
+    # decontaminate stages shuffle to full parallelism on their own,
+    # and the heavy near-dup path fans out inside word_shingles where
+    # the per-row work justifies the row shuffle
     cur = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),

@@ -1100,21 +1100,14 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sequence packing — GPT-style concat-and-chunk for training-example
 # assembly: the whitespace-token stream (docs concatenated in doc_id
 # order) is cut into fixed seq_len blocks; each doc reports the block
-# range it lands in. The global token cumsum is computed SCALABLY:
-# shard by doc_id range (shard_size auto-grown so the shard count never
-# exceeds max_shards — the offset collect is bounded at any corpus
-# size), aggregate per-shard sums, broadcast cumulative offsets back,
-# finish with an intra-shard window — no single-partition window
-# anywhere, the same two-phase shape as the snapshot's distributed rank.
+# range it lands in. The global token cumsum is the engine's shared
+# distributed prefix sum (operators/packing.py::prefix_sum_by — range
+# partition + config-bounded offsets window + per-partition running
+# sum, zero driver collects); the round-7 driver-collected shard
+# offsets this replaced are subsumed by it. For the md5-SHUFFLED-order
+# twin with epoch shuffling and per-doc segment counts see
+# packing.pack_sequences / text_pack_sequences.
 # ---------------------------------------------------------------------------
-
-
-def _effective_shard_size(max_id: int, shard_size: int, max_shards: int) -> int:
-    """Grow shard_size so the per-shard-sum driver collect stays bounded
-    at ``max_shards`` rows no matter how large the doc_id range is (the
-    shard count is (max_id // size) + 1, so size >= ceil((max_id+1) /
-    max_shards) caps it)."""
-    return max(shard_size, -(-(max_id + 1) // max_shards))
 
 
 def sequence_pack(
@@ -1122,50 +1115,23 @@ def sequence_pack(
     seq_len: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
-    shard_size: int = 1000,
-    max_shards: int = 100_000,
+    n_shards: int | None = None,
 ) -> DataFrame:
-    # One column-pruned aggregate (often answered from parquet stats)
-    # sizes the shards: a fixed shard_size would collect doc_count /
-    # shard_size rows — a driver OOM at 10^10+ docs.
-    hi = docs.agg(F.max(F.col(id_col)).alias("m")).collect()[0]["m"]
-    shard_size = _effective_shard_size(int(hi or 0), shard_size, max_shards)
+    from quackml_spark.operators.packing import prefix_sum_by
+
     n_tok = F.size(tokens_expr(text_col))
-    base = docs.select(
-        F.col(id_col), n_tok.alias("n_tokens"),
-        (F.col(id_col) / shard_size).cast("bigint").alias("__shard"),
-    )
-    shard_sums = (
-        base.groupBy("__shard").agg(F.sum("n_tokens").alias("s")).orderBy("__shard")
-    ).collect()
-    offsets, running = {}, 0
-    for r in shard_sums:
-        offsets[r["__shard"]] = running
-        running += int(r["s"])
-    spark = docs.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(k, v) for k, v in offsets.items()], "__shard bigint, __off bigint"
-        )
-    )
-    w = (
-        Window.partitionBy("__shard")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.col("__off") + F.sum("n_tokens").over(w)
+    base = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+    summed = prefix_sum_by(base, "n_tokens", [F.asc(id_col)], n_shards)
+    cum = F.col("prefix_sum")
     start = cum - F.col("n_tokens")
-    return (
-        base.join(off_df, "__shard")
-        .select(
-            id_col,
-            "n_tokens",
-            start.alias("start_tok"),
-            (start / seq_len).cast("bigint").alias("first_bin"),
-            F.greatest((cum - 1) / seq_len, start / seq_len)
-            .cast("bigint")
-            .alias("last_bin"),
-        )
+    return summed.select(
+        id_col,
+        "n_tokens",
+        start.alias("start_tok"),
+        (start / seq_len).cast("bigint").alias("first_bin"),
+        F.greatest((cum - 1) / seq_len, start / seq_len)
+        .cast("bigint")
+        .alias("last_bin"),
     )
 
 
@@ -1175,9 +1141,10 @@ def sequence_pack(
     doc="GPT-style sequence packing (concat docs in doc_id order, chunk "
     "the token stream into 512-token training blocks): per doc, its "
     "token count, global stream offset, and the [first_bin, last_bin] "
-    "block range it spans. Global cumsum runs as the two-phase "
-    "shard-offset pattern (scale-safe); the oracle is the plain "
-    "window-cumsum formulation DuckDB can run at oracle scale.",
+    "block range it spans. Global cumsum is the shared distributed "
+    "prefix sum (range partition + bounded offsets window, no driver "
+    "collect); the oracle is the plain window-cumsum formulation "
+    "DuckDB can run at oracle scale.",
     oracle=r"""
 WITH t AS (
   SELECT doc_id,
@@ -2306,11 +2273,14 @@ def doc_bigrams(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, w1, w2) consecutive-token pairs, multiplicity kept.
-    Docs with fewer than two tokens contribute no rows. Fans out to
-    session parallelism first — the explode amplifies ~n_tokens-x and
-    a small-file scan's single partition would serialize it (no-op on
-    an already-parallel scan)."""
-    toks = fan_out(docs).select(
+    Docs with fewer than two tokens contribute no rows. Deliberately
+    NOT fanned out: bigram construction is a cheap transform and the
+    downstream type-count groupBys already shuffle to full
+    parallelism — measured at sf0.1, fan-out's text shuffle made the
+    LM queries ~40%% SLOWER (1.06 -> 1.29 s bigram, 1.39 -> 2.09 s
+    trigram). fan_out pays only where per-row work dominates the
+    row-shuffle cost (md5 grams, K-hash shingles, BM25 tokenize)."""
+    toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
     ).where(F.size("toks") >= 2)
     return toks.select(
@@ -3042,10 +3012,9 @@ def doc_trigrams(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, w1, w2, w3) consecutive-token triples, multiplicity
-    kept; docs with fewer than three tokens contribute no rows. Fans
-    out to session parallelism first (explode amplification; no-op on
-    an already-parallel scan)."""
-    toks = fan_out(docs).select(
+    kept; docs with fewer than three tokens contribute no rows. Not
+    fanned out — same measured reasoning as doc_bigrams."""
+    toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
     ).where(F.size("toks") >= 3)
     return toks.select(

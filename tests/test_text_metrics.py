@@ -110,25 +110,11 @@ def test_generation_metrics_df_matches_pure(spark):
         assert got[k] == pytest.approx(v, abs=1e-9), k
 
 
-def test_sequence_pack_shard_collect_bounded():
-    """The per-shard-sum driver collect stays <= max_shards rows no
-    matter the doc_id range: at 10^8 docs the default shard_size=1000
-    would collect 10^5 rows (at the cap); at 10^10 it must grow."""
-    from quackml_spark.operators.text import _effective_shard_size
-
-    assert _effective_shard_size(10**8 - 1, 1000, 100_000) == 1000
-    ss = _effective_shard_size(10**10 - 1, 1000, 100_000)
-    assert ss == 100_000
-    assert (10**10 - 1) // ss + 1 <= 100_000
-    ss = _effective_shard_size(10**12, 1000, 100_000)
-    assert 10**12 // ss + 1 <= 100_000
-    # tiny corpora keep the requested shard size
-    assert _effective_shard_size(0, 1000, 100_000) == 1000
-
-
 def test_sequence_pack_result_invariant_to_sharding(spark):
     """The packed output is a pure function of the token stream — the
-    shard decomposition (any max_shards) must not change it."""
+    prefix-sum shard count must not change it (sequence_pack now
+    delegates to the shared prefix_sum_by; the round-7 driver-collected
+    shard offsets are gone)."""
     from quackml_spark.operators.text import sequence_pack
 
     docs = spark.range(200).selectExpr(
@@ -136,11 +122,7 @@ def test_sequence_pack_result_invariant_to_sharding(spark):
         "repeat('tok ', cast(id % 17 + 1 as int)) as text",
     )
     a = sequence_pack(docs, seq_len=32).orderBy("doc_id").collect()
-    b = (
-        sequence_pack(docs, seq_len=32, shard_size=7, max_shards=5)
-        .orderBy("doc_id")
-        .collect()
-    )
+    b = sequence_pack(docs, seq_len=32, n_shards=5).orderBy("doc_id").collect()
     assert a == b
     # spot-check the stream is contiguous: start of doc i == cumsum
     cum = 0
