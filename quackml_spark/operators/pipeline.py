@@ -762,8 +762,9 @@ def pipeline_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replay. The learned stage is made SQL-replayable BY CONSTRUCTION:
 # planted spam docs use a disjoint zzq* vocabulary, so the classifier
 # trained on (aug, label = not-spam) is linearly separable with a huge
-# margin and its keep set on this corpus is exactly doc_id < 3000000 —
-# which the oracle states as a predicate. Every other stage reuses the
+# margin and its keep set on this corpus is exactly "id above the spam
+# band" (planted ids are negative; spam <= -1e6) — which the oracle
+# states as a predicate valid at ANY corpus id range. Every other stage reuses the
 # established SQL twin (quality score CTE, shared MinHash band SQL,
 # Bloom position arithmetic, ppm budget rate, two-phase curriculum
 # rank).
@@ -807,15 +808,19 @@ def _curate_full_oracle() -> str:
         rf"""
 WITH RECURSIVE
 aug AS (
+  -- planted docs take NEGATIVE ids so their identity is independent
+  -- of the corpus id range (positive +1M offsets collided with the
+  -- sf1.0 replica ids >= 1e9 and broke the qmodel predicate — caught
+  -- by the three-scale sweep): markers in (-1e6, 0), spam <= -1e6
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, text || ' zq trailing marker'
+  SELECT -doc_id - 1, text || ' zq trailing marker'
   FROM documents WHERE doc_id = 3
   UNION ALL
-  SELECT doc_id + 2000000, 'zq prefix marker ' || text
+  SELECT -doc_id - 1000, 'zq prefix marker ' || text
   FROM documents WHERE doc_id = 5
   UNION ALL
-  SELECT doc_id + 3000000, '{_FULL_SPAM}'
+  SELECT -doc_id - 1000000, '{_FULL_SPAM}'
   FROM documents WHERE doc_id % 10 = 7
 ),
 qtoks AS (
@@ -832,8 +837,9 @@ quality AS (
 ),
 qmodel AS (
   -- learned-filter keep set (see module comment: separable by
-  -- construction, so keep == not-planted-spam)
-  SELECT doc_id, text FROM quality WHERE doc_id < 3000000
+  -- construction, so keep == not-planted-spam == id above the spam
+  -- band)
+  SELECT doc_id, text FROM quality WHERE doc_id > -1000000
 ),
 bands AS ({{BANDS}}),
 edges AS (
@@ -952,10 +958,14 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.operators.qualityclf import train_quality_classifier
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted docs take NEGATIVE ids (markers in (-1e6, 0), spam at
+    # <= -1e6) so identification never collides with the corpus id
+    # range — positive offsets broke at sf1.0 where replica ids are
+    # >= 1e9 (three-scale sweep catch)
     aug = (
         docs.unionByName(
             docs.where(F.col("doc_id") == 3).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (-F.col("doc_id") - 1).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" zq trailing marker")).alias(
                     "text"
                 ),
@@ -963,7 +973,7 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             docs.where(F.col("doc_id") == 5).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
+                (-F.col("doc_id") - 1000).alias("doc_id"),
                 F.concat(F.lit("zq prefix marker "), F.col("text")).alias(
                     "text"
                 ),
@@ -971,13 +981,13 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             docs.where(F.col("doc_id") % 10 == 7).select(
-                (F.col("doc_id") + 3000000).alias("doc_id"),
+                (-F.col("doc_id") - 1000000).alias("doc_id"),
                 F.lit(_FULL_SPAM).alias("text"),
             )
         )
     )
     labeled = aug.withColumn(
-        "label", (F.col("doc_id") < 3000000).cast("int")
+        "label", (F.col("doc_id") > -1000000).cast("int")
     )
     model = train_quality_classifier(labeled)
     bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
