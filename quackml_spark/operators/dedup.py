@@ -1084,3 +1084,128 @@ def dedup_index_compact(
         ["band_id", "band_key"],
         target_file_mb,
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-arbitrated near-dup resolution — RefinedWeb/FineWeb practice:
+# when a near-duplicate cluster must collapse to one document, keep the
+# BEST one (highest quality score), not the arbitrarily-smallest id.
+# Same LSH candidate graph and connected components as the min-id
+# pipeline; only the per-cluster argmax changes. The argmax runs as a
+# window partitioned BY COMPONENT — cluster-sized groups (bounded by
+# the dedup caps), never a global window.
+# ---------------------------------------------------------------------------
+
+
+def near_dup_keep_best(
+    docs: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "quality_score",
+    max_bucket_size: int = 1024,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """Per-cluster keep/drop decisions with quality arbitration:
+    (component, doc_id, score, is_keeper) for every doc in a near-dup
+    cluster (singletons don't appear — nothing to arbitrate). Keeper =
+    highest ``score_col``, ties to the smallest id, so the decision is
+    deterministic and engine-replayable. ``scored`` is any (id, score)
+    frame — the heuristic quality score, a learned classifier
+    probability, or length."""
+    from pyspark.sql import Window
+
+    comp = connected_components(
+        near_dup_pairs(docs, id_col, text_col, max_bucket_size, verify_threshold)
+    )
+    members = comp.join(
+        scored.select(F.col(id_col).alias("doc_id"), score_col), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    return members.select(
+        "component",
+        "doc_id",
+        F.col(score_col),
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )
+
+
+@register(
+    "dedup_keep_best",
+    extra=True,
+    doc="Quality-arbitrated near-dup resolution (RefinedWeb/FineWeb "
+    "practice): MinHash-LSH clusters collapse to their HIGHEST-quality "
+    "member (composite heuristic score, ties to the smaller id) "
+    "instead of the arbitrary min-id — per-cluster argmax as a "
+    "component-partitioned window (cluster-sized groups, never "
+    "global). Oracle replays the shared band SQL, the recursive-CTE "
+    "components, the quality arithmetic, and the argmax.",
+    oracle=rf"""
+WITH RECURSIVE
+edges AS ({{EDGES}}),
+und AS (
+  SELECT doc_a AS s, doc_b AS d FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach(node, label) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, r.label FROM und u JOIN reach r ON r.node = u.d
+),
+comp AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+),
+q AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+),
+qs AS (
+  SELECT doc_id,
+    CAST(ROUND(
+      CAST(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
+           AS DECIMAL(18,6)) * 0.4
+      + CAST(length(list_filter(toks, x -> list_contains({{STOP}}, x)))
+             AS DECIMAL(18,6)) / greatest(length(toks), 1) * 0.3
+      + CAST(length(list_distinct(toks)) AS DECIMAL(18,6))
+        / greatest(length(toks), 1) * 0.3, 6) AS DOUBLE) AS quality_score
+  FROM q
+)
+SELECT component, doc_id, quality_score,
+       ROW_NUMBER() OVER (PARTITION BY component
+                          ORDER BY quality_score DESC, doc_id) = 1
+         AS is_keeper
+FROM comp JOIN qs USING (doc_id)
+ORDER BY component, doc_id
+""".replace("{EDGES}", _SQL_MINHASH_EDGES).replace(
+        "{STOP}", "STOPWORDS_PLACEHOLDER"
+    ),
+    tags=("dedup", "textops", "llm"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import score_quality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = score_quality(docs, keep_cols=False).select(
+        "doc_id", "quality_score"
+    )
+    return near_dup_keep_best(docs, scored).orderBy("component", "doc_id")
+
+
+def _install_keep_best_stopwords() -> None:
+    """The STOPWORDS literal lives in text.py; splice it into the
+    registered oracle after import (dedup.py deliberately avoids a
+    module-level STOPWORDS import to keep its import surface small)."""
+    from quackml_spark.operators.text import STOPWORDS
+    from quackml_spark.plans import REGISTRY
+
+    qd = REGISTRY["dedup_keep_best"]
+    qd.oracle = qd.oracle.replace(
+        "STOPWORDS_PLACEHOLDER", repr(list(STOPWORDS))
+    )
+
+
+_install_keep_best_stopwords()

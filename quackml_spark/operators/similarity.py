@@ -1661,3 +1661,120 @@ def ivf_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> int:
         },
     )
     return n_new
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced corpus sampling — semantic domain balancing: assign
+# every embedding to its nearest (deterministic medoid) center, then
+# budget-sample each cluster to the same target size. The embedding-
+# space analog of per-source mixture sampling (DoReMi-style "balance
+# the LATENT domains, not the provenance labels"): over-represented
+# semantic regions downsample toward the budget, rare regions keep
+# everything. Assignment is one map-only argmax against literal
+# centers (the IVF coarse-quantizer shape), the per-cluster counts are
+# one bounded aggregation, and the sample is the engine's
+# deterministic md5-ppm coin — the whole pipeline replays exactly in
+# SQL.
+# ---------------------------------------------------------------------------
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    budget_per_cluster: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep ~``budget_per_cluster`` vectors per nearest-center cluster:
+    rate_ppm = min(1e6, floor(1e6 * budget / cluster_size)), membership
+    by the deterministic md5 ppm coin on the id. Returns kept rows as
+    (id, cluster_id, rate_ppm). Pure function of (corpus, centers,
+    budget, seed)."""
+    from quackml_spark.operators.sampling import PPM, hash_ppm
+
+    if budget_per_cluster <= 0:
+        raise ValueError(
+            f"budget_per_cluster must be positive, got {budget_per_cluster}"
+        )
+    assigned = emb.select(
+        id_col,
+        _nearest_lists(F.col(emb_col), centers, 1)[0].alias("cluster_id"),
+    )
+    rates = (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster_id",
+            F.least(
+                F.lit(PPM).cast("bigint"),
+                F.floor(F.lit(PPM * budget_per_cluster) / F.col("n")).cast(
+                    "bigint"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    return (
+        assigned.join(F.broadcast(rates), "cluster_id")
+        .where(hash_ppm(id_col, seed) < F.col("rate_ppm"))
+        .select(id_col, "cluster_id", "rate_ppm")
+    )
+
+
+_CBS_K = 8
+_CBS_BUDGET = 40
+
+
+@register(
+    "embedding_cluster_sample",
+    extra=True,
+    doc="Cluster-balanced corpus sampling (semantic domain balancing): "
+    "every embedding assigns map-only to its nearest deterministic "
+    "medoid center (first 8 vectors — the value-checkable IVF "
+    "quantizer), each cluster budget-samples to ~40 vectors via the "
+    "md5-ppm coin. Over-represented semantic regions downsample, rare "
+    "ones keep everything — the latent-domain analog of per-source "
+    "mixture sampling. One bounded aggregation + broadcast rates + "
+    "map-only filter.",
+    oracle=f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INT) AS cluster_id, embedding::DOUBLE[] AS center
+  FROM embeddings WHERE vec_id < {_CBS_K}
+), assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], c.center) DESC,
+             c.cluster_id) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+), rates AS (
+  SELECT cluster_id,
+         LEAST(CAST(1000000 AS BIGINT),
+               CAST(FLOOR({1000000 * _CBS_BUDGET} / COUNT(*)) AS BIGINT))
+           AS rate_ppm
+  FROM assign GROUP BY cluster_id
+)
+SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id, r.rate_ppm
+FROM assign a JOIN rates r USING (cluster_id)
+WHERE ('0x' || substr(md5('0|' || a.vec_id::VARCHAR), 1, 8))::BIGINT
+      % 1000000 < r.rate_ppm
+ORDER BY a.vec_id
+""",
+    tags=("similarity", "sampling", "llm"),
+)
+def embedding_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centers = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < _CBS_K).collect()
+    ]
+    return (
+        cluster_balanced_sample(emb, centers, _CBS_BUDGET)
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "rate_ppm",
+        )
+        .orderBy("vec_id")
+    )

@@ -1006,3 +1006,74 @@ def test_require_local_rejects_uri_paths(spark):
         file_key_ranges("s3a://bucket/x", "k")
     with _pytest.raises(NotImplementedError, match="local-filesystem"):
         replace_dir(lambda t: None, "s3a://bucket/x")
+
+
+def test_near_dup_keep_best_arbitrates_by_quality(spark):
+    """The keeper must be the HIGHEST-quality cluster member, not the
+    min id: two near-identical docs where the LARGER id has the better
+    quality score (longer, in the length_ok band)."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators.dedup import near_dup_keep_best
+    from quackml_spark.operators.text import score_quality
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    # id 1 is the MARKER COPY (slightly lower quality: the junk tokens
+    # dilute its stopword ratio); id 2 is the clean original with the
+    # HIGHER score — min-id arbitration would wrongly keep 1
+    docs = spark.createDataFrame(
+        [
+            (1, base + " zq trailing marker"),
+            (2, base),
+            (9, "completely unrelated text mentioning nothing shared "
+                "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = score_quality(docs, keep_cols=False).select(
+        "doc_id", "quality_score"
+    )
+    out = near_dup_keep_best(docs, scored).collect()
+    # docs 1 and 2 are near-dups (shared prefix shingles); 9 is a
+    # singleton and must not appear
+    ids = {r["doc_id"] for r in out}
+    assert ids == {1, 2}, out
+    q = {r["doc_id"]: r["quality_score"] for r in out}
+    assert q[2] > q[1], q  # the fixture must make 2 the better doc
+    keepers = {r["doc_id"] for r in out if r["is_keeper"]}
+    assert keepers == {2}
+
+
+def test_cluster_balanced_sample_semantics(spark):
+    """Rates derive from cluster sizes (small clusters keep everything,
+    big ones downsample toward the budget) and the sample is a pure
+    function of ids — identical across calls."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.operators.similarity import cluster_balanced_sample
+
+    # two centers; 200 vectors near center 0, 10 near center 1
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows += [(i, [1.0, 0.001 * (i % 7)]) for i in range(2, 200)]
+    rows += [(i, [0.001 * (i % 5), 1.0]) for i in range(200, 210)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = cluster_balanced_sample(emb, centers, budget_per_cluster=20).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    # small cluster: rate capped at 1e6 -> all 11 kept
+    assert len(by_cluster[1]) == 11
+    assert all(r["rate_ppm"] == 1_000_000 for r in by_cluster[1])
+    # big cluster (199 members): ~20 expected, binomially concentrated
+    n_big = len(by_cluster[0])
+    assert 5 <= n_big <= 40, n_big
+    # deterministic
+    again = cluster_balanced_sample(emb, centers, budget_per_cluster=20).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget_per_cluster"):
+        cluster_balanced_sample(emb, centers, budget_per_cluster=0)
