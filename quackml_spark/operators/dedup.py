@@ -1112,20 +1112,59 @@ def near_dup_keep_best(
     highest ``score_col``, ties to the smallest id, so the decision is
     deterministic and engine-replayable. ``scored`` is any (id, score)
     frame — the heuristic quality score, a learned classifier
-    probability, or length."""
+    probability, or length.
+
+    Byte-identical duplicates collapse to their min-id representative
+    BEFORE the pair graph (the near_dup_drops shape, same 100x-
+    duplication guard): exact copies share ALL band keys AND the same
+    score, so (a) rep connectivity equals full-graph connectivity
+    restricted to reps, (b) a non-rep member can never win the argmax
+    — its rep has equal score and a smaller id — and (c) an exact
+    group is itself a cluster even without outside band edges. The
+    expanded decisions are therefore provably identical to the
+    uncollapsed formulation the oracle replays, while the pair graph
+    shrinks by the duplication factor."""
     from pyspark.sql import Window
 
+    ids = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("__h", F.md5("text"))
+    groups = ids.groupBy("__h").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("__n")
+    )
+    rep_docs = (
+        ids.join(groups, "__h")
+        .where(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "text")
+    )
     comp = connected_components(
-        near_dup_pairs(docs, id_col, text_col, max_bucket_size, verify_threshold)
+        near_dup_pairs(rep_docs, "doc_id", "text", max_bucket_size, verify_threshold)
     )
-    members = comp.join(
-        scored.select(F.col(id_col).alias("doc_id"), score_col), "doc_id"
+    # a rep is clustered if it has band edges; an exact group of >= 2
+    # is a cluster on its own (its members are byte-identical)
+    rep_state = groups.join(
+        comp.select(F.col("doc_id").alias("rep"), "component"), "rep", "left"
+    ).select(
+        "__h",
+        "rep",
+        "__n",
+        F.coalesce("component", "rep").alias("__comp"),
+        (F.col("component").isNotNull() | (F.col("__n") >= 2)).alias(
+            "__in_cluster"
+        ),
     )
-    w = Window.partitionBy("component").orderBy(
+    members = (
+        ids.join(rep_state, "__h")
+        .where("__in_cluster")
+        .join(
+            scored.select(F.col(id_col).alias("doc_id"), score_col), "doc_id"
+        )
+    )
+    w = Window.partitionBy("__comp").orderBy(
         F.desc(score_col), F.asc("doc_id")
     )
     return members.select(
-        "component",
+        F.col("__comp").alias("component"),
         "doc_id",
         F.col(score_col),
         (F.row_number().over(w) == 1).alias("is_keeper"),

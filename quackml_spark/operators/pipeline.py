@@ -257,6 +257,10 @@ def curate(
                           scoring, coefficients ride the MLlib
                           broadcast
       dedup='exact'       md5 content groups, keep min-id per group
+      dedup='minhash_best'  like 'minhash' but each cluster keeps its
+                          HIGHEST-quality member (heuristic score,
+                          ties to the smaller id) — the RefinedWeb
+                          arbitration (near_dup_keep_best)
       dedup='minhash'     NEAR-duplicate clusters (MinHash-LSH bands ->
                           in-bucket pairs -> connected components),
                           keep the min-id representative per cluster —
@@ -415,10 +419,28 @@ def curate(
             verify_threshold=minhash_verify_threshold,
         )
         cur = _mark("dedup_minhash", cur.join(drops, "doc_id", "left_anti"))
+    elif dedup == "minhash_best":
+        # near-dup clusters collapse to their HIGHEST-QUALITY member
+        # (RefinedWeb arbitration, ties to the smaller id) instead of
+        # the arbitrary min id — the near_dup_keep_best operator over
+        # the heuristic score. Docs outside any cluster pass through.
+        from quackml_spark.operators.dedup import near_dup_keep_best
+        from quackml_spark.operators.text import score_quality
+
+        decisions = near_dup_keep_best(
+            cur.select("doc_id", "text"),
+            score_quality(cur.select("doc_id", "text"), keep_cols=False)
+            .select("doc_id", "quality_score"),
+            verify_threshold=minhash_verify_threshold,
+        )
+        drops = decisions.where(~F.col("is_keeper")).select("doc_id")
+        cur = _mark(
+            "dedup_minhash_best", cur.join(drops, "doc_id", "left_anti")
+        )
     elif dedup is not None:
         raise ValueError(
             f"unknown dedup mode {dedup!r} "
-            "(supported: 'exact', 'minhash', None)"
+            "(supported: 'exact', 'minhash', 'minhash_best', None)"
         )
     if benchmark is not None:
         bench = benchmark.select(

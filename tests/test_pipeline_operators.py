@@ -1077,3 +1077,60 @@ def test_cluster_balanced_sample_semantics(spark):
 
     with _pytest.raises(ValueError, match="budget_per_cluster"):
         cluster_balanced_sample(emb, centers, budget_per_cluster=0)
+
+
+def test_near_dup_keep_best_exact_collapse_equivalence(spark):
+    """Exact duplicates collapse before the pair graph but the
+    DECISIONS must equal the uncollapsed formulation: byte-identical
+    copies share the rep's fate (only the rep can be a keeper), an
+    exact group of >= 2 is a cluster even without outside edges, and
+    component labels stay the global min id."""
+    from quackml_spark.operators.dedup import near_dup_keep_best
+    from quackml_spark.operators.text import score_quality
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    docs = spark.createDataFrame(
+        [
+            (1, base + " zq trailing marker"),  # near-dup of 2, lower q
+            (2, base),
+            (6, base),                           # exact copy of 2
+            (7, base),                           # exact copy of 2
+            (10, "lonely exact pair aa bb cc dd ee ff gg hh ii jj kk"),
+            (11, "lonely exact pair aa bb cc dd ee ff gg hh ii jj kk"),
+            (9, "completely unrelated text mentioning nothing shared "
+                "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = score_quality(docs, keep_cols=False).select(
+        "doc_id", "quality_score"
+    )
+    out = {r["doc_id"]: r for r in near_dup_keep_best(docs, scored).collect()}
+    # cluster {1, 2, 6, 7}: keeper is 2 (highest quality among reps;
+    # exact copies 6/7 can never win — same score, larger id)
+    assert set(out) == {1, 2, 6, 7, 10, 11}
+    assert all(out[d]["component"] == 1 for d in (1, 2, 6, 7))
+    assert [d for d in (1, 2, 6, 7) if out[d]["is_keeper"]] == [2]
+    # exact-only pair {10, 11} is its own cluster, rep keeps
+    assert out[10]["component"] == 10 and out[11]["component"] == 10
+    assert out[10]["is_keeper"] and not out[11]["is_keeper"]
+
+
+def test_curate_minhash_best_mode(spark):
+    """curate(dedup='minhash_best') keeps the higher-quality cluster
+    member where plain 'minhash' keeps the min id."""
+    from quackml_spark.operators.pipeline import curate
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    docs = spark.createDataFrame(
+        [(1, base + " zq trailing marker"), (2, base)],
+        "doc_id long, text string",
+    )
+    best = curate(docs, clean=False, dedup="minhash_best", report=False)
+    kept_best = {r["doc_id"] for r in best["docs"].collect()}
+    minid = curate(docs, clean=False, dedup="minhash", report=False)
+    kept_min = {r["doc_id"] for r in minid["docs"].collect()}
+    assert kept_best == {2}   # the better doc
+    assert kept_min == {1}    # the arbitrary min id
