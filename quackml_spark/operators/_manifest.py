@@ -133,15 +133,19 @@ def commit_manifest(path: str, fields: dict, base_version: int) -> int:
     # same-cwd reads would treat as the authoritative chain, while the
     # head-mirror swap crashes anyway (review catch) — refuse up front.
     _require_local(path, "index-manifest CAS commit")
-    # A base below the committed head must conflict even when the
-    # retention prune has FREED its slot: linking into a pruned slot
-    # would silently lose this commit to token-chain readers (they
-    # take the max version) and then clobber the head mirror with
-    # stale fields (review catch). The residual check-to-link race
-    # needs >= keep commits to land inside it; a writer that stalls
-    # longer loses the race loudly here or at the link.
+    # The base must EQUAL the committed head. Below it: the retention
+    # prune may have FREED the slot, and linking into it would silently
+    # lose this commit to token-chain readers (they take the max
+    # version) and then clobber the head mirror with stale fields
+    # (review catch). Above it: the chain was cleared by an in-place
+    # rebuild between this writer's read and its commit, and linking
+    # would re-mint a token that shadows the FRESH manifest with
+    # pre-rebuild fields (second review catch — the one-sided `<`
+    # check allowed exactly that). The residual check-to-link race
+    # needs >= keep commits (or a full rebuild) to land inside it; a
+    # writer that stalls longer loses loudly here or at the link.
     cur = current_version(path)
-    if base_version < cur:
+    if base_version != cur:
         raise IndexManifestConflictError(
             f"manifest at {path!r} is at version {cur}, base "
             f"{base_version} is stale; re-read and retry"

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from quackml_spark.operators.text import tokens_expr
+from quackml_spark.operators.text import STOPWORDS, tokens_expr
 from quackml_spark.plans import register
 from quackml_spark.sources import load_table
 
@@ -658,6 +658,30 @@ def near_dup_pairs(
     )
 
 
+def _exact_reps(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared exact-collapse scaffolding for the near-dup resolvers:
+    (ids, groups, rep_docs) where ``ids`` is (doc_id, text, __h=md5),
+    ``groups`` is (__h, rep=min doc_id, __n=group size) and
+    ``rep_docs`` the one-representative-per-content frame the pair
+    graph is built over. One definition so near_dup_drops and
+    near_dup_keep_best can never diverge on what "byte-identical"
+    means (review catch: the construction was copy-pasted)."""
+    ids = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("__h", F.md5("text"))
+    groups = ids.groupBy("__h").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("__n")
+    )
+    rep_docs = (
+        ids.join(groups, "__h")
+        .where(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "text")
+    )
+    return ids, groups, rep_docs
+
+
 def near_dup_drops(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -680,15 +704,8 @@ def near_dup_drops(
     earlier). Note: the component labeling is driver-iterative
     (O(diameter) rounds), so this runs Spark jobs at call time — not a
     lazy transformation."""
-    ids = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).withColumn("__h", F.md5("text"))
-    reps = ids.groupBy("__h").agg(F.min("doc_id").alias("rep"))
-    rep_docs = (
-        ids.join(reps, "__h")
-        .where(F.col("doc_id") == F.col("rep"))
-        .select("doc_id", "text")
-    )
+    ids, groups, rep_docs = _exact_reps(docs, id_col, text_col)
+    reps = groups.select("__h", "rep")
     comp = connected_components(
         near_dup_pairs(
             rep_docs, "doc_id", "text", max_bucket_size, verify_threshold
@@ -937,26 +954,23 @@ def dedup_index_check(
             f"(k, bands, rows, modulus, shingle)={got}, engine expects "
             f"{want} — rebuild the index"
         )
-    # mergeSchema: the bands dir accretes files across upgrades (pre-r8
-    # files lack batch_id, pre-r9 lack run_key); a single-file-inferred
-    # schema over the mixed directory would either fail column
-    # resolution or NULL the column on new rows, and a NULL batch_id in
-    # the exclusion predicate silently drops the row from the index
-    # side, disabling dedup against pre-upgrade history (advisor
-    # catch). Footers-only cost; compaction keeps the file count small.
-    idx = spark.read.option("mergeSchema", "true").parquet(f"{path}/bands")
+    # EXPLICIT schema, not mergeSchema or single-file inference: the
+    # bands dir accretes files across upgrades (pre-r8 files lack
+    # batch_id, pre-r9 lack run_key), and a single-file-inferred
+    # schema would either fail column resolution or NULL the column
+    # on new rows — a NULL batch_id in the exclusion predicate then
+    # silently drops the row from the index side, disabling dedup
+    # against pre-upgrade history (advisor catch). A pinned schema
+    # NULLs absent columns, widens int32 files, and skips the
+    # mergeSchema footer scan entirely.
+    idx = spark.read.schema(
+        "doc_id bigint, band_key string, batch_id bigint, "
+        "run_key string, band_id int"
+    ).parquet(f"{path}/bands")
     if exclude_batch is not None:
-        bid_col = (
-            F.coalesce(F.col("batch_id"), F.lit(-1))
-            if "batch_id" in idx.columns
-            else F.lit(-1)
-        )
+        bid_col = F.coalesce(F.col("batch_id"), F.lit(-1))
         if exclude_run is not None:
-            run_col = (
-                F.coalesce(F.col("run_key"), F.lit(""))
-                if "run_key" in idx.columns
-                else F.lit("")
-            )
+            run_col = F.coalesce(F.col("run_key"), F.lit(""))
             own = (run_col == F.lit(exclude_run)) & (
                 bid_col == int(exclude_batch)
             )
@@ -1126,17 +1140,7 @@ def near_dup_keep_best(
     shrinks by the duplication factor."""
     from pyspark.sql import Window
 
-    ids = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).withColumn("__h", F.md5("text"))
-    groups = ids.groupBy("__h").agg(
-        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("__n")
-    )
-    rep_docs = (
-        ids.join(groups, "__h")
-        .where(F.col("doc_id") == F.col("rep"))
-        .select("doc_id", "text")
-    )
+    ids, groups, rep_docs = _exact_reps(docs, id_col, text_col)
     comp = connected_components(
         near_dup_pairs(rep_docs, "doc_id", "text", max_bucket_size, verify_threshold)
     )
@@ -1183,7 +1187,20 @@ def near_dup_keep_best(
     "components, the quality arithmetic, and the argmax.",
     oracle=rf"""
 WITH RECURSIVE
-edges AS ({{EDGES}}),
+band_edges AS ({{EDGES}}),
+exact_edges AS (
+  -- byte-identical docs are near-dup clusters even when too short to
+  -- shingle (< 3 tokens -> no band keys); the Spark side's exact
+  -- collapse counts them, so the oracle's graph must too (review
+  -- catch). For shingleable docs these edges are redundant
+  -- (identical text shares every band) and change nothing.
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT * FROM band_edges UNION SELECT * FROM exact_edges
+),
 und AS (
   SELECT doc_a AS s, doc_b AS d FROM edges
   UNION SELECT doc_b, doc_a FROM edges
@@ -1220,7 +1237,7 @@ SELECT component, doc_id, quality_score,
 FROM comp JOIN qs USING (doc_id)
 ORDER BY component, doc_id
 """.replace("{EDGES}", _SQL_MINHASH_EDGES).replace(
-        "{STOP}", "STOPWORDS_PLACEHOLDER"
+        "{STOP}", repr(list(STOPWORDS))
     ),
     tags=("dedup", "textops", "llm"),
 )
@@ -1232,19 +1249,3 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "quality_score"
     )
     return near_dup_keep_best(docs, scored).orderBy("component", "doc_id")
-
-
-def _install_keep_best_stopwords() -> None:
-    """The STOPWORDS literal lives in text.py; splice it into the
-    registered oracle after import (dedup.py deliberately avoids a
-    module-level STOPWORDS import to keep its import surface small)."""
-    from quackml_spark.operators.text import STOPWORDS
-    from quackml_spark.plans import REGISTRY
-
-    qd = REGISTRY["dedup_keep_best"]
-    qd.oracle = qd.oracle.replace(
-        "STOPWORDS_PLACEHOLDER", repr(list(STOPWORDS))
-    )
-
-
-_install_keep_best_stopwords()

@@ -282,9 +282,22 @@ def _validate_and_load(
     key = None
     cas_v = current_version(path)
     if cas_v:
-        # token files are immutable once linked — (path, version) is an
-        # exact cache key, no mtime heuristics needed
-        key = (path, "cas", cas_v)
+        # token files are immutable once linked, but version NUMBERS
+        # are not unique across the path's lifetime: an in-place
+        # rebuild clears the chain and a post-rebuild append re-mints
+        # v1, so a bare (path, version) key would serve the
+        # PRE-rebuild centers/codebook against the new lists (review
+        # catch). The token's inode + mtime identify the physical
+        # file, making the key exact across rebuilds.
+        from quackml_spark.operators._manifest import _token_path
+
+        try:
+            st = os.stat(_token_path(path, cas_v))
+            key = (path, "cas", cas_v, st.st_ino, st.st_mtime_ns)
+        except FileNotFoundError:
+            # pruned/cleared between version resolve and stat — skip
+            # the memo for this call
+            key = None
     else:
         mdir = f"{path}/manifest.parquet"
         try:

@@ -922,9 +922,10 @@ decon AS (
   WHERE NOT EXISTS (SELECT 1 FROM leaked l WHERE l.doc_id = n.doc_id)
 ),
 rate AS (
-  SELECT LEAST(CAST({PPM} AS BIGINT),
-               CAST(FLOOR({PPM * _FULL_BUDGET} / SUM(length(text)))
-                    AS BIGINT)) AS rate_ppm
+  SELECT GREATEST(CAST(1 AS BIGINT),
+           LEAST(CAST({PPM} AS BIGINT),
+                 CAST(FLOOR({PPM * _FULL_BUDGET} / SUM(length(text)))
+                      AS BIGINT))) AS rate_ppm
   FROM decon
 ),
 budget AS (

@@ -55,8 +55,13 @@ def budget_rates(
     weight_col: str = "n_chars",
 ) -> DataFrame:
     """Integer ppm sampling rate per source to hit ``budget_chars``
-    per source in expectation: floor(1e6 * budget / total), capped at
-    1e6. Pure bigint arithmetic — bit-identical across engines."""
+    per source in expectation: clamp(floor(1e6 * budget / total), 1,
+    1e6). Pure bigint arithmetic — bit-identical across engines. The
+    1-ppm floor keeps a source bigger than 1e6 x budget from flooring
+    to rate 0 and vanishing from the mixture (a sub-ppm budget then
+    overshoots: E[kept] = total/1e6 chars — minimal representation
+    beats silent total exclusion; review-catch class shared with
+    cluster_balanced_sample)."""
     totals = df.groupBy(source_col).agg(
         F.sum(weight_col).alias("total_chars"), F.count(F.lit(1)).alias("n_docs")
     )
@@ -66,9 +71,14 @@ def budget_rates(
         "n_docs",
         # PPM * budget precomputed in Python: the product exceeds int32
         # and must enter the plan as a single bigint literal
-        F.least(
-            F.lit(PPM).cast("bigint"),
-            F.floor(F.lit(PPM * budget_chars) / F.col("total_chars")).cast("bigint"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.least(
+                F.lit(PPM).cast("bigint"),
+                F.floor(
+                    F.lit(PPM * budget_chars) / F.col("total_chars")
+                ).cast("bigint"),
+            ),
         ).alias("rate_ppm"),
     )
 
@@ -90,8 +100,9 @@ WITH rates AS (
   SELECT source,
          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          COUNT(*) AS n_docs,
-         LEAST(CAST({PPM} AS BIGINT),
-               CAST(FLOOR({PPM * _BUDGET} / SUM(n_chars)) AS BIGINT)
+         GREATEST(CAST(1 AS BIGINT),
+           LEAST(CAST({PPM} AS BIGINT),
+                 CAST(FLOOR({PPM * _BUDGET} / SUM(n_chars)) AS BIGINT))
          ) AS rate_ppm
   FROM documents GROUP BY source
 ), kept AS (

@@ -1687,10 +1687,14 @@ def cluster_balanced_sample(
     seed: int = 0,
 ) -> DataFrame:
     """Keep ~``budget_per_cluster`` vectors per nearest-center cluster:
-    rate_ppm = min(1e6, floor(1e6 * budget / cluster_size)), membership
-    by the deterministic md5 ppm coin on the id. Returns kept rows as
-    (id, cluster_id, rate_ppm). Pure function of (corpus, centers,
-    budget, seed)."""
+    rate_ppm = clamp(floor(1e6 * budget / cluster_size), 1, 1e6),
+    membership by the deterministic md5 ppm coin on the id. The 1-ppm
+    floor keeps a cluster larger than 1e6 x budget from flooring to
+    rate 0 and vanishing entirely — the giant cluster keeps a minimal
+    (possibly over-budget) representation instead of none, which is
+    the documented "downsample toward the budget" direction (review
+    catch). Returns kept rows as (id, cluster_id, rate_ppm). Pure
+    function of (corpus, centers, budget, seed)."""
     from quackml_spark.operators.sampling import PPM, hash_ppm
 
     if budget_per_cluster <= 0:
@@ -1706,10 +1710,13 @@ def cluster_balanced_sample(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             "cluster_id",
-            F.least(
-                F.lit(PPM).cast("bigint"),
-                F.floor(F.lit(PPM * budget_per_cluster) / F.col("n")).cast(
-                    "bigint"
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.least(
+                    F.lit(PPM).cast("bigint"),
+                    F.floor(
+                        F.lit(PPM * budget_per_cluster) / F.col("n")
+                    ).cast("bigint"),
                 ),
             ).alias("rate_ppm"),
         )
@@ -1750,8 +1757,9 @@ WITH cent AS (
   ) WHERE rn = 1
 ), rates AS (
   SELECT cluster_id,
-         LEAST(CAST(1000000 AS BIGINT),
-               CAST(FLOOR({1000000 * _CBS_BUDGET} / COUNT(*)) AS BIGINT))
+         GREATEST(CAST(1 AS BIGINT),
+           LEAST(CAST(1000000 AS BIGINT),
+                 CAST(FLOOR({1000000 * _CBS_BUDGET} / COUNT(*)) AS BIGINT)))
            AS rate_ppm
   FROM assign GROUP BY cluster_id
 )

@@ -73,10 +73,17 @@ def fan_out(df, min_parallelism: int | None = None):
     # separate executions — review catch; curate() takes arbitrary
     # caller frames). Only scan/project/filter/union-shaped plans
     # reach the .rdd probe, where it is stage-free and cheap.
+    import re
+
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(
-        tok in plan
-        for tok in ("Join", "Aggregate", "Window", "Repartition", "Sort")
+    # match OPERATOR names at the start of a plan line (after the tree
+    # branch prefix), not bare substrings: a column named `JoinKey` or
+    # a string literal containing 'Window' lives inside the node's
+    # parens and must not silently disable the fan-out (review catch)
+    if re.search(
+        r"^[\s:+|-]*(Join|Aggregate|Window|Repartition|RepartitionByExpression|Sort)\b",
+        plan,
+        re.MULTILINE,
     ):
         return df
     if df.rdd.getNumPartitions() >= p:

@@ -657,6 +657,9 @@ def streaming_index_dedup(
 
     if run_key is None:
         run_key = checkpoint_location or f"run-{uuid.uuid4().hex}"
+    legacy_guard = _checkpoint_resumed(
+        docs_stream.sparkSession, checkpoint_location
+    )
 
     def _process(batch_df, batch_id):
         batch_df = batch_df.select(
@@ -679,9 +682,11 @@ def streaming_index_dedup(
                 bands=bands,
                 exclude_batch=int(batch_id),
                 exclude_run=run_key,
-                # durable batch ids only: see dedup_index_check's
-                # exclude_legacy doc (pre-upgrade failed-attempt rows)
-                exclude_legacy=checkpoint_location is not None,
+                # resumed-checkpoint lineages only: see
+                # dedup_index_check's exclude_legacy doc and
+                # _checkpoint_resumed (a fresh checkpoint's batch 0
+                # must not shadow legacy bid-0 history)
+                exclude_legacy=legacy_guard,
                 ordered=False,
             )
             .groupBy("new_doc_id")
@@ -875,6 +880,9 @@ def streaming_curate(
     # same-run rows may be scoped out of the seen set)
     if run_key is None:
         run_key = checkpoint_location or f"run-{uuid.uuid4().hex}"
+    # legacy own-attempt fallback only applies when this run RESUMES an
+    # existing checkpoint lineage (see _checkpoint_resumed)
+    legacy_guard = _checkpoint_resumed(docs_stream.sparkSession, checkpoint_location)
     bench = (
         F.broadcast(benchmark_grams.select("gram").distinct())
         if benchmark_grams is not None
@@ -913,24 +921,20 @@ def streaming_curate(
             # (review catch). Scoping the exclusion to run_key fixes
             # the checkpoint-less restart, whose batch ids reset to 0
             # and would hide ALL committed hashes under a bare
-            # batch_id < bid (advisor catch). mergeSchema: the log
-            # predates the run_key (and before r8 the batch_id)
-            # column, and a single-file-inferred schema over a mixed
-            # directory would silently drop the column from new rows;
-            # footers-only cost, bounded by the log's file count.
-            raw = spark.read.option("mergeSchema", "true").parquet(hash_dir)
-            run_col = (
-                F.coalesce(F.col("run_key"), F.lit(""))
-                if "run_key" in raw.columns
-                else F.lit("")
-            )
-            bid_col = (
-                F.coalesce(F.col("batch_id"), F.lit(-1))
-                if "batch_id" in raw.columns
-                else F.lit(-1)
-            )
+            # batch_id < bid (advisor catch). EXPLICIT schema, not
+            # mergeSchema: the log predates the run_key (and before
+            # r8 the batch_id) column AND older engine builds wrote
+            # batch_id as INT — parquet schema merging refuses an
+            # int/long mix, while a pinned schema widens int32 files
+            # and NULLs absent columns (review catch on the first
+            # mergeSchema attempt), with no footer-scan cost.
+            raw = spark.read.schema(
+                "h string, batch_id bigint, run_key string"
+            ).parquet(hash_dir)
+            run_col = F.coalesce(F.col("run_key"), F.lit(""))
+            bid_col = F.coalesce(F.col("batch_id"), F.lit(-1))
             own = (run_col == F.lit(run_key)) & (bid_col >= int(batch_id))
-            if checkpoint_location is not None:
+            if legacy_guard:
                 # checkpointed batch ids are durable and monotone, so a
                 # pre-run_key (legacy '') row with bid >= the current
                 # batch can ONLY be this batch's own failed attempt
@@ -998,7 +1002,7 @@ def streaming_curate(
         (
             keepers.select(
                 F.col("__h").alias("h"),
-                F.lit(int(batch_id)).alias("batch_id"),
+                F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
                 F.lit(run_key).alias("run_key"),
             )
             .distinct()
@@ -1109,6 +1113,30 @@ def streaming_ann_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _checkpoint_resumed(spark, checkpoint_location: str | None) -> bool:
+    """True iff ``checkpoint_location`` already holds committed offsets
+    — i.e. this run RESUMES an existing query lineage and a replayed
+    batch id names a prior attempt. Gates the legacy (pre-run_key)
+    own-attempt exclusion: a FRESH checkpoint restarts batch ids at 0,
+    and applying the fallback there would let batch 0 shadow a
+    pre-upgrade state dir's bid-0 history, re-accepting previously
+    seen documents (review catch). Probes through the Hadoop
+    FileSystem API so URI checkpoints (hdfs://, s3a://) resolve too;
+    unreadable locations count as fresh — the safe direction for
+    dedup (history stays visible)."""
+    if not checkpoint_location:
+        return False
+    try:
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            checkpoint_location.rstrip("/") + "/offsets"
+        )
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return bool(fs.exists(p)) and len(fs.listStatus(p)) > 0
+    except Exception:  # noqa: BLE001 — unreadable == fresh
+        return False
 
 
 def _with_checkpoint(writer, checkpoint_location: str | None):

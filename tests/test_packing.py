@@ -146,3 +146,27 @@ def test_fan_out_is_identity_on_shuffled_frames(spark):
     assert fan_out(docs).rdd.getNumPartitions() >= min(
         spark.sparkContext.defaultParallelism, 2
     )
+
+
+def test_fan_out_not_fooled_by_operator_names_in_literals(spark):
+    """Shuffle detection anchors on plan-line operator names: a filter
+    literal containing 'Join'/'Window' must not silently disable the
+    fan-out (review catch)."""
+    from quackml_spark.operators.text import fan_out
+
+    import tempfile
+
+    d = tempfile.mkdtemp() + "/docs"
+    spark.createDataFrame(
+        [(i, f"text Window Join {i}") for i in range(10)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(d)
+    # single-file scan (1 partition) + a filter whose LITERAL contains
+    # operator names — the fan-out must still engage
+    docs = spark.read.parquet(d).where("text like '%Join%'")
+    assert docs.rdd.getNumPartitions() == 1
+    out = fan_out(docs)
+    assert out is not docs
+    assert out.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 2
+    )

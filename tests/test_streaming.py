@@ -1135,14 +1135,84 @@ def test_curate_report_int_one_rejected(spark):
         curate(docs, report=1)
 
 
-def test_streaming_curate_checkpointed_legacy_own_attempt(spark, sf_dir, tmp_path):
+def _curate_doc(i: int, salt: str) -> tuple[int, str]:
+    return (
+        i,
+        f"document {salt} number {i} with plenty of distinct tokens so "
+        f"the quality gate and hashing behave normally in this test",
+    )
+
+
+def test_streaming_curate_resumed_checkpoint_legacy_own_attempt(
+    spark, tmp_path
+):
     """A checkpointed batch replayed across the r9 upgrade: its failed
     first attempt's hash rows were written by the PRE-run_key engine
-    (legacy schema). Under a checkpoint, batch ids are durable, so a
-    legacy row with bid >= the current batch can only be that own
+    (legacy schema). Under a RESUMED checkpoint, batch ids are durable,
+    so a legacy row with bid >= the current batch can only be that own
     attempt and must stay invisible — without the fallback the batch
     replays into all-dup and is permanently lost (review catch).
     Legacy rows with EARLIER bids still count as seen."""
+    from pyspark.sql import functions as F
+
+    from quackml_spark.streaming.events import streaming_curate
+
+    state = str(tmp_path / "curate_state")
+    ckpt = str(tmp_path / "ckpt")
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    # run 1 (batch 0) commits the checkpoint lineage
+    spark.createDataFrame(
+        [_curate_doc(i, "alpha") for i in range(3)], schema
+    ).coalesce(1).write.parquet(str(src / "p0"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/p*")
+    s1: list = []
+    q = streaming_curate(
+        stream, state, min_quality=0.0, sink=s1,
+        query_name="qml_curate_legacy_r1", checkpoint_location=ckpt,
+    )
+    q.awaitTermination()
+    assert all(r["accepted"] for r in s1)
+
+    # batch 1's docs: their pre-upgrade FAILED attempt left legacy
+    # (no-run_key) hash rows at bid 1; doc 13 additionally has a
+    # legacy row from an EARLIER batch (bid -5) -> genuinely seen
+    batch1 = [_curate_doc(i, "beta") for i in (11, 12, 13)]
+    probe = spark.createDataFrame(batch1, schema).select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("h")
+    )
+    hashes = {r["doc_id"]: r["h"] for r in probe.collect()}
+    spark.createDataFrame(
+        [(hashes[11], 1), (hashes[12], 1), (hashes[13], -5)],
+        "h string, batch_id long",
+    ).write.mode("append").parquet(f"{state}/hashes")
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    s2: list = []
+    q = streaming_curate(
+        stream, state, min_quality=0.0, sink=s2,
+        query_name="qml_curate_legacy_r2", checkpoint_location=ckpt,
+    )
+    q.awaitTermination()
+    decisions = {r["doc_id"]: r for r in s2}
+    assert set(decisions) == {11, 12, 13}
+    assert decisions[11]["reason"] is None  # own pre-upgrade attempt ignored
+    assert decisions[12]["reason"] is None
+    assert decisions[13]["reason"] == "dup"  # earlier legacy bid counts
+
+
+def test_streaming_curate_fresh_checkpoint_keeps_legacy_history(
+    spark, sf_dir, tmp_path
+):
+    """A FRESH checkpoint pointed at a pre-upgrade state dir must NOT
+    apply the own-attempt fallback: its batch 0 carries no prior
+    attempts, and excluding legacy bid-0 rows would re-accept the
+    state dir's whole committed history (review catch on the first
+    fallback implementation)."""
     from pyspark.sql import functions as F
 
     from quackml_spark.operators.text import clean_text_expr
@@ -1153,17 +1223,16 @@ def test_streaming_curate_checkpointed_legacy_own_attempt(spark, sf_dir, tmp_pat
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    probe = docs.where(F.col("doc_id").isin(3, 4)).select(
+    probe = docs.where(F.col("doc_id") == 4).select(
         "doc_id",
         F.md5(F.lower(F.trim(clean_text_expr("text")))).alias("h"),
     )
-    hashes = {r["doc_id"]: r["h"] for r in probe.collect()}
+    h4 = probe.collect()[0]["h"]
     state = str(tmp_path / "curate_state")
-    # legacy schema (no run_key): doc 3 planted at bid -5 (earlier ->
-    # seen), doc 4 at bid 0 (the current batch's own pre-upgrade
-    # attempt -> invisible under a checkpoint)
+    # legacy history written by a pre-upgrade checkpoint-less run,
+    # including bid 0 — the new run's first batch id
     spark.createDataFrame(
-        [(hashes[3], -5), (hashes[4], 0)], "h string, batch_id long"
+        [(h4, 0)], "h string, batch_id long"
     ).write.parquet(f"{state}/hashes")
 
     sink: list = []
@@ -1172,10 +1241,9 @@ def test_streaming_curate_checkpointed_legacy_own_attempt(spark, sf_dir, tmp_pat
     ).select("doc_id", "text")
     q = streaming_curate(
         stream, state, min_quality=0.0, sink=sink,
-        query_name="qml_curate_legacy_replay",
-        checkpoint_location=str(tmp_path / "ckpt"),
+        query_name="qml_curate_fresh_ckpt",
+        checkpoint_location=str(tmp_path / "fresh_ckpt"),
     )
     q.awaitTermination()
     decisions = {r["doc_id"]: r for r in sink}
-    assert decisions[3]["reason"] == "dup"   # earlier legacy bid counts
-    assert decisions[4]["reason"] is None    # own pre-upgrade attempt ignored
+    assert decisions[4]["reason"] == "dup"  # history stays visible
