@@ -1247,3 +1247,23 @@ def test_streaming_curate_fresh_checkpoint_keeps_legacy_history(
     q.awaitTermination()
     decisions = {r["doc_id"]: r for r in sink}
     assert decisions[4]["reason"] == "dup"  # history stays visible
+
+
+def test_checkpoint_resumed_probe(spark, tmp_path):
+    """_checkpoint_resumed: False for None / missing / empty-offsets
+    checkpoints and unreadable URI locations (the safe direction —
+    history stays visible); True once committed offsets exist."""
+    import os
+
+    from quackml_spark.streaming.events import _checkpoint_resumed
+
+    assert _checkpoint_resumed(spark, None) is False
+    fresh = str(tmp_path / "ck")
+    assert _checkpoint_resumed(spark, fresh) is False
+    os.makedirs(os.path.join(fresh, "offsets"))
+    assert _checkpoint_resumed(spark, fresh) is False  # dir but no commits
+    with open(os.path.join(fresh, "offsets", "0"), "w") as f:
+        f.write("{}")
+    assert _checkpoint_resumed(spark, fresh) is True
+    # unreadable scheme resolves False, never raises
+    assert _checkpoint_resumed(spark, "nosuchfs://x/ck") is False
