@@ -166,6 +166,37 @@ def commit_manifest(path: str, fields: dict, base_version: int) -> int:
             ) from None
     finally:
         os.unlink(tmp)
+    # Residual check-to-link race (advisor catch): if >= keep commits
+    # landed between the head check above and the link, _prune_tokens
+    # freed this very slot and the link just re-minted a version that
+    # max-version readers will NEVER resolve — returning success would
+    # silently drop the fold. A head beyond base+1 is ambiguous though:
+    # a fast racer may have legitimately built ON our token (in which
+    # case our fields are already folded into v(base+2) and we must NOT
+    # retry, or the fold double-applies). Disambiguate via v(base+2):
+    # a builder-on read OUR token, so it linked AFTER us (mtime greater);
+    # a recycled chain's v(base+2) predates our link (or is itself
+    # already pruned). Same-filesystem writers share one clock, and the
+    # old chain predates us by >= `keep` full parquet commits, so a
+    # coarse-granularity mtime tie can only be the builder-on case.
+    if current_version(path) > base_version + 1:
+        try:
+            next_mtime = os.stat(
+                _token_path(path, base_version + 2)
+            ).st_mtime_ns
+            recycled = next_mtime < os.stat(target).st_mtime_ns
+        except FileNotFoundError:
+            recycled = True  # v(base+2) pruned => long predates us
+        if recycled:
+            try:
+                os.unlink(target)  # head never pointed here; safe
+            except FileNotFoundError:
+                pass
+            raise IndexManifestConflictError(
+                f"manifest slot {base_version + 1} at {path!r} was "
+                f"recycled by retention while this commit was in "
+                f"flight; re-read and retry"
+            )
     # mirror only while this commit is still the head: a racing later
     # commit must not have its mirror overwritten by ours
     if current_version(path) == base_version + 1:

@@ -73,24 +73,25 @@ def bootstrap_quality_seed(
     """
     from quackml_spark.operators.text import md5_int32
 
+    # column-object API with an explicitly quoted identifier, not an
+    # f-string into F.expr: a score column whose name needs backtick
+    # quoting (dots, spaces) must resolve with a clear error path like
+    # every other column here (advisor catch). F.col alone still
+    # parses dots as struct access, so quote unconditionally.
+    score = F.col("`" + score_col.replace("`", "``") + "`")
     bounds = scored.agg(
-        F.expr(
-            f"approx_percentile({score_col}, {hi_q}, 10000)"
-        ).alias("hi"),
-        F.expr(
-            f"approx_percentile({score_col}, {lo_q}, 10000)"
-        ).alias("lo"),
+        F.percentile_approx(score, F.lit(hi_q), F.lit(10000)).alias("hi"),
+        F.percentile_approx(score, F.lit(lo_q), F.lit(10000)).alias("lo"),
     )
     banded = (
         scored.crossJoin(F.broadcast(bounds))
         .where(
-            (F.col(score_col) >= F.col("hi"))
-            | (F.col(score_col) <= F.col("lo"))
+            (score >= F.col("hi")) | (score <= F.col("lo"))
         )
         .select(
             id_col,
             text_col,
-            (F.col(score_col) >= F.col("hi")).cast("int").alias("label"),
+            (score >= F.col("hi")).cast("int").alias("label"),
         )
     )
     if max_seed_docs is None:

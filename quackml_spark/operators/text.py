@@ -73,18 +73,37 @@ def fan_out(df, min_parallelism: int | None = None):
     # separate executions — review catch; curate() takes arbitrary
     # caller frames). Only scan/project/filter/union-shaped plans
     # reach the .rdd probe, where it is stage-free and cheap.
-    import re
-
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # match OPERATOR names at the start of a plan line (after the tree
-    # branch prefix), not bare substrings: a column named `JoinKey` or
-    # a string literal containing 'Window' lives inside the node's
-    # parens and must not silently disable the fan-out (review catch)
-    if re.search(
-        r"^[\s:+|-]*(Join|Aggregate|Window|Repartition|RepartitionByExpression|Sort)\b",
-        plan,
-        re.MULTILINE,
-    ):
+    # Walk the optimized logical plan's JVM tree and test node CLASS
+    # names — not a regex over the rendered string, whose tree-prefix
+    # formatting and node spellings are not a stable API across Spark
+    # versions (advisor catch: a renamed node would silently defeat
+    # the guard and .rdd under AQE would execute the shuffle stages
+    # twice). Column names / literals can never collide with a class
+    # name here. Any failure to walk the plan (API drift, missing
+    # _jdf) falls through to returning df unchanged: skipping the
+    # fan-out costs at most the optimization, never a double-execute.
+    _shuffling = {
+        "Join",
+        "Aggregate",
+        "Window",
+        "Sort",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Distinct",
+        "Intersect",
+        "Except",
+    }
+    try:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() in _shuffling:
+                return df
+            it = node.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
+    except Exception:  # noqa: BLE001 — unwalkable plan: skip the probe
         return df
     if df.rdd.getNumPartitions() >= p:
         return df

@@ -654,6 +654,15 @@ def streaming_index_dedup(
     import uuid
 
     from quackml_spark.operators.dedup import dedup_index_check, doc_band_keys
+    from quackml_spark.sources.files import _require_local
+
+    # The per-batch n_docs CAS bump hard-requires a local index path
+    # (the manifest token chain is os.link-based). Refuse at stream
+    # START — otherwise a URI-pathed stream appends the batch's bands
+    # and THEN dies inside foreachBatch on every retry, mutating the
+    # index without ever making progress (advisor catch). Same
+    # discipline as ivf_index_append / ivfpq_index_append.
+    _require_local(index_path, "streaming_index_dedup")
 
     if run_key is None:
         run_key = checkpoint_location or f"run-{uuid.uuid4().hex}"

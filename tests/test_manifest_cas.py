@@ -344,3 +344,99 @@ def test_index_check_legacy_own_attempt_exclusion(spark, tmp_path):
             exclude_legacy=True, ordered=False,
         ).count()
         assert (hits == 0) is excluded, (planted_bid, hits)
+
+
+def _chain_to(spark, path, n):
+    """Advance the token chain to version n via straight commits."""
+    from quackml_spark.operators._manifest import commit_manifest, read_manifest
+
+    for _ in range(n):
+        v, man = read_manifest(spark, path)
+        man["n_rows"] = int(man["n_rows"]) + 1
+        commit_manifest(path, dict(man), v)
+    return read_manifest(spark, path)
+
+
+def test_recycled_slot_link_loses_loudly(spark, sf_dir, tmp_path, monkeypatch):
+    """The residual check-to-link race (advisor catch): a writer whose
+    stale-base pre-check passed, then had >= keep commits land before
+    its os.link, links into a slot retention already FREED — max-version
+    readers never resolve it, so returning success silently drops the
+    fold. The post-link detection must unlink the orphan token and
+    conflict loudly so cas_update re-folds against the real head."""
+    import os
+
+    from quackml_spark.operators import _manifest
+    from quackml_spark.operators._manifest import (
+        IndexManifestConflictError,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "idx")
+    _build_small_ivfpq(spark, sf_dir, path)
+    v, man = _chain_to(spark, path, 10)  # keep=8: v1, v2 pruned
+    assert v == 10
+    assert not os.path.exists(_manifest._token_path(path, 2))
+
+    # emulate the race: the pre-check reads a stale head (1), everything
+    # after sees the real filesystem
+    real_cv = _manifest.current_version
+    calls = {"n": 0}
+
+    def fake_cv(p):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real_cv(p)
+
+    monkeypatch.setattr(_manifest, "current_version", fake_cv)
+    stale = {**man, "n_rows": 999_999}
+    with pytest.raises(IndexManifestConflictError, match="recycled"):
+        _manifest.commit_manifest(path, stale, 1)
+
+    # the orphan token was removed; chain head and mirror are untouched
+    assert not os.path.exists(_manifest._token_path(path, 2))
+    monkeypatch.undo()
+    v2, now = read_manifest(spark, path)
+    assert (v2, int(now["n_rows"])) == (10, int(man["n_rows"]))
+
+
+def test_recycled_slot_with_pruned_next_token(spark, sf_dir, tmp_path, monkeypatch):
+    """Same race, deeper staleness: v(base+2) itself was pruned, so the
+    mtime disambiguation can't stat it — a missing next token can only
+    mean the old chain long predates this link, i.e. recycled."""
+    import os
+
+    from quackml_spark.operators import _manifest
+    from quackml_spark.operators._manifest import IndexManifestConflictError
+
+    path = str(tmp_path / "idx")
+    _build_small_ivfpq(spark, sf_dir, path)
+    v, man = _chain_to(spark, path, 10)  # v1 AND v2 pruned
+    assert not os.path.exists(_manifest._token_path(path, 1))
+
+    real_cv = _manifest.current_version
+    calls = {"n": 0}
+
+    def fake_cv(p):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real_cv(p)
+
+    monkeypatch.setattr(_manifest, "current_version", fake_cv)
+    with pytest.raises(IndexManifestConflictError, match="recycled"):
+        _manifest.commit_manifest(path, {**man, "n_rows": -1}, 0)
+    assert not os.path.exists(_manifest._token_path(path, 1))
+
+
+def test_streaming_index_dedup_refuses_uri_path_before_mutation(spark):
+    """streaming_index_dedup must refuse a URI index path at stream
+    START (advisor catch): the per-batch CAS bump is os.link-based, so
+    a URI-pathed stream would append the batch's bands and THEN die
+    inside foreachBatch on every retry — mutating the index with no
+    way to progress."""
+    from quackml_spark.streaming.events import streaming_index_dedup
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as doc_id", "cast(value as string) as text")
+    )
+    with pytest.raises(NotImplementedError, match="streaming_index_dedup"):
+        streaming_index_dedup(stream, "s3a://bucket/idx")

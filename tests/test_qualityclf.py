@@ -181,3 +181,20 @@ def test_classifier_scores_calibrate_with_platt(spark):
     pos = [r["cal"] for r in cal if r["label"] == 1]
     neg = [r["cal"] for r in cal if r["label"] == 0]
     assert min(pos) > max(neg)
+
+
+def test_bootstrap_seed_quoted_column_names(spark):
+    """The percentile bounds must resolve through the column-object
+    API so a score column needing backtick quoting (dots, spaces)
+    works like it does everywhere else (advisor catch)."""
+    from quackml_spark.operators.qualityclf import bootstrap_quality_seed
+
+    rows = [(i, f"doc {i}", float(i)) for i in range(40)]
+    scored = spark.createDataFrame(
+        rows, ["doc_id", "text", "my score.v2"]
+    )
+    seed = bootstrap_quality_seed(
+        scored, score_col="my score.v2", max_seed_docs=None
+    )
+    labels = {r["label"] for r in seed.collect()}
+    assert labels == {0, 1}
