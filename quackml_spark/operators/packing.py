@@ -285,3 +285,140 @@ def text_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return epoch_expand(docs, eps).orderBy("doc_id", "copy_idx")
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document REAL tokenizer token counts under a learned BPE
+    merge table — the count a training run actually consumes, not the
+    whitespace proxy. Output: (id, n_tokens bigint), one row per doc
+    that has at least one [a-z]+ word (the trainer's alphabet; docs
+    with none count zero tokens and are omitted, matching
+    pack_sequences' zero-token drop).
+
+    Scale shape: the merge replaces are applied to the DISTINCT-word
+    vocabulary only — bounded (~10^7 entries for web corpora) however
+    many documents feed it — never per word OCCURRENCE; occurrences
+    then pick up their word's subtoken count by an equi-join on the
+    word and sum per doc. At 100 TB that is one explode scan, one
+    vocab-sized aggregate, a word-keyed shuffle join (the vocab side
+    is small but can exceed broadcast; the join key is the word, so
+    AQE handles the usual Zipf skew on stopwords via split-skew), and
+    one doc-keyed partial-agg sum."""
+    from quackml_spark.operators.text import bpe_encode_expr
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z]+"), 0
+            )
+        ).alias("__word"),
+    )
+    # one encode per distinct word: bpe_encode_expr on the bare word
+    # yields exactly that word's subtokens
+    lut = (
+        words.select("__word")
+        .distinct()
+        .withColumn(
+            "__n_sub",
+            F.size(bpe_encode_expr(F.col("__word"), merges)).cast("bigint"),
+        )
+    )
+    return (
+        words.join(lut, "__word")
+        .groupBy(id_col)
+        .agg(F.sum("__n_sub").alias("n_tokens"))
+    )
+
+
+_BPE_PACK_MERGES = 8
+
+
+def _pack_bpe_oracle() -> str:
+    """DuckDB replay: the trainer's unrolled merge CTEs (shared with
+    text_bpe_train's oracle — one definition, text._bpe_merge_ctes),
+    then subtoken counts read straight off the final vocab's merged
+    symbol strings, summed per doc, then the packing prefix-sum
+    windows of text_pack_sequences."""
+    from quackml_spark.operators.text import _bpe_merge_ctes
+
+    n = _BPE_PACK_MERGES
+    ctes = _bpe_merge_ctes(n)
+    ctes.append(
+        f"""lut AS (
+  SELECT word, length(string_split(spaced, ' ')) AS n_sub FROM vocab{n}
+)"""
+    )
+    ctes.append(
+        """doc_tokens AS (
+  SELECT d.doc_id, SUM(l.n_sub) AS n_tokens
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents) d
+  JOIN lut l ON d.word = l.word
+  GROUP BY d.doc_id
+)"""
+    )
+    ctes.append(
+        """sized AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))::BIGINT AS prio
+  FROM doc_tokens WHERE n_tokens > 0
+)"""
+    )
+    ctes.append(
+        """summed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY prio, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS prefix_sum
+  FROM sized
+)"""
+    )
+    L = _PACK_SEQ_LEN
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prefix_sum - n_tokens AS BIGINT) AS start_token,
+       CAST(FLOOR((prefix_sum - n_tokens) / {L}) AS BIGINT) AS first_seq,
+       CAST(FLOOR((prefix_sum - 1) / {L}) AS BIGINT) AS last_seq,
+       CAST(FLOOR((prefix_sum - 1) / {L})
+            - FLOOR((prefix_sum - n_tokens) / {L}) + 1 AS BIGINT)
+         AS n_segments
+FROM summed
+ORDER BY doc_id
+"""
+    )
+
+
+@register(
+    "text_pack_sequences_bpe",
+    extra=True,
+    doc="Tokenizer-TRUE sequence packing: the concat-and-chunk layout "
+    "of text_pack_sequences computed over REAL learned-BPE token "
+    "counts instead of the whitespace proxy — the artifact a "
+    "pretraining pipeline actually ships. BPE merges train "
+    "distributed (8 rounds, 1-row argmax each); counts come from a "
+    "distinct-word LUT (merge replaces run O(vocab), never O(corpus "
+    "occurrences)) joined back and summed per doc; the layout is the "
+    "same two-phase distributed prefix sum. The oracle replays the "
+    "identical unrolled merge iteration, LUT, and SUM windows in "
+    "DuckDB, so every subtoken count and every stream offset is "
+    "value-checked.",
+    oracle=_pack_bpe_oracle(),
+    tags=("textops", "tokenizer", "sampling", "bench"),
+)
+def text_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_PACK_MERGES)
+    counts = bpe_token_counts(docs, merges)
+    return pack_sequences(counts, _PACK_SEQ_LEN).orderBy("doc_id")

@@ -1646,8 +1646,12 @@ def bpe_train(
     return merges
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """The identical unrolled merge iteration as DuckDB CTEs."""
+def _bpe_merge_ctes(n_merges: int) -> list[str]:
+    """The unrolled BPE merge iteration as DuckDB CTE strings — ONE
+    definition shared by the trainer oracle and the BPE-true packing
+    oracle (operators/packing.py), so the two can never drift. The
+    final CTE is ``vocab{n_merges}`` whose ``spaced`` column is each
+    word's fully-merged symbol string."""
     ctes = [
         r"""words AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
@@ -1686,6 +1690,12 @@ def _bpe_oracle_sql(n_merges: int) -> str:
   FROM vocab{t-1}, best{t} b
 )"""
         )
+    return ctes
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """The identical unrolled merge iteration as DuckDB CTEs."""
+    ctes = _bpe_merge_ctes(n_merges)
     union = "\nUNION ALL\n".join(
         f"SELECT {t} AS merge_rank, split_part(pair, ' ', 1) AS left_tok, "
         f"split_part(pair, ' ', 2) AS right_tok, replace(pair, ' ', '') AS merged, "

@@ -170,3 +170,73 @@ def test_fan_out_not_fooled_by_operator_names_in_literals(spark):
     assert out.rdd.getNumPartitions() >= min(
         spark.sparkContext.defaultParallelism, 2
     )
+
+
+def test_bpe_token_counts_match_encode(spark):
+    """The distinct-word LUT path must count exactly what encoding
+    every occurrence would: sum over words of len(bpe_encode(word))."""
+    from quackml_spark.operators.packing import bpe_token_counts
+    from quackml_spark.operators.text import bpe_encode_expr, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the the the banana"),
+            (3, "012 !!!"),  # no [a-z]+ words -> no row
+            (4, "cat"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=4)
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    want = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(bpe_encode_expr(F.col("text"), merges)).alias("n"),
+        ).collect()
+        if r["n"] > 0
+    }
+    assert got == want and 3 not in got
+    # merges actually compress: fewer tokens than raw chars+markers
+    raw = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(bpe_encode_expr(F.col("text"), [])).alias("n"),
+        ).collect()
+    }
+    assert got[1] < raw[1]
+
+
+def test_bpe_pack_differs_from_whitespace_pack(spark, sf_dir):
+    """Tokenizer-true packing is not the whitespace proxy relabeled:
+    at least one document's token count must differ, and the stream
+    layout must stay internally consistent (contiguous, gap-free)."""
+    from quackml_spark.plans import REGISTRY, _load_all
+
+    _load_all()
+    bpe = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_pack_sequences_bpe"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    ws = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_pack_sequences"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert any(
+        bpe[d]["n_tokens"] != ws[d]["n_tokens"] for d in bpe if d in ws
+    )
+    # the BPE stream is gap-free: offsets sorted by start are contiguous
+    rows = sorted(bpe.values(), key=lambda r: r["start_token"])
+    pos = 0
+    for r in rows:
+        assert r["start_token"] == pos
+        pos += r["n_tokens"]
