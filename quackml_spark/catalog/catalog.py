@@ -29,12 +29,12 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import tempfile
 import threading
 from datetime import datetime, timezone
 
 import pandas as pd
+
+from quackml_spark._cas import CasVersions, commit_frame
 
 _TABLES = {
     "projects": ["id", "name", "task", "created_at", "updated_at"],
@@ -98,19 +98,17 @@ class Catalog:
     def _legacy_path(self, table: str) -> str:
         return os.path.join(self.warehouse, f"{table}.parquet")
 
+    def _versions(self, table: str) -> CasVersions:
+        return CasVersions(
+            self.warehouse, f"{table}.v", keep=self._KEEP_VERSIONS
+        )
+
     def _version_path(self, table: str, version: int) -> str:
-        return os.path.join(self.warehouse, f"{table}.v{version:08d}.parquet")
+        return self._versions(table).token_path(version)
 
     def _current_version(self, table: str) -> int:
         """Highest committed version (0 = none or legacy-only file)."""
-        prefix, best = f"{table}.v", 0
-        for name in os.listdir(self.warehouse):
-            if name.startswith(prefix) and name.endswith(".parquet"):
-                try:
-                    best = max(best, int(name[len(prefix):-len(".parquet")]))
-                except ValueError:
-                    continue
-        return best
+        return self._versions(table).current_version()
 
     def _read_versioned(self, table: str) -> tuple[int, pd.DataFrame]:
         """(version, rows) snapshot — the version is the CAS base every
@@ -148,47 +146,27 @@ class Catalog:
     def _write(
         self, table: str, df: pd.DataFrame, base_version: int
     ) -> None:
-        """Commit ``df`` as version ``base_version + 1`` — atomic
-        create-if-absent (hard link), so a concurrent writer that
-        already took that version slot surfaces as a loud conflict,
-        never a silent clobber."""
-        fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".parquet.tmp")
-        os.close(fd)
-        try:
-            df.to_parquet(tmp, index=False)
-            target = self._version_path(table, base_version + 1)
-            try:
-                os.link(tmp, target)
-            except FileExistsError:
-                raise CatalogConflictError(
-                    f"catalog table {table!r}: another writer committed "
-                    f"version {base_version + 1} first — this operation "
-                    "made no change; re-issue it to retry against the "
-                    "new head"
-                ) from None
-        finally:
-            if os.path.exists(tmp):
-                os.remove(tmp)
-        self._prune(table, base_version + 1)
-
-    def _prune(self, table: str, head: int) -> None:
-        """Drop versions older than the retention window plus any
-        pre-versioning legacy file (readers only ever take the head;
-        POSIX keeps in-flight reads of unlinked files valid)."""
+        """Commit ``df`` as version ``base_version + 1`` under the ONE
+        shared link-commit protocol (_cas.py — also the index
+        manifests' implementation, so the concurrency discipline can
+        never diverge between the two): stale-base pre-check, atomic
+        create-if-absent hard link, recycle-race post-check, retention
+        prune. A lost race is a loud CatalogConflictError, never a
+        silent clobber."""
+        commit_frame(
+            self._versions(table),
+            df,
+            base_version,
+            CatalogConflictError,
+            f"catalog table {table!r}",
+        )
+        # any pre-versioning legacy file is superseded by the chain
         legacy = self._legacy_path(table)
         if os.path.exists(legacy):
             try:
                 os.remove(legacy)
             except OSError:
                 pass
-        for v in range(head - self._KEEP_VERSIONS, 0, -1):
-            path = self._version_path(table, v)
-            if not os.path.exists(path):
-                break
-            try:
-                os.remove(path)
-            except OSError:
-                break
 
     def insert(self, table: str, row: dict) -> int:
         """Append a row, allocating the next id (sequence parity,
