@@ -364,6 +364,7 @@ def dedup_exact_substring(
 
 @register(
     "dedup_simhash",
+    extra=True,
     doc="32-bit SimHash per document: sign-aggregated md5 token hashes "
     "(hamming-distance near-dup primitive).",
     oracle=r"""
@@ -1177,7 +1178,6 @@ def near_dup_keep_best(
 
 @register(
     "dedup_keep_best",
-    extra=True,
     doc="Quality-arbitrated near-dup resolution (RefinedWeb/FineWeb "
     "practice): MinHash-LSH clusters collapse to their HIGHEST-quality "
     "member (composite heuristic score, ties to the smaller id) "

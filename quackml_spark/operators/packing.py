@@ -152,7 +152,6 @@ _PACK_SEQ_LEN = 512
 
 @register(
     "text_pack_sequences",
-    extra=True,
     doc="Training-sequence packing plan (GPT/LLaMA concat-and-chunk): "
     "documents in deterministic md5-shuffled order lay out into one "
     "token stream cut into 512-token sequences; each doc's global "

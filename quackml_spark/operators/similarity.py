@@ -765,6 +765,7 @@ def ann_ivf_topk(
 
 @register(
     "embedding_quantize_int8",
+    extra=True,
     doc="Symmetric int8 quantization of embeddings (per-vector scale = "
     "max_abs/127) — the 4x memory reduction an ANN index applies at "
     "scale. Quantized codes are exact integers, so the checksum oracle "

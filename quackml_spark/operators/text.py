@@ -454,6 +454,7 @@ def _run_fold(sorted_grams):
 
 @register(
     "text_repetition_filters",
+    extra=True,
     doc="Gopher-style repetition quality filters (Rae et al. 2021 §A1.1) "
     "re-based on token n-grams (the synthetic docs have no newlines, so "
     "line/paragraph fractions would be degenerate): duplicate-token and "
@@ -572,7 +573,6 @@ _GOPHER_REQ_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 @register(
     "text_gopher_rules",
-    extra=True,
     doc="Gopher document-quality rules (Rae et al. 2021 §A1.1 — the "
     "non-repetition half; the repetition half is "
     "text_repetition_filters): word count in [50, 100k], mean word "
