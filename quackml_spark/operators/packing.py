@@ -100,6 +100,7 @@ def pack_sequences(
     order_cols: list | None = None,
     id_col: str = "doc_id",
     seed: int = 0,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Concat-and-chunk packing plan: each document's placement in the
     fixed-``seq_len`` training-sequence stream.
@@ -112,7 +113,9 @@ def pack_sequences(
     longer than the remainder of its sequence spills into the next —
     GPT-style splitting, no padding). Zero-token documents are dropped
     (they occupy no stream positions). Output per doc:
-    (id, n_tokens, start_token, first_seq, last_seq, n_segments).
+    (id, n_tokens, start_token, first_seq, last_seq, n_segments);
+    ``carry_cols`` pass through unchanged (e.g. copy_idx/source when
+    packing an epoch-expanded stream, where id alone is not a key).
 
     One range shuffle + one pid-keyed window exchange total (the
     prefix-sum shape) — no global window, no driver collect; at 100 TB
@@ -134,6 +137,7 @@ def pack_sequences(
     return (
         summed.select(
             id_col,
+            *carry_cols,
             F.col(n_tokens_col).cast("bigint").alias("n_tokens"),
             start.cast("bigint").alias("start_token"),
             F.floor(start / seq_len).cast("bigint").alias("first_seq"),

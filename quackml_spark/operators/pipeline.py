@@ -226,6 +226,10 @@ def curate(
     curriculum_band_size: int | None = None,
     budget_chars: int | None = None,
     temperature_alpha: float | None = None,
+    epochs_ppm: DataFrame | None = None,
+    epoch_seed: int = 1,
+    pack_seq_len: int | None = None,
+    pack_seed: int = 0,
     source_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -286,9 +290,28 @@ def curate(
                           quality rank in ``curriculum_band_size``-doc
                           bands, md5-shuffled within bands — the
                           training order a loader consumes directly.
-                          Runs LAST (after budget) so positions stay
-                          gap-free over the documents that actually
-                          survive sampling
+                          Runs after budget so positions stay gap-free
+                          over the documents that actually survive
+                          sampling
+      epochs              per-source fractional epoch expansion (the
+                          LLaMA data-recipe step): ``epochs_ppm`` is a
+                          tiny (source, epochs_ppm) frame (2.4 epochs =
+                          2_400_000); every doc expands to floor(e)
+                          copies plus an md5-coin extra for frac(e).
+                          Row grain becomes COPIES — (copy_idx,
+                          n_copies) columns appear. Broadcast join +
+                          map-only explode (epoch_expand)
+      pack                concat-and-chunk training-sequence layout
+                          (pack_sequences): whitespace-token counts lay
+                          copies out in deterministic md5-shuffled
+                          order into ``pack_seq_len``-token sequences;
+                          adds (n_tokens, start_token, first_seq,
+                          last_seq, n_segments), drops zero-token docs.
+                          The two-phase distributed prefix sum — no
+                          global window — so the layout is exact at any
+                          corpus size. These two TERMINAL stages turn
+                          the curated corpus into the frame a training
+                          loader consumes directly
 
     Returns {"docs": curated DataFrame, "report": DataFrame(stage,
     docs_in, docs_out, dropped)}. ``report`` modes:
@@ -517,6 +540,53 @@ def curate(
             band_size=curriculum_band_size,
         )
         cur = _mark("curriculum", cur.join(order, "doc_id"))
+    if epochs_ppm is not None:
+        from quackml_spark.operators.packing import epoch_expand
+
+        eps_cols = [c for c in epochs_ppm.columns if c != "epochs_ppm"]
+        if "epochs_ppm" not in epochs_ppm.columns or len(eps_cols) != 1:
+            raise ValueError(
+                "epochs_ppm must be a (source, epochs_ppm) frame; got "
+                f"columns {epochs_ppm.columns}"
+            )
+        eps = epochs_ppm.select(
+            F.col(eps_cols[0]).alias("__source"), "epochs_ppm"
+        )
+        expanded = epoch_expand(
+            cur.select("doc_id", "__source"),
+            eps,
+            source_col="__source",
+            seed=epoch_seed,
+        )
+        cur = _mark("epochs", expanded.join(cur.drop("__source"), "doc_id"))
+    if pack_seq_len is not None:
+        from quackml_spark.operators.packing import pack_sequences
+        from quackml_spark.operators.text import md5_int32, tokens_expr
+
+        has_copies = epochs_ppm is not None
+        prio_parts = [F.lit(str(pack_seed)), F.col("doc_id").cast("string")]
+        order = [F.asc("__prio"), F.asc("doc_id")]
+        if has_copies:
+            prio_parts.append(F.col("copy_idx").cast("string"))
+            order.append(F.asc("copy_idx"))
+        sized = cur.withColumn(
+            "__n_tokens", F.size(tokens_expr("text")).cast("bigint")
+        ).withColumn("__prio", md5_int32(F.concat_ws("|", *prio_parts)))
+        carry = tuple(
+            c
+            for c in sized.columns
+            if c not in ("doc_id", "__n_tokens", "__prio")
+        )
+        cur = _mark(
+            "pack",
+            pack_sequences(
+                sized,
+                pack_seq_len,
+                n_tokens_col="__n_tokens",
+                order_cols=order,
+                carry_cols=carry,
+            ),
+        )
     cur = (
         cur.withColumnRenamed("__source", source_col)
         if source_col
@@ -1038,8 +1108,172 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- pipeline_curate_train: curate() through its TERMINAL stages ----------
+#
+# The r9 verdict's item 5: the curation chain now continues past
+# budget/curriculum into the two stages a real pretraining pipeline
+# ships — per-source fractional epoch expansion and concat-and-chunk
+# sequence packing — so one curate() call emits the frame a training
+# loader consumes. This row value-checks the WHOLE chain end-to-end
+# (quality -> exact dedup -> per-source char budget -> epochs -> pack)
+# in one DuckDB replay: a budget computed over copies instead of docs,
+# an epoch coin drawn before dedup, or a packing order that loses the
+# copy dimension all break a value check here, not just a unit test.
+
+_TRAIN_BUDGET = 80_000  # chars per the budget stage (per-source split)
+_TRAIN_SEQ = 256
+
+
+def _curate_train_oracle() -> str:
+    from quackml_spark.operators.sampling import PPM
+
+    ws = r"regexp_extract_all(lower(text), '\S+')"
+    return (
+        rf"""
+WITH qtoks AS (
+  SELECT doc_id, text, source, length(text) AS n_chars, {ws} AS toks
+  FROM documents
+),
+qscore AS (
+  SELECT doc_id, text, source, {_QSCORE_SQL} AS score FROM qtoks
+),
+quality AS (
+  SELECT doc_id, text, source FROM qscore
+  WHERE CAST(ROUND(score, 6) AS DOUBLE) >= {_CUR_MINQ}
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM quality
+  GROUP BY md5(lower(trim(text)))
+),
+deduped AS (
+  SELECT q.doc_id, q.text, q.source
+  FROM quality q JOIN keepers USING (doc_id)
+),
+nsrc AS (SELECT COUNT(DISTINCT source) AS n FROM deduped),
+rates AS (
+  SELECT source,
+         GREATEST(CAST(1 AS BIGINT),
+           LEAST(CAST({PPM} AS BIGINT),
+             CAST(FLOOR({PPM} * (SELECT GREATEST(1,
+                      CAST(FLOOR({_TRAIN_BUDGET}.0 / GREATEST(n, 1))
+                           AS BIGINT)) FROM nsrc)
+                   / SUM(length(text))) AS BIGINT))) AS rate_ppm
+  FROM deduped GROUP BY source
+),
+budget AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM deduped d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5('0|' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+        % {PPM} < r.rate_ppm
+),
+eps AS (
+  SELECT source,
+         500000 + ('0x' || substr(md5(source), 1, 8))::BIGINT % 2000000
+           AS epochs_ppm
+  FROM (SELECT DISTINCT source FROM documents)
+),
+ncopies AS (
+  SELECT b.doc_id, b.text, b.source,
+         CAST(FLOOR(e.epochs_ppm / 1000000.0) AS BIGINT)
+         + CASE WHEN ('0x' || substr(md5('1|' || b.doc_id::VARCHAR), 1, 8))
+                     ::BIGINT % {PPM} < e.epochs_ppm % {PPM}
+                THEN 1 ELSE 0 END AS n_copies
+  FROM budget b LEFT JOIN eps e USING (source)
+),
+copies AS (
+  SELECT doc_id, text, source, CAST(u.i AS BIGINT) AS copy_idx
+  FROM ncopies, unnest(range(0, n_copies)) AS u(i)
+  WHERE n_copies > 0
+),
+sized AS (
+  SELECT doc_id, source, copy_idx,
+         length({ws}) AS n_tokens,
+         ('0x' || substr(md5('0|' || doc_id::VARCHAR || '|'
+                             || copy_idx::VARCHAR), 1, 8))::BIGINT AS prio
+  FROM copies
+  WHERE length({ws}) > 0
+),
+summed AS (
+  SELECT doc_id, source, copy_idx, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY prio, doc_id, copy_idx
+                             ROWS UNBOUNDED PRECEDING) AS prefix_sum
+  FROM sized
+)
+SELECT doc_id, copy_idx, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prefix_sum - n_tokens AS BIGINT) AS start_token,
+       CAST(FLOOR((prefix_sum - n_tokens) / {_TRAIN_SEQ}) AS BIGINT)
+         AS first_seq,
+       CAST(FLOOR((prefix_sum - 1) / {_TRAIN_SEQ}) AS BIGINT) AS last_seq,
+       CAST(FLOOR((prefix_sum - 1) / {_TRAIN_SEQ})
+            - FLOOR((prefix_sum - n_tokens) / {_TRAIN_SEQ}) + 1 AS BIGINT)
+         AS n_segments
+FROM summed
+ORDER BY doc_id, copy_idx
+"""
+    ).replace("{STOP}", repr(list(STOPWORDS)))
+
+
+@register(
+    "pipeline_curate_train",
+    extra=True,
+    doc="curate() run through its TERMINAL training-prep stages, "
+    "value-checked END-TO-END: heuristic quality (>= 0.35) -> exact "
+    "dedup -> per-source ppm char budget -> per-source fractional "
+    "epoch expansion (LLaMA recipe; row grain becomes copies) -> "
+    "concat-and-chunk sequence packing on the distributed prefix sum. "
+    "One call emits the frame a training loader consumes — "
+    "(doc, copy) with exact stream offsets and sequence spans; the "
+    "oracle replays the whole chain in curate()'s exact stage order.",
+    oracle=None,  # installed below (composed from the shared SQL twins)
+    tags=("textops", "pipeline", "sampling"),
+)
+def pipeline_curate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import md5_int32
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    eps = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.lit(500000) + md5_int32(F.col("source")) % 2000000)
+            .cast("bigint")
+            .alias("epochs_ppm"),
+        )
+    )
+    out = curate(
+        docs,
+        clean=False,
+        min_quality=_CUR_MINQ,
+        dedup="exact",
+        budget_chars=_TRAIN_BUDGET,
+        epochs_ppm=eps,
+        pack_seq_len=_TRAIN_SEQ,
+        source_col="source",
+        report=False,
+    )
+    return (
+        out["docs"]
+        .select(
+            "doc_id",
+            "copy_idx",
+            "source",
+            "n_tokens",
+            "start_token",
+            "first_seq",
+            "last_seq",
+            "n_segments",
+        )
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
 # composed after registration so the builder above stays the single
 # source of stage order; the SQL reuses the dedup module's band twin
 from quackml_spark.plans import REGISTRY as _REG  # noqa: E402
 
 _REG["pipeline_curate_full"].oracle = _curate_full_oracle()
+_REG["pipeline_curate_train"].oracle = _curate_train_oracle()

@@ -1134,3 +1134,87 @@ def test_curate_minhash_best_mode(spark):
     kept_min = {r["doc_id"] for r in minid["docs"].collect()}
     assert kept_best == {2}   # the better doc
     assert kept_min == {1}    # the arbitrary min id
+
+
+def test_curate_epochs_pack_terminal_stages(spark, sf_dir):
+    """curate(epochs_ppm=..., pack_seq_len=...) emits the training-loader
+    frame: row grain = (doc, copy), copy counts match the per-source
+    epoch arithmetic, and packing lays a gap-free token stream (the
+    n-th item's start_token equals the prefix sum of everything before
+    it, n_segments spans the right sequence ids)."""
+    import pyspark.sql.functions as F
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    eps = spark.createDataFrame(
+        [(r["source"], 1_500_000) for r in docs.select("source").distinct().collect()],
+        "source string, epochs_ppm bigint",
+    )
+    out = curate(
+        docs,
+        clean=False,
+        dedup=None,
+        epochs_ppm=eps,
+        pack_seq_len=128,
+        source_col="source",
+        report=True,
+    )
+    rep = {r["stage"]: (r["docs_in"], r["docs_out"]) for r in out["report"].collect()}
+    n_docs = docs.count()
+    # 1.5 epochs: every doc >= 1 copy, roughly half get 2 — copies in
+    # (n, 2n) strictly (the md5 coin can't be all-heads/all-tails on
+    # hundreds of docs)
+    n_copies = rep["epochs"][1]
+    assert rep["epochs"][0] == n_docs
+    assert n_docs < n_copies < 2 * n_docs, (n_docs, n_copies)
+    rows = out["docs"].orderBy("start_token").collect()
+    assert rep["pack"][1] == len(rows)
+    # copies are first-class rows: some doc appears with copy_idx 1
+    assert any(r["copy_idx"] == 1 for r in rows)
+    # gap-free stream: each item starts where the previous one ended
+    pos = 0
+    for r in rows:
+        assert r["start_token"] == pos, (r["doc_id"], r["copy_idx"])
+        assert r["first_seq"] == pos // 128
+        assert r["last_seq"] == (pos + r["n_tokens"] - 1) // 128
+        assert r["n_segments"] == r["last_seq"] - r["first_seq"] + 1
+        pos += r["n_tokens"]
+
+
+def test_curate_pack_without_epochs_and_fused_report(spark, sf_dir):
+    """pack_seq_len alone (doc grain, no copy_idx) packs the curated
+    corpus; the fused report reproduces report=True's counts for the
+    new terminal stages."""
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kw = dict(clean=False, min_quality=0.35, dedup="exact", pack_seq_len=64)
+    out_true = curate(docs, report=True, **kw)
+    out_fused = curate(docs, report="fused", **kw)
+    assert "copy_idx" not in out_true["docs"].columns
+    counts_true = {
+        r["stage"]: r["docs_out"] for r in out_true["report"].collect()
+    }
+    counts_fused = {
+        r["stage"]: r["docs_out"] for r in out_fused["report"].collect()
+    }
+    assert counts_true == counts_fused
+    assert "pack" in counts_true
+    assert counts_true["pack"] == out_true["docs"].count()
+
+
+def test_curate_epochs_frame_validated(spark):
+    """A malformed epochs frame fails loudly at curate() call time."""
+    import pytest
+    from quackml_spark.operators.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [(1, "hello world")], "doc_id bigint, text string"
+    )
+    bad = spark.createDataFrame([("a", 1, 2)], "source string, x int, y int")
+    with pytest.raises(ValueError, match="epochs_ppm"):
+        curate(docs, epochs_ppm=bad, report=False)
