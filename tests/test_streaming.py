@@ -1267,3 +1267,110 @@ def test_checkpoint_resumed_probe(spark, tmp_path):
     assert _checkpoint_resumed(spark, fresh) is True
     # unreadable scheme resolves False, never raises
     assert _checkpoint_resumed(spark, "nosuchfs://x/ck") is False
+
+
+def test_streaming_curate_stop_restart_decision_equality(
+    spark, sf_dir, tmp_path
+):
+    """END-TO-END stop/restart: a checkpointed streaming_curate run is
+    stopped mid-stream (only half the source files exist when the
+    first availableNow drain terminates — from the engine's view a
+    graceful stop between micro-batches), then RESTARTED from the same
+    checkpoint once the rest of the corpus lands. The combined
+    decisions must be IDENTICAL to an unbroken run over the full
+    corpus: checkpointed batch ids stay monotone across the restart,
+    the persisted hash log keeps deduplicating across the boundary
+    (the planted duplicate arrives AFTER the restart, its twin
+    before), and no doc is decided twice. The crash-REPLAY half of
+    restart safety (a batch re-attempted after dying between its hash
+    append and manifest append) is pinned separately by the
+    seen-filter unit tests; this covers the resume lineage end to end."""
+    import os
+
+    from quackml_spark.operators.text import _decon_grams, clean_text_expr
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_curate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup_of_3 = spark.createDataFrame(
+        [(900001, docs.where("doc_id = 3").first()["text"])],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(dup_of_3)
+    bench = _decon_grams(
+        docs.where(F.col("doc_id") % 97 == 0).select(
+            "doc_id", clean_text_expr("text").alias("text")
+        )
+    )
+    n_files, step = 4, (900002 // 4) + 1
+
+    def write_part(src_dir, i):
+        os.makedirs(src_dir, exist_ok=True)
+        part = corpus.where(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        )
+        if i == n_files - 1:
+            part = corpus.where(F.col("doc_id") >= i * step)
+        f = f"{src_dir}/part{i:02d}"
+        part.coalesce(1).write.parquet(f)
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (1000 + i, 1000 + i))
+
+    def drain(src_dir, state_dir, ckpt, qname):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/part*")
+        )
+        sink: list = []
+        q = streaming_curate(
+            stream, state_dir, min_quality=0.35, benchmark_grams=bench,
+            sink=sink, query_name=qname, checkpoint_location=ckpt,
+        )
+        q.awaitTermination()
+        return sink
+
+    # unbroken reference run: all four files visible from the start
+    srcA, stA, ckA = (str(tmp_path / d) for d in ("srcA", "stA", "ckA"))
+    for i in range(n_files):
+        write_part(srcA, i)
+    unbroken = drain(srcA, stA, ckA, "qml_sc_unbroken")
+
+    # split run: drain files 0-1, stop, land files 2-3, RESTART
+    srcB, stB, ckB = (str(tmp_path / d) for d in ("srcB", "stB", "ckB"))
+    for i in (0, 1):
+        write_part(srcB, i)
+    phase1 = drain(srcB, stB, ckB, "qml_sc_phase1")
+    for i in (2, 3):
+        write_part(srcB, i)
+    phase2 = drain(srcB, stB, ckB, "qml_sc_phase2")
+
+    assert phase1 and phase2
+    # checkpointed batch ids are monotone across the restart
+    assert max(r["batch_id"] for r in phase1) < min(
+        r["batch_id"] for r in phase2
+    )
+    combined = {
+        r["doc_id"]: (r["accepted"], r["reason"]) for r in phase1 + phase2
+    }
+    reference = {
+        r["doc_id"]: (r["accepted"], r["reason"]) for r in unbroken
+    }
+    # no doc decided twice across the boundary
+    assert len(combined) == len(phase1) + len(phase2)
+    assert combined == reference
+    # the planted duplicate arrived after the restart and still lost
+    # to its pre-restart twin via the persisted hash log
+    assert combined[900001] == (False, "dup")
+    # state equivalence: both manifests hold exactly the accepted set
+    accepted = {d for d, (a, _) in combined.items() if a}
+    for st in (stA, stB):
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{st}/manifest")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert got == accepted
