@@ -33,11 +33,12 @@ artifact now answers it itself:
   spread means the min is a lucky sample and the delta is noise.
 * noisy queries (relative spread > 50% and min > 0.2 s) are re-run
   once more and the min merged; their names land in ``reruns``.
-* ``SPARK_GRAFT_BENCH_WAIT_IDLE`` (opt-in, seconds; "1" = 600) delays
-  the run until ambient load drops below the threshold, so the
-  recorded artifact is an idle anchor; bounded — on timeout the run
-  proceeds with ``contended`` set truthfully, and ``idle_wait_sec``
-  records how long it waited either way.
+* ``SPARK_GRAFT_BENCH_WAIT_IDLE`` (seconds; default 120, "0" disables,
+  "1" = 600) delays the run until ambient load drops below the
+  threshold, so the recorded artifact is an idle anchor whenever a
+  short wait suffices; bounded — on timeout the run proceeds with
+  ``contended`` set truthfully, and ``idle_wait_sec`` records how
+  long it waited either way.
 """
 
 from __future__ import annotations
@@ -85,9 +86,9 @@ def main() -> None:
     # drops below the threshold so the artifact series regains an
     # uncontended anchor. Bounded wait — on timeout the run proceeds
     # and the artifact still records `contended` truthfully.
-    wait_spec = os.environ.get("SPARK_GRAFT_BENCH_WAIT_IDLE", "")
+    wait_spec = os.environ.get("SPARK_GRAFT_BENCH_WAIT_IDLE", "120")
     waited = 0.0
-    if wait_spec:
+    if wait_spec.lower() not in ("0", "false", ""):
         budget = 600.0 if wait_spec.lower() in ("1", "true") else float(wait_spec)
         while ambient[0] > load_threshold and waited < budget:
             step = min(15.0, budget - waited)

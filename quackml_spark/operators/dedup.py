@@ -1239,7 +1239,7 @@ ORDER BY component, doc_id
 """.replace("{EDGES}", _SQL_MINHASH_EDGES).replace(
         "{STOP}", repr(list(STOPWORDS))
     ),
-    tags=("dedup", "textops", "llm"),
+    tags=("dedup", "textops", "llm", "bench"),
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.operators.text import score_quality

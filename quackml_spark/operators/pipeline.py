@@ -1226,7 +1226,7 @@ ORDER BY doc_id, copy_idx
     "(doc, copy) with exact stream offsets and sequence spans; the "
     "oracle replays the whole chain in curate()'s exact stage order.",
     oracle=None,  # installed below (composed from the shared SQL twins)
-    tags=("textops", "pipeline", "sampling"),
+    tags=("textops", "pipeline", "sampling", "bench"),
 )
 def pipeline_curate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.operators.text import md5_int32
