@@ -230,6 +230,7 @@ def curate(
     epoch_seed: int = 1,
     pack_seq_len: int | None = None,
     pack_seed: int = 0,
+    pack_n_tokens: DataFrame | None = None,
     source_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -302,9 +303,14 @@ def curate(
                           n_copies) columns appear. Broadcast join +
                           map-only explode (epoch_expand)
       pack                concat-and-chunk training-sequence layout
-                          (pack_sequences): whitespace-token counts lay
-                          copies out in deterministic md5-shuffled
-                          order into ``pack_seq_len``-token sequences;
+                          (pack_sequences): token counts lay copies
+                          out in deterministic md5-shuffled order into
+                          ``pack_seq_len``-token sequences. Counts
+                          default to whitespace tokens; pass
+                          ``pack_n_tokens`` — an (id, n_tokens) frame,
+                          e.g. bpe_token_counts(...) for
+                          tokenizer-TRUE layout — to override (docs
+                          absent from the frame count zero and drop);
                           adds (n_tokens, start_token, first_seq,
                           last_seq, n_segments), drops zero-token docs.
                           The two-phase distributed prefix sum — no
@@ -569,9 +575,27 @@ def curate(
         if has_copies:
             prio_parts.append(F.col("copy_idx").cast("string"))
             order.append(F.asc("copy_idx"))
-        sized = cur.withColumn(
-            "__n_tokens", F.size(tokens_expr("text")).cast("bigint")
-        ).withColumn("__prio", md5_int32(F.concat_ws("|", *prio_parts)))
+        if pack_n_tokens is not None:
+            nt_cols = [c for c in pack_n_tokens.columns if c != "n_tokens"]
+            if "n_tokens" not in pack_n_tokens.columns or len(nt_cols) != 1:
+                raise ValueError(
+                    "pack_n_tokens must be an (id, n_tokens) frame; got "
+                    f"columns {pack_n_tokens.columns}"
+                )
+            nt = pack_n_tokens.select(
+                F.col(nt_cols[0]).alias("doc_id"),
+                F.col("n_tokens").cast("bigint").alias("__nt"),
+            )
+            sized = cur.join(nt, "doc_id", "left").withColumn(
+                "__n_tokens", F.coalesce(F.col("__nt"), F.lit(0)).cast("bigint")
+            ).drop("__nt")
+        else:
+            sized = cur.withColumn(
+                "__n_tokens", F.size(tokens_expr("text")).cast("bigint")
+            )
+        sized = sized.withColumn(
+            "__prio", md5_int32(F.concat_ws("|", *prio_parts))
+        )
         carry = tuple(
             c
             for c in sized.columns

@@ -1239,3 +1239,40 @@ def test_curate_train_plan_has_no_global_window(spark, sf_dir):
     for m in re.finditer(r"Exchange SinglePartition[^\n]*\n(.*?\n)", plan):
         nxt = m.group(1)
         assert "HashAggregate" in nxt or "Sort" in nxt, plan[:2000]
+
+
+def test_curate_pack_pluggable_token_counts(spark, sf_dir):
+    """pack_n_tokens overrides the whitespace proxy with a real
+    tokenizer's counts (here the learned-BPE counter): the packed
+    layout must be the exact prefix-sum of the SUPPLIED counts, and a
+    doc absent from the frame (no trainable word) counts zero and
+    drops — the tokenizer-true terminal chain."""
+    import pytest
+    from quackml_spark.operators.packing import bpe_token_counts
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.operators.text import bpe_train
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, n_merges=4)
+    counts = bpe_token_counts(docs, merges)
+    out = curate(
+        docs, clean=False, dedup=None,
+        pack_seq_len=128, pack_n_tokens=counts, report=False,
+    )
+    rows = out["docs"].orderBy("start_token").collect()
+    expect = {r["doc_id"]: r["n_tokens"] for r in counts.collect()}
+    # layout is the gap-free prefix sum of the SUPPLIED counts
+    pos = 0
+    for r in rows:
+        assert r["n_tokens"] == expect[r["doc_id"]]
+        assert r["start_token"] == pos
+        pos += r["n_tokens"]
+    # every counted doc with >0 tokens made it; nothing else did
+    assert {r["doc_id"] for r in rows} == {
+        d for d, n in expect.items() if n > 0
+    }
+    # malformed counts frame fails loudly
+    bad = counts.withColumnRenamed("n_tokens", "tokens")
+    with pytest.raises(ValueError, match="pack_n_tokens"):
+        curate(docs, pack_seq_len=128, pack_n_tokens=bad, report=False)
