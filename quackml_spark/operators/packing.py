@@ -200,6 +200,120 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, _PACK_SEQ_LEN).orderBy("doc_id")
 
 
+def sequence_spans(
+    packed: DataFrame,
+    seq_len: int,
+    shard_seqs: int | None = None,
+    id_cols: tuple = ("doc_id",),
+) -> DataFrame:
+    """Explode a ``pack_sequences`` layout into per-SEQUENCE segments —
+    the loader-facing manifest: for training sequence ``seq_id``,
+    positions ``[seg_start, seg_start + seg_len)`` are filled by this
+    document's tokens starting at ``doc_offset`` inside the document.
+    This is exactly the table a data loader needs to assemble batches
+    and to reset attention/loss masks at document boundaries (the
+    concat-and-chunk recipe trains with cross-doc attention masked).
+
+    ``shard_seqs`` additionally assigns each sequence to a fixed-size
+    output shard (``shard_id = seq_id // shard_seqs``) — the layout of
+    the physical training files a writer would emit.
+
+    Map-only off the packed frame: one explode of each doc's
+    ``first_seq..last_seq`` span; output rows total
+    sum(n_segments) = O(total_tokens / seq_len + n_docs), so the
+    amplification is bounded by the packing itself at any corpus
+    size."""
+    seq = F.col("seq_id")
+    seg_start = F.greatest(
+        F.col("start_token") - seq * seq_len, F.lit(0)
+    )
+    doc_end = F.col("start_token") + F.col("n_tokens")
+    seg_end = F.least((seq + 1) * F.lit(seq_len), doc_end) - seq * seq_len
+    out = packed.select(
+        *id_cols,
+        "start_token",
+        "n_tokens",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    ).select(
+        "seq_id",
+        *id_cols,
+        seg_start.cast("bigint").alias("seg_start"),
+        (seg_end - seg_start).cast("bigint").alias("seg_len"),
+        (seq * seq_len + seg_start - F.col("start_token"))
+        .cast("bigint")
+        .alias("doc_offset"),
+    )
+    if shard_seqs is not None:
+        out = out.withColumn(
+            "shard_id", F.floor(seq / shard_seqs).cast("bigint")
+        )
+    return out
+
+
+_MANIFEST_SHARD_SEQS = 64
+
+
+@register(
+    "text_sequence_manifest",
+    extra=True,
+    doc="Loader-facing packed-sequence manifest: the text_pack_sequences "
+    "layout exploded into per-sequence segments — (seq_id, doc_id, "
+    "seg_start, seg_len, doc_offset, shard_id): which document tokens "
+    "fill which positions of which training sequence, and which "
+    "64-sequence output shard the sequence lands in. The table a data "
+    "loader assembles batches from and resets attention/loss masks at "
+    "doc boundaries with. Map-only explode off the packed layout; the "
+    "oracle replays the packing windows plus the same span arithmetic.",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id,
+         length(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+         ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))::BIGINT AS prio
+  FROM documents
+), sized AS (
+  SELECT * FROM t WHERE n_tokens > 0
+), summed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY prio, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS prefix_sum
+  FROM sized
+), packed AS (
+  SELECT doc_id, n_tokens,
+         prefix_sum - n_tokens AS start_token,
+         CAST(FLOOR((prefix_sum - n_tokens) / {_PACK_SEQ_LEN}) AS BIGINT)
+           AS first_seq,
+         CAST(FLOOR((prefix_sum - 1) / {_PACK_SEQ_LEN}) AS BIGINT)
+           AS last_seq
+  FROM summed
+)
+SELECT CAST(u.i AS BIGINT) AS seq_id, doc_id,
+       CAST(GREATEST(start_token - u.i * {_PACK_SEQ_LEN}, 0) AS BIGINT)
+         AS seg_start,
+       CAST(LEAST((u.i + 1) * {_PACK_SEQ_LEN}, start_token + n_tokens)
+            - u.i * {_PACK_SEQ_LEN}
+            - GREATEST(start_token - u.i * {_PACK_SEQ_LEN}, 0) AS BIGINT)
+         AS seg_len,
+       CAST(u.i * {_PACK_SEQ_LEN}
+            + GREATEST(start_token - u.i * {_PACK_SEQ_LEN}, 0)
+            - start_token AS BIGINT) AS doc_offset,
+       CAST(FLOOR(u.i / {_MANIFEST_SHARD_SEQS}) AS BIGINT) AS shard_id
+FROM packed, unnest(range(first_seq, last_seq + 1)) AS u(i)
+ORDER BY seq_id, doc_id
+""",
+    tags=("textops", "sampling"),
+)
+def text_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, _PACK_SEQ_LEN)
+    return sequence_spans(
+        packed, _PACK_SEQ_LEN, shard_seqs=_MANIFEST_SHARD_SEQS
+    ).orderBy("seq_id", "doc_id")
+
+
 def epoch_expand(
     docs: DataFrame,
     epochs_ppm: DataFrame,

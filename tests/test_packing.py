@@ -240,3 +240,37 @@ def test_bpe_pack_differs_from_whitespace_pack(spark, sf_dir):
     for r in rows:
         assert r["start_token"] == pos
         pos += r["n_tokens"]
+
+
+def test_sequence_manifest_tiles_exactly(spark, sf_dir):
+    """The manifest's segments must tile every sequence exactly — no
+    gaps, no overlaps, full sequences sum to seq_len — and reassemble
+    every document contiguously from doc_offset 0 to n_tokens."""
+    from collections import defaultdict
+
+    from quackml_spark.plans import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["text_sequence_manifest"].builder(spark, sf_dir).collect()
+    by_seq = defaultdict(list)
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_seq[r["seq_id"]].append(r)
+        by_doc[r["doc_id"]].append(r)
+        assert r["shard_id"] == r["seq_id"] // 64
+        assert r["seg_len"] > 0
+    last_seq = max(by_seq)
+    total = sum(r["seg_len"] for r in rows)
+    for sid, segs in by_seq.items():
+        segs.sort(key=lambda r: r["seg_start"])
+        pos = 0
+        for s in segs:  # contiguous tiling, no overlap
+            assert s["seg_start"] == pos, (sid, s)
+            pos += s["seg_len"]
+        assert pos == (512 if sid < last_seq else total - last_seq * 512)
+    for d, segs in by_doc.items():
+        segs.sort(key=lambda r: r["doc_offset"])
+        pos = 0
+        for s in segs:  # the doc reassembles contiguously
+            assert s["doc_offset"] == pos, (d, s)
+            pos += s["seg_len"]
