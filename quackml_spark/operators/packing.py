@@ -7,12 +7,12 @@ Every pretraining pipeline ends with these two steps after curation:
   a deterministic (shuffled) order into one token stream and cut into
   fixed-length training sequences — the GPT/LLaMA "concat and chunk"
   recipe. The engine computes each document's global token offset with
-  a DISTRIBUTED prefix sum (no global window): range-partition on the
-  order key, per-partition totals cumulated by a config-bounded window
-  (the ``ranked_by`` two-phase shape), and the within-partition running
-  sum as a per-partition-id window whose groups are partition-sized by
-  construction — one extra pid-keyed exchange, each group exactly one
-  former range partition, so parallelism and balance carry over.
+  a DISTRIBUTED prefix sum (no global window): the uniform md5 order
+  key statically buckets into config-many pid ranges, per-bucket
+  totals cumulate by a config-bounded window, and the within-bucket
+  running sum is a pid-partitioned window — one hash exchange on the
+  deterministic pid, balanced because the key is uniform, with no
+  sampled range boundaries and no exchange-reuse dependence.
 * **Epoch expansion** (``epoch_expand``): the LLaMA/RedPajama data
   recipe samples high-quality sources for MORE than one epoch (e.g.
   Wikipedia x2.4) and big raw sources for less than one. Fractional
@@ -40,56 +40,69 @@ def prefix_sum_by(
     weight_col: str,
     order_cols: list,
     n_shards: int | None = None,
+    bucket_col: str | None = None,
+    bucket_max: int = 1 << 32,
+    bucket_min: int = 0,
 ) -> DataFrame:
-    """Attach ``prefix_sum`` = running total of ``weight_col`` under an
-    arbitrary total ordering (INCLUSIVE of the current row), without a
-    global single-partition window.
+    """Attach ``prefix_sum`` = running total of ``weight_col`` under the
+    total ordering ``order_cols`` (ascending column names, INCLUSIVE of
+    the current row), without a global single-partition window.
 
-    Two-phase, the ``ranked_by`` shape: range-partition + sort on the
-    order key; per-partition totals cumulate into exclusive offsets by
-    a window over the <= n_shards count rows (config-bounded, never
-    data-sized) and broadcast-join back; the within-partition running
-    sum is a window partitioned by the physical partition id — its
-    groups ARE the range partitions (size corpus/n_shards by
-    construction, tune ``n_shards`` so one fits a task), so the one
-    pid-keyed exchange it adds is balanced and the sort inside each
-    group reuses the arranged order. Requires exchange reuse for the
-    same reason ranked_by does: the offsets branch must see the SAME
-    sampled range boundaries as the main branch."""
+    Two-phase over a DETERMINISTIC bucketing of the leading order key:
+    ``bucket_col`` (default: the first order column) must be an
+    integer key roughly uniform over ``[bucket_min, bucket_max)`` and
+    MONOTONE in the global order — correctness needs only the
+    monotonicity (any linear bucketing of the key preserves it);
+    uniformity is what keeps the buckets BALANCED. Most internal
+    callers lead with the engine's 32-bit md5 shuffle key, which is
+    both by construction; id-ordered callers pass the id's min/max
+    bounds. The key range splits statically into ``4 *
+    n_shards`` buckets (pid = key // width): per-bucket totals
+    cumulate into exclusive offsets by a window over the
+    config-bounded count rows and broadcast-join back; the
+    within-bucket running sum is a window partitioned by pid. The
+    fine-grained 4x bucketing keeps the one hash exchange balanced
+    (each task hashes ~4 buckets).
+
+    Why static buckets and not repartitionByRange + the physical
+    partition id: the pid must be IDENTICAL in the offsets branch and
+    the main branch, and a sampled range exchange only guarantees that
+    when Catalyst reuses the exchange across both branches. Column
+    pruning can silently make the two subtrees differ — each branch
+    then samples its OWN boundaries and the offsets no longer
+    correspond (nondeterministically wrong prefix sums, found live at
+    sf0.1). A pid computed from the row's own key needs no exchange
+    reuse, is reproducible across retries/partitionings, and drops the
+    range-sampling pass over the input entirely — one scan fewer."""
     spark = df.sparkSession
-    if spark.conf.get("spark.sql.exchange.reuse", "true") == "false":
-        raise ValueError(
-            "prefix_sum_by requires spark.sql.exchange.reuse=true (the "
-            "default): its offset branch must share the main branch's "
-            "materialized range partitioning"
-        )
     n = n_shards or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    arranged = (
-        df.repartitionByRange(n, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .withColumn("__pid", F.shiftright("__mid", 33))
+    key = bucket_col or order_cols[0]
+    width = max(1, (bucket_max - bucket_min) // (4 * n))
+    order = [F.asc(c) for c in order_cols]
+    with_pid = df.withColumn(
+        "__pid",
+        F.floor((F.col(key) - bucket_min) / width).cast("bigint"),
     )
     cum = Window.partitionBy(F.lit(0)).orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = (
-        arranged.groupBy("__pid")
+        with_pid.groupBy("__pid")
         .agg(F.sum(weight_col).alias("__w"))
         .select(
             "__pid",
             F.coalesce(F.sum("__w").over(cum), F.lit(0)).alias("__off"),
         )
     )
-    local = Window.partitionBy("__pid").orderBy("__mid").rowsBetween(
+    local = Window.partitionBy("__pid").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
-        arranged.join(F.broadcast(offsets), "__pid")
+        with_pid.join(F.broadcast(offsets), "__pid")
         .withColumn(
             "prefix_sum", F.col("__off") + F.sum(weight_col).over(local)
         )
-        .drop("__mid", "__pid", "__off")
+        .drop("__pid", "__off")
     )
 
 
@@ -105,9 +118,11 @@ def pack_sequences(
     """Concat-and-chunk packing plan: each document's placement in the
     fixed-``seq_len`` training-sequence stream.
 
-    Documents lay out in ``order_cols`` order (default: the engine's
-    deterministic md5 epoch shuffle on the id, then the id — the order
-    a training run would actually consume); ``start_token`` is the
+    Documents lay out in ``order_cols`` order (ascending column names
+    whose leading column must be a uniform integer key — the default
+    builds the engine's deterministic md5 epoch shuffle on the id,
+    then the id: the order a training run would actually consume);
+    ``start_token`` is the
     document's global offset in the concatenated token stream, and the
     document occupies sequences ``first_seq..last_seq`` (a document
     longer than the remainder of its sequence spills into the next —
@@ -117,10 +132,10 @@ def pack_sequences(
     ``carry_cols`` pass through unchanged (e.g. copy_idx/source when
     packing an epoch-expanded stream, where id alone is not a key).
 
-    One range shuffle + one pid-keyed window exchange total (the
-    prefix-sum shape) — no global window, no driver collect; at 100 TB
-    the stream offsets are exact and the layout is a pure function of
-    (corpus, seq_len, seed)."""
+    One static-bucket hash exchange total (the prefix-sum shape) — no
+    global window, no sampled range boundaries, no driver collect; at
+    100 TB the stream offsets are exact and the layout is a pure
+    function of (corpus, seq_len, seed)."""
     from quackml_spark.operators.text import md5_int32
 
     if seq_len <= 0:
@@ -130,7 +145,7 @@ def pack_sequences(
             F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
         )
         docs = docs.withColumn("__prio", prio)
-        order_cols = [F.asc("__prio"), F.asc(id_col)]
+        order_cols = ["__prio", id_col]
     sized = docs.where(F.col(n_tokens_col) > 0)
     summed = prefix_sum_by(sized, n_tokens_col, order_cols)
     start = F.col("prefix_sum") - F.col(n_tokens_col)
@@ -160,8 +175,8 @@ _PACK_SEQ_LEN = 512
     "documents in deterministic md5-shuffled order lay out into one "
     "token stream cut into 512-token sequences; each doc's global "
     "start offset and first/last sequence ids come from a two-phase "
-    "distributed prefix sum (range partition + config-bounded offset "
-    "window + per-partition running sum) — no global window. The "
+    "distributed prefix sum (static md5-bucket pids + config-bounded "
+    "offset window + per-bucket running sum) — no global window. The "
     "oracle replays the same order with DuckDB SUM windows.",
     oracle=rf"""
 WITH t AS (
@@ -198,6 +213,204 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
     )
     return pack_sequences(docs, _PACK_SEQ_LEN).orderBy("doc_id")
+
+
+def pack_sequences_nosplit(
+    docs: DataFrame,
+    seq_len: int,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    group_docs: int = 64,
+) -> DataFrame:
+    """NO-SPLIT sequence packing (the SFT/BERT-style recipe): every
+    sequence holds only WHOLE documents — no document is ever cut
+    across a sequence boundary, so no attention mask ever spans a
+    split. Semantics, fully deterministic:
+
+    * documents lay out in the engine's md5(seed|id) shuffle order;
+    * the stream is cut into ``group_docs``-document GROUPS (via the
+      distributed prefix sum — the group is a pure function of the
+      order, not of partitioning);
+    * within each group, documents fill sequences greedily IN ORDER:
+      a doc that doesn't fit the current sequence's remainder starts
+      the next one (first-fit-in-order — the streaming-friendly
+      discipline; docs longer than ``seq_len`` are truncated and
+      flagged);
+    * group-local sequence ids globalize by a second prefix sum over
+      the per-group sequence counts.
+
+    Output per doc: (id, seq_id, offset, n_tokens_packed, truncated).
+    Unfilled tails are the loader's padding; bounding the greedy scan
+    to ``group_docs`` docs caps the scan state (the group NEVER needs
+    to fit in memory as text — only (id, n_tokens) enters the scan)
+    while keeping packing efficiency: waste is at most one partial
+    sequence per group.
+
+    Scale shape: one static-bucket hash exchange for the order index, one
+    group-keyed exchange into bounded applyInPandas groups (pure
+    Python over ~64 (id, count) pairs each — never the document
+    payloads), one tiny per-group aggregate + prefix sum, one
+    group-keyed join back. No global window, no driver collect."""
+    from quackml_spark.operators.text import md5_int32
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    sized = (
+        docs.where(F.col(n_tokens_col) > 0)
+        .withColumn(
+            "__prio",
+            md5_int32(
+                F.concat_ws(
+                    "|", F.lit(str(seed)), F.col(id_col).cast("string")
+                )
+            ),
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    indexed = prefix_sum_by(
+        sized, "__one", ["__prio", id_col]
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.least(F.col(n_tokens_col), F.lit(seq_len))
+        .cast("bigint")
+        .alias("n_eff"),
+        (F.col(n_tokens_col) > seq_len).alias("truncated"),
+        F.col("__prio"),
+        F.col("prefix_sum").alias("__idx"),
+        F.floor((F.col("prefix_sum") - 1) / group_docs)
+        .cast("bigint")
+        .alias("__grp"),
+    )
+
+    def _fill(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("__idx").reset_index(drop=True)
+        local_seq, running = 0, 0
+        seqs, offs = [], []
+        for n in pdf["n_eff"]:
+            if running + n > seq_len:
+                local_seq += 1
+                running = 0
+            offs.append(running)
+            seqs.append(local_seq)
+            running += n
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "__grp": pdf["__grp"],
+                "__minprio": pdf["__prio"].min(),
+                "local_seq": seqs,
+                "offs": offs,
+                "n_eff": pdf["n_eff"],
+                "truncated": pdf["truncated"],
+            }
+        )
+
+    filled = indexed.groupBy("__grp").applyInPandas(
+        _fill,
+        "doc_id bigint, __grp bigint, __minprio bigint, local_seq bigint, "
+        "offs bigint, n_eff bigint, truncated boolean",
+    )
+    # globalize the group-local sequence ids by a second prefix sum
+    # over the per-group counts. Groups are contiguous ranges of the
+    # md5-sorted order, so each group's MIN prio is monotone in the
+    # group id and uniform over the md5 space — exactly the bucket key
+    # prefix_sum_by needs (the group ids themselves are dense ints
+    # with data-dependent range, unusable for static bucketing).
+    per_grp = filled.groupBy("__grp").agg(
+        (F.max("local_seq") + 1).alias("__n_seqs"),
+        F.min("__minprio").alias("__minprio"),
+    )
+    bases = prefix_sum_by(
+        per_grp, "__n_seqs", ["__grp"], bucket_col="__minprio"
+    ).select(
+        "__grp", (F.col("prefix_sum") - F.col("__n_seqs")).alias("__base")
+    )
+    return filled.join(bases, "__grp").select(
+        "doc_id",
+        (F.col("__base") + F.col("local_seq")).cast("bigint").alias("seq_id"),
+        F.col("offs").cast("bigint").alias("offset"),
+        F.col("n_eff").alias("n_tokens_packed"),
+        "truncated",
+    )
+
+
+_NOSPLIT_SEQ_LEN = 512
+_NOSPLIT_GROUP = 64
+
+
+@register(
+    "text_pack_nosplit",
+    extra=True,
+    doc="No-split sequence packing (SFT/BERT recipe): whole documents "
+    "only — md5-shuffle order, 64-doc groups via the distributed "
+    "prefix sum, greedy first-fit-in-order fill within each group "
+    "(over-length docs truncate and flag), group-local sequence ids "
+    "globalized by a second prefix sum. The oracle replays the "
+    "identical greedy scan as a recursive CTE over the same order and "
+    "grouping, so every seq assignment and offset is value-checked.",
+    oracle=rf"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         length(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+         ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))::BIGINT AS prio
+  FROM documents
+), idx AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY prio, doc_id) AS ridx
+  FROM t WHERE n_tokens > 0
+), g AS (
+  SELECT doc_id,
+         LEAST(n_tokens, {_NOSPLIT_SEQ_LEN}) AS n_eff,
+         n_tokens > {_NOSPLIT_SEQ_LEN} AS truncated,
+         CAST(FLOOR((ridx - 1) / {_NOSPLIT_GROUP}) AS BIGINT) AS grp,
+         ridx - {_NOSPLIT_GROUP}
+           * CAST(FLOOR((ridx - 1) / {_NOSPLIT_GROUP}) AS BIGINT) AS rn
+  FROM idx
+), fill AS (
+  SELECT grp, rn, doc_id, n_eff, truncated,
+         CAST(0 AS BIGINT) AS local_seq,
+         CAST(0 AS BIGINT) AS "offset",
+         n_eff AS running
+  FROM g WHERE rn = 1
+  UNION ALL
+  SELECT g.grp, g.rn, g.doc_id, g.n_eff, g.truncated,
+         CASE WHEN f.running + g.n_eff > {_NOSPLIT_SEQ_LEN}
+              THEN f.local_seq + 1 ELSE f.local_seq END,
+         CASE WHEN f.running + g.n_eff > {_NOSPLIT_SEQ_LEN}
+              THEN CAST(0 AS BIGINT) ELSE f.running END,
+         CASE WHEN f.running + g.n_eff > {_NOSPLIT_SEQ_LEN}
+              THEN g.n_eff ELSE f.running + g.n_eff END
+  FROM g JOIN fill f ON g.grp = f.grp AND g.rn = f.rn + 1
+), per_grp AS (
+  SELECT grp, MAX(local_seq) + 1 AS n_seqs FROM fill GROUP BY grp
+), bases AS (
+  SELECT grp,
+         SUM(n_seqs) OVER (ORDER BY grp ROWS UNBOUNDED PRECEDING)
+           - n_seqs AS base
+  FROM per_grp
+)
+SELECT f.doc_id,
+       CAST(b.base + f.local_seq AS BIGINT) AS seq_id,
+       f."offset" AS "offset",
+       f.n_eff AS n_tokens_packed,
+       f.truncated
+FROM fill f JOIN bases b ON f.grp = b.grp
+ORDER BY f.doc_id
+""",
+    tags=("textops", "sampling"),
+)
+def text_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences_nosplit(
+        docs, _NOSPLIT_SEQ_LEN, group_docs=_NOSPLIT_GROUP
+    ).orderBy("doc_id")
 
 
 def sequence_spans(

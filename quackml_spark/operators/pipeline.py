@@ -571,10 +571,10 @@ def curate(
 
         has_copies = epochs_ppm is not None
         prio_parts = [F.lit(str(pack_seed)), F.col("doc_id").cast("string")]
-        order = [F.asc("__prio"), F.asc("doc_id")]
+        order = ["__prio", "doc_id"]
         if has_copies:
             prio_parts.append(F.col("copy_idx").cast("string"))
-            order.append(F.asc("copy_idx"))
+            order.append("copy_idx")
         if pack_n_tokens is not None:
             nt_cols = [c for c in pack_n_tokens.columns if c != "n_tokens"]
             if "n_tokens" not in pack_n_tokens.columns or len(nt_cols) != 1:

@@ -1147,7 +1147,20 @@ def sequence_pack(
 
     n_tok = F.size(tokens_expr(text_col))
     base = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
-    summed = prefix_sum_by(base, "n_tokens", [F.asc(id_col)], n_shards)
+    # the order key is the raw id, so the static bucketing needs its
+    # bounds — one map-side-combined agg at build time (the bounded
+    # build-job pattern DSIR's LUT uses)
+    lo, hi = base.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        lo, hi = 0, 1
+    summed = prefix_sum_by(
+        base,
+        "n_tokens",
+        [id_col],
+        n_shards,
+        bucket_min=int(lo),
+        bucket_max=int(hi) + 1,
+    )
     cum = F.col("prefix_sum")
     start = cum - F.col("n_tokens")
     return summed.select(
@@ -1168,7 +1181,7 @@ def sequence_pack(
     "the token stream into 512-token training blocks): per doc, its "
     "token count, global stream offset, and the [first_bin, last_bin] "
     "block range it spans. Global cumsum is the shared distributed "
-    "prefix sum (range partition + bounded offsets window, no driver "
+    "prefix sum (static bucket pids + bounded offsets window, no driver "
     "collect); the oracle is the plain window-cumsum formulation "
     "DuckDB can run at oracle scale.",
     oracle=r"""

@@ -14,7 +14,9 @@ def test_prefix_sum_matches_local(spark):
     df = spark.createDataFrame(rows, "id long, w long")
     got = {
         r["id"]: r["prefix_sum"]
-        for r in prefix_sum_by(df, "w", [F.asc("id")]).collect()
+        for r in prefix_sum_by(
+            df, "w", ["id"], bucket_min=0, bucket_max=500
+        ).collect()
     }
     acc = 0
     for i, w in rows:
@@ -22,16 +24,70 @@ def test_prefix_sum_matches_local(spark):
         assert got[i] == acc, (i, got[i], acc)
 
 
-def test_prefix_sum_requires_exchange_reuse(spark):
+def test_prefix_sum_correct_without_exchange_reuse(spark):
+    """The static-bucket pid needs NO exchange reuse: the prefix must
+    stay correct even with spark.sql.exchange.reuse=false — the regime
+    where the old physical-partition-id formulation silently corrupted
+    offsets when Catalyst's column pruning made the two branches'
+    sampled range boundaries diverge (found live at sf0.1)."""
     from quackml_spark.operators.packing import prefix_sum_by
 
-    df = spark.createDataFrame([(1, 1)], "id long, w long")
+    rows = [(i, (i * 37) % 11 + 1, f"x{i}") for i in range(500)]
+    # an extra column the offsets branch prunes away — the exact
+    # profile that defeated exchange reuse in the old formulation
+    df = spark.createDataFrame(rows, "id long, w long, extra string")
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try:
-        with pytest.raises(ValueError, match="exchange.reuse"):
-            prefix_sum_by(df, "w", [F.asc("id")])
+        got = {
+            r["id"]: r["prefix_sum"]
+            for r in prefix_sum_by(
+                df, "w", ["id"], bucket_min=0, bucket_max=500
+            ).collect()
+        }
     finally:
         spark.conf.set("spark.sql.exchange.reuse", "true")
+    acc = 0
+    for i, w, _ in rows:
+        acc += w
+        assert got[i] == acc, (i, got[i], acc)
+
+
+def test_prefix_sum_extra_columns_do_not_corrupt(spark, sf_dir):
+    """Regression for the live sf0.1 corruption: a caller frame with
+    columns the offsets branch doesn't need must produce the same
+    (correct) prefix sums as the minimal frame — repeatedly, since the
+    old failure was nondeterministic across executions."""
+    from quackml_spark.operators.packing import prefix_sum_by
+    from quackml_spark.operators.text import md5_int32, tokens_expr
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens_expr("text")).cast("bigint").alias("n_tokens"),
+        "source",
+        "text",
+    )
+    sized = (
+        docs.where(F.col("n_tokens") > 0)
+        .withColumn(
+            "__prio",
+            md5_int32(
+                F.concat_ws("|", F.lit("0"), F.col("doc_id").cast("string"))
+            ),
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    expect = None
+    for _ in range(3):
+        idx = prefix_sum_by(sized, "__one", ["__prio", "doc_id"])
+        rows = idx.select("__prio", "doc_id", "prefix_sum").collect()
+        rows.sort(key=lambda r: (r["__prio"], r["doc_id"]))
+        for i, r in enumerate(rows):
+            assert r["prefix_sum"] == i + 1, (i, r)
+        got = [r["doc_id"] for r in rows]
+        if expect is None:
+            expect = got
+        assert got == expect
 
 
 def test_pack_sequences_invariants(spark, sf_dir):
@@ -108,19 +164,22 @@ def test_pack_plan_has_no_global_window(spark, sf_dir):
 
     _load_all()
     df = REGISTRY["text_pack_sequences"].builder(spark, sf_dir)
-    df.collect()  # AQE deduplicates identical exchanges AT RUNTIME
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
-    # prefix_sum_by's offsets branch must read the SAME materialized
-    # range partitioning as the main branch (sampled boundaries can
-    # disagree between independent exchanges, silently corrupting the
-    # partition offsets) — the ranked_by reuse pin, applied here
-    assert "ReusedExchange" in plan, plan[:2000]
-    # the data-sized windows are the per-partition-id running sum and
-    # the <= n_shards offsets cumulation — never a single-partition
+    # the data shuffles on the STATIC bucket pid (hash exchange — no
+    # sampled range boundaries, no exchange-reuse dependence; the old
+    # physical-pid formulation silently corrupted offsets when column
+    # pruning defeated reuse)
+    assert "hashpartitioning(__pid" in plan, plan[:2000]
+    # the only range partitioning left is the registered query's final
+    # orderBy(doc_id) output sort — the prefix sum itself samples no
+    # range boundaries (its order key never range-partitions)
+    assert "rangepartitioning(__prio" not in plan, plan[:2000]
+    # the data-sized windows are the per-bucket running sum and the
+    # config-bounded offsets cumulation — never a single-partition
     # window over the corpus relation. The SinglePartition exchange in
-    # the plan must feed from the post-aggregate count rows (HashAggregate),
-    # not directly from the arranged data.
+    # the plan must feed from the post-aggregate count rows
+    # (HashAggregate), not directly from the arranged data.
     import re
 
     for m in re.finditer(r"Exchange SinglePartition[^\n]*\n(.*?\n)", plan):

@@ -1222,20 +1222,20 @@ def test_curate_epochs_frame_validated(spark):
 
 def test_curate_train_plan_has_no_global_window(spark, sf_dir):
     """curate()'s pack stage must inherit pack_sequences' distributed
-    prefix-sum shape end-to-end: a range partitioning with a reused
-    exchange for the offsets branch, and never a single-partition
-    window over the data-sized relation (the full-chain plan could
-    regress independently of the standalone operator's)."""
+    prefix-sum shape end-to-end: the static-bucket hash exchange (no
+    sampled ranges, no exchange-reuse dependence) and never a
+    single-partition window over the data-sized relation (the
+    full-chain plan could regress independently of the standalone
+    operator's)."""
     import re
 
     from quackml_spark.plans import REGISTRY, _load_all
 
     _load_all()
     df = REGISTRY["pipeline_curate_train"].builder(spark, sf_dir)
-    df.collect()  # AQE deduplicates identical exchanges AT RUNTIME
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
-    assert "ReusedExchange" in plan, plan[:2000]
+    assert "hashpartitioning(__pid" in plan, plan[:2000]
     for m in re.finditer(r"Exchange SinglePartition[^\n]*\n(.*?\n)", plan):
         nxt = m.group(1)
         assert "HashAggregate" in nxt or "Sort" in nxt, plan[:2000]
