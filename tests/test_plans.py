@@ -306,3 +306,27 @@ def test_audit_plan_flags_scale_killers(spark, sf_dir):
     a2 = audit_plan(bad_cartesian)
     assert a2["cartesian_product"] or a2["broadcast_nested_loop"]
     assert not a2["clean"]
+
+
+def test_ranked_by_correct_with_prunable_extra_columns(spark, sf_dir):
+    """ranked_by under the hostile profile that broke prefix_sum_by's
+    old physical-pid formulation (caller frame carrying columns the
+    counts branch prunes away): ranks must equal the sorted position
+    on repeated executions. If this ever flakes, ranked_by needs the
+    same deterministic-bucket rework prefix_sum_by got (its ReusedExchange
+    dependence is otherwise unverifiable for ad-hoc caller frames)."""
+    import pyspark.sql.functions as F
+
+    from quackml_spark.operators.text import ranked_by, tokens_expr
+    from quackml_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text",
+        F.size(tokens_expr("text")).cast("bigint").alias("n_tokens"),
+    )
+    for _ in range(2):
+        r = ranked_by(docs, [F.desc("n_tokens"), F.asc("doc_id")])
+        rows = r.select("doc_id", "n_tokens", "rank").collect()
+        rows.sort(key=lambda x: (-x["n_tokens"], x["doc_id"]))
+        for i, x in enumerate(rows):
+            assert x["rank"] == i + 1, (i, x)
