@@ -1526,3 +1526,158 @@ def profile_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packing — the concat-and-chunk layout computed
+# INCREMENTALLY over an unbounded document feed: each micro-batch packs
+# its documents into the continuing global token stream, with the
+# stream offset carried across batches (and across restarts) in the
+# CAS-versioned manifest the index appenders use. The continuous twin
+# of text_sequence_pack: under id-monotone arrival the accumulated
+# layout equals the batch cumsum exactly.
+# ---------------------------------------------------------------------------
+
+
+def _pack_batch(
+    batch_df, batch_id, state_path: str, run_key: str, seq_len: int,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> None:
+    """One micro-batch of streaming_pack. Replay-safe by the same
+    append-then-commit discipline streaming_curate uses, plus one-step
+    offset history: rows append to ``{state}/packed`` FIRST, then the
+    manifest advances (run_key, last_batch, prev_total, total_tokens)
+    by CAS. A batch replayed after a crash BEFORE the commit sees the
+    unadvanced total and re-appends byte-identical rows; a batch
+    replayed after a crash AFTER the commit recognizes itself
+    (run_key + last_batch match) and re-packs from ``prev_total`` —
+    again byte-identical — while the manifest update is a no-op.
+    Structured Streaming only ever replays the LATEST uncommitted
+    batch, so one step of history suffices. Readers dedup the
+    at-least-once appends with DISTINCT (rows are deterministic per
+    batch)."""
+    from quackml_spark.operators._manifest import cas_update, read_manifest
+    from quackml_spark.operators.packing import prefix_sum_by
+    from quackml_spark.operators.text import tokens_expr
+
+    spark = batch_df.sparkSession
+    b = (
+        batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens_expr(text_col)).cast("bigint").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    bounds = b.agg(
+        F.min("doc_id"), F.max("doc_id"), F.sum("n_tokens")
+    ).first()
+    if bounds[0] is None:
+        return
+    lo, hi, batch_total = int(bounds[0]), int(bounds[1]), int(bounds[2])
+    _, man = read_manifest(spark, state_path)
+    same_run = man.get("run_key") == run_key
+    last = int(man.get("last_batch", -1))
+    if same_run and last == int(batch_id):
+        base = int(man["prev_total"])  # replay of the committed batch
+    elif same_run and last > int(batch_id):
+        return  # older than committed history — already fully applied
+    else:
+        base = int(man["total_tokens"])
+    summed = prefix_sum_by(
+        b, "n_tokens", ["doc_id"], bucket_min=lo, bucket_max=hi + 1
+    )
+    start = F.lit(base) + F.col("prefix_sum") - F.col("n_tokens")
+    end = F.lit(base) + F.col("prefix_sum")
+    (
+        summed.select(
+            "doc_id",
+            "n_tokens",
+            start.cast("bigint").alias("start_token"),
+            F.floor(start / seq_len).cast("bigint").alias("first_seq"),
+            F.floor((end - 1) / seq_len).cast("bigint").alias("last_seq"),
+            F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+        )
+        .write.mode("append")
+        .parquet(f"{state_path}/packed")
+    )
+
+    def _advance(fields: dict) -> dict:
+        if (
+            fields.get("run_key") == run_key
+            and int(fields.get("last_batch", -1)) == int(batch_id)
+        ):
+            return fields  # the first attempt already committed
+        return {
+            **fields,
+            "run_key": run_key,
+            "last_batch": int(batch_id),
+            "prev_total": int(fields["total_tokens"]),
+            "total_tokens": int(fields["total_tokens"]) + batch_total,
+        }
+
+    cas_update(spark, state_path, _advance)
+
+
+def streaming_pack(
+    docs_stream: DataFrame,
+    state_path: str,
+    seq_len: int = 512,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "qml_streaming_pack",
+    checkpoint_location: str | None = None,
+    run_key: str | None = None,
+):
+    """Continuous training-sequence packing: documents stream in, each
+    micro-batch lays its docs (in id order within the batch) onto the
+    END of the global token stream, and ``{state_path}/packed``
+    accumulates the loader-facing layout — (doc_id, n_tokens,
+    start_token, first_seq, last_seq, batch_id). The global stream
+    offset rides the CAS manifest (crash-safe, restart-safe: a
+    checkpointed restart continues the stream where it stopped; see
+    ``_pack_batch`` for the replay discipline). Under id-monotone
+    arrival the accumulated layout is EXACTLY the batch
+    text_sequence_pack cumsum — the oracle the registered query
+    replays."""
+    import uuid
+
+    from quackml_spark.operators._manifest import (
+        commit_manifest,
+        current_version,
+    )
+    from quackml_spark.sources.files import _require_local
+
+    _require_local(state_path, "streaming_pack")
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if run_key is None:
+        run_key = checkpoint_location or f"run-{uuid.uuid4().hex}"
+    if current_version(state_path) == 0:
+        commit_manifest(
+            state_path,
+            {
+                "run_key": "",
+                "last_batch": -1,
+                "prev_total": 0,
+                "total_tokens": 0,
+            },
+            0,
+        )
+
+    def _process(batch_df, batch_id):
+        _pack_batch(
+            batch_df, batch_id, state_path, run_key, seq_len,
+            id_col=id_col, text_col=text_col,
+        )
+
+    return (
+        _with_checkpoint(
+            docs_stream.writeStream.foreachBatch(_process),
+            checkpoint_location,
+        )
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

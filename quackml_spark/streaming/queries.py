@@ -609,3 +609,54 @@ def streaming_corpus_profile_docs(
         F.col("p50_chars").cast("bigint").alias("p50_chars"),
         F.col("p90_chars").cast("bigint").alias("p90_chars"),
     )
+
+
+@register(
+    "streaming_pack_docs",
+    extra=True,
+    doc="Continuous sequence packing (streaming_pack) value-checked "
+    "END-TO-END: documents stream through foreachBatch, each batch "
+    "packs onto the end of the global token stream with the offset "
+    "carried across batches in the CAS manifest. Under the id-monotone "
+    "availableNow drain used here the accumulated layout equals the "
+    "batch concat-and-chunk cumsum in doc_id order — the oracle.",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         length(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+         SUM(length(regexp_extract_all(lower(text), '\S+')))
+           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_token,
+       CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS first_seq,
+       CAST(FLOOR((cum - 1) / 512) AS BIGINT) AS last_seq
+FROM t WHERE n_tokens > 0
+ORDER BY doc_id
+""",
+    tags=("streaming", "textops", "sampling"),
+)
+def streaming_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from quackml_spark.streaming.events import streaming_pack
+
+    state_path = tempfile.mkdtemp(prefix="qml_stream_pack_")
+    q = streaming_pack(
+        stream_parquet_table(
+            spark, sf_dir, "documents.parquet", "doc_id long, text string"
+        ).select("doc_id", "text"),
+        state_path,
+        seq_len=512,
+        query_name=f"qml_stream_pack_{abs(hash(sf_dir)) % 99999}",
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{state_path}/packed")
+        .select(
+            "doc_id", "n_tokens", "start_token", "first_seq", "last_seq"
+        )
+        .distinct()
+        .orderBy("doc_id")
+    )
