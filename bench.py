@@ -81,15 +81,31 @@ def main() -> None:
     # ambient load BEFORE any Spark work: this is the neighbors, the
     # only sample that can adjudicate "regression vs busy container"
     ambient = os.getloadavg()
-    # Opt-in idle anchor (r9 verdict): when SPARK_GRAFT_BENCH_WAIT_IDLE
-    # is set (seconds; "1"/"true" = 600), poll ambient load until it
-    # drops below the threshold so the artifact series regains an
-    # uncontended anchor. Bounded wait — on timeout the run proceeds
-    # and the artifact still records `contended` truthfully.
-    wait_spec = os.environ.get("SPARK_GRAFT_BENCH_WAIT_IDLE", "120")
+    # Idle anchor (r9 verdict): poll ambient load before starting and
+    # delay until it drops below the threshold, so the recorded
+    # artifact is uncontended whenever a short wait suffices. DEFAULT
+    # ON with a 120 s bound; SPARK_GRAFT_BENCH_WAIT_IDLE tunes it
+    # (seconds; "0"/"false"/"off"/"no" disables, "1"/"true" = 600; an
+    # unparseable value disables with a warning rather than crashing
+    # the bench). Bounded — on timeout the run proceeds and the
+    # artifact still records `contended` truthfully.
+    wait_spec = os.environ.get("SPARK_GRAFT_BENCH_WAIT_IDLE", "120").lower()
     waited = 0.0
-    if wait_spec.lower() not in ("0", "false", ""):
-        budget = 600.0 if wait_spec.lower() in ("1", "true") else float(wait_spec)
+    if wait_spec in ("1", "true"):
+        budget = 600.0
+    elif wait_spec in ("0", "false", "off", "no", ""):
+        budget = 0.0
+    else:
+        try:
+            budget = float(wait_spec)
+        except ValueError:
+            print(
+                f"bench: unparseable SPARK_GRAFT_BENCH_WAIT_IDLE="
+                f"{wait_spec!r} — idle wait disabled",
+                file=sys.stderr,
+            )
+            budget = 0.0
+    if budget > 0:
         while ambient[0] > load_threshold and waited < budget:
             step = min(15.0, budget - waited)
             print(

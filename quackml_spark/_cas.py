@@ -77,16 +77,23 @@ class CasVersions:
         return best
 
     def prune(self) -> None:
-        """Drop token versions older than the newest ``keep``."""
+        """Drop token versions older than the newest ``keep``. A stray
+        prefix-matching file with a non-integer version (a manual
+        backup copy, say) is skipped per-name, the same as
+        current_version — an except around the whole listing would
+        silently disable retention forever (review catch)."""
         try:
-            versions = sorted(
-                int(n[len(self.prefix) : -len(".parquet")])
-                for n in os.listdir(self.directory)
-                if n.startswith(self.prefix) and n.endswith(".parquet")
-            )
-        except (FileNotFoundError, ValueError):
+            names = os.listdir(self.directory)
+        except FileNotFoundError:
             return
-        for v in versions[: -self.keep]:
+        versions = []
+        for n in names:
+            if n.startswith(self.prefix) and n.endswith(".parquet"):
+                try:
+                    versions.append(int(n[len(self.prefix) : -len(".parquet")]))
+                except ValueError:
+                    continue
+        for v in sorted(versions)[: -self.keep]:
             try:
                 os.unlink(self.token_path(v))
             except FileNotFoundError:
@@ -135,7 +142,16 @@ def commit_frame(
             ).st_mtime_ns
             recycled = next_mtime < os.stat(target).st_mtime_ns
         except FileNotFoundError:
-            recycled = True  # v(base+2) pruned => long predates us
+            # v(base+2) is gone. Retention prunes OLDEST first, so a
+            # chain that genuinely built ON this commit and then pruned
+            # v(base+2) must have pruned v(base+1) — our token — first.
+            # Our token still present => v(base+2) was never created in
+            # this chain epoch: the slot was recycled from an old chain.
+            # Our token gone => we were folded in and pruned: a WON
+            # commit, not a recycle (treating it as recycled would make
+            # cas_update retry and double-apply the fold — review
+            # catch).
+            recycled = os.path.exists(target)
         if recycled:
             try:
                 os.unlink(target)  # head never pointed here; safe

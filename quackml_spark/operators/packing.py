@@ -79,9 +79,15 @@ def prefix_sum_by(
     key = bucket_col or order_cols[0]
     width = max(1, (bucket_max - bucket_min) // (4 * n))
     order = [F.asc(c) for c in order_cols]
+    # a NULL key sorts first under asc (Spark nulls-first default), so
+    # it buckets BEFORE every real pid; mapping it to -1 keeps the row
+    # in the stream instead of silently dropping it at the equi-join
+    # (NULL never equals NULL — review catch)
     with_pid = df.withColumn(
         "__pid",
-        F.floor((F.col(key) - bucket_min) / width).cast("bigint"),
+        F.when(F.col(key).isNull(), F.lit(-1))
+        .otherwise(F.floor((F.col(key) - bucket_min) / width))
+        .cast("bigint"),
     )
     cum = Window.partitionBy(F.lit(0)).orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -114,6 +120,9 @@ def pack_sequences(
     id_col: str = "doc_id",
     seed: int = 0,
     carry_cols: tuple = (),
+    bucket_col: str | None = None,
+    bucket_max: int = 1 << 32,
+    bucket_min: int = 0,
 ) -> DataFrame:
     """Concat-and-chunk packing plan: each document's placement in the
     fixed-``seq_len`` training-sequence stream.
@@ -131,6 +140,11 @@ def pack_sequences(
     (id, n_tokens, start_token, first_seq, last_seq, n_segments);
     ``carry_cols`` pass through unchanged (e.g. copy_idx/source when
     packing an epoch-expanded stream, where id alone is not a key).
+    Custom ``order_cols`` whose leading key is NOT the md5 shuffle
+    must pass ``bucket_col``/``bucket_min``/``bucket_max`` through to
+    the prefix sum — a small-range leading key under the default
+    [0, 2^32) bounds collapses into one bucket, i.e. a data-sized
+    single-partition window.
 
     One static-bucket hash exchange total (the prefix-sum shape) — no
     global window, no sampled range boundaries, no driver collect; at
@@ -147,7 +161,14 @@ def pack_sequences(
         docs = docs.withColumn("__prio", prio)
         order_cols = ["__prio", id_col]
     sized = docs.where(F.col(n_tokens_col) > 0)
-    summed = prefix_sum_by(sized, n_tokens_col, order_cols)
+    summed = prefix_sum_by(
+        sized,
+        n_tokens_col,
+        order_cols,
+        bucket_col=bucket_col,
+        bucket_max=bucket_max,
+        bucket_min=bucket_min,
+    )
     start = F.col("prefix_sum") - F.col(n_tokens_col)
     return (
         summed.select(

@@ -103,6 +103,14 @@ def fan_out(df, min_parallelism: int | None = None):
             it = node.children().iterator()
             while it.hasNext():
                 stack.append(it.next())
+            # expression-held subquery plans (scalar subqueries, IN
+            # subqueries) are NOT in children() — a Join/Aggregate
+            # inside one still executes under the .rdd probe (review
+            # catch: the replaced regex saw them because toString
+            # renders innerChildren)
+            sit = node.subqueries().iterator()
+            while sit.hasNext():
+                stack.append(sit.next())
     except Exception:  # noqa: BLE001 — unwalkable plan: skip the probe
         return df
     if df.rdd.getNumPartitions() >= p:

@@ -1556,18 +1556,35 @@ def _pack_batch(
     batch, so one step of history suffices. Readers dedup the
     at-least-once appends with DISTINCT (rows are deterministic per
     batch)."""
-    from quackml_spark.operators._manifest import cas_update, read_manifest
-    from quackml_spark.operators.packing import prefix_sum_by
     from quackml_spark.operators.text import tokens_expr
 
     spark = batch_df.sparkSession
+    # persisted for the batch's duration: the bounds action, the
+    # prefix sum's offsets branch, and the main write would otherwise
+    # each re-read and re-tokenize the batch (3 source scans -> 1;
+    # released in the finally below, so nothing leaks past the batch)
     b = (
         batch_df.select(
             F.col(id_col).alias("doc_id"),
             F.size(tokens_expr(text_col)).cast("bigint").alias("n_tokens"),
         )
         .where(F.col("n_tokens") > 0)
+        .persist()
     )
+    try:
+        _pack_batch_inner(
+            spark, b, batch_id, state_path, run_key, seq_len
+        )
+    finally:
+        b.unpersist()
+
+
+def _pack_batch_inner(
+    spark, b, batch_id, state_path: str, run_key: str, seq_len: int
+) -> None:
+    from quackml_spark.operators._manifest import cas_update, read_manifest
+    from quackml_spark.operators.packing import prefix_sum_by
+
     bounds = b.agg(
         F.min("doc_id"), F.max("doc_id"), F.sum("n_tokens")
     ).first()

@@ -440,3 +440,81 @@ def test_streaming_index_dedup_refuses_uri_path_before_mutation(spark):
     )
     with pytest.raises(NotImplementedError, match="streaming_index_dedup"):
         streaming_index_dedup(stream, "s3a://bucket/idx")
+
+
+def test_recycle_postcheck_distinguishes_won_from_recycled(tmp_path, monkeypatch):
+    """When v(base+2) is MISSING at the post-check, the outcome hinges
+    on our own token: still present => the slot was recycled from an
+    old chain (conflict, token unlinked); gone => a racing chain built
+    ON our commit and retention pruned it — a WON commit that must
+    return success, or cas_update would retry and double-apply the
+    fold (review catch)."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from quackml_spark._cas import CasVersions, commit_frame
+
+    class Boom(RuntimeError):
+        pass
+
+    df = pd.DataFrame([{"a": 1}])
+
+    # -- recycled: our token survives, v2 absent -> loud conflict
+    vs = CasVersions(str(tmp_path / "a"), "v", keep=8)
+    calls = {"n": 0}
+
+    def fake_recycled(self):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else 9  # pre-check ok; chain raced
+
+    monkeypatch.setattr(CasVersions, "current_version", fake_recycled)
+    with pytest.raises(Boom):
+        commit_frame(vs, df, 0, Boom, "t")
+    assert not os.path.exists(vs.token_path(1))  # orphan unlinked
+
+    # -- won: the racing chain pruned OUR token before the post-check
+    vs2 = CasVersions(str(tmp_path / "b"), "v", keep=8)
+    calls2 = {"n": 0}
+
+    def fake_won(self):
+        calls2["n"] += 1
+        if calls2["n"] == 1:
+            return 0
+        # mimic the racing chain: it folded our fields in, then its
+        # retention pruned our token
+        try:
+            os.unlink(self.token_path(1))
+        except FileNotFoundError:
+            pass
+        return 9
+
+    monkeypatch.setattr(CasVersions, "current_version", fake_won)
+    assert commit_frame(vs2, df, 0, Boom, "t") == 1  # success, no retry
+
+
+def test_prune_tolerates_stray_nonversion_files(tmp_path):
+    """A prefix-matching file with a non-integer version (manual backup
+    copy) must not disable retention — the old whole-listing except
+    made every future prune a silent no-op (review catch)."""
+    import os
+
+    import pandas as pd
+
+    from quackml_spark._cas import CasVersions, commit_frame
+
+    vs = CasVersions(str(tmp_path), "t.v", keep=3)
+    stray = os.path.join(str(tmp_path), "t.vbackup.parquet")
+    open(stray, "w").write("x")
+    for base in range(6):
+        commit_frame(
+            vs, pd.DataFrame([{"a": base}]), base, RuntimeError, "t"
+        )
+    kept = sorted(
+        n for n in os.listdir(str(tmp_path)) if n.startswith("t.v")
+    )
+    assert "t.vbackup.parquet" in kept  # stray untouched
+    versions = [n for n in kept if n != "t.vbackup.parquet"]
+    assert len(versions) == 3  # retention actually ran
+    assert versions[-1].endswith("00000006.parquet")

@@ -333,3 +333,21 @@ def test_sequence_manifest_tiles_exactly(spark, sf_dir):
         for s in segs:  # the doc reassembles contiguously
             assert s["doc_offset"] == pos, (d, s)
             pos += s["seg_len"]
+
+
+def test_prefix_sum_keeps_null_bucket_keys(spark):
+    """A NULL leading-order key must stay in the stream (bucketed
+    first, matching asc nulls-first), not vanish at the pid equi-join
+    (review catch: NULL never equals NULL)."""
+    from quackml_spark.operators.packing import prefix_sum_by
+
+    df = spark.createDataFrame(
+        [(None, 5), (10, 2), (20, 3)], "id long, w long"
+    )
+    rows = {
+        r["id"]: r["prefix_sum"]
+        for r in prefix_sum_by(
+            df, "w", ["id"], bucket_min=0, bucket_max=100
+        ).collect()
+    }
+    assert rows == {None: 5, 10: 7, 20: 10}

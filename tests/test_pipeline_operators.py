@@ -1276,3 +1276,21 @@ def test_curate_pack_pluggable_token_counts(spark, sf_dir):
     bad = counts.withColumnRenamed("n_tokens", "tokens")
     with pytest.raises(ValueError, match="pack_n_tokens"):
         curate(docs, pack_seq_len=128, pack_n_tokens=bad, report=False)
+
+
+def test_fan_out_skips_frames_with_subquery_shuffles(spark):
+    """A shuffle hidden inside a scalar subquery must disable the .rdd
+    partition probe exactly like a top-level one: subquery plans live
+    in expressions, not children(), and under AQE the probe would
+    execute the subquery's aggregate stage twice (review catch)."""
+    from quackml_spark.operators.text import fan_out
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "doc_id long, n double"
+    )
+    docs.createOrReplaceTempView("fan_sub_docs")
+    sub = spark.sql(
+        "SELECT * FROM fan_sub_docs "
+        "WHERE n > (SELECT avg(n) FROM fan_sub_docs)"
+    )
+    assert fan_out(sub) is sub  # identity — probe never ran
