@@ -817,6 +817,7 @@ def streaming_curate(
     query_name: str = "qml_streaming_curate",
     checkpoint_location: str | None = None,
     run_key: str | None = None,
+    pack_seq_len: int | None = None,
 ):
     """Continuous corpus curation — curate()'s filter/dedup/decontaminate
     stages applied to an UNBOUNDED document feed, with the cross-batch
@@ -838,7 +839,13 @@ def streaming_curate(
        ``{state_path}/manifest``; one decision record per input doc —
        {batch_id, doc_id, accepted, reason in quality/dup/contaminated/
        None} — goes to ``sink`` (test/demo) or
-       ``{state_path}/decisions``.
+       ``{state_path}/decisions``;
+    6. (optional, ``pack_seq_len``) the TERMINAL pack stage: accepted
+       docs flow straight onto the continuing global token stream at
+       ``{state_path}/pack`` — streaming_pack's CAS-carried offset and
+       replay discipline, reusing the n_tokens already computed on the
+       cleaned text (no extra tokenize). The full batch curate() ->
+       pack chain as one streaming query.
 
     Decision semantics: FIRST-ACCEPTED-WINS across batches (the hash
     log), min-id within a batch. When arrival order is id-monotone —
@@ -889,6 +896,35 @@ def streaming_curate(
     # same-run rows may be scoped out of the seen set)
     if run_key is None:
         run_key = checkpoint_location or f"run-{uuid.uuid4().hex}"
+    if pack_seq_len is not None:
+        # terminal pack stage (the batch curate()'s pack twin):
+        # accepted docs flow straight into the streaming_pack state at
+        # {state_path}/pack — same CAS-carried offset, same replay
+        # discipline. The pack state is CAS-committed, so it needs a
+        # local path up front (the streaming_index_dedup fail-fast
+        # discipline).
+        from quackml_spark.operators._manifest import (
+            commit_manifest as _mf_commit,
+            current_version as _mf_version,
+        )
+        from quackml_spark.sources.files import _require_local
+
+        _require_local(state_path, "streaming_curate pack stage")
+        if pack_seq_len <= 0:
+            raise ValueError(
+                f"pack_seq_len must be positive, got {pack_seq_len}"
+            )
+        if _mf_version(f"{state_path}/pack") == 0:
+            _mf_commit(
+                f"{state_path}/pack",
+                {
+                    "run_key": "",
+                    "last_batch": -1,
+                    "prev_total": 0,
+                    "total_tokens": 0,
+                },
+                0,
+            )
     # legacy own-attempt fallback only applies when this run RESUMES an
     # existing checkpoint lineage (see _checkpoint_resumed)
     legacy_guard = _checkpoint_resumed(docs_stream.sparkSession, checkpoint_location)
@@ -1029,6 +1065,22 @@ def streaming_curate(
             .write.mode("append")
             .parquet(f"{state_path}/manifest")
         )
+        if pack_seq_len is not None:
+            # accepted docs pack onto the continuing token stream —
+            # n_tokens already computed on the cleaned text in
+            # `decided`, so the pack stage adds no extra tokenize pass
+            pb = (
+                accepted.select("doc_id", "n_tokens")
+                .where(F.col("n_tokens") > 0)
+                .persist()
+            )
+            try:
+                _pack_batch_inner(
+                    spark, pb, batch_id, f"{state_path}/pack",
+                    run_key, pack_seq_len,
+                )
+            finally:
+                pb.unpersist()
         if sink is not None:
             for r in sorted(
                 decided.select("doc_id", "reason").collect(),

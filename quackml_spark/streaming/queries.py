@@ -660,3 +660,88 @@ def streaming_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id")
     )
+
+
+@register(
+    "streaming_curate_pack_docs",
+    extra=True,
+    doc="The FULL streaming training-data pipeline in ONE query: "
+    "streaming_curate's clean -> quality -> cross-batch dedup -> "
+    "decontaminate chain with the terminal pack stage — accepted docs "
+    "flow straight onto the continuing global token stream "
+    "(CAS-carried offset). Under the id-monotone availableNow drain "
+    "the packed layout equals the batch cumsum over exactly the "
+    "accepted set, which the oracle replays by extending the "
+    "streaming_curate_docs CTE chain.",
+    oracle=None,  # installed below — shares the curate CTE chain
+    tags=("streaming", "textops", "pipeline", "sampling"),
+)
+def streaming_curate_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from quackml_spark.operators.text import _decon_grams, clean_text_expr
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_grams = _decon_grams(
+        docs.where(F.col("doc_id") % 97 == 0).select(
+            "doc_id", clean_text_expr("text").alias("text")
+        )
+    )
+    state_path = tempfile.mkdtemp(prefix="qml_stream_cpack_")
+    q = streaming_curate(
+        stream_parquet_table(
+            spark, sf_dir, "documents.parquet", "doc_id long, text string"
+        ).select("doc_id", "text"),
+        state_path,
+        min_quality=0.35,
+        benchmark_grams=bench_grams,
+        sink=[],
+        pack_seq_len=512,
+        query_name=f"qml_stream_cpack_{abs(hash(sf_dir)) % 99999}",
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{state_path}/pack/packed")
+        .select(
+            "doc_id", "n_tokens", "start_token", "first_seq", "last_seq"
+        )
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+def _install_streaming_curate_pack_oracle() -> None:
+    from quackml_spark.plans import REGISTRY
+
+    base = REGISTRY["streaming_curate_docs"].oracle
+    # reuse the curate CTE chain verbatim: swap the decision SELECT for
+    # a cumsum over the accepted set's cleaned-text token counts
+    head, _, _ = base.partition("SELECT d.doc_id,")
+    REGISTRY["streaming_curate_pack_docs"].oracle = (
+        head
+        + r""", accepted AS (
+  SELECT k.doc_id, k.ct FROM keepers k
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = k.doc_id)
+), sized AS (
+  SELECT doc_id,
+         length(regexp_extract_all(lower(ct), '\S+')) AS n_tokens
+  FROM accepted
+), summed AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM sized WHERE n_tokens > 0
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_token,
+       CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS first_seq,
+       CAST(FLOOR((cum - 1) / 512) AS BIGINT) AS last_seq
+FROM summed
+ORDER BY doc_id
+"""
+    )
+
+
+_install_streaming_curate_pack_oracle()

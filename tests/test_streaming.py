@@ -1497,3 +1497,49 @@ def test_streaming_pack_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(f"{st}/packed").distinct().count() == n_before
     )
+
+
+def test_streaming_curate_pack_batch_split_invariant(spark, sf_dir, tmp_path):
+    """The chained curate->pack stream must produce the SAME packed
+    layout whether the corpus arrives as one micro-batch or four
+    (id-monotone arrival): the accepted set is batch-split invariant
+    (the hash log) and the pack offsets carry across batches (the CAS
+    manifest)."""
+    from quackml_spark.operators.text import _decon_grams, clean_text_expr
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_curate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = _decon_grams(
+        docs.where(F.col("doc_id") % 97 == 0).select(
+            "doc_id", clean_text_expr("text").alias("text")
+        )
+    )
+    max_id = 1 + docs.agg(F.max("doc_id")).first()[0]
+
+    def run(src, st, n_files, qname):
+        _write_id_ordered_parts(
+            spark, docs, src, range(n_files), max_id, n_files
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/part*")
+        )
+        q = streaming_curate(
+            stream, st, min_quality=0.35, benchmark_grams=bench,
+            sink=[], pack_seq_len=256, query_name=qname,
+        )
+        q.awaitTermination()
+        return {
+            r["doc_id"]: (r["n_tokens"], r["start_token"], r["last_seq"])
+            for r in spark.read.parquet(f"{st}/pack/packed")
+            .distinct()
+            .collect()
+        }
+
+    one = run(str(tmp_path / "s1"), str(tmp_path / "t1"), 1, "qml_cp_one")
+    four = run(str(tmp_path / "s4"), str(tmp_path / "t4"), 4, "qml_cp_four")
+    assert one and one == four
+    # only accepted docs are packed: the bench split never appears
+    assert not any(d % 97 == 0 for d in one)
