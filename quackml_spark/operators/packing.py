@@ -1,7 +1,12 @@
-"""Training-sequence preparation: epoch-shuffled concat-and-chunk
-sequence packing and per-source epoch expansion.
+"""Training-sequence preparation: epoch expansion and the packing
+family — concat-and-chunk (`pack_sequences`), tokenizer-true BPE
+counts (`bpe_token_counts` / text_pack_sequences_bpe), no-split
+whole-document packing (`pack_sequences_nosplit`), and the
+loader-facing per-sequence manifest (`sequence_spans`). The streaming
+twin (continuous packing with a CAS-carried offset) lives in
+streaming/events.py; curate() chains these as terminal stages.
 
-Every pretraining pipeline ends with these two steps after curation:
+Every pretraining pipeline ends with these steps after curation:
 
 * **Sequence packing** (``pack_sequences``): documents are laid out in
   a deterministic (shuffled) order into one token stream and cut into
