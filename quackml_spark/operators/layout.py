@@ -1,0 +1,259 @@
+"""Z-order (Morton curve) data layout — multi-dimensional clustering
+for file-level data skipping.
+
+The capability a 100 TB lakehouse table actually needs from its writer:
+parquet min/max row-group stats only prune files when rows that are
+close in *query* space are close in *file* space. A linear sort gives
+that for one column; interleaving the bits of k columns (the Morton /
+Z-order curve, the same layout Delta's OPTIMIZE ZORDER BY and Iceberg's
+zorder rewrite ship) gives it for all k at once — a box predicate on
+any subset of the z-ordered columns touches a number of files
+proportional to the box volume, not the full table. The reference
+engine inherits DuckDB's single-file scan and has no layout story;
+this module supplies the Spark-native one.
+
+Determinism contract: normalization is exact integer arithmetic
+(``(x - min) * (2^bits - 1) div span``) and the bit interleave is pure
+shifts/masks — Spark and the DuckDB oracle compute bit-identical
+z-values, so the layout (and the registered locality query) is
+reproducible across engines, partitionings, and scales.
+
+Scale shape (100 TB): computing the z-key is map-only (one projection;
+the min/max normalization bounds are either caller-supplied — the
+usual case for a partitioned writer that knows its domain — or one
+bounded 1-row aggregate). The clustered write is ONE repartition on a
+*static* bucket prefix of the z-key (no range-sampling
+nondeterminism) + sortWithinPartitions — exactly the shuffle any
+clustered write pays, with per-file locality in every z-ordered
+dimension as the payoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackml_spark.plans import register
+from quackml_spark.sources import load_table
+
+# Magic-mask bit dilation: spreads the low 16 bits of x so that bit i
+# lands at position 2i (the classic Morton-encode constants).
+_SPREAD_STEPS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16(c: Column) -> Column:
+    x = c.cast("bigint").bitwiseAND(F.lit(0xFFFF))
+    for sh, mask in _SPREAD_STEPS:
+        x = x.bitwiseOR(F.shiftleft(x, sh)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each (non-negative integer)
+    column into one Morton key. Column i contributes bit j of its value
+    at key position ``j * k + i`` — so the key's most-significant bits
+    alternate across dimensions and a prefix of the key is a k-D box.
+
+    Two 16-bit columns take the 4-step magic-mask dilation (8 bitwise
+    ops per column); other shapes fall back to the generic per-bit
+    build. Everything stays inside whole-stage codegen — no UDFs.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_key needs >= 2 columns")
+    if bits * k > 62:
+        raise ValueError(f"bits*k = {bits * k} exceeds a BIGINT key")
+    if k == 2 and bits == 16:
+        return _spread16(cols[0]).bitwiseOR(F.shiftleft(_spread16(cols[1]), 1))
+    z = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        x = c.cast("bigint")
+        for j in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(x, j).bitwiseAND(F.lit(1)), j * k + i
+                )
+            )
+    return z
+
+
+def _normalize_cols(
+    df: DataFrame,
+    cols: list[str],
+    bits: int,
+    ranges: dict[str, tuple[int, int]] | None,
+) -> tuple[DataFrame, list[str]]:
+    """Add ``__zn_<col>`` columns scaled to [0, 2^bits) by exact integer
+    arithmetic. ``ranges`` supplies (min, max) per column; missing
+    bounds are computed in ONE 1-row aggregate (bounded collect)."""
+    ranges = dict(ranges or {})
+    missing = [c for c in cols if c not in ranges]
+    if missing:
+        aggs = []
+        for c in missing:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        row = df.agg(*aggs).first()
+        for c in missing:
+            ranges[c] = (int(row[f"mn_{c}"]), int(row[f"mx_{c}"]))
+    top = (1 << bits) - 1
+    out = df
+    names = []
+    for c in cols:
+        mn, mx = ranges[c]
+        span = mx - mn
+        name = f"__zn_{c}"
+        if span <= 0:
+            out = out.withColumn(name, F.lit(0).cast("bigint"))
+        else:
+            # exact integer scaling; clamp guards caller-supplied ranges
+            # narrower than the data
+            out = out.withColumn(
+                name,
+                F.expr(
+                    f"greatest(0L, least({top}L, "
+                    f"((cast(`{c}` as bigint) - {mn}L) * {top}L) div {span}L))"
+                ),
+            )
+        names.append(name)
+    return out, names
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    ranges: dict[str, tuple[int, int]] | None = None,
+    key_col: str = "zkey",
+) -> DataFrame:
+    """Cluster ``df`` on the Morton key of ``cols``: one repartition on
+    a static bucket prefix of the key (deterministic — no
+    repartitionByRange sampling, whose boundaries can diverge between
+    plan branches), then a sort within each partition. Write the result
+    with ``.write.parquet`` and every file carries tight min/max ranges
+    in ALL of ``cols`` — the data-skipping layout.
+
+    The ``key_col`` (full z-key) is kept so callers can inspect or
+    re-bucket; drop it before writing if undesired.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    norm, names = _normalize_cols(df, cols, bits, ranges)
+    keyed = norm.withColumn(
+        key_col, zorder_key([F.col(n) for n in names], bits)
+    ).drop(*names)
+    # static prefix bucketing: top ceil(log2(n_parts)) bits of the key
+    pbits = max(1, (n_parts - 1).bit_length())
+    bucket = F.shiftright(F.col(key_col), bits * len(cols) - pbits)
+    return (
+        keyed.withColumn("__zbucket", bucket)
+        .repartition(n_parts, "__zbucket")
+        .sortWithinPartitions(key_col)
+        .drop("__zbucket")
+    )
+
+
+def _spread_sql_steps(src: str, prefix: str) -> tuple[str, list[str]]:
+    """Chained-column SQL for the 4-step dilation: returns the final
+    column name and the SELECT fragments to thread through nested
+    subqueries (avoids the exponential blowup of inlining the
+    self-referencing expression)."""
+    frags = [f"(CAST({src} AS BIGINT) & 65535) AS {prefix}0"]
+    cur = f"{prefix}0"
+    for i, (sh, mask) in enumerate(_SPREAD_STEPS, 1):
+        frags.append(f"(({cur} | ({cur} << {sh})) & {mask}) AS {prefix}{i}")
+        cur = f"{prefix}{i}"
+    return cur, frags
+
+
+def _zorder_events_oracle() -> str:
+    """DuckDB twin of q33: same normalization, same dilation steps, one
+    chained subquery per step."""
+    top = 65535
+    inner = f"""
+SELECT event_id, user_id, unix_ms,
+       greatest(0, least({top}, coalesce(((user_id - umin) * {top}) // nullif(uspan, 0), 0))) AS ux,
+       greatest(0, least({top}, coalesce(((unix_ms - tmin) * {top}) // nullif(tspan, 0), 0))) AS tx
+FROM (SELECT event_id, user_id,
+             epoch_us(ts) // 1000 AS unix_ms
+      FROM events),
+     (SELECT MIN(user_id) AS umin,
+             MAX(user_id) - MIN(user_id) AS uspan,
+             MIN(epoch_us(ts) // 1000) AS tmin,
+             MAX(epoch_us(ts) // 1000)
+               - MIN(epoch_us(ts) // 1000) AS tspan
+      FROM events)
+"""
+    q = inner
+    # thread both dilations through the same chain of subqueries
+    for i, (sh, mask) in enumerate(_SPREAD_STEPS):
+        cu, cn = (f"ux{i - 1}", f"ux{i}") if i else ("ux", "ux0")
+        tu, tn = (f"tx{i - 1}", f"tx{i}") if i else ("tx", "tx0")
+        if i == 0:
+            step = (
+                f"SELECT *, ((({cu} & 65535) | (({cu} & 65535) << {sh})) & {mask}) AS {cn}, "
+                f"((({tu} & 65535) | (({tu} & 65535) << {sh})) & {mask}) AS {tn} "
+                f"FROM ({q})"
+            )
+        else:
+            step = (
+                f"SELECT *, (({cu} | ({cu} << {sh})) & {mask}) AS {cn}, "
+                f"(({tu} | ({tu} << {sh})) & {mask}) AS {tn} "
+                f"FROM ({q})"
+            )
+        q = step
+    return f"""
+SELECT zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(user_id) - MIN(user_id) AS BIGINT) AS user_span,
+       CAST(MAX(unix_ms) - MIN(unix_ms) AS BIGINT) AS ms_span
+FROM (SELECT user_id, unix_ms, (ux3 | (tx3 << 1)) >> 26 AS zbucket FROM ({q}))
+GROUP BY zbucket
+ORDER BY zbucket
+"""
+
+
+@register(
+    "q33_zorder_locality",
+    extra=True,
+    doc="Z-order (Morton) layout locality report over events: user_id "
+    "and event-time are normalized to 16 bits by exact integer "
+    "arithmetic, bit-interleaved with the 4-step magic-mask dilation, "
+    "and the table is summarized per 64-way z-bucket (count + the "
+    "user/time span each bucket's file WOULD carry as parquet min/max "
+    "stats). The whole key computation is map-only shifts/masks inside "
+    "whole-stage codegen; the only aggregate is the bounded 1-row "
+    "min/max pass + the 64-group rollup. This is the layout "
+    "`zorder_by` writes — the file-skipping story for a 100 TB table.",
+    oracle=_zorder_events_oracle(),
+    tags=("layout", "bench"),
+)
+def q33_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("unix_ms"),
+    )
+    norm, names = _normalize_cols(
+        ev, ["user_id", "unix_ms"], 16, None
+    )
+    z = zorder_key([F.col(n) for n in names], 16)
+    return (
+        norm.withColumn("zbucket", F.shiftright(z, 26))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("user_id") - F.min("user_id"))
+            .cast("bigint")
+            .alias("user_span"),
+            (F.max("unix_ms") - F.min("unix_ms"))
+            .cast("bigint")
+            .alias("ms_span"),
+        )
+        .orderBy("zbucket")
+    )

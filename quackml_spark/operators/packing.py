@@ -778,3 +778,110 @@ def text_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train(docs, n_merges=_BPE_PACK_MERGES)
     counts = bpe_token_counts(docs, merges)
     return pack_sequences(counts, _PACK_SEQ_LEN).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle (FIM) transformation — Bavarian et al. 2022,
+# "Efficient Training of Language Models to Fill in the Middle".
+# ---------------------------------------------------------------------------
+
+def fim_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate_ppm: int = 500_000,
+    seed: int = 0,
+    sentinels: tuple[str, str, str] = ("<PRE>", "<SUF>", "<MID>"),
+) -> DataFrame:
+    """FIM-transform a deterministic ``rate_ppm`` fraction of documents
+    into PSM (prefix-suffix-middle) order: two pseudorandom character
+    split points carve the text into prefix/middle/suffix, and the
+    training text becomes ``<PRE> prefix <SUF> suffix <MID> middle`` —
+    the autoregressive infilling recipe (applied at the document level,
+    the paper's document-level variant). Untransformed rows pass
+    through unchanged, so the op slots anywhere in the curation chain.
+
+    Everything is a pure column expression (map-only, zero shuffles,
+    whole-stage codegen): the apply coin and both split points are the
+    engine's shared md5_int32 keyed on (seed, doc_id), the carve is
+    character-based substr arithmetic — so the output is a pure
+    function of (corpus, rate, seed) and replays bit-identically in
+    SQL. At 100 TB this adds nothing to the plan but one projection.
+    """
+    if not 0 <= rate_ppm <= 1_000_000:
+        raise ValueError("rate_ppm must be in [0, 1e6]")
+    from quackml_spark.operators.text import md5_int32
+
+    pre, suf, mid = sentinels
+    sid = F.col(id_col).cast("string")
+    t = F.col(text_col)
+    n = F.length(t)
+    coin = md5_int32(F.concat(sid, F.lit(f":{seed}:fim"))) % F.lit(1_000_000)
+    u1 = md5_int32(F.concat(sid, F.lit(f":{seed}:a"))) % (n + F.lit(1))
+    u2 = md5_int32(F.concat(sid, F.lit(f":{seed}:b"))) % (n + F.lit(1))
+    lo, hi = F.least(u1, u2), F.greatest(u1, u2)
+    psm = F.concat(
+        F.lit(pre),
+        t.substr(F.lit(1), lo),
+        F.lit(suf),
+        t.substr(hi + F.lit(1), n - hi),
+        F.lit(mid),
+        t.substr(lo + F.lit(1), hi - lo),
+    )
+    applied = coin < F.lit(rate_ppm)
+    return docs.withColumn("fim_applied", applied).withColumn(
+        text_col, F.when(applied, psm).otherwise(t)
+    )
+
+
+def _fim_oracle(rate_ppm: int, seed: int) -> str:
+    def h(tag: str) -> str:
+        return (
+            f"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}:{tag}'), 1, 8))"
+            "::BIGINT"
+        )
+
+    return f"""
+SELECT doc_id,
+       coin < {rate_ppm} AS fim_applied,
+       CASE WHEN coin < {rate_ppm}
+            THEN '<PRE>' || substr(text, 1, lo)
+                 || '<SUF>' || substr(text, hi + 1, n - hi)
+                 || '<MID>' || substr(text, lo + 1, hi - lo)
+            ELSE text END AS text
+FROM (
+  SELECT doc_id, text, n,
+         {h("fim")} % 1000000 AS coin,
+         least(u1, u2) AS lo, greatest(u1, u2) AS hi
+  FROM (
+    SELECT doc_id, text, length(text) AS n,
+           {h("a")} % (length(text) + 1) AS u1,
+           {h("b")} % (length(text) + 1) AS u2
+    FROM documents
+  )
+)
+ORDER BY doc_id
+"""
+
+
+_FIM_RATE = 500_000
+
+
+@register(
+    "text_fim_split",
+    extra=True,
+    doc="Fill-in-the-middle training prep (Bavarian et al. 2022, "
+    "document-level PSM): a deterministic 50% of documents are carved "
+    "at two md5-derived character points and re-serialized as "
+    "<PRE>prefix<SUF>suffix<MID>middle; the rest pass through. Pure "
+    "map-only column expressions — the shared md5_int32 coin, substr "
+    "arithmetic — zero shuffles, replayed character-exactly by the "
+    "DuckDB oracle including every sentinel boundary.",
+    oracle=_fim_oracle(_FIM_RATE, 0),
+    tags=("textops", "sampling"),
+)
+def text_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_split(docs, rate_ppm=_FIM_RATE, seed=0).select(
+        "doc_id", "fim_applied", "text"
+    ).orderBy("doc_id")

@@ -288,3 +288,162 @@ ORDER BY doc_id
 def text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return domain_cap_sample(docs, _CAP).orderBy("doc_id")
+
+
+def skew_profile(
+    df: DataFrame, key_col: str, top: int = 10
+) -> DataFrame:
+    """Heavy-hitter diagnosis for a join/groupBy key: the ``top`` most
+    frequent keys with their exact count, corpus share (ppm), skew
+    ratio vs the mean key (x100), and the salting factor that would
+    level each one (``ceil(cnt * n_keys / total)`` — the number of
+    sub-keys a salted repartition needs so this key's largest shard is
+    ~mean-sized). The operational question at 100 TB is always "which
+    key melts the shuffle"; this answers it in one map-side-combined
+    groupBy + one bounded 1-row aggregate + a distributed top-k
+    (TakeOrderedAndProject — per-partition heads, no global sort).
+
+    All ratios are exact integer arithmetic (floor ppm, ceil salt), so
+    the profile is partitioning-independent and SQL-replayable.
+    """
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    ).first()
+    total, nkeys = int(tot["t"] or 0), int(tot["k"] or 0)
+    if total == 0:
+        raise ValueError("skew_profile: empty input")
+    return (
+        counts.select(
+            F.col(key_col).cast("bigint").alias("key"),
+            "cnt",
+            F.expr(f"(cnt * 1000000) div {total}").alias("share_ppm"),
+            F.expr(f"(cnt * 100 * {nkeys}) div {total}").alias("skew_x100"),
+            F.expr(f"(cnt * {nkeys} + {total} - 1) div {total}").alias(
+                "suggested_salt"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(top)
+    )
+
+
+@register(
+    "q35_skew_profile_events",
+    extra=True,
+    doc="Skew diagnosis of events.user_id (the stream's natural "
+    "join/groupBy key): top-10 heaviest users with exact count, "
+    "corpus-share ppm, skew-vs-mean x100, and the salt factor that "
+    "would level each (ceil of count/mean, integer arithmetic). One "
+    "map-side-combined groupBy + one 1-row total + a distributed "
+    "top-k; the report a 1000-executor shuffle plan is tuned from.",
+    oracle="""
+WITH c AS (
+  SELECT CAST(user_id AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nkeys
+  FROM c
+)
+SELECT key, cnt,
+       CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
+       CAST((cnt * 100 * nkeys) // total AS BIGINT) AS skew_x100,
+       CAST((cnt * nkeys + total - 1) // total AS BIGINT) AS suggested_salt
+FROM c CROSS JOIN t
+ORDER BY cnt DESC, key
+LIMIT 10
+""",
+    tags=("profile", "relational"),
+)
+def q35_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return skew_profile(ev, "user_id", top=10)
+
+
+def table_profile(
+    df: DataFrame, cols: list[str] | None = None, exact_ndv: bool = True
+) -> DataFrame:
+    """ANALYZE-style per-column statistics for ANY table: row count,
+    non-null count, distinct count, and min/max rendered as strings —
+    one row per profiled column, computed in a single aggregate pass
+    and unpivoted in-plan with ``stack`` (no driver-side assembly).
+
+    ``exact_ndv=False`` swaps COUNT(DISTINCT) for HLL
+    approx_count_distinct — at 100 TB the exact form costs one Expand
+    duplication of the scan per column, the approx form is one pass;
+    the oracle-checked registered query uses exact so DuckDB can replay
+    it.
+
+    Min/max stringification contract: profile integer, string, and
+    date columns only — float renderings differ across engines, so a
+    caller profiling doubles should round/cast first.
+    """
+    cols = cols or df.columns
+    ndv = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_ndv
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("bigint").alias(f"nn_{c}"),
+            ndv(c).cast("bigint").alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    one_row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows, `nn_{c}`, `nd_{c}`, `mn_{c}`, `mx_{c}`" for c in cols
+    )
+    return one_row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"
+    ).orderBy("col_name")
+
+
+@register(
+    "q36_table_profile_orders",
+    extra=True,
+    doc="ANALYZE-style table profile of orders (key/status/date "
+    "columns): per column, rows / non-nulls / exact distinct count / "
+    "min / max in ONE aggregate pass, unpivoted in-plan via stack. "
+    "The stats feed broadcast decisions and partition sizing; the "
+    "approx_count_distinct variant (exact_ndv=False) is the one-pass "
+    "100 TB form.",
+    oracle="""
+WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+SELECT * FROM (
+  SELECT 'o_custkey' AS col_name, a.n_rows,
+         CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+         CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+  FROM orders CROSS JOIN a GROUP BY a.n_rows
+  UNION ALL
+  SELECT 'o_orderdate', a.n_rows, CAST(COUNT(o_orderdate) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+         CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+  FROM orders CROSS JOIN a GROUP BY a.n_rows
+  UNION ALL
+  SELECT 'o_orderkey', a.n_rows, CAST(COUNT(o_orderkey) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+         CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+  FROM orders CROSS JOIN a GROUP BY a.n_rows
+  UNION ALL
+  SELECT 'o_orderstatus', a.n_rows, CAST(COUNT(o_orderstatus) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders CROSS JOIN a GROUP BY a.n_rows
+) ORDER BY col_name
+""",
+    tags=("profile", "relational"),
+)
+def q36_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return table_profile(
+        orders, ["o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"]
+    )

@@ -126,6 +126,8 @@ _QUERY_MODULES = (
     "quackml_spark.operators.hll",
     "quackml_spark.operators.histsketch",
     "quackml_spark.operators.ivfpq",
+    "quackml_spark.operators.layout",
+    "quackml_spark.operators.graph",
     "quackml_spark.functions.queries",
     "quackml_spark.ml.queries",
     "quackml_spark.streaming.queries",
