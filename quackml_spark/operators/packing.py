@@ -834,7 +834,11 @@ def fim_split(
     )
 
 
-def _fim_oracle(rate_ppm: int, seed: int) -> str:
+def fim_carve_sql(rate_ppm: int, seed: int, source: str = "documents") -> str:
+    """The FIM carve as a reusable SELECT (doc_id, fim_applied, text)
+    over ``source`` — the exact SQL twin of :func:`fim_split`, shared by
+    the standalone oracle and the curate()-chain oracle."""
+
     def h(tag: str) -> str:
         return (
             f"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}:{tag}'), 1, 8))"
@@ -857,11 +861,14 @@ FROM (
     SELECT doc_id, text, length(text) AS n,
            {h("a")} % (length(text) + 1) AS u1,
            {h("b")} % (length(text) + 1) AS u2
-    FROM documents
+    FROM {source}
   )
 )
-ORDER BY doc_id
 """
+
+
+def _fim_oracle(rate_ppm: int, seed: int) -> str:
+    return fim_carve_sql(rate_ppm, seed) + "ORDER BY doc_id\n"
 
 
 _FIM_RATE = 500_000

@@ -226,6 +226,8 @@ def curate(
     curriculum_band_size: int | None = None,
     budget_chars: int | None = None,
     temperature_alpha: float | None = None,
+    fim_rate_ppm: int | None = None,
+    fim_seed: int = 0,
     epochs_ppm: DataFrame | None = None,
     epoch_seed: int = 1,
     pack_seq_len: int | None = None,
@@ -294,6 +296,14 @@ def curate(
                           Runs after budget so positions stay gap-free
                           over the documents that actually survive
                           sampling
+      fim                 fill-in-the-middle PSM transform of a
+                          deterministic ``fim_rate_ppm`` fraction of
+                          documents (document-level, keyed on doc_id —
+                          every epoch copy of a doc gets the same
+                          carve). Map-only; adds ``fim_applied``. Runs
+                          before epochs/pack so the packing token
+                          counts price the carved text, sentinels
+                          included
       epochs              per-source fractional epoch expansion (the
                           LLaMA data-recipe step): ``epochs_ppm`` is a
                           tiny (source, epochs_ppm) frame (2.4 epochs =
@@ -546,6 +556,19 @@ def curate(
             band_size=curriculum_band_size,
         )
         cur = _mark("curriculum", cur.join(order, "doc_id"))
+    if fim_rate_ppm is not None:
+        from quackml_spark.operators.packing import fim_split
+
+        cur = _mark(
+            "fim",
+            fim_split(
+                cur,
+                text_col="text",
+                id_col="doc_id",
+                rate_ppm=fim_rate_ppm,
+                seed=fim_seed,
+            ),
+        )
     if epochs_ppm is not None:
         from quackml_spark.operators.packing import epoch_expand
 
@@ -1301,3 +1324,81 @@ from quackml_spark.plans import REGISTRY as _REG  # noqa: E402
 
 _REG["pipeline_curate_full"].oracle = _curate_full_oracle()
 _REG["pipeline_curate_train"].oracle = _curate_train_oracle()
+
+
+def _curate_fim_oracle() -> str:
+    """DuckDB replay of curate(fim_rate_ppm=500000, pack_seq_len=512):
+    the FIM carve (packing.fim_carve_sql) feeds whitespace token counts
+    into the same prefix-sum packing layout text_pack_sequences pins —
+    sentinels priced into the counts, exactly like the engine."""
+    from quackml_spark.operators.packing import fim_carve_sql
+
+    carve = fim_carve_sql(500_000, 0).strip()
+    return rf"""
+WITH fimd AS (
+{carve}
+), t AS (
+  SELECT doc_id, fim_applied,
+         length(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+         ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))::BIGINT AS prio
+  FROM fimd
+), sized AS (
+  SELECT * FROM t WHERE n_tokens > 0
+), summed AS (
+  SELECT doc_id, fim_applied, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY prio, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS prefix_sum
+  FROM sized
+)
+SELECT doc_id, fim_applied,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prefix_sum - n_tokens AS BIGINT) AS start_token,
+       CAST(FLOOR((prefix_sum - n_tokens) / 512) AS BIGINT) AS first_seq,
+       CAST(FLOOR((prefix_sum - 1) / 512) AS BIGINT) AS last_seq,
+       CAST(FLOOR((prefix_sum - 1) / 512)
+            - FLOOR((prefix_sum - n_tokens) / 512) + 1 AS BIGINT)
+         AS n_segments
+FROM summed
+ORDER BY doc_id
+"""
+
+
+@register(
+    "pipeline_curate_fim",
+    extra=True,
+    doc="curate() with the FIM stage chained into the terminal packing "
+    "stage: a deterministic 50% of documents are PSM-carved "
+    "(fill-in-the-middle) and the concat-and-chunk layout then prices "
+    "the CARVED text — sentinels included — through the distributed "
+    "prefix sum. One DuckDB query replays carve + token counts + "
+    "offsets end to end, value-checking the stage WIRING, not just "
+    "each operator alone.",
+    tags=("pipeline", "textops"),
+)
+def pipeline_curate_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = curate(
+        docs,
+        clean=False,
+        dedup=None,
+        fim_rate_ppm=500_000,
+        fim_seed=0,
+        pack_seq_len=512,
+        report=False,
+    )
+    return (
+        out["docs"]
+        .select(
+            "doc_id",
+            "fim_applied",
+            "n_tokens",
+            "start_token",
+            "first_seq",
+            "last_seq",
+            "n_segments",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REG["pipeline_curate_fim"].oracle = _curate_fim_oracle()

@@ -285,3 +285,36 @@ def test_fim_split_empty_text_and_unicode(spark):
     pre, rest = t[len("<PRE>"):].split("<SUF>", 1)
     suf, mid = rest.split("<MID>", 1)
     assert pre + mid + suf == "héllo wörld ünïcode"
+
+
+def test_curate_fim_stage_wiring(spark):
+    """curate(fim_rate_ppm=...) carves before pack; epoch copies of one
+    doc share the same carve (keyed on doc_id only)."""
+    from quackml_spark.operators.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}", "s0") for i in range(30)],
+        "doc_id bigint, text string, source string",
+    )
+    eps = spark.createDataFrame([("s0", 2_000_000)], "source string, epochs_ppm bigint")
+    out = curate(
+        docs,
+        clean=False,
+        dedup=None,
+        fim_rate_ppm=1_000_000,
+        epochs_ppm=eps,
+        pack_seq_len=16,
+        source_col="source",
+        report=True,
+    )
+    stages = [r["stage"] for r in out["report"].collect()]
+    assert "fim" in stages and "epochs" in stages and "pack" in stages
+    assert stages.index("fim") < stages.index("epochs") < stages.index("pack")
+    rows = out["docs"].select("doc_id", "copy_idx", "fim_applied", "text").collect()
+    assert all(r["fim_applied"] for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["text"])
+    # every copy of a doc carries the identical carve
+    assert all(len(texts) == 1 for texts in by_doc.values())
+    assert all("<MID>" in next(iter(t)) for t in by_doc.values())
