@@ -892,3 +892,102 @@ def text_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_split(docs, rate_ppm=_FIM_RATE, seed=0).select(
         "doc_id", "fim_applied", "text"
     ).orderBy("doc_id")
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility per source: BPE subtokens per word
+    (occurrence-weighted), in exact integer ppm — the tokenizer-eval
+    number that prices each source's token budget (a source whose
+    words fragment into 3x the subtokens costs 3x the compute per
+    word of content). Output: (source, n_words, n_tokens,
+    fertility_ppm).
+
+    Same scale shape as bpe_token_counts: merge replaces run on the
+    DISTINCT-word LUT only; occurrences pick up their word's subtoken
+    count by a word-keyed join and aggregate per source — two
+    map-side-combined shuffles however large the corpus.
+    """
+    from quackml_spark.operators.text import bpe_encode_expr, fan_out
+
+    words = fan_out(docs.select(F.col(source_col).alias("source"), F.col(text_col))).select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("__word"),
+    )
+    lut = (
+        words.select("__word")
+        .distinct()
+        .withColumn(
+            "__n_sub",
+            F.size(bpe_encode_expr(F.col("__word"), merges)).cast("bigint"),
+        )
+    )
+    return (
+        words.join(lut, "__word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("__n_sub").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div n_words").alias("fertility_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _fertility_oracle() -> str:
+    from quackml_spark.operators.text import _bpe_merge_ctes
+
+    n = _BPE_PACK_MERGES
+    ctes = _bpe_merge_ctes(n)
+    ctes.append(
+        f"""lut AS (
+  SELECT word, length(string_split(spaced, ' ')) AS n_sub FROM vocab{n}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(l.n_sub) AS BIGINT) AS n_tokens,
+       CAST((SUM(l.n_sub) * 1000000) // COUNT(*) AS BIGINT) AS fertility_ppm
+FROM (SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents) d
+JOIN lut l ON d.word = l.word
+GROUP BY d.source
+ORDER BY d.source
+"""
+    )
+
+
+@register(
+    "text_bpe_fertility",
+    extra=True,
+    doc="Tokenizer fertility per source (BPE subtokens per word, "
+    "occurrence-weighted, exact integer ppm) under the corpus-trained "
+    "8-merge BPE — the tokenizer-eval stat that prices each source's "
+    "token budget. Merge replaces run O(distinct vocab); occurrences "
+    "join the LUT and aggregate per source. The oracle replays the "
+    "unrolled merge iteration and the same LUT join.",
+    oracle=_fertility_oracle(),
+    tags=("textops", "tokenizer", "profile"),
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_PACK_MERGES)
+    return bpe_fertility(docs, merges)

@@ -318,3 +318,41 @@ def test_curate_fim_stage_wiring(spark):
     # every copy of a doc carries the identical carve
     assert all(len(texts) == 1 for texts in by_doc.values())
     assert all("<MID>" in next(iter(t)) for t in by_doc.values())
+
+
+# ---------------------------------------------------------------------------
+# source overlap / tokenizer fertility
+# ---------------------------------------------------------------------------
+
+def test_source_overlap_identical_and_disjoint(spark):
+    from quackml_spark.operators.profile import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "alpha beta gamma delta"),
+            (2, "b", "alpha beta gamma delta"),   # identical to a
+            (3, "c", "one two three four five"),  # disjoint
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    got = {(r["source_a"], r["source_b"]): r for r in source_overlap(docs).collect()}
+    assert got[("a", "b")]["jaccard_ppm"] == 1_000_000
+    assert ("a", "c") not in got  # zero intersection -> no row (inner join)
+    assert got[("a", "b")]["grams_a"] == 2  # two word-3-grams in 4 words
+
+
+def test_bpe_fertility_floor_and_values(spark):
+    from quackml_spark.operators.packing import bpe_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "s0", "aa bb aa"), (2, "s1", "cc")],
+        "doc_id bigint, source string, text string",
+    )
+    # no merges: every word splits to chars + the '</w>' end marker ->
+    # fertility = (chars + 1) / word
+    got = {r["source"]: r for r in bpe_fertility(docs, []).collect()}
+    assert got["s0"]["n_words"] == 3
+    assert got["s0"]["n_tokens"] == 9
+    assert got["s0"]["fertility_ppm"] == 3_000_000
+    # fertility can never drop below 1 token per word
+    assert all(r["fertility_ppm"] >= 1_000_000 for r in got.values())
