@@ -12,6 +12,13 @@ proportional to the box volume, not the full table. The reference
 engine inherits DuckDB's single-file scan and has no layout story;
 this module supplies the Spark-native one.
 
+This module owns the engine's ONE Morton kernel (:func:`zorder_key` —
+``sources.files.zorder_expr`` delegates here) and the exact/linear
+normalization variant (:func:`zorder_by`). The distribution-adaptive
+sibling — rank normalization by approxQuantile edges, for skewed
+columns where linear min/max scaling wastes key space — is
+``sources.files.write_zorder``; same kernel, different normalizer.
+
 Determinism contract: normalization is exact integer arithmetic
 (``(x - min) * (2^bits - 1) div span``) and the bit interleave is pure
 shifts/masks — Spark and the DuckDB oracle compute bit-identical
@@ -66,7 +73,7 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     k = len(cols)
     if k < 2:
         raise ValueError("zorder_key needs >= 2 columns")
-    if bits * k > 62:
+    if bits * k > 63:
         raise ValueError(f"bits*k = {bits * k} exceeds a BIGINT key")
     if k == 2 and bits == 16:
         return _spread16(cols[0]).bitwiseOR(F.shiftleft(_spread16(cols[1]), 1))

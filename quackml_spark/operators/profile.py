@@ -318,7 +318,9 @@ def skew_profile(
         raise ValueError("skew_profile: empty input")
     return (
         counts.select(
-            F.col(key_col).cast("bigint").alias("key"),
+            # the key keeps its own type — a bigint cast would silently
+            # NULL string keys instead of profiling them
+            F.col(key_col).alias("key"),
             "cnt",
             F.expr(f"(cnt * 1000000) div {total}").alias("share_ppm"),
             F.expr(f"(cnt * 100 * {nkeys}) div {total}").alias("skew_x100"),
@@ -342,7 +344,7 @@ def skew_profile(
     "top-k; the report a 1000-executor shuffle plan is tuned from.",
     oracle="""
 WITH c AS (
-  SELECT CAST(user_id AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM events GROUP BY user_id
 ), t AS (
   SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nkeys

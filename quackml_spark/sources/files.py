@@ -178,21 +178,22 @@ def zorder_expr(cols: list[str], bits: int = 16):
     """Morton (Z-order) interleave of ``cols`` as a pure JVM expression.
 
     Each column is first rank-normalized by the CALLER (pass integer
-    columns already scaled to [0, 2^bits)); this expression interleaves
-    their low ``bits`` bits round-robin into one BIGINT so that sorting
-    by it clusters rows that are close in EVERY dimension. bits*len(cols)
-    must stay <= 63."""
+    columns already scaled to [0, 2^bits)); the interleave clusters
+    rows that are close in EVERY dimension. Delegates to
+    operators.layout.zorder_key — ONE Morton kernel in the engine (it
+    carries the magic-mask fast path for the common 2x16 shape and the
+    oracle-checked bit convention: bit b of column i lands at
+    b*n_cols + i). bits*len(cols) must stay <= 63."""
     from pyspark.sql import functions as F
 
-    if bits * len(cols) > 63:
-        raise ValueError("zorder_expr: bits * n_cols must be <= 63")
-    n = len(cols)
-    z = F.lit(0).cast("bigint")
-    for b in range(bits):
-        for i, c in enumerate(cols):
-            bit = F.shiftright(F.col(c).cast("bigint"), b).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
-    return z
+    from quackml_spark.operators.layout import zorder_key
+
+    if len(cols) == 1:
+        # degenerate 1-D "interleave" is just the masked key itself
+        return F.col(cols[0]).cast("bigint").bitwiseAND(
+            F.lit((1 << bits) - 1)
+        )
+    return zorder_key([F.col(c) for c in cols], bits)
 
 
 def write_zorder(

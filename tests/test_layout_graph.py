@@ -356,3 +356,11 @@ def test_bpe_fertility_floor_and_values(spark):
     assert got["s0"]["fertility_ppm"] == 3_000_000
     # fertility can never drop below 1 token per word
     assert all(r["fertility_ppm"] >= 1_000_000 for r in got.values())
+
+
+def test_skew_profile_string_keys(spark):
+    from quackml_spark.operators.profile import skew_profile
+
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)], "k string")
+    got = {r["key"]: r for r in skew_profile(df, "k", top=2).collect()}
+    assert got["a"]["cnt"] == 3 and got["a"]["suggested_salt"] == 2
