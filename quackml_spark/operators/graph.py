@@ -63,9 +63,19 @@ def pagerank(
 
     Every node must appear as a source (out-degree >= 1) — symmetrize
     the edge list first if the graph is directed with sinks.
+
+    The edge list is DEDUPLICATED first: this is unweighted PageRank
+    over a simple graph. A multigraph caller expecting
+    multiplicity-proportional flow must pre-aggregate weights into its
+    own formulation — parallel edges here count once.
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval} "
+            "(use a value > iters to never checkpoint mid-run)"
+        )
     e = (
         edges.select(
             F.col(src).cast("bigint").alias("src"),

@@ -28,11 +28,10 @@ reproducible across engines, partitionings, and scales.
 Scale shape (100 TB): computing the z-key is map-only (one projection;
 the min/max normalization bounds are either caller-supplied — the
 usual case for a partitioned writer that knows its domain — or one
-bounded 1-row aggregate). The clustered write is ONE repartition on a
-*static* bucket prefix of the z-key (no range-sampling
-nondeterminism) + sortWithinPartitions — exactly the shuffle any
+bounded 1-row aggregate). The clustered write is ONE range repartition
+on the z-key + sortWithinPartitions — exactly the shuffle any
 clustered write pays, with per-file locality in every z-ordered
-dimension as the payoff.
+dimension as the payoff (each file is a contiguous Morton-curve span).
 """
 
 from __future__ import annotations
@@ -106,7 +105,13 @@ def _normalize_cols(
             aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
         row = df.agg(*aggs).first()
         for c in missing:
-            ranges[c] = (int(row[f"mn_{c}"]), int(row[f"mx_{c}"]))
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            if mn is None or mx is None:
+                raise ValueError(
+                    f"cannot z-order on {c!r}: column is empty or all-NULL "
+                    "(pass explicit ranges to override)"
+                )
+            ranges[c] = (int(mn), int(mx))
     top = (1 << bits) - 1
     out = df
     names = []
@@ -118,12 +123,17 @@ def _normalize_cols(
             out = out.withColumn(name, F.lit(0).cast("bigint"))
         else:
             # exact integer scaling; clamp guards caller-supplied ranges
-            # narrower than the data
+            # narrower than the data; a NULL value lands in bucket 0 —
+            # the same rule as write_zorder's quantile normalizer and
+            # the q33 oracle's coalesce. The NULL branch must be an
+            # EXPLICIT `if`: Spark's least/greatest SKIP null arguments
+            # (least(top, NULL) = top), so a null would silently clamp
+            # to the TOP bucket instead (review catch)
             out = out.withColumn(
                 name,
                 F.expr(
-                    f"greatest(0L, least({top}L, "
-                    f"((cast(`{c}` as bigint) - {mn}L) * {top}L) div {span}L))"
+                    f"if(`{c}` is null, 0L, greatest(0L, least({top}L, "
+                    f"((cast(`{c}` as bigint) - {mn}L) * {top}L) div {span}L)))"
                 ),
             )
         names.append(name)
@@ -138,12 +148,16 @@ def zorder_by(
     ranges: dict[str, tuple[int, int]] | None = None,
     key_col: str = "zkey",
 ) -> DataFrame:
-    """Cluster ``df`` on the Morton key of ``cols``: one repartition on
-    a static bucket prefix of the key (deterministic — no
-    repartitionByRange sampling, whose boundaries can diverge between
-    plan branches), then a sort within each partition. Write the result
-    with ``.write.parquet`` and every file carries tight min/max ranges
-    in ALL of ``cols`` — the data-skipping layout.
+    """Cluster ``df`` on the Morton key of ``cols``: one RANGE
+    repartition on the key, then a sort within each partition — every
+    output partition holds one CONTIGUOUS span of the Morton curve, so
+    a written file's min/max stats stay tight in ALL of ``cols`` (the
+    data-skipping layout; hash-repartitioning a bucket prefix would
+    merge far-apart quadtree cells into one file whenever bucket
+    hashes collide — review catch). The z-VALUES themselves are exact
+    integer arithmetic (oracle-checked in q33); the range boundaries
+    come from Spark's partition sampler, which affects only where one
+    file ends and the next begins, never which rows are neighbors.
 
     The ``key_col`` (full z-key) is kept so callers can inspect or
     re-bucket; drop it before writing if undesired.
@@ -154,14 +168,8 @@ def zorder_by(
     keyed = norm.withColumn(
         key_col, zorder_key([F.col(n) for n in names], bits)
     ).drop(*names)
-    # static prefix bucketing: top ceil(log2(n_parts)) bits of the key
-    pbits = max(1, (n_parts - 1).bit_length())
-    bucket = F.shiftright(F.col(key_col), bits * len(cols) - pbits)
-    return (
-        keyed.withColumn("__zbucket", bucket)
-        .repartition(n_parts, "__zbucket")
-        .sortWithinPartitions(key_col)
-        .drop("__zbucket")
+    return keyed.repartitionByRange(n_parts, key_col).sortWithinPartitions(
+        key_col
     )
 
 

@@ -299,9 +299,13 @@ def skew_profile(
     level each one (``ceil(cnt * n_keys / total)`` — the number of
     sub-keys a salted repartition needs so this key's largest shard is
     ~mean-sized). The operational question at 100 TB is always "which
-    key melts the shuffle"; this answers it in one map-side-combined
-    groupBy + one bounded 1-row aggregate + a distributed top-k
-    (TakeOrderedAndProject — per-partition heads, no global sort).
+    key melts the shuffle"; this answers it in ONE lazy plan: a
+    map-side-combined groupBy whose single shuffle feeds both the 1-row
+    totals (joined back via a broadcast-sized cross join, mirroring the
+    oracle's CROSS JOIN — no eager driver action, so the scan is never
+    executed twice across separate jobs; review catch) and the
+    distributed top-k (TakeOrderedAndProject — per-partition heads, no
+    global sort). Empty input yields an empty profile.
 
     All ratios are exact integer arithmetic (floor ppm, ceil salt), so
     the profile is partitioning-independent and SQL-replayable.
@@ -310,23 +314,19 @@ def skew_profile(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     tot = counts.agg(
-        F.sum("cnt").cast("bigint").alias("t"),
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-    ).first()
-    total, nkeys = int(tot["t"] or 0), int(tot["k"] or 0)
-    if total == 0:
-        raise ValueError("skew_profile: empty input")
+        F.sum("cnt").cast("bigint").alias("__t"),
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+    )
     return (
-        counts.select(
+        counts.crossJoin(tot)
+        .select(
             # the key keeps its own type — a bigint cast would silently
             # NULL string keys instead of profiling them
             F.col(key_col).alias("key"),
             "cnt",
-            F.expr(f"(cnt * 1000000) div {total}").alias("share_ppm"),
-            F.expr(f"(cnt * 100 * {nkeys}) div {total}").alias("skew_x100"),
-            F.expr(f"(cnt * {nkeys} + {total} - 1) div {total}").alias(
-                "suggested_salt"
-            ),
+            F.expr("(cnt * 1000000) div __t").alias("share_ppm"),
+            F.expr("(cnt * 100 * __k) div __t").alias("skew_x100"),
+            F.expr("(cnt * __k + __t - 1) div __t").alias("suggested_salt"),
         )
         .orderBy(F.desc("cnt"), "key")
         .limit(top)
@@ -465,7 +465,8 @@ def source_overlap(
 
     Scale shape — deliberately NOT a gram-keyed self-join (the obvious
     formulation recomputes the gram pipeline per join branch and pays a
-    second gram-sized shuffle; measured 10.5 s -> 4.4 s at sf0.1): ONE
+    second gram-sized shuffle; measured 10.5 s -> ~9 s at sf0.1 — the
+    remaining cost is the irreducible gram-stream shuffle itself): ONE
     map-side-combined groupBy(gram) collects each gram's source SET
     (bounded by |sources| — the operator's contract is a source
     dimension, ~10^3 at most, not a key dimension), and every
@@ -545,8 +546,9 @@ def source_overlap(
     "text_source_overlap",
     extra=True,
     doc="Pairwise source-overlap matrix: distinct word 3-gram types per "
-    "source, pairwise intersections via one gram-keyed self-join "
-    "(output bounded by |sources|^2 after map-side combine), Jaccard "
+    "source, pairwise intersections read off ONE groupBy(gram) "
+    "source-set aggregation (no gram self-join; pairs bounded by "
+    "|sources|^2), Jaccard "
     "in exact integer ppm. The corpus-mix diligence report: does a new "
     "source add content or repeat an existing one?",
     oracle=r"""

@@ -188,6 +188,10 @@ def zorder_expr(cols: list[str], bits: int = 16):
 
     from quackml_spark.operators.layout import zorder_key
 
+    if bits * len(cols) > 63:
+        raise ValueError("zorder_expr: bits * n_cols must be <= 63")
+    if not cols:
+        return F.lit(0).cast("bigint")
     if len(cols) == 1:
         # degenerate 1-D "interleave" is just the masked key itself
         return F.col(cols[0]).cast("bigint").bitwiseAND(

@@ -209,12 +209,11 @@ def test_skew_profile_values(spark):
     assert got[3]["suggested_salt"] == 1
 
 
-def test_skew_profile_empty_raises(spark):
+def test_skew_profile_empty_yields_empty(spark):
     from quackml_spark.operators.profile import skew_profile
 
     df = spark.createDataFrame([], "k bigint")
-    with pytest.raises(ValueError, match="empty"):
-        skew_profile(df, "k")
+    assert skew_profile(df, "k").count() == 0
 
 
 def test_table_profile_nulls_and_approx_path(spark):
@@ -364,3 +363,51 @@ def test_skew_profile_string_keys(spark):
     df = spark.createDataFrame([("a",)] * 3 + [("b",)], "k string")
     got = {r["key"]: r for r in skew_profile(df, "k", top=2).collect()}
     assert got["a"]["cnt"] == 3 and got["a"]["suggested_salt"] == 2
+
+
+def test_zorder_by_null_values_and_empty_input(spark):
+    from quackml_spark.operators.layout import zorder_by
+
+    # NULLs land in bucket 0 (the write_zorder / q33-oracle rule)
+    df = spark.createDataFrame(
+        [(None, 5), (1, 6), (100, 7)], "x bigint, y bigint"
+    )
+    out = zorder_by(df, ["x", "y"], num_partitions=2).collect()
+    assert len(out) == 3
+    nullrow = [r for r in out if r["x"] is None][0]
+    minrow = [r for r in out if r["x"] == 1][0]
+    # NULL x normalizes to 0, same as the min value's bucket
+    assert (nullrow["zkey"] & 0x55555555) == (minrow["zkey"] & 0x55555555)
+    # empty/all-null auto-ranging fails loudly
+    empty = spark.createDataFrame([], "x bigint, y bigint")
+    with pytest.raises(ValueError, match="empty or all-NULL"):
+        zorder_by(empty, ["x", "y"])
+
+
+def test_zorder_by_partitions_are_contiguous_curve_spans(spark):
+    """Range repartition: every partition holds one contiguous span of
+    the Morton curve (hash bucketing merged far-apart quadtree cells
+    into one file — review catch)."""
+    from quackml_spark.operators.layout import zorder_by
+
+    df = spark.createDataFrame(
+        [(i % 251, (i * 37) % 241) for i in range(2000)], "x bigint, y bigint"
+    )
+    out = zorder_by(df, ["x", "y"], num_partitions=8)
+    spans = (
+        out.select(F.spark_partition_id().alias("p"), "zkey")
+        .groupBy("p")
+        .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for a, b in zip(spans, spans[1:]):
+        assert a["hi"] <= b["lo"], "partition key ranges overlap"
+
+
+def test_pagerank_rejects_bad_checkpoint_interval(spark):
+    from quackml_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        pagerank(df, checkpoint_interval=0)
