@@ -272,3 +272,198 @@ def q33_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve — the no-jump sibling of the Morton key.
+# ---------------------------------------------------------------------------
+
+def hilbert_index(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """Append the Hilbert-curve index of a 2-D point (the xy2d
+    transform) as ``out_col``: like the Morton key, sorting by it
+    clusters rows that are close in both dimensions — but the Hilbert
+    curve has NO long jumps (every consecutive pair of curve positions
+    is an adjacent cell), so file boundaries cut strictly fewer
+    far-apart cell pairs than Z-order's quadrant seams. This is the
+    layout modern clustered writers moved to after Z-order for exactly
+    that reason.
+
+    Both inputs must already be non-negative integers below ``2^bits``.
+    The classic per-level rotate/reflect recursion unrolls into
+    ``bits`` levels of pure column arithmetic (no UDF) — materialized
+    as NAMED intermediate columns, one withColumn batch per level,
+    because inlining the self-referencing rotation into a single Column
+    expression quadruples the tree per level and OOMs the optimizer at
+    16 levels (found live). The DuckDB twin unrolls the same levels as
+    chained subqueries, so the key is oracle-checkable.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    n_top = (1 << bits) - 1
+    tmp: list[str] = []
+
+    def col_of(name: str) -> Column:
+        return F.col(name)
+
+    x_name, y_name, d_name = x_col, y_col, None
+    out = df
+    for i, p in enumerate(range(bits - 1, -1, -1)):
+        x, y = col_of(x_name), col_of(y_name)
+        rx = F.shiftright(x, p).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, p).bitwiseAND(F.lit(1))
+        # cast BEFORE the shift: an INT-typed quadrant shifted by
+        # 2p >= 30 overflows int32 silently
+        step = F.shiftleft((rx * 3).bitwiseXOR(ry).cast("bigint"), 2 * p)
+        d_next = f"__hd{i}"
+        new_cols = {
+            d_next: (col_of(d_name) + step) if d_name else step
+        }
+        if p > 0:
+            new_cols[f"__hx{i}"] = F.when(ry == 1, x).otherwise(
+                F.when(rx == 1, F.lit(n_top) - y).otherwise(y)
+            )
+            new_cols[f"__hy{i}"] = F.when(ry == 1, y).otherwise(
+                F.when(rx == 1, F.lit(n_top) - x).otherwise(x)
+            )
+        out = out.withColumns(new_cols)
+        tmp.extend(new_cols)
+        d_name = d_next
+        if p > 0:
+            x_name, y_name = f"__hx{i}", f"__hy{i}"
+    return out.withColumn(out_col, col_of(d_name)).drop(*tmp)
+
+
+def _hilbert_sql_steps(bits: int, x0: str, y0: str) -> tuple[str, list[str]]:
+    """The xy2d unroll as SQL fragments: returns (final d column name,
+    one SELECT-fragment list per level) for chained subqueries."""
+    n_top = (1 << bits) - 1
+    frags: list[list[str]] = []
+    xp, yp, dp = x0, y0, None
+    for i, p in enumerate(range(bits - 1, -1, -1)):
+        f = [
+            f"(({xp} >> {p}) & 1) AS rx{i}",
+            f"(({yp} >> {p}) & 1) AS ry{i}",
+        ]
+        prev_d = f"{dp} + " if dp else ""
+        f.append(
+            f"{prev_d}(xor(rx{i} * 3, ry{i}) << {2 * p}) AS hd{i}"
+        )
+        if p > 0:
+            f.append(
+                f"CASE WHEN ry{i} = 1 THEN {xp} "
+                f"WHEN rx{i} = 1 THEN {n_top} - {yp} ELSE {yp} END AS hx{i}"
+            )
+            f.append(
+                f"CASE WHEN ry{i} = 1 THEN {yp} "
+                f"WHEN rx{i} = 1 THEN {n_top} - {xp} ELSE {xp} END AS hy{i}"
+            )
+            xp, yp = f"hx{i}", f"hy{i}"
+        dp = f"hd{i}"
+        frags.append(f)
+    return dp, frags
+
+
+def _hilbert_events_oracle() -> str:
+    """DuckDB twin of q37: q33's normalization, then the unrolled
+    Hilbert levels. rx/ry/hd reference same-level columns, so each
+    level is TWO chained subqueries (bits first, then d/rotation)."""
+    top = 65535
+    q = f"""
+SELECT event_id, user_id, unix_ms,
+       greatest(0, least({top}, coalesce(((user_id - umin) * {top}) // nullif(uspan, 0), 0))) AS hx,
+       greatest(0, least({top}, coalesce(((unix_ms - tmin) * {top}) // nullif(tspan, 0), 0))) AS hy
+FROM (SELECT event_id, user_id,
+             epoch_us(ts) // 1000 AS unix_ms
+      FROM events),
+     (SELECT MIN(user_id) AS umin,
+             MAX(user_id) - MIN(user_id) AS uspan,
+             MIN(epoch_us(ts) // 1000) AS tmin,
+             MAX(epoch_us(ts) // 1000)
+               - MIN(epoch_us(ts) // 1000) AS tspan
+      FROM events)
+"""
+    dname, levels = _hilbert_sql_steps(16, "hx", "hy")
+    for f in levels:
+        bit_frags = [c for c in f if " AS rx" in c or " AS ry" in c]
+        rest = [c for c in f if c not in bit_frags]
+        q = f"SELECT *, {', '.join(bit_frags)} FROM ({q})"
+        q = f"SELECT *, {', '.join(rest)} FROM ({q})"
+    return f"""
+SELECT hbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(user_id) - MIN(user_id) AS BIGINT) AS user_span,
+       CAST(MAX(unix_ms) - MIN(unix_ms) AS BIGINT) AS ms_span
+FROM (SELECT user_id, unix_ms, {dname} >> 26 AS hbucket FROM ({q}))
+GROUP BY hbucket
+ORDER BY hbucket
+"""
+
+
+@register(
+    "q37_hilbert_locality",
+    extra=True,
+    doc="Hilbert-curve layout locality report over events (the no-jump "
+    "sibling of q33's Morton key): user_id and event-time normalize to "
+    "16 bits exactly as q33, the classic xy2d rotate/reflect recursion "
+    "unrolls into 16 pure-expression levels (no UDF), and the table is "
+    "summarized per 64-way curve bucket. Every consecutive pair of "
+    "Hilbert positions is an adjacent cell, so contiguous file spans "
+    "cut fewer far-apart pairs than Z-order's quadrant seams. The "
+    "oracle replays all 16 levels as chained subqueries, bit-exactly.",
+    oracle=_hilbert_events_oracle(),
+    tags=("layout", "bench"),
+)
+def q37_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("unix_ms"),
+    )
+    norm, names = _normalize_cols(ev, ["user_id", "unix_ms"], 16, None)
+    keyed = hilbert_index(norm, names[0], names[1], 16, out_col="__hk")
+    return (
+        keyed.withColumn("hbucket", F.shiftright(F.col("__hk"), 26))
+        .groupBy("hbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("user_id") - F.min("user_id"))
+            .cast("bigint")
+            .alias("user_span"),
+            (F.max("unix_ms") - F.min("unix_ms"))
+            .cast("bigint")
+            .alias("ms_span"),
+        )
+        .orderBy("hbucket")
+    )
+
+
+def hilbert_by(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    ranges: dict[str, tuple[int, int]] | None = None,
+    key_col: str = "hkey",
+) -> DataFrame:
+    """Cluster ``df`` on the Hilbert index of two columns — the
+    zorder_by sibling (same normalization, same contiguous range
+    repartition) with the no-jump curve. 2-D only; for k > 2 use
+    zorder_by (the Morton interleave generalizes trivially, the
+    Hilbert rotation does not)."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_by is 2-D; use zorder_by for other k")
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    norm, names = _normalize_cols(df, cols, bits, ranges)
+    keyed = hilbert_index(norm, names[0], names[1], bits, out_col=key_col).drop(
+        *names
+    )
+    return keyed.repartitionByRange(n_parts, key_col).sortWithinPartitions(
+        key_col
+    )

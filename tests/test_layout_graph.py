@@ -411,3 +411,100 @@ def test_pagerank_rejects_bad_checkpoint_interval(spark):
     df = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
     with pytest.raises(ValueError, match="checkpoint_interval"):
         pagerank(df, checkpoint_interval=0)
+
+
+# ---------------------------------------------------------------------------
+# hilbert curve
+# ---------------------------------------------------------------------------
+
+def _hilbert_ref(x, y, bits=16):
+    N = 1 << bits
+    d, s = 0, N // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = N - 1 - x, N - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_index_matches_reference(spark):
+    from quackml_spark.operators.layout import hilbert_index
+
+    import random
+
+    random.seed(11)
+    vals = [(0, 0), (65535, 65535), (1, 0), (0, 1), (32768, 32767)] + [
+        (random.randrange(65536), random.randrange(65536)) for _ in range(30)
+    ]
+    df = spark.createDataFrame(vals, "x bigint, y bigint")
+    for r in hilbert_index(df, "x", "y", 16).collect():
+        assert r["hkey"] == _hilbert_ref(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_hilbert_adjacent_positions_are_adjacent_cells(spark):
+    """The curve's defining property (and why it beats Z-order at file
+    seams): consecutive d values map to cells at L1 distance exactly 1."""
+    from quackml_spark.operators.layout import hilbert_index
+
+    bits = 4  # exhaustive 16x16 grid
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x bigint, y bigint"
+    )
+    rows = hilbert_index(df, "x", "y", bits).collect()
+    by_d = {r["hkey"]: (r["x"], r["y"]) for r in rows}
+    assert len(by_d) == 256  # bijection
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])
+
+
+def test_hilbert_by_locality_beats_linear_layout(spark, sf_dir, tmp_path):
+    from quackml_spark.operators.layout import hilbert_by, zorder_by
+    from quackml_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("ms"),
+    )
+    row = ev.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min("ms").alias("tmin"), F.max("ms").alias("tmax"),
+    ).first()
+    n_files = 16
+    hpath, zpath = str(tmp_path / "h"), str(tmp_path / "z")
+    hilbert_by(ev, ["user_id", "ms"], num_partitions=n_files).write.parquet(hpath)
+    zorder_by(ev, ["user_id", "ms"], num_partitions=n_files).write.parquet(zpath)
+    uspan, tspan = row["umax"] - row["umin"], row["tmax"] - row["tmin"]
+    ulo, uhi = row["umin"] + uspan * 7 // 16, row["umin"] + uspan * 9 // 16
+    tlo, thi = row["tmin"] + tspan * 7 // 16, row["tmin"] + tspan * 9 // 16
+    pred = f"user_id BETWEEN {ulo} AND {uhi} AND ms BETWEEN {tlo} AND {thi}"
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .where(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    hf, zf = files_touched(hpath), files_touched(zpath)
+    assert 0 < hf < n_files
+    # no-jump curve: never worse than Morton plus one seam's slack
+    assert hf <= zf + 1
+
+
+def test_hilbert_rejects_bad_args(spark):
+    from quackml_spark.operators.layout import hilbert_by, hilbert_index
+
+    df = spark.createDataFrame([(1, 2, 3)], "x bigint, y bigint, z bigint")
+    with pytest.raises(ValueError, match="bits"):
+        hilbert_index(df, "x", "y", 0)
+    with pytest.raises(ValueError, match="2-D"):
+        hilbert_by(df, ["x", "y", "z"])
