@@ -23,7 +23,7 @@ join shuffles only (band_key) pairs, and AQE handles bucket skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quackml_spark.operators.text import STOPWORDS, tokens_expr
@@ -157,6 +157,191 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def set_similarity_join(
+    tokens: DataFrame,
+    threshold_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    token_col: str = "shingle",
+) -> DataFrame:
+    """EXACT Jaccard-threshold pair join via prefix filtering — the
+    AllPairs/PPJoin algorithm (Bayardo et al. WWW'07; Xiao et al.
+    WWW'08) expressed relationally. Unlike the document-frequency cap
+    of dedup_ngram_jaccard (which silently DROPS hot shingles and can
+    miss pairs whose overlap rides on them) and unlike MinHash-LSH
+    (probabilistic), this is lossless: it returns exactly the pairs a
+    brute-force self-join would, with a candidate set bounded by the
+    prefix/length/positional filters instead of every shared token.
+
+    The three published filters, all in exact integer ppm arithmetic
+    (Spark and DuckDB compute identical bigints — no float thresholds):
+
+      * prefix filter — tokens are globally ordered rare-first
+        (document frequency asc, token asc); a doc of set-size n keeps
+        the first ``n - ceil(t*n) + 1`` tokens. Any pair with
+        J >= t has overlap c >= ceil(t*n) on BOTH sides, so its
+        globally-minimal common token sits inside both prefixes: the
+        candidate join touches prefixes only, never full sets.
+      * length filter — J >= t forces t*na <= M*nb and t*nb <= M*na
+        (M = 1e6); applied inside the prefix join.
+      * positional filter (PPJoin) — for the minimal common token at
+        positions (i, j), overlap is at most 1 + min(na-i, nb-j);
+        pairs where that bound misses alpha = ceil(t*(na+nb)/(M+t))
+        are pruned before the (expensive) verification join.
+
+    Survivors are verified exactly: intersection counted through the
+    full token sets, kept iff ``c*M >= t*(na+nb-c)``.
+
+    Scale shape: one distinct shuffle, one token-frequency groupBy, a
+    per-doc window (bounded by doc set-size, never corpus-sized), an
+    equi-join on PREFIX tokens only (the rare-first order makes hot
+    tokens land in suffixes, so the join's fan-out is governed by rare
+    tokens — the published reason AllPairs scales), and a verify join
+    proportional to surviving candidates. No UDFs, no driver loops.
+    Reference parity: quackML ships only exact-hash dedup; this is the
+    beyond-reference near-dup family (SURVEY.md §2 pipeline ops).
+    """
+    m = 1_000_000
+    t = int(threshold_ppm)
+    if not 0 < t <= m:
+        raise ValueError(f"threshold_ppm must be in (0, 1e6], got {t}")
+    toks = tokens.select(
+        F.col(id_col).alias("doc_id"), F.col(token_col).alias("tok")
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        toks.join(freq, "tok")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    # prefix length n - ceil(t*n/M) + 1; ceil in bigint: (n*t + M-1) div M
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("n") - F.expr(f"(n * {t}L + {m - 1}) div {m}L") + F.lit(1)
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "tok",
+        "df",
+        F.col("pos").alias("pos_a"),
+        F.col("n").alias("na"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "tok",
+        F.col("pos").alias("pos_b"),
+        F.col("n").alias("nb"),
+    )
+    matches = a.join(b, "tok").where(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.lit(t) * F.col("na") <= F.lit(m) * F.col("nb"))
+        & (F.lit(t) * F.col("nb") <= F.lit(m) * F.col("na"))
+    )
+    # the globally-minimal common token per pair: min_by over the
+    # (df, tok) order key — tok is unique within a pair's matches, so
+    # the argmin is tie-free (deterministic)
+    pairs = matches.groupBy("doc_a", "doc_b").agg(
+        F.min_by(F.struct("pos_a", "pos_b"), F.struct("df", "tok")).alias("mm"),
+        F.min("na").alias("na"),
+        F.min("nb").alias("nb"),
+    )
+    alpha = F.expr(f"((na + nb) * {t}L + {m + t - 1}) div {m + t}L")
+    cand = pairs.where(
+        F.lit(1)
+        + F.least(
+            F.col("na") - F.col("mm.pos_a"), F.col("nb") - F.col("mm.pos_b")
+        )
+        >= alpha
+    ).select("doc_a", "doc_b", "na", "nb")
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    common = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("decimal(18,6)") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    )
+    return (
+        common.where(
+            F.col("c") * F.lit(m)
+            >= F.lit(t) * (F.col("na") + F.col("nb") - F.col("c"))
+        )
+        .select(
+            "doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_PPJOIN_ORACLE = f"""
+WITH shingles AS ({{shingles}}),
+toks AS (SELECT DISTINCT doc_id, shingle AS tok FROM shingles),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+freq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+ranked AS (
+  SELECT t.doc_id, t.tok, f.df, s.n,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS pos
+  FROM toks t JOIN freq f USING (tok) JOIN sizes s USING (doc_id)
+),
+prefix AS (
+  SELECT * FROM ranked WHERE pos <= n - ((n * {{t}} + 999999) // 1000000) + 1
+),
+matches AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.df, a.tok,
+         a.pos AS pos_a, b.pos AS pos_b, a.n AS na, b.n AS nb
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE {{t}} * a.n <= 1000000 * b.n AND {{t}} * b.n <= 1000000 * a.n
+),
+cand AS (
+  SELECT doc_a, doc_b, na, nb FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_a, doc_b ORDER BY df, tok) AS rn
+    FROM matches
+  )
+  WHERE rn = 1
+    AND 1 + least(na - pos_a, nb - pos_b)
+        >= ((na + nb) * {{t}} + {{mt1}}) // {{mt}}
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS cnt
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+  CAST(ROUND(CAST(cnt AS DECIMAL(18,6)) / (na + nb - cnt), 6) AS DOUBLE)
+    AS jaccard
+FROM common
+WHERE cnt * 1000000 >= {{t}} * (na + nb - cnt)
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_ppjoin",
+    extra=True,  # exact-Jaccard sibling of the graded dedup_keep_best /
+    # dedup_minhash_lsh family; oracle-checked at every pytest run
+    doc="EXACT word-3-gram Jaccard >= 0.5 near-dup pairs via the "
+    "AllPairs/PPJoin prefix-filtered set-similarity join (rare-first "
+    "global token order, prefix + length + positional filters in "
+    "integer ppm arithmetic, exact verification of survivors) — "
+    "lossless, unlike the df-capped sparse join or MinHash sketching; "
+    "the DuckDB oracle replays every filter, and pytest pins "
+    "losslessness against an unfiltered brute-force join.",
+    oracle=_PPJOIN_ORACLE.format(
+        shingles=_SQL_SHINGLES, t=500_000, mt=1_500_000, mt1=1_499_999
+    ),
+    tags=("dedup",),
+)
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return set_similarity_join(shingles_df(spark, sf_dir), 500_000)
 
 
 _K = 16  # minhash functions

@@ -1787,3 +1787,192 @@ def embedding_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based scoring — the bitext-mining / high-precision retrieval
+# criterion (Artetxe & Schwenk, ACL'19; used by CCMatrix/LASER mining).
+# ---------------------------------------------------------------------------
+
+_MARGIN_K = 10  # neighborhood size for both normalizers
+_MARGIN_TOP = 5  # margin-ranked pairs kept per query
+
+
+def margin_topk(
+    emb: DataFrame,
+    query_ids,
+    k: int = _MARGIN_K,
+    top: int = _MARGIN_TOP,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Ratio-margin re-rank of brute-force top-k: score(x, y) =
+    cos(x, y) / ((avg_kNN(x) + avg_kNN(y)) / 2). Raw cosine retrieval
+    over-selects hub vectors (points close to EVERYTHING); dividing by
+    the mean cosine of each side's own k-neighborhood normalizes
+    hubness away — the published reason margin mining, not cosine
+    thresholding, is what scales bitext/pair mining to web corpora.
+
+    Both normalizers exclude only the vector itself (single-corpus
+    form; the bilingual form runs each side against the other corpus).
+
+    Determinism: per-pair cosines are pinned to DECIMAL (the
+    ann_cosine_topk discipline), so the k-neighborhood SUMS are exact
+    and order-independent; the margin is then ONE double division of
+    two exactly-agreed values — rank and value replay bit-identically
+    in DuckDB with no float-aggregation order dependence.
+
+    Scale shape: queries and the <= |queries| x k candidate set are
+    broadcast (small by construction); the corpus is scanned twice
+    (forward kNN, backward kNN), each a map-side pair scoring plus a
+    per-group top-k — no corpus self-join, no corpus shuffle beyond
+    the two bounded top-k exchanges.
+    """
+    base = _with_norm(emb.select(id_col, emb_col), emb_col, "v_norm")
+
+    def cos6(q_emb, q_norm):
+        return F.round(
+            cosine_with_norms(
+                q_emb, F.col(emb_col), q_norm, F.col("v_norm")
+            ).cast("decimal(18,9)"),
+            6,
+        )
+
+    queries = F.broadcast(
+        base.where(F.col(id_col).isin(list(query_ids))).select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("q_emb"),
+            F.col("v_norm").alias("q_norm"),
+        )
+    )
+    fwd = base.join(queries, F.col("query_id") != F.col(id_col)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cos6(F.col("q_emb"), F.col("q_norm")).alias("cos6"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos6"), F.asc("neighbor_id")
+    )
+    topf = fwd.withColumn("rnk", F.row_number().over(wf)).where(
+        F.col("rnk") <= k
+    )
+    sx = topf.groupBy("query_id").agg(F.sum("cos6").alias("sx"))
+    cand = F.broadcast(
+        base.join(
+            topf.select("neighbor_id").distinct(),
+            F.col(id_col) == F.col("neighbor_id"),
+        ).select(
+            "neighbor_id",
+            F.col(emb_col).alias("c_emb"),
+            F.col("v_norm").alias("c_norm"),
+        )
+    )
+    bwd = base.join(cand, F.col("neighbor_id") != F.col(id_col)).select(
+        "neighbor_id",
+        cos6(F.col("c_emb"), F.col("c_norm")).alias("bcos6"),
+    )
+    wb = Window.partitionBy("neighbor_id").orderBy(F.desc("bcos6"))
+    # rank ties on equal bcos6 don't matter: only the SUM of the top-k
+    # values survives, and any tie is between equal values
+    topb = bwd.withColumn("brnk", F.row_number().over(wb)).where(
+        F.col("brnk") <= k
+    )
+    sy = topb.groupBy("neighbor_id").agg(F.sum("bcos6").alias("sy"))
+    scored = (
+        topf.join(sx, "query_id")
+        .join(sy, "neighbor_id")
+        .withColumn(
+            "margin_raw",
+            F.col("cos6").cast("double")
+            * F.lit(float(2 * k))
+            / (F.col("sx") + F.col("sy")).cast("double"),
+        )
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.desc("margin_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("mrnk", F.row_number().over(wm))
+        .where(F.col("mrnk") <= top)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cos6").cast("double").alias("cosine"),
+            # round through DECIMAL, not on the raw double: the
+            # ann_cosine_topk discipline both engines replay exactly
+            F.round(F.col("margin_raw").cast("decimal(18,9)"), 6)
+            .cast("double")
+            .alias("margin"),
+            "mrnk",
+        )
+        .orderBy("query_id", "mrnk")
+    )
+
+
+_SQL_COS6_QV = (
+    "ROUND(CAST(list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])))"
+    " AS DECIMAL(18,9)), 6)"
+)
+
+
+@register(
+    "ann_margin_topk",
+    extra=True,  # hubness-normalized re-rank sibling of the graded
+    # ann_cosine_topk; oracle-checked at every pytest run
+    doc="Ratio-margin re-ranked top-5 for the first 5 query vectors "
+    "(Artetxe & Schwenk ACL'19): cosine divided by the mean cosine of "
+    "both sides' own 10-neighborhoods — the hubness-normalized mining "
+    "criterion. Cosines pinned to DECIMAL so the neighborhood sums are "
+    "exact; margin is one double division, replayed bit-identically.",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+fwd AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         {_SQL_COS6_QV} AS cos6
+  FROM q, embeddings v WHERE q.vec_id <> v.vec_id
+),
+topf AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rnk
+    FROM fwd) WHERE rnk <= {_MARGIN_K}
+),
+sx AS (SELECT query_id, SUM(cos6) AS sx FROM topf GROUP BY query_id),
+cand AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding
+  FROM embeddings e
+  JOIN (SELECT DISTINCT neighbor_id FROM topf) c ON c.neighbor_id = e.vec_id
+),
+bwd AS (
+  SELECT q.neighbor_id, {_SQL_COS6_QV} AS bcos6
+  FROM cand q, embeddings v WHERE q.neighbor_id <> v.vec_id
+),
+topb AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY neighbor_id ORDER BY bcos6 DESC) AS brnk
+    FROM bwd) WHERE brnk <= {_MARGIN_K}
+),
+sy AS (SELECT neighbor_id, SUM(bcos6) AS sy FROM topb GROUP BY neighbor_id),
+scored AS (
+  SELECT t.query_id, t.neighbor_id, t.cos6,
+         CAST(t.cos6 AS DOUBLE) * {float(2 * _MARGIN_K)}
+           / CAST(sx.sx + sy.sy AS DOUBLE) AS margin_raw
+  FROM topf t JOIN sx USING (query_id) JOIN sy USING (neighbor_id)
+)
+SELECT query_id, neighbor_id, CAST(cos6 AS DOUBLE) AS cosine,
+       CAST(ROUND(CAST(margin_raw AS DECIMAL(18,9)), 6) AS DOUBLE) AS margin, mrnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY margin_raw DESC, neighbor_id) AS mrnk
+  FROM scored)
+WHERE mrnk <= {_MARGIN_TOP}
+ORDER BY query_id, mrnk
+""",
+    tags=("similarity",),
+)
+def ann_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return margin_topk(emb, range(5))

@@ -1294,3 +1294,116 @@ def test_fan_out_skips_frames_with_subquery_shuffles(spark):
         "WHERE n > (SELECT avg(n) FROM fan_sub_docs)"
     )
     assert fan_out(sub) is sub  # identity — probe never ran
+
+
+# ---------------------------------------------------------------------------
+# set_similarity_join (AllPairs/PPJoin prefix-filtered exact Jaccard join)
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(tokens, threshold_ppm):
+    """Unfiltered reference: full self-join on token, exact integer ppm
+    threshold — the ground truth the prefix filters must not lose."""
+    toks = tokens.select("doc_id", F.col("shingle").alias("tok")).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return {
+        (r["doc_a"], r["doc_b"])
+        for r in common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(
+            F.col("c") * F.lit(1_000_000)
+            >= F.lit(threshold_ppm) * (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+        )
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("t_ppm", [200_000, 500_000, 900_000])
+def test_ppjoin_lossless_vs_brute_force(spark, docs_with_dups, t_ppm):
+    """The published claim the oracle can't test (it replays the same
+    filters): prefix + length + positional filtering returns EXACTLY
+    the brute-force pair set at every threshold."""
+    from quackml_spark.operators.dedup import set_similarity_join, shingles_df
+
+    tokens = shingles_df(spark, docs_with_dups)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in set_similarity_join(tokens, t_ppm).collect()
+    }
+    assert got == _brute_jaccard_pairs(tokens, t_ppm)
+
+
+def test_ppjoin_finds_pairs_the_df_cap_drops(spark, tmp_path):
+    """120 identical docs: every shingle's document frequency exceeds
+    dedup_ngram_jaccard's hot-shingle cap (100), so the capped query
+    reports NO pair among them — the semantic gap set_similarity_join
+    exists to close. PPJoin must report every copy pair at jaccard 1.0."""
+    from quackml_spark.operators.dedup import set_similarity_join, word_shingles
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(120)], "doc_id long, text string"
+    )
+    out = set_similarity_join(word_shingles(docs, distinct=True), 900_000)
+    rows = out.collect()
+    assert len(rows) == 120 * 119 // 2
+    assert all(abs(r["jaccard"] - 1.0) < 1e-9 for r in rows)
+    # the capped sparse join really does miss them (documents table shape)
+    cap_dir = tmp_path / "sf"
+    cap_dir.mkdir()
+    docs.select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).write.parquet(str(cap_dir / "documents.parquet"))
+    capped = REGISTRY["dedup_ngram_jaccard"].builder(spark, str(cap_dir))
+    assert capped.count() == 0
+
+
+def test_ppjoin_threshold_validation(spark):
+    from quackml_spark.operators.dedup import set_similarity_join
+
+    tokens = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, shingle string"
+    )
+    with pytest.raises(ValueError, match="threshold_ppm"):
+        set_similarity_join(tokens, 0)
+    with pytest.raises(ValueError, match="threshold_ppm"):
+        set_similarity_join(tokens, 1_000_001)
+
+
+def test_margin_topk_demotes_hub_vector(spark):
+    """The published point of margin scoring: a hub vector (close to
+    EVERYTHING) outranks the true partner under raw cosine, but its
+    dense own-neighborhood inflates the normalizer, so the margin
+    flips the order."""
+    from quackml_spark.operators.similarity import margin_topk
+
+    rows = [(0, [1.0, 0.0, 0.0])]  # query x
+    rows.append((1, [0.8, 0.6, 0.0]))  # hub h: cos(x,h)=0.8, near crowd
+    rows.append((2, [0.75, 0.0, 0.661438]))  # partner p: cos(x,p)=0.75
+    for i in range(15):  # crowd around (0,1,0) — the hub's neighborhood
+        rows.append((10 + i, [0.001 * i, 1.0, 0.01 * i]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = margin_topk(emb, [0], k=10, top=3).collect()
+    by_rank = [r["neighbor_id"] for r in out]
+    cosines = {r["neighbor_id"]: r["cosine"] for r in out}
+    assert cosines[1] > cosines[2]  # raw cosine prefers the hub
+    assert by_rank[0] == 2  # margin prefers the true partner
+    assert by_rank.index(1) > 0
