@@ -508,3 +508,35 @@ def test_hilbert_rejects_bad_args(spark):
         hilbert_index(df, "x", "y", 0)
     with pytest.raises(ValueError, match="2-D"):
         hilbert_by(df, ["x", "y", "z"])
+
+
+def test_triangle_stats_known_graphs(spark):
+    """K4 (4 triangles, clustering 1.0), a pendant edge (adds wedges but
+    no triangles), plus self-loops and duplicate/reversed edges that
+    canonicalization must absorb."""
+    from quackml_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (3, 4), (4, 3)]
+    out = triangle_stats(
+        spark.createDataFrame(noisy, "src long, dst long")
+    ).collect()[0]
+    assert out["n_nodes"] == 5
+    assert out["n_edges"] == 7  # 6 K4 edges + pendant (3,4)
+    assert out["n_triangles"] == 4
+    # wedges: deg 3,3,3,4,1 -> 3+3+3+6+0 = 15; clustering 12/15 = 0.8
+    assert out["n_wedges"] == 15
+    assert out["clustering_ppm"] == 800_000
+
+
+def test_triangle_stats_triangle_free_and_empty(spark):
+    from quackml_spark.operators.graph import triangle_stats
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    row = triangle_stats(star).collect()[0]
+    assert row["n_triangles"] == 0 and row["clustering_ppm"] == 0
+    empty = spark.createDataFrame([], "src long, dst long")
+    row = triangle_stats(empty).collect()[0]
+    assert row["n_nodes"] == 0 and row["n_triangles"] == 0
