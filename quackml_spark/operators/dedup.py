@@ -199,6 +199,13 @@ def set_similarity_join(
     tokens land in suffixes, so the join's fan-out is governed by rare
     tokens — the published reason AllPairs scales), and a verify join
     proportional to surviving candidates. No UDFs, no driver loops.
+    The token-set and prefix relations are MATERIALIZED here (eager
+    localCheckpoint, the near_dup_pairs discipline): the plan
+    references the token set five times (sizes, frequencies, ranking,
+    both verify sides) and the prefix twice — without truncation each
+    reference would re-run the upstream tokenize + shingle + distinct
+    at corpus scale. Blocks are freed by the ContextCleaner when the
+    plan is garbage-collected; no caller-side release protocol.
     Reference parity: quackML ships only exact-hash dedup; this is the
     beyond-reference near-dup family (SURVEY.md §2 pipeline ops).
     """
@@ -206,9 +213,13 @@ def set_similarity_join(
     t = int(threshold_ppm)
     if not 0 < t <= m:
         raise ValueError(f"threshold_ppm must be in (0, 1e6], got {t}")
-    toks = tokens.select(
-        F.col(id_col).alias("doc_id"), F.col(token_col).alias("tok")
-    ).distinct()
+    toks = (
+        tokens.select(
+            F.col(id_col).alias("doc_id"), F.col(token_col).alias("tok")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -221,7 +232,7 @@ def set_similarity_join(
     prefix = ranked.where(
         F.col("pos")
         <= F.col("n") - F.expr(f"(n * {t}L + {m - 1}) div {m}L") + F.lit(1)
-    )
+    ).localCheckpoint(eager=True)
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "tok",

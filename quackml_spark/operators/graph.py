@@ -268,12 +268,19 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .where(F.col("a").isNotNull() & (F.col("a") != F.col("b")))
         .distinct()
+        # e feeds the degree count, the orientation join and the edge
+        # total; deg feeds both endpoint joins and the wedge total —
+        # materialize each once (eager localCheckpoint; blocks freed by
+        # the ContextCleaner) instead of re-running the upstream edge
+        # derivation per reference
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
@@ -286,7 +293,9 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(a_low, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
-    )
+        # oriented feeds both wedge sides and the closing join —
+        # materialized for the same reason as e/deg above
+    ).localCheckpoint(eager=True)
     # wedges (hi1, hi2) inside each out-neighborhood, ordered by the
     # SAME (deg, id) total order so the closing edge matches oriented
     # edges directly

@@ -1853,8 +1853,14 @@ def margin_topk(
     wf = Window.partitionBy("query_id").orderBy(
         F.desc("cos6"), F.asc("neighbor_id")
     )
-    topf = fwd.withColumn("rnk", F.row_number().over(wf)).where(
-        F.col("rnk") <= k
+    # topf is |queries| x k rows but its lineage holds the corpus
+    # scan + window; it feeds sx, the candidate set and the final join
+    # — materialize once (eager localCheckpoint, the near_dup_pairs
+    # discipline; blocks freed by the ContextCleaner)
+    topf = (
+        fwd.withColumn("rnk", F.row_number().over(wf))
+        .where(F.col("rnk") <= k)
+        .localCheckpoint(eager=True)
     )
     sx = topf.groupBy("query_id").agg(F.sum("cos6").alias("sx"))
     cand = F.broadcast(
