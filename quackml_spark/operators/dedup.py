@@ -1445,3 +1445,169 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "quality_score"
     )
     return near_dup_keep_best(docs, scored).orderBy("component", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — storage-layer dedup's boundary trick.
+# ---------------------------------------------------------------------------
+
+_CDC_WINDOW = 16  # boundary hash window (chars)
+_CDC_MASK = 64  # boundary condition: window-hash % mask == 0 (~64-char chunks)
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = _CDC_WINDOW,
+    mask_mod: int = _CDC_MASK,
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_hash, chunk_chars) rows: each document
+    split at CONTENT-DEFINED boundaries — position i starts a new chunk
+    iff the hash of the ``window``-char text window at i is 0 mod
+    ``mask_mod``. This is the chunking trick of storage/backup dedup
+    (LBFS, Venti, restic): because boundaries depend only on LOCAL
+    content, a substring shared by two documents at DIFFERENT offsets
+    still fractures into identical chunks — fixed-width chunking
+    misaligns on the first inserted byte and finds nothing. Expected
+    chunk length is ~window-hash period, ``mask_mod`` chars.
+
+    Shape: boundary detection is a pure per-row array expression
+    (filter over a transform over sequence — no explode, no shuffle,
+    no UDF); only the final chunk rows explode (~n_chars/mask_mod per
+    doc). The same expressions replay in DuckDB list_transform/
+    list_filter, bit-exactly (md5-derived boundary hash, the engine's
+    standard no-RNG coin).
+    """
+    if window < 1 or mask_mod < 1:
+        raise ValueError(
+            f"window and mask_mod must be >= 1, got {window}, {mask_mod}"
+        )
+    text = F.col(text_col)
+    n = F.length(text)
+    win_hash = lambda i: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.substring(text, i, window)), 1, 8), 16, 10)
+        .cast("bigint")
+        % mask_mod
+    )
+    bpos = F.when(
+        n >= F.lit(window + 1),
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(2), F.greatest(n - window + 1, F.lit(2))),
+                lambda i: F.when(win_hash(i) == 0, i),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.concat(F.array(F.lit(1)), bpos, F.array(n + 1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(cuts) - 2),
+        lambda i: F.substring(
+            text, cuts[i], cuts[i + 1] - cuts[i]
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.col("chunk")).alias("chunk_hash"),
+        F.length("chunk").cast("bigint").alias("chunk_chars"),
+    )
+
+
+def cdc_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = _CDC_WINDOW,
+    mask_mod: int = _CDC_MASK,
+) -> DataFrame:
+    """One-row corpus summary of chunk-level dedup potential: total
+    chunks/chars, distinct chunks, and the chars a chunk store would
+    save by keeping one copy per distinct chunk (``dup_chars``,
+    ``dedup_ratio_ppm`` = saved/total, floor). One chunk-hash groupBy
+    with map-side combine after the map-only chunker — corpus-linear."""
+    ch = cdc_chunks(docs, id_col, text_col, window, mask_mod)
+    per_hash = ch.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.min("chunk_chars").alias("chars"),
+    )
+    return per_hash.agg(
+        F.sum("copies").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chunks"),
+        F.sum(F.col("copies") * F.col("chars")).cast("bigint").alias("total_chars"),
+        F.sum((F.col("copies") - 1) * F.col("chars"))
+        .cast("bigint")
+        .alias("dup_chars"),
+    ).select(
+        "n_chunks",
+        "n_distinct_chunks",
+        "total_chars",
+        "dup_chars",
+        F.when(
+            F.col("total_chars") > 0,
+            F.expr("(dup_chars * 1000000) div total_chars"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dedup_ratio_ppm"),
+    )
+
+
+_CDC_ORACLE = f"""
+WITH chunked AS (
+  SELECT doc_id,
+         [CAST(1 AS BIGINT)]
+           || CASE WHEN length(text) >= {_CDC_WINDOW + 1}
+                   THEN list_filter(
+                          list_transform(
+                            range(2, greatest(length(text) - {_CDC_WINDOW} + 1, 2) + 1),
+                            i -> CASE WHEN ('0x' || substr(md5(substr(text, i, {_CDC_WINDOW})), 1, 8))::BIGINT
+                                           % {_CDC_MASK} = 0 THEN i END),
+                          x -> x IS NOT NULL)
+                   ELSE CAST([] AS BIGINT[])
+              END
+           || [CAST(length(text) + 1 AS BIGINT)] AS cuts,
+         text
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         substr(text, cuts[i], cuts[i + 1] - cuts[i]) AS chunk
+  FROM chunked, unnest(range(1, length(cuts))) AS u(i)
+),
+per_hash AS (
+  SELECT md5(chunk) AS chunk_hash, COUNT(*) AS copies,
+         MIN(length(chunk)) AS chars
+  FROM chunks GROUP BY 1
+)
+SELECT CAST(SUM(copies) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(copies * chars) AS BIGINT) AS total_chars,
+       CAST(SUM((copies - 1) * chars) AS BIGINT) AS dup_chars,
+       CAST(CASE WHEN SUM(copies * chars) > 0
+                 THEN (SUM((copies - 1) * chars) * 1000000) // SUM(copies * chars)
+                 ELSE 0 END AS BIGINT) AS dedup_ratio_ppm
+FROM per_hash
+"""
+
+
+@register(
+    "dedup_cdc_chunks",
+    extra=True,  # chunk-granularity sibling of the graded dedup_exact /
+    # dedup_exact_substring family; oracle-checked at every pytest run
+    doc="Content-defined chunking dedup summary (LBFS/restic-style): "
+    "chunk boundaries where the 16-char window hash is 0 mod 64, so "
+    "shared substrings at different offsets still align into identical "
+    "chunks; reports chunk counts and the chars a one-copy-per-chunk "
+    "store saves. Boundary detection is a pure per-row array "
+    "expression (no explode until chunk rows), replayed bit-exactly "
+    "in DuckDB.",
+    oracle=_CDC_ORACLE,
+    tags=("dedup",),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc_dedup_stats(load_table(spark, sf_dir, "documents"))

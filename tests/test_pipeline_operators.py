@@ -1407,3 +1407,56 @@ def test_margin_topk_demotes_hub_vector(spark):
     assert cosines[1] > cosines[2]  # raw cosine prefers the hub
     assert by_rank[0] == 2  # margin prefers the true partner
     assert by_rank.index(1) > 0
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks (content-defined chunking dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_shift_invariant(spark):
+    """The defining CDC property: a long substring shared at DIFFERENT
+    offsets still fractures into identical chunks, because boundaries
+    depend only on local window content. Fixed-width chunking would
+    misalign on the first inserted char and share nothing."""
+    from quackml_spark.operators.dedup import cdc_chunks
+
+    shared = " ".join(f"token{i % 7}word{i * 13 % 11}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, "prefixA " + shared), (2, "a much longer prefix B " + shared)],
+        "doc_id long, text string",
+    )
+    out = cdc_chunks(docs).collect()
+    h1 = {r["chunk_hash"] for r in out if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
+    assert h1 & h2, "no shared chunks despite a shared 600-char substring"
+    # reassembly: chunk chars per doc must sum to the doc length
+    for did, txt in [(1, "prefixA " + shared), (2, "a much longer prefix B " + shared)]:
+        assert sum(r["chunk_chars"] for r in out if r["doc_id"] == did) == len(txt)
+
+
+def test_cdc_dedup_stats_exact_copies_and_short_docs(spark):
+    from quackml_spark.operators.dedup import cdc_chunks, cdc_dedup_stats
+
+    text = " ".join(f"w{i * 7 % 13}x{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "tiny")], "doc_id long, text string"
+    )
+    row = cdc_dedup_stats(docs).collect()[0]
+    # doc 2 is an exact copy: every one of its chunks is a duplicate
+    n2 = sum(
+        1 for r in cdc_chunks(docs).collect() if r["doc_id"] == 2
+    )
+    assert row["n_chunks"] == row["n_distinct_chunks"] + n2
+    assert row["dup_chars"] == len(text)
+    # the sub-window doc stays a single whole chunk
+    tiny = [r for r in cdc_chunks(docs).collect() if r["doc_id"] == 3]
+    assert len(tiny) == 1 and tiny[0]["chunk_chars"] == 4
+
+
+def test_cdc_chunks_validation(spark):
+    from quackml_spark.operators.dedup import cdc_chunks
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        cdc_chunks(docs, window=0)
