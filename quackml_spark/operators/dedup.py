@@ -382,12 +382,10 @@ def _hashed_shingles(s: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    doc="MinHash(16) + LSH(4 bands x 4 rows) candidate pairs: "
-    "shingle->minhash->band->bucket-join (SURVEY.md §7 step 10).",
-    oracle=f"""
-WITH shingles AS ({_SQL_SHINGLES}),
+# The full shingle->minhash->band DuckDB CTE chain, shared by the
+# dedup_minhash_lsh oracle and the dup-graph triangle oracle
+# (operators/graph.py) — ONE definition so the replays can never drift.
+_SQL_BAND_CTES = f"""shingles AS ({_SQL_SHINGLES}),
 hashed AS (
   SELECT doc_id,
     ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_P} AS a,
@@ -406,7 +404,15 @@ bands AS (
       + ") AS band_key FROM sigs"
       for b in range(_BANDS)
   )}
-)
+)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    doc="MinHash(16) + LSH(4 bands x 4 rows) candidate pairs: "
+    "shingle->minhash->band->bucket-join (SURVEY.md §7 step 10).",
+    oracle=f"""
+WITH {_SQL_BAND_CTES}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        COUNT(*) AS shared_bands
 FROM bands a
@@ -1500,15 +1506,25 @@ def cdc_chunks(
             lambda x: x.isNotNull(),
         ),
     ).otherwise(F.array().cast("array<int>"))
-    cuts = F.concat(F.array(F.lit(1)), bpos, F.array(n + 1))
+    # cuts is MATERIALIZED as a named column before the chunk
+    # transform references it three times (size, start, end): inlined,
+    # the boundary scan's ~n_chars md5 calls re-evaluate per reference
+    # per chunk — measured 46 s -> 2 s at bench scale (the same
+    # named-intermediate lesson as the Hilbert unroll)
+    with_cuts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        text.alias("__t"),
+        F.concat(F.array(F.lit(1)), bpos, F.array(n + 1)).alias("__cuts"),
+    )
+    cuts = F.col("__cuts")
     chunks = F.transform(
         F.sequence(F.lit(0), F.size(cuts) - 2),
         lambda i: F.substring(
-            text, cuts[i], cuts[i + 1] - cuts[i]
+            F.col("__t"), cuts[i], cuts[i + 1] - cuts[i]
         ),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return with_cuts.select(
+        "doc_id",
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
     ).select(
         "doc_id",

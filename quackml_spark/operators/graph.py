@@ -335,25 +335,29 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
 
 
-_TRIANGLE_ORACLE = """
-WITH raw AS (
-  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS a,
-                  greatest(a.l_suppkey, b.l_suppkey) AS b
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-),
-deg AS (
+def _triangle_sql(with_clauses: str) -> str:
+    """The degree-orientation triangle chain as DuckDB SQL over a
+    ``raw(a, b)`` canonical edge CTE supplied by the caller (a < b,
+    distinct) — shared so every triangle oracle replays the SAME
+    orientation/wedge/closure arithmetic. MATERIALIZED is
+    load-bearing (the BPE-oracle lesson): raw/deg/oriented are each
+    referenced three times, and without it DuckDB re-inlines the
+    whole upstream edge derivation per reference — multiplicative
+    blowup that hung the sf1.0 sweep."""
+    return f"""
+WITH {with_clauses},
+deg AS MATERIALIZED (
   SELECT node, COUNT(*) AS deg FROM (
     SELECT a AS node FROM raw UNION ALL SELECT b AS node FROM raw
   ) GROUP BY node
 ),
-oriented AS (
+oriented AS MATERIALIZED (
   SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS lo,
          CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS hi,
          CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS deg_hi
   FROM raw e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
 ),
-wedges AS (
+wedges AS MATERIALIZED (
   SELECT w1.hi AS v, w2.hi AS w
   FROM oriented w1 JOIN oriented w2
     ON w1.lo = w2.lo AND (w1.deg_hi, w1.hi) < (w2.deg_hi, w2.hi)
@@ -376,32 +380,40 @@ FROM tot, ne, tri
 """
 
 
+def _dupgraph_triangle_oracle() -> str:
+    from quackml_spark.operators.dedup import _SQL_BAND_CTES
+
+    return _triangle_sql(
+        _SQL_BAND_CTES
+        + """,
+raw AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)"""
+    )
+
+
 @register(
     "q38_triangle_count",
     extra=True,
     doc="Exact triangle count + global clustering coefficient (ppm, "
-    "floor) over the supplier co-supply graph (suppliers sharing an "
-    "order) via the degree-orientation scheme: edges oriented "
-    "low-to-high in the (degree, id) total order bound every "
-    "out-neighborhood by O(sqrt(m)), so the wedge self-join is "
-    "O(m^1.5) instead of hub-quadratic — the skew-proof shape. "
-    "All-integer outputs; the oracle replays orientation, wedge join "
-    "and closure bit-exactly.",
-    oracle=_TRIANGLE_ORACLE,
-    tags=("graph",),
+    "floor) of the MinHash band-collision candidate graph over "
+    "documents — the dedup-quality diagnostic: true duplicate "
+    "clusters close into triangles (clustering near 1), while "
+    "false-positive bridges form open wedges. Degree-orientation "
+    "scheme: edges oriented low-to-high in the (degree, id) total "
+    "order bound every out-neighborhood by O(sqrt(m)), so the wedge "
+    "self-join is O(m^1.5) instead of hub-quadratic — the skew-proof "
+    "shape. All-integer outputs; the oracle replays the band "
+    "pipeline, orientation, wedge join and closure bit-exactly.",
+    oracle=_dupgraph_triangle_oracle(),
+    tags=("graph", "dedup"),
 )
 def q38_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("x"), li.alias("y")
-    edges = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
-        )
-        .select(
-            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
-        )
-        .distinct()
-    )
-    return triangle_stats(edges)
+    from quackml_spark.operators.dedup import near_dup_pairs
+    from quackml_spark.sources import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    return triangle_stats(near_dup_pairs(docs), src="doc_a", dst="doc_b")
