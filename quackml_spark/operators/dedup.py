@@ -164,6 +164,7 @@ def set_similarity_join(
     threshold_ppm: int = 500_000,
     id_col: str = "doc_id",
     token_col: str = "shingle",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-threshold pair join via prefix filtering — the
     AllPairs/PPJoin algorithm (Bayardo et al. WWW'07; Xiao et al.
@@ -208,6 +209,17 @@ def set_similarity_join(
     plan is garbage-collected; no caller-side release protocol.
     Reference parity: quackML ships only exact-hash dedup; this is the
     beyond-reference near-dup family (SURVEY.md §2 pipeline ops).
+
+    ``collapse_exact`` (default on) is the dedup_keep_best exact-
+    collapse discipline applied to the pair join: docs with IDENTICAL
+    token sets (web corpora are full of exact copies) are grouped by a
+    set signature, the prefix-filter pipeline runs on one
+    representative per group, and the result expands losslessly —
+    intra-group pairs at jaccard exactly 1, representative pairs
+    fanned out to all member combinations (J(d, d') = J(rep, rep')
+    when token sets are equal). Without it, a group of k copies pays
+    k^2/2 prefix-join matches for information one doc carries;
+    decision identity with the uncollapsed run is test-pinned.
     """
     m = 1_000_000
     t = int(threshold_ppm)
@@ -220,6 +232,54 @@ def set_similarity_join(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if not collapse_exact:
+        return _ppjoin_pairs(toks, t).orderBy("doc_a", "doc_b")
+    # group identical token sets; the pair pipeline sees one rep each
+    groups = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws("\x1f", F.sort_array(F.collect_list("tok")))
+            ).alias("gsig")
+        )
+        .localCheckpoint(eager=True)
+    )
+    reps = groups.groupBy("gsig").agg(F.min("doc_id").alias("rep"))
+    members = groups.join(reps, "gsig").localCheckpoint(eager=True)
+    rep_toks = toks.join(
+        members.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+    core = _ppjoin_pairs(rep_toks, t)
+    ga, gb = members.alias("ga"), members.alias("gb")
+    intra = ga.join(
+        gb,
+        (F.col("ga.gsig") == F.col("gb.gsig"))
+        & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+    ).select(
+        F.col("ga.doc_id").alias("doc_a"),
+        F.col("gb.doc_id").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    ma = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("db"))
+    cross = (
+        core.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross).orderBy("doc_a", "doc_b")
+
+
+def _ppjoin_pairs(toks: DataFrame, t: int) -> DataFrame:
+    """The prefix/length/positional filter + verify pipeline over a
+    MATERIALIZED (doc_id, tok) set relation — (doc_a, doc_b, jaccard)
+    rows, unordered. Shared by both collapse modes."""
+    m = 1_000_000
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
@@ -286,13 +346,16 @@ def set_similarity_join(
         .select(
             "doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard")
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
+# MATERIALIZED on toks/prefix/matches/cand is load-bearing: toks is
+# referenced five times (sizes, freq, ranking, both verify sides) —
+# inlined, DuckDB re-runs the shingle explode + distinct per
+# reference (the BPE-oracle lesson; measured on the sf1.0 replay)
 _PPJOIN_ORACLE = f"""
 WITH shingles AS ({{shingles}}),
-toks AS (SELECT DISTINCT doc_id, shingle AS tok FROM shingles),
+toks AS MATERIALIZED (SELECT DISTINCT doc_id, shingle AS tok FROM shingles),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
 freq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
 ranked AS (
@@ -300,16 +363,16 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS pos
   FROM toks t JOIN freq f USING (tok) JOIN sizes s USING (doc_id)
 ),
-prefix AS (
+prefix AS MATERIALIZED (
   SELECT * FROM ranked WHERE pos <= n - ((n * {{t}} + 999999) // 1000000) + 1
 ),
-matches AS (
+matches AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.df, a.tok,
          a.pos AS pos_a, b.pos AS pos_b, a.n AS na, b.n AS nb
   FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
   WHERE {{t}} * a.n <= 1000000 * b.n AND {{t}} * b.n <= 1000000 * a.n
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT doc_a, doc_b, na, nb FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY doc_a, doc_b ORDER BY df, tok) AS rn
@@ -349,7 +412,9 @@ ORDER BY doc_a, doc_b
     oracle=_PPJOIN_ORACLE.format(
         shingles=_SQL_SHINGLES, t=500_000, mt=1_500_000, mt1=1_499_999
     ),
-    tags=("dedup",),
+    tags=("dedup",),  # deliberately not bench-tagged: an exact
+    # all-pairs join is the dedup family's most expensive semantics
+    # (8 s at bench scale); its perf record lives in SCALE.md §28
 )
 def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_similarity_join(shingles_df(spark, sf_dir), 500_000)
@@ -1623,7 +1688,7 @@ FROM per_hash
     "expression (no explode until chunk rows), replayed bit-exactly "
     "in DuckDB.",
     oracle=_CDC_ORACLE,
-    tags=("dedup",),
+    tags=("dedup", "bench"),
 )
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_stats(load_table(spark, sf_dir, "documents"))

@@ -1939,7 +1939,7 @@ fwd AS (
          {_SQL_COS6_QV} AS cos6
   FROM q, embeddings v WHERE q.vec_id <> v.vec_id
 ),
-topf AS (
+topf AS MATERIALIZED (
   SELECT * FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rnk

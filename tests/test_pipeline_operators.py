@@ -1460,3 +1460,24 @@ def test_cdc_chunks_validation(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError, match="window"):
         cdc_chunks(docs, window=0)
+
+
+def test_ppjoin_collapse_decision_identity(spark, docs_with_dups):
+    """Exact-collapse must be value-invisible: the collapsed run (reps
+    + lossless expansion) returns exactly the uncollapsed pair set,
+    jaccards included — the dedup_keep_best proof obligation applied
+    to the pair join."""
+    from quackml_spark.operators.dedup import set_similarity_join, shingles_df
+
+    tokens = shingles_df(spark, docs_with_dups)
+    on = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in set_similarity_join(tokens, 300_000).collect()
+    }
+    off = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in set_similarity_join(
+            tokens, 300_000, collapse_exact=False
+        ).collect()
+    }
+    assert on == off
