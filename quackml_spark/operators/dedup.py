@@ -1692,3 +1692,105 @@ FROM per_hash
 )
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/eval splitting — split by near-dup COMPONENT.
+# ---------------------------------------------------------------------------
+
+_SPLIT_EVAL_PPM = 200_000  # 20% eval
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    eval_ppm: int = _SPLIT_EVAL_PPM,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, component, split) with the train/eval coin thrown on
+    the near-dup COMPONENT, not the document: a doc-level random split
+    puts one member of a near-dup cluster in train and its twin in
+    eval, and the eval metric silently measures memorization — the
+    contamination mode exact-match decontamination cannot catch
+    because the leak is INTERNAL to the corpus. Assigning whole
+    components keeps every near-dup cluster on one side by
+    construction. Docs outside the pair graph are their own singleton
+    component. The coin is the engine's standard md5 ppm (seeded
+    'split|'), so the assignment is deterministic and replayable.
+
+    Scale shape: connected_components over the candidate pair graph
+    (pair-graph-sized, O(diameter) rounds), one left join back to the
+    corpus, one map-only coin — no corpus shuffle beyond the join.
+    """
+    if not 0 < eval_ppm < 1_000_000:
+        raise ValueError(f"eval_ppm must be in (0, 1e6), got {eval_ppm}")
+    comp = connected_components(pairs)
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split|"), F.col("component").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+        .select(
+            "doc_id",
+            "component",
+            F.when(coin < eval_ppm, "eval").otherwise("train").alias("split"),
+        )
+    )
+
+
+@register(
+    "dedup_split_leakage_safe",
+    extra=True,  # split-discipline sibling of the graded
+    # q09_stratified_split / dedup_connected_components families
+    doc="Leakage-safe train/eval split: the 20% eval coin is thrown on "
+    "the near-dup CONNECTED COMPONENT (LSH candidate graph), not the "
+    "document, so no near-dup cluster ever straddles the split — the "
+    "internal-contamination mode a doc-level split creates and "
+    "exact-match decontamination cannot catch. Singletons are their "
+    "own component; deterministic md5 ppm coin; oracle replays the "
+    "recursive-CTE closure + coin bit-exactly.",
+    oracle=f"""
+WITH RECURSIVE
+edges AS ({_SQL_MINHASH_EDGES}),
+und AS (
+  SELECT doc_a AS s, doc_b AS d FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach(node, label) AS (
+  SELECT s, s FROM und
+  UNION
+  SELECT u.s, r.label FROM und u JOIN reach r ON r.node = u.d
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       CASE WHEN ('0x' || substr(md5('split|' || COALESCE(c.component, d.doc_id)::VARCHAR), 1, 8))::BIGINT
+                 % 1000000 < {_SPLIT_EVAL_PPM}
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY doc_id
+""",
+    tags=("dedup", "sampling"),
+)
+def dedup_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return leakage_safe_split(docs, pairs).orderBy("doc_id")

@@ -1481,3 +1481,26 @@ def test_ppjoin_collapse_decision_identity(spark, docs_with_dups):
         ).collect()
     }
     assert on == off
+
+
+def test_leakage_safe_split_never_straddles(spark, docs_with_dups):
+    """The invariant the operator exists for: no near-dup candidate
+    pair (and no component) straddles train/eval; singletons are their
+    own component; both splits are populated on a corpus with planted
+    clusters."""
+    from quackml_spark.operators.dedup import leakage_safe_split
+    from quackml_spark.plans import REGISTRY
+
+    docs = spark.read.parquet(f"{docs_with_dups}/documents.parquet")
+    pairs = REGISTRY["dedup_minhash_lsh"].builder(spark, docs_with_dups).select(
+        "doc_a", "doc_b"
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    comp_of = {r["doc_id"]: r["component"] for r in out}
+    for p in pairs.collect():
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]]
+        assert comp_of[p["doc_a"]] == comp_of[p["doc_b"]]
+    assert len(out) == docs.count()
+    with pytest.raises(ValueError, match="eval_ppm"):
+        leakage_safe_split(docs, pairs, eval_ppm=0)
