@@ -238,8 +238,13 @@ def set_similarity_join(
     groups = (
         toks.groupBy("doc_id")
         .agg(
+            # tokens are md5'd to fixed width BEFORE the sorted concat:
+            # a raw-text join is ambiguous when a token contains the
+            # separator, which would merge different sets (review catch)
             F.md5(
-                F.concat_ws("\x1f", F.sort_array(F.collect_list("tok")))
+                F.concat_ws(
+                    "", F.sort_array(F.collect_list(F.md5("tok")))
+                )
             ).alias("gsig")
         )
         .localCheckpoint(eager=True)
@@ -693,27 +698,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SELECT — the SQL twin of doc_band_keys, shared by the pair-edge
 # oracle below and the streaming index-dedup oracle so the two can
 # never drift from each other or from the Spark band pipeline.
+# Defined IN TERMS OF _SQL_BAND_CTES — one band-pipeline definition;
+# an earlier second textual copy here is exactly the drift the shared
+# chain exists to prevent (review catch).
 _SQL_BAND_ROWS = f"""
-  WITH shingles AS ({_SQL_SHINGLES}),
-  hashed AS (
-    SELECT doc_id,
-      ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_P} AS a,
-      ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {_P} AS b
-    FROM shingles
-  ),
-  sigs AS (
-    SELECT doc_id,
-      {", ".join(f"MIN((a + {i} * b) % {_P}) AS mh{i}" for i in range(_K))}
-    FROM hashed GROUP BY doc_id
-  ),
-  bands AS (
-    {" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, md5("
-        + " || ".join(f"mh{b * _R + r}::VARCHAR" for r in range(_R))
-        + ") AS band_key FROM sigs"
-        for b in range(_BANDS)
-    )}
-  )
+  WITH {_SQL_BAND_CTES}
   SELECT doc_id, band_id, band_key FROM bands
 """
 

@@ -311,9 +311,10 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     totals = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
-        .cast("bigint")
-        .alias("n_wedges"),
+        F.coalesce(
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint"),
+            F.lit(0),
+        ).alias("n_wedges"),
     )
     n_edge = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
@@ -416,4 +417,13 @@ def q38_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.sources import load_table as _lt
 
     docs = _lt(spark, sf_dir, "documents")
-    return triangle_stats(near_dup_pairs(docs), src="doc_a", dst="doc_b")
+    # the UNCAPPED pair graph: near_dup_pairs' giant-bucket star
+    # degrade (default cap 1024) is right for connectivity consumers
+    # but would zero out exactly the cliques this diagnostic measures
+    # (and diverge from the uncapped oracle replay — review catch).
+    # Corpora with mega-buckets should exact-collapse copies first.
+    return triangle_stats(
+        near_dup_pairs(docs, max_bucket_size=1 << 31),
+        src="doc_a",
+        dst="doc_b",
+    )

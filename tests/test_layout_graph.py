@@ -540,3 +540,4 @@ def test_triangle_stats_triangle_free_and_empty(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     row = triangle_stats(empty).collect()[0]
     assert row["n_nodes"] == 0 and row["n_triangles"] == 0
+    assert row["n_wedges"] == 0  # coalesced, not NULL (review catch)
