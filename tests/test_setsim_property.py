@@ -1,0 +1,134 @@
+"""Property tests for the round-10 set-similarity / triangle / CDC
+operators: Spark results vs PURE-PYTHON references on
+hypothesis-generated inputs — arbitrary token sets (including
+separator-hostile tokens), arbitrary graphs, arbitrary strings. The
+DuckDB oracles replay the same algorithms; these tests replay the
+DEFINITIONS."""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_jaccard_pairs(doc_tokens: dict[int, set[str]], t_ppm: int):
+    """Definition-level brute force in exact integer arithmetic."""
+    out = {}
+    for a, b in combinations(sorted(doc_tokens), 2):
+        sa, sb = doc_tokens[a], doc_tokens[b]
+        if not sa or not sb:
+            continue
+        c = len(sa & sb)
+        if c * 1_000_000 >= t_ppm * (len(sa) + len(sb) - c):
+            out[(a, b)] = c
+    return set(out)
+
+
+_token = st.text(
+    alphabet=st.sampled_from(list("ab\x1f:")), min_size=1, max_size=3
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.dictionaries(
+        st.integers(0, 15),
+        st.frozensets(_token, min_size=1, max_size=8),
+        min_size=2,
+        max_size=8,
+    ),
+    t_ppm=st.sampled_from([100_000, 500_000, 900_000, 1_000_000]),
+    collapse=st.booleans(),
+)
+def test_ppjoin_matches_python_brute_force(spark, docs, t_ppm, collapse):
+    """Both collapse modes return exactly the definition's pair set —
+    on token alphabets chosen to stress the separator-ambiguity class
+    ('\\x1f' and ':' ARE tokens here)."""
+    from quackml_spark.operators.dedup import set_similarity_join
+
+    rows = [(d, t) for d, toks in docs.items() for t in toks]
+    tokens = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in set_similarity_join(
+            tokens, t_ppm, collapse_exact=collapse
+        ).collect()
+    }
+    assert got == _py_jaccard_pairs(docs, t_ppm)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=25
+    )
+)
+def test_triangle_stats_matches_python_brute_force(spark, edges):
+    from quackml_spark.operators.graph import triangle_stats
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {n for e in simple for n in e}
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if {(a, b), (a, c), (b, c)} <= simple
+    )
+    deg = {n: sum(1 for e in simple if n in e) for n in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    df = spark.createDataFrame(
+        list(edges) or [(None, None)], "src long, dst long"
+    )
+    row = triangle_stats(df).collect()[0]
+    assert row["n_triangles"] == tri
+    assert row["n_edges"] == len(simple)
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_wedges"] == wedges
+
+
+def _py_cdc_chunks(text: str, window: int = 16, mask: int = 64):
+    n = len(text)
+    cuts = [1]
+    if n >= window + 1:
+        for i in range(2, n - window + 2):
+            h = hashlib.md5(text[i - 1 : i - 1 + window].encode()).hexdigest()
+            if int(h[:8], 16) % mask == 0:
+                cuts.append(i)
+    cuts.append(n + 1)
+    return [text[cuts[k] - 1 : cuts[k + 1] - 1] for k in range(len(cuts) - 1)]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(text=st.text(alphabet=st.sampled_from(list("abc XY.")), max_size=300))
+def test_cdc_chunks_match_python_reference(spark, text):
+    """Chunk boundaries and contents replay the 1-based-substr
+    definition exactly, arbitrary input — including texts shorter than
+    the window and the empty string."""
+    from quackml_spark.operators.dedup import cdc_chunks
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r["chunk_idx"], r["chunk_hash"], r["chunk_chars"])
+        for r in sorted(
+            cdc_chunks(docs).collect(), key=lambda r: r["chunk_idx"]
+        )
+    ]
+    want = [
+        (i, hashlib.md5(c.encode()).hexdigest(), len(c))
+        for i, c in enumerate(_py_cdc_chunks(text))
+    ]
+    assert got == want
