@@ -33,7 +33,7 @@ one anti-join count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quackml_spark.plans import register
@@ -427,3 +427,166 @@ def q38_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         src="doc_a",
         dst="doc_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks — DeepWalk-style corpus generation.
+# ---------------------------------------------------------------------------
+
+_RW_SEED_MAX = 50  # registered query: walks start from nodes <= this
+_RW_LEN = 4  # steps per walk
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int = _RW_LEN,
+    seed: int = 0,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(walk_id, pos, node) rows: one ``length``-step uniform random
+    walk per seed node — the DeepWalk/node2vec corpus generator
+    (walks become 'sentences' for a skip-gram embedder; the engine's
+    skip-gram pair op consumes exactly this shape). The walk is
+    DETERMINISTIC: step t from node v picks neighbor rank
+    ``md5('rw<seed>|walk|t|v') % outdeg + 1`` in the (dst-ordered)
+    adjacency list — the engine's standard no-RNG coin, so the same
+    corpus regenerates bit-identically anywhere, and DuckDB replays
+    every hop.
+
+    Walks that reach a node with no out-edges end early (symmetrize
+    the edge list to guarantee full length, as the registered query
+    does). Scale shape: the ranked adjacency (one row_number + one
+    count window over the edge list, single shuffle) is materialized
+    once; each step is ONE join of the seed-bounded walk frontier
+    against it — with a bounded seed set the frontier broadcasts and
+    every step is a map-only probe of the big side. Hub adjacency
+    lists are window-partitioned by src; degree-cap upstream if a
+    single hub's list cannot sit in one task.
+    """
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("src"),
+            F.col(dst).cast("bigint").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    wv = Window.partitionBy("src").orderBy("dst")
+    ranked = e.select(
+        "src",
+        "dst",
+        F.row_number().over(wv).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("outdeg"),
+    ).localCheckpoint(eager=True)
+    walks = seeds.select(
+        F.col("node").cast("bigint").alias("walk_id")
+    ).withColumn("cur", F.col("walk_id"))
+    out = walks.select(
+        "walk_id", F.lit(0).alias("pos"), F.col("cur").alias("node")
+    )
+    for step in range(length):
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(f"rw{seed}"),
+                            F.col("walk_id").cast("string"),
+                            F.lit(str(step)),
+                            F.col("cur").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        )
+        stepped = walks.join(
+            ranked,
+            (F.col("cur") == F.col("src"))
+            & (F.col("rnk") == coin % F.col("outdeg") + 1),
+        )
+        walks = stepped.select("walk_id", F.col("dst").alias("cur"))
+        out = out.unionByName(
+            walks.select(
+                "walk_id",
+                F.lit(step + 1).alias("pos"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out
+
+
+def _random_walks_oracle(length: int = _RW_LEN, seed: int = 0) -> str:
+    ctes = [_trade_edges_sql().strip()]
+    ctes.append(
+        """ranked AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rnk,
+         COUNT(*) OVER (PARTITION BY src) AS outdeg
+  FROM e
+)"""
+    )
+    ctes.append(
+        f"w0 AS MATERIALIZED (SELECT node AS walk_id, node AS cur "
+        f"FROM nodes WHERE node <= {_RW_SEED_MAX})"
+    )
+    for t in range(length):
+        ctes.append(
+            f"""w{t + 1} AS MATERIALIZED (
+  SELECT w.walk_id, r.dst AS cur
+  FROM w{t} w JOIN ranked r
+    ON r.src = w.cur
+   AND r.rnk = ('0x' || substr(md5('rw{seed}|' || w.walk_id::VARCHAR
+                 || '|{t}|' || w.cur::VARCHAR), 1, 8))::BIGINT
+               % r.outdeg + 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {t} AS pos, cur AS node FROM w{t}"
+        for t in range(length + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\n{union}\nORDER BY walk_id, pos\n"
+    )
+
+
+@register(
+    "q39_random_walks",
+    extra=True,
+    doc="Deterministic DeepWalk corpus: one 4-step uniform random walk "
+    "per seed node over the symmetrized trade graph, next hop chosen "
+    "by md5 coin over the dst-ordered adjacency rank — regenerates "
+    "bit-identically anywhere, every hop replayed by the oracle's "
+    "unrolled step CTEs. The (walk_id, pos, node) output is the "
+    "sentence shape the skip-gram pair generator consumes.",
+    oracle=_random_walks_oracle(),
+    tags=("graph",),
+)
+def q39_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    b = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = b.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        b.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") <= _RW_SEED_MAX)
+        .distinct()
+    )
+    return random_walks(edges, seeds).orderBy("walk_id", "pos")

@@ -541,3 +541,33 @@ def test_triangle_stats_triangle_free_and_empty(spark):
     row = triangle_stats(empty).collect()[0]
     assert row["n_nodes"] == 0 and row["n_triangles"] == 0
     assert row["n_wedges"] == 0  # coalesced, not NULL (review catch)
+
+
+def test_random_walks_follow_edges_deterministically(spark):
+    """Every consecutive (node, next) in a walk is a real edge, walks
+    have full length on a symmetrized graph, regeneration is
+    bit-identical, and a different seed diverges somewhere."""
+    from quackml_spark.operators.graph import random_walks
+
+    base = [(i, (i + 1) % 7) for i in range(7)] + [(0, 3), (2, 5)]
+    edges = spark.createDataFrame(
+        base + [(b, a) for a, b in base], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], "node long")
+    rows = random_walks(edges, seeds, length=5, seed=0).collect()
+    eset = {(a, b) for a, b in base} | {(b, a) for a, b in base}
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["pos"]] = r["node"]
+    assert set(walks) == {0, 3}
+    for wid, path in walks.items():
+        assert sorted(path) == list(range(6))  # full length, no gaps
+        assert path[0] == wid
+        for t in range(5):
+            assert (path[t], path[t + 1]) in eset
+    again = random_walks(edges, seeds, length=5, seed=0).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    other = random_walks(edges, seeds, length=5, seed=1).collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+    with pytest.raises(ValueError, match="length"):
+        random_walks(edges, seeds, length=0)
