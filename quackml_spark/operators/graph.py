@@ -524,7 +524,11 @@ def random_walks(
     return out
 
 
-def _random_walks_oracle(length: int = _RW_LEN, seed: int = 0) -> str:
+def _random_walks_ctes(
+    length: int = _RW_LEN, seed: int = 0
+) -> tuple[list[str], str]:
+    """The walk CTE chain + the (walk_id, pos, node) union — shared by
+    the walk oracle and the walk->skip-gram composition oracle."""
     ctes = [_trade_edges_sql().strip()]
     ctes.append(
         """ranked AS MATERIALIZED (
@@ -553,8 +557,61 @@ def _random_walks_oracle(length: int = _RW_LEN, seed: int = 0) -> str:
         f"SELECT walk_id, {t} AS pos, cur AS node FROM w{t}"
         for t in range(length + 1)
     )
+    return ctes, union
+
+
+def _random_walks_oracle(length: int = _RW_LEN, seed: int = 0) -> str:
+    ctes, union = _random_walks_ctes(length, seed)
     return (
         "WITH " + ",\n".join(ctes) + f"\n{union}\nORDER BY walk_id, pos\n"
+    )
+
+
+def _walk_skipgram_oracle() -> str:
+    ctes, union = _random_walks_ctes()
+    ctes.append(f"walkrows AS MATERIALIZED ({union})")
+    ctes.append(
+        r"""sent AS (
+  SELECT walk_id, string_agg(node::VARCHAR, ' ' ORDER BY pos) AS text
+  FROM walkrows GROUP BY walk_id
+)"""
+    )
+    ctes.append(
+        r"""stoks AS (
+  SELECT walk_id, regexp_extract_all(lower(text), '\S+') AS toks
+  FROM sent
+  WHERE length(regexp_extract_all(lower(text), '\S+')) >= 2
+)"""
+    )
+    ctes.append(
+        r"""spairs AS (
+  SELECT walk_id, i - 1 AS pos, o.off,
+         toks[i] AS center,
+         toks[i + o.off] AS context,
+         toks[1 + CAST(('0x' || substr(md5(
+             walk_id::VARCHAR || '|' || (i-1)::VARCHAR || '|' || o.off::VARCHAR
+           ), 1, 8))::BIGINT % length(toks) AS INT)] AS negative
+  FROM stoks,
+       unnest(range(1, length(toks) + 1)) AS t(i),
+       (VALUES (-2), (-1), (1), (2)) AS o(off)
+  WHERE i + o.off >= 1 AND i + o.off <= length(toks)
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT walk_id,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT center) AS n_centers,
+       CAST(SUM(CASE WHEN negative = context THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neg_collisions,
+       md5(string_agg(center || '>' || context || '>' || negative, ','
+           ORDER BY pos, off)) AS pairs_digest
+FROM spairs
+GROUP BY walk_id
+ORDER BY walk_id
+"""
     )
 
 
@@ -590,3 +647,34 @@ def q39_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return random_walks(edges, seeds).orderBy("walk_id", "pos")
+
+
+@register(
+    "graph_walk_skipgram_pairs",
+    extra=True,
+    doc="The DeepWalk pipeline end-to-end in ONE oracle-checked query: "
+    "deterministic random walks over the trade graph become "
+    "node-id 'sentences', and the engine's map-only skip-gram "
+    "generator (±2 window, md5-deterministic in-sentence negatives) "
+    "turns them into (center, context, negative) training pairs — "
+    "digested per walk. The oracle replays every hop of every walk, "
+    "the sentence assembly, and the pair/negative arithmetic.",
+    oracle=_walk_skipgram_oracle(),
+    tags=("graph", "llm"),
+)
+def graph_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import skipgram_digest, skipgram_pairs
+
+    walks = q39_random_walks(spark, sf_dir)
+    sent = walks.groupBy("walk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "node"))),
+                lambda s: s["node"].cast("string"),
+            ),
+        ).alias("text")
+    )
+    # skipgram_pairs normalizes its id column to doc_id internally
+    pairs = skipgram_pairs(sent, id_col="walk_id")
+    return skipgram_digest(pairs).withColumnRenamed("doc_id", "walk_id")

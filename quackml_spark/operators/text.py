@@ -2928,6 +2928,38 @@ def skipgram_pairs(
     )
 
 
+def skipgram_digest(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document digest aggregate over a skipgram_pairs relation —
+    ONE definition shared by text_skipgram_pairs and the walk-corpus
+    composition (operators/graph.py), so the two oracles replay the
+    same digest arithmetic."""
+    digest_parts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "pos",
+                "off",
+                F.concat_ws(">", "center", "context", "negative").alias("t"),
+            )
+        )
+    )
+    return (
+        pairs.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("center").alias("n_centers"),
+            F.sum(
+                F.when(F.col("negative") == F.col("context"), 1).otherwise(0)
+            ).alias("n_neg_collisions"),
+            F.md5(
+                F.array_join(
+                    F.transform(digest_parts, lambda x: x["t"]), ","
+                )
+            ).alias("pairs_digest"),
+        )
+        .orderBy(id_col)
+    )
+
+
 @register(
     "text_skipgram_pairs",
     extra=True,
@@ -2971,32 +3003,7 @@ def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 151 == 0
     )
-    pairs = skipgram_pairs(docs)
-    digest_parts = F.array_sort(
-        F.collect_list(
-            F.struct(
-                "pos",
-                "off",
-                F.concat_ws(">", "center", "context", "negative").alias("t"),
-            )
-        )
-    )
-    return (
-        pairs.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.count_distinct("center").alias("n_centers"),
-            F.sum(
-                F.when(F.col("negative") == F.col("context"), 1).otherwise(0)
-            ).alias("n_neg_collisions"),
-            F.md5(
-                F.array_join(
-                    F.transform(digest_parts, lambda x: x["t"]), ","
-                )
-            ).alias("pairs_digest"),
-        )
-        .orderBy("doc_id")
-    )
+    return skipgram_digest(skipgram_pairs(docs))
 
 
 @register(
