@@ -488,25 +488,20 @@ def random_walks(
     out = walks.select(
         "walk_id", F.lit(0).alias("pos"), F.col("cur").alias("node")
     )
+    from quackml_spark.operators.text import md5_int32
+
     for step in range(length):
-        coin = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(f"rw{seed}"),
-                            F.col("walk_id").cast("string"),
-                            F.lit(str(step)),
-                            F.col("cur").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
+        # the engine's ONE md5-to-int definition (text.py) — an inline
+        # copy here could silently diverge from the oracle if the
+        # shared expression is ever widened (review catch)
+        coin = md5_int32(
+            F.concat_ws(
+                "|",
+                F.lit(f"rw{seed}"),
+                F.col("walk_id").cast("string"),
+                F.lit(str(step)),
+                F.col("cur").cast("string"),
+            )
         )
         stepped = walks.join(
             ranked,
@@ -615,19 +610,12 @@ ORDER BY walk_id
     )
 
 
-@register(
-    "q39_random_walks",
-    extra=True,
-    doc="Deterministic DeepWalk corpus: one 4-step uniform random walk "
-    "per seed node over the symmetrized trade graph, next hop chosen "
-    "by md5 coin over the dst-ordered adjacency rank — regenerates "
-    "bit-identically anywhere, every hop replayed by the oracle's "
-    "unrolled step CTEs. The (walk_id, pos, node) output is the "
-    "sentence shape the skip-gram pair generator consumes.",
-    oracle=_random_walks_oracle(),
-    tags=("graph",),
-)
-def q39_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trade_walk_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(edges, seeds) of the symmetrized trade graph — shared by the
+    registered walk query and the walk->skip-gram composition (which
+    must NOT inherit q39's presentation sort)."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     b = (
@@ -646,6 +634,23 @@ def q39_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("node") <= _RW_SEED_MAX)
         .distinct()
     )
+    return edges, seeds
+
+
+@register(
+    "q39_random_walks",
+    extra=True,
+    doc="Deterministic DeepWalk corpus: one 4-step uniform random walk "
+    "per seed node over the symmetrized trade graph, next hop chosen "
+    "by md5 coin over the dst-ordered adjacency rank — regenerates "
+    "bit-identically anywhere, every hop replayed by the oracle's "
+    "unrolled step CTEs. The (walk_id, pos, node) output is the "
+    "sentence shape the skip-gram pair generator consumes.",
+    oracle=_random_walks_oracle(),
+    tags=("graph",),
+)
+def q39_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, seeds = _trade_walk_inputs(spark, sf_dir)
     return random_walks(edges, seeds).orderBy("walk_id", "pos")
 
 
@@ -665,7 +670,11 @@ def q39_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.operators.text import skipgram_digest, skipgram_pairs
 
-    walks = q39_random_walks(spark, sf_dir)
+    # random_walks directly — q39's trailing presentation sort would
+    # be a wasted full-relation shuffle the groupBy destroys (review
+    # catch)
+    edges, seeds = _trade_walk_inputs(spark, sf_dir)
+    walks = random_walks(edges, seeds)
     sent = walks.groupBy("walk_id").agg(
         F.concat_ws(
             " ",
@@ -675,6 +684,5 @@ def graph_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text")
     )
-    # skipgram_pairs normalizes its id column to doc_id internally
     pairs = skipgram_pairs(sent, id_col="walk_id")
-    return skipgram_digest(pairs).withColumnRenamed("doc_id", "walk_id")
+    return skipgram_digest(pairs, id_col="walk_id")

@@ -2932,7 +2932,9 @@ def skipgram_digest(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-document digest aggregate over a skipgram_pairs relation —
     ONE definition shared by text_skipgram_pairs and the walk-corpus
     composition (operators/graph.py), so the two oracles replay the
-    same digest arithmetic."""
+    same digest arithmetic. skipgram_pairs always emits its id as
+    ``doc_id``; ``id_col`` names the OUTPUT id column (review catch —
+    it previously pretended to select a different input column)."""
     digest_parts = F.array_sort(
         F.collect_list(
             F.struct(
@@ -2943,7 +2945,7 @@ def skipgram_digest(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
     )
     return (
-        pairs.groupBy(id_col)
+        pairs.groupBy(F.col("doc_id").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.count_distinct("center").alias("n_centers"),
