@@ -686,3 +686,138 @@ def graph_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = skipgram_pairs(sent, id_col="walk_id")
     return skipgram_digest(pairs, id_col="walk_id")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation — community refinement of the dup-candidate graph.
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def label_propagation(
+    pairs: DataFrame,
+    iters: int = _LPA_ITERS,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """(node, label) after ``iters`` synchronous label-propagation
+    rounds (Raghavan et al. 2007) over an undirected pair graph:
+    every node adopts its neighborhood's most frequent label, ties to
+    the SMALLEST label — fully deterministic, no RNG, no asynchrony.
+    Where connected components merges everything reachable, LPA keeps
+    densely-knit clusters separate across thin bridges — the dup-graph
+    refinement that splits two genuine duplicate cliques joined by one
+    false-positive candidate pair.
+
+    Fixed iteration count (synchronous LPA has no convergence
+    guarantee — bipartite structures can oscillate), so the output is
+    a deterministic function of the graph, replayed bit-exactly by the
+    oracle's unrolled rounds. Each round is one key-partitioned join
+    (labels to neighbors) + one map-side-combined count + one
+    node-partitioned argmax window; lineage is truncated per round.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    half = (
+        pairs.select(
+            F.col(src).cast("bigint").alias("s"),
+            F.col(dst).cast("bigint").alias("d"),
+        )
+        .where(
+            F.col("s").isNotNull()
+            & F.col("d").isNotNull()
+            & (F.col("s") != F.col("d"))
+        )
+        .distinct()
+    )
+    und = (
+        half.unionByName(
+            half.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("nb").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iters):
+        cnt = (
+            und.join(labels, und["d"] == labels["node"])
+            .groupBy(F.col("s").alias("nb"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("nb").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def _lpa_oracle(iters: int = _LPA_ITERS) -> str:
+    from quackml_spark.operators.dedup import _SQL_BAND_CTES
+
+    ctes = [
+        _SQL_BAND_CTES,
+        """praw AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)""",
+        "und AS MATERIALIZED (SELECT s, d FROM praw "
+        "UNION SELECT d, s FROM praw)",
+        "l0 AS (SELECT DISTINCT s AS node, s AS label FROM und)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""l{t} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT u.s AS node, l.label, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.s ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM und u JOIN l{t - 1} l ON l.node = u.d
+    GROUP BY u.s, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS doc_id, label AS community
+FROM l{iters}
+ORDER BY doc_id
+"""
+    )
+
+
+@register(
+    "q40_lpa_communities",
+    extra=True,
+    doc="Synchronous label-propagation communities (3 deterministic "
+    "rounds, ties to the smallest label) over the MinHash "
+    "band-collision graph: where connected components merges "
+    "everything reachable, LPA keeps dense duplicate cliques separate "
+    "across thin false-positive bridges. Every round replayed "
+    "bit-exactly by the oracle's unrolled CTEs.",
+    oracle=_lpa_oracle(),
+    tags=("graph", "dedup"),
+)
+def q40_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.dedup import near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # uncapped for the same reason as q38: the star degrade would
+    # reshape exactly the neighborhoods the argmax counts
+    pairs = near_dup_pairs(docs, max_bucket_size=1 << 31)
+    return (
+        label_propagation(pairs)
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("community"))
+        .orderBy("doc_id")
+    )

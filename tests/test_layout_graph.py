@@ -571,3 +571,30 @@ def test_random_walks_follow_edges_deterministically(spark):
     assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
     with pytest.raises(ValueError, match="length"):
         random_walks(edges, seeds, length=0)
+
+
+def test_lpa_splits_bridged_cliques_where_cc_merges(spark):
+    """Two triangles joined by one bridge edge: connected components
+    puts all six nodes in one component; LPA keeps the two dense
+    cliques as separate communities — the false-positive-bridge case
+    the operator exists for. Exact labels pinned (deterministic
+    min-label ties)."""
+    from quackml_spark.operators.dedup import connected_components
+    from quackml_spark.operators.graph import label_propagation
+
+    tri = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    pairs = spark.createDataFrame(tri, "doc_a long, doc_b long")
+    lpa = {
+        r["node"]: r["label"] for r in label_propagation(pairs).collect()
+    }
+    # round-by-round deterministic trace: clique A settles on label 1,
+    # clique B on 3 (the bridge leaks 3 into B's argmax before A's 1
+    # can cross) — TWO communities either way
+    assert lpa == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    cc = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert set(cc.values()) == {1}  # CC merges across the bridge
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(pairs, iters=0)
