@@ -9,8 +9,11 @@ declared query is verified locally before the driver ever sees it.
 
 from __future__ import annotations
 
+import atexit
 import math
 import os
+import shutil
+import tempfile
 
 import duckdb
 
@@ -28,8 +31,24 @@ TABLES = [
 ]
 
 
+def _spill_dir() -> str:
+    """Per-process DuckDB spill directory, removed at interpreter exit.
+
+    Large-SF oracle replays can spill tens of GB; by default DuckDB
+    leaves ``duckdb_temp_storage-*.tmp`` behind on abnormal exit. A
+    per-run tempdir with an atexit purge keeps the sandbox disk clean
+    no matter how the sweep terminates.
+    """
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    os.makedirs(base, exist_ok=True)
+    d = tempfile.mkdtemp(prefix="duckdb_spill_", dir=base)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    con.execute(f"SET temp_directory='{_spill_dir()}'")
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
