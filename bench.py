@@ -204,7 +204,26 @@ def main() -> None:
         out["reruns"] = sorted(reruns)
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # the driver's BENCH_r*.json artifact preserves only a 2,000-char
+    # tail of stdout — the per-query timings dict gets truncated away.
+    # Mirror the FULL line to a committed local artifact so the repo's
+    # bench record stays machine-readable (r10 verdict note #1).
+    # SPARK_GRAFT_BENCH_LOCAL names the file; round number defaults
+    # from the file series already present.
+    local = os.environ.get("SPARK_GRAFT_BENCH_LOCAL")
+    if local != "":
+        if local is None:
+            here = os.path.dirname(os.path.abspath(__file__))
+            n = 1
+            while os.path.exists(
+                os.path.join(here, f"BENCH_local_r{n:02d}.json")
+            ):
+                n += 1
+            local = os.path.join(here, f"BENCH_local_r{n:02d}.json")
+        with open(local, "w") as fh:
+            fh.write(line + "\n")
     spark.stop()
 
 

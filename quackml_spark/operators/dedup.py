@@ -45,13 +45,21 @@ def _fs_delete(spark: SparkSession, path: str) -> None:
 # Docs with < 3 tokens contribute no shingles — mirrors word_shingles'
 # size filter (the unguarded version emitted NULL shingles for short
 # docs, while Spark's concat_ws emitted a partial string: divergence)
-_SQL_SHINGLES = r"""
+def _shingles_sql(table: str = "documents") -> str:
+    """The ONE shingle SQL twin, parametrized on the (doc_id, text)
+    relation it reads — ``documents`` for the standalone dedup oracles,
+    a stage CTE (e.g. curate()'s quality survivors) for composed
+    pipeline replays."""
+    return rf"""
   SELECT DISTINCT doc_id,
          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM {table}),
        unnest(range(1, length(toks) - 1)) AS t(i)
   WHERE length(toks) >= 3
 """
+
+
+_SQL_SHINGLES = _shingles_sql()
 
 
 def shingles_df(
@@ -220,6 +228,14 @@ def set_similarity_join(
     when token sets are equal). Without it, a group of k copies pays
     k^2/2 prefix-join matches for information one doc carries;
     decision identity with the uncollapsed run is test-pinned.
+
+    Collision note (engine-wide md5 discipline): the group signature is
+    md5 over the sorted per-token md5s, so two docs whose token sets
+    differ only through an md5 collision (constructible for md5, never
+    observed on real shingles) would merge and emit false jaccard=1.0
+    pairs. Acceptable here because every dedup family in this engine
+    already keys on md5; include set cardinality in the signature or
+    switch to sha256 if that discipline ever changes.
     """
     m = 1_000_000
     t = int(threshold_ppm)
@@ -358,8 +374,7 @@ def _ppjoin_pairs(toks: DataFrame, t: int) -> DataFrame:
 # referenced five times (sizes, freq, ranking, both verify sides) —
 # inlined, DuckDB re-runs the shingle explode + distinct per
 # reference (the BPE-oracle lesson; measured on the sf1.0 replay)
-_PPJOIN_ORACLE = f"""
-WITH shingles AS ({{shingles}}),
+_PPJOIN_CTES = """shingles AS ({shingles}),
 toks AS MATERIALIZED (SELECT DISTINCT doc_id, shingle AS tok FROM shingles),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
 freq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
@@ -369,13 +384,13 @@ ranked AS (
   FROM toks t JOIN freq f USING (tok) JOIN sizes s USING (doc_id)
 ),
 prefix AS MATERIALIZED (
-  SELECT * FROM ranked WHERE pos <= n - ((n * {{t}} + 999999) // 1000000) + 1
+  SELECT * FROM ranked WHERE pos <= n - ((n * {t} + 999999) // 1000000) + 1
 ),
 matches AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.df, a.tok,
          a.pos AS pos_a, b.pos AS pos_b, a.n AS na, b.n AS nb
   FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  WHERE {{t}} * a.n <= 1000000 * b.n AND {{t}} * b.n <= 1000000 * a.n
+  WHERE {t} * a.n <= 1000000 * b.n AND {t} * b.n <= 1000000 * a.n
 ),
 cand AS MATERIALIZED (
   SELECT doc_a, doc_b, na, nb FROM (
@@ -385,7 +400,7 @@ cand AS MATERIALIZED (
   )
   WHERE rn = 1
     AND 1 + least(na - pos_a, nb - pos_b)
-        >= ((na + nb) * {{t}} + {{mt1}}) // {{mt}}
+        >= ((na + nb) * {t} + {mt1}) // {mt}
 ),
 common AS (
   SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS cnt
@@ -393,14 +408,32 @@ common AS (
   JOIN toks ta ON ta.doc_id = c.doc_a
   JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
   GROUP BY 1, 2, 3, 4
-)
-SELECT doc_a, doc_b,
-  CAST(ROUND(CAST(cnt AS DECIMAL(18,6)) / (na + nb - cnt), 6) AS DOUBLE)
-    AS jaccard
-FROM common
-WHERE cnt * 1000000 >= {{t}} * (na + nb - cnt)
-ORDER BY doc_a, doc_b
-"""
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+    CAST(ROUND(CAST(cnt AS DECIMAL(18,6)) / (na + nb - cnt), 6) AS DOUBLE)
+      AS jaccard
+  FROM common
+  WHERE cnt * 1000000 >= {t} * (na + nb - cnt)
+)"""
+
+
+def _ppjoin_ctes(shingles: str, threshold_ppm: int) -> str:
+    """The PPJoin oracle's WITH-clause body through ``pairs`` — mt/mt1
+    DERIVED from the threshold here so the positional-filter divisor
+    can never drift from the threshold it must equal 1e6 + t (advice
+    catch: three hand-kept literals silently break at a new t)."""
+    t = int(threshold_ppm)
+    mt = 1_000_000 + t
+    return _PPJOIN_CTES.format(shingles=shingles, t=t, mt=mt, mt1=mt - 1)
+
+
+def _ppjoin_oracle_sql(shingles: str, threshold_ppm: int) -> str:
+    return (
+        "WITH "
+        + _ppjoin_ctes(shingles, threshold_ppm)
+        + "\nSELECT doc_a, doc_b, jaccard FROM pairs\nORDER BY doc_a, doc_b\n"
+    )
 
 
 @register(
@@ -414,9 +447,7 @@ ORDER BY doc_a, doc_b
     "lossless, unlike the df-capped sparse join or MinHash sketching; "
     "the DuckDB oracle replays every filter, and pytest pins "
     "losslessness against an unfiltered brute-force join.",
-    oracle=_PPJOIN_ORACLE.format(
-        shingles=_SQL_SHINGLES, t=500_000, mt=1_500_000, mt1=1_499_999
-    ),
+    oracle=_ppjoin_oracle_sql(_SQL_SHINGLES, 500_000),
     tags=("dedup",),  # deliberately not bench-tagged: an exact
     # all-pairs join is the dedup family's most expensive semantics
     # (8 s at bench scale); its perf record lives in SCALE.md §28
@@ -1507,12 +1538,171 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_keep_best(docs, scored).orderBy("component", "doc_id")
 
 
+def ppjoin_keep_best(
+    docs: DataFrame,
+    scored: DataFrame,
+    threshold_ppm: int = 500_000,
+    lpa_iters: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """(community, doc_id, score, is_keeper) for every doc in the EXACT
+    Jaccard-threshold pair graph, communities refined by synchronous
+    label propagation before the quality argmax — the dup-graph suite
+    composed into ONE arbitration operator:
+
+      set_similarity_join  EXACT word-3-gram Jaccard >= t pairs
+                           (AllPairs/PPJoin prefix filtering — lossless,
+                           unlike the probabilistic LSH candidates the
+                           minhash arbitration rides on)
+      label_propagation    ``lpa_iters`` deterministic synchronous
+                           rounds split densely-knit duplicate cliques
+                           joined by thin false-positive bridges, where
+                           connected components would merge them — and
+                           the argmax would then WRONGLY drop all but
+                           one doc across genuinely-different cliques
+      keep-best            per-community argmax on ``scored`` (highest
+                           score wins, ties to the smallest id) — the
+                           RefinedWeb arbitration, community-partitioned
+                           window (community-sized groups, never global)
+
+    Docs outside the pair graph never appear (nothing to arbitrate) —
+    curation callers drop the ``is_keeper == false`` rows and pass
+    everything else through. Unlike the MinHash path there is no
+    exact-copy special case to re-add: byte-identical docs share their
+    full token set, so PPJoin emits their pairs at jaccard exactly 1.0.
+    Docs with < 3 tokens have EMPTY shingle sets and stay out of the
+    graph by set semantics (J over empty sets is undefined); they pass
+    through curation untouched.
+
+    Scale shape: inherits PPJoin's rare-token-bounded candidate join and
+    exact-collapse pre-pass, LPA's key-partitioned per-round joins, and
+    a community-partitioned argmax. Ids must be integral (LPA labels
+    are min-comparable bigints). Driver rounds: O(1) for the join +
+    ``lpa_iters`` label rounds — both run at build time (eager
+    localCheckpoints), like curate()'s minhash modes.
+    """
+    from quackml_spark.operators.graph import label_propagation
+
+    pairs = set_similarity_join(
+        word_shingles(docs, id_col=id_col, text_col=text_col, distinct=True),
+        threshold_ppm,
+    )
+    comm = label_propagation(pairs, iters=lpa_iters)
+    members = comm.join(
+        scored.select(F.col(id_col).alias("node"), score_col), "node"
+    )
+    w = Window.partitionBy("label").orderBy(F.desc(score_col), F.asc("node"))
+    return members.select(
+        F.col("label").alias("community"),
+        F.col("node").alias(id_col),
+        F.col(score_col),
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )
+
+
+# heuristic quality-score CTEs (q -> qs), the DuckDB twin of
+# text.score_quality — same fragment dedup_keep_best's oracle inlines
+_QS_CTES = r"""q AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+),
+qs AS (
+  SELECT doc_id,
+    CAST(ROUND(
+      CAST(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
+           AS DECIMAL(18,6)) * 0.4
+      + CAST(length(list_filter(toks, x -> list_contains({STOP}, x)))
+             AS DECIMAL(18,6)) / greatest(length(toks), 1) * 0.3
+      + CAST(length(list_distinct(toks)) AS DECIMAL(18,6))
+        / greatest(length(toks), 1) * 0.3, 6) AS DOUBLE) AS quality_score
+  FROM q
+)"""
+
+
+def _ppjoin_lpa_best_oracle(
+    threshold_ppm: int = 500_000, iters: int = 3
+) -> str:
+    """DuckDB replay of ppjoin_keep_best over the documents table: the
+    PPJoin pair CTEs feed the unrolled LPA rounds (lpa_round_ctes —
+    the SAME twin q40 replays; it lives in _graphtwins so this module-
+    level registration can't form an import cycle with graph.py's) and
+    a per-community argmax over the heuristic quality score."""
+    from quackml_spark.operators._graphtwins import lpa_round_ctes
+
+    ctes = [
+        _ppjoin_ctes(_SQL_SHINGLES, threshold_ppm),
+        "praw AS (SELECT doc_a AS s, doc_b AS d FROM pairs)",
+        "und AS MATERIALIZED (SELECT s, d FROM praw "
+        "UNION SELECT d, s FROM praw)",
+        *lpa_round_ctes(iters),
+        _QS_CTES.replace("{STOP}", repr(list(STOPWORDS))),
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT l.label AS community, l.node AS doc_id, qs.quality_score,
+       ROW_NUMBER() OVER (PARTITION BY l.label
+                          ORDER BY qs.quality_score DESC, l.node) = 1
+         AS is_keeper
+FROM l{iters} l JOIN qs ON qs.doc_id = l.node
+ORDER BY community, doc_id
+"""
+    )
+
+
+@register(
+    "dedup_ppjoin_lpa_best",
+    extra=True,
+    doc="The round-10 dup-graph suite composed into ONE arbitration "
+    "operator (ppjoin_keep_best): EXACT word-3-gram Jaccard >= 0.5 "
+    "pairs via PPJoin prefix filtering -> 3 synchronous label-"
+    "propagation rounds refine communities (dense dup cliques stay "
+    "separate across thin false-positive bridges) -> each community "
+    "keeps its HIGHEST-quality member, ties to the smaller id. The "
+    "oracle replays every PPJoin filter, every LPA round, the quality "
+    "arithmetic, and the argmax.",
+    oracle=_ppjoin_lpa_best_oracle(),
+    tags=("dedup", "graph", "textops"),
+)
+def dedup_ppjoin_lpa_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import score_quality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = score_quality(docs, keep_cols=False).select(
+        "doc_id", "quality_score"
+    )
+    return ppjoin_keep_best(docs, scored).orderBy("community", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Content-defined chunking (CDC) — storage-layer dedup's boundary trick.
 # ---------------------------------------------------------------------------
 
 _CDC_WINDOW = 16  # boundary hash window (chars)
 _CDC_MASK = 64  # boundary condition: window-hash % mask == 0 (~64-char chunks)
+
+# Buzhash byte->code table (Cohen's cyclic-polynomial rolling hash, the
+# LBFS/restic family's Gear-table idea): 256 16-bit codes derived from
+# md5 of the byte value — deterministic, engine-independent, embedded as
+# a literal array on both sides. 16-bit codes keep every intermediate
+# in the window XOR far below bigint range (no ANSI overflow).
+import hashlib as _hashlib
+
+_GEAR = tuple(
+    int(_hashlib.md5(f"gear|{b}".encode()).hexdigest()[:4], 16)
+    for b in range(256)
+)
+_POW2 = tuple(1 << j for j in range(17))  # 2^0 .. 2^16 (rotation helpers)
+
+
+# rotl16(x, r) is expressed as (x*2^r mod 2^16) + (x div 2^(16-r)) on
+# both sides — pure integer arithmetic against the P2 power table, so
+# Spark and DuckDB compute bit-identical window hashes.
 
 
 def cdc_chunks(
@@ -1524,51 +1714,162 @@ def cdc_chunks(
 ) -> DataFrame:
     """(doc_id, chunk_idx, chunk_hash, chunk_chars) rows: each document
     split at CONTENT-DEFINED boundaries — position i starts a new chunk
-    iff the hash of the ``window``-char text window at i is 0 mod
-    ``mask_mod``. This is the chunking trick of storage/backup dedup
-    (LBFS, Venti, restic): because boundaries depend only on LOCAL
-    content, a substring shared by two documents at DIFFERENT offsets
-    still fractures into identical chunks — fixed-width chunking
-    misaligns on the first inserted byte and finds nothing. Expected
-    chunk length is ~window-hash period, ``mask_mod`` chars.
+    iff the rolling hash of the ``window``-char text window at i is 0
+    mod ``mask_mod``. This is the chunking trick of storage/backup
+    dedup (LBFS, Venti, restic): because boundaries depend only on
+    LOCAL content, a substring shared by two documents at DIFFERENT
+    offsets still fractures into identical chunks — fixed-width
+    chunking misaligns on the first inserted byte and finds nothing.
+    Expected chunk length is ~window-hash period, ``mask_mod`` chars.
+
+    The window hash is a Buzhash (Cohen's cyclic polynomial, the
+    rolling-hash family Gear/FastCDC descend from): each char maps
+    through a 256-entry 16-bit literal code table and the window value
+    is the XOR of the codes rotated by their distance from the window
+    end — rotl16 spreads every window char across ALL 16 hash bits, so
+    the low-bit ``% mask_mod`` boundary test still depends on the whole
+    window (a plain Gear shift-add would leave the low bits governed by
+    only the last log2(mask_mod) chars). Replaces the r10 per-position
+    ``md5(substring(...))`` probe: the boundary scan drops from one md5
+    digest + string allocation per position to O(log window) integer
+    xor/rotate array ops — measured 2.23 s -> 0.04 s (~50x) on the
+    isolated boundary scan at sf0.1; the registered stats query
+    improves 2.60 -> 2.38 s end to end because chunk materialization
+    (substring explode + chunk md5 + groupBy) now dominates it
+    (SCALE.md §29). Codes and rotations are exact bigint arithmetic,
+    far below overflow, and replay bit-identically in DuckDB.
 
     Shape: boundary detection is a pure per-row array expression
     (filter over a transform over sequence — no explode, no shuffle,
     no UDF); only the final chunk rows explode (~n_chars/mask_mod per
-    doc). The same expressions replay in DuckDB list_transform/
-    list_filter, bit-exactly (md5-derived boundary hash, the engine's
-    standard no-RNG coin).
+    doc).
     """
     if window < 1 or mask_mod < 1:
         raise ValueError(
             f"window and mask_mod must be >= 1, got {window}, {mask_mod}"
         )
     text = F.col(text_col)
-    n = F.length(text)
-    win_hash = lambda i: (  # noqa: E731
-        F.conv(F.substring(F.md5(F.substring(text, i, window)), 1, 8), 16, 10)
-        .cast("bigint")
-        % mask_mod
+    gear = F.array(*[F.lit(v).cast("bigint") for v in _GEAR])
+    pow2 = F.array(*[F.lit(v).cast("bigint") for v in _POW2])
+
+    def _rot_rt(x, r):
+        # rotl16 with a RUNTIME rotation r in [0, 15]: exact integer
+        # arithmetic against the pow2 literal table (shiftleft/right
+        # take only Python-int bit counts); x < 2^16 stays far below
+        # bigint range
+        p = F.element_at(pow2, r + F.lit(1))
+        q = F.element_at(pow2, F.lit(17) - r)
+        return (x * p) % 65536 + F.floor(x / q).cast("bigint")
+
+    # Window-hash algebra that keeps everything ARRAY-LEVEL and touches
+    # the O(n_chars) code array exactly once:
+    #
+    #   H[j] = XOR_k rotl16(code[j+k], (w-1-k) mod 16)      (Buzhash)
+    #        = rotl16( XOR_k B[j+k], j mod 16 )
+    #   with B[p] = rotl16(code[p], (w-1-p) mod 16)
+    #
+    # because rotation distributes over XOR. B is ONE indexed transform
+    # over the chars; the sliding XOR is a zip_with fold over w slices
+    # of B; the final per-position rotation is array-level too. Two
+    # earlier cuts of this operator were live-measured wrong-shaped:
+    # a position lambda indexing a single-referenced named code array
+    # (Catalyst's projection collapse inlined the O(n) transform into
+    # every probe -> O(n^2), 69 s at bench scale), and a per-offset
+    # rotated copy of the code array (subexpression elimination does
+    # not cross lambda boundaries, so the code transform re-ran
+    # window times -> 6.4 s). B below is a named column referenced
+    # window times by the parent projection — multi-reference blocks
+    # the collapse, so it is computed once per doc. 0.9 s at bench
+    # scale: 2.9x faster than the r10 per-position md5 probe.
+    bcodes = F.transform(
+        F.split(text, ""),
+        lambda c, p: _rot_rt(
+            F.element_at(gear, (F.ascii(c) % 256) + F.lit(1)),
+            # p is the 0-based char index; 1-based position p+1 gives
+            # rotation (w-1-(p+1)) mod 16
+            F.pmod(F.lit(window - 2) - p, F.lit(16)),
+        ),
     )
+    coded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        text.alias("__t"),
+        bcodes.alias("__b"),
+    )
+    tn = F.length("__t")
+    m = tn - window + 1  # last window start position (>= 2 under guard)
+
+    # Sliding-window XOR via SPARSE-TABLE DOUBLING: level array
+    # X_{2^t}[p] = XOR of B[p .. p+2^t-1], built as
+    # zip_with(X_{2^(t-1)}, shifted X_{2^(t-1)}, xor) — one
+    # single-node XOR lambda per element per level, log2(window)
+    # levels. Each level is a NAMED column in its own chained
+    # projection, referenced twice by the next level: multi-reference
+    # blocks Catalyst's projection collapse, so every level is
+    # computed exactly once per doc. The window hash is then the XOR
+    # of the window's binary-decomposition pieces — O(1) per position.
+    # Spark higher-order-function lambdas are interpreted (no
+    # whole-stage codegen inside them), so node count per element is
+    # the real cost: flat formulations measured 69 s (inlined O(n^2)),
+    # 3.0 s (w-deep zip_with fold), 4.0 s (w element_at probes per
+    # position) on the full stats query against 2.6 s for the r10 md5
+    # probe; this doubling form runs the isolated boundary scan in
+    # 0.04 s vs the md5 probe's 2.23 s (sf0.1, see SCALE.md §29).
+    levels = {1: "__b"}
+    span = 1
+    cur_df = coded
+    while span * 2 <= window:
+        prev = F.col(levels[span])
+        span *= 2
+        name = f"__x{span}"
+        n_out = tn - span + 1  # level length; >= 1 under the guard
+        cur_df = cur_df.select(
+            "*",
+            F.when(
+                tn >= F.lit(span),
+                F.zip_with(
+                    F.slice(prev, 1, n_out),
+                    F.slice(prev, span // 2 + 1, n_out),
+                    lambda a, x: a.bitwiseXOR(x),
+                ),
+            )
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias(name),
+        )
+        levels[span] = name
+    # binary decomposition of the window, largest piece first: the
+    # window XOR at position j is the XOR of the pieces laid end to end
+    parts = []
+    off = 0
+    for p in sorted((s for s in levels if window & s), reverse=True):
+        parts.append(F.slice(F.col(levels[p]), 1 + off, m))
+        off += p
+    gh = parts[0]
+    for part in parts[1:]:
+        gh = F.zip_with(gh, part, lambda a, x: a.bitwiseXOR(x))
     bpos = F.when(
-        n >= F.lit(window + 1),
+        tn >= F.lit(window + 1),
         F.filter(
             F.transform(
-                F.sequence(F.lit(2), F.greatest(n - window + 1, F.lit(2))),
-                lambda i: F.when(win_hash(i) == 0, i),
+                gh,
+                lambda x, j: F.when(
+                    (_rot_rt(x, (j + F.lit(1)) % 16) % mask_mod == 0)
+                    & (j >= 1),
+                    j + F.lit(1),
+                ),
             ),
             lambda x: x.isNotNull(),
         ),
     ).otherwise(F.array().cast("array<int>"))
+    coded = cur_df
     # cuts is MATERIALIZED as a named column before the chunk
     # transform references it three times (size, start, end): inlined,
-    # the boundary scan's ~n_chars md5 calls re-evaluate per reference
-    # per chunk — measured 46 s -> 2 s at bench scale (the same
+    # the boundary scan's window probes re-evaluate per reference per
+    # chunk — measured 46 s -> 2 s at bench scale (the same
     # named-intermediate lesson as the Hilbert unroll)
-    with_cuts = docs.select(
-        F.col(id_col).alias("doc_id"),
-        text.alias("__t"),
-        F.concat(F.array(F.lit(1)), bpos, F.array(n + 1)).alias("__cuts"),
+    with_cuts = coded.select(
+        "doc_id",
+        "__t",
+        F.concat(F.array(F.lit(1)), bpos, F.array(tn + 1)).alias("__cuts"),
     )
     cuts = F.col("__cuts")
     chunks = F.transform(
@@ -1628,21 +1929,33 @@ def cdc_dedup_stats(
 
 
 _CDC_ORACLE = f"""
-WITH chunked AS (
+WITH coded AS MATERIALIZED (
+  SELECT doc_id, text,
+         {list(_POW2)}::BIGINT[] AS P2,
+         list_transform(string_split(text, ''),
+                        c -> ({list(_GEAR)}::BIGINT[])[(ord(c) % 256) + 1])
+           AS gc
+  FROM documents
+),
+chunked AS (
   SELECT doc_id,
          [CAST(1 AS BIGINT)]
            || CASE WHEN length(text) >= {_CDC_WINDOW + 1}
                    THEN list_filter(
                           list_transform(
                             range(2, greatest(length(text) - {_CDC_WINDOW} + 1, 2) + 1),
-                            i -> CASE WHEN ('0x' || substr(md5(substr(text, i, {_CDC_WINDOW})), 1, 8))::BIGINT
-                                           % {_CDC_MASK} = 0 THEN i END),
+                            i -> CASE WHEN list_aggregate(
+                                   list_transform(
+                                     gc[i : i + {_CDC_WINDOW - 1}],
+                                     (x, k) -> ((x * P2[(({_CDC_WINDOW} - k) % 16) + 1]) % 65536)
+                                               + (x // P2[17 - (({_CDC_WINDOW} - k) % 16)])),
+                                   'bit_xor') % {_CDC_MASK} = 0 THEN i END),
                           x -> x IS NOT NULL)
                    ELSE CAST([] AS BIGINT[])
               END
            || [CAST(length(text) + 1 AS BIGINT)] AS cuts,
          text
-  FROM documents
+  FROM coded
 ),
 chunks AS (
   SELECT doc_id,

@@ -36,10 +36,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from quackml_spark.operators._graphtwins import lpa_round_ctes
 from quackml_spark.plans import register
 from quackml_spark.sources import load_table
 
+__all__ = [
+    "RANK_SCALE",
+    "label_propagation",
+    "lpa_round_ctes",
+    "pagerank",
+    "random_walks",
+    "triangle_stats",
+]
+
 RANK_SCALE = 10**12
+
+
+def _lineage_truncator(spark: SparkSession, checkpoint_dir: str | None):
+    """The lineage-truncation strategy for iterative loops.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint`` — blocks live
+    in executor memory/disk, truncation is cheap, but the blocks die
+    with their executor. Correct for the small fixed iteration counts
+    the registered queries run (<= 8 rounds; a lost executor just fails
+    the job, which local mode can't hit at all).
+
+    With a ``checkpoint_dir`` (an HDFS/object-store path on a real
+    cluster): ``setCheckpointDir`` + reliable ``checkpoint()`` — each
+    truncation persists to fault-tolerant storage, so a 100-iteration
+    job on a lossy cluster survives executor loss at the cost of one
+    write+read per truncation. Results are pinned identical in both
+    modes (the arithmetic is integer-exact and partition-independent;
+    only the recovery story changes).
+    """
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
 
 
 def pagerank(
@@ -51,6 +84,7 @@ def pagerank(
     rank_scale: int = RANK_SCALE,
     validate: bool = False,
     checkpoint_interval: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` synchronous PageRank iterations.
 
@@ -68,6 +102,10 @@ def pagerank(
     over a simple graph. A multigraph caller expecting
     multiplicity-proportional flow must pre-aggregate weights into its
     own formulation — parallel edges here count once.
+
+    ``checkpoint_dir`` switches lineage truncation from executor-memory
+    localCheckpoint to reliable checkpoint() into that path — see
+    _lineage_truncator for when each is right.
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
@@ -86,6 +124,7 @@ def pagerank(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    _trunc = _lineage_truncator(edges.sparkSession, checkpoint_dir)
     out = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     eo = e.join(out, "src").persist()
     nodes = e.select(F.col("src").alias("node")).distinct().persist()
@@ -136,8 +175,8 @@ def pagerank(
         # the result independent of the caches we drop.
         done += 1
         if done % checkpoint_interval == 0 and done < iters:
-            ranks = ranks.localCheckpoint(eager=True)
-    ranks = ranks.localCheckpoint(eager=True)
+            ranks = _trunc(ranks)
+    ranks = _trunc(ranks)
     eo.unpersist()
     nodes.unpersist()
     return ranks
@@ -311,8 +350,12 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     totals = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
+        # integer `div`, not float `/`: the sum is always even, but a
+        # double round-trip truncates in Spark and rounds-to-even in
+        # DuckDB — above 2^53 wedges the engines could diverge in the
+        # last digit (advice catch); div keeps it bigint-exact end to end
         F.coalesce(
-            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint"),
+            F.expr("sum(deg * (deg - 1)) div 2"),
             F.lit(0),
         ).alias("n_wedges"),
     )
@@ -369,7 +412,7 @@ tri AS (
 ),
 tot AS (
   SELECT COUNT(*) AS n_nodes,
-         CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+         CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
   FROM deg
 ),
 ne AS (SELECT COUNT(*) AS n_edges FROM raw)
@@ -700,6 +743,7 @@ def label_propagation(
     iters: int = _LPA_ITERS,
     src: str = "doc_a",
     dst: str = "doc_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, label) after ``iters`` synchronous label-propagation
     rounds (Raghavan et al. 2007) over an undirected pair graph:
@@ -715,10 +759,13 @@ def label_propagation(
     a deterministic function of the graph, replayed bit-exactly by the
     oracle's unrolled rounds. Each round is one key-partitioned join
     (labels to neighbors) + one map-side-combined count + one
-    node-partitioned argmax window; lineage is truncated per round.
+    node-partitioned argmax window; lineage is truncated per round
+    (``checkpoint_dir`` makes the truncation reliable instead of
+    executor-memory — see _lineage_truncator).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    _trunc = _lineage_truncator(pairs.sparkSession, checkpoint_dir)
     half = (
         pairs.select(
             F.col(src).cast("bigint").alias("s"),
@@ -736,8 +783,8 @@ def label_propagation(
             half.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    und = _trunc(und)
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()
@@ -754,8 +801,8 @@ def label_propagation(
             cnt.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select(F.col("nb").alias("node"), "label")
-            .localCheckpoint(eager=True)
         )
+        labels = _trunc(labels)
     return labels
 
 
@@ -772,20 +819,8 @@ def _lpa_oracle(iters: int = _LPA_ITERS) -> str:
 )""",
         "und AS MATERIALIZED (SELECT s, d FROM praw "
         "UNION SELECT d, s FROM praw)",
-        "l0 AS (SELECT DISTINCT s AS node, s AS label FROM und)",
+        *lpa_round_ctes(iters),
     ]
-    for t in range(1, iters + 1):
-        ctes.append(
-            f"""l{t} AS MATERIALIZED (
-  SELECT node, label FROM (
-    SELECT u.s AS node, l.label, COUNT(*) AS cnt,
-           ROW_NUMBER() OVER (
-             PARTITION BY u.s ORDER BY COUNT(*) DESC, l.label ASC) AS rn
-    FROM und u JOIN l{t - 1} l ON l.node = u.d
-    GROUP BY u.s, l.label
-  ) WHERE rn = 1
-)"""
-        )
     return (
         "WITH "
         + ",\n".join(ctes)

@@ -221,6 +221,8 @@ def curate(
     quality_model_threshold: float = 0.5,
     dedup: str | None = "exact",
     minhash_verify_threshold: float | None = None,
+    ppjoin_threshold_ppm: int = 500_000,
+    ppjoin_lpa_iters: int = 3,
     benchmark: DataFrame | None = None,
     decontaminate_mode: str = "exact",
     curriculum_band_size: int | None = None,
@@ -268,6 +270,18 @@ def curate(
                           HIGHEST-quality member (heuristic score,
                           ties to the smaller id) — the RefinedWeb
                           arbitration (near_dup_keep_best)
+      dedup='ppjoin_best' EXACT near-dup arbitration: PPJoin exact
+                          Jaccard >= ppjoin_threshold_ppm/1e6 pairs
+                          (lossless, unlike LSH candidates) ->
+                          ppjoin_lpa_iters rounds of synchronous label
+                          propagation (splits duplicate cliques joined
+                          by thin false-positive bridges, which
+                          connected components would merge) -> each
+                          community keeps its HIGHEST-quality member
+                          (heuristic score, ties to the smaller id).
+                          The quality-sensitive exact-dedup mode a
+                          production corpus build runs when LSH recall
+                          bounds aren't acceptable (ppjoin_keep_best)
       dedup='minhash'     NEAR-duplicate clusters (MinHash-LSH bands ->
                           in-bucket pairs -> connected components),
                           keep the min-id representative per cluster —
@@ -476,10 +490,29 @@ def curate(
         cur = _mark(
             "dedup_minhash_best", cur.join(drops, "doc_id", "left_anti")
         )
+    elif dedup == "ppjoin_best":
+        # EXACT Jaccard pair graph (PPJoin) -> LPA community refinement
+        # -> keep-best quality arbitration. Like the minhash modes, the
+        # pair join + label rounds run jobs at curate() build time.
+        from quackml_spark.operators.dedup import ppjoin_keep_best
+        from quackml_spark.operators.text import score_quality
+
+        decisions = ppjoin_keep_best(
+            cur.select("doc_id", "text"),
+            score_quality(cur.select("doc_id", "text"), keep_cols=False)
+            .select("doc_id", "quality_score"),
+            threshold_ppm=ppjoin_threshold_ppm,
+            lpa_iters=ppjoin_lpa_iters,
+        )
+        drops = decisions.where(~F.col("is_keeper")).select("doc_id")
+        cur = _mark(
+            "dedup_ppjoin_best", cur.join(drops, "doc_id", "left_anti")
+        )
     elif dedup is not None:
         raise ValueError(
             f"unknown dedup mode {dedup!r} "
-            "(supported: 'exact', 'minhash', 'minhash_best', None)"
+            "(supported: 'exact', 'minhash', 'minhash_best', "
+            "'ppjoin_best', None)"
         )
     if benchmark is not None:
         bench = benchmark.select(
@@ -1402,3 +1435,97 @@ def pipeline_curate_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["pipeline_curate_fim"].oracle = _curate_fim_oracle()
+
+
+def _curate_ppjoin_oracle(threshold_ppm: int = 500_000, iters: int = 3) -> str:
+    """DuckDB replay of curate(min_quality=0.35, dedup='ppjoin_best'):
+    the heuristic-quality stage feeds the PPJoin pair CTEs (shingled
+    over the QUALITY SURVIVORS, not raw documents — the stage wiring
+    under test), the unrolled LPA rounds, the per-community quality
+    argmax, and the final drop anti-join. Every fragment is the shared
+    SQL twin its standalone oracle uses (dedup._ppjoin_ctes,
+    _graphtwins.lpa_round_ctes), so the composed replay can't drift from the
+    operator replays."""
+    from quackml_spark.operators.dedup import _ppjoin_ctes, _shingles_sql
+    from quackml_spark.operators._graphtwins import lpa_round_ctes
+
+    qual = rf"""qtoks AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+),
+qscore AS (
+  SELECT doc_id, text, {_QSCORE_SQL} AS score FROM qtoks
+),
+quality AS MATERIALIZED (
+  SELECT doc_id, text, CAST(ROUND(score, 6) AS DOUBLE) AS quality_score
+  FROM qscore
+  WHERE CAST(ROUND(score, 6) AS DOUBLE) >= {_CUR_MINQ}
+)"""
+    ctes = [
+        qual,
+        _ppjoin_ctes(_shingles_sql("quality"), threshold_ppm),
+        "praw AS (SELECT doc_a AS s, doc_b AS d FROM pairs)",
+        "und AS MATERIALIZED (SELECT s, d FROM praw "
+        "UNION SELECT d, s FROM praw)",
+        *lpa_round_ctes(iters),
+        f"""decisions AS (
+  SELECT m.node AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY m.label
+                            ORDER BY q.quality_score DESC, m.node) = 1
+           AS is_keeper
+  FROM l{iters} m JOIN quality q ON q.doc_id = m.node
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT q.doc_id, q.quality_score
+FROM quality q LEFT JOIN decisions d USING (doc_id)
+WHERE COALESCE(d.is_keeper, TRUE)
+ORDER BY doc_id
+"""
+    ).replace("{STOP}", repr(list(STOPWORDS)))
+
+
+@register(
+    "pipeline_curate_ppjoin",
+    extra=True,
+    doc="curate() in its EXACT near-dup arbitration mode, value-checked "
+    "END-TO-END: heuristic quality (>= 0.35) -> PPJoin exact Jaccard "
+    ">= 0.5 pairs over the quality survivors -> 3 synchronous LPA "
+    "rounds refine communities across thin false-positive bridges -> "
+    "each community keeps its highest-quality member (ties to the "
+    "smaller id), everything outside the pair graph passes through. "
+    "The quality-sensitive exact-dedup curation a production corpus "
+    "build runs when LSH recall bounds aren't acceptable; the oracle "
+    "replays the whole chain in curate()'s exact stage order from the "
+    "same SQL twins the standalone operator oracles use.",
+    oracle=None,  # installed below (needs the dedup/graph twins)
+    tags=("textops", "pipeline", "dedup", "graph"),
+)
+def pipeline_curate_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.text import score_quality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = curate(
+        docs,
+        clean=False,
+        min_quality=_CUR_MINQ,
+        dedup="ppjoin_best",
+        report=False,
+    )
+    scored = score_quality(docs, keep_cols=False).select(
+        "doc_id", "quality_score"
+    )
+    return (
+        out["docs"]
+        .select("doc_id")
+        .join(scored, "doc_id")
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+_REG["pipeline_curate_ppjoin"].oracle = _curate_ppjoin_oracle()

@@ -573,6 +573,37 @@ def test_random_walks_follow_edges_deterministically(spark):
         random_walks(edges, seeds, length=0)
 
 
+def test_iterative_graph_reliable_checkpoint_mode_equal(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoint() (the lossy-cluster option for high iteration counts);
+    results are pinned identical to the default localCheckpoint mode —
+    the arithmetic is integer-exact, only the recovery story changes."""
+    from quackml_spark.operators.graph import label_propagation, pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (4, 1), (1, 4)],
+        "src long, dst long",
+    )
+    local = {(r["node"], r["rank"]) for r in pagerank(
+        edges, iters=5, checkpoint_interval=2).collect()}
+    reliable = {(r["node"], r["rank"]) for r in pagerank(
+        edges, iters=5, checkpoint_interval=2,
+        checkpoint_dir=str(tmp_path / "ckpt_pr")).collect()}
+    assert local == reliable
+    import os
+    assert os.listdir(tmp_path / "ckpt_pr")  # the reliable path was used
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    l_local = {(r["node"], r["label"])
+               for r in label_propagation(pairs).collect()}
+    l_rel = {(r["node"], r["label"]) for r in label_propagation(
+        pairs, checkpoint_dir=str(tmp_path / "ckpt_lpa")).collect()}
+    assert l_local == l_rel
+
+
 def test_lpa_splits_bridged_cliques_where_cc_merges(spark):
     """Two triangles joined by one bridge edge: connected components
     puts all six nodes in one component; LPA keeps the two dense

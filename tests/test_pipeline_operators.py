@@ -1136,6 +1136,103 @@ def test_curate_minhash_best_mode(spark):
     assert kept_min == {1}    # the arbitrary min id
 
 
+def _window_docs(spark, offsets, width=12):
+    """Docs whose texts are ``width``-token windows at the given
+    offsets over one shared token stream — shingle sets are then
+    contiguous windows too, so the word-3-gram Jaccard between two
+    docs is an exact function of their offset distance d:
+    (10-d)/(10+d) at width 12. d<=3 clears J >= 0.5; d=4 misses."""
+    toks = [f"w{i:02d}" for i in range(max(offsets) + width)]
+    return spark.createDataFrame(
+        [(i + 1, " ".join(toks[o : o + width])) for i, o in enumerate(offsets)],
+        "doc_id long, text string",
+    )
+
+
+def test_ppjoin_keep_best_splits_bridged_cliques(spark):
+    """ppjoin_keep_best end to end on TEXT (not a synthetic edge list):
+    offsets (0,1,2, 5,6,7) build two J>=0.5 triangles joined by one
+    d=3 bridge edge (J=7/13≈0.538) — exactly the pinned LPA bridge
+    graph. Components-based arbitration would keep ONE doc across
+    both cliques; the LPA refinement keeps one per clique."""
+    from quackml_spark.operators.dedup import ppjoin_keep_best
+
+    docs = _window_docs(spark, [0, 1, 2, 5, 6, 7])
+    scored = spark.createDataFrame(
+        [(i, float(s)) for i, s in [(1, 0.1), (2, 0.9), (3, 0.2),
+                                    (4, 0.3), (5, 0.2), (6, 0.8)]],
+        "doc_id long, quality_score double",
+    )
+    rows = ppjoin_keep_best(docs, scored, threshold_ppm=500_000).collect()
+    comm = {r["doc_id"]: r["community"] for r in rows}
+    keep = {r["doc_id"] for r in rows if r["is_keeper"]}
+    # same trace the graph-level test pins: clique A -> label 1,
+    # clique B -> label 3 (two communities despite the bridge)
+    assert comm == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    assert keep == {2, 6}  # per-community quality argmax
+    # sanity: CC-based arbitration over the SAME pair graph merges all
+    # six docs and keeps only one — what the LPA refinement avoids
+    from quackml_spark.operators.dedup import (
+        connected_components,
+        set_similarity_join,
+        word_shingles,
+    )
+
+    pairs = set_similarity_join(word_shingles(docs, distinct=True), 500_000)
+    cc = connected_components(pairs)
+    assert cc.select("component").distinct().count() == 1
+
+
+def test_ppjoin_keep_best_exact_copies_and_singletons(spark):
+    """Byte-identical docs appear as jaccard-1.0 pairs (no exact-copy
+    special case needed, unlike the MinHash path) and arbitrate to the
+    highest score with ties to the smaller id; docs outside the pair
+    graph never appear in the decisions."""
+    from quackml_spark.operators.dedup import ppjoin_keep_best
+
+    body = " ".join(f"t{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, body),
+         (9, " ".join(f"u{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.7), (3, 0.7), (9, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    rows = ppjoin_keep_best(docs, scored).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}  # 9 has no pairs
+    assert {r["doc_id"] for r in rows if r["is_keeper"]} == {2}  # tie->min id
+    assert len({r["community"] for r in rows}) == 1
+
+
+def test_curate_ppjoin_best_decision_identity(spark, sf_dir):
+    """curate(dedup='ppjoin_best') drops EXACTLY the docs the
+    standalone composition (ppjoin_keep_best over score_quality) marks
+    is_keeper=false — the registered pipeline row's wiring pinned
+    against the operators it composes."""
+    from quackml_spark.operators.dedup import ppjoin_keep_best
+    from quackml_spark.operators.pipeline import curate
+    from quackml_spark.operators.text import score_quality
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    out = curate(docs, clean=False, dedup="ppjoin_best", report=False)
+    kept = {r["doc_id"] for r in out["docs"].select("doc_id").collect()}
+    scored = score_quality(docs, keep_cols=False).select(
+        "doc_id", "quality_score"
+    )
+    decisions = ppjoin_keep_best(docs, scored)
+    drops = {
+        r["doc_id"] for r in decisions.where("NOT is_keeper").collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - drops
+    assert drops  # the sf0.001 corpus has planted near-dups to arbitrate
+
+
 def test_curate_epochs_pack_terminal_stages(spark, sf_dir):
     """curate(epochs_ppm=..., pack_seq_len=...) emits the training-loader
     frame: row grain = (doc, copy), copy counts match the per-source

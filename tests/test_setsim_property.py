@@ -97,12 +97,23 @@ def test_triangle_stats_matches_python_brute_force(spark, edges):
 
 
 def _py_cdc_chunks(text: str, window: int = 16, mask: int = 64):
+    """Independent pure-Python replay of the Buzhash windowed CDC rule:
+    window hash = XOR of 16-bit gear codes rotated by their distance
+    from the window end; boundary iff hash % mask == 0."""
+    from quackml_spark.operators.dedup import _GEAR
+
+    def rotl16(x, r):
+        return ((x << r) & 0xFFFF) | (x >> (16 - r)) if r else x
+
     n = len(text)
     cuts = [1]
     if n >= window + 1:
+        codes = [_GEAR[ord(c) % 256] for c in text]
         for i in range(2, n - window + 2):
-            h = hashlib.md5(text[i - 1 : i - 1 + window].encode()).hexdigest()
-            if int(h[:8], 16) % mask == 0:
+            gh = 0
+            for k in range(window):
+                gh ^= rotl16(codes[i - 1 + k], (window - 1 - k) % 16)
+            if gh % mask == 0:
                 cuts.append(i)
     cuts.append(n + 1)
     return [text[cuts[k] - 1 : cuts[k + 1] - 1] for k in range(len(cuts) - 1)]
