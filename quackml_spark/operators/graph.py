@@ -185,14 +185,21 @@ def pagerank(
 def _trade_edges_sql() -> str:
     """Symmetrized customer<->supplier edge list (node encoding:
     custkey*2, suppkey*2+1), shared by the oracle CTE chain."""
+    # MATERIALIZED is load-bearing (the §28 lesson, applied here after
+    # the r10 sf1.0 replay measured 128 s DuckDB-dominated): e is
+    # referenced by every unrolled iteration and b twice by e — without
+    # the hints DuckDB re-inlines the orders-lineitem distinct join
+    # once per reference (~12 evaluations at 5 iterations)
     return """
-b AS (
+b AS MATERIALIZED (
   SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
-e AS (SELECT c AS src, s AS dst FROM b UNION ALL SELECT s, c FROM b),
-od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
-nodes AS (SELECT DISTINCT src AS node FROM e),
+e AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM b UNION ALL SELECT s, c FROM b),
+od AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
 p AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes)
 """
 
@@ -235,7 +242,10 @@ LIMIT {topk}
 
 @register(
     "q34_pagerank_trade_graph",
-    extra=True,
+    # r11 window curation: promoted into the graded 50 (judge ask —
+    # the graph/layout tier had no driver-graded representative);
+    # text_decontaminate's slot, whose semantic stays value-checked
+    # inside the graded pipeline_curate_report decontaminate stage
     doc="Fixed-iteration (5) PageRank over the symmetrized "
     "customer<->supplier trade graph (edges: distinct order-lineitem "
     "pairs, node encoding custkey*2 / suppkey*2+1), top-20 nodes by "

@@ -235,7 +235,11 @@ ORDER BY zbucket
 
 @register(
     "q33_zorder_locality",
-    extra=True,
+    # r11 window curation: promoted into the graded 50 (judge ask —
+    # graded representative for the data-layout tier); takes
+    # text_ccnet_buckets' slot, whose perplexity arithmetic stays
+    # graded through text_bigram_perplexity and whose bucketing stays
+    # oracle-checked at every pytest run
     doc="Z-order (Morton) layout locality report over events: user_id "
     "and event-time are normalized to 16 bits by exact integer "
     "arithmetic, bit-interleaved with the 4-step magic-mask dilation, "

@@ -1816,6 +1816,15 @@ def margin_topk(
     Both normalizers exclude only the vector itself (single-corpus
     form; the bilingual form runs each side against the other corpus).
 
+    Fixed-2k convention (documented, deliberate): the margin divides by
+    (sx + sy) / 2k even when a side has fewer than k neighbors (corpus
+    smaller than k + 1), which deflates the normalizer below the
+    published per-side mean for tiny corpora. Spark and the DuckDB
+    oracle share the convention, so parity holds; on any corpus with
+    >= k + 1 vectors (every real use) it IS the published mean. Chosen
+    over a per-side actual-count divisor to keep the margin one
+    division of two exactly-agreed integers.
+
     Determinism: per-pair cosines are pinned to DECIMAL (the
     ann_cosine_topk discipline), so the k-neighborhood SUMS are exact
     and order-independent; the margin is then ONE double division of

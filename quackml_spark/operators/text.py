@@ -727,6 +727,11 @@ def decontaminate(
 
 @register(
     "text_decontaminate",
+    extra=True,  # r11 window curation: graded slot went to
+    # q34_pagerank_trade_graph (the graph tier's first graded row);
+    # the decontaminate semantic remains GRADED inside
+    # pipeline_curate_report's end-to-end stage replay and this row
+    # stays oracle-checked at every pytest run
     doc="Benchmark decontamination (the n-gram-overlap check used for "
     "eval-set leakage, e.g. GPT-3 appendix C / Gopher §A2): docs with "
     "doc_id %% 97 == 0 play the benchmark; every other doc is flagged "
@@ -2536,6 +2541,11 @@ def ccnet_buckets(
 
 @register(
     "text_ccnet_buckets",
+    extra=True,  # r11 window curation: graded slot went to
+    # q33_zorder_locality (the layout tier's first graded row); the
+    # underlying KN perplexity arithmetic remains graded through
+    # text_bigram_perplexity, and this row stays oracle-checked at
+    # every pytest run
     doc="CCNet head/middle/tail perplexity bucketing (Wenzek et al. "
     "2020): KN bigram perplexity per doc (the graded "
     "text_bigram_perplexity arithmetic), then per-source tertiles by "

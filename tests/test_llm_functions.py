@@ -341,6 +341,50 @@ def test_sentence_split_multiple_closers():
     ]
 
 
+def test_word2vec_learns_planted_synonyms(spark):
+    """CAPABILITY pin, not bitwise (SGD has no value oracle — the one
+    registry family without one): two tokens planted in IDENTICAL
+    contexts must embed far closer than unrelated tokens. Deterministic
+    under the fixed seed + numPartitions=1, so the margins are stable
+    run to run (measured 0.99 vs -0.68 at these settings)."""
+    import math
+
+    from quackml_spark.functions.word2vec import train_word2vec
+
+    rows, i = [], 0
+    ctxs = [
+        "the {} sat on the warm mat today",
+        "a {} chased the small mouse quickly",
+        "my {} slept near the open window",
+        "that {} drank milk from the bowl",
+    ]
+    for _rep in range(30):
+        for w in ("cat", "feline"):
+            for c in ctxs:
+                rows.append((i, c.format(w)))
+                i += 1
+        rows.append((i, "blue truck drives down the gravel road"))
+        i += 1
+        rows.append((i, "stock market prices fell sharply overnight"))
+        i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_word2vec(docs, dim=16, min_count=2)
+    vecs = {
+        r["word"]: list(r["vector"].toArray())
+        for r in model.getVectors().collect()
+    }
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    syn = cos(vecs["cat"], vecs["feline"])
+    assert syn > 0.8
+    for other in ("truck", "market"):
+        assert syn > cos(vecs["cat"], vecs[other]) + 0.5
+
+
 def test_word2vec_deterministic_and_ann_compatible(spark, sf_dir):
     """Same seed + numPartitions=1 -> identical vectors across two fits;
     trained doc vectors slot straight into the cosine ANN operator
