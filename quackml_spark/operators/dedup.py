@@ -508,6 +508,14 @@ bands AS (
 )"""
 
 
+def _band_ctes_sql(table: str = "documents") -> str:
+    """The minhash band CTE chain parametrized on its (doc_id, text)
+    relation — ``documents`` for the standalone oracles, a rep CTE for
+    the collapsed-graph replay (q41). Default is byte-identical to
+    _SQL_BAND_CTES (one definition, swapped source)."""
+    return _SQL_BAND_CTES.replace(_shingles_sql(), _shingles_sql(table))
+
+
 @register(
     "dedup_minhash_lsh",
     doc="MinHash(16) + LSH(4 bands x 4 rows) candidate pairs: "

@@ -482,6 +482,288 @@ def q38_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dupgraph_triangle_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """EXACT triangle statistics of the FULL (uncollapsed) band-collision
+    dup graph, computed entirely on the exact-collapsed representative
+    graph — the 100 TB shape for dup-graph analytics.
+
+    Byte-identical docs share every band key, so the raw graph is a
+    BLOW-UP of the rep graph: each rep node expands into a w-clique
+    (its exact-copy group) and each rep edge into a complete bipartite
+    w_a x w_b block. Every raw-graph statistic then has a closed form
+    over (rep graph, group sizes):
+
+      nodes      Σ w            over active groups (bandable AND
+                                (w >= 2 or rep-degree >= 1))
+      edges      Σ C(w,2)  +  Σ_{(a,b)} w_a w_b
+      degree     d_a = (w_a - 1) + Σ_{b∈N(a)} w_b  (same for every copy)
+      wedges     Σ w_a · C(d_a, 2)
+      triangles  Σ C(w_a,3)
+                 + Σ_{(a,b)} [C(w_a,2) w_b + C(w_b,2) w_a]
+                 + Σ_{rep triangles} w_a w_b w_c
+
+    Output row and values are IDENTICAL to
+    ``triangle_stats(near_dup_pairs(docs, uncapped))`` (pytest-pinned),
+    but the pair join, wedge join and closing join all run on the REP
+    graph: under K-way verbatim replication the raw graph's edge count
+    grows K^2 (q38 at the §23 sf10 corpus would enumerate ~600M wedges)
+    while this formulation's work is invariant in K beyond the one
+    md5-collapse groupBy. All arithmetic is per-term-exact bigint
+    (C(w,2), C(w,3) and d(d-1)/2 divide exactly), replayed bit-identically
+    in DuckDB. Groups too short to shingle (< 3 tokens -> no band keys)
+    never enter the graph — identical copies of an unbandable doc share
+    NO bucket, matching the raw pipeline.
+    """
+    from quackml_spark.operators.dedup import _exact_reps, near_dup_pairs
+    from quackml_spark.operators.text import tokens_expr
+
+    _ids, groups, rep_docs = _exact_reps(docs, id_col, text_col)
+    redges = (
+        near_dup_pairs(rep_docs, max_bucket_size=1 << 31)
+        .select(
+            F.col("doc_a").cast("bigint").alias("a"),
+            F.col("doc_b").cast("bigint").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bandable = rep_docs.where(F.size(tokens_expr("text")) >= 3).select(
+        F.col("doc_id").alias("node")
+    )
+    wts = (
+        groups.select(
+            F.col("rep").alias("node"), F.col("__n").cast("bigint").alias("w")
+        )
+        .join(bandable, "node")
+        .localCheckpoint(eager=True)
+    )
+    endp = (
+        redges.select(F.col("a").alias("node"))
+        .unionAll(redges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    active = (
+        wts.join(endp.withColumn("__e", F.lit(1)), "node", "left")
+        .where((F.col("w") >= 2) | F.col("__e").isNotNull())
+        .drop("__e")
+    )
+    und = redges.unionAll(
+        redges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    s = (
+        und.join(
+            wts.select(F.col("node").alias("b"), F.col("w").alias("wb")), "b"
+        )
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.sum("wb").alias("s"))
+    )
+    nodest = active.join(s, "node", "left").select(
+        "node", "w", F.coalesce("s", F.lit(0).cast("bigint")).alias("s")
+    )
+    percomp = nodest.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("n_nodes"),
+        F.coalesce(F.expr("sum(w * (w - 1) div 2)"), F.lit(0))
+        .cast("bigint")
+        .alias("intra_e"),
+        F.coalesce(
+            F.expr("sum(w * (((w - 1 + s) * (w - 2 + s)) div 2))"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_wedges"),
+        F.coalesce(F.expr("sum(w * (w - 1) * (w - 2) div 6)"), F.lit(0))
+        .cast("bigint")
+        .alias("t1"),
+    )
+    wa = wts.select(F.col("node").alias("a"), F.col("w").alias("wa"))
+    wb = wts.select(F.col("node").alias("b"), F.col("w").alias("wb"))
+    crossagg = (
+        redges.join(wa, "a")
+        .join(wb, "b")
+        .agg(
+            F.coalesce(F.sum(F.col("wa") * F.col("wb")), F.lit(0))
+            .cast("bigint")
+            .alias("cross_e"),
+            F.coalesce(
+                F.expr(
+                    "sum((wa * (wa - 1) div 2) * wb"
+                    " + (wb * (wb - 1) div 2) * wa)"
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("t2"),
+        )
+    )
+    # weighted rep-triangle listing: the same degree orientation the
+    # raw counter uses (out-neighborhoods bounded O(sqrt(m)) — the rep
+    # graph carries the real skew), closing wedges against oriented
+    # edges, then the w_a*w_b*w_c product through three weight joins
+    deg = (
+        redges.select(F.col("a").alias("node"))
+        .unionAll(redges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    ed = redges.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b"
+    )
+    a_low = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_low, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
+    ).localCheckpoint(eager=True)
+    w1 = oriented.select("lo", F.col("hi").alias("v"), F.col("deg_hi").alias("dv"))
+    w2 = oriented.select("lo", F.col("hi").alias("x"), F.col("deg_hi").alias("dx"))
+    wedges = w1.join(w2, "lo").where(
+        (F.col("dv") < F.col("dx"))
+        | ((F.col("dv") == F.col("dx")) & (F.col("v") < F.col("x")))
+    )
+    closing = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("x"))
+    tri = wedges.join(closing, ["v", "x"]).select("lo", "v", "x")
+    t3 = (
+        tri.join(wts.select(F.col("node").alias("lo"), F.col("w").alias("w1")), "lo")
+        .join(wts.select(F.col("node").alias("v"), F.col("w").alias("w2")), "v")
+        .join(wts.select(F.col("node").alias("x"), F.col("w").alias("w3")), "x")
+        .agg(
+            F.coalesce(F.sum(F.col("w1") * F.col("w2") * F.col("w3")), F.lit(0))
+            .cast("bigint")
+            .alias("t3")
+        )
+    )
+    return (
+        percomp.crossJoin(crossagg)
+        .crossJoin(t3)
+        .select(
+            "n_nodes",
+            (F.col("intra_e") + F.col("cross_e")).alias("n_edges"),
+            "n_wedges",
+            (F.col("t1") + F.col("t2") + F.col("t3")).alias("n_triangles"),
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("(3 * (t1 + t2 + t3) * 1000000) div n_wedges"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("clustering_ppm"),
+        )
+    )
+
+
+def _triangle_blowup_oracle() -> str:
+    """DuckDB replay of dupgraph_triangle_stats: md5 exact-collapse ->
+    band CTEs over the REP relation (dedup._band_ctes_sql — the same
+    twin every band consumer replays) -> rep edges -> the closed-form
+    blow-up sums. The rep-triangle product term uses the plain a<b<c
+    triple join (a columnar engine doesn't need the orientation
+    bound)."""
+    from quackml_spark.operators.dedup import _band_ctes_sql
+
+    return (
+        """WITH ids AS MATERIALIZED (
+  SELECT doc_id, text, md5(text) AS h FROM documents
+),
+grp AS MATERIALIZED (
+  SELECT h, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS w,
+         MIN(text) AS text
+  FROM ids GROUP BY h
+),
+reps AS MATERIALIZED (SELECT rep AS doc_id, text FROM grp),
+"""
+        + _band_ctes_sql("reps")
+        + """,
+bandable AS (SELECT DISTINCT doc_id FROM bands),
+redges AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+wts AS MATERIALIZED (
+  SELECT g.rep AS node, g.w FROM grp g JOIN bandable bb ON bb.doc_id = g.rep
+),
+endp AS (
+  SELECT DISTINCT a AS node FROM redges UNION SELECT b FROM redges
+),
+active AS MATERIALIZED (
+  SELECT w.node, w.w
+  FROM wts w LEFT JOIN endp e ON e.node = w.node
+  WHERE w.w >= 2 OR e.node IS NOT NULL
+),
+und AS (SELECT a, b FROM redges UNION ALL SELECT b, a FROM redges),
+s AS (
+  SELECT u.a AS node, CAST(SUM(w2.w) AS BIGINT) AS s
+  FROM und u JOIN wts w2 ON w2.node = u.b GROUP BY u.a
+),
+nodest AS (
+  SELECT a.node, a.w, COALESCE(s.s, 0) AS s
+  FROM active a LEFT JOIN s ON s.node = a.node
+),
+percomp AS (
+  SELECT COALESCE(SUM(w), 0) AS n_nodes,
+         COALESCE(SUM(w * (w - 1) // 2), 0) AS intra_e,
+         COALESCE(SUM(w * (((w - 1 + s) * (w - 2 + s)) // 2)), 0) AS n_wedges,
+         COALESCE(SUM(w * (w - 1) * (w - 2) // 6), 0) AS t1
+  FROM nodest
+),
+crossagg AS (
+  SELECT COALESCE(SUM(wa.w * wb.w), 0) AS cross_e,
+         COALESCE(SUM((wa.w * (wa.w - 1) // 2) * wb.w
+                      + (wb.w * (wb.w - 1) // 2) * wa.w), 0) AS t2
+  FROM redges r JOIN wts wa ON wa.node = r.a JOIN wts wb ON wb.node = r.b
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM redges e1
+  JOIN redges e2 ON e2.a = e1.b
+  JOIN redges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+t3agg AS (
+  SELECT COALESCE(SUM(wa.w * wb.w * wc.w), 0) AS t3
+  FROM tri JOIN wts wa ON wa.node = tri.a
+           JOIN wts wb ON wb.node = tri.b
+           JOIN wts wc ON wc.node = tri.c
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(intra_e + cross_e AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(t1 + t2 + t3 AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN n_wedges > 0
+                 THEN (3 * (t1 + t2 + t3) * 1000000) // n_wedges
+                 ELSE 0 END AS BIGINT) AS clustering_ppm
+FROM percomp CROSS JOIN crossagg CROSS JOIN t3agg
+"""
+    )
+
+
+@register(
+    "q41_triangle_blowup",
+    extra=True,
+    doc="The SAME exact triangle statistics as q38 (identity is "
+    "pytest-pinned), computed on the exact-collapsed representative "
+    "graph via blow-up combinatorics: rep nodes expand to w-cliques, "
+    "rep edges to complete bipartite blocks, so nodes/edges/wedges/"
+    "triangles of the full dup graph are closed-form sums over "
+    "(rep graph, group sizes) plus one weighted rep-triangle pass. "
+    "Under K-way verbatim replication the raw pipeline's work grows "
+    "K^2 (the §23 sf10 corpus would push q38 to ~600M wedges) while "
+    "this form's graph work is K-invariant beyond the md5 collapse "
+    "groupBy — the 100 TB shape for dup-graph analytics.",
+    oracle=_triangle_blowup_oracle(),
+    tags=("graph", "dedup"),
+)
+def q41_triangle_blowup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dupgraph_triangle_stats(docs)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic random walks — DeepWalk-style corpus generation.
 # ---------------------------------------------------------------------------

@@ -573,6 +573,51 @@ def test_random_walks_follow_edges_deterministically(spark):
         random_walks(edges, seeds, length=0)
 
 
+def test_dupgraph_triangle_blowup_identity(spark, sf_dir):
+    """dupgraph_triangle_stats (closed-form blow-up sums over the
+    exact-collapsed rep graph) returns EXACTLY triangle_stats over the
+    raw uncapped band graph — on the real corpus and on a corpus with
+    planted exact-copy groups (the case whose raw graph grows K^2)."""
+    from quackml_spark.operators.dedup import near_dup_pairs
+    from quackml_spark.operators.graph import (
+        dupgraph_triangle_stats,
+        triangle_stats,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    raw = tuple(
+        triangle_stats(
+            near_dup_pairs(docs, max_bucket_size=1 << 31),
+            src="doc_a",
+            dst="doc_b",
+        ).collect()[0]
+    )
+    blow = tuple(dupgraph_triangle_stats(docs).collect()[0])
+    assert raw == blow
+
+    base = docs.limit(2).collect()
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    for i, r in enumerate(base):
+        # plant a 4-way exact-copy group per base doc (plus the
+        # original: 5 copies) and one short unbandable dup pair
+        rows += [(9000 + i * 10 + j, r["text"]) for j in range(4)]
+    rows += [(9900, "too short"), (9901, "too short")]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    raw2 = tuple(
+        triangle_stats(
+            near_dup_pairs(docs2, max_bucket_size=1 << 31),
+            src="doc_a",
+            dst="doc_b",
+        ).collect()[0]
+    )
+    blow2 = tuple(dupgraph_triangle_stats(docs2).collect()[0])
+    assert raw2 == blow2
+    assert blow2[3] > blow[3]  # the planted 5-cliques add triangles
+
+
 def test_iterative_graph_reliable_checkpoint_mode_equal(spark, tmp_path):
     """checkpoint_dir switches lineage truncation to reliable
     checkpoint() (the lossy-cluster option for high iteration counts);
