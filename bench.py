@@ -215,12 +215,19 @@ def main() -> None:
     local = os.environ.get("SPARK_GRAFT_BENCH_LOCAL")
     if local != "":
         if local is None:
+            # name by the CURRENT round: the driver writes BENCH_r{N}
+            # after running bench, so the max existing N is last
+            # round's — this run belongs to N+1
+            import glob
+            import re
+
             here = os.path.dirname(os.path.abspath(__file__))
-            n = 1
-            while os.path.exists(
-                os.path.join(here, f"BENCH_local_r{n:02d}.json")
-            ):
-                n += 1
+            rounds = [
+                int(m.group(1))
+                for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+            ]
+            n = (max(rounds) if rounds else 0) + 1
             local = os.path.join(here, f"BENCH_local_r{n:02d}.json")
         with open(local, "w") as fh:
             fh.write(line + "\n")
