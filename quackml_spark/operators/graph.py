@@ -474,7 +474,10 @@ def q38_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degrade (default cap 1024) is right for connectivity consumers
     # but would zero out exactly the cliques this diagnostic measures
     # (and diverge from the uncapped oracle replay — review catch).
-    # Corpora with mega-buckets should exact-collapse copies first.
+    # Replicated corpora should use q41_triangle_blowup instead: SAME
+    # exact values on the exact-collapsed rep graph (identity pinned),
+    # K-invariant where this raw form grows K^2 (SCALE.md §32:
+    # 87.8 s vs 6.0 s at sf10).
     return triangle_stats(
         near_dup_pairs(docs, max_bucket_size=1 << 31),
         src="doc_a",
