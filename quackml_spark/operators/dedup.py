@@ -1397,6 +1397,327 @@ def dedup_index_compact(
 
 
 # ---------------------------------------------------------------------------
+# Incremental EXACT set-similarity index — PPJoin's prefix filtering as
+# a persisted build/check/append lifecycle. Where dedup_index_* answers
+# "which indexed docs share an LSH band with this new batch"
+# (probabilistic candidates), this family answers the question exactly:
+# the TRUE Jaccard >= t pairs between a new batch and a frozen corpus
+# index, without recomputing anything corpus-side.
+# ---------------------------------------------------------------------------
+
+# unseen-token rank: tokens absent from the frozen index order sort
+# AFTER every indexed token (df strictly below this for any real corpus)
+_SETSIM_INF_DF = 1 << 62
+
+
+def _setsim_prefix(ranked: DataFrame, t: int) -> DataFrame:
+    """Keep each doc's prefix under threshold ``t`` ppm: the first
+    n - ceil(t*n/M) + 1 tokens of the (df asc, tok asc) order."""
+    m = 1_000_000
+    return ranked.where(
+        F.col("pos")
+        <= F.col("n") - F.expr(f"(n * {t}L + {m - 1}) div {m}L") + F.lit(1)
+    )
+
+
+def setsim_index_build(
+    docs: DataFrame,
+    path: str,
+    threshold_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the exact-Jaccard probe index at ``path``:
+
+      freq/     (tok, df)            the FROZEN global token order
+      prefix/   (doc_id, tok, pos, n, batch_id)   prefix rows only
+      toks/     (doc_id, tok, batch_id)           full sets (verification)
+      sizes/    (doc_id, n, batch_id)
+      manifest  threshold_ppm, shingle_width, order contract, n_docs
+
+    The rare-first order is computed ONCE here and frozen — appended
+    batches rank under it (unseen tokens last). Correctness does not
+    depend on the order being fresh: the prefix/positional filters are
+    lossless under ANY total order shared by both join sides (the same
+    reason set_similarity_join is exact), so a stale df only shifts
+    WHERE the pruning happens, never what survives. The stored prefix
+    is sized for ``threshold_ppm``; checks may probe at any t >= the
+    built t (their prefixes are subsets of the stored ones).
+    """
+    spark = docs.sparkSession
+    toks = (
+        word_shingles(docs, id_col, text_col, distinct=True)
+        .select("doc_id", F.col("shingle").alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        toks.join(freq, "tok")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    bid = F.lit(-1).cast("bigint").alias("batch_id")
+    rk = F.lit("").alias("run_key")
+    freq.write.mode("overwrite").parquet(f"{path}/freq")
+    _setsim_prefix(ranked, int(threshold_ppm)).select(
+        "doc_id", "tok", "pos", "n", bid, rk
+    ).write.mode("overwrite").parquet(f"{path}/prefix")
+    toks.select("doc_id", "tok", bid, rk).write.mode("overwrite").parquet(
+        f"{path}/toks"
+    )
+    sizes.select("doc_id", "n", bid, rk).write.mode("overwrite").parquet(
+        f"{path}/sizes"
+    )
+    from quackml_spark.operators._manifest import clear_manifest_cas
+
+    clear_manifest_cas(path)
+    spark.createDataFrame(
+        [(int(threshold_ppm), 3, "df_asc_tok_asc_frozen", int(docs.count()))],
+        "threshold_ppm bigint, shingle_width int, order string, n_docs bigint",
+    ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
+
+
+def _setsim_rank_toks(qt: DataFrame, freq: DataFrame) -> DataFrame:
+    """Rank a (doc_id, tok) set relation under the FROZEN index order:
+    (doc_id, tok, df, pos, n) with unseen tokens ranked last."""
+    qf = qt.join(freq, "tok", "left").withColumn(
+        "df", F.coalesce("df", F.lit(_SETSIM_INF_DF))
+    )
+    sizes = qt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    return (
+        qf.join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+def _setsim_exclusion(df: DataFrame, exclude_batch, exclude_run) -> DataFrame:
+    """Drop index rows a replayed batch's own failed attempt appended —
+    the dedup_index_check replay-scoping rule: exclusion matches only
+    (run_key, batch_id) == the CURRENT attempt's identity, so committed
+    history from other runs (or the build's -1/'' rows) always stays."""
+    if exclude_batch is None:
+        return df
+    bid = F.coalesce(F.col("batch_id"), F.lit(-1))
+    if exclude_run is not None:
+        own = (F.coalesce(F.col("run_key"), F.lit("")) == F.lit(exclude_run)) & (
+            bid == int(exclude_batch)
+        )
+    else:
+        own = bid == int(exclude_batch)
+    return df.where(~own)
+
+
+def setsim_index_check(
+    new_docs: DataFrame,
+    path: str,
+    threshold_ppm: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+    exclude_batch: int | None = None,
+    exclude_run: str | None = None,
+) -> DataFrame:
+    """EXACT Jaccard >= t pairs between ``new_docs`` and the persisted
+    index: (new_doc_id, index_doc_id, jaccard). Lossless — returns
+    exactly what a brute-force bipartite Jaccard join would (the
+    pytest-pinned property), but the join touches PREFIX tokens only
+    on both sides, with the length and positional filters pruning
+    before the verification join reads full token sets. Only the new
+    batch is shingled; the corpus side is three parquet scans
+    (prefix, toks, sizes). New-batch docs are NOT paired with each
+    other (same contract as dedup_index_check).
+
+    Filter validity under the frozen order: common tokens are by
+    definition indexed, and the extended order (frozen df, unseen
+    last) agrees with the build order on every indexed token — so the
+    minimal-common-token argument behind the prefix and positional
+    filters holds verbatim.
+    """
+    spark = new_docs.sparkSession
+    from quackml_spark.operators._manifest import read_manifest
+
+    _ver, mf = read_manifest(spark, path)
+    t = int(threshold_ppm if threshold_ppm is not None else mf["threshold_ppm"])
+    if t < int(mf["threshold_ppm"]):
+        raise ValueError(
+            f"index built for threshold_ppm={mf['threshold_ppm']}; "
+            f"stored prefixes are too short to probe at {t}"
+        )
+    m = 1_000_000
+    freq = spark.read.parquet(f"{path}/freq")
+    qt = (
+        shingles
+        if shingles is not None
+        else word_shingles(new_docs, id_col, text_col, distinct=True)
+    ).select("doc_id", F.col("shingle").alias("tok"))
+    ranked_q = _setsim_rank_toks(qt, freq)
+    qprefix = _setsim_prefix(ranked_q, t).select(
+        F.col("doc_id").alias("new_doc_id"),
+        "tok",
+        "df",
+        F.col("pos").alias("pos_q"),
+        F.col("n").alias("nq"),
+    ).localCheckpoint(eager=True)
+    # pinned schema (the dedup_index_check lesson): mergeSchema-free,
+    # and absent columns NULL instead of failing resolution
+    iprefix = _setsim_exclusion(
+        spark.read.schema(
+            "doc_id bigint, tok string, pos int, n bigint, "
+            "batch_id bigint, run_key string"
+        ).parquet(f"{path}/prefix"),
+        exclude_batch,
+        exclude_run,
+    ).select(
+        F.col("doc_id").alias("index_doc_id"),
+        "tok",
+        F.col("pos").alias("pos_i"),
+        F.col("n").alias("ni"),
+    )
+    matches = qprefix.join(iprefix, "tok").where(
+        (F.lit(t) * F.col("nq") <= F.lit(m) * F.col("ni"))
+        & (F.lit(t) * F.col("ni") <= F.lit(m) * F.col("nq"))
+    )
+    pairs = matches.groupBy("new_doc_id", "index_doc_id").agg(
+        F.min_by(F.struct("pos_q", "pos_i"), F.struct("df", "tok")).alias("mm"),
+        F.min("nq").alias("nq"),
+        F.min("ni").alias("ni"),
+    )
+    alpha = F.expr(f"((nq + ni) * {t}L + {m + t - 1}) div {m + t}L")
+    cand = pairs.where(
+        F.lit(1)
+        + F.least(
+            F.col("nq") - F.col("mm.pos_q"), F.col("ni") - F.col("mm.pos_i")
+        )
+        >= alpha
+    ).select("new_doc_id", "index_doc_id", "nq", "ni")
+    qv = qt.select(F.col("doc_id").alias("new_doc_id"), "tok")
+    it = _setsim_exclusion(
+        spark.read.schema(
+            "doc_id bigint, tok string, batch_id bigint, run_key string"
+        ).parquet(f"{path}/toks"),
+        exclude_batch,
+        exclude_run,
+    ).select(F.col("doc_id").alias("index_doc_id"), "tok")
+    common = (
+        cand.join(qv, "new_doc_id")
+        .join(it, ["index_doc_id", "tok"])
+        .groupBy("new_doc_id", "index_doc_id", "nq", "ni")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("decimal(18,6)") / (
+        F.col("nq") + F.col("ni") - F.col("c")
+    )
+    return (
+        common.where(
+            F.col("c") * F.lit(m)
+            >= F.lit(t) * (F.col("nq") + F.col("ni") - F.col("c"))
+        )
+        .select(
+            "new_doc_id",
+            "index_doc_id",
+            F.round(jac, 6).cast("double").alias("jaccard"),
+        )
+        .orderBy("new_doc_id", "index_doc_id")
+    )
+
+
+def setsim_index_append(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+    run_key: str = "",
+) -> None:
+    """Append a batch under the FROZEN build-time order (the IVF
+    frozen-quantizer discipline): new docs' tokens rank by the stored
+    df with unseen tokens last, their prefix/toks/sizes rows append,
+    and freq/ is NOT touched — rewriting it would re-rank EXISTING
+    docs' prefixes and the stored rows would no longer be prefixes
+    under the new order (silently lossy). Exactness is
+    order-independent, so check-after-append returns byte-identical
+    pairs to a from-scratch rebuild (pytest-pinned). Manifest n_docs
+    advances through the CAS chain (multi-writer safe)."""
+    spark = docs.sparkSession
+    from quackml_spark.operators._manifest import cas_update, read_manifest
+
+    _ver, mf = read_manifest(spark, path)
+    t = int(mf["threshold_ppm"])
+    freq = spark.read.parquet(f"{path}/freq")
+    qt = (
+        shingles
+        if shingles is not None
+        else word_shingles(docs, id_col, text_col, distinct=True)
+    ).select("doc_id", F.col("shingle").alias("tok"))
+    ranked = _setsim_rank_toks(qt, freq)
+    bid = F.lit(int(batch_id)).cast("bigint").alias("batch_id")
+    rk = F.lit(run_key).alias("run_key")
+    _setsim_prefix(ranked, t).select(
+        "doc_id", "tok", "pos", "n", bid, rk
+    ).write.mode("append").parquet(f"{path}/prefix")
+    ranked.select("doc_id", "tok", bid, rk).write.mode("append").parquet(
+        f"{path}/toks"
+    )
+    ranked.select("doc_id", "n", bid, rk).distinct().write.mode(
+        "append"
+    ).parquet(f"{path}/sizes")
+    n_new = int(docs.count())
+
+    def _bump(fields: dict) -> dict:
+        out = dict(fields)
+        out["n_docs"] = int(out.get("n_docs", 0)) + n_new
+        return out
+
+    cas_update(spark, path, _bump)
+
+
+@register(
+    "dedup_setsim_index",
+    extra=True,
+    doc="Incremental EXACT near-dup check: the even-doc_id half of the "
+    "corpus is persisted as a set-similarity index (frozen rare-first "
+    "token order, prefix rows, full sets, sizes), and the odd half is "
+    "probed against it — TRUE word-3-gram Jaccard >= 0.5 cross pairs, "
+    "losslessly, via the PPJoin prefix/length/positional filters with "
+    "only the new batch shingled. The oracle is the brute-force "
+    "bipartite Jaccard join (the ground truth the filters must "
+    "reproduce exactly); pytest additionally pins check-after-append "
+    "== from-scratch rebuild under the frozen-order contract.",
+    oracle=f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+toks AS MATERIALIZED (SELECT DISTINCT doc_id, shingle AS tok FROM shingles),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+common AS (
+  SELECT q.doc_id AS new_doc_id, i.doc_id AS index_doc_id, COUNT(*) AS c
+  FROM toks q JOIN toks i ON q.tok = i.tok
+  WHERE q.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+  GROUP BY 1, 2
+)
+SELECT new_doc_id, index_doc_id,
+  CAST(ROUND(CAST(c AS DECIMAL(18,6)) / (sq.n + si.n - c), 6) AS DOUBLE)
+    AS jaccard
+FROM common
+JOIN sizes sq ON sq.doc_id = new_doc_id
+JOIN sizes si ON si.doc_id = index_doc_id
+WHERE c * 1000000 >= 500000 * (sq.n + si.n - c)
+ORDER BY new_doc_id, index_doc_id
+""",
+    tags=("dedup",),
+)
+def dedup_setsim_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="qml_setsim_idx_") + "/idx"
+    setsim_index_build(docs.where("doc_id % 2 = 0"), path)
+    return setsim_index_check(docs.where("doc_id % 2 = 1"), path)
+
+
+# ---------------------------------------------------------------------------
 # Quality-arbitrated near-dup resolution — RefinedWeb/FineWeb practice:
 # when a near-duplicate cluster must collapse to one document, keep the
 # BEST one (highest quality score), not the arbitrarily-smallest id.

@@ -804,6 +804,154 @@ def streaming_index_dedup(
     )
 
 
+def streaming_setsim_dedup(
+    docs_stream: DataFrame,
+    index_path: str,
+    sink: list | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "qml_setsim_dedup",
+    checkpoint_location: str | None = None,
+    run_key: str | None = None,
+):
+    """Continuous EXACT near-dup filtering of a document stream against
+    the persisted set-similarity index (setsim_index_build) — the
+    exact-Jaccard sibling of streaming_index_dedup: where the band
+    twin flags LSH CANDIDATES (>= 1 shared band, probabilistic), this
+    flags TRUE word-3-gram Jaccard >= t duplicates, losslessly, at the
+    index's built threshold.
+
+    Per micro-batch (foreachBatch):
+
+      1. shingle the batch once (shared by the index probe, the
+         intra-batch join and the append);
+      2. index hits = setsim_index_check with the batch's own
+         replay-scoped rows excluded (run_key + batch_id — the
+         streaming_index_dedup replay discipline);
+      3. intra-batch EXACT pairs via set_similarity_join at the same
+         threshold; the larger id of each pair is flagged 'batch'
+         (min-id wins, so an intra-trigger burst of copies cannot all
+         slip past the not-yet-updated index);
+      4. novel docs appended under the FROZEN token order
+         (setsim_index_append; unseen tokens rank last — exactness is
+         order-independent, pinned by the append==rebuild test);
+      5. one decision record per doc — {batch_id, doc_id, is_dup, via}
+         — into ``{index_path}/decisions`` or the test ``sink``.
+    """
+    import uuid
+
+    from quackml_spark.operators._manifest import read_manifest
+    from quackml_spark.operators.dedup import (
+        set_similarity_join,
+        setsim_index_append,
+        setsim_index_check,
+        word_shingles,
+    )
+    from quackml_spark.sources.files import _require_local
+
+    # the per-batch CAS bump inside setsim_index_append hard-requires a
+    # local path (os.link token chain) — refuse at stream START, same
+    # discipline as streaming_index_dedup
+    _require_local(index_path, "streaming_setsim_dedup")
+    if run_key is None:
+        run_key = checkpoint_location or f"run-{uuid.uuid4().hex}"
+    spark = docs_stream.sparkSession
+    _ver, mf = read_manifest(spark, index_path)
+    t = int(mf["threshold_ppm"])
+
+    def _process(batch_df, batch_id):
+        batch_df = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        if not batch_df.take(1):
+            return
+        sh = word_shingles(batch_df, distinct=True).persist()
+        hits = (
+            setsim_index_check(
+                batch_df,
+                index_path,
+                shingles=sh,
+                exclude_batch=int(batch_id),
+                exclude_run=run_key,
+            )
+            .groupBy("new_doc_id")
+            .agg(F.count(F.lit(1)).alias("n_index_hits"))
+        )
+        intra = (
+            set_similarity_join(sh, t)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        flagged = (
+            batch_df.select("doc_id")
+            .join(hits, F.col("doc_id") == F.col("new_doc_id"), "left")
+            .join(intra.withColumn("__intra", F.lit(True)), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_index_hits").isNotNull().alias("via_index"),
+                F.coalesce("__intra", F.lit(False)).alias("via_batch"),
+            )
+            .persist()
+        )
+        if sink is not None:
+            for r in sorted(flagged.collect(), key=lambda r: r["doc_id"]):
+                sink.append(
+                    {
+                        "batch_id": int(batch_id),
+                        "doc_id": int(r["doc_id"]),
+                        "is_dup": bool(r["via_index"] or r["via_batch"]),
+                        "via": "index"
+                        if r["via_index"]
+                        else ("batch" if r["via_batch"] else None),
+                    }
+                )
+        else:
+            (
+                flagged.select(
+                    F.lit(int(batch_id)).alias("batch_id"),
+                    "doc_id",
+                    (F.col("via_index") | F.col("via_batch")).alias("is_dup"),
+                    F.when(F.col("via_index"), "index")
+                    .when(F.col("via_batch"), "batch")
+                    .alias("via"),
+                )
+                .write.mode("append")
+                .parquet(f"{index_path}/decisions")
+            )
+        novel = flagged.where(
+            ~F.col("via_index") & ~F.col("via_batch")
+        ).select("doc_id")
+        # materialize the novel id set BEFORE the append: writing into
+        # the index path invalidates cached plans that read it, and a
+        # post-append recompute of `novel` would see the batch's OWN
+        # just-appended rows (the streaming_index_dedup recache trap)
+        novel_ids = [r["doc_id"] for r in novel.collect()]
+        if novel_ids:
+            keep = batch_df.sparkSession.createDataFrame(
+                [(i,) for i in novel_ids], "doc_id long"
+            )
+            setsim_index_append(
+                batch_df.join(keep, "doc_id"),
+                index_path,
+                batch_id=int(batch_id),
+                shingles=sh.join(keep, "doc_id"),
+                run_key=run_key,
+            )
+        flagged.unpersist()
+        sh.unpersist()
+
+    return (
+        _with_checkpoint(
+            docs_stream.writeStream.foreachBatch(_process),
+            checkpoint_location,
+        )
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_curate(
     docs_stream: DataFrame,
     state_path: str,

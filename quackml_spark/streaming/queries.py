@@ -310,6 +310,93 @@ _install_index_dedup_oracle()
 
 
 @register(
+    "streaming_setsim_dedup_docs",
+    extra=True,
+    doc="Incremental EXACT dedup of a document stream against the "
+    "persisted set-similarity index: docs with doc_id < 250 are "
+    "indexed up front (frozen rare-first token order), then the whole "
+    "documents table streams through foreachBatch — each doc is "
+    "flagged 'index' (TRUE word-3-gram Jaccard >= 0.5 vs an indexed "
+    "doc; indexed docs hit their own J=1 reflection, same contract as "
+    "the band twin), 'batch' (exact pair with a smaller-id doc in its "
+    "own micro-batch), or passes as novel and is appended under the "
+    "frozen order. Unlike streaming_index_dedup_docs' LSH candidates "
+    "this decision relation is exact, so the oracle is the brute-force "
+    "Jaccard ground truth.",
+    oracle=None,  # set below — shares the dedup module's shingle twin
+    tags=("streaming", "dedup"),
+)
+def streaming_setsim_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from quackml_spark.operators.dedup import setsim_index_build
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_setsim_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = tempfile.mkdtemp(prefix="qml_stream_ssidx_")
+    setsim_index_build(
+        docs.where("doc_id < 250").select("doc_id", "text"), index_path
+    )
+    sink: list = []
+    q = streaming_setsim_dedup(
+        stream_parquet_table(
+            spark, sf_dir, "documents.parquet", "doc_id long, text string"
+        ).select("doc_id", "text"),
+        index_path,
+        sink=sink,
+        query_name=f"qml_stream_ssidx_{abs(hash(sf_dir)) % 99999}",
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(r["doc_id"], r["is_dup"], r["via"]) for r in sink],
+        "doc_id long, is_dup boolean, via string",
+    ).orderBy("doc_id")
+
+
+def _install_setsim_dedup_oracle() -> None:
+    from quackml_spark.operators.dedup import _SQL_SHINGLES
+    from quackml_spark.plans import REGISTRY
+
+    REGISTRY["streaming_setsim_dedup_docs"].oracle = f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+toks AS MATERIALIZED (SELECT DISTINCT doc_id, shingle AS tok FROM shingles),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+jpairs AS MATERIALIZED (
+  -- exact J >= 0.5 pairs, BOTH orders, self-pairs included (an indexed
+  -- doc streaming through hits its own J=1 reflection, like the band
+  -- twin's self band-match)
+  SELECT p.da AS qd, p.db AS id_
+  FROM (
+    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+    FROM toks a JOIN toks b ON a.tok = b.tok
+    GROUP BY 1, 2
+  ) p
+  JOIN sizes sa ON sa.doc_id = p.da
+  JOIN sizes sb ON sb.doc_id = p.db
+  WHERE p.c * 1000000 >= 500000 * (sa.n + sb.n - p.c)
+),
+hit_index AS (
+  SELECT DISTINCT qd AS doc_id FROM jpairs WHERE id_ < 250
+),
+hit_batch AS (
+  SELECT DISTINCT qd AS doc_id FROM jpairs WHERE id_ < qd
+)
+SELECT d.doc_id,
+       (hi.doc_id IS NOT NULL OR hb.doc_id IS NOT NULL) AS is_dup,
+       CASE WHEN hi.doc_id IS NOT NULL THEN 'index'
+            WHEN hb.doc_id IS NOT NULL THEN 'batch' END AS via
+FROM documents d
+LEFT JOIN hit_index hi ON d.doc_id = hi.doc_id
+LEFT JOIN hit_batch hb ON d.doc_id = hb.doc_id
+ORDER BY d.doc_id
+"""
+
+
+_install_setsim_dedup_oracle()
+
+
+@register(
     "streaming_curate_docs",
     doc="Continuous corpus curation (streaming_curate) value-checked "
     "END-TO-END: the documents table streams through foreachBatch — "

@@ -291,3 +291,134 @@ def test_dedup_index_compact_recovers_from_crashed_swap(spark, sf_dir, tmp_path)
     assert after == before
     assert not os.path.exists(f"{index_path}/bands_old")
     assert not os.path.exists(f"{index_path}/bands_compact_tmp")
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity index (setsim_index_build / check / append)
+# ---------------------------------------------------------------------------
+
+
+def _setsim_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+
+
+def test_setsim_check_matches_brute_force(spark, sf_dir):
+    """The persisted-prefix probe is LOSSLESS: exactly the pairs a
+    brute-force bipartite Jaccard join returns, same values."""
+    from quackml_spark.operators.dedup import (
+        setsim_index_build,
+        setsim_index_check,
+        word_shingles,
+    )
+
+    even, odd = _setsim_docs(spark, sf_dir)
+    path = str(__import__("tempfile").mkdtemp(prefix="ss_brute_")) + "/idx"
+    setsim_index_build(even, path)
+    got = sorted(map(tuple, setsim_index_check(odd, path).collect()))
+
+    sh = word_shingles(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        distinct=True,
+    ).select("doc_id", F.col("shingle").alias("tok"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    q = sh.where("doc_id % 2 = 1").select(
+        F.col("doc_id").alias("new_doc_id"), "tok"
+    )
+    i = sh.where("doc_id % 2 = 0").select(
+        F.col("doc_id").alias("index_doc_id"), "tok"
+    )
+    common = q.join(i, "tok").groupBy("new_doc_id", "index_doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sq = sizes.select(F.col("doc_id").alias("new_doc_id"), F.col("n").alias("nq"))
+    si = sizes.select(
+        F.col("doc_id").alias("index_doc_id"), F.col("n").alias("ni")
+    )
+    jac = F.col("c").cast("decimal(18,6)") / (
+        F.col("nq") + F.col("ni") - F.col("c")
+    )
+    want = sorted(
+        map(
+            tuple,
+            common.join(sq, "new_doc_id")
+            .join(si, "index_doc_id")
+            .where(
+                F.col("c") * 1000000
+                >= 500000 * (F.col("nq") + F.col("ni") - F.col("c"))
+            )
+            .select(
+                "new_doc_id",
+                "index_doc_id",
+                F.round(jac, 6).cast("double").alias("jaccard"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    assert got  # the corpus has cross-parity near-dups to find
+
+
+def test_setsim_append_equals_rebuild_with_unseen_tokens(spark, sf_dir, tmp_path):
+    """check-after-append == from-scratch rebuild, byte-identical —
+    the frozen-order contract: appended docs (including tokens the
+    build never saw) rank under the stored df with unseen tokens
+    last, and exactness is order-independent."""
+    from quackml_spark.operators.dedup import (
+        setsim_index_append,
+        setsim_index_build,
+        setsim_index_check,
+    )
+
+    even, odd = _setsim_docs(spark, sf_dir)
+    novel = spark.createDataFrame(
+        [(7000, "zzq xxv wwy uup ttr zzq xxv wwy"),
+         (7002, "zzq xxv wwy uup ttr zzq xxv qqk")],
+        "doc_id long, text string",
+    )
+    probe = odd.unionByName(
+        spark.createDataFrame(
+            [(7001, "zzq xxv wwy uup ttr zzq xxv wwy")],
+            "doc_id long, text string",
+        )
+    )
+    inc = str(tmp_path / "inc") + "/idx"
+    setsim_index_build(even.where("doc_id < 500"), inc)
+    setsim_index_append(even.where("doc_id >= 500"), inc, batch_id=1)
+    setsim_index_append(novel, inc, batch_id=2)
+    full = str(tmp_path / "full") + "/idx"
+    setsim_index_build(even.unionByName(novel), full)
+    r_inc = sorted(map(tuple, setsim_index_check(probe, inc).collect()))
+    r_full = sorted(map(tuple, setsim_index_check(probe, full).collect()))
+    assert r_inc == r_full
+    # the planted all-unseen-token doc matches its indexed twin exactly
+    assert any(a == 7001 and b == 7000 and j == 1.0 for a, b, j in r_inc)
+    # probe docs are never paired with each other (7001 vs odd docs)
+    assert all(b % 2 == 0 or b >= 7000 for _a, b, _j in r_inc)
+
+
+def test_setsim_check_threshold_contract(spark, sf_dir, tmp_path):
+    """Probing below the built threshold raises (stored prefixes too
+    short); probing at a HIGHER threshold works and returns the
+    subset of pairs clearing it."""
+    from quackml_spark.operators.dedup import (
+        setsim_index_build,
+        setsim_index_check,
+    )
+
+    even, odd = _setsim_docs(spark, sf_dir)
+    path = str(tmp_path / "thr") + "/idx"
+    setsim_index_build(even, path, threshold_ppm=500_000)
+    with pytest.raises(ValueError, match="too short"):
+        setsim_index_check(odd, path, threshold_ppm=400_000)
+    base = {
+        (r["new_doc_id"], r["index_doc_id"]): r["jaccard"]
+        for r in setsim_index_check(odd, path).collect()
+    }
+    high = {
+        (r["new_doc_id"], r["index_doc_id"]): r["jaccard"]
+        for r in setsim_index_check(odd, path, threshold_ppm=800_000).collect()
+    }
+    assert set(high) == {k for k, j in base.items() if j * 1e6 >= 800_000 - 1}
+    for k, j in high.items():
+        assert j == base[k]

@@ -143,3 +143,62 @@ def test_cdc_chunks_match_python_reference(spark, text):
         for i, c in enumerate(_py_cdc_chunks(text))
     ]
     assert got == want
+
+
+def _py_shingles(text: str) -> set[str]:
+    toks = text.lower().split()
+    return {
+        " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+    } if len(toks) >= 3 else set()
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_text = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.dictionaries(st.integers(0, 11), _text, min_size=2, max_size=10),
+    t_ppm=st.sampled_from([300_000, 500_000, 900_000]),
+)
+def test_setsim_index_check_matches_python_brute_force(spark, docs, t_ppm):
+    """build(even ids) + check(odd ids) returns exactly the bipartite
+    pairs of the word-3-gram Jaccard definition at the probed
+    threshold — arbitrary tiny corpora, thresholds, sub-shingle docs."""
+    import tempfile
+
+    from quackml_spark.operators.dedup import (
+        setsim_index_build,
+        setsim_index_check,
+    )
+
+    df = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, text string"
+    )
+    path = tempfile.mkdtemp(prefix="ss_prop_") + "/idx"
+    setsim_index_build(df.where("doc_id % 2 = 0"), path, threshold_ppm=t_ppm)
+    got = {
+        (r["new_doc_id"], r["index_doc_id"])
+        for r in setsim_index_check(df.where("doc_id % 2 = 1"), path).collect()
+    }
+    want = set()
+    for q, qtext in docs.items():
+        if q % 2 == 0:
+            continue
+        sq = _py_shingles(qtext)
+        if not sq:
+            continue
+        for i, itext in docs.items():
+            if i % 2 == 1:
+                continue
+            si = _py_shingles(itext)
+            if not si:
+                continue
+            c = len(sq & si)
+            if c * 1_000_000 >= t_ppm * (len(sq) + len(si) - c):
+                want.add((q, i))
+    assert got == want

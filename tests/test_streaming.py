@@ -1543,3 +1543,60 @@ def test_streaming_curate_pack_batch_split_invariant(spark, sf_dir, tmp_path):
     assert one and one == four
     # only accepted docs are packed: the bench split never appears
     assert not any(d % 97 == 0 for d in one)
+
+
+def test_streaming_setsim_dedup_multibatch_exact(spark, tmp_path):
+    """The EXACT streaming dedup across MULTIPLE micro-batches: a copy
+    of an ACCEPTED earlier-batch doc flags 'index' (the novel append
+    grew the index mid-stream), a copy of a DROPPED earlier-batch doc
+    also flags 'index' (its original was accepted further back —
+    first-accepted-wins chains through the index, not through dropped
+    docs), intra-batch copies flag 'batch' for the larger id, and a
+    near-dup BELOW the threshold passes as novel (exact semantics —
+    an LSH band index could false-positive here)."""
+    from quackml_spark.operators.dedup import setsim_index_build
+    from quackml_spark.streaming.events import streaming_setsim_dedup
+
+    base = " ".join(f"w{i}" for i in range(12))          # 10 shingles
+    far = " ".join(f"w{i}" for i in range(6, 18))        # J=4/16=0.25 vs base
+    other = " ".join(f"v{i}" for i in range(12))
+    # batch file 0: 10 (base, novel), 11 (base copy -> 'batch')
+    # batch file 1: 20 (base copy -> 'index' via 10), 21 (far -> novel)
+    # batch file 2: 30 (base copy -> 'index'), 31 (other, novel)
+    batches = {
+        0: [(10, base), (11, base)],
+        1: [(20, base), (21, far)],
+        2: [(30, base), (31, other)],
+    }
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for b, rows in batches.items():
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(in_dir / f"b{b}"))
+    idx = str(tmp_path / "idx")
+    setsim_index_build(
+        spark.createDataFrame([(1, "seed doc " + " ".join("s%d" % i for i in range(10)))],
+                              "doc_id long, text string"),
+        idx,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    sink: list = []
+    q = streaming_setsim_dedup(
+        stream, idx, sink=sink, query_name="qml_ss_multibatch"
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: (r["is_dup"], r["via"]) for r in sink}
+    assert got[10] == (False, None)
+    assert got[11] == (True, "batch")
+    assert got[21] == (False, None)  # J=0.25 < 0.5: exactness passes it
+    assert got[31] == (False, None)
+    # later copies of the accepted base doc hit the GROWN index
+    assert got[20] == (True, "index")
+    assert got[30] == (True, "index")
+    # batches arrived separately (files drained one per trigger)
+    assert len({r["batch_id"] for r in sink}) == 3
