@@ -7,12 +7,11 @@ fallback backends are deterministic, but not ANSI-SQL-expressible).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quackml_spark.plans import register
+from quackml_spark.tmpdirs import ephemeral_dir
 from quackml_spark.sources import load_table
 
 
@@ -218,7 +217,7 @@ def llm_finetune_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.catalog import Catalog
     from quackml_spark.ml.finetune import finetune, predict_text
 
-    catalog = Catalog(warehouse=tempfile.mkdtemp(prefix="qml_ft_"))
+    catalog = Catalog(warehouse=ephemeral_dir("qml_ft_"))
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("text"), F.col("lang").alias("class")
     )
@@ -248,7 +247,7 @@ def llm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.catalog import Catalog
     from quackml_spark.functions import generate
 
-    catalog = Catalog(warehouse=tempfile.mkdtemp(prefix="qml_gen_"))
+    catalog = Catalog(warehouse=ephemeral_dir("qml_gen_"))
     catalog.insert("projects", {"name": "gen", "task": "text_generation"})
     docs = (
         load_table(spark, sf_dir, "documents")

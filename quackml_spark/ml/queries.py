@@ -11,12 +11,12 @@ from __future__ import annotations
 
 import atexit
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quackml_spark.plans import register
+from quackml_spark.tmpdirs import ephemeral_dir
 from quackml_spark.sources import load_table
 
 # Throwaway warehouses are reaped at interpreter exit so repeated
@@ -33,7 +33,7 @@ def _cleanup_warehouses() -> None:
 def _fresh_catalog():
     from quackml_spark.catalog import Catalog
 
-    wh = tempfile.mkdtemp(prefix="qml_wh_")
+    wh = ephemeral_dir("qml_wh_")
     _WAREHOUSES.append(wh)
     return Catalog(warehouse=wh)
 

@@ -1605,7 +1605,15 @@ def setsim_index_check(
         cand.join(qv, "new_doc_id")
         .join(it, ["index_doc_id", "tok"])
         .groupBy("new_doc_id", "index_doc_id", "nq", "ni")
-        .agg(F.count(F.lit(1)).alias("c"))
+        # count DISTINCT, not rows: a crash-replayed append can leave an
+        # indexed doc's (doc, tok) rows duplicated for every LATER batch
+        # (the exclusion only scopes the CURRENT attempt), and a plain
+        # COUNT(*) would double c — inflating a true J=0.33 past the
+        # 0.5 threshold and emitting jaccard > 1.0 (review catch). The
+        # dedup stays candidate-bounded (per-pair groups), never a
+        # corpus-wide distinct; every other consumer of the index rows
+        # is duplicate-insensitive (min/min_by/presence).
+        .agg(F.countDistinct("tok").alias("c"))
     )
     jac = F.col("c").cast("decimal(18,6)") / (
         F.col("nq") + F.col("ni") - F.col("c")
@@ -1709,12 +1717,35 @@ ORDER BY new_doc_id, index_doc_id
     tags=("dedup",),
 )
 def dedup_setsim_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from quackml_spark.tmpdirs import ephemeral_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    path = tempfile.mkdtemp(prefix="qml_setsim_idx_") + "/idx"
+    path = ephemeral_dir("qml_setsim_idx_") + "/idx"
     setsim_index_build(docs.where("doc_id % 2 = 0"), path)
     return setsim_index_check(docs.where("doc_id % 2 = 1"), path)
+
+
+# heuristic quality-score CTEs (q -> qs), the ONE DuckDB twin of
+# text.score_quality — shared by dedup_keep_best's graded oracle and
+# the composed ppjoin_best replays (a second inlined copy could
+# silently drift; review catch)
+_QS_CTES = r"""q AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    regexp_extract_all(lower(text), '\S+') AS toks
+  FROM documents
+),
+qs AS (
+  SELECT doc_id,
+    CAST(ROUND(
+      CAST(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
+           AS DECIMAL(18,6)) * 0.4
+      + CAST(length(list_filter(toks, x -> list_contains({STOP}, x)))
+             AS DECIMAL(18,6)) / greatest(length(toks), 1) * 0.3
+      + CAST(length(list_distinct(toks)) AS DECIMAL(18,6))
+        / greatest(length(toks), 1) * 0.3, 6) AS DOUBLE) AS quality_score
+  FROM q
+)"""
 
 
 # ---------------------------------------------------------------------------
@@ -1829,23 +1860,7 @@ reach(node, label) AS (
 comp AS (
   SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
 ),
-q AS (
-  SELECT doc_id,
-    length(text) AS n_chars,
-    regexp_extract_all(lower(text), '\S+') AS toks
-  FROM documents
-),
-qs AS (
-  SELECT doc_id,
-    CAST(ROUND(
-      CAST(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
-           AS DECIMAL(18,6)) * 0.4
-      + CAST(length(list_filter(toks, x -> list_contains({{STOP}}, x)))
-             AS DECIMAL(18,6)) / greatest(length(toks), 1) * 0.3
-      + CAST(length(list_distinct(toks)) AS DECIMAL(18,6))
-        / greatest(length(toks), 1) * 0.3, 6) AS DOUBLE) AS quality_score
-  FROM q
-)
+{{QS}}
 SELECT component, doc_id, quality_score,
        ROW_NUMBER() OVER (PARTITION BY component
                           ORDER BY quality_score DESC, doc_id) = 1
@@ -1853,8 +1868,8 @@ SELECT component, doc_id, quality_score,
 FROM comp JOIN qs USING (doc_id)
 ORDER BY component, doc_id
 """.replace("{EDGES}", _SQL_MINHASH_EDGES).replace(
-        "{STOP}", repr(list(STOPWORDS))
-    ),
+        "{QS}", _QS_CTES
+    ).replace("{STOP}", repr(list(STOPWORDS))),
     tags=("dedup", "textops", "llm", "bench"),
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1929,27 +1944,6 @@ def ppjoin_keep_best(
         F.col(score_col),
         (F.row_number().over(w) == 1).alias("is_keeper"),
     )
-
-
-# heuristic quality-score CTEs (q -> qs), the DuckDB twin of
-# text.score_quality — same fragment dedup_keep_best's oracle inlines
-_QS_CTES = r"""q AS (
-  SELECT doc_id,
-    length(text) AS n_chars,
-    regexp_extract_all(lower(text), '\S+') AS toks
-  FROM documents
-),
-qs AS (
-  SELECT doc_id,
-    CAST(ROUND(
-      CAST(CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1 ELSE 0 END
-           AS DECIMAL(18,6)) * 0.4
-      + CAST(length(list_filter(toks, x -> list_contains({STOP}, x)))
-             AS DECIMAL(18,6)) / greatest(length(toks), 1) * 0.3
-      + CAST(length(list_distinct(toks)) AS DECIMAL(18,6))
-        / greatest(length(toks), 1) * 0.3, 6) AS DOUBLE) AS quality_score
-  FROM q
-)"""
 
 
 def _ppjoin_lpa_best_oracle(

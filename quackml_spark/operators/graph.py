@@ -62,17 +62,46 @@ def _lineage_truncator(spark: SparkSession, checkpoint_dir: str | None):
     the job, which local mode can't hit at all).
 
     With a ``checkpoint_dir`` (an HDFS/object-store path on a real
-    cluster): ``setCheckpointDir`` + reliable ``checkpoint()`` — each
-    truncation persists to fault-tolerant storage, so a 100-iteration
-    job on a lossy cluster survives executor loss at the cost of one
-    write+read per truncation. Results are pinned identical in both
-    modes (the arithmetic is integer-exact and partition-independent;
-    only the recovery story changes).
+    cluster): each truncation SNAPSHOTS to parquet under a per-call
+    subdir and deletes the now-superseded previous snapshot — the
+    connected_components reliable-path discipline, NOT bare
+    ``df.checkpoint()``: Spark never cleans checkpoints up unless
+    spark.cleaner.referenceTracking.cleanCheckpoints is flipped on, so
+    the 100-iteration lossy-cluster run this mode exists for would
+    leak |nodes| x rounds of disk per call (review catch). Only the
+    FINAL snapshot outlives the call (the returned frame reads from
+    it). No ``setCheckpointDir`` either — that is session-global and
+    would silently flip every later connected_components call in the
+    session to reliable mode (review catch). Results are pinned
+    identical in both modes (the arithmetic is integer-exact and
+    partition-independent; only the recovery story changes).
     """
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint(eager=True)
-    spark.sparkContext.setCheckpointDir(checkpoint_dir)
-    return lambda df: df.checkpoint(eager=True)
+        return lambda df, pin=False: df.localCheckpoint(eager=True)
+    import uuid
+
+    from quackml_spark.operators.dedup import _fs_delete
+
+    run_dir = f"{checkpoint_dir}/qml_graph_{uuid.uuid4().hex}"
+    written: list[str] = []
+
+    state = {"n": 0, "prev": None}
+
+    def _trunc(df: DataFrame, pin: bool = False) -> DataFrame:
+        path = f"{run_dir}/snap_{state['n']}"
+        state["n"] += 1
+        df.write.mode("error").parquet(path)
+        if not pin:
+            # the round frames feed ONLY the next round, so the
+            # previous unpinned snapshot is fully superseded the moment
+            # this one is materialized; PINNED snapshots (LPA's `und`,
+            # which every round re-joins) live until the call ends
+            if state["prev"] is not None:
+                _fs_delete(spark, state["prev"])
+            state["prev"] = path
+        return spark.read.parquet(path)
+
+    return _trunc
 
 
 def pagerank(
@@ -1079,7 +1108,7 @@ def label_propagation(
         )
         .distinct()
     )
-    und = _trunc(und)
+    und = _trunc(und, pin=True)
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()

@@ -79,7 +79,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming",),
 )
 def streaming_predict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from quackml_spark.tmpdirs import ephemeral_dir
 
     from pyspark.sql import functions as F
 
@@ -92,7 +92,7 @@ def streaming_predict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_predict,
     )
 
-    catalog = Catalog(warehouse=tempfile.mkdtemp(prefix="qml_wh_"))
+    catalog = Catalog(warehouse=ephemeral_dir("qml_wh_"))
     batch = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("double").alias("f_user"),
         F.hour("ts").cast("double").alias("f_hour"),
@@ -252,13 +252,13 @@ def streaming_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "dedup"),
 )
 def streaming_index_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from quackml_spark.tmpdirs import ephemeral_dir
 
     from quackml_spark.sources import load_table
     from quackml_spark.streaming.events import streaming_index_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    index_path = tempfile.mkdtemp(prefix="qml_stream_idx_")
+    index_path = ephemeral_dir("qml_stream_idx_")
     from quackml_spark.operators.dedup import dedup_index_build
 
     dedup_index_build(docs.where("doc_id < 250"), index_path)
@@ -327,14 +327,14 @@ _install_index_dedup_oracle()
     tags=("streaming", "dedup"),
 )
 def streaming_setsim_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from quackml_spark.tmpdirs import ephemeral_dir
 
     from quackml_spark.operators.dedup import setsim_index_build
     from quackml_spark.sources import load_table
     from quackml_spark.streaming.events import streaming_setsim_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    index_path = tempfile.mkdtemp(prefix="qml_stream_ssidx_")
+    index_path = ephemeral_dir("qml_stream_ssidx_")
     setsim_index_build(
         docs.where("doc_id < 250").select("doc_id", "text"), index_path
     )
@@ -412,7 +412,7 @@ _install_setsim_dedup_oracle()
     tags=("streaming", "textops", "pipeline"),
 )
 def streaming_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from quackml_spark.tmpdirs import ephemeral_dir
 
     from quackml_spark.operators.text import _decon_grams, clean_text_expr
     from quackml_spark.sources import load_table
@@ -424,7 +424,7 @@ def streaming_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", clean_text_expr("text").alias("text")
         )
     )
-    state_path = tempfile.mkdtemp(prefix="qml_stream_curate_")
+    state_path = ephemeral_dir("qml_stream_curate_")
     sink: list = []
     q = streaming_curate(
         stream_parquet_table(
@@ -528,7 +528,7 @@ _install_streaming_curate_oracle()
     tags=("streaming", "similarity"),
 )
 def streaming_ann_ingest_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from quackml_spark.tmpdirs import ephemeral_dir
 
     from quackml_spark.operators.ivfpq import (
         ivfpq_index_build,
@@ -538,7 +538,7 @@ def streaming_ann_ingest_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.streaming.events import streaming_ann_ingest
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    index_path = tempfile.mkdtemp(prefix="qml_ann_ingest_") + "/idx"
+    index_path = ephemeral_dir("qml_ann_ingest_") + "/idx"
     ivfpq_index_build(
         emb.where(F.col("vec_id") < 100), index_path,
         n_lists=8, m=8, k_codes=16, quantizer="medoid",
@@ -670,7 +670,7 @@ ORDER BY vol.source
 def streaming_corpus_profile_docs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import tempfile
+    from quackml_spark.tmpdirs import ephemeral_dir
 
     from quackml_spark.sources import load_table
     from quackml_spark.streaming.events import (
@@ -682,7 +682,7 @@ def streaming_corpus_profile_docs(
     stream = stream_parquet_table(
         spark, sf_dir, "documents.parquet", batch_schema
     )
-    state = tempfile.mkdtemp(prefix="qml_stream_profile_")
+    state = ephemeral_dir("qml_stream_profile_")
     q = streaming_corpus_profile(
         stream, state,
         query_name=f"qml_stream_profile_{abs(hash(sf_dir)) % 99999}",
@@ -725,11 +725,11 @@ ORDER BY doc_id
     tags=("streaming", "textops", "sampling"),
 )
 def streaming_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from quackml_spark.tmpdirs import ephemeral_dir
 
     from quackml_spark.streaming.events import streaming_pack
 
-    state_path = tempfile.mkdtemp(prefix="qml_stream_pack_")
+    state_path = ephemeral_dir("qml_stream_pack_")
     q = streaming_pack(
         stream_parquet_table(
             spark, sf_dir, "documents.parquet", "doc_id long, text string"
@@ -764,7 +764,7 @@ def streaming_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "textops", "pipeline", "sampling"),
 )
 def streaming_curate_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from quackml_spark.tmpdirs import ephemeral_dir
 
     from quackml_spark.operators.text import _decon_grams, clean_text_expr
     from quackml_spark.sources import load_table
@@ -776,7 +776,7 @@ def streaming_curate_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", clean_text_expr("text").alias("text")
         )
     )
-    state_path = tempfile.mkdtemp(prefix="qml_stream_cpack_")
+    state_path = ephemeral_dir("qml_stream_cpack_")
     q = streaming_curate(
         stream_parquet_table(
             spark, sf_dir, "documents.parquet", "doc_id long, text string"

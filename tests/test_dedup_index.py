@@ -397,6 +397,45 @@ def test_setsim_append_equals_rebuild_with_unseen_tokens(spark, sf_dir, tmp_path
     assert all(b % 2 == 0 or b >= 7000 for _a, b, _j in r_inc)
 
 
+def test_setsim_check_replay_duplicates_harmless(spark, sf_dir, tmp_path):
+    """A crash-replayed append (same batch_id + run_key written twice)
+    duplicates an indexed doc's rows for every LATER consumer — the
+    verify count must stay duplicate-insensitive: check results are
+    byte-identical to the single-append index, with no inflated
+    jaccard (a doubled COUNT(*) pushed sub-threshold pairs over 0.5
+    and emitted jaccard > 1.0 before the countDistinct fix)."""
+    from quackml_spark.operators.dedup import (
+        setsim_index_append,
+        setsim_index_build,
+        setsim_index_check,
+    )
+
+    even, odd = _setsim_docs(spark, sf_dir)
+    clean = str(tmp_path / "clean") + "/idx"
+    setsim_index_build(even.where("doc_id < 500"), clean)
+    setsim_index_append(
+        even.where("doc_id >= 500"), clean, batch_id=3, run_key="runA"
+    )
+    dup = str(tmp_path / "dup") + "/idx"
+    setsim_index_build(even.where("doc_id < 500"), dup)
+    for _ in range(2):  # the replayed attempt writes twice
+        setsim_index_append(
+            even.where("doc_id >= 500"), dup, batch_id=3, run_key="runA"
+        )
+    r_clean = sorted(map(tuple, setsim_index_check(odd, clean).collect()))
+    r_dup = sorted(map(tuple, setsim_index_check(odd, dup).collect()))
+    assert r_clean == r_dup
+    assert all(j <= 1.0 for _a, _b, j in r_dup)
+    # the current attempt itself still excludes its own rows
+    own = setsim_index_check(
+        even.where("doc_id >= 500"),
+        dup,
+        exclude_batch=3,
+        exclude_run="runA",
+    )
+    assert all(r["index_doc_id"] < 500 for r in own.collect())
+
+
 def test_setsim_check_threshold_contract(spark, sf_dir, tmp_path):
     """Probing below the built threshold raises (stored prefixes too
     short); probing at a HIGHER threshold works and returns the

@@ -636,7 +636,15 @@ def test_iterative_graph_reliable_checkpoint_mode_equal(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt_pr")).collect()}
     assert local == reliable
     import os
-    assert os.listdir(tmp_path / "ckpt_pr")  # the reliable path was used
+
+    def _snaps(base):
+        (run_dir,) = os.listdir(base)  # one per-call subdir
+        return sorted(os.listdir(os.path.join(str(base), run_dir)))
+
+    # superseded rounds are DELETED as the loop advances (the
+    # connected_components discipline — bare df.checkpoint leaks every
+    # round until session end): only the FINAL ranks snapshot remains
+    assert len(_snaps(tmp_path / "ckpt_pr")) == 1
 
     pairs = spark.createDataFrame(
         [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
@@ -647,6 +655,8 @@ def test_iterative_graph_reliable_checkpoint_mode_equal(spark, tmp_path):
     l_rel = {(r["node"], r["label"]) for r in label_propagation(
         pairs, checkpoint_dir=str(tmp_path / "ckpt_lpa")).collect()}
     assert l_local == l_rel
+    # the pinned edge snapshot (every round re-joins it) + final labels
+    assert len(_snaps(tmp_path / "ckpt_lpa")) == 2
 
 
 def test_lpa_splits_bridged_cliques_where_cc_merges(spark):
