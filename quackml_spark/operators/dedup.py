@@ -1410,6 +1410,17 @@ def dedup_index_compact(
 _SETSIM_INF_DF = 1 << 62
 
 
+def _setsim_gsig(toks: DataFrame) -> DataFrame:
+    """(doc_id, gsig): the exact-collapse token-set signature — md5
+    over the SORTED per-token md5s, the same expression (and the same
+    collision note) as set_similarity_join's collapse."""
+    return toks.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws("", F.sort_array(F.collect_list(F.md5("tok"))))
+        ).alias("gsig")
+    )
+
+
 def _setsim_prefix(ranked: DataFrame, t: int) -> DataFrame:
     """Keep each doc's prefix under threshold ``t`` ppm: the first
     n - ceil(t*n/M) + 1 tokens of the (df asc, tok asc) order."""
@@ -1429,20 +1440,33 @@ def setsim_index_build(
 ) -> None:
     """Persist the exact-Jaccard probe index at ``path``:
 
-      freq/     (tok, df)            the FROZEN global token order
-      prefix/   (doc_id, tok, pos, n, batch_id)   prefix rows only
-      toks/     (doc_id, tok, batch_id)           full sets (verification)
-      sizes/    (doc_id, n, batch_id)
+      freq/     (tok, df)          the FROZEN global token order
+      prefix/   (doc_id, tok, pos, n, batch_id, run_key)  REP prefixes
+      toks/     (doc_id, tok, batch_id, run_key)          REP full sets
+      sizes/    (doc_id, n, batch_id, run_key)            REP set sizes
+      reps/     (gsig, doc_id, batch_id, run_key)  one rep per distinct
+                                                   token-set signature
+      members/  (gsig, doc_id, batch_id, run_key)  EVERY indexed doc
       manifest  threshold_ppm, shingle_width, order contract, n_docs
 
-    The rare-first order is computed ONCE here and frozen — appended
-    batches rank under it (unseen tokens last). Correctness does not
-    depend on the order being fresh: the prefix/positional filters are
-    lossless under ANY total order shared by both join sides (the same
-    reason set_similarity_join is exact), so a stale df only shifts
-    WHERE the pruning happens, never what survives. The stored prefix
-    is sized for ``threshold_ppm``; checks may probe at any t >= the
-    built t (their prefixes are subsets of the stored ones).
+    The token tables hold ONE REPRESENTATIVE per distinct token set
+    (the engine-wide exact-collapse discipline, set_similarity_join's
+    md5 set signature): probes run rep-vs-rep and expand losslessly
+    through members/ — J(d, d') = J(rep, rep') when token sets are
+    equal. Without the collapse, a K-way-replicated corpus pays K^2 in
+    the candidate and verify joins (the uncollapsed first cut of this
+    index ran 95 s at the 10x-dup sf1.0 corpus and DIED at the 100x
+    sf10 — live catch); with it, probe work is replication-invariant
+    and only the final pair expansion is output-sized.
+
+    The rare-first order is computed ONCE here (over rep sets) and
+    frozen — appended batches rank under it (unseen tokens last).
+    Correctness does not depend on the order being fresh: the
+    prefix/positional filters are lossless under ANY total order shared
+    by both join sides, so a stale df only shifts WHERE the pruning
+    happens, never what survives. The stored prefix is sized for
+    ``threshold_ppm``; checks may probe at any t >= the built t (their
+    prefixes are subsets of the stored ones).
     """
     spark = docs.sparkSession
     toks = (
@@ -1450,11 +1474,16 @@ def setsim_index_build(
         .select("doc_id", F.col("shingle").alias("tok"))
         .localCheckpoint(eager=True)
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    gs = _setsim_gsig(toks).localCheckpoint(eager=True)
+    groups = gs.groupBy("gsig").agg(F.min("doc_id").alias("rep"))
+    rep_toks = toks.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id"
+    ).localCheckpoint(eager=True)
+    freq = rep_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = rep_toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     ranked = (
-        toks.join(freq, "tok")
+        rep_toks.join(freq, "tok")
         .join(sizes, "doc_id")
         .withColumn("pos", F.row_number().over(w))
     )
@@ -1464,11 +1493,17 @@ def setsim_index_build(
     _setsim_prefix(ranked, int(threshold_ppm)).select(
         "doc_id", "tok", "pos", "n", bid, rk
     ).write.mode("overwrite").parquet(f"{path}/prefix")
-    toks.select("doc_id", "tok", bid, rk).write.mode("overwrite").parquet(
-        f"{path}/toks"
-    )
+    rep_toks.select("doc_id", "tok", bid, rk).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/toks")
     sizes.select("doc_id", "n", bid, rk).write.mode("overwrite").parquet(
         f"{path}/sizes"
+    )
+    groups.select(
+        "gsig", F.col("rep").alias("doc_id"), bid, rk
+    ).write.mode("overwrite").parquet(f"{path}/reps")
+    gs.select("gsig", "doc_id", bid, rk).write.mode("overwrite").parquet(
+        f"{path}/members"
     )
     from quackml_spark.operators._manifest import clear_manifest_cas
 
@@ -1523,12 +1558,16 @@ def setsim_index_check(
     """EXACT Jaccard >= t pairs between ``new_docs`` and the persisted
     index: (new_doc_id, index_doc_id, jaccard). Lossless — returns
     exactly what a brute-force bipartite Jaccard join would (the
-    pytest-pinned property), but the join touches PREFIX tokens only
-    on both sides, with the length and positional filters pruning
-    before the verification join reads full token sets. Only the new
-    batch is shingled; the corpus side is three parquet scans
-    (prefix, toks, sizes). New-batch docs are NOT paired with each
-    other (same contract as dedup_index_check).
+    pytest-pinned property), but BOTH sides are exact-collapsed first:
+    the probe runs rep-vs-rep (query batch collapsed locally by token-
+    set signature, index side already stored at rep grain) through the
+    prefix/length/positional filters + exact verification, then
+    expands losslessly via the query groups and the members/ table —
+    J(d, d') = J(rep, rep') when token sets are equal. Probe work is
+    therefore replication-invariant; only the final expansion is
+    output-sized. Only the new batch is shingled; the corpus side is
+    parquet scans. New-batch docs are NOT paired with each other (same
+    contract as dedup_index_check).
 
     Filter validity under the frozen order: common tokens are by
     definition indexed, and the extended order (frozen df, unseen
@@ -1549,11 +1588,21 @@ def setsim_index_check(
     m = 1_000_000
     freq = spark.read.parquet(f"{path}/freq")
     qt = (
-        shingles
-        if shingles is not None
-        else word_shingles(new_docs, id_col, text_col, distinct=True)
-    ).select("doc_id", F.col("shingle").alias("tok"))
-    ranked_q = _setsim_rank_toks(qt, freq)
+        (
+            shingles
+            if shingles is not None
+            else word_shingles(new_docs, id_col, text_col, distinct=True)
+        )
+        .select("doc_id", F.col("shingle").alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    # exact-collapse the query batch: one rep per distinct token set
+    qgs = _setsim_gsig(qt).localCheckpoint(eager=True)
+    qgroups = qgs.groupBy("gsig").agg(F.min("doc_id").alias("qrep"))
+    qrep_toks = qt.join(
+        qgroups.select(F.col("qrep").alias("doc_id")), "doc_id"
+    )
+    ranked_q = _setsim_rank_toks(qrep_toks, freq)
     qprefix = _setsim_prefix(ranked_q, t).select(
         F.col("doc_id").alias("new_doc_id"),
         "tok",
@@ -1593,7 +1642,7 @@ def setsim_index_check(
         )
         >= alpha
     ).select("new_doc_id", "index_doc_id", "nq", "ni")
-    qv = qt.select(F.col("doc_id").alias("new_doc_id"), "tok")
+    qv = qrep_toks.select(F.col("doc_id").alias("new_doc_id"), "tok")
     it = _setsim_exclusion(
         spark.read.schema(
             "doc_id bigint, tok string, batch_id bigint, run_key string"
@@ -1618,16 +1667,51 @@ def setsim_index_check(
     jac = F.col("c").cast("decimal(18,6)") / (
         F.col("nq") + F.col("ni") - F.col("c")
     )
+    rep_pairs = common.where(
+        F.col("c") * F.lit(m)
+        >= F.lit(t) * (F.col("nq") + F.col("ni") - F.col("c"))
+    ).select(
+        F.col("new_doc_id").alias("qrep"),
+        F.col("index_doc_id").alias("irep"),
+        F.round(jac, 6).cast("double").alias("jaccard"),
+    )
+    # lossless expansion: rep pair -> (every query member of qrep's
+    # signature) x (every index member of irep's signature). distinct()
+    # sites are CANDIDATE-bounded and exist because a crash-replayed
+    # append can duplicate reps/members rows (the countDistinct lesson)
+    ireps = _setsim_exclusion(
+        spark.read.schema(
+            "gsig string, doc_id bigint, batch_id bigint, run_key string"
+        ).parquet(f"{path}/reps"),
+        exclude_batch,
+        exclude_run,
+    ).select("gsig", F.col("doc_id").alias("irep"))
+    rp = (
+        rep_pairs.join(ireps, "irep")
+        .select("qrep", "irep", "jaccard", F.col("gsig").alias("isig"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    msig = rp.select(F.col("isig").alias("gsig")).distinct()
+    imem = (
+        _setsim_exclusion(
+            spark.read.schema(
+                "gsig string, doc_id bigint, batch_id bigint, run_key string"
+            ).parquet(f"{path}/members"),
+            exclude_batch,
+            exclude_run,
+        )
+        .join(msig, "gsig")
+        .select(F.col("gsig").alias("isig"), F.col("doc_id").alias("index_doc_id"))
+        .distinct()
+    )
+    qmap = qgs.join(qgroups, "gsig").select(
+        F.col("doc_id").alias("new_doc_id"), "qrep"
+    )
     return (
-        common.where(
-            F.col("c") * F.lit(m)
-            >= F.lit(t) * (F.col("nq") + F.col("ni") - F.col("c"))
-        )
-        .select(
-            "new_doc_id",
-            "index_doc_id",
-            F.round(jac, 6).cast("double").alias("jaccard"),
-        )
+        rp.join(qmap, "qrep")
+        .join(imem, "isig")
+        .select("new_doc_id", "index_doc_id", "jaccard")
         .orderBy("new_doc_id", "index_doc_id")
     )
 
@@ -1642,14 +1726,24 @@ def setsim_index_append(
     run_key: str = "",
 ) -> None:
     """Append a batch under the FROZEN build-time order (the IVF
-    frozen-quantizer discipline): new docs' tokens rank by the stored
-    df with unseen tokens last, their prefix/toks/sizes rows append,
-    and freq/ is NOT touched — rewriting it would re-rank EXISTING
-    docs' prefixes and the stored rows would no longer be prefixes
-    under the new order (silently lossy). Exactness is
-    order-independent, so check-after-append returns byte-identical
-    pairs to a from-scratch rebuild (pytest-pinned). Manifest n_docs
-    advances through the CAS chain (multi-writer safe)."""
+    frozen-quantizer discipline): the batch exact-collapses by token-set
+    signature, ALL batch docs append membership rows, and only docs
+    whose signature the index has NEVER seen append rep token rows —
+    ranked by the stored df with unseen tokens last. freq/ is NOT
+    touched (rewriting it would re-rank EXISTING reps' prefixes and the
+    stored rows would no longer be prefixes under the new order —
+    silently lossy). Exactness is order-independent, so
+    check-after-append returns byte-identical pairs to a from-scratch
+    rebuild (pytest-pinned). Manifest n_docs advances through the CAS
+    chain (multi-writer safe).
+
+    Replay note: the existing-signature lookup EXCLUDES rows this
+    (run_key, batch_id) attempt itself wrote — a crashed attempt may
+    have committed members/ but not prefix/, and trusting its partial
+    rows would permanently skip the rep token rows for those
+    signatures. The replay therefore re-writes everything; the
+    duplicates it can leave are exactly what the check side's
+    candidate-bounded distincts absorb."""
     spark = docs.sparkSession
     from quackml_spark.operators._manifest import cas_update, read_manifest
 
@@ -1657,13 +1751,32 @@ def setsim_index_append(
     t = int(mf["threshold_ppm"])
     freq = spark.read.parquet(f"{path}/freq")
     qt = (
-        shingles
-        if shingles is not None
-        else word_shingles(docs, id_col, text_col, distinct=True)
-    ).select("doc_id", F.col("shingle").alias("tok"))
-    ranked = _setsim_rank_toks(qt, freq)
+        (
+            shingles
+            if shingles is not None
+            else word_shingles(docs, id_col, text_col, distinct=True)
+        )
+        .select("doc_id", F.col("shingle").alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    gs = _setsim_gsig(qt).localCheckpoint(eager=True)
+    groups = gs.groupBy("gsig").agg(F.min("doc_id").alias("rep"))
+    known = _setsim_exclusion(
+        spark.read.schema(
+            "gsig string, doc_id bigint, batch_id bigint, run_key string"
+        ).parquet(f"{path}/reps"),
+        int(batch_id),
+        run_key,
+    ).select("gsig")
+    new_groups = groups.join(known, "gsig", "left_anti").localCheckpoint(
+        eager=True
+    )
     bid = F.lit(int(batch_id)).cast("bigint").alias("batch_id")
     rk = F.lit(run_key).alias("run_key")
+    rep_toks = qt.join(
+        new_groups.select(F.col("rep").alias("doc_id")), "doc_id"
+    )
+    ranked = _setsim_rank_toks(rep_toks, freq)
     _setsim_prefix(ranked, t).select(
         "doc_id", "tok", "pos", "n", bid, rk
     ).write.mode("append").parquet(f"{path}/prefix")
@@ -1673,6 +1786,12 @@ def setsim_index_append(
     ranked.select("doc_id", "n", bid, rk).distinct().write.mode(
         "append"
     ).parquet(f"{path}/sizes")
+    new_groups.select(
+        "gsig", F.col("rep").alias("doc_id"), bid, rk
+    ).write.mode("append").parquet(f"{path}/reps")
+    gs.select("gsig", "doc_id", bid, rk).write.mode("append").parquet(
+        f"{path}/members"
+    )
     n_new = int(docs.count())
 
     def _bump(fields: dict) -> dict:
@@ -1723,6 +1842,36 @@ def dedup_setsim_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ephemeral_dir("qml_setsim_idx_") + "/idx"
     setsim_index_build(docs.where("doc_id % 2 = 0"), path)
     return setsim_index_check(docs.where("doc_id % 2 = 1"), path)
+
+
+def setsim_index_compact(
+    spark: SparkSession, path: str, target_file_mb: int = 512
+) -> dict:
+    """Compact the exact set-similarity index's append debt: every
+    streaming_setsim_dedup batch (and every setsim_index_append) adds
+    one file to prefix/, toks/ and sizes/; after N batches each probe
+    pays N file opens per table. Delegates to the shared crash-safe
+    compactor (two-rename swap, rollback of a prior crashed swap),
+    range-laying prefix/toks by the probe key ``tok`` and sizes by
+    doc_id. Row content untouched — replay duplicates are PRESERVED
+    (the check is duplicate-insensitive by construction; removing them
+    is a semantic decision for the caller). freq/ is written once at
+    build and never appended, so it needs no compaction. Returns
+    per-table before/after file/byte stats."""
+    from quackml_spark.sources.files import compact_partitioned_dir
+
+    return {
+        sub: compact_partitioned_dir(
+            spark, f"{path}/{sub}", None, rcols, target_file_mb
+        )
+        for sub, rcols in (
+            ("prefix", ["tok"]),
+            ("toks", ["tok"]),
+            ("sizes", ["doc_id"]),
+            ("reps", ["gsig"]),
+            ("members", ["gsig"]),
+        )
+    }
 
 
 # heuristic quality-score CTEs (q -> qs), the ONE DuckDB twin of

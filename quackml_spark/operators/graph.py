@@ -789,7 +789,10 @@ FROM percomp CROSS JOIN crossagg CROSS JOIN t3agg
     "this form's graph work is K-invariant beyond the md5 collapse "
     "groupBy — the 100 TB shape for dup-graph analytics.",
     oracle=_triangle_blowup_oracle(),
-    tags=("graph", "dedup"),
+    # bench-tagged as the graph family's dup-graph probe: q38 (raw)
+    # deliberately is NOT — an uncollapsed K^2 wedge join is the
+    # family's most expensive semantics; its record lives in SCALE §32
+    tags=("graph", "dedup", "bench"),
 )
 def q41_triangle_blowup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -320,7 +320,7 @@ def replace_dir(write_fn, target: str) -> None:
 def compact_partitioned_dir(
     spark: SparkSession,
     data_dir: str,
-    partition_col: str,
+    partition_col: str | None,
     range_cols: list[str],
     target_file_mb: int = 512,
 ) -> dict:
@@ -357,14 +357,17 @@ def compact_partitioned_dir(
     # schema from ONE file would silently drop the newer columns from
     # every row in the rewrite, destroying the replay-scoping state
     # the appends recorded (advisor-catch class)
-    (
+    w = (
         spark.read.option("mergeSchema", "true").parquet(data_dir)
         .repartitionByRange(n_out, *range_cols)
         .sortWithinPartitions(*range_cols)
         .write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(tmp)
     )
+    # partition_col=None: a FLAT parquet dir (the setsim index tables) —
+    # same range layout and swap discipline, no hive partitioning
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.parquet(tmp)
     os.rename(data_dir, old)
     os.rename(tmp, data_dir)
     shutil.rmtree(old)

@@ -461,3 +461,38 @@ def test_setsim_check_threshold_contract(spark, sf_dir, tmp_path):
     assert set(high) == {k for k, j in base.items() if j * 1e6 >= 800_000 - 1}
     for k, j in high.items():
         assert j == base[k]
+
+
+def test_setsim_index_compact_preserves_results(spark, sf_dir, tmp_path):
+    """Three appends leave multi-file debt in prefix/toks/sizes; the
+    compactor collapses it (shared two-rename swap, flat-dir mode) and
+    check results are byte-identical before/after."""
+    import os
+
+    from quackml_spark.operators.dedup import (
+        setsim_index_append,
+        setsim_index_build,
+        setsim_index_check,
+        setsim_index_compact,
+    )
+
+    even, odd = _setsim_docs(spark, sf_dir)
+    path = str(tmp_path / "cmp") + "/idx"
+    setsim_index_build(even.where("doc_id < 300"), path)
+    for b, lo, hi in ((1, 300, 600), (2, 600, 900), (3, 900, 10_000)):
+        setsim_index_append(
+            even.where(f"doc_id >= {lo} AND doc_id < {hi}"), path, batch_id=b
+        )
+
+    def _nfiles(sub):
+        return sum(
+            1 for f in os.listdir(f"{path}/{sub}") if f.endswith(".parquet")
+        )
+
+    before = sorted(map(tuple, setsim_index_check(odd, path).collect()))
+    nf_before = _nfiles("prefix")
+    assert nf_before >= 4  # build + 3 appends
+    stats = setsim_index_compact(spark, path)
+    assert stats["prefix"]["files_after"] < nf_before
+    after = sorted(map(tuple, setsim_index_check(odd, path).collect()))
+    assert before == after
