@@ -1804,7 +1804,6 @@ def setsim_index_append(
 
 @register(
     "dedup_setsim_index",
-    extra=True,
     doc="Incremental EXACT near-dup check: the even-doc_id half of the "
     "corpus is persisted as a set-similarity index (frozen rare-first "
     "token order, prefix rows, full sets, sizes), and the odd half is "

@@ -1491,7 +1491,6 @@ ORDER BY doc_id
 
 @register(
     "pipeline_curate_ppjoin",
-    extra=True,
     doc="curate() in its EXACT near-dup arbitration mode, value-checked "
     "END-TO-END: heuristic quality (>= 0.35) -> PPJoin exact Jaccard "
     ">= 0.5 pairs over the quality survivors -> 3 synchronous LPA "

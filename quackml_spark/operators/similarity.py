@@ -287,6 +287,10 @@ def _hyperplanes(spark: SparkSession, n_planes: int, dim: int) -> DataFrame:
 
 @register(
     "embedding_cosine_dedup",
+    # extra since r12: shape-twin of dedup_semantic (LSH-band candidates ->
+    # exact cosine re-rank); demoted to free a graded slot for
+    # dedup_setsim_index. Still oracle-checked every pytest run.
+    extra=True,
     doc="Embedding near-dup pairs: cosine >= 0.99 over the embeddings "
     "table AUGMENTED with 10 planted exact duplicates (vec_id+1000000 "
     "copies of vec_id<10) — the synthetic corpus has no natural pairs "

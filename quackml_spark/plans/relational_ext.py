@@ -441,6 +441,10 @@ def q21_above_average_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q22_time_rollup",
+    # extra since r12: overlaps streaming_events_hourly's graded hourly agg
+    # shape; demoted to free a graded slot for pipeline_curate_ppjoin.
+    # Still oracle-checked every pytest run.
+    extra=True,
     doc="Hypertable-style rollup: event counts/value at (day, hour) and "
     "(day) and grand-total granularities in ONE grouping-sets pass — "
     "the shape a continuous aggregate materializes.",

@@ -42,7 +42,12 @@ def test_graded_window_fits_driver_and_covers_every_family():
     missing_oracle = sorted(set(graded) - set(graded_oracles()))
     assert not missing_oracle, f"graded but not value-checked: {missing_oracle}"
     families = {
-        "ann_", "dedup_", "embedding_", "llm_", "ml_", "multimodal_",
+        # "embedding_" dropped r12: embedding_cosine_dedup was demoted to
+        # extra (shape-twin of the still-graded dedup_semantic, which
+        # value-checks the same LSH-candidates -> exact-cosine shape) to
+        # free a graded slot for dedup_setsim_index. "pipeline_" added:
+        # curate() now has two graded modes (report + ppjoin).
+        "ann_", "dedup_", "llm_", "ml_", "multimodal_", "pipeline_",
         "q", "sketch_", "streaming_", "text_",
     }
     for fam in families:
