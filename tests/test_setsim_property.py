@@ -124,11 +124,21 @@ def _py_cdc_chunks(text: str, window: int = 16, mask: int = 64):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(text=st.text(alphabet=st.sampled_from(list("abc XY.")), max_size=300))
+@given(
+    text=st.text(
+        # includes astral-plane chars (emoji, musical symbol): Spark's
+        # ascii()/split('')/length() and Python's ord()/iteration must
+        # agree at CODEPOINT granularity for the gear lookup to match —
+        # a UTF-16-code-unit regression in any of them breaks here
+        # (advice r11: the ASCII corpus was masking this contract)
+        alphabet=st.sampled_from(list("abc XY.") + ["😀", "𝄞", "中"]),
+        max_size=300,
+    )
+)
 def test_cdc_chunks_match_python_reference(spark, text):
     """Chunk boundaries and contents replay the 1-based-substr
     definition exactly, arbitrary input — including texts shorter than
-    the window and the empty string."""
+    the window, the empty string, and non-BMP codepoints."""
     from quackml_spark.operators.dedup import cdc_chunks
 
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
@@ -142,6 +152,33 @@ def test_cdc_chunks_match_python_reference(spark, text):
         (i, hashlib.md5(c.encode()).hexdigest(), len(c))
         for i, c in enumerate(_py_cdc_chunks(text))
     ]
+    assert got == want
+
+
+def test_cdc_oracle_parity_non_bmp(spark):
+    """Engine vs DuckDB CDC replay on text containing astral-plane
+    codepoints: Spark F.ascii and DuckDB ord must agree mod 256 for
+    every char class or boundary positions silently diverge (advice
+    r11 — the registered oracle only ever sees the ASCII corpus, so
+    this pins the cross-engine codepoint contract directly)."""
+    import duckdb
+
+    from quackml_spark.operators.dedup import _CDC_ORACLE, cdc_dedup_stats
+
+    base = "the quick brown fox 😀 jumps 𝄞 over the lazy dog 中文 " * 8
+    rows = [(1, base), (2, base + " tail"), (3, "😀" * 40), (4, "short")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = cdc_dedup_stats(docs).collect()[0].asDict()
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    cols, vals = None, None
+    cur = con.execute(_CDC_ORACLE)
+    cols = [d[0] for d in cur.description]
+    vals = cur.fetchone()
+    want = dict(zip(cols, vals))
     assert got == want
 
 
