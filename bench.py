@@ -215,19 +215,37 @@ def main() -> None:
     local = os.environ.get("SPARK_GRAFT_BENCH_LOCAL")
     if local != "":
         if local is None:
-            # name by the CURRENT round: the driver writes BENCH_r{N}
-            # after running bench, so the max existing N is last
-            # round's — this run belongs to N+1
+            # name by the CURRENT round. SPARK_GRAFT_BENCH_ROUND pins it
+            # explicitly (set it on reruns around a round boundary);
+            # otherwise: the driver writes BENCH_r{N} after round N, so
+            # normally this run belongs to max(driver)+1 — but a RERUN
+            # within the current round has already written its own
+            # BENCH_local mirror past the driver series, and must
+            # overwrite that same file, not advance to a phantom round
+            # (advice r11: the driver-series-only rule mislabeled
+            # reruns).
             import glob
             import re
 
             here = os.path.dirname(os.path.abspath(__file__))
-            rounds = [
-                int(m.group(1))
-                for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-                if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-            ]
-            n = (max(rounds) if rounds else 0) + 1
+
+            def _series_max(pattern: str) -> int:
+                return max(
+                    (
+                        int(m.group(1))
+                        for p in glob.glob(os.path.join(here, pattern))
+                        if (m := re.search(r"_r(\d+)\.json$", p))
+                    ),
+                    default=0,
+                )
+
+            env_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+            if env_round:
+                n = int(env_round)
+            else:
+                driver_max = _series_max("BENCH_r*.json")
+                local_max = _series_max("BENCH_local_r*.json")
+                n = local_max if local_max > driver_max else driver_max + 1
             local = os.path.join(here, f"BENCH_local_r{n:02d}.json")
         with open(local, "w") as fh:
             fh.write(line + "\n")

@@ -51,7 +51,27 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_sessionize",
     extra=True,
     doc="Gap-based per-user session windows (session_window stateful "
-    "operator) drained with availableNow.",
+    "operator) drained with availableNow. Oracle: the classic "
+    "gaps-and-islands replay — a session break is a gap >= 10 minutes "
+    "from the previous event (session_window's end bound is exclusive, "
+    "so ts == prev + gap starts a NEW session); event timestamps are "
+    "microsecond-granular in the testdata, so Spark's us and DuckDB's "
+    "ns clocks agree exactly.",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN pts IS NULL
+                          OR ts - pts >= INTERVAL 10 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS total_events
+FROM lagged
+GROUP BY user_id
+ORDER BY user_id
+""",
     tags=("streaming",),
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +95,17 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
     doc="Deployed-model scoring over the event stream: train a regression "
     "on the batch events table, then stream-score with snapshot-replay "
-    "preprocessing + portable-parameter pandas UDF (stateless).",
+    "preprocessing + portable-parameter pandas UDF (stateless). Oracle: "
+    "every event is scored exactly once and OLS over never-null "
+    "features yields no null predictions, so both counts equal the "
+    "event count (the model VALUES are pinned separately by the graded "
+    "ml_predict_regression / ml_predict_row_replay rows — this row's "
+    "registered output is the stream-coverage contract).",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(COUNT(*) AS BIGINT) AS n_not_null
+FROM events
+""",
     tags=("streaming",),
 )
 def streaming_predict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,7 +160,41 @@ def streaming_predict_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Custom stateful operator via applyInPandasWithState: per-user "
     "EWMA recurrence whose state survives across micro-batches "
     "(cross-batch continuity is pytest-asserted against a single-pass "
-    "batch computation).",
+    "batch computation). Oracle: a recursive-CTE replay of the exact "
+    "recurrence — `0.3*v + 0.7*prev` is the same two correctly-rounded "
+    "IEEE double ops in both engines (1.0-0.3 == 0.7 exactly as a "
+    "double), applied in the same (ts, event_id) order, so the FINAL "
+    "per-user state compares bit-identical with NO rounding. The "
+    "registered output is that final state (max_by the event order "
+    "key), not a double AVG — averaging raw doubles is aggregation-"
+    "order-dependent, which the oracle discipline bans.",
+    oracle="""
+WITH RECURSIVE ordered AS MATERIALIZED (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+),
+rec AS (
+  SELECT user_id, rn, cnt,
+         CASE WHEN value IS NOT NULL AND NOT isnan(value)
+              THEN value END AS ewma
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.cnt,
+         CASE WHEN o.value IS NULL OR isnan(o.value) THEN r.ewma
+              WHEN r.ewma IS NULL THEN o.value
+              ELSE 0.3 * o.value + 0.7 * r.ewma END
+  FROM rec r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id,
+       CAST(cnt AS BIGINT) AS n_events,
+       ewma AS final_ewma
+FROM rec
+WHERE rn = cnt
+ORDER BY user_id
+""",
     tags=("streaming",),
 )
 def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,10 +211,14 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qml_streaming_ewma",
         output_mode="append",
     )
-    return out.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("ewma"), 6).alias("avg_ewma"),
-    ).orderBy("user_id")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max_by("ewma", F.struct("ts", "event_id")).alias("final_ewma"),
+        )
+        .orderBy("user_id")
+    )
 
 
 @register(
@@ -158,7 +226,12 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra=True,
     doc="Streaming exact dedup (first event per (user_id, event_type), "
     "watermark-bounded state) — kept-row count equals the batch "
-    "first-per-key count, which is how the test verifies it.",
+    "first-per-key count, replayed by the oracle as the distinct-key "
+    "count (the availableNow drain sees no beyond-watermark lateness).",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+""",
     tags=("streaming",),
 )
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +289,36 @@ def streaming_bloom_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Constant-state streaming count-min over event_type: per-shard "
     "depth x width int64 grids (32 KiB/shard) for an unbounded stream; "
     "estimates overcount-only. The n_shards=1 batch-equality test pins "
-    "the shared cell map; sharded grids are tighter, never looser.",
+    "the shared cell map; sharded grids are tighter, never looser. "
+    "Oracle: the full deterministic cell map replayed in SQL — keys "
+    "shard by the engine-wide md5_int32 %% 8, each (depth, key) cell is "
+    "md5('i|key')[:8] %% 1024 offset by i*1024, cell totals accumulate "
+    "per shard, estimate = MIN over the key's depth cells. Exact under "
+    "the single-batch availableNow drain (asserted: a key emitting in "
+    "two batches would miss later collisions), the same convention the "
+    "setsim streaming row documents.",
+    oracle="""
+WITH keys AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS c
+  FROM events GROUP BY 1
+),
+sharded AS (
+  SELECT key, c,
+         ('0x' || substr(md5(key), 1, 8))::BIGINT % 8 AS shard
+  FROM keys
+),
+pos AS (
+  SELECT key, c, shard, i,
+         ('0x' || substr(md5(i::VARCHAR || '|' || key), 1, 8))::BIGINT
+           % 1024 + i * 1024 AS p
+  FROM sharded, unnest([0, 1, 2, 3]) AS t(i)
+),
+cells AS (SELECT shard, p, SUM(c) AS total FROM pos GROUP BY 1, 2)
+SELECT k.key, CAST(MIN(cl.total) AS BIGINT) AS cm_estimate
+FROM pos k JOIN cells cl ON cl.shard = k.shard AND cl.p = k.p
+GROUP BY k.key
+ORDER BY k.key
+""",
     tags=("streaming",),
 )
 def streaming_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,7 +335,17 @@ def streaming_countmin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qml_streaming_countmin",
         output_mode="append",
     )
-    return out.groupBy("key").agg(F.max("cm_estimate").alias("cm_estimate")).orderBy("key")
+    multi = out.groupBy("key").count().where(F.col("count") > 1).count()
+    if multi:
+        raise AssertionError(
+            f"single-batch drain assumption violated: {multi} keys "
+            "emitted in more than one micro-batch"
+        )
+    return (
+        out.groupBy("key")
+        .agg(F.max("cm_estimate").alias("cm_estimate"))
+        .orderBy("key")
+    )
 
 
 @register(

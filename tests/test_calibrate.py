@@ -91,3 +91,69 @@ def test_calibrate_expr_is_streaming_legal(spark, miscalibrated, tmp_path):
     got = {r["probability"]: r["calibrated"] for r in out.collect()}
     for p, c in got.items():
         assert abs(c - calibrate_py(calib, p)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# PAVA property suite (verdict r11 #4): the distributed isotonic fit is
+# deterministic pool-adjacent-violators — pin it against an independent
+# pure-Python weighted PAVA on arbitrary small inputs. (A DuckDB SQL
+# replay of PAVA is impractical — the pooling recursion is data-
+# dependent — so this is the non-oracle closure for the row.)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_pava(points):
+    """Weighted PAVA over raw (p, y) points: aggregate ties by mean
+    (MLlib's makeUnique), then pool adjacent violators; returns the
+    fitted value at every distinct p."""
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0.0, 0])
+    for p, y in points:
+        agg[p][0] += y
+        agg[p][1] += 1
+    pts = sorted((p, s / n, float(n)) for p, (s, n) in agg.items())
+    blocks = []  # [weight, weighted_y_sum, [ps]]
+    for p, ybar, w in pts:
+        blocks.append([w, ybar * w, [p]])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][1] / blocks[-2][0] > blocks[-1][1] / blocks[-1][0]
+        ):
+            w2, wy2, ps2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += wy2
+            blocks[-1][2] += ps2
+    return {p: wy / w for w, wy, ps in blocks for p in ps}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(
+        st.tuples(
+            # p on a 1/16 grid: exactly-representable doubles, so tie
+            # aggregation and block means are identical arithmetic in
+            # MLlib and the reference implementation
+            st.integers(min_value=0, max_value=16).map(lambda k: k / 16.0),
+            st.sampled_from([0.0, 1.0]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_isotonic_matches_pure_python_pava(spark, points):
+    expected = _py_pava(points)
+    df = spark.createDataFrame(points, "probability double, label double")
+    calib = fit_isotonic(df)
+    # fitted predictions are non-decreasing in the knot order
+    ys = calib["predictions"]
+    assert all(a <= b + 1e-12 for a, b in zip(ys, ys[1:]))
+    for p, want in expected.items():
+        assert calibrate_py(calib, p) == pytest.approx(want, abs=1e-9)
