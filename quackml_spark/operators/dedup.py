@@ -882,25 +882,33 @@ def connected_components(
     ).cache()
     # min-label propagation: each round, every node takes the min of its
     # own label and its neighbors' labels; converges in O(diameter).
+    # The convergence check is FUSED into the round's checkpointed frame
+    # (a __chg flag from one node-partitioned join against the previous
+    # labels) instead of a separate join job over two label frames: the
+    # old form shuffled both corpus-sized label sets once more per
+    # round; here both join sides are already hash-partitioned on node
+    # (groupBy output / prior checkpoint, which preserves partitioning),
+    # and the post-checkpoint probe is a scan, not a join (r12 drift
+    # profile, SCALE.md §36).
     for _ in range(max_rounds):
         nbr = (
             und.join(labels, und.d == labels.node)
             .select(F.col("s").alias("node"), "label")
         )
-        new = _truncate(
+        merged = _truncate(
             labels.select("node", "label").unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("__new"))
+            .join(labels.select("node", F.col("label").alias("__old")), "node")
+            .select(
+                "node",
+                F.col("__new").alias("label"),
+                (F.col("__new") != F.col("__old")).alias("__chg"),
+            )
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = merged.where("__chg").limit(1).count()
         labels.unpersist()
-        labels = new
+        labels = merged.select("node", "label")
         if not changed:
             break
     else:
