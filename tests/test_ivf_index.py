@@ -183,3 +183,111 @@ def test_ivf_index_append_leaves_untouched_partitions_alone(spark, sf_dir, tmp_p
         assert new_mtime == old_mtime, f"{d} was rewritten"
         untouched_checked += 1
     assert untouched_checked > 0, "fixture must leave some lists untouched"
+
+
+def _planted_cluster_emb(spark, n_clusters=8, per_cluster=40, dim=16, jit=0.3):
+    """Deterministic planted-cluster embeddings: md5-derived cluster
+    centers in [-1,1]^dim, points = center + md5 jitter (±jit). vec_ids
+    are SORTED BY CLUSTER, so the medoid quantizer's first-n_lists
+    centers all land in cluster 0 — cluster points then assign by
+    jitter-dominated dot products and STRADDLE medoid list boundaries,
+    the clustered-data case where the deterministic quantizer is
+    recall-weak at low nprobe (r11 verdict item #7). Measured recall
+    surface in SCALE.md §38."""
+    import hashlib
+
+    def h(s, lo, hi):
+        v = int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+        return lo + v * (hi - lo)
+
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [h(f"c|{c}|{d}", -1.0, 1.0) for d in range(dim)]
+        for p in range(per_cluster):
+            vec = [
+                center[d] + h(f"p|{c}|{p}|{d}", -jit, jit)
+                for d in range(dim)
+            ]
+            rows.append((vid, c, vec))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<double>"
+    )
+
+
+def test_ivf_kmeans_quantizer_recall_on_clustered_data(spark, tmp_path):
+    """On planted clusters with cluster-sorted ids, the trained KMeans
+    quantizer must (a) beat the deterministic medoid quantizer's
+    recall at the same nprobe and (b) be near-perfect — medoid centers
+    all fall in one cluster, so most true neighbors live in lists the
+    probe never opens. Ground truth is the brute-force cosine top-k
+    over the fixture. (The medoid mode stays the registered/oracled
+    default: its centers are SQL-replayable; the trained mode is the
+    non-oracle scale path, recall table in SCALE.md §38.)"""
+    emb = _planted_cluster_emb(spark).select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") % 40 == 7)  # one per cluster
+
+    # brute-force cosine top-5 ground truth (fixture-sized cross join)
+    from quackml_spark.operators.similarity import cosine_expr
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    v = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    from pyspark.sql import Window
+
+    scored = (
+        q.crossJoin(v)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .where("rnk <= 5")
+        .collect()
+    }
+
+    recalls = {}
+    for quant in ("medoid", "kmeans"):
+        path = str(tmp_path / f"ivf_{quant}")
+        ivf_index_build(emb, path, n_lists=8, quantizer=quant)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_index_search(
+                spark, path, queries, k=5, nprobe=1
+            ).collect()
+        }
+        recalls[quant] = len(truth & got) / len(truth)
+    # measured jit=0.3 nprobe=1: medoid 0.875, kmeans 1.0 (§38); at
+    # nprobe=2 medoid recovers to 0.975 — the trained quantizer buys
+    # the same recall at HALF the probe fan-out
+    assert recalls["kmeans"] >= 0.95, recalls
+    assert recalls["kmeans"] > recalls["medoid"], recalls
+
+
+def test_ivf_search_prunes_partitions_both_quantizers(spark, sf_dir, tmp_path):
+    """The partition-pruning contract must hold in BOTH quantizer modes
+    (r11 verdict item #7): the probed-lists filter reaches the lists
+    scan as a PartitionFilter whatever produced the centroids."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    jvm = spark.sparkContext._jvm
+    for quant in ("medoid", "kmeans"):
+        path = str(tmp_path / f"ivf_{quant}")
+        ivf_index_build(emb, path, n_lists=8, quantizer=quant)
+        pruned = spark.read.parquet(f"{path}/lists").where(
+            F.col("list_id").isin([0, 1])
+        )
+        plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            pruned._jdf.queryExecution(), "formatted"
+        )
+        pf = plan.split("PartitionFilters", 1)
+        assert len(pf) == 2 and "list_id" in pf[1][:300], (quant, plan[:2000])
