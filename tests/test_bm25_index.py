@@ -1,0 +1,145 @@
+"""Persisted BM25 inverted-index lifecycle: build/search/append/compact.
+
+The exactness keystone is ADDITIVITY — df, n_docs and sum_dl are sums
+over disjoint doc batches, so search(build(A) + append(B)) must be
+bit-identical to search(build(A u B)) and to the corpus-rescanning
+bm25_topk. Crash-replayed appends dedupe probe-bounded at search time.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackml_spark.operators.text import (
+    _bm25_std_queries,
+    bm25_index_append,
+    bm25_index_build,
+    bm25_index_compact,
+    bm25_index_search,
+    bm25_topk,
+)
+from quackml_spark.sources import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def test_bm25_index_matches_per_call_bm25(spark, sf_dir, tmp_path):
+    """One-shot index search == the corpus-rescanning bm25_topk,
+    bit-identical (same _bm25_rank tail, same exact-DECIMAL sums)."""
+    docs = _docs(spark, sf_dir)
+    q = _bm25_std_queries(docs)
+    path = str(tmp_path / "bm25")
+    bm25_index_build(docs, path)
+    got = sorted(map(tuple, bm25_index_search(spark, path, q).collect()))
+    want = sorted(map(tuple, bm25_topk(docs, q).collect()))
+    assert got == want and got
+
+
+def test_bm25_append_equals_rebuild_and_replay_safe(spark, sf_dir, tmp_path):
+    """build(head)+append(tail) == build(all); a crash-REPLAYED append
+    (same run_key+batch_id written twice) changes nothing — duplicated
+    postings/df/stats rows carry the attempt identity and dedupe
+    probe-bounded at search."""
+    docs = _docs(spark, sf_dir)
+    q = _bm25_std_queries(docs)
+    head, tail = docs.where("doc_id < 300"), docs.where("doc_id >= 300")
+
+    full = str(tmp_path / "full")
+    bm25_index_build(docs, full)
+    want = sorted(map(tuple, bm25_index_search(spark, full, q).collect()))
+
+    inc = str(tmp_path / "inc")
+    bm25_index_build(head, inc)
+    bm25_index_append(tail, inc, batch_id=1, run_key="runA")
+    assert sorted(map(tuple, bm25_index_search(spark, inc, q).collect())) == want
+
+    dup = str(tmp_path / "dup")
+    bm25_index_build(head, dup)
+    for _ in range(2):  # the replayed attempt writes twice
+        bm25_index_append(tail, dup, batch_id=1, run_key="runA")
+    assert sorted(map(tuple, bm25_index_search(spark, dup, q).collect())) == want
+
+
+def test_bm25_search_reads_only_index_and_pushes_term_filter(
+    spark, sf_dir, tmp_path
+):
+    """The search plan scans index files ONLY (no documents parquet),
+    and the query-term probe reaches the postings scan as a pushed
+    filter over the tok-sorted files."""
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "bm25")
+    bm25_index_build(docs, path)
+    # a LITERAL query frame (the std query set would legitimately read
+    # documents.parquet to derive its terms — that's the query
+    # definition, not a corpus rescan)
+    terms = (
+        _bm25_std_queries(docs).select("tok").distinct().limit(3).collect()
+    )
+    q = spark.createDataFrame(
+        [(1, r["tok"]) for r in terms], "query_id bigint, tok string"
+    )
+    out = bm25_index_search(spark, path, q)
+    assert out.count() > 0
+    files = out.inputFiles()
+    assert files and all("documents" not in f for f in files), files[:3]
+    jvm = spark.sparkContext._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # the probe must reach the postings scan as a PARTITION filter over
+    # the terms' tok_bucket dirs (planning-time pruning — an IN list
+    # past the parquet pushdown threshold degrades to a useless min/max
+    # range filter, which is why the layout buckets instead of sorting
+    # globally; SCALE.md §39)
+    seg = [s for s in plan.split("Location")
+           if "postings" in s[:400] and "PartitionFilters" in s]
+    assert seg and "tok_bucket" in seg[0].split("PartitionFilters", 1)[1][:400], (
+        plan[:3000]
+    )
+
+
+def test_bm25_index_compact_preserves_results(spark, sf_dir, tmp_path):
+    """Compaction rewrites the small-file append debt without changing
+    any search result; the file count strictly drops."""
+    import glob
+
+    docs = _docs(spark, sf_dir)
+    q = _bm25_std_queries(docs)
+    path = str(tmp_path / "bm25")
+    bm25_index_build(docs.where("doc_id < 200"), path)
+    for i, lo in enumerate(range(200, 500, 100), start=1):
+        bm25_index_append(
+            docs.where(f"doc_id >= {lo} AND doc_id < {lo + 100}"),
+            path,
+            batch_id=i,
+        )
+    before = sorted(map(tuple, bm25_index_search(spark, path, q).collect()))
+    n_before = len(glob.glob(f"{path}/postings/tok_bucket=*/*.parquet"))
+    stats = bm25_index_compact(spark, path)
+    n_after = len(glob.glob(f"{path}/postings/tok_bucket=*/*.parquet"))
+    assert n_after < n_before, (n_before, n_after, stats)
+    after = sorted(map(tuple, bm25_index_search(spark, path, q).collect()))
+    assert after == before
+
+
+def test_bm25_index_guards(spark, sf_dir, tmp_path):
+    """Missing manifest fails loudly (half-built index); an empty query
+    set returns an empty, correctly-typed frame."""
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "bm25")
+    bm25_index_build(docs, path)
+    empty = spark.createDataFrame([], "query_id bigint, tok string")
+    out = bm25_index_search(spark, path, empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "doc_id", "bm25", "rnk",
+    ]
+
+    import shutil
+
+    shutil.rmtree(f"{path}/manifest.parquet")
+    with pytest.raises(ValueError, match="manifest"):
+        bm25_index_search(spark, path, _bm25_std_queries(docs))
