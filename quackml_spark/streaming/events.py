@@ -954,6 +954,61 @@ def streaming_setsim_dedup(
     )
 
 
+def streaming_bm25_ingest(
+    docs_stream: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "qml_bm25_ingest",
+    checkpoint_location: str | None = None,
+    run_key: str | None = None,
+):
+    """Continuous ingestion into the persisted BM25 inverted index
+    (operators.text.bm25_index_build): each arriving micro-batch
+    APPENDS its postings, df deltas and stats row — only the batch is
+    tokenized, no existing file is rewritten, and because BM25's
+    corpus statistics are ADDITIVE the index after any drain is
+    bit-identical to one-shot indexing of everything seen (the batch
+    lifecycle's pinned property, inherited here per micro-batch).
+    Searches against the index between batches see scores over the
+    corpus-so-far — BM25 semantics, not staleness.
+
+    Replay scoping: appended rows carry (run_key, batch_id) — the
+    checkpoint location when configured (stable across restarts, so a
+    replayed batch id names the same attempt), else a per-run UUID. A
+    crash-REPLAYED batch re-appends identical rows with the SAME
+    identity; bm25_index_search dedupes them probe-bounded, so a
+    restarted stream changes no score (pytest-pinned). Returns the
+    started StreamingQuery."""
+    import uuid
+
+    from quackml_spark.operators.text import bm25_index_append
+
+    if run_key is None:
+        run_key = checkpoint_location or f"run-{uuid.uuid4().hex}"
+
+    def _process(batch_df, batch_id):
+        batch_df = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        if not batch_df.take(1):
+            return
+        bm25_index_append(
+            batch_df, index_path, batch_id=int(batch_id), run_key=run_key
+        )
+
+    return (
+        _with_checkpoint(
+            docs_stream.writeStream.foreachBatch(_process),
+            checkpoint_location,
+        )
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_curate(
     docs_stream: DataFrame,
     state_path: str,

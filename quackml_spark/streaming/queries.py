@@ -521,6 +521,67 @@ _install_setsim_dedup_oracle()
 
 
 @register(
+    "streaming_bm25_ingest_docs",
+    extra=True,
+    doc="Continuous BM25 indexing: docs with doc_id < 250 are indexed "
+    "up front, the rest of the documents table STREAMS into the index "
+    "through foreachBatch appends (postings + df deltas + stats rows — "
+    "only each batch is tokenized, nothing rewritten), and the "
+    "standard %% 101 query set is searched after the drain. BM25's "
+    "statistics are additive over disjoint batches, so the streamed "
+    "index is bit-identical to one-shot indexing of the full corpus — "
+    "the oracle is literally text_bm25_topk's corpus-rescanning SQL. "
+    "Unlike the dedup twins there is NO single-batch assumption: "
+    "additivity makes the final index drain-shape-independent "
+    "(multi-batch + restart-replay pytest-pinned).",
+    oracle=None,  # set below — shares the BM25 SQL body
+    tags=("streaming", "textops", "similarity"),
+)
+def streaming_bm25_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.tmpdirs import ephemeral_dir
+
+    from quackml_spark.operators.text import (
+        _bm25_std_queries,
+        bm25_index_build,
+        bm25_index_search,
+    )
+    from quackml_spark.sources import load_table
+    from quackml_spark.streaming.events import streaming_bm25_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_path = ephemeral_dir("qml_stream_bm25_") + "/idx"
+    bm25_index_build(docs.where("doc_id < 250"), index_path)
+    q = streaming_bm25_ingest(
+        stream_parquet_table(
+            spark, sf_dir, "documents.parquet", "doc_id long, text string"
+        )
+        .select("doc_id", "text")
+        .where("doc_id >= 250"),
+        index_path,
+        query_name=f"qml_stream_bm25_{abs(hash(sf_dir)) % 99999}",
+    )
+    q.awaitTermination()
+    return bm25_index_search(spark, index_path, _bm25_std_queries(docs))
+
+
+def _install_bm25_ingest_oracle() -> None:
+    from quackml_spark.operators.text import _SQL_BM25_BODY
+    from quackml_spark.plans import REGISTRY
+
+    REGISTRY["streaming_bm25_ingest_docs"].oracle = f"""
+WITH {_SQL_BM25_BODY}
+SELECT query_id, doc_id,
+       CAST(ROUND(score, 6) AS DOUBLE) AS bm25, rnk
+FROM lex
+WHERE rnk <= 10
+ORDER BY query_id, rnk
+"""
+
+
+_install_bm25_ingest_oracle()
+
+
+@register(
     "streaming_curate_docs",
     doc="Continuous corpus curation (streaming_curate) value-checked "
     "END-TO-END: the documents table streams through foreachBatch — "

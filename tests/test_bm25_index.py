@@ -143,3 +143,66 @@ def test_bm25_index_guards(spark, sf_dir, tmp_path):
     shutil.rmtree(f"{path}/manifest.parquet")
     with pytest.raises(ValueError, match="manifest"):
         bm25_index_search(spark, path, _bm25_std_queries(docs))
+
+
+def test_streaming_bm25_ingest_multibatch_equals_oneshot(spark, tmp_path):
+    """Per-micro-batch appends over ANY drain shape produce an index
+    bit-identical to one-shot indexing (additivity), including across
+    a STOP/RESTART with a shared checkpoint: the restarted stream
+    indexes only the new files, and a search still equals the one-shot
+    result."""
+    from quackml_spark.streaming.events import streaming_bm25_ingest
+
+    rows = {
+        0: [(10, "alpha beta gamma delta"), (11, "beta beta epsilon")],
+        1: [(20, "alpha zeta eta theta"), (21, "iota kappa beta")],
+        2: [(30, "gamma gamma gamma mu"), (31, "nu xi alpha beta")],
+    }
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for bid in (0, 1):
+        spark.createDataFrame(rows[bid], "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(in_dir / f"b{bid}"))
+    seed = spark.createDataFrame(
+        [(1, "alpha seed doc beta")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "idx")
+    bm25_index_build(seed, idx)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir) + "/*")
+        )
+        q = streaming_bm25_ingest(
+            stream, idx, query_name="qml_bm25_mb", checkpoint_location=ckpt
+        )
+        q.awaitTermination()
+
+    drain()  # batches 0 and 1, one file per trigger
+    # new data arrives; the RESTARTED stream must index only it
+    spark.createDataFrame(rows[2], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(in_dir / "b2"))
+    drain()
+
+    oneshot = str(tmp_path / "oneshot")
+    bm25_index_build(
+        seed.unionByName(
+            spark.createDataFrame(
+                [r for b in rows.values() for r in b],
+                "doc_id long, text string",
+            )
+        ),
+        oneshot,
+    )
+    q = spark.createDataFrame(
+        [(1, "alpha"), (1, "beta"), (2, "gamma"), (2, "mu"), (3, "kappa")],
+        "query_id long, tok string",
+    )
+    got = sorted(map(tuple, bm25_index_search(spark, idx, q).collect()))
+    want = sorted(map(tuple, bm25_index_search(spark, oneshot, q).collect()))
+    assert got == want and got
