@@ -582,3 +582,109 @@ ORDER BY source_a, source_b
 def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return source_overlap(docs)
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff — what changed between two crawl versions.
+# ---------------------------------------------------------------------------
+
+
+def corpus_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, status, old_md5, new_md5) for every doc in EITHER
+    snapshot: status in added/removed/changed/unchanged — the recrawl
+    audit a pipeline runs before reprocessing (how much of v2 is
+    actually new work? did the upstream crawler silently drop a
+    shard?). Callers feed the per-doc relation into the usual
+    aggregations (counts by status/source, changed-doc reprocess
+    lists, removed-doc tombstones).
+
+    Contract: ``id_col`` is unique within each snapshot (duplicate ids
+    would cross-multiply through the join). NULL text hashes as the
+    empty string, so a present-with-NULL doc diffs against '' instead
+    of vanishing.
+
+    Scale shape (100 TB x2): both sides project to (id, md5) map-side
+    — TEXT NEVER ENTERS THE SHUFFLE, only 16-byte hashes move — then
+    ONE full-outer equi-join on the id. No window, no collect, no
+    skew concern beyond the id partitioning both sides already share.
+    """
+    o = old_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("old_md5"),
+    )
+    n = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("new_md5"),
+    )
+    status = (
+        F.when(F.col("old_md5").isNull(), "added")
+        .when(F.col("new_md5").isNull(), "removed")
+        .when(F.col("old_md5") != F.col("new_md5"), "changed")
+        .otherwise("unchanged")
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id", status.alias("status"), "old_md5", "new_md5"
+    )
+
+
+@register(
+    "text_corpus_diff",
+    extra=True,
+    doc="Snapshot diff between two corpus versions, built "
+    "deterministically from the documents table: v2 removes doc_id %% "
+    "13 == 0, rewrites the text of doc_id %% 11 == 0 (appends a "
+    "version marker), and adds fresh docs (doc_id + 1000000 for "
+    "doc_id %% 17 == 0). Per-doc status relation added/removed/"
+    "changed/unchanged over the full-outer id join of md5 "
+    "projections — text never enters the shuffle. The oracle replays "
+    "the same v2 construction and join in SQL.",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS old_md5 FROM documents
+),
+new_v AS (
+  SELECT doc_id,
+         md5(COALESCE(CASE WHEN doc_id % 11 = 0 THEN text || ' [v2]'
+                           ELSE text END, '')) AS new_md5
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         md5(COALESCE('new ' || text, '')) AS new_md5
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.old_md5 <> n.new_md5 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_md5, n.new_md5
+FROM old o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+""",
+    tags=("textops", "profile"),
+)
+def text_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_v = (
+        docs.where("doc_id % 13 != 0")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" [v2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where("doc_id % 17 = 0").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new "), "text").alias("text"),
+            )
+        )
+    )
+    return corpus_diff(docs, new_v).orderBy("doc_id")

@@ -71,3 +71,24 @@ def test_domain_cap_contract(spark):
     # different seed -> (almost surely) different sample, same sizes
     c = sorted(r["doc_id"] for r in domain_cap_sample(df, cap=4, seed=1).collect())
     assert len(c) == len(a)
+
+
+def test_corpus_diff_statuses_and_null_text(spark):
+    """added/removed/changed/unchanged all classified; NULL text hashes
+    as '' (a present-with-NULL doc diffs instead of vanishing through
+    md5(NULL))."""
+    from quackml_spark.operators.profile import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, None), (5, "e")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed",
+        4: "unchanged", 5: "added",
+    }
