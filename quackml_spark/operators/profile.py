@@ -688,3 +688,155 @@ def text_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_diff(docs, new_v).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles — no global sort, no approximation.
+# ---------------------------------------------------------------------------
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col,
+    ps: tuple = ((1, 2), (9, 10), (99, 100)),
+    buckets: int = 4096,
+) -> DataFrame:
+    """EXACT discrete quantiles of an integer-valued column at any
+    scale: for each (p_num, p_den) the smallest value v with
+    rank(v) >= ceil(p_num/p_den * n) — the order statistic itself,
+    not an approximation (approx_percentile is the documented 100 TB
+    default elsewhere in the engine; THIS is for the cases where the
+    number is load-bearing: SLA thresholds, billing cutoffs,
+    regression-pinned dataset cards).
+
+    Algorithm: iterative histogram selection (the classic distributed
+    k-th order statistic). Each round histograms every still-active
+    quantile's candidate range into ``buckets`` integer-width slots in
+    ONE pass over the column (a literal CASE fans each row into the
+    quantiles whose range contains it), the driver walks the
+    cumulative counts to narrow each range by ~buckets x, and the loop
+    ends when a range's width is 1 slot per value. ceil(log_buckets(
+    value range)) passes — 2 for 32-bit ranges, <= 6 for the full
+    bigint domain; every pass is map-side bucketing + a map-side-
+    combined (quantile, bucket) count whose result is <= |ps| x
+    buckets rows on the driver. No sort, no shuffle of values, no
+    per-value state.
+
+    ``value_col`` must be integer-valued (cast money to cents first);
+    NULLs are excluded from n. Like connected_components this runs
+    Spark jobs at call time. Returns (p_num, p_den, value) with one
+    row per requested quantile, ordered by p_num/p_den."""
+    spark = df.sparkSession
+    vals = (
+        df.select(F.col(value_col).cast("bigint").alias("v"))
+        if isinstance(value_col, str)
+        else df.select(value_col.cast("bigint").alias("v"))
+    ).where(F.col("v").isNotNull())
+    vals = vals.localCheckpoint(eager=True)  # one materialization, N probes
+    head = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).first()
+    n = int(head["n"])
+    out_schema = "p_num bigint, p_den bigint, value bigint"
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    # active quantile states: idx -> [lo, hi, rank_within_range]
+    state = {
+        i: [int(head["lo"]), int(head["hi"]),
+            (p_num * n + p_den - 1) // p_den]
+        for i, (p_num, p_den) in enumerate(ps)
+    }
+    done: dict[int, int] = {}
+    while state:
+        widths = {
+            i: (hi - lo) // buckets + 1 for i, (lo, hi, _r) in state.items()
+        }
+        # fan each row into the active quantiles whose range holds it
+        arms = F.array(
+            *[
+                F.when(
+                    F.col("v").between(lo, hi),
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        # integer div, NOT `/`-then-cast: true division
+                        # routes through IEEE double and mis-buckets
+                        # values past 2^53 (v - lo is non-negative, so
+                        # div == floor division)
+                        F.expr(f"(v - {lo}L) div {widths[i]}L").alias("b"),
+                    ),
+                )
+                for i, (lo, hi, _r) in state.items()
+            ]
+        )
+        hist = (
+            vals.select(F.explode(arms).alias("a"))
+            .where(F.col("a").isNotNull())
+            .groupBy(F.col("a.i").alias("i"), F.col("a.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_q: dict[int, dict[int, int]] = {}
+        for r in hist:
+            by_q.setdefault(int(r["i"]), {})[int(r["b"])] = int(r["c"])
+        nxt: dict[int, list[int]] = {}
+        for i, (lo, hi, rank) in state.items():
+            cum = 0
+            for b in sorted(by_q.get(i, {})):
+                c = by_q[i][b]
+                if cum + c >= rank:
+                    w = widths[i]
+                    b_lo = lo + b * w
+                    b_hi = min(hi, b_lo + w - 1)
+                    if w == 1 or b_lo == b_hi:
+                        done[i] = b_lo
+                    else:
+                        nxt[i] = [b_lo, b_hi, rank - cum]
+                    break
+                cum += c
+        state = nxt
+    vals.unpersist()
+    rows = [
+        (int(ps[i][0]), int(ps[i][1]), int(done[i])) for i in sorted(done)
+    ]
+    return spark.createDataFrame(rows, out_schema).orderBy(
+        (F.col("p_num") / F.col("p_den")), "p_num"
+    )
+
+
+@register(
+    "q42_exact_quantiles",
+    extra=True,
+    doc="EXACT p50/p90/p99 of lineitem extended price in integer cents "
+    "(smallest value whose rank reaches ceil(p*n)) via iterative "
+    "histogram selection — the distributed k-th order statistic with "
+    "no global sort and no approximation; 2 one-pass rounds at this "
+    "value range. The oracle is the literal ROW_NUMBER rank "
+    "definition.",
+    oracle="""
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+nn AS (SELECT COUNT(*) AS n FROM v),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM v),
+want AS (
+  SELECT p_num, p_den,
+         (p_num * (SELECT n FROM nn) + p_den - 1) // p_den AS rank
+  FROM (VALUES (1, 2), (9, 10), (99, 100)) AS t(p_num, p_den)
+)
+SELECT CAST(w.p_num AS BIGINT) AS p_num, CAST(w.p_den AS BIGINT) AS p_den,
+       MIN(r.cents) AS value
+FROM want w JOIN r ON r.rn >= w.rank
+GROUP BY w.p_num, w.p_den
+ORDER BY CAST(p_num AS DOUBLE) / p_den, p_num
+""",
+    tags=("profile", "relational"),
+)
+def q42_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    return exact_quantiles(li, cents)

@@ -92,3 +92,61 @@ def test_corpus_diff_statuses_and_null_text(spark):
         1: "unchanged", 2: "changed", 3: "removed",
         4: "unchanged", 5: "added",
     }
+
+
+def test_exact_quantiles_match_sorted_reference(spark):
+    """Property: exact_quantiles == the sorted-list rank definition on
+    arbitrary integer multisets — including values past 2^53, where a
+    double-division bucketing would silently mis-bucket (the operator
+    uses integer div), negatives, heavy ties, and single-value sets."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from quackml_spark.operators.profile import exact_quantiles
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.integers(min_value=-100, max_value=100),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(vals):
+        ps = ((1, 2), (9, 10), (99, 100))
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = {
+            (r["p_num"], r["p_den"]): r["value"]
+            for r in exact_quantiles(df, "x", ps=ps, buckets=16).collect()
+        }
+        s = sorted(vals)
+        n = len(s)
+        want = {
+            (pn, pd): s[(pn * n + pd - 1) // pd - 1] for pn, pd in ps
+        }
+        assert got == want
+
+    run()
+
+
+def test_exact_quantiles_empty_and_nulls(spark):
+    from quackml_spark.operators.profile import exact_quantiles
+
+    empty = spark.createDataFrame([], "x long")
+    assert exact_quantiles(empty, "x").count() == 0
+    withnull = spark.createDataFrame(
+        [(None,), (5,), (None,), (7,)], "x long"
+    )
+    got = {
+        (r["p_num"], r["p_den"]): r["value"]
+        for r in exact_quantiles(withnull, "x").collect()
+    }
+    # n = 2 (nulls excluded): p50 rank 1 -> 5, p90/p99 rank 2 -> 7
+    assert got == {(1, 2): 5, (9, 10): 7, (99, 100): 7}
