@@ -165,3 +165,62 @@ def brier_score(
             )
         ).collect()[0][0]
     )
+
+
+def split_conformal_radius(
+    scored: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "prediction",
+    p_num: int = 9,
+    p_den: int = 10,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Split-conformal interval radius from a CALIBRATION frame of
+    (label, prediction) rows: the smallest r such that
+    prediction ± r covers at least ceil((n+1) * p) of n calibration
+    residuals — the finite-sample distribution-free coverage
+    guarantee (Vovk et al.; Lei et al. 2018's split variant). New
+    predictions then ship [prediction - r, prediction + r] with
+    >= p coverage under exchangeability, whatever the model.
+
+    Returns ONE row (n_cal, rank, radius) with the radius in integer
+    ``unit``ths of a label unit (ppm by default): residuals are
+    rounded to the unit grid BEFORE ranking, so the selected order
+    statistic is an exact integer — reproducible across engines and
+    aggregation orders (the engine-wide integer-exactness discipline).
+
+    Scale shape: |label - pred| is map-side; the rank selection is
+    exact_quantiles' iterative histogram selection — no sort, no
+    shuffle of values, <= 4096-row collects per round. NULL labels or
+    predictions are excluded from n."""
+    from quackml_spark.operators.profile import exact_quantiles
+
+    resid = scored.select(
+        F.round(
+            F.abs(
+                F.col(label_col).cast("double")
+                - F.col(pred_col).cast("double")
+            )
+            * unit,
+            0,
+        )
+        .cast("bigint")
+        .alias("resid")
+    ).where(F.col("resid").isNotNull())
+    resid = resid.localCheckpoint(eager=True)
+    n = int(resid.count())
+    spark = scored.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [], "n_cal bigint, rank bigint, radius bigint"
+        )
+    # conformal rank: ceil((n+1) * p), clamped to n (the +1 is the
+    # finite-sample correction; with it coverage >= p holds exactly,
+    # not just asymptotically)
+    rank = min((p_num * (n + 1) + p_den - 1) // p_den, n)
+    # exact_quantiles selects rank ceil(k/n * n) == k for ps=(rank, n)
+    row = exact_quantiles(resid, "resid", ps=((rank, n),)).first()
+    return spark.createDataFrame(
+        [(n, rank, int(row["value"]))],
+        "n_cal bigint, rank bigint, radius bigint",
+    )

@@ -1165,3 +1165,82 @@ def ml_calibrate_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "brier_before double, brier_after double, improved boolean, n_knots int",
     )
+
+
+@register(
+    "ml_conformal_interval",
+    extra=True,
+    doc="Split-conformal interval radius on the real serve path: train "
+    "OLS on the exactly-linear target y = 2*l_quantity + 3, hold out "
+    "an md5-keyed calibration split (order-free, engine-replayable) "
+    "whose labels carry DETERMINISTIC ppm noise (md5 of the row key, "
+    "uniform in ±1.0), predict the calibration rows, and select the "
+    "ceil((n+1)*0.9)-th smallest |label - prediction| in integer ppm "
+    "— the distribution-free >= 90%% coverage radius (Vovk; Lei et "
+    "al. 2018). Exactness: the clean-target fit reproduces the "
+    "generator to ~1e-9, so each rounded-ppm residual is EXACTLY the "
+    "planted |noise| integer, and the selected order statistic (via "
+    "exact_quantiles' histogram selection — no sort) matches the "
+    "oracle's literal ROW_NUMBER rank bit-for-bit.",
+    oracle="""
+WITH cal AS (
+  SELECT ABS(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+             % 2000001 - 1000000) AS resid
+  FROM lineitem
+  WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+               || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal),
+want AS (
+  SELECT n, LEAST((9 * (n + 1) + 9) // 10, n) AS rank FROM nn
+),
+o AS (SELECT resid, ROW_NUMBER() OVER (ORDER BY resid) AS rn FROM cal)
+SELECT w.n AS n_cal, CAST(w.rank AS BIGINT) AS rank,
+       MIN(o.resid) AS radius
+FROM want w JOIN o ON o.rn >= w.rank
+GROUP BY w.n, w.rank
+""",
+    tags=("ml",),
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.ml import predict, train
+    from quackml_spark.ml.calibrate import split_conformal_radius
+    from quackml_spark.operators.text import md5_int32
+
+    catalog = _fresh_catalog()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    key = F.concat_ws(
+        "|", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    is_cal = md5_int32(key) % 10 == F.lit(0)
+    noise_ppm = md5_int32(key) % 2000001 - 1000000
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_quantity") * 2 + 3).alias("y"),
+        is_cal.alias("__cal"),
+        noise_ppm.alias("__k"),
+    )
+    train(
+        spark,
+        "conformal reg",
+        task="regression",
+        df=df.where(~F.col("__cal")).select("l_quantity", "y"),
+        y_column_name="y",
+        catalog=catalog,
+        test_sampling="last",
+        test_size=2000,
+        hyperparams={"regParam": 0.0},
+    )
+    cal = df.where("__cal").select(
+        "l_quantity",
+        (F.col("y") + F.col("__k") / 1000000.0).alias("label"),
+    )
+    scored = predict(cal, "conformal reg", catalog=catalog)
+    return split_conformal_radius(scored, label_col="label")

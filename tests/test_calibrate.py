@@ -157,3 +157,26 @@ def test_isotonic_matches_pure_python_pava(spark, points):
     assert all(a <= b + 1e-12 for a, b in zip(ys, ys[1:]))
     for p, want in expected.items():
         assert calibrate_py(calib, p) == pytest.approx(want, abs=1e-9)
+
+
+def test_split_conformal_radius_rank_and_coverage(spark):
+    """Known residuals: n=10, rank = ceil(11*0.9) = 10 -> the maximum;
+    at p=1/2, rank = ceil(11/2) = 6 -> the 6th smallest. And the
+    guarantee itself: the returned radius covers >= p of calibration
+    residuals by construction."""
+    from quackml_spark.ml.calibrate import split_conformal_radius
+
+    rows = [(float(i), 0.0) for i in range(1, 11)]  # residuals 1..10
+    df = spark.createDataFrame(rows, "label double, prediction double")
+    r90 = split_conformal_radius(df).first()
+    assert (r90["n_cal"], r90["rank"], r90["radius"]) == (10, 10, 10_000_000)
+    r50 = split_conformal_radius(df, p_num=1, p_den=2).first()
+    assert (r50["rank"], r50["radius"]) == (6, 6_000_000)
+    covered = df.where(
+        F.abs(F.col("label") - F.col("prediction")) * 1_000_000
+        <= r50["radius"]
+    ).count()
+    assert covered / 10 >= 0.5
+
+    empty = spark.createDataFrame([], "label double, prediction double")
+    assert split_conformal_radius(empty).count() == 0
