@@ -2639,7 +2639,7 @@ FROM lex
 WHERE rnk <= 10
 ORDER BY query_id, rnk
 """,
-    tags=("textops", "similarity"),
+    tags=("textops", "similarity", "bench"),
 )
 def text_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.tmpdirs import ephemeral_dir
