@@ -840,3 +840,145 @@ def q42_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     return exact_quantiles(li, cents)
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    ps: tuple = ((1, 2), (9, 10), (99, 100)),
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-group EXACT discrete quantiles — the grouped form of
+    exact_quantiles, and the scale path past the window idiom:
+    ``ROW_NUMBER() OVER (PARTITION BY source ORDER BY v)`` funnels
+    EVERY row of a source through one task's sort, so a single 100 TB
+    source serializes; this never sorts at all. Each round joins the
+    values against a broadcast (group, quantile, lo, hi, width) ranges
+    table (|groups| x |ps| rows), histograms (group, quantile, bucket)
+    with map-side combine, and narrows every still-active range
+    ~buckets x on the driver. Driver state and per-round collects are
+    <= |groups| x |ps| x buckets rows — designed for the dataset-card
+    grain (up to ~10^3 groups), not for group-per-row cardinalities.
+
+    ``value_col`` must be integer-valued. Returns
+    (group_col, p_num, p_den, value), one row per group x quantile."""
+    spark = df.sparkSession
+    vcol = F.col(value_col) if isinstance(value_col, str) else value_col
+    vals = (
+        df.select(
+            F.col(group_col).alias("g"), vcol.cast("bigint").alias("v")
+        )
+        .where(F.col("v").isNotNull() & F.col("g").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    heads = (
+        vals.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    )
+    g_type = df.schema[group_col].dataType.simpleString()
+    out_schema = (
+        f"{group_col} {g_type}, p_num bigint, p_den bigint, value bigint"
+    )
+    if not heads:
+        return spark.createDataFrame([], out_schema)
+    state: dict = {}
+    for h in heads:
+        n = int(h["n"])
+        for pi, (p_num, p_den) in enumerate(ps):
+            state[(h["g"], pi)] = [
+                int(h["lo"]), int(h["hi"]),
+                (p_num * n + p_den - 1) // p_den,
+            ]
+    done: dict = {}
+    while state:
+        ranges = spark.createDataFrame(
+            [
+                (g, pi, lo, hi, (hi - lo) // buckets + 1)
+                for (g, pi), (lo, hi, _r) in state.items()
+            ],
+            f"g {g_type}, pi int, lo bigint, hi bigint, w bigint",
+        )
+        hist = (
+            vals.join(F.broadcast(ranges), "g")
+            .where(F.col("v").between(F.col("lo"), F.col("hi")))
+            # integer div on columns — `/`-then-cast routes through
+            # IEEE double and mis-buckets past 2^53
+            .select("g", "pi", F.expr("(v - lo) div w").alias("b"))
+            .groupBy("g", "pi", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_q: dict = {}
+        for r in hist:
+            by_q.setdefault((r["g"], int(r["pi"])), {})[int(r["b"])] = int(
+                r["c"]
+            )
+        nxt: dict = {}
+        for key, (lo, hi, rank) in state.items():
+            w = (hi - lo) // buckets + 1
+            cum = 0
+            for b in sorted(by_q.get(key, {})):
+                c = by_q[key][b]
+                if cum + c >= rank:
+                    b_lo = lo + b * w
+                    b_hi = min(hi, b_lo + w - 1)
+                    if w == 1 or b_lo == b_hi:
+                        done[key] = b_lo
+                    else:
+                        nxt[key] = [b_lo, b_hi, rank - cum]
+                    break
+                cum += c
+        state = nxt
+    vals.unpersist()
+    rows = [
+        (g, int(ps[pi][0]), int(ps[pi][1]), int(v))
+        for (g, pi), v in done.items()
+    ]
+    return spark.createDataFrame(rows, out_schema).orderBy(
+        group_col, (F.col("p_num") / F.col("p_den")), "p_num"
+    )
+
+
+@register(
+    "text_source_length_quantiles",
+    extra=True,
+    doc="EXACT per-source p50/p90/p99 of document character length via "
+    "grouped histogram selection — per-group order statistics with NO "
+    "window and NO sort (the PARTITION BY source window idiom "
+    "serializes each source through one task at scale; this "
+    "histograms and narrows instead). Oracle is the literal per-"
+    "source ROW_NUMBER rank definition.",
+    oracle="""
+WITH v AS (
+  SELECT source AS g, CAST(length(text) AS BIGINT) AS len
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY g),
+r AS (
+  SELECT g, len, ROW_NUMBER() OVER (PARTITION BY g ORDER BY len) AS rn
+  FROM v
+),
+want AS (
+  SELECT nn.g, t.p_num, t.p_den,
+         (t.p_num * nn.n + t.p_den - 1) // t.p_den AS rank
+  FROM nn, (VALUES (1, 2), (9, 10), (99, 100)) AS t(p_num, p_den)
+)
+SELECT w.g AS source, CAST(w.p_num AS BIGINT) AS p_num,
+       CAST(w.p_den AS BIGINT) AS p_den, MIN(r.len) AS value
+FROM want w JOIN r ON r.g = w.g AND r.rn >= w.rank
+GROUP BY w.g, w.p_num, w.p_den
+ORDER BY source, CAST(p_num AS DOUBLE) / p_den, p_num
+""",
+    tags=("textops", "profile"),
+)
+def text_source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    return grouped_exact_quantiles(docs, "source", F.length("text"))

@@ -150,3 +150,53 @@ def test_exact_quantiles_empty_and_nulls(spark):
     }
     # n = 2 (nulls excluded): p50 rank 1 -> 5, p90/p99 rank 2 -> 7
     assert got == {(1, 2): 5, (9, 10): 7, (99, 100): 7}
+
+
+def test_grouped_exact_quantiles_match_sorted_reference(spark):
+    """Per-group selection == per-group sorted-rank definition on
+    arbitrary small multisets, including 2^62-scale values (integer-div
+    bucketing), single-value groups, and groups of very different
+    sizes/ranges (each narrows independently)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from quackml_spark.operators.profile import grouped_exact_quantiles
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        data=st.dictionaries(
+            st.sampled_from(["a", "b", "c"]),
+            st.lists(
+                st.one_of(
+                    st.integers(min_value=-(2**62), max_value=2**62),
+                    st.integers(min_value=-50, max_value=50),
+                ),
+                min_size=1,
+                max_size=25,
+            ),
+            min_size=1,
+        )
+    )
+    def run(data):
+        ps = ((1, 2), (9, 10))
+        rows = [(g, v) for g, vs in data.items() for v in vs]
+        df = spark.createDataFrame(rows, "g string, x long")
+        got = {
+            (r["g"], r["p_num"], r["p_den"]): r["value"]
+            for r in grouped_exact_quantiles(
+                df, "g", "x", ps=ps, buckets=8
+            ).collect()
+        }
+        want = {}
+        for g, vs in data.items():
+            s = sorted(vs)
+            n = len(s)
+            for pn, pd in ps:
+                want[(g, pn, pd)] = s[(pn * n + pd - 1) // pd - 1]
+        assert got == want
+
+    run()
