@@ -170,3 +170,63 @@ def interval_join(
         *[F.when(valid, F.col(c)).alias(c) for c in payload],
     )
     return cleared.withColumnRenamed(matched_from, from_col + suffix)
+
+
+def range_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """ALL (point, interval) pairs with lo <= p <= hi when intervals
+    OVERLAP each other and share no join key — the genuine range join
+    that asof_join (one match) and interval_join (keyed,
+    non-overlapping SCD2) cannot express, and that Spark plans as a
+    broadcast-nested-loop / cartesian explosion from the raw theta
+    predicate. Bucketize instead: each interval explodes to the
+    ``bucket_width``-wide integer buckets it overlaps
+    (len/width + 1 rows, bounded fan-out), each point maps to exactly
+    ONE bucket, and the join is a plain equi-join on the bucket id
+    followed by the exact containment predicate. Because a point has
+    one bucket, every qualifying pair appears exactly once — no
+    dedupe pass.
+
+    Columns must be integer-valued (cast timestamps to epoch
+    micros/millis first). ``bucket_width`` defaults to the mean
+    interval length (one aggregate over the intervals side) — the
+    fan-out sweet spot when lengths are comparable; callers with
+    heavy-tailed lengths should pass the median instead (a single
+    mega-interval explodes len/width buckets). Returns
+    points.columns + intervals.columns.
+
+    Scale shape: one shuffle of each side on the bucket id with
+    bounded interval replication; no pair ever forms outside a shared
+    bucket. 100 TB events x 10^6 maintenance windows = linear work,
+    where the theta join is |P| x |I|."""
+    if bucket_width is None:
+        head = intervals.agg(
+            F.avg(F.col(hi_col) - F.col(lo_col)).alias("m")
+        ).first()
+        bucket_width = max(1, int(head["m"]) + 1) if head["m"] is not None else 1
+    w = int(bucket_width)
+    if w < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.expr(f"{lo_col} div {w}L"), F.expr(f"{hi_col} div {w}L")
+            )
+        ),
+    )
+    pt = points.withColumn("__b", F.expr(f"{point_col} div {w}L"))
+    return (
+        pt.join(iv, "__b")
+        .where(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("__b")
+    )

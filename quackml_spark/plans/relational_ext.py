@@ -1013,3 +1013,57 @@ def q32_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q43 — unkeyed overlapping range join (the nested-loop-explosion case).
+# ---------------------------------------------------------------------------
+@register(
+    "q43_range_point_join",
+    extra=True,
+    doc="Point-in-interval aggregation over OVERLAPPING, unkeyed "
+    "windows: every 97th event spawns a ±2-minute window, and each "
+    "window counts/sums ALL events inside it. The raw theta join "
+    "(p BETWEEN lo AND hi) plans as a nested-loop explosion; "
+    "range_point_join bucketizes epoch-microsecond time so it becomes "
+    "one equi-join on the bucket id with bounded interval replication "
+    "— the keyed-SCD2 interval_join and one-match asof_join cannot "
+    "express this shape. Oracle is the literal theta join.",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_id AS interval_id,
+         epoch_us(ts) - 120000000 AS lo,
+         epoch_us(ts) + 120000000 AS hi
+  FROM events WHERE event_id % 97 = 0
+),
+p AS (SELECT epoch_us(ts) AS pu, value FROM events)
+SELECT iv.interval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_out("SUM(CAST(p.value AS DECIMAL(18,6)))")} AS sum_value
+FROM iv JOIN p ON p.pu BETWEEN iv.lo AND iv.hi
+GROUP BY iv.interval_id
+ORDER BY interval_id
+""",
+    tags=("relational", "joins"),
+)
+def q43_range_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.joins import range_point_join
+
+    ev = t(spark, sf_dir, "events")
+    points = ev.select(
+        F.unix_micros("ts").alias("pu"), F.col("value")
+    )
+    intervals = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        (F.unix_micros("ts") - 120_000_000).alias("lo"),
+        (F.unix_micros("ts") + 120_000_000).alias("hi"),
+    )
+    return (
+        range_point_join(points, intervals, "pu", "lo", "hi")
+        .groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            out_double(F.sum(dec("value"))).alias("sum_value"),
+        )
+        .orderBy("interval_id")
+    )

@@ -232,3 +232,38 @@ def test_asof_tolerance_on_date_columns(spark):
     }
     assert out[1] == 100.0       # 2 days back, inside tolerance
     assert out[2] is None        # 53 days back, outside
+
+
+def test_range_point_join_overlapping_and_negatives(spark):
+    """Overlapping unkeyed intervals: each qualifying (point, interval)
+    pair appears EXACTLY once (a point has one bucket), boundaries are
+    inclusive, negative domains bucket correctly (trunc-div is
+    monotone), and the plan is an equi-join — no cartesian /
+    broadcast-nested-loop."""
+    from quackml_spark.operators.joins import range_point_join
+
+    points = spark.createDataFrame(
+        [(-15,), (-10,), (0,), (5,), (10,), (25,)], "p long"
+    )
+    intervals = spark.createDataFrame(
+        [(1, -12, 6), (2, 0, 10), (3, 4, 30), (4, 100, 110)],
+        "iid long, lo long, hi long",
+    )
+    out = range_point_join(points, intervals, "p", "lo", "hi", bucket_width=7)
+    got = sorted((r["p"], r["iid"]) for r in out.collect())
+    want = sorted(
+        (p, i)
+        for p in (-15, -10, 0, 5, 10, 25)
+        for i, lo, hi in [(1, -12, 6), (2, 0, 10), (3, 4, 30), (4, 100, 110)]
+        if lo <= p <= hi
+    )
+    assert got == want
+    # no pair twice, boundary point 10 matched interval 2 (hi inclusive)
+    assert len(got) == len(set(got)) and (10, 2) in got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # default width derives from the mean interval length
+    auto = range_point_join(points, intervals, "p", "lo", "hi")
+    assert sorted((r["p"], r["iid"]) for r in auto.collect()) == want
