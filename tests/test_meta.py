@@ -86,7 +86,7 @@ _BROADCAST_ALLOWLIST = {
     "streaming/events.py": 1,  # streaming_curate's benchmark gram set (eval-suite-sized, the text_decontaminate bound)
     "ml/pergroup.py": 1,         # per-group coefficient table (|groups| rows; serve_per_group documents the broadcast-size contract — callers with ~10^7+ groups should join unhinted)
     "operators/pipeline.py": 1,  # composed pipeline's benchmark gram set (eval-suite-sized, same bound as text_decontaminate's)
-    "operators/profile.py": 1,   # per-source doc-count table (|sources| rows, same bound as the mixture rates broadcast)
+    "operators/profile.py": 2,   # per-source doc-count table (|sources| rows, same bound as the mixture rates broadcast) + grouped_exact_quantiles' per-round ranges table (|groups| x |ps| rows, the operator's documented dataset-card-grain bound)
     "operators/qualityclf.py": 1,  # 1-row percentile-bounds aggregate (scalar fan-in for the seed-label selection)
     "operators/packing.py": 2,   # prefix-sum partition-offset table (<= n_shards rows, the ranked_by bound) + epoch table (|sources| rows, the mixture-rates bound)
 }
