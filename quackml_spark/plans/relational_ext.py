@@ -1067,3 +1067,118 @@ def q43_range_point_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("interval_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q44 — robust anomaly scan: exact median/IQR bounds, no sort, no window.
+# ---------------------------------------------------------------------------
+@register(
+    "q44_anomaly_scan",
+    extra=True,
+    doc="Robust outlier scan over events: per event_type EXACT "
+    "median/IQR (grouped histogram selection in integer cents — no "
+    "window, no sort) give Tukey-style bounds median ± 3*(q75-q25); "
+    "events outside are anomalies. Counts and bounds are all exact "
+    "integers, so the oracle's literal per-type rank definition "
+    "replays bit-for-bit. The monitoring sweep a pipeline runs before "
+    "trusting a new feed.",
+    oracle="""
+WITH v AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY g),
+r AS (
+  SELECT g, cents, ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents) AS rn
+  FROM v
+),
+q AS (
+  SELECT w.g, w.p_num,
+         MIN(r.cents) AS val
+  FROM (
+    SELECT nn.g, t.p_num, (t.p_num * nn.n + 3) // 4 AS rank
+    FROM nn, (VALUES (1), (2), (3)) AS t(p_num)
+  ) w JOIN r ON r.g = w.g AND r.rn >= w.rank
+  GROUP BY w.g, w.p_num
+),
+b AS (
+  SELECT g,
+         MAX(CASE WHEN p_num = 2 THEN val END)
+           - 3 * (MAX(CASE WHEN p_num = 3 THEN val END)
+                  - MAX(CASE WHEN p_num = 1 THEN val END)) AS lo,
+         MAX(CASE WHEN p_num = 2 THEN val END)
+           + 3 * (MAX(CASE WHEN p_num = 3 THEN val END)
+                  - MAX(CASE WHEN p_num = 1 THEN val END)) AS hi
+  FROM q GROUP BY g
+)
+SELECT v.g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN v.cents < b.lo OR v.cents > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       b.lo AS lo_cents, b.hi AS hi_cents
+FROM v JOIN b USING (g)
+GROUP BY v.g, b.lo, b.hi
+ORDER BY event_type
+""",
+    tags=("relational", "profile"),
+)
+def q44_anomaly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.profile import grouped_exact_quantiles
+
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    quart = grouped_exact_quantiles(
+        ev, "event_type", cents, ps=((1, 4), (1, 2), (3, 4))
+    )
+    bounds = (
+        quart.groupBy("event_type")
+        .agg(
+            # key on BOTH p_num and p_den: a bare p_num == 1 would match
+            # the (1,2) median row too and silently take max(q25, med)
+            F.max(
+                F.when(
+                    (F.col("p_num") == 1) & (F.col("p_den") == 4),
+                    F.col("value"),
+                )
+            ).alias("q25"),
+            F.max(
+                F.when(
+                    (F.col("p_num") == 1) & (F.col("p_den") == 2),
+                    F.col("value"),
+                )
+            ).alias("med"),
+            F.max(
+                F.when(
+                    (F.col("p_num") == 3) & (F.col("p_den") == 4),
+                    F.col("value"),
+                )
+            ).alias("q75"),
+        )
+        .select(
+            "event_type",
+            (F.col("med") - 3 * (F.col("q75") - F.col("q25"))).alias("lo"),
+            (F.col("med") + 3 * (F.col("q75") - F.col("q25"))).alias("hi"),
+        )
+    )
+    return (
+        ev.select("event_type", cents.alias("cents"))
+        .join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    (F.col("cents") < F.col("lo"))
+                    | (F.col("cents") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+        .select(
+            "event_type", "n_events", "n_anomalies",
+            F.col("lo").alias("lo_cents"), F.col("hi").alias("hi_cents"),
+        )
+        .orderBy("event_type")
+    )
