@@ -390,7 +390,11 @@ def _ppjoin_pairs(toks: DataFrame, t: int) -> DataFrame:
 _PPJOIN_CTES = """shingles AS ({shingles}),
 toks AS MATERIALIZED (SELECT DISTINCT doc_id, shingle AS tok FROM shingles),
 gsig AS MATERIALIZED (
-  SELECT doc_id, md5(string_agg(tok, chr(1) ORDER BY tok)) AS sig
+  -- tokens md5'd to FIXED WIDTH before the sorted concat — the same
+  -- scheme (and the same review-catch rationale) as the engine's
+  -- collapse: a raw-text join is ambiguous when a token contains the
+  -- separator, which would merge DIFFERENT sets into one signature
+  SELECT doc_id, md5(string_agg(md5(tok), '' ORDER BY md5(tok))) AS sig
   FROM toks GROUP BY doc_id
 ),
 grp AS MATERIALIZED (SELECT sig, MIN(doc_id) AS rep FROM gsig GROUP BY sig),

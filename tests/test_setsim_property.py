@@ -239,3 +239,44 @@ def test_setsim_index_check_matches_python_brute_force(spark, docs, t_ppm):
             if c * 1_000_000 >= t_ppm * (len(sq) + len(si) - c):
                 want.add((q, i))
     assert got == want
+
+
+def test_ppjoin_oracle_separator_ambiguity_guard(spark):
+    """The oracle's exact-collapse signature md5s tokens to FIXED WIDTH
+    before the sorted concat — a raw-text join with a separator char is
+    ambiguous when a TOKEN contains the separator (\\x01 is \\S, so it
+    survives tokenization into shingles), which would merge different
+    token sets into one signature and emit wrong pairs. Engine and
+    oracle must agree on a \\x01-laden corpus (r12 self-review catch:
+    the first oracle collapse used string_agg(tok, chr(1)))."""
+    import duckdb
+    import pandas as pd
+
+    from quackml_spark.operators.dedup import (
+        _ppjoin_oracle_sql,
+        _shingles_sql,
+        set_similarity_join,
+        word_shingles,
+    )
+
+    texts = [
+        (1, "a b c\x01d e f g"),
+        (2, "a b c d\x01e f g"),
+        (3, "a b c d e f g"),
+        (4, "a b c d e f g"),  # exact dup of 3
+        (5, "x\x01y a b x\x01y a b"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    eng = sorted(
+        map(tuple, set_similarity_join(word_shingles(docs), 500_000).collect())
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(texts, columns=["doc_id", "text"]))
+    ora = sorted(
+        map(
+            tuple,
+            con.execute(_ppjoin_oracle_sql(_shingles_sql(), 500_000)).fetchall(),
+        )
+    )
+    assert eng == ora
+    assert (3, 4, 1.0) in eng  # the exact dup survives the collapse
