@@ -333,6 +333,8 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_plan",
+    extra=True,  # demoted r13 to free a graded slot: the multimodal family
+    # keeps multimodal_binary_features as its graded representative.
     doc="Video frame-sampling plan: one row per sampled frame timestamp.",
     oracle="""
 SELECT doc_id, i AS frame_idx, CAST(i AS DOUBLE) * 1.0 AS frame_ts

@@ -807,7 +807,8 @@ def exact_quantiles(
 
 @register(
     "q42_exact_quantiles",
-    extra=True,
+    # Graded (round 13 promotion): cleanest representative of the
+    # exact-selection family (iterative histogram k-th order statistic).
     doc="EXACT p50/p90/p99 of lineitem extended price in integer cents "
     "(smallest value whose rank reaches ceil(p*n)) via iterative "
     "histogram selection — the distributed k-th order statistic with "

@@ -88,6 +88,8 @@ _BUDGET = 3000  # chars per source for the registered demo query
 
 @register(
     "text_mixture_sample",
+    extra=True,  # demoted r13 to free a graded slot: the sampling family
+    # keeps text_dsir_select as its graded representative.
     doc="Per-source token-budget mixture sampling (the DoReMi/Pile-style "
     "mixture step): per-source char totals -> exact integer ppm rate to "
     "hit a 3000-char budget -> deterministic md5-hash membership -> "

@@ -2616,9 +2616,10 @@ def bm25_index_compact(
 
 @register(
     "text_bm25_index",
-    extra=True,  # lifecycle sibling of the graded text_bm25_topk (same
-    # query set, same scores — what changes is WHERE the corpus pass
-    # happens: once at build, never at search)
+    # Graded (round 13 promotion): the persisted-index lifecycle is the
+    # most distinct semantics in the retrieval family — search that
+    # never rescans the corpus — so it carries a graded slot alongside
+    # the corpus-rescanning text_bm25_topk.
     doc="BM25 retrieval from the PERSISTED inverted index, exercising "
     "the full additive lifecycle inside the value check: the even-"
     "doc_id half of the corpus is indexed at build, the odd half is "
