@@ -2513,6 +2513,112 @@ def bm25_index_append(
     ).write.mode("append").parquet(f"{path}/stats_log")
 
 
+def bm25_index_delete(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    run_key: str = "",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Retire a doc batch — the ADDITIVE INVERSE of bm25_index_append.
+    BM25's statistics are sums over doc batches, so a delete writes the
+    same three relations an append writes, with negated signs, plus a
+    tombstone masking the retired postings:
+
+      tombstones/  (doc_id, batch_id, run_key) — search drops postings
+                   rows whose batch_id < the doc's max tombstone batch,
+                   so a CHANGED doc re-appended at a LATER batch
+                   survives its own delete; compact applies the mask
+                   physically
+      df/          NEGATIVE deltas (tok, -df) — the accumulated sum is
+                   then exactly the live-corpus df
+      stats_log/   one (-n_docs, -sum_dl) row
+
+    so search(build(v1) + delete(gone) + append(new)) is BIT-IDENTICAL
+    to search(build(v2)) — pytest-pinned, the recrawl contract.
+
+    ``docs`` must be the INDEXED version of the retired documents (the
+    old crawl's rows, e.g. ``v1.join(retire_ids, id_col)``): the
+    negative deltas come from re-tokenizing this batch, which cancels
+    what build/append added only if the text is byte-identical. That
+    makes a delete BATCH-sized (no index scan, no corpus rescan) — the
+    id-only alternative would reconstruct tf/dl from postings/, a full
+    index scan per delete batch, the wrong default at 100 TB.
+
+    Batch identity: (batch_id, run_key) must be unique per OPERATION —
+    never reuse an append's identity for a delete (both dedupe replays
+    on full row identity, so a crash-REPLAYED delete is safe, but two
+    different operations sharing an identity have no replay scope).
+    The delete's batch_id must exceed every batch whose docs it
+    retires (build writes batch_id -1), and a re-append of a changed
+    doc must use a batch_id >= the delete's."""
+    spark = docs.sparkSession
+    from quackml_spark.operators._manifest import read_manifest
+
+    _ver, man = read_manifest(spark, path)
+    n_buckets = int(man["n_buckets"])
+    _postings, dfreq, stats = _bm25_batch_relations(docs, id_col, text_col)
+    bid = F.lit(int(batch_id)).cast("bigint").alias("batch_id")
+    rk = F.lit(run_key).alias("run_key")
+    (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .select("doc_id", bid, rk)
+        .write.mode("append")
+        .parquet(f"{path}/tombstones")
+    )
+    (
+        dfreq.select("tok", (-F.col("df")).alias("df"), bid, rk)
+        .withColumn("tok_bucket", _bm25_bucket(n_buckets))
+        .write.mode("append")
+        .partitionBy("tok_bucket")
+        .parquet(f"{path}/df")
+    )
+    s = stats.first()
+    spark.createDataFrame(
+        [(int(batch_id), run_key, -int(s["n_docs"]), -int(s["sum_dl"]))],
+        "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint",
+    ).write.mode("append").parquet(f"{path}/stats_log")
+
+
+def _bm25_dead_docs(spark: SparkSession, path: str) -> DataFrame | None:
+    """Per-doc delete horizon from the tombstone log: (doc_id,
+    del_before) — postings rows with batch_id < del_before are dead.
+    MAX over tombstone rows, so crash-replayed deletes (identical rows)
+    are a no-op. None when the index has never seen a delete. The log
+    is delete-history-sized (one row per retired doc per delete), not
+    corpus-sized; compact keeps it (compacted) so a late-replayed old
+    append cannot resurrect a physically-dropped doc."""
+    import os
+
+    if not os.path.isdir(f"{path}/tombstones"):
+        return None
+    return (
+        spark.read.schema("doc_id bigint, batch_id bigint, run_key string")
+        .parquet(f"{path}/tombstones")
+        .groupBy("doc_id")
+        .agg(F.max("batch_id").alias("del_before"))
+    )
+
+
+def _mask_tombstoned(postings: DataFrame, dead: DataFrame | None) -> DataFrame:
+    """Drop postings rows retired by the tombstone horizon (batch_id <
+    the doc's del_before). Plain left join — the postings side is
+    probe-bounded at search (and AQE sizes the join at compact); the
+    dead side is delete-history-sized, never broadcast-forced."""
+    if dead is None:
+        return postings
+    return (
+        postings.join(dead, "doc_id", "left")
+        .where(
+            F.col("del_before").isNull()
+            | (F.col("batch_id") >= F.col("del_before"))
+        )
+        .drop("del_before")
+    )
+
+
 def bm25_index_search(
     spark: SparkSession,
     path: str,
@@ -2525,9 +2631,15 @@ def bm25_index_search(
     the probed terms' postings rows (tok IN (...) pushed to the sorted
     scan), the probed df deltas, and the tiny stats log.
 
-    Replay hygiene: postings dedupe on full row identity, df deltas on
-    (tok, batch_id, run_key), stats rows on (batch_id, run_key) — all
-    probe- or batch-count-bounded, never corpus-sized."""
+    Replay hygiene: postings, df deltas and stats rows all dedupe on
+    FULL row identity — a crash-replayed attempt writes byte-identical
+    rows — all probe- or batch-count-bounded, never corpus-sized.
+
+    Deletes: postings rows whose batch_id predates the doc's tombstone
+    horizon are masked (the one non-probe-bounded read: the tombstone
+    log, delete-history-sized); df/stats negatives flow through the
+    additive sums unchanged, so the ranked output over a recrawl-updated
+    index is bit-identical to a fresh build of the new corpus."""
     from quackml_spark.operators._manifest import read_manifest
 
     try:
@@ -2557,7 +2669,7 @@ def bm25_index_search(
             "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint"
         )
         .parquet(f"{path}/stats_log")
-        .dropDuplicates(["batch_id", "run_key"])
+        .distinct()
         .agg(
             F.sum("n_docs").alias("n_docs"),
             (
@@ -2566,13 +2678,18 @@ def bm25_index_search(
         )
     )
     stats = F.broadcast(stats_rows)
-    hits = (
+    probed = (
         spark.read.schema(
             "tok string, doc_id bigint, tf bigint, dl int, "
             "batch_id bigint, run_key string, tok_bucket int"
         )
         .parquet(f"{path}/postings")
         .where(F.col("tok_bucket").isin(buckets) & F.col("tok").isin(vocab))
+    )
+    # tombstone mask BEFORE dropping batch_id: a changed doc re-appended
+    # with coincidentally identical text must keep only its live row
+    hits = (
+        _mask_tombstoned(probed, _bm25_dead_docs(spark, path))
         .select("tok", "doc_id", "tf", "dl")
         .distinct()
     )
@@ -2583,9 +2700,10 @@ def bm25_index_search(
         )
         .parquet(f"{path}/df")
         .where(F.col("tok_bucket").isin(buckets) & F.col("tok").isin(vocab))
-        .dropDuplicates(["tok", "batch_id", "run_key"])
+        .distinct()
         .groupBy("tok")
         .agg(F.sum("df").alias("df"))
+        .where(F.col("df") > 0)
     )
     return _bm25_rank(hits, dfreq, qterms, stats, k, k1, b)
 
@@ -2597,20 +2715,33 @@ def bm25_index_compact(
     touched bucket partition): the shared crash-safe compactor rewrites
     postings/ and df/ WITHIN their tok_bucket partitions (range-laid by
     tok, so per-bucket footer min-max pruning recovers too), and
-    stats_log/ by batch_id. Row content untouched — replay duplicates
-    are PRESERVED (search is duplicate-insensitive by construction,
-    the setsim_index_compact convention)."""
+    stats_log/ by batch_id. Replay duplicates are PRESERVED (search is
+    duplicate-insensitive by construction, the setsim_index_compact
+    convention). Tombstoned postings are the one content change: the
+    rewrite applies the delete horizon PHYSICALLY (batch_id < the
+    doc's max tombstone batch -> dropped), reclaiming the retired
+    docs' bytes. The tombstone log itself is kept — compacted, now
+    matching nothing — so a late-replayed pre-delete append cannot
+    resurrect a dropped doc; df/stats negative rows likewise stay
+    (they ARE the live statistics, not masking state)."""
+    import os
+
     from quackml_spark.sources.files import compact_partitioned_dir
 
+    dead = _bm25_dead_docs(spark, path)
+    subs = [
+        ("postings", "tok_bucket", ["tok"],
+         (lambda df: _mask_tombstoned(df, dead)) if dead is not None else None),
+        ("df", "tok_bucket", ["tok"], None),
+        ("stats_log", None, ["batch_id"], None),
+    ]
+    if os.path.isdir(f"{path}/tombstones"):
+        subs.append(("tombstones", None, ["doc_id"], None))
     return {
         sub: compact_partitioned_dir(
-            spark, f"{path}/{sub}", pcol, rcols, target_file_mb
+            spark, f"{path}/{sub}", pcol, rcols, target_file_mb, mask=m
         )
-        for sub, pcol, rcols in (
-            ("postings", "tok_bucket", ["tok"]),
-            ("df", "tok_bucket", ["tok"]),
-            ("stats_log", None, ["batch_id"]),
-        )
+        for sub, pcol, rcols, m in subs
     }
 
 
@@ -2650,6 +2781,71 @@ def text_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25_index_build(docs.where("doc_id % 2 = 0"), path)
     bm25_index_append(docs.where("doc_id % 2 = 1"), path, batch_id=1)
     return bm25_index_search(spark, path, _bm25_std_queries(docs))
+
+
+@register(
+    "text_bm25_recrawl",
+    extra=True,  # lifecycle sibling of the graded text_bm25_index —
+    # same ranked output over the same final corpus; what changes is
+    # HOW the index got there (diff-driven update vs build+append)
+    doc="The recrawl composition: corpus_diff turned from a report "
+    "into an index update. v1 (the stale crawl: missing the doc_id %% "
+    "7 == 3 docs, 'stale '-prefixed text for doc_id %% 5 == 0, plus "
+    "retired docs at doc_id + 2000000) is indexed; the diff against "
+    "v2 (the documents table) then drives bm25_index_delete(removed "
+    "+ changed, fed v1's INDEXED rows) and bm25_index_append(added + "
+    "changed from v2); compact applies the tombstones physically; and "
+    "the standard query set searches the updated index. Deletes are "
+    "negative additive deltas + a tombstone horizon, so the result is "
+    "BIT-IDENTICAL to a fresh build of v2 — the oracle is the plain "
+    "corpus-rescanning BM25 SQL over documents, never seeing v1. Only "
+    "the diff-sized batches are tokenized; the v1 corpus is never "
+    "rescanned.",
+    oracle=f"""
+WITH {_SQL_BM25_BODY}
+SELECT query_id, doc_id,
+       CAST(ROUND(score, 6) AS DOUBLE) AS bm25, rnk
+FROM lex
+WHERE rnk <= 10
+ORDER BY query_id, rnk
+""",
+    tags=("textops", "similarity"),
+)
+def text_bm25_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.operators.profile import corpus_diff
+    from quackml_spark.tmpdirs import ephemeral_dir
+
+    v2 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = (
+        v2.where("doc_id % 7 != 3")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.lit("stale "), "text")
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            v2.where("doc_id % 19 = 0").select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.lit("retired "), "text").alias("text"),
+            )
+        )
+    )
+    path = ephemeral_dir("qml_bm25_recrawl_") + "/idx"
+    bm25_index_build(v1, path)
+    diff = corpus_diff(v1, v2)
+    retire = diff.where(F.col("status").isin("removed", "changed")).select(
+        "doc_id"
+    )
+    ingest = diff.where(F.col("status").isin("added", "changed")).select(
+        "doc_id"
+    )
+    bm25_index_delete(v1.join(retire, "doc_id"), path, batch_id=1)
+    bm25_index_append(v2.join(ingest, "doc_id"), path, batch_id=2)
+    bm25_index_compact(spark, path)
+    return bm25_index_search(spark, path, _bm25_std_queries(v2))
 
 
 # ---------------------------------------------------------------------------

@@ -323,6 +323,7 @@ def compact_partitioned_dir(
     partition_col: str | None,
     range_cols: list[str],
     target_file_mb: int = 512,
+    mask=None,
 ) -> dict:
     """The shared crash-safe compactor behind dedup_index_compact and
     ivfpq_index_compact: rewrite a partitioned parquet directory's
@@ -339,7 +340,10 @@ def compact_partitioned_dir(
     not one atomic op: a reader RACING the swap can hit a brief
     path-not-found — run compaction in a maintenance window, or on an
     object store compact a copy and flip a manifest pointer. Row
-    content is untouched. Returns before/after file/byte stats."""
+    content is untouched unless the caller passes ``mask`` (a
+    DataFrame -> DataFrame filter applied between read and rewrite —
+    bm25_index_compact uses it to physically drop tombstoned
+    postings). Returns before/after file/byte stats."""
     import math
     import shutil
 
@@ -357,9 +361,11 @@ def compact_partitioned_dir(
     # schema from ONE file would silently drop the newer columns from
     # every row in the rewrite, destroying the replay-scoping state
     # the appends recorded (advisor-catch class)
+    src = spark.read.option("mergeSchema", "true").parquet(data_dir)
+    if mask is not None:
+        src = mask(src)
     w = (
-        spark.read.option("mergeSchema", "true").parquet(data_dir)
-        .repartitionByRange(n_out, *range_cols)
+        src.repartitionByRange(n_out, *range_cols)
         .sortWithinPartitions(*range_cols)
         .write.mode("overwrite")
     )

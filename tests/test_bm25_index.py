@@ -16,6 +16,7 @@ from quackml_spark.operators.text import (
     bm25_index_append,
     bm25_index_build,
     bm25_index_compact,
+    bm25_index_delete,
     bm25_index_search,
     bm25_topk,
 )
@@ -143,6 +144,91 @@ def test_bm25_index_guards(spark, sf_dir, tmp_path):
     shutil.rmtree(f"{path}/manifest.parquet")
     with pytest.raises(ValueError, match="manifest"):
         bm25_index_search(spark, path, _bm25_std_queries(docs))
+
+
+def test_bm25_delete_recrawl_equals_fresh_build(spark, sf_dir, tmp_path):
+    """The recrawl contract: build(v1) + delete(removed+changed, fed
+    v1's INDEXED rows) + append(added+changed from v2) is bit-identical
+    to build(v2) — deletes are negative additive deltas plus a
+    tombstone horizon; a crash-REPLAYED delete changes nothing."""
+    docs = _docs(spark, sf_dir)
+    q = _bm25_std_queries(docs)
+    # v1: docs %7==3 missing, %5==0 stale text, plus retired extras
+    v1 = (
+        docs.where("doc_id % 7 != 3")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.lit("stale "), "text")
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where("doc_id % 19 = 0").select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.lit("retired "), "text").alias("text"),
+            )
+        )
+    )
+    # removed = the shifted retired extras; changed = every v1 doc
+    # carrying stale text (v1 already excludes the %7==3 added docs)
+    retire = v1.where("doc_id >= 2000000 OR doc_id % 5 = 0")
+    ingest = docs.where("doc_id % 7 = 3 OR doc_id % 5 = 0")
+
+    fresh = str(tmp_path / "fresh")
+    bm25_index_build(docs, fresh)
+    want = sorted(map(tuple, bm25_index_search(spark, fresh, q).collect()))
+
+    inc = str(tmp_path / "inc")
+    bm25_index_build(v1, inc)
+    for _ in range(2):  # the delete attempt crash-replays
+        bm25_index_delete(retire, inc, batch_id=1, run_key="del1")
+    bm25_index_append(ingest, inc, batch_id=2)
+    got = sorted(map(tuple, bm25_index_search(spark, inc, q).collect()))
+    assert got == want and got
+
+
+def test_bm25_delete_then_compact_drops_dead_rows(spark, sf_dir, tmp_path):
+    """Compaction applies the tombstone horizon physically: the dead
+    docs' postings rows disappear from disk, every search result is
+    unchanged, and a changed doc re-appended at a later batch SURVIVES
+    its own tombstone through the rewrite."""
+    docs = _docs(spark, sf_dir).where("doc_id < 400")
+    path = str(tmp_path / "bm25")
+    bm25_index_build(docs, path)
+    gone = docs.where("doc_id % 10 = 1")          # plain removals
+    changed = docs.where("doc_id % 10 = 2")       # delete + re-append
+    bm25_index_delete(gone.unionByName(changed), path, batch_id=1)
+    bm25_index_append(
+        changed.select(
+            "doc_id", F.concat(F.lit("v2 "), "text").alias("text")
+        ),
+        path,
+        batch_id=2,
+    )
+    q = spark.createDataFrame([(1, "v2"), (2, "the")], "query_id long, tok string")
+    before = sorted(map(tuple, bm25_index_search(spark, path, q).collect()))
+    dead_ids = {r["doc_id"] for r in gone.select("doc_id").collect()}
+    assert not any(r[1] in dead_ids for r in before)
+    # the re-appended changed docs are retrievable by their new token
+    v2_hits = {t[1] for t in before if t[0] == 1}
+    assert v2_hits and all(d % 10 == 2 for d in v2_hits)
+
+    rows_before = spark.read.parquet(f"{path}/postings").count()
+    bm25_index_compact(spark, path)
+    rows_after = spark.read.parquet(f"{path}/postings").count()
+    assert rows_after < rows_before
+    # exactly the retired generation disappeared: gone docs' rows + the
+    # changed docs' PRE-delete rows; the batch-2 re-appends survive
+    live = spark.read.parquet(f"{path}/postings")
+    assert live.where(F.col("doc_id").isin(list(dead_ids))).count() == 0
+    assert live.where("batch_id = 2").count() > 0
+    assert live.where(
+        (F.col("doc_id") % 10 == 2) & (F.col("batch_id") < 1)
+    ).count() == 0
+    after = sorted(map(tuple, bm25_index_search(spark, path, q).collect()))
+    assert after == before
 
 
 def test_streaming_bm25_ingest_multibatch_equals_oneshot(spark, tmp_path):
