@@ -259,28 +259,84 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Streaming Bloom dedup (first event per (user_id, event_type), "
     "CONSTANT 512 KiB state for an unbounded stream — the "
     "no-watermark-eviction complement of streaming_dedup_events). "
-    "Kept-count is between the exact distinct-key count minus the "
-    "bounded false-positive allowance and the exact count; the "
-    "cross-batch state test pins exact behavior.",
+    "Fully oracle-checked INCLUDING false positives: the bitmap after "
+    "any processed prefix equals the UNION of all processed keys' bit "
+    "positions regardless of keep/drop (a dropped key's bits were "
+    "already covered), so the order-dependent sequential filter "
+    "collapses to one order-independent SQL predicate — a key is "
+    "false-positive-dropped iff each of its 4 md5 positions is shared "
+    "with some key whose first occurrence (stable (ts, key) order) "
+    "precedes it in the same shard. Exact under the single-batch "
+    "availableNow drain, which the builder ASSERTS (multi-batch "
+    "reorders first occurrences batch-first; cross-batch state "
+    "continuity is pinned separately in pytest).",
+    oracle="""
+WITH keys AS (
+  SELECT user_id, event_type,
+         CAST(user_id AS VARCHAR) || chr(31) || event_type AS key,
+         MIN(ts) AS first_ts
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT user_id, event_type, key,
+         ROW_NUMBER() OVER (
+           PARTITION BY ('0x' || substr(md5(key), 1, 8))::BIGINT % 32
+           ORDER BY first_ts, user_id, event_type) AS rnk,
+         ('0x' || substr(md5(key), 1, 8))::BIGINT % 32 AS shard
+  FROM keys
+),
+pos AS (
+  SELECT key, shard, rnk, i,
+         ('0x' || substr(md5(i::VARCHAR || '|' || key), 1, 8))::BIGINT
+           % 131072 AS p
+  FROM ranked, unnest([0, 1, 2, 3]) AS t(i)
+),
+fp AS (
+  SELECT a.key
+  FROM pos a JOIN pos b ON b.shard = a.shard AND b.p = a.p AND b.rnk < a.rnk
+  GROUP BY a.key
+  HAVING COUNT(DISTINCT a.i) >= 4
+)
+SELECT user_id, event_type
+FROM ranked
+WHERE key NOT IN (SELECT key FROM fp)
+ORDER BY user_id, event_type
+""",
     tags=("streaming",),
 )
 def streaming_bloom_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
+    import json
 
     from quackml_spark.streaming.events import (
         read_event_stream,
-        run_to_completion,
         streaming_bloom_dedup,
     )
 
-    out = run_to_completion(
+    name = f"qml_streaming_bloom_dedup_{abs(hash(sf_dir)) % 99999}"
+    q = (
         streaming_bloom_dedup(
             read_event_stream(spark, sf_dir), ["user_id", "event_type"]
-        ).select("user_id"),
-        "qml_streaming_bloom_dedup",
-        output_mode="append",
+        )
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
     )
-    return out.agg(F.count(F.lit(1)).alias("n_kept"))
+    q.awaitTermination()
+    # the oracle's first-occurrence ranking assumes ONE micro-batch (the
+    # setsim/countmin convention): assert it rather than assume it
+    data_batches = [
+        p for p in q.recentProgress
+        if json.loads(p.json).get("numInputRows", 0) > 0
+    ]
+    if len(data_batches) > 1:
+        raise AssertionError(
+            "single-batch drain assumption violated: "
+            f"{len(data_batches)} non-empty micro-batches"
+        )
+    return spark.table(name).orderBy("user_id", "event_type")
 
 
 @register(

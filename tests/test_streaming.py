@@ -457,18 +457,79 @@ def test_streaming_bloom_dedup_cross_batch(spark, sf_dir, tmp_path):
 
 
 def test_streaming_bloom_dedup_registered_query(spark, sf_dir):
+    """The registered row returns the kept KEY SET; at the 512 KiB
+    default sizing the test corpus has no false positives, so it must
+    equal the exact distinct-key relation."""
     from quackml_spark.plans import REGISTRY
-
-    row = REGISTRY["streaming_bloom_dedup_events"].builder(spark, sf_dir).collect()[0]
     from quackml_spark.sources import load_table
 
-    n_exact = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", "event_type")
-        .distinct()
-        .count()
+    got = sorted(
+        map(
+            tuple,
+            REGISTRY["streaming_bloom_dedup_events"]
+            .builder(spark, sf_dir)
+            .collect(),
+        )
     )
-    assert row["n_kept"] == n_exact
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, sf_dir, "events")
+            .select("user_id", "event_type")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_streaming_bloom_dedup_false_positive_oracle_branch(spark, tmp_path):
+    """The registered oracle's false-positive predicate (a key drops
+    iff each of its k positions is covered by an earlier-first-
+    occurring key in its shard — valid because the bitmap is always
+    the UNION of all processed keys' bits, kept or dropped) must match
+    the engine's sequential bitmap EXACTLY. The testdata never
+    collides at 512 KiB, so force collisions: m_bits=64, one shard,
+    200 keys — dozens of genuine false positives."""
+    from quackml_spark.streaming.events import (
+        _bloom_positions,
+        streaming_bloom_dedup,
+    )
+
+    n, m_bits, k = 200, 64, 2
+    rows = [(i, 1000 + i, f"t{i}") for i in range(n)]  # ts=i, uid, etype
+    src = tmp_path / "fp_in"
+    spark.createDataFrame(
+        rows, "ts long, user_id long, event_type string"
+    ).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "ts long, user_id long, event_type string"
+    ).parquet(str(src))
+    q = (
+        streaming_bloom_dedup(
+            stream, ["user_id", "event_type"], n_shards=1, m_bits=m_bits, k=k
+        )
+        .select("user_id")
+        .writeStream.format("memory")
+        .queryName("qml_bloom_fp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["user_id"] for r in spark.table("qml_bloom_fp").collect())
+
+    # the oracle predicate, replayed: first-occurrence order is ts
+    # order here (unique ts per key), coverage is vs ALL earlier keys
+    seen_union: set[int] = set()
+    want = []
+    for i in range(n):
+        pos = set(_bloom_positions(f"{1000 + i}\x1ft{i}", k, m_bits))
+        if not pos <= seen_union:
+            want.append(1000 + i)
+        seen_union |= pos
+    assert 0 < len(want) < n, "fixture must force real false positives"
+    assert got == want
 
 
 def test_bloom_state_version_guard():
