@@ -1011,6 +1011,202 @@ def ivf_index_search(
     )
 
 
+def ivf_recall_report(
+    spark: SparkSession,
+    index_path: str,
+    emb: DataFrame,
+    nprobes: tuple = (1, 2, 3),
+    k: int = 10,
+    sample_mod: int = 20,
+) -> DataFrame:
+    """Recall harness for a persisted IVF index: recall@k per nprobe
+    against the brute-force exact cosine top-k, on a deterministic
+    md5-sampled query subset of the caller's OWN corpus — the
+    measurement a user runs before trusting an index's nprobe setting
+    (the SCALE.md §38 planted-cluster table, as a first-class operator).
+
+    Queries = rows with md5(vec_id) %% sample_mod == 0 (engine-wide
+    md5_int32, so the sample is reproducible in SQL). Output: one row
+    per nprobe — (nprobe, k, n_queries, n_hits, recall_ppm) with
+    recall_ppm = floor(1e6 * n_hits / (n_queries * k)), an exact
+    integer (no float division to diverge between engines).
+
+    Scale shape: the exact side is one brute-force pass of the sampled
+    queries (broadcast — sample-bounded by the caller's sample_mod
+    contract) against the corpus — recall evaluation IS a bounded
+    brute-force by definition; sample_mod controls the cost. Each
+    nprobe's IVF side reads only probed list partitions (the index
+    search's pruning contract). The report is |nprobes| rows."""
+    from quackml_spark.operators.text import md5_int32
+
+    emb = emb.select("vec_id", "embedding")
+    pred = md5_int32(F.col("vec_id").cast("string")) % sample_mod == 0
+    queries = emb.where(pred)
+    corpus = _with_norm(emb, "embedding", "v_norm")
+    qn = F.broadcast(
+        _with_norm(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+            ),
+            "q_emb",
+            "q_norm",
+        )
+    )
+    exact = (
+        corpus.join(qn, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_with_norms(
+                    F.col("q_emb"),
+                    F.col("embedding"),
+                    F.col("q_norm"),
+                    F.col("v_norm"),
+                ).cast("decimal(18,9)"),
+                6,
+            )
+            .cast("double")
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exact_pairs = (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    nq = F.broadcast(queries.agg(F.count(F.lit(1)).alias("n_queries")))
+    reports = []
+    for np_ in nprobes:
+        got = ivf_index_search(
+            spark, index_path, queries, k=k, nprobe=int(np_)
+        ).select("query_id", "neighbor_id")
+        reports.append(
+            got.join(exact_pairs, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(int(np_)).cast("int").alias("nprobe"),
+                F.lit(int(k)).cast("int").alias("k"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+            )
+        )
+    from functools import reduce
+
+    report = reduce(lambda a, b: a.unionByName(b), reports)
+    return (
+        report.crossJoin(nq)
+        .select(
+            "nprobe",
+            "k",
+            F.col("n_queries").cast("bigint").alias("n_queries"),
+            "n_hits",
+            F.expr("CAST((n_hits * 1000000) DIV (n_queries * k) AS BIGINT)")
+            .alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+@register(
+    "ann_recall_eval",
+    extra=True,
+    doc="The IVF recall harness as a registered report: build the "
+    "medoid-quantized 8-list index over the embeddings table, then "
+    "recall@10 per nprobe in (1,2,3) for the md5-sampled query subset "
+    "(vec_id hash %% 20 == 0) against the brute-force exact top-10. "
+    "Every stage — medoid centroids, assignment, probe lists, probed "
+    "re-rank, exact baseline, hit counting — is deterministic and "
+    "re-derivable, so the WHOLE recall surface is value-checked in "
+    "SQL; recall is emitted as exact integer ppm (no float division). "
+    "The trained-KMeans quantizer mode goes through the same public "
+    "harness in pytest, reproducing the SCALE.md §38 medoid-vs-kmeans "
+    "gap on planted clusters.",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 20 = 0
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE)
+               DESC, v.vec_id) AS rnk
+    FROM q JOIN embeddings v ON v.vec_id <> q.query_id
+  ) WHERE rnk <= 10
+),
+cent AS (
+  SELECT CAST(vec_id AS INT) AS list_id, embedding::DOUBLE[] AS center
+  FROM embeddings WHERE vec_id < 8
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], c.center) DESC,
+             c.list_id) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, list_id, rn FROM (
+    SELECT q.query_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.embedding::DOUBLE[], c.center) DESC,
+             c.list_id) AS rn
+    FROM q, cent c
+  )
+),
+np AS (SELECT unnest([1, 2, 3]) AS nprobe),
+cand AS (
+  SELECT np.nprobe, p.query_id, a.vec_id AS neighbor_id
+  FROM np JOIN probes p ON p.rn <= np.nprobe
+  JOIN assign a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+ivf AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT c.nprobe, c.query_id, c.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY c.nprobe, c.query_id ORDER BY
+             CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE)
+               DESC, c.neighbor_id) AS rnk
+    FROM cand c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings v ON v.vec_id = c.neighbor_id
+  ) WHERE rnk <= 10
+),
+nq AS (SELECT COUNT(*) AS n_queries FROM q),
+hits AS (
+  SELECT nprobe, COUNT(*) AS n_hits
+  FROM ivf JOIN exact USING (query_id, neighbor_id)
+  GROUP BY nprobe
+)
+SELECT CAST(np.nprobe AS INT) AS nprobe,
+       CAST(10 AS INT) AS k,
+       CAST(nq.n_queries AS BIGINT) AS n_queries,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 1000000 // (nq.n_queries * 10) AS BIGINT)
+         AS recall_ppm
+FROM np LEFT JOIN hits h USING (nprobe), nq
+ORDER BY nprobe
+""",
+    tags=("similarity",),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.tmpdirs import ephemeral_dir
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = ephemeral_dir("qml_ivf_recall_") + "/idx"
+    ivf_index_build(emb, path, n_lists=8, quantizer="medoid")
+    return ivf_recall_report(
+        spark, path, emb, nprobes=(1, 2, 3), k=10, sample_mod=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
 # cluster the corpus with a coarse quantizer, then prune near-duplicate

@@ -274,6 +274,36 @@ def test_ivf_kmeans_quantizer_recall_on_clustered_data(spark, tmp_path):
     assert recalls["kmeans"] > recalls["medoid"], recalls
 
 
+def test_ivf_recall_report_reproduces_quantizer_gap(spark, tmp_path):
+    """The §38 medoid-vs-kmeans recall gap, reproduced through the
+    PUBLIC harness (ivf_recall_report / the registered ann_recall_eval
+    machinery) instead of a one-off fixture measurement: on planted
+    clusters with cluster-sorted ids the trained quantizer's recall at
+    nprobe=1 must beat the medoid's and be near-perfect, and recall
+    must be non-decreasing in nprobe for both."""
+    from quackml_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_recall_report,
+    )
+
+    emb = _planted_cluster_emb(spark).select("vec_id", "embedding")
+    ppm = {}
+    for quant in ("medoid", "kmeans"):
+        path = str(tmp_path / f"ivf_{quant}")
+        ivf_index_build(emb, path, n_lists=8, quantizer=quant)
+        rows = {
+            r["nprobe"]: r
+            for r in ivf_recall_report(
+                spark, path, emb, nprobes=(1, 2), k=5, sample_mod=8
+            ).collect()
+        }
+        assert rows[1]["n_queries"] > 10  # the hash sample is real
+        assert rows[1]["recall_ppm"] <= rows[2]["recall_ppm"]
+        ppm[quant] = rows[1]["recall_ppm"]
+    assert ppm["kmeans"] >= 950_000, ppm
+    assert ppm["kmeans"] > ppm["medoid"], ppm
+
+
 def test_ivf_search_prunes_partitions_both_quantizers(spark, sf_dir, tmp_path):
     """The partition-pruning contract must hold in BOTH quantizer modes
     (r11 verdict item #7): the probed-lists filter reaches the lists

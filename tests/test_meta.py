@@ -77,7 +77,7 @@ _BROADCAST_ALLOWLIST = {
     "plans/relational.py": 4,    # nation (25) / region (5)
     "plans/relational_ext.py": 3, # nation / region + q44's per-event-type robust-bounds table (|event_types| rows)
     "operators/dedup.py": 1,     # simhash 32-row bit table
-    "operators/similarity.py": 11, # 5-query sets + 16/32-row plane tables + IVF probe set (|queries|·nprobe rows) + PQ ADC query batch with its m*k-entry LUT columns (|queries| rows) + hard-negative query batch + benchmark suite for semantic decontamination (both bounded-set contracts) + cluster-balance rates (|clusters| rows) + margin_topk's query set (|queries| rows) and candidate set (|queries|·k rows)
+    "operators/similarity.py": 13, # 5-query sets + 16/32-row plane tables + IVF probe set (|queries|·nprobe rows) + PQ ADC query batch with its m*k-entry LUT columns (|queries| rows) + hard-negative query batch + benchmark suite for semantic decontamination (both bounded-set contracts) + cluster-balance rates (|clusters| rows) + margin_topk's query set (|queries| rows) and candidate set (|queries|·k rows) + ivf_recall_report's sampled-query batch (sample_mod contract) and its 1-row n_queries aggregate
     "operators/ivfpq.py": 3,     # query batch with per-query LUTs (bounded query set) + the same batch for the shortlist exact re-rank join + the residual searcher's per-(query, probed-list) LUT batch (nprobe x query set, bounded)
     "operators/sampling.py": 3,  # mixture rates (|sources| rows) + temperature share total (1 row) + DSIR per-bucket log-ratio table (<= buckets rows, 4096 default; its grand totals moved driver-side with the bounded collects)
     "ml/monitor.py": 3,          # PSI per-feature span/total tables (k rows
