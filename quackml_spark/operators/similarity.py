@@ -901,6 +901,7 @@ def ivf_index_build(
         "vec_id",
         "embedding",
         "v_norm",
+        F.lit(-1).cast("bigint").alias("batch_id"),
         _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
     )
     (
@@ -924,6 +925,146 @@ def ivf_index_build(
         [(n_lists, dim, n_rows, quantizer, seed)],
         "n_lists int, dim int, n_rows bigint, quantizer string, seed int",
     ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
+
+
+def _ivf_dead_vecs(spark: SparkSession, path: str) -> DataFrame | None:
+    """Per-vector delete horizon from the IVF tombstone log: (vec_id,
+    del_before) — list rows with batch_id < del_before are dead. MAX
+    over tombstone rows, so a crash-replayed delete (identical rows)
+    is a no-op; None when the index has never seen a delete. The log
+    is delete-history-sized; compact keeps it (compacted) so a
+    late-replayed pre-delete append cannot resurrect a dropped
+    vector."""
+    import os
+
+    if not os.path.isdir(f"{path}/tombstones"):
+        return None
+    return (
+        spark.read.schema("vec_id bigint, batch_id bigint")
+        .parquet(f"{path}/tombstones")
+        .groupBy("vec_id")
+        .agg(F.max("batch_id").alias("del_before"))
+    )
+
+
+def _ivf_mask_dead(lists: DataFrame, dead: DataFrame | None) -> DataFrame:
+    """Drop list rows retired by the tombstone horizon. Rows written
+    before the batch tag existed (pre-r13 indexes) carry no batch_id
+    column and count as generation -1 — any delete retires them."""
+    if dead is None:
+        return lists
+    bid = (
+        F.coalesce(F.col("batch_id"), F.lit(-1))
+        if "batch_id" in lists.columns
+        else F.lit(-1).cast("bigint")
+    )
+    return (
+        lists.withColumn("__bid", bid)
+        .join(dead, "vec_id", "left")
+        .where(
+            F.col("del_before").isNull()
+            | (F.col("__bid") >= F.col("del_before"))
+        )
+        .drop("del_before", "__bid")
+    )
+
+
+def ivf_index_delete(spark: SparkSession, path: str, ids: DataFrame) -> None:
+    """Retire vectors from a persistent IVF index by id — the missing
+    third of the build/append lifecycle (the BM25-index delete
+    pattern, simpler here because IVF has no corpus statistics to
+    unwind: centroids are frozen and scoring is per-candidate).
+
+    Writes (vec_id, batch_id) tombstones at the manifest's next
+    generation and bumps ``next_batch`` through the CAS chain — no
+    list file is read or rewritten, so a delete is O(|ids|) regardless
+    of index size. Search and the append duplicate-check mask rows
+    whose batch_id predates the vector's max tombstone generation, so
+    a CHANGED vector re-appended after its delete (the recrawl case:
+    same id, new embedding) is served while every older version stays
+    dead; ivf_index_compact applies the mask physically.
+
+    ``ids`` is a 1-column (vec_id) frame; deleting an absent id is a
+    harmless no-op. Concurrent delete/append of the SAME ids is
+    caller-serialized (generations make racing ops safe for DISTINCT
+    ids; same-id races have no well-defined winner). The manifest's
+    informational n_rows keeps counting physical rows until compact
+    recounts."""
+    from quackml_spark.sources.files import _require_local
+
+    _require_local(path, "ivf_index_delete")
+    from quackml_spark.operators._manifest import cas_update, read_manifest
+
+    man = read_manifest(spark, path)[1]
+    nb = int(man.get("next_batch") or 0)
+    (
+        ids.select(F.col("vec_id").cast("bigint").alias("vec_id"))
+        .distinct()
+        .select("vec_id", F.lit(nb).cast("bigint").alias("batch_id"))
+        .write.mode("append")
+        .parquet(f"{path}/tombstones")
+    )
+    cas_update(
+        spark,
+        path,
+        lambda m: {
+            "n_lists": int(m["n_lists"]),
+            "dim": int(m["dim"]),
+            "n_rows": int(m["n_rows"]),
+            "quantizer": str(m["quantizer"]),
+            "seed": int(m["seed"]),
+            "next_batch": max(int(m.get("next_batch") or 0), nb + 1),
+        },
+    )
+
+
+def ivf_index_compact(
+    spark: SparkSession, path: str, target_file_mb: int = 512
+) -> dict:
+    """Compact an IVF index's append debt and apply its tombstones
+    PHYSICALLY: lists/ rewrites within list_id partitions (vec_id
+    range layout) dropping every row whose batch_id predates its
+    vector's delete horizon; the tombstone log is kept — compacted,
+    now matching nothing — so a late-replayed pre-delete append
+    cannot resurrect a dropped vector. The manifest's n_rows recounts
+    to the live total through the CAS chain."""
+    import os
+
+    from quackml_spark.sources.files import compact_partitioned_dir
+
+    dead = _ivf_dead_vecs(spark, path)
+    out = {
+        "lists": compact_partitioned_dir(
+            spark,
+            f"{path}/lists",
+            "list_id",
+            ["vec_id"],
+            target_file_mb,
+            mask=(lambda df: _ivf_mask_dead(df, dead))
+            if dead is not None
+            else None,
+        )
+    }
+    if os.path.isdir(f"{path}/tombstones"):
+        out["tombstones"] = compact_partitioned_dir(
+            spark, f"{path}/tombstones", None, ["vec_id"], target_file_mb
+        )
+    n_live = int(spark.read.parquet(f"{path}/lists").count())
+    from quackml_spark.operators._manifest import cas_update
+
+    cas_update(
+        spark,
+        path,
+        lambda m: {
+            "n_lists": int(m["n_lists"]),
+            "dim": int(m["dim"]),
+            "n_rows": n_live,
+            "quantizer": str(m["quantizer"]),
+            "seed": int(m["seed"]),
+            "next_batch": int(m.get("next_batch") or 0),
+        },
+    )
+    return out
 
 
 def ivf_index_search(
@@ -982,8 +1123,11 @@ def ivf_index_search(
     probed = sorted(
         {int(lid) for r in q.select("probe_lists").collect() for lid in r[0]}
     )
-    lists = spark.read.parquet(f"{path}/lists").where(
-        F.col("list_id").isin(probed)
+    lists = _ivf_mask_dead(
+        spark.read.parquet(f"{path}/lists").where(
+            F.col("list_id").isin(probed)
+        ),
+        _ivf_dead_vecs(spark, path),
     )
     qx = F.broadcast(
         q.select(
@@ -1204,6 +1348,116 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_index_build(emb, path, n_lists=8, quantizer="medoid")
     return ivf_recall_report(
         spark, path, emb, nprobes=(1, 2, 3), k=10, sample_mod=20
+    )
+
+
+@register(
+    "ann_recrawl_update",
+    extra=True,
+    doc="The ANN recrawl composition — the IVF twin of "
+    "text_bm25_recrawl: v1 (the stale embedding snapshot: missing the "
+    "vec_id %% 7 == 3 vectors, SIGN-FLIPPED embeddings for vec_id %% "
+    "5 == 0, plus retired vectors at vec_id + 1000000) is indexed "
+    "with the deterministic medoid quantizer; ivf_index_delete "
+    "retires removed+changed ids (tombstone generations — no list "
+    "file touched, O(|ids|)), ivf_index_append re-adds the changed "
+    "vectors' NEW embeddings plus the added ones, compact applies the "
+    "tombstones physically, and the first 5 vectors query the updated "
+    "index. The quantizer stays FROZEN at v1's medoids (standard IVF "
+    "practice), so the oracle replays v1's centroid construction, "
+    "assigns the final live set (== the embeddings table) against "
+    "those centroids, and re-ranks probed candidates — proving "
+    "delete+append+compact converged the index to exactly the "
+    "fresh-state search.",
+    oracle=f"""
+WITH v1 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 5 = 0
+              THEN list_transform(embedding::DOUBLE[], x -> -x)
+              ELSE embedding::DOUBLE[] END AS embedding
+  FROM embeddings WHERE vec_id % 7 <> 3
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> -x) AS embedding
+  FROM embeddings WHERE vec_id % 19 = 0
+),
+cent AS (
+  SELECT list_id, center FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id,
+           embedding AS center
+    FROM v1
+  ) WHERE list_id < 8
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], c.center) DESC,
+             c.list_id) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.vec_id AS query_id, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding::DOUBLE[], c.center) DESC,
+             c.list_id) AS rn
+    FROM embeddings q, cent c WHERE q.vec_id < 5
+  ) WHERE rn <= 3
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a USING (list_id)
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(ROUND(CAST({_SQL_COSINE} AS DECIMAL(18,9)), 6) AS DOUBLE) AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings v ON v.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+ORDER BY query_id, rnk
+""",
+    tags=("similarity",),
+)
+def ann_recrawl_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.tmpdirs import ephemeral_dir
+
+    v2 = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    v1 = (
+        v2.where("vec_id % 7 != 3")
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") % 5 == 0, neg)
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+        .unionByName(
+            v2.where("vec_id % 19 = 0").select(
+                (F.col("vec_id") + 1000000).alias("vec_id"),
+                neg.alias("embedding"),
+            )
+        )
+    )
+    path = ephemeral_dir("qml_ann_recrawl_") + "/idx"
+    ivf_index_build(v1, path, n_lists=8, quantizer="medoid")
+    retire = v1.where("vec_id >= 1000000 OR vec_id % 5 = 0").select("vec_id")
+    ivf_index_delete(spark, path, retire)
+    ivf_index_append(
+        spark, path, v2.where("vec_id % 7 = 3 OR vec_id % 5 = 0")
+    )
+    ivf_index_compact(spark, path)
+    return ivf_index_search(
+        spark, path, v2.where("vec_id < 5"), k=10, nprobe=3
     )
 
 
@@ -1809,10 +2063,12 @@ def ivf_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> int:
     # (norms + nearest-centroid scoring), and a non-deterministic
     # source could record an n_rows differing from the rows actually
     # written (review catch — the ivfpq_index_append precedent)
+    nb = int(man.get("next_batch") or 0)
     assigned = batch.select(
         "vec_id",
         "embedding",
         "v_norm",
+        F.lit(nb).cast("bigint").alias("batch_id"),
         _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
     ).persist()
     try:
@@ -1822,8 +2078,14 @@ def ivf_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> int:
                 for r in assigned.select("list_id").distinct().collect()
             }
         )
-        current = spark.read.parquet(f"{path}/lists").where(
-            F.col("list_id").isin(affected)
+        # append-only applies to LIVE rows: a tombstoned vec_id may be
+        # re-appended (the recrawl changed-vector case) — its dead
+        # generations stay masked at search
+        current = _ivf_mask_dead(
+            spark.read.parquet(f"{path}/lists").where(
+                F.col("list_id").isin(affected)
+            ),
+            _ivf_dead_vecs(spark, path),
         )
         dup = current.join(
             assigned.select("vec_id"), "vec_id"
@@ -1831,10 +2093,11 @@ def ivf_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> int:
         if dup:
             raise ValueError(
                 f"ivf_index_append is append-only: vec_id {dup[0]['vec_id']} "
-                f"already exists in the index at {path!r}"
+                f"already exists live in the index at {path!r} (delete it "
+                f"first to replace it)"
             )
         (
-            assigned.select("vec_id", "embedding", "v_norm", "list_id")
+            assigned.select("vec_id", "embedding", "v_norm", "batch_id", "list_id")
             .repartition("list_id")
             .write.mode("append")
             .partitionBy("list_id")
@@ -1859,6 +2122,10 @@ def ivf_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> int:
             "n_rows": int(m["n_rows"]) + n_new,
             "quantizer": str(m["quantizer"]),
             "seed": int(m["seed"]),
+            # monotone generation for the tombstone horizon: max() folds
+            # racing appenders (two appends may share a generation —
+            # harmless, only DELETES consume horizon ordering)
+            "next_batch": max(int(m.get("next_batch") or 0), nb + 1),
         },
     )
     return n_new

@@ -29,6 +29,101 @@ def test_ivf_index_round_trip_and_recall(spark, sf_dir, tmp_path):
     assert recall >= 0.5, recall  # nprobe=6/16 on random vectors
 
 
+def test_ivf_delete_lifecycle_and_path_independence(spark, sf_dir, tmp_path):
+    """Deletes complete the IVF lifecycle: tombstoned vectors vanish
+    from every search; a crash-REPLAYED delete is a no-op; a deleted
+    vec_id may be re-appended with a NEW embedding (the recrawl
+    changed-vector case) while a live duplicate still raises; and the
+    final state is PATH-INDEPENDENT — delete(subset)+append(subset)
+    equals delete(everything)+append(final corpus) given the same
+    frozen centroids."""
+    import pytest as _pytest
+
+    from quackml_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_delete,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    v2 = emb.where("vec_id < 300")
+    v1 = v2.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 5 == 0, neg)
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    q = emb.where("vec_id < 5")
+
+    a = str(tmp_path / "a")
+    ivf_index_build(v1, a, n_lists=8, quantizer="medoid")
+    changed = v1.where("vec_id % 5 = 0").select("vec_id")
+    for _ in range(2):  # the delete attempt crash-replays
+        ivf_index_delete(spark, a, changed)
+    ivf_index_append(spark, a, v2.where("vec_id % 5 = 0"))
+    got = sorted(map(tuple, ivf_index_search(spark, a, q, k=10, nprobe=3).collect()))
+
+    # path B to the same final state, same frozen centroids
+    b = str(tmp_path / "b")
+    ivf_index_build(v1, b, n_lists=8, quantizer="medoid")
+    ivf_index_delete(spark, b, v1.select("vec_id"))
+    ivf_index_append(spark, b, v2)
+    want = sorted(map(tuple, ivf_index_search(spark, b, q, k=10, nprobe=3).collect()))
+    assert got == want and got
+
+    # live duplicate still raises; deleted-then-reappended did not
+    with _pytest.raises(ValueError, match="append-only"):
+        ivf_index_append(spark, a, v2.where("vec_id = 1"))
+
+
+def test_ivf_delete_compact_drops_dead_rows(spark, sf_dir, tmp_path):
+    """Compaction applies the tombstone horizon physically: dead
+    generations leave the disk, search results are unchanged, and the
+    manifest's n_rows recounts to the live total."""
+    from quackml_spark.operators._manifest import read_manifest
+    from quackml_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_delete,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corp = emb.where("vec_id < 300")
+    path = str(tmp_path / "ivf")
+    ivf_index_build(corp, path, n_lists=8, quantizer="medoid")
+    gone = corp.where("vec_id % 10 = 1").select("vec_id")
+    changed = corp.where("vec_id % 10 = 2")
+    ivf_index_delete(spark, path, gone.unionByName(changed.select("vec_id")))
+    ivf_index_append(
+        spark,
+        path,
+        changed.select(
+            "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+        ),
+    )
+    q = emb.where("vec_id < 5")
+    before = sorted(
+        map(tuple, ivf_index_search(spark, path, q, k=20, nprobe=8).collect())
+    )
+    gone_ids = {r["vec_id"] for r in gone.collect()}
+    assert not any(t[1] in gone_ids for t in before)
+
+    rows_phys = spark.read.parquet(f"{path}/lists").count()
+    ivf_index_compact(spark, path)
+    rows_live = spark.read.parquet(f"{path}/lists").count()
+    assert rows_live < rows_phys
+    live = spark.read.parquet(f"{path}/lists")
+    assert live.where(F.col("vec_id").isin(list(gone_ids))).count() == 0
+    # re-appended changed vectors survive at their new generation
+    assert live.where((F.col("vec_id") % 10 == 2) & (F.col("batch_id") >= 1)).count() > 0
+    assert live.where((F.col("vec_id") % 10 == 2) & (F.col("batch_id") < 0)).count() == 0
+    after = sorted(
+        map(tuple, ivf_index_search(spark, path, q, k=20, nprobe=8).collect())
+    )
+    assert after == before
+    assert int(read_manifest(spark, path)[1]["n_rows"]) == rows_live
+
+
 def test_ivf_search_prunes_partitions(spark, sf_dir, tmp_path):
     """The probed-lists filter must reach the parquet scan as a
     partition filter: the pruned reader touches strictly fewer files
