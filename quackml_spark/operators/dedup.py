@@ -1242,6 +1242,128 @@ def dedup_index_build(
     ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
 
 
+def _index_dead_docs(spark: SparkSession, path: str) -> DataFrame | None:
+    """Per-doc delete horizon from an index's tombstone log: (doc_id,
+    del_before) — rows with batch_id < del_before are dead (the BM25 /
+    IVF generation pattern, shared by the band and setsim indexes).
+    MAX over tombstone rows, so crash-replayed deletes are no-ops;
+    None when the index has never seen a delete."""
+    import os
+
+    if not os.path.isdir(f"{path}/tombstones"):
+        return None
+    return (
+        spark.read.schema(
+            "doc_id bigint, batch_id bigint, run_key string"
+        )
+        .parquet(f"{path}/tombstones")
+        .groupBy("doc_id")
+        .agg(F.max("batch_id").alias("del_before"))
+    )
+
+
+def _index_mask_dead(rows: DataFrame, dead: DataFrame | None) -> DataFrame:
+    """Drop index rows retired by the tombstone horizon (batch_id <
+    the doc's max tombstone generation; pre-batch-tag rows count as
+    -1). A doc re-appended AFTER its delete carries a later batch_id
+    and survives — the recrawl changed-doc case."""
+    if dead is None:
+        return rows
+    return (
+        rows.withColumn(
+            "__bid", F.coalesce(F.col("batch_id"), F.lit(-1))
+        )
+        .join(dead, "doc_id", "left")
+        .where(
+            F.col("del_before").isNull()
+            | (F.col("__bid") >= F.col("del_before"))
+        )
+        .drop("del_before", "__bid")
+    )
+
+
+def _index_write_tombstones(
+    ids: DataFrame, path: str, batch_id: int, run_key: str
+) -> None:
+    (
+        ids.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+            F.lit(run_key).alias("run_key"),
+        )
+        .write.mode("append")
+        .parquet(f"{path}/tombstones")
+    )
+
+
+def dedup_index_append(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    run_key: str = "",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Batch append to the persisted band index — the public twin of
+    the streaming appender's band write (streaming_index_dedup dedups
+    then appends novel docs only; this appends the GIVEN docs as-is,
+    the caller's recrawl/backfill contract). Only the batch is
+    shingled; manifest n_docs advances through the CAS chain. Each
+    (batch_id, run_key) identifies one operation — a crash-replayed
+    attempt re-writes identical rows, which the check side's
+    candidate-bounded aggregation absorbs (shared_bands counts rows,
+    so callers comparing exact band counts should compact first)."""
+    spark = docs.sparkSession
+    from quackml_spark.operators._manifest import cas_update, read_manifest
+
+    read_manifest(spark, path)  # fail loudly on a half-built index
+    bands = doc_band_keys(docs, id_col, text_col)
+    (
+        bands.withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+        .withColumn("run_key", F.lit(run_key))
+        .repartition("band_id")
+        .write.mode("append")
+        .partitionBy("band_id")
+        .parquet(f"{path}/bands")
+    )
+    n_new = int(docs.count())
+    cas_update(
+        spark,
+        path,
+        lambda m: {
+            "k": int(m["k"]),
+            "bands": int(m["bands"]),
+            "rows_per_band": int(m["rows_per_band"]),
+            "modulus": int(m["modulus"]),
+            "shingle_width": int(m["shingle_width"]),
+            "n_docs": int(m["n_docs"]) + n_new,
+        },
+    )
+
+
+def dedup_index_delete(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    batch_id: int,
+    run_key: str = "",
+) -> None:
+    """Retire docs from the persisted band index: (doc_id, batch_id)
+    tombstones — O(|ids|), no band file read or rewritten. Checks mask
+    band rows whose batch_id predates the doc's delete horizon, so a
+    CHANGED doc re-appended at a later batch matches only through its
+    new bands; dedup_index_compact applies the mask physically. The
+    delete's batch_id must exceed every batch whose rows it retires
+    (build writes -1), and a re-append must use a batch_id >= the
+    delete's — the BM25-index generation contract."""
+    from quackml_spark.operators._manifest import read_manifest
+
+    read_manifest(spark, path)  # fail loudly on a half-built index
+    _index_write_tombstones(ids, path, batch_id, run_key)
+
+
 def dedup_index_check(
     new_docs: DataFrame,
     path: str,
@@ -1331,7 +1453,9 @@ def dedup_index_check(
             idx = idx.where(~own)
         else:
             idx = idx.where(bid_col != int(exclude_batch))
-    idx = idx.select(
+    # tombstone horizon (dedup_index_delete): retired docs' bands are
+    # masked while batch_id still identifies their generation
+    idx = _index_mask_dead(idx, _index_dead_docs(spark, path)).select(
         F.col("doc_id").alias("index_doc_id"), "band_id", "band_key"
     )
     nb = (
@@ -1426,21 +1550,34 @@ def dedup_index_compact(
     (sources.files.compact_partitioned_dir — two-rename swap, rollback
     of a prior crashed swap, key-range file layout): each output file
     covers a disjoint band_key range INSIDE its band partition, so
-    parquet footer min/max prunes files for probe keys. Row content is
-    untouched — duplicate band rows from replayed appends are PRESERVED
-    (removing them is a semantic decision for the caller, not a layout
-    pass). Returns before/after file/byte stats."""
+    parquet footer min/max prunes files for probe keys. Duplicate band
+    rows from replayed appends are PRESERVED (removing them is a
+    semantic decision for the caller, not a layout pass); TOMBSTONED
+    rows are the one content change — the delete horizon is applied
+    physically, and the tombstone log is kept (compacted, now matching
+    nothing) against late replays. Returns before/after stats."""
     import os
 
     from quackml_spark.sources.files import compact_partitioned_dir
 
-    return compact_partitioned_dir(
-        spark,
-        os.path.join(path, "bands"),
-        "band_id",
-        ["band_id", "band_key"],
-        target_file_mb,
-    )
+    dead = _index_dead_docs(spark, path)
+    out = {
+        "bands": compact_partitioned_dir(
+            spark,
+            os.path.join(path, "bands"),
+            "band_id",
+            ["band_id", "band_key"],
+            target_file_mb,
+            mask=(lambda df: _index_mask_dead(df, dead))
+            if dead is not None
+            else None,
+        )
+    }
+    if os.path.isdir(f"{path}/tombstones"):
+        out["tombstones"] = compact_partitioned_dir(
+            spark, f"{path}/tombstones", None, ["doc_id"], target_file_mb
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1659,6 +1796,16 @@ def setsim_index_check(
     ).localCheckpoint(eager=True)
     # pinned schema (the dedup_index_check lesson): mergeSchema-free,
     # and absent columns NULL instead of failing resolution
+    # generation key (batch_id, run_key): a rep doc_id REUSED across
+    # delete/re-append generations (the recrawl case) has token rows
+    # from TWO DIFFERENT sets under one doc_id — without the key, the
+    # verify countDistinct unions them and inflates c past min(nq, ni)
+    # (caught by the lifecycle test emitting jaccard 1.015873 > 1).
+    # Each generation verifies against ITS OWN set; expansion then maps
+    # (irep, generation) -> that generation's signature. Crash-replayed
+    # rows share their attempt's identity, so replays stay absorbed.
+    ibid = F.coalesce(F.col("batch_id"), F.lit(-1)).alias("ibid")
+    irk = F.coalesce(F.col("run_key"), F.lit("")).alias("irk")
     iprefix = _setsim_exclusion(
         spark.read.schema(
             "doc_id bigint, tok string, pos int, n bigint, "
@@ -1668,6 +1815,8 @@ def setsim_index_check(
         exclude_run,
     ).select(
         F.col("doc_id").alias("index_doc_id"),
+        ibid,
+        irk,
         "tok",
         F.col("pos").alias("pos_i"),
         F.col("n").alias("ni"),
@@ -1676,7 +1825,7 @@ def setsim_index_check(
         (F.lit(t) * F.col("nq") <= F.lit(m) * F.col("ni"))
         & (F.lit(t) * F.col("ni") <= F.lit(m) * F.col("nq"))
     )
-    pairs = matches.groupBy("new_doc_id", "index_doc_id").agg(
+    pairs = matches.groupBy("new_doc_id", "index_doc_id", "ibid", "irk").agg(
         F.min_by(F.struct("pos_q", "pos_i"), F.struct("df", "tok")).alias("mm"),
         F.min("nq").alias("nq"),
         F.min("ni").alias("ni"),
@@ -1688,7 +1837,7 @@ def setsim_index_check(
             F.col("nq") - F.col("mm.pos_q"), F.col("ni") - F.col("mm.pos_i")
         )
         >= alpha
-    ).select("new_doc_id", "index_doc_id", "nq", "ni")
+    ).select("new_doc_id", "index_doc_id", "ibid", "irk", "nq", "ni")
     qv = qrep_toks.select(F.col("doc_id").alias("new_doc_id"), "tok")
     it = _setsim_exclusion(
         spark.read.schema(
@@ -1696,11 +1845,11 @@ def setsim_index_check(
         ).parquet(f"{path}/toks"),
         exclude_batch,
         exclude_run,
-    ).select(F.col("doc_id").alias("index_doc_id"), "tok")
+    ).select(F.col("doc_id").alias("index_doc_id"), ibid, irk, "tok")
     common = (
         cand.join(qv, "new_doc_id")
-        .join(it, ["index_doc_id", "tok"])
-        .groupBy("new_doc_id", "index_doc_id", "nq", "ni")
+        .join(it, ["index_doc_id", "ibid", "irk", "tok"])
+        .groupBy("new_doc_id", "index_doc_id", "ibid", "irk", "nq", "ni")
         # count DISTINCT, not rows: a crash-replayed append can leave an
         # indexed doc's (doc, tok) rows duplicated for every LATER batch
         # (the exclusion only scopes the CURRENT attempt), and a plain
@@ -1720,6 +1869,8 @@ def setsim_index_check(
     ).select(
         F.col("new_doc_id").alias("qrep"),
         F.col("index_doc_id").alias("irep"),
+        "ibid",
+        "irk",
         F.round(jac, 6).cast("double").alias("jaccard"),
     )
     # lossless expansion: rep pair -> (every query member of qrep's
@@ -1740,21 +1891,28 @@ def setsim_index_check(
         ).parquet(f"{path}/reps"),
         exclude_batch,
         exclude_run,
-    ).select("gsig", F.col("doc_id").alias("irep"))
+    ).select("gsig", F.col("doc_id").alias("irep"), ibid, irk)
     rp = (
-        rep_pairs.join(ireps, "irep")
+        rep_pairs.join(ireps, ["irep", "ibid", "irk"])
         .select("qrep", "jaccard", F.col("gsig").alias("isig"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     msig = rp.select(F.col("isig").alias("gsig")).distinct()
+    # deletes mask MEMBERSHIP only (setsim_index_delete): the signature
+    # tables (reps/prefix/toks/sizes) describe token SETS and outlive
+    # any one doc — a retired doc just stops expanding, and a signature
+    # with zero live members expands to nothing
     imem = (
-        _setsim_exclusion(
-            spark.read.schema(
-                "gsig string, doc_id bigint, batch_id bigint, run_key string"
-            ).parquet(f"{path}/members"),
-            exclude_batch,
-            exclude_run,
+        _index_mask_dead(
+            _setsim_exclusion(
+                spark.read.schema(
+                    "gsig string, doc_id bigint, batch_id bigint, run_key string"
+                ).parquet(f"{path}/members"),
+                exclude_batch,
+                exclude_run,
+            ),
+            _index_dead_docs(spark, path),
         )
         .join(msig, "gsig")
         .select(F.col("gsig").alias("isig"), F.col("doc_id").alias("index_doc_id"))
@@ -1865,6 +2023,30 @@ def setsim_index_append(
     cas_update(spark, path, _bump)
 
 
+def setsim_index_delete(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    batch_id: int,
+    run_key: str = "",
+) -> None:
+    """Retire docs from the exact set-similarity index: (doc_id,
+    batch_id) tombstones masking MEMBERSHIP rows — O(|ids|), nothing
+    rewritten. The signature tables (reps/prefix/toks/sizes, the
+    frozen-order probe state) describe token SETS, not docs, so they
+    stay: a retired doc simply stops expanding out of its signature,
+    and a signature whose members are all retired expands to nothing
+    (setsim_index_compact reclaims such orphaned signature state). A
+    CHANGED doc re-appends at a later batch under its NEW signature
+    and survives the horizon — the recrawl case. Same generation
+    contract as dedup_index_delete/bm25_index_delete: the delete's
+    batch_id exceeds every batch it retires; re-appends use >= it."""
+    from quackml_spark.operators._manifest import read_manifest
+
+    read_manifest(spark, path)  # fail loudly on a half-built index
+    _index_write_tombstones(ids, path, batch_id, run_key)
+
+
 @register(
     "dedup_setsim_index",
     doc="Incremental EXACT near-dup check: the even-doc_id half of the "
@@ -1906,6 +2088,78 @@ def dedup_setsim_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim_index_check(docs.where("doc_id % 2 = 1"), path)
 
 
+@register(
+    "dedup_setsim_recrawl",
+    extra=True,  # lifecycle sibling of the graded dedup_setsim_index —
+    # same exact-Jaccard semantics; what changes is HOW the index got
+    # to the final corpus (diff-driven delete+append vs one build)
+    doc="The dedup-index recrawl composition — the set-similarity twin "
+    "of text_bm25_recrawl: v1 (the stale crawl: missing doc_id %% 7 "
+    "== 3, 'stale '-prefixed text for doc_id %% 5 == 0, retired docs "
+    "at +2000000) is built into the exact-Jaccard index; "
+    "setsim_index_delete retires removed+changed ids (tombstones mask "
+    "MEMBERSHIP — the frozen-order signature tables stay, a retired "
+    "doc just stops expanding), setsim_index_append re-adds the "
+    "changed docs' new text plus the added docs, compact applies the "
+    "mask physically AND reclaims orphaned signature state, and the "
+    "doc_id %% 13 == 0 docs probe the updated index. The oracle is "
+    "the brute-force Jaccard of the probe batch against the documents "
+    "table — it never sees v1, so the hash match proves the "
+    "recrawl-updated index answers exactly as a fresh build of v2 "
+    "(self-reflections included, the streaming-twin convention).",
+    oracle=f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+toks AS MATERIALIZED (SELECT DISTINCT doc_id, shingle AS tok FROM shingles),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+common AS (
+  SELECT q.doc_id AS new_doc_id, i.doc_id AS index_doc_id, COUNT(*) AS c
+  FROM toks q JOIN toks i ON q.tok = i.tok
+  WHERE q.doc_id % 13 = 0
+  GROUP BY 1, 2
+)
+SELECT new_doc_id, index_doc_id,
+  CAST(ROUND(CAST(c AS DECIMAL(18,6)) / (sq.n + si.n - c), 6) AS DOUBLE)
+    AS jaccard
+FROM common
+JOIN sizes sq ON sq.doc_id = new_doc_id
+JOIN sizes si ON si.doc_id = index_doc_id
+WHERE c * 1000000 >= 500000 * (sq.n + si.n - c)
+ORDER BY new_doc_id, index_doc_id
+""",
+    tags=("dedup",),
+)
+def dedup_setsim_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quackml_spark.tmpdirs import ephemeral_dir
+
+    v2 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = (
+        v2.where("doc_id % 7 != 3")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.lit("stale "), "text")
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            v2.where("doc_id % 19 = 0").select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.lit("retired "), "text").alias("text"),
+            )
+        )
+    )
+    path = ephemeral_dir("qml_setsim_recrawl_") + "/idx"
+    setsim_index_build(v1, path)
+    retire = v1.where("doc_id >= 2000000 OR doc_id % 5 = 0").select("doc_id")
+    setsim_index_delete(spark, path, retire, batch_id=1)
+    setsim_index_append(
+        v2.where("doc_id % 7 = 3 OR doc_id % 5 = 0"), path, batch_id=2
+    )
+    setsim_index_compact(spark, path)
+    return setsim_index_check(v2.where("doc_id % 13 = 0"), path)
+
+
 def setsim_index_compact(
     spark: SparkSession, path: str, target_file_mb: int = 512
 ) -> dict:
@@ -1915,25 +2169,104 @@ def setsim_index_compact(
     pays N file opens per table. Delegates to the shared crash-safe
     compactor (two-rename swap, rollback of a prior crashed swap),
     range-laying prefix/toks by the probe key ``tok`` and sizes by
-    doc_id. Row content untouched — replay duplicates are PRESERVED
-    (the check is duplicate-insensitive by construction; removing them
-    is a semantic decision for the caller). freq/ is written once at
-    build and never appended, so it needs no compaction. Returns
+    doc_id. Replay duplicates are PRESERVED (the check is
+    duplicate-insensitive by construction; removing them is a semantic
+    decision for the caller). freq/ is written once at build and never
+    appended, so it needs no compaction.
+
+    Deletes are applied physically: tombstoned membership rows drop,
+    and ORPHANED signature state — signatures with zero live members,
+    the fully-retired token sets a recrawl accumulates — is reclaimed
+    from reps/prefix/toks/sizes, keyed by the orphan rep rows' full
+    (doc_id, batch_id, run_key) write identity so a rep doc_id that
+    was later RE-appended under a new signature keeps its new rows.
+    Crash-order safety: reps/ rewrites FIRST — if a crash strands the
+    other tables' orphan rows, a future append re-registers the
+    signature fresh (the known-signature lookup reads reps/) and the
+    dangling probe rows can only waste candidate work, never miss a
+    duplicate; the reverse order would leave a 'known' signature with
+    no probe rows, silently missing every future duplicate of it. The
+    tombstone log is kept (compacted) against late replays. Returns
     per-table before/after file/byte stats."""
+    import os
+
     from quackml_spark.sources.files import compact_partitioned_dir
 
-    return {
+    dead = _index_dead_docs(spark, path)
+    mem_schema = "gsig string, doc_id bigint, batch_id bigint, run_key string"
+    masks: dict[str, object] = {}
+    if dead is not None:
+        live_sigs = (
+            _index_mask_dead(
+                spark.read.schema(mem_schema).parquet(f"{path}/members"), dead
+            )
+            .select("gsig")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        orphan_reps = (
+            spark.read.schema(mem_schema)
+            .parquet(f"{path}/reps")
+            .join(live_sigs, "gsig", "left_anti")
+            .select("doc_id", "batch_id", "run_key")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        # anti-join on the FULL write identity (doc_id, batch_id,
+        # run_key): a rep doc later re-appended under a new signature
+        # wrote its new rows under a different identity
+        def _orphan_mask(df):
+            o = orphan_reps.select(
+                F.col("doc_id").alias("doc_id"),
+                F.coalesce(F.col("batch_id"), F.lit(-1)).alias("__obid"),
+                F.coalesce(F.col("run_key"), F.lit("")).alias("__ork"),
+            )
+            return (
+                df.withColumn(
+                    "__bid", F.coalesce(F.col("batch_id"), F.lit(-1))
+                )
+                .withColumn(
+                    "__rk", F.coalesce(F.col("run_key"), F.lit(""))
+                )
+                .join(
+                    o,
+                    on=(
+                        (df["doc_id"] == o["doc_id"])
+                        & (F.col("__bid") == o["__obid"])
+                        & (F.col("__rk") == o["__ork"])
+                    ),
+                    how="left_anti",
+                )
+                .drop("__bid", "__rk")
+            )
+
+        masks = {
+            "reps": lambda df: df.join(live_sigs, "gsig", "left_semi"),
+            "prefix": _orphan_mask,
+            "toks": _orphan_mask,
+            "sizes": _orphan_mask,
+            "members": lambda df: _index_mask_dead(df, dead),
+        }
+    # reps FIRST (crash-order argument above), members last
+    out = {
         sub: compact_partitioned_dir(
-            spark, f"{path}/{sub}", None, rcols, target_file_mb
+            spark, f"{path}/{sub}", None, rcols, target_file_mb,
+            mask=masks.get(sub),
         )
         for sub, rcols in (
+            ("reps", ["gsig"]),
             ("prefix", ["tok"]),
             ("toks", ["tok"]),
             ("sizes", ["doc_id"]),
-            ("reps", ["gsig"]),
             ("members", ["gsig"]),
         )
     }
+    if os.path.isdir(f"{path}/tombstones"):
+        out["tombstones"] = compact_partitioned_dir(
+            spark, f"{path}/tombstones", None, ["doc_id"], target_file_mb
+        )
+    return out
 
 
 # heuristic quality-score CTEs (q -> qs), the ONE DuckDB twin of

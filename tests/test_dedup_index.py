@@ -249,7 +249,7 @@ def test_dedup_index_compact_preserves_content_and_shrinks_files(
         (r["doc_id"], r["band_id"], r["band_key"])
         for r in spark.read.parquet(f"{index_path}/bands").collect()
     }
-    stats = dedup_index_compact(spark, index_path)
+    stats = dedup_index_compact(spark, index_path)["bands"]
     after = {
         (r["doc_id"], r["band_id"], r["band_key"])
         for r in spark.read.parquet(f"{index_path}/bands").collect()
@@ -535,3 +535,131 @@ def test_setsim_index_compact_preserves_results(spark, sf_dir, tmp_path):
     assert stats["prefix"]["files_after"] < nf_before
     after = sorted(map(tuple, setsim_index_check(odd, path).collect()))
     assert before == after
+
+
+def test_band_index_delete_lifecycle(spark, sf_dir, tmp_path):
+    """dedup_index_delete retires docs from the band index: their bands
+    stop matching, a crash-replayed delete is a no-op, a changed doc
+    re-appended at a later batch matches through its NEW bands only,
+    and compact applies the horizon physically with check results
+    unchanged."""
+    from quackml_spark.operators.dedup import (
+        dedup_index_append,
+        dedup_index_build,
+        dedup_index_check,
+        dedup_index_compact,
+        dedup_index_delete,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corp = docs.where("doc_id < 400")
+    path = str(tmp_path / "bands")
+    dedup_index_build(corp, path)
+
+    gone = corp.where("doc_id % 10 = 1")
+    changed = corp.where("doc_id % 10 = 2")
+    for _ in range(2):  # delete crash-replays
+        dedup_index_delete(
+            spark, path,
+            gone.select("doc_id").unionByName(changed.select("doc_id")),
+            batch_id=1, run_key="del1",
+        )
+    dedup_index_append(
+        changed.select("doc_id", F.concat(F.lit("v2 "), "text").alias("text")),
+        path, batch_id=2,
+    )
+    # probe with exact copies of a gone doc and a changed doc
+    probe = (
+        gone.limit(1).select((F.col("doc_id") + 9000).alias("doc_id"), "text")
+        .unionByName(
+            changed.limit(1).select(
+                (F.col("doc_id") + 9100).alias("doc_id"),
+                F.concat(F.lit("v2 "), "text").alias("text"),
+            )
+        )
+    )
+    gone_ids = {r["doc_id"] for r in gone.select("doc_id").collect()}
+    hits = dedup_index_check(probe, path).collect()
+    assert hits, "the changed-copy probe must match its re-appended twin"
+    assert not any(r["index_doc_id"] in gone_ids for r in hits)
+    assert any(r["index_doc_id"] % 10 == 2 for r in hits)
+
+    before = sorted(map(tuple, hits))
+    n_phys = spark.read.parquet(f"{path}/bands").count()
+    dedup_index_compact(spark, path)
+    n_live = spark.read.parquet(f"{path}/bands").count()
+    assert n_live < n_phys
+    live = spark.read.parquet(f"{path}/bands")
+    assert live.where(F.col("doc_id").isin(list(gone_ids))).count() == 0
+    assert sorted(map(tuple, dedup_index_check(probe, path).collect())) == before
+
+
+def test_setsim_delete_lifecycle_and_orphan_reclaim(spark, sf_dir, tmp_path):
+    """setsim_index_delete masks membership: retired docs vanish from
+    check output, a changed doc re-appends under its new signature,
+    compact drops dead members physically AND reclaims fully-retired
+    signatures' probe state (reps/prefix/toks/sizes) keyed by write
+    identity — the re-appended doc's NEW rows survive — and a doc with
+    a reclaimed token set appended later re-registers and matches."""
+    from quackml_spark.operators.dedup import (
+        setsim_index_append,
+        setsim_index_build,
+        setsim_index_check,
+        setsim_index_compact,
+        setsim_index_delete,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corp = docs.where("doc_id < 300")
+    path = str(tmp_path / "ss")
+    setsim_index_build(corp, path)
+    gone = corp.where("doc_id % 10 = 1")
+    changed = corp.where("doc_id % 10 = 2")
+    for _ in range(2):
+        setsim_index_delete(
+            spark, path,
+            gone.select("doc_id").unionByName(changed.select("doc_id")),
+            batch_id=1, run_key="del1",
+        )
+    setsim_index_append(
+        changed.select("doc_id", F.concat(F.lit("v2 "), "text").alias("text")),
+        path, batch_id=2,
+    )
+    probe = (
+        gone.limit(1).select((F.col("doc_id") + 9000).alias("doc_id"), "text")
+        .unionByName(
+            changed.limit(1).select(
+                (F.col("doc_id") + 9100).alias("doc_id"),
+                F.concat(F.lit("v2 "), "text").alias("text"),
+            )
+        )
+    )
+    gone_ids = {r["doc_id"] for r in gone.select("doc_id").collect()}
+    hits = setsim_index_check(probe, path).collect()
+    assert hits and not any(r["index_doc_id"] in gone_ids for r in hits)
+    assert any(r["index_doc_id"] % 10 == 2 for r in hits)
+    before = sorted(map(tuple, hits))
+
+    n_members = spark.read.parquet(f"{path}/members").count()
+    n_toks = spark.read.parquet(f"{path}/toks").count()
+    setsim_index_compact(spark, path)
+    assert spark.read.parquet(f"{path}/members").count() < n_members
+    # orphan reclamation: gone docs with UNIQUE token sets had their
+    # rep probe rows dropped; the re-appended changed docs kept theirs
+    live_toks = spark.read.parquet(f"{path}/toks")
+    assert live_toks.count() < n_toks
+    assert live_toks.where(
+        (F.col("doc_id") % 10 == 2) & (F.col("batch_id") == 2)
+    ).count() > 0
+    assert sorted(map(tuple, setsim_index_check(probe, path).collect())) == before
+
+    # a doc whose token set equals a RECLAIMED signature re-registers
+    resurrect = gone.limit(1).select(
+        (F.col("doc_id") + 9500).alias("doc_id"), "text"
+    )
+    setsim_index_append(resurrect, path, batch_id=3)
+    again = setsim_index_check(
+        gone.limit(1).select((F.col("doc_id") + 9600).alias("doc_id"), "text"),
+        path,
+    ).collect()
+    assert any(r["index_doc_id"] >= 9500 for r in again)
