@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quackml_spark.operators.similarity import (
+    _ivf_dead_vecs,
+    _ivf_mask_dead,
     _nearest_lists,
     pq_codebook,
     pq_codebook_kmeans,
@@ -89,6 +91,7 @@ def ivfpq_index_build(
     assigned = pq_encode(emb, codebook).select(
         "vec_id",
         "codes",
+        F.lit(-1).cast("bigint").alias("batch_id"),
         _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
     )
     (
@@ -149,6 +152,8 @@ def ivfpq_index_append(
         expect_residual=None,
     )
     new_emb = new_emb.select("vec_id", "embedding")
+    nb = int(man.get("next_batch") or 0)
+    bid = F.lit(nb).cast("bigint").alias("batch_id")
     if str(man["quantizer"]).endswith("residual"):
         lookup = _centroid_lookup(centers)
         assigned = (
@@ -161,12 +166,13 @@ def ivfpq_index_append(
             )
         )
         assigned = pq_encode(assigned, codebook, emb_col="__res").select(
-            "vec_id", "codes", "list_id"
+            "vec_id", "codes", bid, "list_id"
         )
     else:
         assigned = pq_encode(new_emb, codebook).select(
             "vec_id",
             "codes",
+            bid,
             _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
         )
     # persist: the write job and the row count would otherwise each
@@ -205,9 +211,50 @@ def ivfpq_index_append(
             "n_rows": int(m["n_rows"]) + n_new,
             "quantizer": str(m["quantizer"]),
             "seed": int(m["seed"]),
+            # monotone generation for the delete horizon (the
+            # ivf_index_append convention): max() folds racing appenders
+            "next_batch": max(int(m.get("next_batch") or 0), nb + 1),
         },
     )
     return n_new
+
+
+def ivfpq_index_delete(spark: SparkSession, path: str, ids: DataFrame) -> None:
+    """Retire vectors from the IVF-PQ index by id — identical
+    semantics to ivf_index_delete (tombstone generations, O(|ids|), no
+    list file touched): searches mask code rows whose batch_id
+    predates the vector's delete horizon, a changed vector re-appends
+    at a later generation with freshly-encoded codes, and
+    ivfpq_index_compact applies the mask physically. The quantizer and
+    codebook stay frozen — deletes never invalidate stored codes."""
+    from quackml_spark.sources.files import _require_local
+
+    _require_local(path, "ivfpq_index_delete")
+    from quackml_spark.operators._manifest import cas_update, read_manifest
+
+    man = read_manifest(spark, path)[1]
+    nb = int(man.get("next_batch") or 0)
+    (
+        ids.select(F.col("vec_id").cast("bigint").alias("vec_id"))
+        .distinct()
+        .select("vec_id", F.lit(nb).cast("bigint").alias("batch_id"))
+        .write.mode("append")
+        .parquet(f"{path}/tombstones")
+    )
+    cas_update(
+        spark,
+        path,
+        lambda m: {
+            "n_lists": int(m["n_lists"]),
+            "m": int(m["m"]),
+            "k_codes": int(m["k_codes"]),
+            "dim": int(m["dim"]),
+            "n_rows": int(m["n_rows"]),
+            "quantizer": str(m["quantizer"]),
+            "seed": int(m["seed"]),
+            "next_batch": max(int(m.get("next_batch") or 0), nb + 1),
+        },
+    )
 
 
 def ivfpq_index_compact(
@@ -219,21 +266,51 @@ def ivfpq_index_compact(
     ivfpq_index_append / streaming ingest batch adds a file per touched
     list partition, and after N batches a probed list pays N file opens
     per search. Output files cover disjoint vec_id ranges inside each
-    list partition. The manifest is not rewritten (counts and geometry
-    are unchanged); the metadata memo keys on the manifest inventory,
-    so cached centers/codebook stay valid across the swap by
-    construction. Returns before/after file/byte stats."""
+    list partition. Tombstoned code rows are dropped PHYSICALLY (the
+    delete horizon applied); the tombstone log is kept, compacted,
+    against late replays. Geometry fields are unchanged and the
+    metadata memo keys on the manifest inventory, so cached
+    centers/codebook stay valid; n_rows recounts to the live total
+    when deletes were applied. Returns before/after stats."""
     import os
 
     from quackml_spark.sources.files import compact_partitioned_dir
 
-    return compact_partitioned_dir(
-        spark,
-        os.path.join(path, "lists"),
-        "list_id",
-        ["list_id", "vec_id"],
-        target_file_mb,
-    )
+    dead = _ivf_dead_vecs(spark, path)
+    out = {
+        "lists": compact_partitioned_dir(
+            spark,
+            os.path.join(path, "lists"),
+            "list_id",
+            ["list_id", "vec_id"],
+            target_file_mb,
+            mask=(lambda df: _ivf_mask_dead(df, dead))
+            if dead is not None
+            else None,
+        )
+    }
+    if os.path.isdir(f"{path}/tombstones"):
+        out["tombstones"] = compact_partitioned_dir(
+            spark, f"{path}/tombstones", None, ["vec_id"], target_file_mb
+        )
+        n_live = int(spark.read.parquet(f"{path}/lists").count())
+        from quackml_spark.operators._manifest import cas_update
+
+        cas_update(
+            spark,
+            path,
+            lambda m: {
+                "n_lists": int(m["n_lists"]),
+                "m": int(m["m"]),
+                "k_codes": int(m["k_codes"]),
+                "dim": int(m["dim"]),
+                "n_rows": n_live,
+                "quantizer": str(m["quantizer"]),
+                "seed": int(m["seed"]),
+                "next_batch": int(m.get("next_batch") or 0),
+            },
+        )
+    return out
 
 
 def _load_codebook(spark: SparkSession, path: str) -> list[list[list[float]]]:
@@ -471,8 +548,11 @@ def ivfpq_index_search(
     # never enters the candidate join payload (code-review catch)
     qx = F.broadcast(spark.createDataFrame(lut_rows, qx_schema))
     probed = sorted({row[-1] for row in lut_rows})
-    lists = spark.read.parquet(f"{path}/lists").where(
-        F.col("list_id").isin(probed)
+    lists = _ivf_mask_dead(
+        spark.read.parquet(f"{path}/lists").where(
+            F.col("list_id").isin(probed)
+        ),
+        _ivf_dead_vecs(spark, path),
     )
     cand = lists.join(qx, "list_id").where(F.col("query_id") != F.col("vec_id"))
 
@@ -733,7 +813,7 @@ def ivfpq_index_build_residual(
         "s int, code int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebook.parquet")
     coded = pq_encode(assigned, codebook, emb_col="__res").select(
-        "vec_id", "codes", "list_id"
+        "vec_id", "codes", F.lit(-1).cast("bigint").alias("batch_id"), "list_id"
     )
     (
         coded.repartition("list_id")
@@ -799,8 +879,11 @@ def ivfpq_index_search_residual(
     )
     qx = F.broadcast(spark.createDataFrame(lut_rows, qx_schema))
     probed = sorted({row[1] for row in lut_rows})
-    lists = spark.read.parquet(f"{path}/lists").where(
-        F.col("list_id").isin(probed)
+    lists = _ivf_mask_dead(
+        spark.read.parquet(f"{path}/lists").where(
+            F.col("list_id").isin(probed)
+        ),
+        _ivf_dead_vecs(spark, path),
     )
     cand = lists.join(qx, "list_id").where(F.col("query_id") != F.col("vec_id"))
 

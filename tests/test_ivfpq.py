@@ -299,9 +299,57 @@ def test_ivfpq_compact_content_identical_fewer_files(spark, sf_dir, tmp_path):
     before = sorted(
         map(tuple, ivfpq_index_search(spark, path, queries, k=10, nprobe=3).collect())
     )
-    stats = ivfpq_index_compact(spark, path, target_file_mb=512)
+    stats = ivfpq_index_compact(spark, path, target_file_mb=512)["lists"]
     assert stats["files_after"] < stats["files_before"], stats
     after = sorted(
         map(tuple, ivfpq_index_search(spark, path, queries, k=10, nprobe=3).collect())
     )
     assert before == after
+
+
+def test_ivfpq_delete_lifecycle(spark, sf_dir, tmp_path):
+    """IVF-PQ deletes mirror the IVF contract: tombstoned vectors
+    vanish from ADC search, a changed vector re-appends with freshly
+    encoded codes at a later generation, compact drops the dead code
+    rows physically with results unchanged and n_rows recounted."""
+    from quackml_spark.operators._manifest import read_manifest
+    from quackml_spark.operators.ivfpq import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_compact,
+        ivfpq_index_delete,
+        ivfpq_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corp = emb.where("vec_id < 300")
+    path = str(tmp_path / "pq")
+    ivfpq_index_build(corp, path, n_lists=8, m=8, k_codes=16, quantizer="medoid")
+    gone = corp.where("vec_id % 10 = 1").select("vec_id")
+    changed = corp.where("vec_id % 10 = 2")
+    ivfpq_index_delete(spark, path, gone.unionByName(changed.select("vec_id")))
+    ivfpq_index_append(
+        changed.select(
+            "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+        ),
+        path,
+    )
+    q = emb.where("vec_id < 5")
+    before = sorted(
+        map(tuple, ivfpq_index_search(spark, path, q, k=20, nprobe=8).collect())
+    )
+    gone_ids = {r["vec_id"] for r in gone.collect()}
+    assert before and not any(t[1] in gone_ids for t in before)
+
+    n_phys = spark.read.parquet(f"{path}/lists").count()
+    ivfpq_index_compact(spark, path)
+    n_live = spark.read.parquet(f"{path}/lists").count()
+    assert n_live < n_phys
+    live = spark.read.parquet(f"{path}/lists")
+    assert live.where(F.col("vec_id").isin(list(gone_ids))).count() == 0
+    assert live.where((F.col("vec_id") % 10 == 2) & (F.col("batch_id") >= 0)).count() > 0
+    after = sorted(
+        map(tuple, ivfpq_index_search(spark, path, q, k=20, nprobe=8).collect())
+    )
+    assert after == before
+    assert int(read_manifest(spark, path)[1]["n_rows"]) == n_live
