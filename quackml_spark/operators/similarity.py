@@ -1261,18 +1261,26 @@ def ivf_recall_report(
     doc="The IVF recall harness as a registered report: build the "
     "medoid-quantized 8-list index over the embeddings table, then "
     "recall@10 per nprobe in (1,2,3) for the md5-sampled query subset "
-    "(vec_id hash %% 20 == 0) against the brute-force exact top-10. "
-    "Every stage — medoid centroids, assignment, probe lists, probed "
-    "re-rank, exact baseline, hit counting — is deterministic and "
-    "re-derivable, so the WHOLE recall surface is value-checked in "
-    "SQL; recall is emitted as exact integer ppm (no float division). "
-    "The trained-KMeans quantizer mode goes through the same public "
-    "harness in pytest, reproducing the SCALE.md §38 medoid-vs-kmeans "
-    "gap on planted clusters.",
+    "(vec_id hash %% sample_mod == 0, with sample_mod = max(20, "
+    "n_vectors div 100) so the brute-force side stays LINEAR in the "
+    "corpus — a fixed mod makes recall evaluation O(n^2/mod), which "
+    "the sf10 sweep caught at 2e9 cosine pairs) against the "
+    "brute-force exact top-10. Every stage — medoid centroids, "
+    "assignment, probe lists, probed re-rank, exact baseline, hit "
+    "counting — is deterministic and re-derivable, so the WHOLE "
+    "recall surface is value-checked in SQL; recall is emitted as "
+    "exact integer ppm (no float division). The trained-KMeans "
+    "quantizer mode goes through the same public harness in pytest, "
+    "reproducing the SCALE.md §38 medoid-vs-kmeans gap on planted "
+    "clusters.",
     oracle=f"""
-WITH q AS (
+WITH smod AS (
+  SELECT GREATEST(20, COUNT(*) // 100) AS sm FROM embeddings
+),
+q AS (
   SELECT vec_id AS query_id, embedding FROM embeddings
-  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 20 = 0
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+          % (SELECT sm FROM smod) = 0
 ),
 exact AS (
   SELECT query_id, neighbor_id FROM (
@@ -1346,8 +1354,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     path = ephemeral_dir("qml_ivf_recall_") + "/idx"
     ivf_index_build(emb, path, n_lists=8, quantizer="medoid")
+    # corpus-proportional sample: the exact baseline is O(n^2/mod), so
+    # a FIXED mod turns the harness quadratic at scale (sf10: 2e9
+    # pairs). max(20, n div 100) keeps ~100 queries past 2k vectors
+    # and leaves the small-SF sample unchanged.
+    sample_mod = max(20, int(emb.count()) // 100)
     return ivf_recall_report(
-        spark, path, emb, nprobes=(1, 2, 3), k=10, sample_mod=20
+        spark, path, emb, nprobes=(1, 2, 3), k=10, sample_mod=sample_mod
     )
 
 
