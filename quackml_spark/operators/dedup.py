@@ -2151,7 +2151,16 @@ def dedup_setsim_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = ephemeral_dir("qml_setsim_recrawl_") + "/idx"
     setsim_index_build(v1, path)
-    retire = v1.where("doc_id >= 2000000 OR doc_id % 5 = 0").select("doc_id")
+    # removed = v1 ids absent from v2 (anti-join — an id-range
+    # shortcut breaks under the scaled testdata's 1e9-offset replica
+    # ids; the sf1.0 sweep caught the ann twin); changed = stale-text ids
+    retire = (
+        v1.join(v2.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id")
+        .unionByName(
+            v2.where("doc_id % 5 = 0 AND doc_id % 7 != 3").select("doc_id")
+        )
+    )
     setsim_index_delete(spark, path, retire, batch_id=1)
     setsim_index_append(
         v2.where("doc_id % 7 = 3 OR doc_id % 5 = 0"), path, batch_id=2

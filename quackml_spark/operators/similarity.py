@@ -1463,7 +1463,17 @@ def ann_recrawl_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = ephemeral_dir("qml_ann_recrawl_") + "/idx"
     ivf_index_build(v1, path, n_lists=8, quantizer="medoid")
-    retire = v1.where("vec_id >= 1000000 OR vec_id % 5 = 0").select("vec_id")
+    # removed = v1 ids absent from v2 (anti-join, NOT an id-range
+    # shortcut: the scaled testdata offsets replica ids past 1e9, and
+    # a `>= 1000000` filter would retire the whole replicated corpus —
+    # caught by the sf1.0 sweep); changed = the sign-flipped ids
+    retire = (
+        v1.join(v2.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id")
+        .unionByName(
+            v2.where("vec_id % 5 = 0 AND vec_id % 7 != 3").select("vec_id")
+        )
+    )
     ivf_index_delete(spark, path, retire)
     ivf_index_append(
         spark, path, v2.where("vec_id % 7 = 3 OR vec_id % 5 = 0")
