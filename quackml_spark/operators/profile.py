@@ -754,17 +754,29 @@ def exact_quantiles(
             i: (hi - lo) // buckets + 1 for i, (lo, hi, _r) in state.items()
         }
         # fan each row into the active quantiles whose range holds it
+        def _bucket_expr(lo: int, hi: int, w: int):
+            # integer div, NOT `/`-then-cast: true division routes
+            # through IEEE double and mis-buckets values past 2^53
+            # (v - lo is non-negative, so div == floor division). A
+            # range spanning more than int64 (lo < 0 < hi with
+            # hi - lo > 2^63 - 1, legal for bigint inputs) would
+            # overflow the bigint subtraction under ANSI — those rare
+            # first rounds route through exact DECIMAL(38,0); after
+            # one narrowing the range fits and the fast path resumes.
+            if hi - lo > 2**63 - 1:
+                return F.expr(
+                    f"cast((cast(v as decimal(38,0)) - {lo}) div {w} "
+                    "as bigint)"
+                )
+            return F.expr(f"(v - {lo}L) div {w}L")
+
         arms = F.array(
             *[
                 F.when(
                     F.col("v").between(lo, hi),
                     F.struct(
                         F.lit(i).alias("i"),
-                        # integer div, NOT `/`-then-cast: true division
-                        # routes through IEEE double and mis-buckets
-                        # values past 2^53 (v - lo is non-negative, so
-                        # div == floor division)
-                        F.expr(f"(v - {lo}L) div {widths[i]}L").alias("b"),
+                        _bucket_expr(lo, hi, widths[i]).alias("b"),
                     ),
                 )
                 for i, (lo, hi, _r) in state.items()
@@ -900,17 +912,29 @@ def grouped_exact_quantiles(
     while state:
         ranges = spark.createDataFrame(
             [
-                (g, pi, lo, hi, (hi - lo) // buckets + 1)
+                (g, pi, lo, hi, (hi - lo) // buckets + 1,
+                 hi - lo > 2**63 - 1)
                 for (g, pi), (lo, hi, _r) in state.items()
             ],
-            f"g {g_type}, pi int, lo bigint, hi bigint, w bigint",
+            f"g {g_type}, pi int, lo bigint, hi bigint, w bigint,"
+            " wide boolean",
         )
         hist = (
             vals.join(F.broadcast(ranges), "g")
             .where(F.col("v").between(F.col("lo"), F.col("hi")))
             # integer div on columns — `/`-then-cast routes through
-            # IEEE double and mis-buckets past 2^53
-            .select("g", "pi", F.expr("(v - lo) div w").alias("b"))
+            # IEEE double and mis-buckets past 2^53. A range spanning
+            # more than int64 (lo < 0 < hi) would overflow the bigint
+            # v - lo under ANSI; `wide` rows (first rounds of
+            # pathological groups only) take exact DECIMAL(38,0).
+            .select(
+                "g",
+                "pi",
+                F.expr(
+                    "CASE WHEN wide THEN cast((cast(v as decimal(38,0))"
+                    " - lo) div w as bigint) ELSE (v - lo) div w END"
+                ).alias("b"),
+            )
             .groupBy("g", "pi", "b")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()

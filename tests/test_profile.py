@@ -200,3 +200,37 @@ def test_grouped_exact_quantiles_match_sorted_reference(spark):
         assert got == want
 
     run()
+
+
+def test_exact_quantiles_range_wider_than_int64(spark):
+    """A value range spanning more than int64 (lo < 0 < hi with
+    hi - lo > 2^63 - 1) must not overflow the bucketing subtraction
+    under ANSI — the hypothesis-found r13 regression, pinned
+    deterministically for both the grouped and ungrouped selectors."""
+    from quackml_spark.operators.profile import (
+        exact_quantiles,
+        grouped_exact_quantiles,
+    )
+
+    lo, hi = -(2**62), 2**62
+    df = spark.createDataFrame([(v,) for v in (lo, hi)], "x long")
+    got = {
+        (r["p_num"], r["p_den"]): r["value"]
+        for r in exact_quantiles(df, "x", ps=((1, 2),), buckets=8).collect()
+    }
+    assert got == {(1, 2): lo}
+    gdf = spark.createDataFrame(
+        [("a", lo), ("a", hi), ("b", 7)], "g string, x long"
+    )
+    ggot = {
+        (r["g"], r["p_num"], r["p_den"]): r["value"]
+        for r in grouped_exact_quantiles(
+            gdf, "g", "x", ps=((1, 2), (9, 10)), buckets=8
+        ).collect()
+    }
+    assert ggot == {
+        ("a", 1, 2): lo,
+        ("a", 9, 10): hi,
+        ("b", 1, 2): 7,
+        ("b", 9, 10): 7,
+    }
