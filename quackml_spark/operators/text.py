@@ -2348,11 +2348,26 @@ def _bm25_std_queries(docs: DataFrame) -> DataFrame:
 def _bm25_batch_relations(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """One tokenize pass over a (doc) batch -> the three index
-    relations: postings (tok, doc_id, tf, dl — dl DENORMALIZED so a
-    search never joins a corpus-sized lengths table), df deltas
-    (tok, df) and a 1-row (n_docs, sum_dl) stats frame. n_docs counts
-    docs with dl > 0, matching bm25_topk's stats branch."""
+    """The three index relations of a (doc) batch, each derived lazily
+    from its own tokenize of the batch: postings (tok, doc_id, tf, dl —
+    dl DENORMALIZED so a search never joins a corpus-sized lengths
+    table), df deltas (tok, df) and a 1-row (n_docs, sum_dl) stats
+    frame. n_docs counts docs with dl > 0, matching bm25_topk's stats
+    branch.
+
+    An action on each relation re-tokenizes the batch, so a caller
+    that materializes all three pays three corpus passes —
+    build/append avoid that by writing postings first and deriving
+    df/stats from the written files (_bm25_postings_derived); only
+    delete, which writes no postings, runs the dfreq/stats branches
+    here (two passes over a diff-sized batch).
+
+    (r13 note: a map-side run-length tf — array_sort + higher-order
+    functions, no groupBy exchange — was prototyped and measured 75x
+    SLOWER: Spark collapses projections, so lambda-internal references
+    to the sorted array re-evaluate array_sort per element, O(n^2)
+    per doc. The groupBy's partial aggregation ships postings-sized
+    rows anyway; it stays.)"""
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
     ).select("doc_id", F.size("toks").alias("dl"), "toks")
@@ -2368,6 +2383,51 @@ def _bm25_batch_relations(
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
     )
     return postings, dfreq, stats
+
+
+def _bm25_postings_derived(
+    spark: SparkSession, path: str, batch_id: int, run_key: str, dedupe: bool
+) -> tuple[DataFrame, DataFrame]:
+    """(dfreq, stats) of ONE batch derived from its already-WRITTEN
+    postings rows instead of a re-tokenize (r13 optimization: the
+    pre-r13 build/append tokenized every batch three times — once per
+    write action — because df and stats each re-derived from the raw
+    text; the written postings already carry everything they need):
+
+      df     = rows per tok (postings are (doc, tok)-grained)
+      n_docs = distinct doc_id (exactly the dl > 0 docs — empty docs
+               have no postings rows)
+      sum_dl = SUM(tf) (per doc, tf sums to dl; dl = 0 docs add 0)
+
+    The read is batch-bounded: parquet row-group pruning on the
+    (batch_id, run_key) filter skips other batches' files. ``dedupe``
+    guards the append path against a crash-REPLAYED attempt (identical
+    postings rows committed twice; distinct restores the batch grain
+    so df/stats match a clean run bit-for-bit — the same full-row-
+    identity discipline search applies). Build (mode=overwrite) can
+    never see duplicates and skips it."""
+    rows = (
+        spark.read.schema(
+            "tok string, doc_id bigint, tf bigint, dl int, "
+            "batch_id bigint, run_key string, tok_bucket int"
+        )
+        .parquet(f"{path}/postings")
+        .where(
+            (F.col("batch_id") == F.lit(int(batch_id)))
+            & (F.col("run_key") == F.lit(run_key))
+        )
+        .select("tok", "doc_id", "tf", "tok_bucket")
+    )
+    if dedupe:
+        rows = rows.distinct()
+    dfreq = rows.groupBy("tok_bucket", "tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    stats = rows.agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("sum_dl"),
+    )
+    return dfreq, stats
 
 
 def _bm25_bucket(n_buckets: int):
@@ -2425,7 +2485,7 @@ def bm25_index_build(
     appends (duplicate rows carry the same (run_key, batch_id) and are
     deduped probe-bounded at search time)."""
     spark = docs.sparkSession
-    postings, dfreq, stats = _bm25_batch_relations(docs, id_col, text_col)
+    postings, _dfreq, _stats = _bm25_batch_relations(docs, id_col, text_col)
     bid = F.lit(-1).cast("bigint").alias("batch_id")
     rk = F.lit("").alias("run_key")
     (
@@ -2437,9 +2497,11 @@ def bm25_index_build(
         .partitionBy("tok_bucket")
         .parquet(f"{path}/postings")
     )
+    # df/stats from the postings just written — the corpus is tokenized
+    # exactly ONCE per build (was three times, r13 optimization)
+    dfreq, stats = _bm25_postings_derived(spark, path, -1, "", dedupe=False)
     (
-        dfreq.select("tok", "df", bid, rk)
-        .withColumn("tok_bucket", _bm25_bucket(n_buckets))
+        dfreq.select("tok", "df", bid, rk, "tok_bucket")
         .repartition("tok_bucket")
         .sortWithinPartitions("tok")
         .write.mode("overwrite")
@@ -2487,7 +2549,7 @@ def bm25_index_append(
     # index's OWN bucket count
     _ver, man = read_manifest(spark, path)
     n_buckets = int(man["n_buckets"])
-    postings, dfreq, stats = _bm25_batch_relations(docs, id_col, text_col)
+    postings, _dfreq, _stats = _bm25_batch_relations(docs, id_col, text_col)
     bid = F.lit(int(batch_id)).cast("bigint").alias("batch_id")
     rk = F.lit(run_key).alias("run_key")
     (
@@ -2499,9 +2561,20 @@ def bm25_index_append(
         .partitionBy("tok_bucket")
         .parquet(f"{path}/postings")
     )
+    # df/stats from the batch's just-written postings (ONE tokenize per
+    # append, was three — r13); dedupe guards crash-replayed attempts
+    dfreq, stats = _bm25_postings_derived(
+        spark, path, int(batch_id), run_key, dedupe=True
+    )
     (
-        dfreq.select("tok", "df", bid, rk)
-        .withColumn("tok_bucket", _bm25_bucket(n_buckets))
+        dfreq.select("tok", "df", bid, rk, "tok_bucket")
+        # repartition like build's df write (r13): without it every
+        # shuffle partition of the groupBy wrote its own tiny file
+        # into every bucket dir it touched — ~shuffle-partitions
+        # files per bucket PER APPEND, and every later search paid
+        # the open cost (guide §6 small-files debt)
+        .repartition("tok_bucket")
+        .sortWithinPartitions("tok")
         .write.mode("append")
         .partitionBy("tok_bucket")
         .parquet(f"{path}/df")
@@ -2571,6 +2644,9 @@ def bm25_index_delete(
     (
         dfreq.select("tok", (-F.col("df")).alias("df"), bid, rk)
         .withColumn("tok_bucket", _bm25_bucket(n_buckets))
+        # same small-files fix as append's df write (r13)
+        .repartition("tok_bucket")
+        .sortWithinPartitions("tok")
         .write.mode("append")
         .partitionBy("tok_bucket")
         .parquet(f"{path}/df")
