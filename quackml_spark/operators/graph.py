@@ -128,6 +128,7 @@ def pagerank(
     validate: bool = False,
     checkpoint_interval: int = 8,
     checkpoint_dir: str | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """(node, rank) after ``iters`` synchronous PageRank iterations.
 
@@ -144,7 +145,12 @@ def pagerank(
     The edge list is DEDUPLICATED first: this is unweighted PageRank
     over a simple graph. A multigraph caller expecting
     multiplicity-proportional flow must pre-aggregate weights into its
-    own formulation — parallel edges here count once.
+    own formulation — parallel edges here count once. A caller whose
+    edge list is distinct BY CONSTRUCTION may pass ``dedup=False`` to
+    skip that shuffle (r13: one full edge-list exchange + hash dedup —
+    the single largest avoidable cost on a big graph); duplicates
+    slipped past the flag double-count contributions, so only set it
+    on a proof, not a hope.
 
     ``checkpoint_dir`` switches lineage truncation from executor-memory
     localCheckpoint to reliable checkpoint() into that path — see
@@ -165,14 +171,27 @@ def pagerank(
         # a null endpoint would become a phantom node whose rank mass
         # silently vanishes — drop it before the distinct
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
     )
+    if dedup:
+        e = e.distinct()
     _trunc, _trunc_finish = _lineage_truncator(
         edges.sparkSession, checkpoint_dir
     )
-    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    eo = e.join(out, "src").persist()
-    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    # out has exactly one row per distinct source node, and the operator
+    # contract requires every node to appear as a source — so the node
+    # frame IS out's key column. Deriving it there (r13) kills the
+    # second full edge-list distinct the old `e.select(src).distinct()`
+    # paid; out itself is node-sized, so caching it is cheap and the
+    # per-iteration left join reads it from memory.
+    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # repartition("src") pins the CACHED layout to hash(src): when the
+    # outdeg join plans as broadcast, eo would otherwise be cached in
+    # e's incoming layout and every iteration's rank join would
+    # re-exchange the full edge list (r13: measured 14 MB/iter at
+    # bench scale, 5x). With the pin, each iteration shuffles only the
+    # node-sized rank frame plus the partially-aggregated contribs.
+    eo = e.join(out, "src").repartition("src").persist()
+    nodes = out.select(F.col("src").alias("node"))
     if validate:
         sinks = (
             e.select(F.col("dst").alias("node"))
@@ -188,7 +207,7 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         eo.unpersist()
-        nodes.unpersist()
+        out.unpersist()
         return e.select(F.col("src").alias("node")).withColumn(
             "rank", F.lit(0).cast("bigint")
         )
@@ -224,7 +243,7 @@ def pagerank(
     ranks = _trunc(ranks)
     _trunc_finish()
     eo.unpersist()
-    nodes.unpersist()
+    out.unpersist()
     return ranks
 
 
@@ -314,10 +333,27 @@ def q34_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = b.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        b.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    # Symmetrize by exploding each pair into both orientations in ONE
+    # pass over b (r13): the old two-leg unionAll evaluated the b
+    # subtree once per leg per consumer — fine while pagerank's dedup
+    # shuffle sat at e's root and got exchange-reused, but with
+    # dedup=False there is no root exchange, so each consumer re-ran
+    # the orders-lineitem join + distinct twice. inline() keeps b's
+    # distinct exchange as the single shared subtree.
+    edges = b.select(
+        F.inline(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        )
     )
-    ranks = pagerank(edges, iters=5, damping_pct=85)
+    # dedup=False: b is distinct, and the two orientations of each pair
+    # are disjoint by the node encoding (src even in the first, odd in
+    # the second) — the edge list is distinct by construction, so the
+    # operator's dedup shuffle would re-prove a tautology over the full
+    # edge list (r13, guide §2.1: remove the shuffle outright).
+    ranks = pagerank(edges, iters=5, damping_pct=85, dedup=False)
     return (
         ranks.select(
             "node",
