@@ -865,12 +865,12 @@ def connected_components(
         run_dir = f"{ckpt_base}/qml_cc_{uuid.uuid4().hex}"
     rounds_written: list[str] = []
 
-    def _truncate(df: DataFrame) -> DataFrame:
+    def _truncate(df: DataFrame, eager: bool = True) -> DataFrame:
         # lineage truncation each round — without it the plan doubles
         # per iteration and a 64-round run at real diameter blows the
         # optimizer/stack long before the data becomes the problem.
         if not reliable:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=eager)
         path = f"{run_dir}/round_{len(rounds_written)}"
         df.write.mode("error").parquet(path)
         rounds_written.append(path)
@@ -880,7 +880,14 @@ def connected_components(
             _fs_delete(spark, rounds_written[-3])
         return spark.read.parquet(path)
 
-    und = und.cache()
+    # repartition("d") pins the CACHED edge layout to the join key of
+    # every round's neighbor join (r13): without it the cache holds the
+    # incoming (pair-generation) layout and each round re-exchanges the
+    # full edge list; with it the und side is exchange-free and the
+    # labels side is already hash(node) from the previous round's
+    # checkpoint — the only per-round shuffle left is the propagation
+    # groupBy, whose input is map-side combined.
+    und = und.repartition("d").cache()
     labels = und.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).cache()
@@ -892,8 +899,12 @@ def connected_components(
     # old form shuffled both corpus-sized label sets once more per
     # round; here both join sides are already hash-partitioned on node
     # (groupBy output / prior checkpoint, which preserves partitioning),
-    # and the post-checkpoint probe is a scan, not a join (r12 drift
-    # profile, SCALE.md §36).
+    # and on the localCheckpoint path the convergence probe IS the
+    # materialization job (lazy checkpoint + full count, r13) — zero
+    # extra jobs per round. (An observe() metric was tried first and
+    # is the cleaner fusion, but CollectMetrics + localCheckpoint
+    # throws Task-not-serializable when the subtree carries pandas-UDF
+    # stages — curate()'s quality classifier hit it.)
     for _ in range(max_rounds):
         nbr = (
             und.join(labels, und.d == labels.node)
@@ -908,9 +919,16 @@ def connected_components(
                 "node",
                 F.col("__new").alias("label"),
                 (F.col("__new") != F.col("__old")).alias("__chg"),
-            )
+            ),
+            eager=False,
         )
-        changed = merged.where("__chg").limit(1).count()
+        # full count, deliberately NOT limit(1): every partition must
+        # be computed so the lazy localCheckpoint persists the whole
+        # round frame inside this one job (a short-circuiting probe
+        # would checkpoint only the partitions it touched). On the
+        # reliable path the write above already materialized; this is
+        # a cheap scan of the snapshot.
+        changed = merged.where("__chg").count()
         labels.unpersist()
         labels = merged.select("node", "label")
         if not changed:
