@@ -2642,6 +2642,18 @@ def cdc_chunks(
         raise ValueError(
             f"window and mask_mod must be >= 1, got {window}, {mask_mod}"
         )
+    from quackml_spark.operators.text import fan_out
+
+    # The boundary scan is pure per-row compute that is ~100x heavier
+    # than the text bytes feeding it (O(n_chars * log window) array
+    # ops/doc), and Spark sizes scan partitions by INPUT bytes — a
+    # small parquet file is ONE task, and the whole corpus hashes on
+    # one core (measured: a 2.97 s single-task stage was all of this
+    # query's 3 s at sf0.1 on local[32]). fan_out spreads the rows to
+    # default parallelism only when the upstream yields fewer
+    # partitions than cores; at real scale the scan already has >=
+    # cores splits and this is an exact no-op.
+    docs = fan_out(docs)
     text = F.col(text_col)
     gear = F.array(*[F.lit(v).cast("bigint") for v in _GEAR])
     pow2 = F.array(*[F.lit(v).cast("bigint") for v in _POW2])
