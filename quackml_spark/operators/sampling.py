@@ -363,13 +363,16 @@ def dsir_log_weights(
     Returns (id_col, log_w DECIMAL(25,12)) — EVERY raw doc appears
     (featureless docs get 0, the empty product).
 
-    Determinism & scale shape: the two bucket-count aggregations are
-    map-side combined and bounded by ``buckets`` rows, and both
-    COLLECT to the driver (the ADC-LUT pattern — bounded by config,
-    never by data) so the per-bucket log-ratio lambda table is built
-    once driver-side instead of re-deriving the corpus explode through
-    the lazy lambda/totals dependency graph (measured ~4 gram passes;
-    now exactly the two-corpus-pass contract BM25 documents). Lambda
+    Determinism & scale shape: each corpus is tokenized EXACTLY ONCE
+    (r13: the raw gram explode previously ran twice — histogram +
+    scoring — and the two histograms were two sequential jobs; now the
+    raw features materialize as per-doc bucket counts via a lazy
+    localCheckpoint and one job collects both histograms). The bucket
+    histogram COLLECTS to the driver bounded by ``buckets`` rows (the
+    ADC-LUT pattern — bounded by config, never by data) so the
+    per-bucket log-ratio lambda table is built once driver-side
+    instead of re-deriving the corpus explode through the lazy
+    lambda/totals dependency graph. Lambda
     is rounded to DECIMAL(20,12) Spark-side (safe: log ulps live at
     the ~16th digit of O(10) values) and joined back BROADCAST, so
     scoring is one map-side join + one docs-sized groupBy whose
@@ -380,20 +383,45 @@ def dsir_log_weights(
     import math
 
     spark = raw.sparkSession
-    tcnt = {
-        int(r["bucket"]): int(r["ct"])
-        for r in dsir_features(target, buckets, id_col, text_col)
+    # ONE tokenize+gram+md5 pass per corpus (guide §1.2 — the explode
+    # is the dominant cost; profiled at bench scale the raw pass ran
+    # TWICE, once for the bucket histogram collect and once inside the
+    # scoring job, and the two histogram collects were two sequential
+    # jobs). Raw features aggregate to per-doc bucket counts once and
+    # lazily localCheckpoint: the histogram AND the scoring combine
+    # both read the materialized ints-only (id, bucket, n) frame —
+    # far smaller than re-running the corpus explode — and both
+    # histograms come back in ONE bounded collect (union the target
+    # gram stream with the materialized raw counts, <= buckets rows).
+    pf = (
+        dsir_features(raw, buckets, id_col, text_col)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    cnts = (
+        dsir_features(target, buckets, id_col, text_col)
+        .select(
+            "bucket",
+            F.lit(1).cast("bigint").alias("n"),
+            F.lit(True).alias("is_t"),
+        )
+        .unionByName(
+            pf.select(
+                "bucket",
+                F.col("n").cast("bigint").alias("n"),
+                F.lit(False).alias("is_t"),
+            )
+        )
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(
+            F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(F.lit(0))).alias("ct"),
+            F.sum(F.when(~F.col("is_t"), F.col("n")).otherwise(F.lit(0))).alias("cr"),
+        )
         .collect()  # bounded: <= buckets rows
-    }
-    feats = dsir_features(raw, buckets, id_col, text_col)
-    rcnt = {
-        int(r["bucket"]): int(r["cr"])
-        for r in feats.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cr"))
-        .collect()  # bounded: <= buckets rows
-    }
+    )
+    tcnt = {int(r["bucket"]): int(r["ct"]) for r in cnts if r["ct"]}
+    rcnt = {int(r["bucket"]): int(r["cr"]) for r in cnts if r["cr"]}
     nt, nr = sum(tcnt.values()), sum(rcnt.values())
     ab = float(alpha) * buckets
     lam_rows = [
@@ -410,10 +438,17 @@ def dsir_log_weights(
         "bucket",
         F.round("lam_raw", 12).cast("decimal(20,12)").alias("lam"),
     )
+    # n * lam is exactly lam summed n times (decimal multiply at
+    # (9,0)x(20,12) -> (30,12) is exact, far below precision 38), so
+    # log_w is bit-identical to the per-occurrence sum it replaces.
     scored = (
-        feats.join(F.broadcast(lam), "bucket")
+        pf.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
-        .agg(F.sum("lam").cast("decimal(25,12)").alias("log_w"))
+        .agg(
+            F.sum(F.col("n").cast("decimal(9,0)") * F.col("lam"))
+            .cast("decimal(25,12)")
+            .alias("log_w")
+        )
     )
     zero = F.lit("0").cast("decimal(25,12)")
     return raw.select(id_col).join(scored, id_col, "left").select(
