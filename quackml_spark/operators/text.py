@@ -1622,10 +1622,19 @@ def bpe_train(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
         ).alias("word")
     )
-    # base keeps the cached handle: the loop rebinds `vocab` to derived
-    # projections, and unpersist() on a derived plan is a silent no-op
-    # (Spark uncaches only the exact cached plan) — the ranked_by leak
-    # class the round-7 verdict flagged, caught here by review
+    # localCheckpoint, not cache() (r13): a cached plan keeps the
+    # static shuffle-partition layout (AQE's coalescing does not apply
+    # to cached plans by default), so every merge round ran
+    # shuffle.partitions near-empty vocab tasks — pure scheduling
+    # overhead at the per-round sequential floor. The checkpoint
+    # materializes with AQE's size-coalesced partitioning (1 partition
+    # for a small vocab, more as the word vocabulary grows — bytes-
+    # adaptive, nothing tuned to the local core count), and each of
+    # the n sequential rounds then schedules only as many tasks as the
+    # vocab's bytes justify. Also cuts the lineage, so round t replays
+    # t string-replaces over the materialized vocab, never the corpus
+    # explode. (No unpersist needed: the checkpointed RDD is reclaimed
+    # by the ContextCleaner when the frame goes out of scope.)
     base = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1635,40 +1644,37 @@ def bpe_train(
                 F.trim(F.regexp_replace("word", "(.)", "$1 ")), F.lit(" </w>")
             ),
         )
-        .cache()
+        .localCheckpoint()
     )
     vocab = base
     merges: list[tuple[int, str, str, str, int]] = []
-    try:
-        for t in range(n_merges):
-            toks = F.split(F.col("spaced"), " ")
-            pairs = vocab.where(F.size(toks) >= 2).select(
-                "freq",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(toks) - 2),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), 2)),
-                    )
-                ).alias("pair"),
-            )
-            best = (
-                pairs.groupBy("pair")
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("pair"))
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            pair, cnt = best[0]["pair"], int(best[0]["cnt"])
-            left, right = pair.split(" ")
-            merged = left + right
-            merges.append((t + 1, left, right, merged, cnt))
-            vocab = vocab.withColumn(
-                "spaced", _merge_replace(F.col("spaced"), pair, merged)
-            )
-    finally:
-        base.unpersist()
+    for t in range(n_merges):
+        toks = F.split(F.col("spaced"), " ")
+        pairs = vocab.where(F.size(toks) >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), 2)),
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        left, right = pair.split(" ")
+        merged = left + right
+        merges.append((t + 1, left, right, merged, cnt))
+        vocab = vocab.withColumn(
+            "spaced", _merge_replace(F.col("spaced"), pair, merged)
+        )
     return merges
 
 
