@@ -2108,10 +2108,9 @@ def bm25_topk(
     for the default b.
 
     Scale shape (100 TB corpus, handful-of-KB query set) — the corpus
-    is tokenized exactly twice end-to-end, scoring + df (round 8; the
-    r7 shape tokenized it three times — a stats action, the tf branch
-    and the dl join — and also exploded and shuffled every matched
-    token through a (doc, term) aggregation, both gone here):
+    is tokenized exactly ONCE end-to-end (r13; round 8 tokenized it
+    twice — scoring + a separate df branch — and the r7 shape three
+    times, plus a (doc, term) corpus shuffle, all gone here):
 
     * the query vocabulary is collected to the driver (bounded by the
       query batch — the operator's documented contract) and pushed
@@ -2120,15 +2119,14 @@ def bm25_topk(
       (term, tf) pairs for query terms via array_intersect + a nested
       lambda count — no corpus explode, no (doc, term) groupBy
       shuffle, no separate dl relation, and only the matched rows
-      (doc_id, dl, tok, tf — query-bounded) ever leave the scan;
-    * df = per-term row count of the matched relation (keyed by
-      (doc, term), so its per-term cardinality IS the distinct-doc
-      count), aggregated with map-side partial combine — skew-immune
-      even when a query term matches most of the corpus — into a
-      <= |query vocab|-row table that broadcasts back. The df branch
-      re-tokenizes (a window over tok would avoid that but serializes
-      each term's group through one task — measured 10x worse on a
-      skewed vocabulary than the second tokenize);
+      (doc_id, dl, tok, tf — query-bounded) ever leave the scan; the
+      matched relation localCheckpoints (query-sized, never corpus
+      text) so both consumers below read it without re-tokenizing;
+    * df = per-term row count of the materialized matched relation
+      (keyed by (doc, term), so its per-term cardinality IS the
+      distinct-doc count), aggregated with map-side partial combine —
+      skew-immune even when a query term matches most of the corpus —
+      into a <= |query vocab|-row table that broadcasts back;
     * corpus statistics (n_docs, avgdl) are a second scan branch that
       never tokenizes: dl == regexp_count(text, '\\S+') (case-fold
       cannot change token boundaries), aggregated map-side and joined
@@ -2180,6 +2178,16 @@ def bm25_topk(
             ),
         ).alias("qtf"),
     )
+    # The matched relation is materialized ONCE (lazy localCheckpoint —
+    # hits' plan is map-only, so nothing executes until the df
+    # broadcast build below, which is also what checkpoints it) and
+    # BOTH consumers read it: the df branch previously re-ran
+    # tokenize + intersect over the whole corpus because a broadcast
+    # exchange executes its subtree separately from the scoring plan
+    # (r13; measured ~25% of the row's executor time). hits is
+    # query-vocabulary-bounded per doc — one row per (doc, matched
+    # term) — so the checkpoint holds a query-sized relation, never
+    # corpus text, and the corpus is now tokenized exactly ONCE.
     hits = (
         base.select("doc_id", "dl", F.explode_outer("qtf").alias("h"))
         .where(F.col("h").isNotNull())
@@ -2189,22 +2197,16 @@ def bm25_topk(
             F.col("h.tok").alias("tok"),
             F.col("h.tf").alias("tf"),
         )
+        .localCheckpoint(eager=False)
     )
-    # df branch recomputes tokenize+intersect but NOT the per-term tf
-    # transform (array_intersect already dedups, so rows are one per
-    # (doc, matched term) — exactly the df grain). Map-side partial
-    # combine keeps it skew-immune when a query term matches most of
-    # the corpus, which is why this is a groupBy + broadcast and not a
-    # count(*) window over tok (measured faster here, but a hot term
-    # would serialize through one window task at 100 TB).
+    # hits is (doc, matched term)-grained (array_intersect dedups), so
+    # its per-term row count IS the distinct-doc count — df derives
+    # from the materialized relation with map-side partial combine,
+    # skew-immune even when a query term matches most of the corpus
+    # (NOT a count(*) window over tok: a hot term would serialize
+    # through one window task at 100 TB).
     dfreq = F.broadcast(
-        docs.select(
-            F.explode(
-                F.array_intersect(tokens_expr("text"), lit_vocab)
-            ).alias("tok")
-        )
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
+        hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     )
 
     return _bm25_rank(hits, dfreq, qterms, stats, k, k1, b)
