@@ -49,6 +49,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Floor SCAN parallelism at the session's core count (guide §6):
+        # Spark sizes scan splits by input BYTES, so a bench-scale
+        # parquet file yields 1-3 splits and every scan-bound stage
+        # runs on 1-3 of the cores. minPartitionNum derives from the
+        # session parallelism (NOT a constant), so it scales with
+        # SPARK_GRAFT_CPUS and is a no-op on any input whose byte size
+        # already justifies >= cores splits — at 100 TB these two
+        # settings change nothing (the 4 MB default openCostInBytes
+        # only mattered because it floored split size above
+        # small-input/32; 256 KB keeps the same many-small-files
+        # packing behavior to within one task per ~4 files).
+        .config("spark.sql.files.minPartitionNum", str(par))
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
