@@ -546,9 +546,24 @@ def curate(
                 "(supported: 'exact', 'bloom')"
             )
         cur = _mark("decontaminate", cur.join(leaked, "doc_id", "left_anti"))
+    # The terminal stages below each consume `cur` more than once per
+    # run (budget: rates broadcast build; curriculum: the score branch
+    # + the join; epochs: the expansion + the join-back; pack: the
+    # prefix-sum offsets broadcast + the main branch) and every
+    # broadcast build executes its subtree independently — so without
+    # a cut, each one REPLAYS the whole filtering prefix (quality
+    # arithmetic over text, the dedup shuffle, decontamination): 3-4
+    # full corpus passes at 100 TB. One lazy localCheckpoint caps all
+    # of them at a single materialization (r13; the same
+    # materialize-the-proxy discipline as DSIR and BM25 top-k).
+    if any(
+        x is not None
+        for x in (budget_chars, curriculum_band_size, epochs_ppm, pack_seq_len)
+    ):
+        cur = cur.localCheckpoint(eager=False)
     if budget_chars is not None:
         from quackml_spark.operators.sampling import (
-            budget_rates,
+            PPM,
             mixture_sample,
             temperature_rates,
         )
@@ -563,12 +578,35 @@ def curate(
                 weight_col="__n_chars",
             )
         else:
-            n_sources = sized.select("__source").distinct().count()
-            rates = budget_rates(
-                sized,
-                max(1, budget_chars // max(n_sources, 1)),
-                source_col="__source",
-                weight_col="__n_chars",
+            # ONE bounded pass (collect <= |sources| rows) yields the
+            # source totals AND their count — this was two separate
+            # jobs (a distinct().count() plus the budget_rates
+            # broadcast build, each replaying the prefix). The rate
+            # arithmetic is the same exact bigint clamp(floor(1e6 *
+            # per_source_budget / total), 1, 1e6) budget_rates pins.
+            tot = sorted(
+                (r["__source"], int(r["t"]), int(r["n"]))
+                for r in sized.groupBy("__source")
+                .agg(
+                    F.sum("__n_chars").alias("t"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            per = max(1, budget_chars // max(len(tot), 1))
+            src_dt = sized.schema["__source"].dataType.simpleString()
+            rates = spark.createDataFrame(
+                [
+                    (
+                        s,
+                        t,
+                        n,
+                        max(1, min(PPM, PPM * per // t)) if t > 0 else 1,
+                    )
+                    for s, t, n in tot
+                ],
+                f"__source {src_dt}, total_chars bigint, n_docs bigint, "
+                "rate_ppm bigint",
             )
         cur = _mark(
             "budget",
