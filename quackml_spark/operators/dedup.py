@@ -684,18 +684,22 @@ def dedup_exact_substring(
     # fan out before the ~n_tokens-x window-hash explode (single-file
     # scan = one task otherwise; no-op on an already-parallel scan)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", tokens_expr("text").alias("toks")
-    ).where(F.size("toks") >= _WIN_K)
+    # short-doc guard inside the explode, not a Filter above the
+    # tokenize project — the pushed-down Filter re-tokenized every doc
+    # (r13 plan-audit catch, same fix as word_shingles)
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
     wins = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - _WIN_K),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("toks", i + F.lit(1), _WIN_K))
+            F.when(
+                F.size("toks") >= _WIN_K,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - _WIN_K),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("toks", i + F.lit(1), _WIN_K))
+                    ),
                 ),
-            )
+            ).otherwise(F.array())
         ).alias("wh"),
     ).distinct()
     buckets = (
@@ -1183,19 +1187,30 @@ def word_shingles(
     # fan out BEFORE the ~n_tokens-x shingle explode: a small-file scan
     # is one partition and would serialize the whole shingle + K-hash
     # stream through one core; no-op whenever the scan is already at
-    # session parallelism (any real corpus)
+    # session parallelism (any real corpus). The short-doc guard lives
+    # INSIDE the explode (when/otherwise): a `.where(size(toks) >= 3)`
+    # above the tokenize project gets pushed below the fan-out exchange
+    # with the tokenize expression substituted, so every document was
+    # regex-tokenized TWICE (r13 plan-audit catch, fixed across all
+    # n-gram builders).
     toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
-    ).where(F.size("toks") >= 3)
+    )
     sh = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 3),
-                lambda i: F.concat_ws(
-                    " ", F.col("toks")[i], F.col("toks")[i + 1], F.col("toks")[i + 2]
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.col("toks")[i],
+                        F.col("toks")[i + 1],
+                        F.col("toks")[i + 2],
+                    ),
                 ),
-            )
+            ).otherwise(F.array())
         ).alias("shingle"),
     )
     return sh.distinct() if distinct else sh

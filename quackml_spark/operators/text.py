@@ -1556,13 +1556,16 @@ ORDER BY true_count DESC, gram
 )
 def sketch_countmin_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(tokens_expr("text").alias("toks")).where(F.size("toks") >= 3)
+    toks = docs.select(tokens_expr("text").alias("toks"))
     grams = toks.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 3),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + F.lit(1), 3)),
-            )
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + F.lit(1), 3)),
+                ),
+            ).otherwise(F.array())
         ).alias("gram")
     )
     sketch = countmin_build(grams)
@@ -2341,8 +2344,14 @@ def _bm25_std_queries(docs: DataFrame) -> DataFrame:
     return (
         docs.where((F.col("doc_id") % 101 == 0) & (F.col("doc_id") < 50500))
         .select(F.col("doc_id").alias("query_id"), tokens_expr("text").alias("toks"))
-        .where(F.size("toks") >= 4)
-        .select("query_id", F.explode(F.slice("toks", 2, 3)).alias("tok"))
+        .select(
+            "query_id",
+            F.explode(
+                F.when(F.size("toks") >= 4, F.slice("toks", 2, 3)).otherwise(
+                    F.array()
+                )
+            ).alias("tok"),
+        )
     )
 
 
@@ -3027,20 +3036,30 @@ def doc_bigrams(
     parallelism — measured at sf0.1, fan-out's text shuffle made the
     LM queries ~40%% SLOWER (1.06 -> 1.29 s bigram, 1.39 -> 2.09 s
     trigram). fan_out pays only where per-row work dominates the
-    row-shuffle cost (md5 grams, K-hash shingles, BM25 tokenize)."""
+    row-shuffle cost (md5 grams, K-hash shingles, BM25 tokenize).
+
+    The short-doc guard lives INSIDE the explode (when/otherwise, not
+    a Filter): a ``.where(size(toks) >= 2)`` above the tokenize
+    project gets pushed below it by Catalyst with the tokenize
+    expression substituted in, so every document was regex-tokenized
+    TWICE (once in the pushed Filter, once in the Project) — r13
+    plan-audit catch, same fix across all n-gram builders."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
-    ).where(F.size("toks") >= 2)
+    )
     return toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
-                lambda i: F.struct(
-                    F.col("toks")[i].alias("w1"),
-                    F.col("toks")[i + 1].alias("w2"),
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.struct(
+                        F.col("toks")[i].alias("w1"),
+                        F.col("toks")[i + 1].alias("w2"),
+                    ),
                 ),
-            )
+            ).otherwise(F.array())
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
@@ -3058,9 +3077,19 @@ def bigram_lm(bigrams: DataFrame, discount: float = 0.75) -> dict:
     relation (which is token-count-sized, i.e. corpus-sized) keyed on
     (w1,w2), w1, w2 respectively — none bounded by vocabulary fits on
     a driver, and none is collected: the type total joins back in as a
-    1-row broadcast, and Spark's ReuseExchange serves the (w1,w2)
-    aggregate to both the model and the total from ONE shuffle."""
-    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    1-row broadcast. The (w1,w2) count is materialized ONCE (lazy
+    localCheckpoint): its consumers (model join, ctx, cont, types) sit
+    behind broadcast boundaries where exchange reuse does NOT fire —
+    measured at r13, the un-materialized chain re-ran the corpus
+    scan+bigram explode once per consumer (4-8 full passes; the
+    trigram twin showed 8 scan stages, 9.6 s executor vs 1.95 s
+    checkpointed). The checkpoint is vocab-sized (aggregated), never
+    corpus-sized."""
+    c12 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     ctx = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1")
     )
@@ -3392,12 +3421,7 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackml_spark.operators.similarity import _with_norm, cosine_with_norms
 
     docs = load_table(spark, sf_dir, "documents")
-    queries = (
-        docs.where((F.col("doc_id") % 101 == 0) & (F.col("doc_id") < 50500))
-        .select(F.col("doc_id").alias("query_id"), tokens_expr("text").alias("toks"))
-        .where(F.size("toks") >= 4)
-        .select("query_id", F.explode(F.slice("toks", 2, 3)).alias("tok"))
-    )
+    queries = _bm25_std_queries(docs)
     lex10 = bm25_topk(docs, queries).select("query_id", "doc_id", "rnk")
 
     emb = _with_norm(
@@ -3582,7 +3606,7 @@ def skipgram_pairs(
     output's inherent size, not an intermediate."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
-    ).where(F.size("toks") >= 2)
+    )
     n = F.size("toks")
     offsets = [o for o in range(-window, window + 1) if o != 0]
     pair_structs = F.flatten(
@@ -3602,7 +3626,16 @@ def skipgram_pairs(
             ),
         )
     )
-    exploded = toks.select("doc_id", "toks", F.explode(pair_structs).alias("p"))
+    # short-doc guard inside the explode (single-tokenize discipline,
+    # see doc_bigrams): n==0 docs would hit sequence(0, -1); n==1 docs
+    # self-filter (no valid offset), so >= 2 matches the old Filter.
+    exploded = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.when(n >= 2, pair_structs).otherwise(F.array())
+        ).alias("p"),
+    )
     neg_idx = (
         md5_int32(
             F.concat_ws(
@@ -3775,21 +3808,25 @@ def doc_trigrams(
 ) -> DataFrame:
     """(doc_id, w1, w2, w3) consecutive-token triples, multiplicity
     kept; docs with fewer than three tokens contribute no rows. Not
-    fanned out — same measured reasoning as doc_bigrams."""
+    fanned out — same measured reasoning as doc_bigrams; short-doc
+    guard inside the explode for the same single-tokenize reason."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
-    ).where(F.size("toks") >= 3)
+    )
     return toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 3),
-                lambda i: F.struct(
-                    F.col("toks")[i].alias("w1"),
-                    F.col("toks")[i + 1].alias("w2"),
-                    F.col("toks")[i + 2].alias("w3"),
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.struct(
+                        F.col("toks")[i].alias("w1"),
+                        F.col("toks")[i + 1].alias("w2"),
+                        F.col("toks")[i + 2].alias("w3"),
+                    ),
                 ),
-            )
+            ).otherwise(F.array())
         ).alias("tg"),
     ).select(
         "doc_id",
@@ -3807,11 +3844,19 @@ def trigram_lm(trigrams: DataFrame, discount: float = 0.75) -> DataFrame:
     aggregation keyed on progressively coarser n-gram prefixes/
     suffixes — (w1,w2,w3), (w1,w2), (w2,w3), w2, w3 — none collected,
     none vocabulary-broadcast; the two scalar type totals re-enter as
-    1-row broadcasts via ReuseExchange. The model join chain is five
-    key-partitioned joins, each on its own natural key."""
+    1-row broadcasts. The model join chain is five key-partitioned
+    joins, each on its own natural key. The (w1,w2,w3) count is
+    materialized ONCE (lazy localCheckpoint): its six consumers sit
+    behind broadcast boundaries where exchange reuse does NOT fire —
+    measured at r13, the un-materialized chain ran EIGHT corpus
+    scan+trigram-explode stages (9.6 s executor warm at sf0.1) vs two
+    with the checkpoint (1.95 s). The checkpoint holds the aggregated
+    trigram-type relation (vocab-sized), never the corpus."""
     d = float(discount)
-    c123 = trigrams.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("c123")
+    c123 = (
+        trigrams.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .localCheckpoint(eager=False)
     )
     ctx = c123.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n1_ctx")
