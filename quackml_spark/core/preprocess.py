@@ -30,6 +30,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from quackml_spark.session import local_rows
 
 NULL_CATEGORY = "__NULL__"
 
@@ -337,7 +338,8 @@ def transform_columns(df: DataFrame, fitted: FittedColumn) -> tuple[DataFrame, l
     if fitted.encode_map is not None and spec.encode != "one_hot":
         spark = df.sparkSession
         map_df = F.broadcast(
-            spark.createDataFrame(
+            local_rows(
+                spark,
                 [(k, float(v)) for k, v in fitted.encode_map.items()],
                 f"`__qml_k_{name}` string, `__qml_v_{name}` double",
             )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quackml_spark.catalog import Catalog, Sampling
+from quackml_spark.session import local_rows
 from quackml_spark.core.preprocess import (
     ColumnSpec,
     FittedColumn,
@@ -445,7 +446,8 @@ class Snapshot:
                 if self.label_map:
                     spark = df.sparkSession
                     map_df = F.broadcast(
-                        spark.createDataFrame(
+                        local_rows(
+                            spark,
                             [(k, v) for k, v in self.label_map.items()],
                             "__qml_lk string, __qml_lv double",
                         )
@@ -474,7 +476,8 @@ class Snapshot:
             return df
         spark = df.sparkSession
         inv = F.broadcast(
-            spark.createDataFrame(
+            local_rows(
+                spark,
                 [(v, k) for k, v in self.label_map.items()],
                 "__qml_iv double, __qml_ik string",
             )

@@ -26,6 +26,7 @@ from bisect import bisect_right
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from quackml_spark.session import local_rows
 
 
 def fit_isotonic(
@@ -211,8 +212,8 @@ def split_conformal_radius(
     n = int(resid.count())
     spark = scored.sparkSession
     if n == 0:
-        return spark.createDataFrame(
-            [], "n_cal bigint, rank bigint, radius bigint"
+        return local_rows(
+            spark, [], "n_cal bigint, rank bigint, radius bigint"
         )
     # conformal rank: ceil((n+1) * p), clamped to n (the +1 is the
     # finite-sample correction; with it coverage >= p holds exactly,
@@ -220,7 +221,8 @@ def split_conformal_radius(
     rank = min((p_num * (n + 1) + p_den - 1) // p_den, n)
     # exact_quantiles selects rank ceil(k/n * n) == k for ps=(rank, n)
     row = exact_quantiles(resid, "resid", ps=((rank, n),)).first()
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(n, rank, int(row["value"]))],
         "n_cal bigint, rank bigint, radius bigint",
     )

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from quackml_spark.session import local_rows
 
 _METRICS = ("rmse", "mse", "mae", "r2", "accuracy")
 
@@ -153,6 +154,8 @@ def permutation_importance(
         rows.append((feat, baseline, permuted, imp))
     mapping.unpersist()
     df.unpersist()
-    return spark.createDataFrame(
-        rows, "feature string, baseline double, permuted double, importance double"
+    return local_rows(
+        spark,
+        rows,
+        "feature string, baseline double, permuted double, importance double",
     ).orderBy(F.desc("importance"), "feature")

@@ -15,6 +15,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from quackml_spark.session import local_rows
 
 
 def confusion_matrix(pred: DataFrame, label_col: str = "label", pred_col: str = "prediction"):
@@ -413,7 +414,8 @@ def classification_report(pred: DataFrame) -> DataFrame:
     # per call (code-review catch), and unpersisting under the returned
     # lazy plan was the round-6 bug. k² rows is trivially driver-safe.
     rows = confusion_matrix_df(pred).collect()
-    cm = pred.sparkSession.createDataFrame(
+    cm = local_rows(
+        pred.sparkSession,
         [(r["label"], r["prediction"], r["n"]) for r in rows],
         "label double, prediction double, n bigint",
     )

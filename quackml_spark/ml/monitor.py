@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from quackml_spark.session import local_rows
 
 EPS = 1e-6
 
@@ -244,8 +245,8 @@ def _two_phase_cdf(counts: DataFrame, rt: int, ct: int, n_shards: int) -> DataFr
         r_run += int(row["r"])
         c_run += int(row["c"])
     off_df = F.broadcast(
-        counts.sparkSession.createDataFrame(
-            offs, "__shard int, __roff bigint, __coff bigint"
+        local_rows(
+            counts.sparkSession, offs, "__shard int, __roff bigint, __coff bigint"
         )
     )
     w = (

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quackml_spark.plans import register
+from quackml_spark.session import local_rows
 from quackml_spark.tmpdirs import ephemeral_dir
 from quackml_spark.sources import load_table
 
@@ -70,7 +71,8 @@ def ml_train_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog=_fresh_catalog(),
         test_sampling="random",
     )
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(res.project, res.task, res.algorithm, bool(res.deployed))],
         "project string, task string, algorithm string, deployed boolean",
     )
@@ -153,7 +155,8 @@ def ml_train_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog=_fresh_catalog(),
     )
     m = res.metrics
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [
             (
                 res.project,
@@ -314,7 +317,8 @@ def ml_deploy_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     deploy("lifecycle", "most_recent", catalog=catalog)
     deploy("lifecycle", "rollback", catalog=catalog)
     deps = catalog.read("deployments")
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [
             (int(r["id"]), int(r["model_id"]), r["strategy"])
             for _, r in deps.iterrows()
@@ -360,7 +364,8 @@ def ml_search_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     sr = res.metrics["search_results"]
     best = sr["best_index"]
     n_folds = sum(1 for k in sr if k.endswith("_test_score") and k.startswith("split"))
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [
             (
                 float(sr["params"][best]["regParam"]),
@@ -563,7 +568,8 @@ def ml_ols_training_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         hyperparams={"regParam": 0.0},
     )
     _, trained, _ = resolve_deployed(spark, catalog, "ols parity")
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [
             (
                 round(float(trained.portable["coef"][0]), 4),
@@ -1154,7 +1160,8 @@ def ml_calibrate_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = brier_score(
         scored.withColumn("probability", calibrate_expr(calib))
     )
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [
             (
                 round(before, 6),

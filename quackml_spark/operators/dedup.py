@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from quackml_spark.operators.text import STOPWORDS, tokens_expr
 from quackml_spark.plans import register
+from quackml_spark.session import local_rows
 from quackml_spark.sources import load_table
 
 def _fs_delete(spark: SparkSession, path: str) -> None:
@@ -751,7 +752,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("v"),
     )
     bits = F.broadcast(
-        spark.createDataFrame([(b,) for b in range(32)], "b int")
+        local_rows(spark, [(b,) for b in range(32)], "b int")
     )
     contrib = (
         vals.crossJoin(bits)
@@ -1268,7 +1269,8 @@ def dedup_index_build(
     # a stale CAS chain from this path's previous life would shadow the
     # fresh manifest (read_manifest prefers tokens — review catch)
     clear_manifest_cas(path)
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [(_K, _BANDS, _R, _P, 3, n_docs)],
         "k int, bands int, rows_per_band int, modulus bigint, "
         "shingle_width int, n_docs bigint",
@@ -1725,7 +1727,8 @@ def setsim_index_build(
     from quackml_spark.operators._manifest import clear_manifest_cas
 
     clear_manifest_cas(path)
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [(int(threshold_ppm), 3, "df_asc_tok_asc_frozen", int(docs.count()))],
         "threshold_ppm bigint, shingle_width int, order string, n_docs bigint",
     ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")

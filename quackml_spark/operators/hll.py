@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from quackml_spark.session import local_rows
 
 
 def hll_rollup(
@@ -120,7 +121,8 @@ def sketch_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy `exact` plan re-ran the count-distinct aggregation from
     # scratch when the harness collected it — the most expensive stage
     # of the query executed twice per invocation (review catch)
-    return ev.sparkSession.createDataFrame(
+    return local_rows(
+        ev.sparkSession,
         [(r["week"], r["n_users_exact"], r["n_events"]) for r in exact_rows],
         "week string, n_users_exact bigint, n_events bigint",
     ).orderBy("week")

@@ -38,6 +38,7 @@ import threading
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from quackml_spark.session import local_rows
 from quackml_spark.operators.similarity import (
     _ivf_dead_vecs,
     _ivf_mask_dead,
@@ -77,10 +78,11 @@ def ivfpq_index_build(
             (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
         codebook = pq_codebook_kmeans(emb, m=m, k=k_codes)
-    spark.createDataFrame(
-        centers, "list_id int, centroid array<double>"
+    local_rows(
+        spark, centers, "list_id int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [
             (s, c, codebook[s][c])
             for s in range(len(codebook))
@@ -106,7 +108,8 @@ def ivfpq_index_build(
     # a stale CAS chain from this path's previous life would shadow the
     # fresh manifest (read_manifest prefers tokens — review catch)
     clear_manifest_cas(path)
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [(n_lists, m, k_codes, dim, int(emb.count()), quantizer, seed)],
         "n_lists int, m int, k_codes int, dim int, n_rows bigint, "
         "quantizer string, seed int",
@@ -546,7 +549,7 @@ def ivfpq_index_search(
     )
     # the broadcast carries ONLY ids + LUTs — the raw query embedding
     # never enters the candidate join payload (code-review catch)
-    qx = F.broadcast(spark.createDataFrame(lut_rows, qx_schema))
+    qx = F.broadcast(local_rows(spark, lut_rows, qx_schema))
     probed = sorted({row[-1] for row in lut_rows})
     lists = _ivf_mask_dead(
         spark.read.parquet(f"{path}/lists").where(
@@ -592,9 +595,7 @@ def ivfpq_index_search(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
     )
     qe = F.broadcast(
-        spark.createDataFrame(
-            q_pairs, "query_id bigint, q_emb array<double>"
-        )
+        local_rows(spark, q_pairs, "query_id bigint, q_emb array<double>")
     )
     diff_d2 = F.aggregate(
         F.zip_with(
@@ -801,10 +802,11 @@ def ivfpq_index_build_residual(
     codebook = pq_codebook_kmeans(
         assigned.select("vec_id", "__res"), m=m, k=k_codes, emb_col="__res"
     )
-    spark.createDataFrame(
-        centers, "list_id int, centroid array<double>"
+    local_rows(
+        spark, centers, "list_id int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [
             (s, c, codebook[s][c])
             for s in range(len(codebook))
@@ -825,7 +827,8 @@ def ivfpq_index_build_residual(
     from quackml_spark.operators._manifest import clear_manifest_cas
 
     clear_manifest_cas(path)  # see ivfpq_index_build
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [(n_lists, m, k_codes, dim, int(emb.count()), "kmeans-residual", seed)],
         "n_lists int, m int, k_codes int, dim int, n_rows bigint, "
         "quantizer string, seed int",
@@ -877,7 +880,7 @@ def ivfpq_index_search_residual(
         ]
         + _lut_fields(m)
     )
-    qx = F.broadcast(spark.createDataFrame(lut_rows, qx_schema))
+    qx = F.broadcast(local_rows(spark, lut_rows, qx_schema))
     probed = sorted({row[1] for row in lut_rows})
     lists = _ivf_mask_dead(
         spark.read.parquet(f"{path}/lists").where(

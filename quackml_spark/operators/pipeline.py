@@ -35,6 +35,7 @@ from quackml_spark.operators.text import (
 )
 from quackml_spark.operators.text import _DECON_K  # shared shingle width
 from quackml_spark.plans import register
+from quackml_spark.session import local_rows
 from quackml_spark.sources import load_table
 
 _CLEAN_SQL = r"""trim(regexp_replace(
@@ -595,7 +596,8 @@ def curate(
             )
             per = max(1, budget_chars // max(len(tot), 1))
             src_dt = sized.schema["__source"].dataType.simpleString()
-            rates = spark.createDataFrame(
+            rates = local_rows(
+                spark,
                 [
                     (
                         s,
@@ -745,7 +747,8 @@ def curate(
             n = counts.get(s, 0)
             stages.append((s, n_prev, n))
             n_prev = n
-    rep = spark.createDataFrame(
+    rep = local_rows(
+        spark,
         [
             (s, i, o, (i - o) if i is not None else None)
             for s, i, o in stages

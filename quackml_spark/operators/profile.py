@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quackml_spark.plans import register
+from quackml_spark.session import local_rows
 from quackml_spark.sources import load_table
 
 
@@ -741,7 +742,7 @@ def exact_quantiles(
     n = int(head["n"])
     out_schema = "p_num bigint, p_den bigint, value bigint"
     if n == 0:
-        return spark.createDataFrame([], out_schema)
+        return local_rows(spark, [], out_schema)
     # active quantile states: idx -> [lo, hi, rank_within_range]
     state = {
         i: [int(head["lo"]), int(head["hi"]),
@@ -812,7 +813,7 @@ def exact_quantiles(
     rows = [
         (int(ps[i][0]), int(ps[i][1]), int(done[i])) for i in sorted(done)
     ]
-    return spark.createDataFrame(rows, out_schema).orderBy(
+    return local_rows(spark, rows, out_schema).orderBy(
         (F.col("p_num") / F.col("p_den")), "p_num"
     )
 
@@ -899,7 +900,7 @@ def grouped_exact_quantiles(
         f"{group_col} {g_type}, p_num bigint, p_den bigint, value bigint"
     )
     if not heads:
-        return spark.createDataFrame([], out_schema)
+        return local_rows(spark, [], out_schema)
     state: dict = {}
     for h in heads:
         n = int(h["n"])
@@ -910,7 +911,8 @@ def grouped_exact_quantiles(
             ]
     done: dict = {}
     while state:
-        ranges = spark.createDataFrame(
+        ranges = local_rows(
+            spark,
             [
                 (g, pi, lo, hi, (hi - lo) // buckets + 1,
                  hi - lo > 2**63 - 1)
@@ -965,7 +967,7 @@ def grouped_exact_quantiles(
         (g, int(ps[pi][0]), int(ps[pi][1]), int(v))
         for (g, pi), v in done.items()
     ]
-    return spark.createDataFrame(rows, out_schema).orderBy(
+    return local_rows(spark, rows, out_schema).orderBy(
         group_col, (F.col("p_num") / F.col("p_den")), "p_num"
     )
 

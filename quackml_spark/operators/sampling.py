@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quackml_spark.plans import register
+from quackml_spark.session import local_rows
 from quackml_spark.sources import load_table
 
 PPM = 1_000_000
@@ -432,8 +433,8 @@ def dsir_log_weights(
         )
         for b in sorted(set(tcnt) | set(rcnt))
     ]
-    lam = spark.createDataFrame(
-        lam_rows, "bucket bigint, lam_raw double"
+    lam = local_rows(
+        spark, lam_rows, "bucket bigint, lam_raw double"
     ).select(
         "bucket",
         F.round("lam_raw", 12).cast("decimal(20,12)").alias("lam"),

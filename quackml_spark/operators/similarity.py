@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quackml_spark.plans import register
+from quackml_spark.session import local_rows
 from quackml_spark.sources import load_table
 
 # DOUBLE[] casts matter: DuckDB's list_dot_product accumulates FLOAT[]
@@ -282,7 +283,7 @@ def _hyperplanes(spark: SparkSession, n_planes: int, dim: int) -> DataFrame:
             h = hashlib.md5(f"{p}|{d}".encode()).digest()
             vec.append((int.from_bytes(h[:4], "big") % 2001 - 1000) / 1000.0)
         rows.append((p, vec))
-    return spark.createDataFrame(rows, "plane_id int, plane array<double>")
+    return local_rows(spark, rows, "plane_id int, plane array<double>")
 
 
 @register(
@@ -351,8 +352,8 @@ def cosine_dedup_pairs(
         dim = embedding_dim(emb)
     if dim is None:  # empty input: no pairs, same schema
         id_type = emb.schema["vec_id"].dataType.simpleString()
-        return spark.createDataFrame(
-            [], f"vec_a {id_type}, vec_b {id_type}, cosine double"
+        return local_rows(
+            spark, [], f"vec_a {id_type}, vec_b {id_type}, cosine double"
         )
     planes = _hyperplanes(spark, n_planes=n_planes, dim=dim)
     keys = _band_keys(emb.select("vec_id", "embedding"), planes, band_bits=band_bits)
@@ -894,8 +895,9 @@ def ivf_index_build(
         centers = [
             (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
-    spark.createDataFrame(
-        [(lid, c) for lid, c in centers], "list_id int, centroid array<double>"
+    local_rows(
+        spark, [(lid, c) for lid, c in centers],
+        "list_id int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     assigned = emb.select(
         "vec_id",
@@ -921,7 +923,8 @@ def ivf_index_build(
     # a stale CAS chain from this path's previous life would shadow the
     # fresh manifest (read_manifest prefers tokens — review catch)
     clear_manifest_cas(path)
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [(n_lists, dim, n_rows, quantizer, seed)],
         "n_lists int, dim int, n_rows bigint, quantizer string, seed int",
     ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
@@ -1852,7 +1855,8 @@ def pq_adc_topk(
         StructType,
     )
 
-    q_with_lut = queries.sparkSession.createDataFrame(
+    q_with_lut = local_rows(
+        queries.sparkSession,
         lut_rows,
         StructType(
             [StructField("query_id", LongType())]

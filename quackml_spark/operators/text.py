@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quackml_spark.plans import register
+from quackml_spark.session import local_rows
 from quackml_spark.sources import load_table
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
@@ -323,7 +324,7 @@ def predict_lang(
         (lang, w) for lang, ws in sorted(LANG_MARKERS.items()) for w in ws
     ]
     lex = F.broadcast(
-        docs.sparkSession.createDataFrame(lex_rows, "lang string, word string")
+        local_rows(docs.sparkSession, lex_rows, "lang string, word string")
     )
     hits = (
         toks.join(lex, toks.tok == lex.word)
@@ -1759,7 +1760,8 @@ _BPE_MERGES = 8
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=_BPE_MERGES)
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         merges,
         "merge_rank int, left_tok string, right_tok string, merged string, "
         "pair_count bigint",
@@ -1840,7 +1842,7 @@ def token_budget_sample(
         running += int(r["s"])
     spark = docs.sparkSession
     off_df = F.broadcast(
-        spark.createDataFrame(offsets, "source string, __shard bigint, __off bigint")
+        local_rows(spark, offsets, "source string, __shard bigint, __off bigint")
     )
     w = (
         Window.partitionBy("source", "__shard")
@@ -2060,7 +2062,7 @@ def shuffle_order(
         offsets.append((r["__shard"], running))
         running += int(r["c"])
     off_df = F.broadcast(
-        docs.sparkSession.createDataFrame(offsets, "__shard bigint, __off bigint")
+        local_rows(docs.sparkSession, offsets, "__shard bigint, __off bigint")
     )
     w = Window.partitionBy("__shard").orderBy("__prio", "doc_id")
     return (
@@ -2151,8 +2153,8 @@ def bm25_topk(
     )
     spark = docs.sparkSession
     if not vocab:
-        return spark.createDataFrame(
-            [], "query_id bigint, doc_id bigint, bm25 double, rnk int"
+        return local_rows(
+            spark, [], "query_id bigint, doc_id bigint, bm25 double, rnk int"
         )
     lit_vocab = F.array(*[F.lit(t) for t in vocab])
     stats = F.broadcast(
@@ -2526,14 +2528,16 @@ def bm25_index_build(
         .parquet(f"{path}/df")
     )
     s = stats.first()
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [(-1, "", int(s["n_docs"]), int(s["sum_dl"]))],
         "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint",
     ).write.mode("overwrite").parquet(f"{path}/stats_log")
     from quackml_spark.operators._manifest import clear_manifest_cas
 
     clear_manifest_cas(path)
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [(float(k1), float(b), int(n_buckets), "lucene")],
         "k1 double, b double, n_buckets int, formulation string",
     ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
@@ -2597,7 +2601,8 @@ def bm25_index_append(
         .parquet(f"{path}/df")
     )
     s = stats.first()
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [(int(batch_id), run_key, int(s["n_docs"]), int(s["sum_dl"]))],
         "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint",
     ).write.mode("append").parquet(f"{path}/stats_log")
@@ -2669,7 +2674,8 @@ def bm25_index_delete(
         .parquet(f"{path}/df")
     )
     s = stats.first()
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [(int(batch_id), run_key, -int(s["n_docs"]), -int(s["sum_dl"]))],
         "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint",
     ).write.mode("append").parquet(f"{path}/stats_log")
@@ -2831,8 +2837,8 @@ def bm25_index_search(
         .collect()
     )
     if not vocab:
-        return spark.createDataFrame(
-            [], "query_id bigint, doc_id bigint, bm25 double, rnk int"
+        return local_rows(
+            spark, [], "query_id bigint, doc_id bigint, bm25 double, rnk int"
         )
     buckets = _bm25_buckets_py(vocab, n_buckets)
     qterms = F.broadcast(queries.select("query_id", "tok").distinct())

@@ -167,7 +167,10 @@ def describe(spark: SparkSession) -> DataFrame:
         (qd.name, qd.doc, ",".join(qd.tags), qd.oracle is not None, not qd.extra)
         for qd in REGISTRY.values()
     ]
-    return spark.createDataFrame(
+    from quackml_spark.session import local_rows
+
+    return local_rows(
+        spark,
         sorted(rows),
         "name string, doc string, tags string, oracle_checked boolean, graded boolean",
     )

@@ -80,7 +80,10 @@ def audit_plan(df: DataFrame) -> dict:
 def explain_scale(df: DataFrame) -> DataFrame:
     """One-row DataFrame rendering of :func:`audit_plan`."""
     a = audit_plan(df)
-    return df.sparkSession.createDataFrame(
+    from quackml_spark.session import local_rows
+
+    return local_rows(
+        df.sparkSession,
         [
             (
                 a["clean"],

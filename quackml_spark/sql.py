@@ -20,6 +20,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from quackml_spark.catalog import Catalog
+from quackml_spark.session import local_rows
 
 _FN_RE = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+(train|finetune|load_dataset|deploy|pipeline)\s*\((.*)\)\s*;?\s*$",
@@ -182,7 +183,8 @@ def execute(
 
         _rest("task", "relation_name", "y_column_name")
         res = train(spark, _first("project", "project_name"), catalog=catalog, **kw)
-        return spark.createDataFrame(
+        return local_rows(
+            spark,
             [(res.project, res.task, res.algorithm, bool(res.deployed))],
             "project string, task string, algorithm string, deployed boolean",
         )
@@ -193,7 +195,8 @@ def execute(
         res = finetune(
             spark, _first("project", "project_name"), catalog=catalog, **kw
         )
-        return spark.createDataFrame(
+        return local_rows(
+            spark,
             [("OK", res.task, res.algorithm, bool(res.deployed))],
             "status string, task string, algorithm string, deployed boolean",
         )
@@ -230,7 +233,7 @@ def execute(
 
         _rest()
         df = load_dataset(spark, _first("source", "source_name", "name"), **kw)
-        return spark.createDataFrame([(df.count(),)], "rows bigint")
+        return local_rows(spark, [(df.count(),)], "rows bigint")
     # deploy(project, strategy[, model_id]) — positional or named args
     from quackml_spark.ml import deploy
 
@@ -241,6 +244,6 @@ def execute(
     if len(args) > 2:
         dep_kw.setdefault("model_id", args[2])
     model_id = deploy(project, catalog=catalog, **dep_kw)
-    return spark.createDataFrame(
-        [(project, int(model_id))], "project string, model_id long"
+    return local_rows(
+        spark, [(project, int(model_id))], "project string, model_id long"
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from quackml_spark.plans import register
+from quackml_spark.session import local_rows
 from quackml_spark.plans._exact import sql_out
 from quackml_spark.streaming.events import (
     read_event_stream,
@@ -441,7 +442,8 @@ def streaming_index_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name=f"qml_stream_idx_dedup_{abs(hash(sf_dir)) % 99999}",
     )
     q.awaitTermination()
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(r["doc_id"], r["is_dup"], r["via"]) for r in sink],
         "doc_id long, is_dup boolean, via string",
     ).orderBy("doc_id")
@@ -528,7 +530,8 @@ def streaming_setsim_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"single-batch drain assumption violated: {sorted(batch_ids)}"
         )
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(r["doc_id"], r["is_dup"], r["via"]) for r in sink],
         "doc_id long, is_dup boolean, via string",
     ).orderBy("doc_id")
@@ -678,7 +681,8 @@ def streaming_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name=f"qml_stream_curate_{abs(hash(sf_dir)) % 99999}",
     )
     q.awaitTermination()
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(r["doc_id"], r["accepted"], r["reason"]) for r in sink],
         "doc_id long, accepted boolean, reason string",
     ).orderBy("doc_id")
