@@ -2375,11 +2375,11 @@ def _bm25_batch_relations(
     branch.
 
     An action on each relation re-tokenizes the batch, so a caller
-    that materializes all three pays three corpus passes —
-    build/append avoid that by writing postings first and deriving
-    df/stats from the written files (_bm25_postings_derived); only
-    delete, which writes no postings, runs the dfreq/stats branches
-    here (two passes over a diff-sized batch).
+    that materializes all three pays three corpus passes — build
+    avoids that by writing postings first and deriving df/stats from
+    the written files (_bm25_postings_derived); append and delete
+    cache the batch-bounded in-flight postings instead (one tokenize,
+    zero read-backs) and ignore the dfreq/stats branches here.
 
     (r13 note: a map-side run-length tf — array_sort + higher-order
     functions, no groupBy exchange — was prototyped and measured 75x
@@ -2405,11 +2405,11 @@ def _bm25_batch_relations(
 
 
 def _bm25_postings_derived(
-    spark: SparkSession, path: str, batch_id: int, run_key: str, dedupe: bool
+    spark: SparkSession, path: str, batch_id: int, run_key: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(dfreq, stats) of ONE batch derived from its already-WRITTEN
-    postings rows instead of a re-tokenize (r13 optimization: the
-    pre-r13 build/append tokenized every batch three times — once per
+    """(dfreq, stats) of the BUILD batch derived from its already-
+    WRITTEN postings rows instead of a re-tokenize (r13 optimization:
+    the pre-r13 build tokenized the corpus three times — once per
     write action — because df and stats each re-derived from the raw
     text; the written postings already carry everything they need):
 
@@ -2418,13 +2418,13 @@ def _bm25_postings_derived(
                have no postings rows)
       sum_dl = SUM(tf) (per doc, tf sums to dl; dl = 0 docs add 0)
 
-    The read is batch-bounded: parquet row-group pruning on the
-    (batch_id, run_key) filter skips other batches' files. ``dedupe``
-    guards the append path against a crash-REPLAYED attempt (identical
-    postings rows committed twice; distinct restores the batch grain
-    so df/stats match a clean run bit-for-bit — the same full-row-
-    identity discipline search applies). Build (mode=overwrite) can
-    never see duplicates and skips it."""
+    Build-only: its batch is the WHOLE corpus, so read-back (zero
+    cache, compressed columnar re-read) beats caching the in-flight
+    postings. Append/delete are batch-bounded by contract and derive
+    from a cached in-flight relation instead (one tokenize, zero
+    read-backs — see bm25_index_append). Build (mode=overwrite) can
+    never see a replayed attempt's duplicate rows, so no dedupe is
+    needed here."""
     rows = (
         spark.read.schema(
             "tok string, doc_id bigint, tf bigint, dl int, "
@@ -2437,8 +2437,6 @@ def _bm25_postings_derived(
         )
         .select("tok", "doc_id", "tf", "tok_bucket")
     )
-    if dedupe:
-        rows = rows.distinct()
     dfreq = rows.groupBy("tok_bucket", "tok").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -2518,7 +2516,7 @@ def bm25_index_build(
     )
     # df/stats from the postings just written — the corpus is tokenized
     # exactly ONCE per build (was three times, r13 optimization)
-    dfreq, stats = _bm25_postings_derived(spark, path, -1, "", dedupe=False)
+    dfreq, stats = _bm25_postings_derived(spark, path, -1, "")
     (
         dfreq.select("tok", "df", bid, rk, "tok_bucket")
         .repartition("tok_bucket")
@@ -2573,39 +2571,58 @@ def bm25_index_append(
     postings, _dfreq, _stats = _bm25_batch_relations(docs, id_col, text_col)
     bid = F.lit(int(batch_id)).cast("bigint").alias("batch_id")
     rk = F.lit(run_key).alias("run_key")
-    (
+    # An append is BATCH-bounded by contract (micro-batch / crawl
+    # increment), so the in-flight postings relation is cached and ONE
+    # tokenize pass feeds all three writes. Build keeps the read-back
+    # derive instead: its "batch" is the whole corpus and caching that
+    # copies corpus-scale data to local disk, whereas the append's
+    # cache is trigger-sized (r13; the read-back here paid two full
+    # bucket-dir footer scans per append — stats alone was a 4 s /
+    # 27-task job at sf0.1). Deriving df/stats from the in-flight rows
+    # is bit-identical to the dedupe'd read-back: a crash-REPLAYED
+    # attempt re-appends duplicate rows on disk (search dedupes them
+    # probe-bounded), and the clean batch grain the read-back's
+    # distinct reconstructed IS the in-flight grain.
+    pb = (
         postings.select("tok", "doc_id", "tf", "dl", bid, rk)
         .withColumn("tok_bucket", _bm25_bucket(n_buckets))
-        .repartition("tok_bucket")
-        .sortWithinPartitions("tok", "doc_id")
-        .write.mode("append")
-        .partitionBy("tok_bucket")
-        .parquet(f"{path}/postings")
+        .persist()
     )
-    # df/stats from the batch's just-written postings (ONE tokenize per
-    # append, was three — r13); dedupe guards crash-replayed attempts
-    dfreq, stats = _bm25_postings_derived(
-        spark, path, int(batch_id), run_key, dedupe=True
-    )
-    (
-        dfreq.select("tok", "df", bid, rk, "tok_bucket")
-        # repartition like build's df write (r13): without it every
-        # shuffle partition of the groupBy wrote its own tiny file
-        # into every bucket dir it touched — ~shuffle-partitions
-        # files per bucket PER APPEND, and every later search paid
-        # the open cost (guide §6 small-files debt)
-        .repartition("tok_bucket")
-        .sortWithinPartitions("tok")
-        .write.mode("append")
-        .partitionBy("tok_bucket")
-        .parquet(f"{path}/df")
-    )
-    s = stats.first()
-    local_rows(
-        spark,
-        [(int(batch_id), run_key, int(s["n_docs"]), int(s["sum_dl"]))],
-        "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint",
-    ).write.mode("append").parquet(f"{path}/stats_log")
+    try:
+        (
+            pb.repartition("tok_bucket")
+            .sortWithinPartitions("tok", "doc_id")
+            .write.mode("append")
+            .partitionBy("tok_bucket")
+            .parquet(f"{path}/postings")
+        )
+        dfreq = pb.groupBy("tok_bucket", "tok").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        (
+            dfreq.select("tok", "df", bid, rk, "tok_bucket")
+            # repartition like build's df write (r13): without it every
+            # shuffle partition of the groupBy wrote its own tiny file
+            # into every bucket dir it touched — ~shuffle-partitions
+            # files per bucket PER APPEND, and every later search paid
+            # the open cost (guide §6 small-files debt)
+            .repartition("tok_bucket")
+            .sortWithinPartitions("tok")
+            .write.mode("append")
+            .partitionBy("tok_bucket")
+            .parquet(f"{path}/df")
+        )
+        s = pb.agg(
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("sum_dl"),
+        ).first()
+        local_rows(
+            spark,
+            [(int(batch_id), run_key, int(s["n_docs"]), int(s["sum_dl"]))],
+            "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint",
+        ).write.mode("append").parquet(f"{path}/stats_log")
+    finally:
+        pb.unpersist()
 
 
 def bm25_index_delete(
@@ -2653,7 +2670,7 @@ def bm25_index_delete(
 
     _ver, man = read_manifest(spark, path)
     n_buckets = int(man["n_buckets"])
-    _postings, dfreq, stats = _bm25_batch_relations(docs, id_col, text_col)
+    _postings, _dfreq, _stats = _bm25_batch_relations(docs, id_col, text_col)
     bid = F.lit(int(batch_id)).cast("bigint").alias("batch_id")
     rk = F.lit(run_key).alias("run_key")
     (
@@ -2663,22 +2680,37 @@ def bm25_index_delete(
         .write.mode("append")
         .parquet(f"{path}/tombstones")
     )
-    (
-        dfreq.select("tok", (-F.col("df")).alias("df"), bid, rk)
-        .withColumn("tok_bucket", _bm25_bucket(n_buckets))
-        # same small-files fix as append's df write (r13)
-        .repartition("tok_bucket")
-        .sortWithinPartitions("tok")
-        .write.mode("append")
-        .partitionBy("tok_bucket")
-        .parquet(f"{path}/df")
-    )
-    s = stats.first()
-    local_rows(
-        spark,
-        [(int(batch_id), run_key, -int(s["n_docs"]), -int(s["sum_dl"]))],
-        "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint",
-    ).write.mode("append").parquet(f"{path}/stats_log")
+    # a delete batch is bounded like an append batch: cache the
+    # in-flight postings so ONE tokenize pass feeds both the negative
+    # df deltas and the stats row (was two full re-tokenizes of the
+    # retired batch — r13, the append-path reasoning). n_docs =
+    # distinct doc_id over postings == count of dl > 0 docs (empty
+    # docs have no postings rows); sum(tf) == sum(dl) — both identical
+    # to the previous base-relation aggregates.
+    pb = _postings.persist()
+    try:
+        dfreq = pb.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        (
+            dfreq.select("tok", (-F.col("df")).alias("df"), bid, rk)
+            .withColumn("tok_bucket", _bm25_bucket(n_buckets))
+            # same small-files fix as append's df write (r13)
+            .repartition("tok_bucket")
+            .sortWithinPartitions("tok")
+            .write.mode("append")
+            .partitionBy("tok_bucket")
+            .parquet(f"{path}/df")
+        )
+        s = pb.agg(
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("sum_dl"),
+        ).first()
+        local_rows(
+            spark,
+            [(int(batch_id), run_key, -int(s["n_docs"]), -int(s["sum_dl"]))],
+            "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint",
+        ).write.mode("append").parquet(f"{path}/stats_log")
+    finally:
+        pb.unpersist()
 
 
 def _bm25_dead_docs(spark: SparkSession, path: str) -> DataFrame | None:
