@@ -2454,6 +2454,37 @@ def _bm25_bucket(n_buckets: int):
     return (md5_int32(F.col("tok")) % n_buckets).alias("tok_bucket")
 
 
+def _bm25_adaptive_buckets(docs: DataFrame) -> int:
+    """Bucket count for a NEW index, derived from the corpus' estimated
+    input bytes (guide §6 — size output partitioning from the data, not
+    a constant). The postings/df writes `repartition("tok_bucket")`, so
+    each bucket is ONE writer task and bucket count bounds write
+    parallelism AND file size in both directions: a fixed 128 fans a
+    20 MB test corpus into 128 near-empty dirs per relation (file-open
+    debt on every later probe), and caps a 100 TB corpus at 128 writer
+    tasks of ~0.8 TB each (stragglers). One bucket per ~TARGET bytes of
+    input (env ``SPARK_GRAFT_BM25_BUCKET_BYTES``, default 256 MB — a
+    healthy task/file size), clamped to [16, 8192]; relations without a
+    usable size estimate (driver-local unions, defaultSizeInBytes
+    sentinels) fall back to the historical 128. Appends/deletes/search
+    always take the bucket count from the MANIFEST, so adaptivity only
+    decides a new index's layout — never a result."""
+    import os as _os
+
+    target = int(
+        _os.environ.get("SPARK_GRAFT_BM25_BUCKET_BYTES", str(256 << 20))
+    )
+    try:
+        size = int(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — estimate-only, never fatal
+        return 128
+    if size <= 0 or size >= (1 << 52):
+        return 128
+    return int(max(16, min(8192, (size + target - 1) // target)))
+
+
 def _bm25_buckets_py(vocab: list[str], n_buckets: int) -> list[int]:
     import hashlib
 
@@ -2470,7 +2501,7 @@ def bm25_index_build(
     path: str,
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = 128,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
@@ -2500,8 +2531,14 @@ def bm25_index_build(
     integers, and search(build(A) + append(B)) is BIT-IDENTICAL to
     search(build(A u B)) — pytest-pinned, including crash-replayed
     appends (duplicate rows carry the same (run_key, batch_id) and are
-    deduped probe-bounded at search time)."""
+    deduped probe-bounded at search time).
+
+    ``n_buckets=None`` (the default) sizes the bucket count from the
+    corpus' estimated input bytes — see _bm25_adaptive_buckets; pass an
+    int to pin a layout. Scores never depend on the bucket count."""
     spark = docs.sparkSession
+    if n_buckets is None:
+        n_buckets = _bm25_adaptive_buckets(docs)
     postings, _dfreq, _stats = _bm25_batch_relations(docs, id_col, text_col)
     bid = F.lit(-1).cast("bigint").alias("batch_id")
     rk = F.lit("").alias("run_key")
