@@ -94,7 +94,7 @@ def ivfpq_index_build(
         "vec_id",
         "codes",
         F.lit(-1).cast("bigint").alias("batch_id"),
-        _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
+        _nearest_lists("embedding", centers, 1)[0].alias("list_id"),
     )
     (
         assigned.repartition("list_id")
@@ -102,7 +102,11 @@ def ivfpq_index_build(
         .partitionBy("list_id")
         .parquet(f"{path}/lists")
     )
-    dim = int(emb.select(F.size("embedding")).first()[0])
+    # dim comes straight off the coarse centroids already on the driver
+    # (a centroid IS a corpus vector / mean of corpus vectors) — the old
+    # emb.select(size(...)).first() here was one more full-plan job per
+    # build (r14)
+    dim = len(centers[0][1])
     from quackml_spark.operators._manifest import clear_manifest_cas
 
     # a stale CAS chain from this path's previous life would shadow the
@@ -162,7 +166,7 @@ def ivfpq_index_append(
         assigned = (
             new_emb.withColumn(
                 "list_id",
-                _nearest_lists(F.col("embedding"), centers, 1)[0],
+                _nearest_lists("embedding", centers, 1)[0],
             )
             .withColumn(
                 "__res", _residual(F.col("embedding"), lookup(F.col("list_id")))
@@ -176,7 +180,7 @@ def ivfpq_index_append(
             "vec_id",
             "codes",
             bid,
-            _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
+            _nearest_lists("embedding", centers, 1)[0].alias("list_id"),
         )
     # persist: the write job and the row count would otherwise each
     # evaluate the source batch from scratch (doubling ingest I/O per
@@ -335,11 +339,15 @@ _LOADED_INDEXES: dict = {}
 _LOADED_INDEXES_LOCK = threading.Lock()
 
 
+_Q_DIM_PROBE = object()  # sentinel: run the Spark-side dimension probe
+
+
 def _validate_and_load(
     spark: SparkSession,
     path: str,
     queries: DataFrame,
     expect_residual: bool,
+    q_dim=_Q_DIM_PROBE,
 ):
     """Shared searcher validation: manifest readable, encoding variant
     matches the searcher (a raw searcher on residual codes — or vice
@@ -406,7 +414,7 @@ def _validate_and_load(
         cached = _LOADED_INDEXES.get(key) if key is not None else None
     if cached is not None:
         man, centers, codebook = cached
-        _check_query_side(path, man, queries, expect_residual)
+        _check_query_side(path, man, queries, expect_residual, q_dim)
         return man, centers, codebook
     try:
         from quackml_spark.operators._manifest import read_manifest
@@ -437,37 +445,36 @@ def _validate_and_load(
             if len(_LOADED_INDEXES) >= 64:  # flush-on-full, predict-cache
                 _LOADED_INDEXES.clear()
             _LOADED_INDEXES[key] = (man, centers, codebook)
-    _check_query_side(path, man, queries, expect_residual)
+    _check_query_side(path, man, queries, expect_residual, q_dim)
     return man, centers, codebook
 
 
-def _check_query_side(path, man, queries, expect_residual):
+def _check_query_side(path, man, queries, expect_residual, q_dim=_Q_DIM_PROBE):
     """``expect_residual=None`` skips the encoding-direction check
     (the append path handles both encodings); dimension always
-    checks."""
+    checks. A caller that has already collected the query batch passes
+    the first row's dimension (or None for an empty batch) as ``q_dim``
+    so the check costs no extra Spark job (r14); the default sentinel
+    keeps the Spark-side probe for callers that haven't."""
     is_residual = str(man["quantizer"]).endswith("residual")
-    if expect_residual is None:
-        q_dim = queries.select(F.size("embedding").alias("d")).first()
-        if q_dim is not None and int(q_dim["d"]) != int(man["dim"]):
+    if expect_residual is not None:
+        if is_residual and not expect_residual:
             raise ValueError(
-                f"query dimension {q_dim['d']} != index dimension {man['dim']}"
+                f"index at {path!r} is residual-encoded "
+                f"(quantizer={man['quantizer']!r}); its codes are meaningless "
+                f"to the raw searcher — use ivfpq_index_search_residual"
             )
-        return
-    if is_residual and not expect_residual:
+        if expect_residual and not is_residual:
+            raise ValueError(
+                f"index at {path!r} is not residual-encoded "
+                f"(quantizer={man['quantizer']!r}); use ivfpq_index_search"
+            )
+    if q_dim is _Q_DIM_PROBE:
+        row = queries.select(F.size("embedding").alias("d")).first()
+        q_dim = None if row is None else int(row["d"])
+    if q_dim is not None and int(q_dim) != int(man["dim"]):
         raise ValueError(
-            f"index at {path!r} is residual-encoded "
-            f"(quantizer={man['quantizer']!r}); its codes are meaningless "
-            f"to the raw searcher — use ivfpq_index_search_residual"
-        )
-    if expect_residual and not is_residual:
-        raise ValueError(
-            f"index at {path!r} is not residual-encoded "
-            f"(quantizer={man['quantizer']!r}); use ivfpq_index_search"
-        )
-    q_dim = queries.select(F.size("embedding").alias("d")).first()
-    if q_dim is not None and int(q_dim["d"]) != int(man["dim"]):
-        raise ValueError(
-            f"query dimension {q_dim['d']} != index dimension {man['dim']}"
+            f"query dimension {q_dim} != index dimension {man['dim']}"
         )
 
 
@@ -522,15 +529,18 @@ def ivfpq_index_search(
     and results are unchanged."""
     from quackml_spark.operators.similarity import adc_lut
 
-    man, centers, codebook = _validate_and_load(
-        spark, path, queries, expect_residual=False
-    )
-    m = len(codebook)
-    d_sub = len(codebook[0][0])
-
+    # collect the (bounded) query batch FIRST: its first row carries the
+    # query dimension, so the validator's Spark-side size() probe — one
+    # whole extra job per search — is skipped (r14)
     q_rows = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     ).collect()
+    man, centers, codebook = _validate_and_load(
+        spark, path, queries, expect_residual=False,
+        q_dim=len(q_rows[0]["q_emb"]) if q_rows else None,
+    )
+    m = len(codebook)
+    d_sub = len(codebook[0][0])
 
     lut_rows, q_pairs = [], []
     for r in q_rows:
@@ -703,47 +713,17 @@ ORDER BY query_id, rnk
     tags=("similarity", "bench"),
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Build-once-search-many is the operator's real usage contract, so
-    # the registered query caches its index keyed on the SOURCE file's
-    # identity (path + mtime + size + build params) — a re-run searches
-    # the existing index (manifest still validated by the searcher); any
-    # data or parameter change lands in a fresh directory. The cache
-    # root is per-user (multi-user /tmp would PermissionError on
-    # another user's sticky-bit dir) and the build goes into a unique
-    # temp directory that RENAMES into place — two racing processes
-    # each build a complete index and exactly one rename wins, so a
-    # reader can never observe a half-built or interleaved index
-    # (review catch: mode('overwrite') straight into the shared path
-    # could interleave two builders' deletes and writes).
-    import getpass
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    import uuid
+    # Build + search per evaluation into a per-run scratch dir, the same
+    # lifecycle discipline as text_bm25_index: every run pays for (and
+    # therefore measures) the full build, and nothing keyed on the source
+    # data outlives the process. (A cross-run /tmp cache keyed on the
+    # source file's identity used to skip the build on re-runs — removed
+    # r14: the bench row must time the lifecycle it declares.)
+    from quackml_spark.tmpdirs import ephemeral_dir
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    stat = os.stat(src)
-    key = hashlib.md5(
-        f"{src}|{stat.st_mtime_ns}|{stat.st_size}|medoid|8|8|16".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(
-        tempfile.gettempdir(), f"qml_ivfpq_cache_{getpass.getuser()}", key
-    )
-    path = f"{root}/idx"
-    if not os.path.isdir(f"{path}/manifest.parquet"):
-        build_dir = f"{root}.build-{uuid.uuid4().hex[:8]}"
-        ivfpq_index_build(
-            emb, f"{build_dir}/idx", n_lists=8, m=8, k_codes=16,
-            quantizer="medoid",
-        )
-        os.makedirs(os.path.dirname(root), exist_ok=True)
-        try:
-            os.rename(build_dir, root)
-        except OSError:
-            # a concurrent builder won the rename; use its index
-            shutil.rmtree(build_dir, ignore_errors=True)
+    path = ephemeral_dir("qml_ivfpq_idx_") + "/idx"
+    ivfpq_index_build(emb, path, n_lists=8, m=8, k_codes=16, quantizer="medoid")
     queries = emb.where(F.col("vec_id") < 5)
     return ivfpq_index_search(spark, path, queries, k=10, nprobe=3)
 
@@ -797,7 +777,7 @@ def ivfpq_index_build_residual(
     ]
     lookup = _centroid_lookup(centers)
     assigned = emb.withColumn(
-        "list_id", _nearest_lists(F.col("embedding"), centers, 1)[0]
+        "list_id", _nearest_lists("embedding", centers, 1)[0]
     ).withColumn("__res", _residual(F.col("embedding"), lookup(F.col("list_id"))))
     codebook = pq_codebook_kmeans(
         assigned.select("vec_id", "__res"), m=m, k=k_codes, emb_col="__res"
@@ -823,7 +803,7 @@ def ivfpq_index_build_residual(
         .partitionBy("list_id")
         .parquet(f"{path}/lists")
     )
-    dim = int(emb.select(F.size("embedding")).first()[0])
+    dim = len(centers[0][1])  # see ivfpq_index_build — no extra job
     from quackml_spark.operators._manifest import clear_manifest_cas
 
     clear_manifest_cas(path)  # see ivfpq_index_build
@@ -851,16 +831,18 @@ def ivfpq_index_search_residual(
     raw searcher (see ivfpq_index_search)."""
     from quackml_spark.operators.similarity import adc_lut
 
+    # query batch collected first — see ivfpq_index_search (r14): the
+    # first row's dimension rides into the validator, no size() job
+    q_rows = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).collect()
     man, centers, codebook = _validate_and_load(
-        spark, path, queries, expect_residual=True
+        spark, path, queries, expect_residual=True,
+        q_dim=len(q_rows[0]["q_emb"]) if q_rows else None,
     )
     m = len(codebook)
     d_sub = len(codebook[0][0])
     center_of = dict(centers)
-
-    q_rows = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    ).collect()
 
     lut_rows = []
     for r in q_rows:

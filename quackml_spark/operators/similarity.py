@@ -612,7 +612,22 @@ def _nearest_lists(emb_col, centers: list[tuple[int, list[float]]], n: int):
     compile-time literals, so this is a MAP-ONLY expression — no join,
     no shuffle — the coarse-quantizer assignment shape that scales to
     any corpus size. The struct trick: max of (score, -list_id) is
-    (best score, smallest id)."""
+    (best score, smallest id).
+
+    Pass ``emb_col`` as a COLUMN NAME (str) for the SQL-parsed fast
+    construction path (see _sql_dot — identical tree, ~0.4 s less py4j
+    per call); a Column object still works through the legacy builder."""
+    if isinstance(emb_col, str):
+        col_sql = f"`{emb_col}`"
+        scored = "array(" + ", ".join(
+            f"named_struct('s', {_sql_dot(col_sql, _sql_arr(c))}, "
+            f"'neg_id', CAST({-lid} AS INT))"
+            for lid, c in centers
+        ) + ")"
+        return F.expr(
+            f"transform(slice(reverse(array_sort({scored})), 1, {int(n)}), "
+            f"s -> -s.neg_id)"
+        )
     scored = F.array(
         *[
             F.struct(
@@ -641,7 +656,7 @@ def _ivf_search(
         "vec_id",
         "embedding",
         "v_norm",
-        _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
+        _nearest_lists("embedding", centers, 1)[0].alias("list_id"),
     )
     queries = F.broadcast(
         assigned.where(F.col("vec_id") < n_queries).select(
@@ -649,7 +664,7 @@ def _ivf_search(
             F.col("embedding").alias("q_emb"),
             F.col("v_norm").alias("q_norm"),
             F.explode(
-                _nearest_lists(F.col("embedding"), centers, nprobe)
+                _nearest_lists("embedding", centers, nprobe)
             ).alias("list_id"),
         )
     )
@@ -904,7 +919,7 @@ def ivf_index_build(
         "embedding",
         "v_norm",
         F.lit(-1).cast("bigint").alias("batch_id"),
-        _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
+        _nearest_lists("embedding", centers, 1)[0].alias("list_id"),
     )
     (
         assigned.repartition("list_id")
@@ -916,7 +931,10 @@ def ivf_index_build(
     # it, so a half-built or stale index fails loudly instead of
     # silently returning wrong neighbors. Parquet (not a sidecar file)
     # so it rides any Hadoop-compatible filesystem.
-    dim = int(emb.select(F.size("embedding")).first()[0])
+    # dim off the driver-resident centroids (a centroid is a corpus
+    # vector / mean of corpus vectors) — the size() probe was one more
+    # full-plan job per build (r14)
+    dim = len(centers[0][1])
     n_rows = int(emb.count())
     from quackml_spark.operators._manifest import clear_manifest_cas
 
@@ -1121,7 +1139,7 @@ def ivf_index_search(
         "q_emb",
         "q_norm",
     ).withColumn(
-        "probe_lists", _nearest_lists(F.col("q_emb"), centers, nprobe)
+        "probe_lists", _nearest_lists("q_emb", centers, nprobe)
     )
     probed = sorted(
         {int(lid) for r in q.select("probe_lists").collect() for lid in r[0]}
@@ -1529,7 +1547,7 @@ def semantic_dedup(
         "vec_id",
         "embedding",
         "nrm",
-        _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
+        _nearest_lists("embedding", centers, 1)[0].alias("list_id"),
     )
     a = assigned.select(
         "list_id",
@@ -1689,6 +1707,44 @@ def _seqdot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+# -- SQL-text expression builders (r14) --------------------------------
+# Literal-heavy expressions (PQ codebooks, centroid tables) used to be
+# built Column-by-Column through py4j: one JVM round-trip per F.lit /
+# F.struct adds up to ~1.5-2 s of pure driver time per pq_encode call
+# at m=8/k=16 (measured; the r8 note about "~4 s building LUT Columns"
+# is the same effect). Rendering the SAME expression as one SQL string
+# and parsing it server-side costs ~0.2 s warm. The SQL names the exact
+# functions the Column API used (slice / zip_with / aggregate /
+# transform / array_min / named_struct), so the catalyst tree — and
+# therefore every double's fold order and the tie behavior — is
+# unchanged and results stay bit-identical (verified equal at sf0.1).
+
+
+def _sql_dlit(x: float) -> str:
+    """Exact SQL double literal: repr() round-trips doubles, the D
+    suffix pins the type (a bare decimal literal would parse as
+    DECIMAL and change the arithmetic)."""
+    import math
+
+    x = float(x)
+    if math.isfinite(x):
+        return repr(x) + "D"
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _sql_arr(vals) -> str:
+    return "array(" + ", ".join(_sql_dlit(v) for v in vals) + ")"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """SQL text of _dot's exact tree: zip_with cast-multiply, aggregate
+    left-fold from 0.0D."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def adc_lut(vec: list[float], codebook, d_sub: int) -> list:
     """Per-subspace ADC lookup tables for one query vector, computed ON
     THE DRIVER with arithmetic that value-replays the in-plan
@@ -1715,26 +1771,6 @@ def adc_lut(vec: list[float], codebook, d_sub: int) -> list:
             ]
         )
     return luts
-
-
-def _cb_struct_array(subspace: list[list[float]]):
-    """Subspace codebook as ONE literal array<struct{cent, cc, code}>.
-
-    Distance loops then run as `F.transform` over this runtime array —
-    the generated code contains a single fold body instead of one
-    unrolled copy per centroid, which is what keeps plan/codegen time
-    flat as k grows (an unrolled 128-fold projection cost ~11 s to plan
-    at m=8/k=16)."""
-    return F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(x) for x in cent]).alias("cent"),
-                F.lit(_seqdot(cent, cent)).alias("cc"),
-                F.lit(c).cast("int").alias("code"),
-            )
-            for c, cent in enumerate(subspace)
-        ]
-    )
 
 
 def pq_codebook(
@@ -1789,24 +1825,32 @@ def pq_encode(
     ordering IS the tie rule."""
     m = len(codebook)
     d_sub = len(codebook[0][0])
+    col_sql = f"`{emb_col}`"
 
-    def code_for(s: int):
-        v_s = F.slice(F.col(emb_col), s * d_sub + 1, d_sub)
-        # d2 = dot(v,v) - 2*dot(v,c) + dot(c,c): the exact double-op
-        # sequence DuckDB's list_dot_product replay uses, with the
-        # constant self-dot baked in via _seqdot (same fold order).
-        scored = F.transform(
-            _cb_struct_array(codebook[s]),
-            lambda c: F.struct(
-                (_dot(v_s, v_s) - 2.0 * _dot(v_s, c["cent"]) + c["cc"]).alias(
-                    "d2"
-                ),
-                c["code"].alias("code"),
-            ),
+    # Built as ONE parsed SQL expression (r14): the equivalent Column
+    # construction ran ~1.5-2 s of py4j round-trips per call at m=8/k=16
+    # — more than the encode itself executes in. Tree and results are
+    # identical: same slice / zip_with-aggregate dots (_sql_dot), same
+    # d2 = dot(v,v) - 2*dot(v,c) + cc association, same array_min over
+    # (d2, code) structs for the ties -> smaller code rule.
+    def code_for_sql(s: int) -> str:
+        v_s = f"slice({col_sql}, {s * d_sub + 1}, {d_sub})"
+        cb = "array(" + ", ".join(
+            f"named_struct('cent', {_sql_arr(cent)}, "
+            f"'cc', {_sql_dlit(_seqdot(cent, cent))}, "
+            f"'code', CAST({c} AS INT))"
+            for c, cent in enumerate(codebook[s])
+        ) + ")"
+        d2 = (
+            f"{_sql_dot(v_s, v_s)} - 2.0D * {_sql_dot(v_s, 'c.cent')} + c.cc"
         )
-        return F.array_min(scored)["code"]
+        return (
+            f"array_min(transform({cb}, "
+            f"c -> named_struct('d2', {d2}, 'code', c.code))).code"
+        )
 
-    return emb.withColumn(out_col, F.array(*[code_for(s) for s in range(m)]))
+    codes = "array(" + ", ".join(code_for_sql(s) for s in range(m)) + ")"
+    return emb.withColumn(out_col, F.expr(codes))
 
 
 def pq_adc_topk(
@@ -2096,7 +2140,7 @@ def ivf_index_append(spark: SparkSession, path: str, new_emb: DataFrame) -> int:
         "embedding",
         "v_norm",
         F.lit(nb).cast("bigint").alias("batch_id"),
-        _nearest_lists(F.col("embedding"), centers, 1)[0].alias("list_id"),
+        _nearest_lists("embedding", centers, 1)[0].alias("list_id"),
     ).persist()
     try:
         affected = sorted(
@@ -2198,7 +2242,7 @@ def cluster_balanced_sample(
         )
     assigned = emb.select(
         id_col,
-        _nearest_lists(F.col(emb_col), centers, 1)[0].alias("cluster_id"),
+        _nearest_lists(emb_col, centers, 1)[0].alias("cluster_id"),
     )
     rates = (
         assigned.groupBy("cluster_id")

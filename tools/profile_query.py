@@ -5,7 +5,8 @@ the time goes before touching anything).
 
 Usage: python tools/profile_query.py <name>[,<name>...] [sf_dir] [--explain-only]
 
-Writes plans/r13/<name>_<tag>.txt when SPARK_GRAFT_PLAN_TAG is set
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<name>_<tag>.txt (default r14)
+when SPARK_GRAFT_PLAN_TAG is set
 (e.g. before/after); always prints the top stages by duration from the
 Spark UI REST API (UI enabled on an ephemeral port for this process).
 """
@@ -48,7 +49,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     port = int(spark.sparkContext.uiWebUrl.rsplit(":", 1)[1])
     tag = os.environ.get("SPARK_GRAFT_PLAN_TAG", "")
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plan_round = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", plan_round)
     os.makedirs(plan_dir, exist_ok=True)
 
     for name in names:
