@@ -177,24 +177,25 @@ def pagerank(
     _trunc, _trunc_finish = _lineage_truncator(
         edges.sparkSession, checkpoint_dir
     )
+    # The edge list is materialized ONCE, already in the iteration
+    # layout (hash(src)): the r13 shape cached eo = e ⋈ out instead,
+    # which re-executed the caller's whole edge derivation twice (once
+    # materializing out, once materializing eo — exchange reuse does
+    # not cross actions) and denormalized outdeg into every cached edge
+    # row. Materializing bare (src, dst) cuts one full upstream pass
+    # and a third off the cached bytes (r14). In reliable mode the
+    # snapshot is a parquet write (read-back loses the hash layout, so
+    # out pays one node-sized exchange there — the durable trade).
+    ec = _trunc(e.repartition("src"), pin=True)
     # out has exactly one row per distinct source node, and the operator
     # contract requires every node to appear as a source — so the node
-    # frame IS out's key column. Deriving it there (r13) kills the
-    # second full edge-list distinct the old `e.select(src).distinct()`
-    # paid; out itself is node-sized, so caching it is cheap and the
-    # per-iteration left join reads it from memory.
-    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
-    # repartition("src") pins the CACHED layout to hash(src): when the
-    # outdeg join plans as broadcast, eo would otherwise be cached in
-    # e's incoming layout and every iteration's rank join would
-    # re-exchange the full edge list (r13: measured 14 MB/iter at
-    # bench scale, 5x). With the pin, each iteration shuffles only the
-    # node-sized rank frame plus the partially-aggregated contribs.
-    eo = e.join(out, "src").repartition("src").persist()
+    # frame IS out's key column (r13). Co-partitioned with ec, so its
+    # aggregation adds no exchange in local mode.
+    out = ec.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     nodes = out.select(F.col("src").alias("node"))
     if validate:
         sinks = (
-            e.select(F.col("dst").alias("node"))
+            ec.select(F.col("dst").alias("node"))
             .distinct()
             .join(nodes, "node", "left_anti")
             .count()
@@ -206,8 +207,8 @@ def pagerank(
             )
     n = nodes.count()
     if n == 0:
-        eo.unpersist()
         out.unpersist()
+        _trunc_finish()
         return e.select(F.col("src").alias("node")).withColumn(
             "rank", F.lit(0).cast("bigint")
         )
@@ -215,9 +216,16 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(rank_scale // n).cast("bigint"))
     done = 0
     for _ in range(iters):
-        contrib = eo.join(ranks, eo["src"] == ranks["node"]).select(
-            F.col("dst").alias("node"),
+        # per-source contribution computed on the NODE-sized frame
+        # (rank div outdeg is constant per source), then attached to
+        # the edge list — the edge-side stage carries one bigint in
+        # and one out instead of re-deriving the division per edge row
+        pre = out.join(ranks, out["src"] == ranks["node"]).select(
+            F.col("src").alias("__s"),
             F.expr("rank div outdeg").alias("c"),
+        )
+        contrib = ec.join(pre, ec["src"] == pre["__s"]).select(
+            F.col("dst").alias("node"), "c"
         )
         inflow = contrib.groupBy("node").agg(
             F.sum("c").cast("bigint").alias("inflow")
@@ -242,7 +250,6 @@ def pagerank(
             ranks = _trunc(ranks)
     ranks = _trunc(ranks)
     _trunc_finish()
-    eo.unpersist()
     out.unpersist()
     return ranks
 
