@@ -392,9 +392,13 @@ def curate(
     fused = report == "fused"
     stages: list[tuple] = []
     fused_frames: list[tuple[str, DataFrame]] = []
+    # fused-mode stages whose count PROVABLY equals the previous
+    # stage's (pure projections — clean): no union branch is spent on
+    # them; the counting loop copies the neighbor's value (r14)
+    same_count: set[str] = set()
     n_prev = cur.count() if report is True else None
 
-    def _mark(stage: str, nxt: DataFrame) -> DataFrame:
+    def _mark(stage: str, nxt: DataFrame, preserves_count: bool = False) -> DataFrame:
         nonlocal n_prev
         if report is True:
             n = nxt.count()
@@ -406,6 +410,8 @@ def curate(
             stages.append((stage, None, None))
             if fused:
                 fused_frames.append((stage, nxt))
+                if preserves_count:
+                    same_count.add(stage)
         return nxt
 
     if line_dedup_max_freq is not None:
@@ -422,6 +428,9 @@ def curate(
             cur.select(
                 "doc_id", clean_text_expr("text").alias("text"), "__source"
             ),
+            # a projection keeps every row: docs_in == docs_out by
+            # construction, so fused mode need not count it
+            preserves_count=True,
         )
     if langs is not None:
         keep_lang = (
@@ -719,15 +728,21 @@ def curate(
         # job: branch k of the union replays stages 1..k, so without
         # the cache hint the union does O(k^2) stage evaluations; with
         # it, later branches read earlier stages' materialized rows.
-        # All entries are released right after the collect — the
-        # returned docs plan recomputes lazily, leak-free (the
-        # ranked_by lesson from round 7).
-        cached = [df.persist() for _, df in fused_frames]
+        # The LAST frame is consumed by exactly one branch, so caching
+        # it would only add a cache-build pass (r14). All entries are
+        # released right after the collect — the returned docs plan
+        # recomputes lazily, leak-free (the ranked_by lesson from
+        # round 7). Count-preserving stages (same_count) get no union
+        # branch at all; their value is copied from the predecessor.
+        counted = [
+            (s, df) for s, df in fused_frames if s not in same_count
+        ]
+        cached = [df.persist() for _, df in counted[:-1]]
         union = reduce(
             DataFrame.unionByName,
             [
                 df.select(F.lit(s).alias("__stage"), "doc_id")
-                for s, df in [("__input", cur0)] + fused_frames
+                for s, df in [("__input", cur0)] + counted
             ],
         )
         try:
@@ -744,7 +759,7 @@ def curate(
         n_prev = counts.get("__input", 0)
         stages = []
         for s, _ in fused_frames:
-            n = counts.get(s, 0)
+            n = n_prev if s in same_count else counts.get(s, 0)
             stages.append((s, n_prev, n))
             n_prev = n
     rep = local_rows(
