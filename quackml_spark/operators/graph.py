@@ -183,10 +183,21 @@ def pagerank(
     # materializing out, once materializing eo — exchange reuse does
     # not cross actions) and denormalized outdeg into every cached edge
     # row. Materializing bare (src, dst) cuts one full upstream pass
-    # and a third off the cached bytes (r14). In reliable mode the
+    # and a third off the cached bytes (r14). Local mode uses persist(),
+    # NOT localCheckpoint: a checkpoint's Scan ExistingRDD reports
+    # UnknownPartitioning, so every iteration's contrib join re-exchanged
+    # AND re-sorted the full edge list (measured r14: 5 SortMergeJoins
+    # over a 27 MB reused exchange, ~12 s executor per iteration at
+    # sf0.1); the cached plan keeps hash(src), making the edge side of
+    # every iteration exchange- and sort-free. The edge frame is static
+    # across iterations, so lineage does not grow — truncation is only
+    # needed for the evolving ranks frame. In reliable mode the
     # snapshot is a parquet write (read-back loses the hash layout, so
     # out pays one node-sized exchange there — the durable trade).
-    ec = _trunc(e.repartition("src"), pin=True)
+    if checkpoint_dir is None:
+        ec = e.repartition("src").persist()
+    else:
+        ec = _trunc(e.repartition("src"), pin=True)
     # out has exactly one row per distinct source node, and the operator
     # contract requires every node to appear as a source — so the node
     # frame IS out's key column (r13). Co-partitioned with ec, so its
@@ -208,6 +219,7 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         out.unpersist()
+        ec.unpersist()
         _trunc_finish()
         return e.select(F.col("src").alias("node")).withColumn(
             "rank", F.lit(0).cast("bigint")
@@ -224,9 +236,15 @@ def pagerank(
             F.col("src").alias("__s"),
             F.expr("rank div outdeg").alias("c"),
         )
-        contrib = ec.join(pre, ec["src"] == pre["__s"]).select(
-            F.col("dst").alias("node"), "c"
-        )
+        # Deliberate join strategy (guide §3.1): build the NODE-sized
+        # pre into a per-partition hash table and stream the cached
+        # edge list through it — no sort of either side, no broadcast
+        # collect of a node-sized frame to the driver per iteration
+        # (nodes can be billions at scale; pre is always the small
+        # side of this join by construction, |nodes| <= |edges|).
+        contrib = ec.join(
+            pre.hint("shuffle_hash"), ec["src"] == pre["__s"]
+        ).select(F.col("dst").alias("node"), "c")
         inflow = contrib.groupBy("node").agg(
             F.sum("c").cast("bigint").alias("inflow")
         )
@@ -251,6 +269,8 @@ def pagerank(
     ranks = _trunc(ranks)
     _trunc_finish()
     out.unpersist()
+    # no-op on the reliable path (ec is a parquet read-back there)
+    ec.unpersist()
     return ranks
 
 
