@@ -2364,34 +2364,22 @@ def _bm25_std_queries(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bm25_base(
+def _bm25_batch_relations(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(doc_id, dl, toks) of a doc batch — ONE tokenize per batch. The
-    id column is cast to bigint HERE so the index contract (postings
-    carry bigint doc ids, the read-back schema every search pins) is
-    explicit at write time instead of failing later at the parquet
-    reader (r14, advice item: a non-integral id now fails the build
-    with a cast error, not a downstream schema mismatch)."""
-    return docs.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        tokens_expr(text_col).alias("toks"),
-    ).select("doc_id", F.size("toks").alias("dl"), "toks")
-
-
-def _bm25_postings(base: DataFrame) -> DataFrame:
-    """The postings relation of a (doc) batch: (tok, doc_id, tf, dl) —
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three index relations of a (doc) batch, each derived lazily
+    from its own tokenize of the batch: postings (tok, doc_id, tf, dl —
     dl DENORMALIZED so a search never joins a corpus-sized lengths
-    table.
+    table), df deltas (tok, df) and a 1-row (n_docs, sum_dl) stats
+    frame. n_docs counts docs with dl > 0, matching bm25_topk's stats
+    branch.
 
-    This is the ONLY per-token relation the index stores (r14): df is
-    NOT persisted anymore — the live document frequency of a token is
-    BY DEFINITION the number of live postings rows carrying it, and
-    every search already reads exactly those rows for its probed
-    terms, so df is re-derived probe-bounded at zero extra I/O (see
-    bm25_index_search). Build/append each drop one bucket-partitioned
-    write job (and build its full postings read-back); delete drops
-    its negative-delta write.
+    An action on each relation re-tokenizes the batch, so a caller
+    that materializes all three pays three corpus passes — build
+    avoids that by writing postings first and deriving df/stats from
+    the written files (_bm25_postings_derived); append and delete
+    cache the batch-bounded in-flight postings instead (one tokenize,
+    zero read-backs) and ignore the dfreq/stats branches here.
 
     (r13 note: a map-side run-length tf — array_sort + higher-order
     functions, no groupBy exchange — was prototyped and measured 75x
@@ -2399,31 +2387,69 @@ def _bm25_postings(base: DataFrame) -> DataFrame:
     to the sorted array re-evaluate array_sort per element, O(n^2)
     per doc. The groupBy's partial aggregation ships postings-sized
     rows anyway; it stays.)"""
-    return (
+    # the id casts to bigint HERE so the index contract (postings carry
+    # bigint doc ids — the read-back schema every search pins) is
+    # explicit at write time instead of failing later at the parquet
+    # reader (r14 advice fix)
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        tokens_expr(text_col).alias("toks"),
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    postings = (
         base.select("doc_id", "dl", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("tok", "doc_id", "tf", "dl")
     )
-
-
-def _bm25_stats_observation(base: DataFrame):
-    """(observed_base, Observation) — the batch's (n_docs, sum_dl)
-    collected as OBSERVE metrics of whatever action consumes ``base``
-    (guide §2.4: the postings write is the one unavoidable pass over
-    the batch; riding the stats on it removes the separate stats job —
-    and, at build, the full postings read-back that job paid).
-    n_docs counts docs with dl > 0 (empty docs carry no postings and
-    must not dilute avgdl), matching bm25_topk's stats branch."""
-    from pyspark.sql import Observation
-
-    obs = Observation()
-    observed = base.observe(
-        obs,
+    dfreq = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.agg(
         F.count(F.when(F.col("dl") > 0, 1)).alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
     )
-    return observed, obs
+    return postings, dfreq, stats
+
+
+def _bm25_postings_derived(
+    spark: SparkSession, path: str, batch_id: int, run_key: str
+) -> tuple[DataFrame, DataFrame]:
+    """(dfreq, stats) of the BUILD batch derived from its already-
+    WRITTEN postings rows instead of a re-tokenize (r13 optimization:
+    the pre-r13 build tokenized the corpus three times — once per
+    write action — because df and stats each re-derived from the raw
+    text; the written postings already carry everything they need):
+
+      df     = rows per tok (postings are (doc, tok)-grained)
+      n_docs = distinct doc_id (exactly the dl > 0 docs — empty docs
+               have no postings rows)
+      sum_dl = SUM(tf) (per doc, tf sums to dl; dl = 0 docs add 0)
+
+    Build-only: its batch is the WHOLE corpus, so read-back (zero
+    cache, compressed columnar re-read) beats caching the in-flight
+    postings. Append/delete are batch-bounded by contract and derive
+    from a cached in-flight relation instead (one tokenize, zero
+    read-backs — see bm25_index_append). Build (mode=overwrite) can
+    never see a replayed attempt's duplicate rows, so no dedupe is
+    needed here."""
+    rows = (
+        spark.read.schema(
+            "tok string, doc_id bigint, tf bigint, dl int, "
+            "batch_id bigint, run_key string, tok_bucket int"
+        )
+        .parquet(f"{path}/postings")
+        .where(
+            (F.col("batch_id") == F.lit(int(batch_id)))
+            & (F.col("run_key") == F.lit(run_key))
+        )
+        .select("tok", "doc_id", "tf", "tok_bucket")
+    )
+    dfreq = rows.groupBy("tok_bucket", "tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    stats = rows.agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("sum_dl"),
+    )
+    return dfreq, stats
 
 
 def _bm25_bucket(n_buckets: int):
@@ -2436,20 +2462,21 @@ def _bm25_bucket(n_buckets: int):
 def _bm25_adaptive_buckets(docs: DataFrame) -> int:
     """Bucket count for a NEW index, derived from the corpus' estimated
     input bytes (guide §6 — size output partitioning from the data, not
-    a constant). The postings write `repartition("tok_bucket")`s, so
+    a constant). The postings/df writes `repartition("tok_bucket")`, so
     each bucket is ONE writer task and bucket count bounds write
     parallelism AND file size in both directions: a fixed 128 fans a
-    20 MB test corpus into 128 near-empty dirs (file-open debt on
-    every later probe), and caps a 100 TB corpus at 128 writer
+    20 MB test corpus into 128 near-empty dirs per relation (file-open
+    debt on every later probe), and caps a 100 TB corpus at 128 writer
     tasks of ~0.8 TB each (stragglers). One bucket per ~TARGET bytes of
     input (env ``SPARK_GRAFT_BM25_BUCKET_BYTES``, default 256 MB — a
     healthy task/file size), clamped to [16, 8192]; relations without a
     usable size estimate (driver-local unions, defaultSizeInBytes
-    sentinels) fall back to the historical 128, as does a malformed
-    env override (estimate-only, never fatal — r14 advice fix: the
-    parse used to sit outside the try and crash the build). Appends/
-    deletes/search always take the bucket count from the MANIFEST, so
-    adaptivity only decides a new index's layout — never a result."""
+    sentinels) fall back to the historical 128, as does a malformed or
+    non-positive env override (estimate-only, never fatal — r14 advice
+    fix: the parse used to sit outside the try and crash the build).
+    Appends/deletes/search always take the bucket count from the
+    MANIFEST, so adaptivity only decides a new index's layout — never
+    a result."""
     import os as _os
 
     try:
@@ -2461,9 +2488,7 @@ def _bm25_adaptive_buckets(docs: DataFrame) -> int:
         )
     except Exception:  # noqa: BLE001 — estimate-only, never fatal
         return 128
-    if size <= 0 or size >= (1 << 52):
-        return 128
-    if target <= 0:  # a zero/negative override is malformed too
+    if size <= 0 or size >= (1 << 52) or target <= 0:
         return 128
     return int(max(16, min(8192, (size + target - 1) // target)))
 
@@ -2502,24 +2527,16 @@ def bm25_index_build(
                   a realistic query vocabulary spans the whole token
                   range — measured 5.2 s full-scan probe vs 0.22 s
                   bucket-pruned at the sf10 corpus (SCALE.md §39)
+      df/         (tok, df, batch_id, run_key) additive deltas, same
+                  bucket partitioning
       stats_log/  (batch_id, run_key, n_docs, sum_dl) one row per batch
       manifest.parquet  k1, b, n_buckets, formulation — written LAST
                   (freshness guard, the ivf/setsim discipline)
 
-    There is NO df relation (r14): a token's live document frequency
-    is by definition the count of its live postings rows, and a search
-    reads exactly those rows for its probed terms anyway — so df is
-    re-derived probe-bounded at search time instead of being
-    maintained as a second bucket-partitioned delta relation. The
-    whole build is therefore ONE corpus pass: the postings write, with
-    the batch's (n_docs, sum_dl) stats riding on it as observe()
-    metrics (no read-back, no separate stats job).
-
-    BM25's corpus statistics are ADDITIVE (n_docs, sum_dl are sums
-    over disjoint doc batches; df is a count over live postings), so
-    unlike the setsim index nothing is frozen: a search recomputes
-    idf/avgdl from the accumulated exact integers, and
-    search(build(A) + append(B)) is BIT-IDENTICAL to
+    BM25's corpus statistics are ADDITIVE (df, n_docs, sum_dl are sums
+    over disjoint doc batches), so unlike the setsim index nothing is
+    frozen: a search recomputes idf/avgdl from the accumulated exact
+    integers, and search(build(A) + append(B)) is BIT-IDENTICAL to
     search(build(A u B)) — pytest-pinned, including crash-replayed
     appends (duplicate rows carry the same (run_key, batch_id) and are
     deduped probe-bounded at search time).
@@ -2530,12 +2547,11 @@ def bm25_index_build(
     spark = docs.sparkSession
     if n_buckets is None:
         n_buckets = _bm25_adaptive_buckets(docs)
-    base, obs = _bm25_stats_observation(_bm25_base(docs, id_col, text_col))
+    postings, _dfreq, _stats = _bm25_batch_relations(docs, id_col, text_col)
     bid = F.lit(-1).cast("bigint").alias("batch_id")
     rk = F.lit("").alias("run_key")
     (
-        _bm25_postings(base)
-        .select("tok", "doc_id", "tf", "dl", bid, rk)
+        postings.select("tok", "doc_id", "tf", "dl", bid, rk)
         .withColumn("tok_bucket", _bm25_bucket(n_buckets))
         .repartition("tok_bucket")
         .sortWithinPartitions("tok", "doc_id")
@@ -2543,7 +2559,18 @@ def bm25_index_build(
         .partitionBy("tok_bucket")
         .parquet(f"{path}/postings")
     )
-    s = obs.get
+    # df/stats from the postings just written — the corpus is tokenized
+    # exactly ONCE per build (was three times, r13 optimization)
+    dfreq, stats = _bm25_postings_derived(spark, path, -1, "")
+    (
+        dfreq.select("tok", "df", bid, rk, "tok_bucket")
+        .repartition("tok_bucket")
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket")
+        .parquet(f"{path}/df")
+    )
+    s = stats.first()
     local_rows(
         spark,
         [(-1, "", int(s["n_docs"]), int(s["sum_dl"]))],
@@ -2567,19 +2594,12 @@ def bm25_index_append(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Append a doc batch: postings + one stats_log row, tagged
-    (run_key, batch_id). Only the BATCH is tokenized; no existing file
-    is rewritten (df and the corpus statistics accumulate at search
-    time, the additive-statistics property). Scores over the grown
-    corpus shift for every document — that is BM25's semantics, not
-    staleness; the exactness contract is append == rebuild,
-    bit-identical.
-
-    One JOB per append (r14): the batch's (n_docs, sum_dl) stats ride
-    the postings write as observe() metrics, and df is not persisted
-    at all (search re-derives it from live postings rows,
-    probe-bounded — see bm25_index_build), so the r13 shape's cached
-    in-flight relation + two extra write/agg actions are gone with it.
+    """Append a doc batch: postings + df deltas + one stats_log row,
+    all tagged (run_key, batch_id). Only the BATCH is tokenized; no
+    existing file is rewritten (df is delta-summed at search, the
+    additive-statistics property). Scores over the grown corpus shift
+    for every document — that is BM25's semantics, not staleness; the
+    exactness contract is append == rebuild, bit-identical.
 
     Append-only on doc ids: re-appending an existing doc_id would
     double its postings (caller contract, same as ivf_index_append).
@@ -2593,25 +2613,61 @@ def bm25_index_append(
     # index's OWN bucket count
     _ver, man = read_manifest(spark, path)
     n_buckets = int(man["n_buckets"])
-    base, obs = _bm25_stats_observation(_bm25_base(docs, id_col, text_col))
+    postings, _dfreq, _stats = _bm25_batch_relations(docs, id_col, text_col)
     bid = F.lit(int(batch_id)).cast("bigint").alias("batch_id")
     rk = F.lit(run_key).alias("run_key")
-    (
-        _bm25_postings(base)
-        .select("tok", "doc_id", "tf", "dl", bid, rk)
+    # An append is BATCH-bounded by contract (micro-batch / crawl
+    # increment), so the in-flight postings relation is cached and ONE
+    # tokenize pass feeds all three writes. Build keeps the read-back
+    # derive instead: its "batch" is the whole corpus and caching that
+    # copies corpus-scale data to local disk, whereas the append's
+    # cache is trigger-sized (r13; the read-back here paid two full
+    # bucket-dir footer scans per append — stats alone was a 4 s /
+    # 27-task job at sf0.1). Deriving df/stats from the in-flight rows
+    # is bit-identical to the dedupe'd read-back: a crash-REPLAYED
+    # attempt re-appends duplicate rows on disk (search dedupes them
+    # probe-bounded), and the clean batch grain the read-back's
+    # distinct reconstructed IS the in-flight grain.
+    pb = (
+        postings.select("tok", "doc_id", "tf", "dl", bid, rk)
         .withColumn("tok_bucket", _bm25_bucket(n_buckets))
-        .repartition("tok_bucket")
-        .sortWithinPartitions("tok", "doc_id")
-        .write.mode("append")
-        .partitionBy("tok_bucket")
-        .parquet(f"{path}/postings")
+        .persist()
     )
-    s = obs.get
-    local_rows(
-        spark,
-        [(int(batch_id), run_key, int(s["n_docs"]), int(s["sum_dl"]))],
-        "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint",
-    ).write.mode("append").parquet(f"{path}/stats_log")
+    try:
+        (
+            pb.repartition("tok_bucket")
+            .sortWithinPartitions("tok", "doc_id")
+            .write.mode("append")
+            .partitionBy("tok_bucket")
+            .parquet(f"{path}/postings")
+        )
+        dfreq = pb.groupBy("tok_bucket", "tok").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        (
+            dfreq.select("tok", "df", bid, rk, "tok_bucket")
+            # repartition like build's df write (r13): without it every
+            # shuffle partition of the groupBy wrote its own tiny file
+            # into every bucket dir it touched — ~shuffle-partitions
+            # files per bucket PER APPEND, and every later search paid
+            # the open cost (guide §6 small-files debt)
+            .repartition("tok_bucket")
+            .sortWithinPartitions("tok")
+            .write.mode("append")
+            .partitionBy("tok_bucket")
+            .parquet(f"{path}/df")
+        )
+        s = pb.agg(
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("sum_dl"),
+        ).first()
+        local_rows(
+            spark,
+            [(int(batch_id), run_key, int(s["n_docs"]), int(s["sum_dl"]))],
+            "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint",
+        ).write.mode("append").parquet(f"{path}/stats_log")
+    finally:
+        pb.unpersist()
 
 
 def bm25_index_delete(
@@ -2623,27 +2679,25 @@ def bm25_index_delete(
     text_col: str = "text",
 ) -> None:
     """Retire a doc batch — the ADDITIVE INVERSE of bm25_index_append.
-    BM25's statistics are sums over doc batches, so a delete writes a
-    negative stats row plus a tombstone masking the retired postings:
+    BM25's statistics are sums over doc batches, so a delete writes the
+    same three relations an append writes, with negated signs, plus a
+    tombstone masking the retired postings:
 
       tombstones/  (doc_id, batch_id, run_key) — search drops postings
                    rows whose batch_id < the doc's max tombstone batch,
                    so a CHANGED doc re-appended at a LATER batch
                    survives its own delete; compact applies the mask
                    physically
+      df/          NEGATIVE deltas (tok, -df) — the accumulated sum is
+                   then exactly the live-corpus df
       stats_log/   one (-n_docs, -sum_dl) row
 
-    (No df deltas — r14: df is derived from LIVE postings rows at
-    search time, and the tombstone mask already removes the retired
-    docs' rows from that count, so the delete's df bookkeeping is the
-    tombstone itself.)
-
-    search(build(v1) + delete(gone) + append(new)) is BIT-IDENTICAL
+    so search(build(v1) + delete(gone) + append(new)) is BIT-IDENTICAL
     to search(build(v2)) — pytest-pinned, the recrawl contract.
 
     ``docs`` must be the INDEXED version of the retired documents (the
     old crawl's rows, e.g. ``v1.join(retire_ids, id_col)``): the
-    negative stats come from re-tokenizing this batch, which cancels
+    negative deltas come from re-tokenizing this batch, which cancels
     what build/append added only if the text is byte-identical. That
     makes a delete BATCH-sized (no index scan, no corpus rescan) — the
     id-only alternative would reconstruct tf/dl from postings/, a full
@@ -2660,31 +2714,48 @@ def bm25_index_delete(
     from quackml_spark.operators._manifest import read_manifest
 
     _ver, man = read_manifest(spark, path)
-    n_buckets = int(man["n_buckets"])  # manifest-freshness guard kept
+    n_buckets = int(man["n_buckets"])
+    _postings, _dfreq, _stats = _bm25_batch_relations(docs, id_col, text_col)
     bid = F.lit(int(batch_id)).cast("bigint").alias("batch_id")
     rk = F.lit(run_key).alias("run_key")
-    # The retired batch's (n_docs, sum_dl) ride the tombstone write as
-    # observe() metrics on a doc-grained pre-distinct projection (r14):
-    # ONE job and ONE tokenize per delete (the r13 shape cached the
-    # batch postings and ran a df write + a stats agg on top). The
-    # metrics are observed BEFORE the distinct — byte-identical to the
-    # old postings-derived aggregates because the delete contract feeds
-    # each retired doc exactly once (the same contract the old
-    # count_distinct relied on for its df deltas).
-    base, obs = _bm25_stats_observation(_bm25_base(docs, id_col, text_col))
     (
-        base.select("doc_id")
+        docs.select(F.col(id_col).alias("doc_id"))
         .distinct()
         .select("doc_id", bid, rk)
         .write.mode("append")
         .parquet(f"{path}/tombstones")
     )
-    s = obs.get
-    local_rows(
-        spark,
-        [(int(batch_id), run_key, -int(s["n_docs"]), -int(s["sum_dl"]))],
-        "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint",
-    ).write.mode("append").parquet(f"{path}/stats_log")
+    # a delete batch is bounded like an append batch: cache the
+    # in-flight postings so ONE tokenize pass feeds both the negative
+    # df deltas and the stats row (was two full re-tokenizes of the
+    # retired batch — r13, the append-path reasoning). n_docs =
+    # distinct doc_id over postings == count of dl > 0 docs (empty
+    # docs have no postings rows); sum(tf) == sum(dl) — both identical
+    # to the previous base-relation aggregates.
+    pb = _postings.persist()
+    try:
+        dfreq = pb.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        (
+            dfreq.select("tok", (-F.col("df")).alias("df"), bid, rk)
+            .withColumn("tok_bucket", _bm25_bucket(n_buckets))
+            # same small-files fix as append's df write (r13)
+            .repartition("tok_bucket")
+            .sortWithinPartitions("tok")
+            .write.mode("append")
+            .partitionBy("tok_bucket")
+            .parquet(f"{path}/df")
+        )
+        s = pb.agg(
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("sum_dl"),
+        ).first()
+        local_rows(
+            spark,
+            [(int(batch_id), run_key, -int(s["n_docs"]), -int(s["sum_dl"]))],
+            "batch_id bigint, run_key string, n_docs bigint, sum_dl bigint",
+        ).write.mode("append").parquet(f"{path}/stats_log")
+    finally:
+        pb.unpersist()
 
 
 def _bm25_dead_docs(spark: SparkSession, path: str) -> DataFrame | None:
@@ -2772,11 +2843,18 @@ def _bm25_index_search_joined(
         .select("tok", "doc_id", "tf", "dl")
         .distinct()
     )
-    # df = live postings rows per probed term (hits is (doc, term)-
-    # grained after the replay-dedup distinct, so its per-term count IS
-    # the live document frequency — the r14 index stores no df
-    # relation; see bm25_index_build)
-    dfreq = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = (
+        spark.read.schema(
+            "tok string, df bigint, batch_id bigint, run_key string, "
+            "tok_bucket int"
+        )
+        .parquet(f"{path}/df")
+        .join(terms, "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .where(F.col("df") > 0)
+    )
     qterms = queries.select("query_id", "tok").distinct()
     stats = F.broadcast(_bm25_index_stats(spark, path))
     return _bm25_rank(hits, dfreq, qterms, stats, k, k1, b)
@@ -2793,9 +2871,7 @@ def bm25_index_search(
     rnk) per query — bit-identical to bm25_topk over the same corpus
     (pytest-pinned), WITHOUT touching the corpus: the only reads are
     the probed terms' postings rows (tok IN (...) pushed to the sorted
-    scan; read twice — once for scoring, once for the broadcast df
-    count) and the tiny stats log. df is counted from the live probed
-    rows themselves (r14) — the index maintains no df relation.
+    scan), the probed df deltas, and the tiny stats log.
 
     Driver bound: the default path collects the DISTINCT probe
     vocabulary to the driver — search-workload-sized, never
@@ -2814,11 +2890,9 @@ def bm25_index_search(
 
     Deletes: postings rows whose batch_id predates the doc's tombstone
     horizon are masked (the one non-probe-bounded read: the tombstone
-    log, delete-history-sized) — which makes the per-term live-row
-    count exactly the post-delete df — and stats negatives flow
-    through the additive sums unchanged, so the ranked output over a
-    recrawl-updated index is bit-identical to a fresh build of the new
-    corpus."""
+    log, delete-history-sized); df/stats negatives flow through the
+    additive sums unchanged, so the ranked output over a recrawl-updated
+    index is bit-identical to a fresh build of the new corpus."""
     from quackml_spark.operators._manifest import read_manifest
 
     try:
@@ -2861,17 +2935,17 @@ def bm25_index_search(
         .select("tok", "doc_id", "tf", "dl")
         .distinct()
     )
-    # df = live postings rows per probed term (r14 — the index stores
-    # no df relation; hits is (doc, term)-grained after the replay-
-    # dedup distinct, so its per-term count IS the live document
-    # frequency, tombstones already applied). The broadcast build
-    # re-reads the pruned probe — the same bucket-pruned, tok-pushed
-    # scan the scoring side pays, both probe-bounded — in place of the
-    # old df-relation read, keeping the scoring plan's postings scan
-    # visible to the planner (no checkpoint: the plan-asserted
-    # PartitionFilters pruning must stay in the executed plan).
     dfreq = F.broadcast(
-        hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        spark.read.schema(
+            "tok string, df bigint, batch_id bigint, run_key string, "
+            "tok_bucket int"
+        )
+        .parquet(f"{path}/df")
+        .where(F.col("tok_bucket").isin(buckets) & F.col("tok").isin(vocab))
+        .distinct()
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .where(F.col("df") > 0)
     )
     return _bm25_rank(hits, dfreq, qterms, stats, k, k1, b)
 
@@ -2881,19 +2955,17 @@ def bm25_index_compact(
 ) -> dict:
     """Compact the index's append debt (every batch adds one file per
     touched bucket partition): the shared crash-safe compactor rewrites
-    postings/ WITHIN its tok_bucket partitions (range-laid by tok, so
-    per-bucket footer min-max pruning recovers too), and stats_log/ by
-    batch_id. Replay duplicates are PRESERVED (search is
+    postings/ and df/ WITHIN their tok_bucket partitions (range-laid by
+    tok, so per-bucket footer min-max pruning recovers too), and
+    stats_log/ by batch_id. Replay duplicates are PRESERVED (search is
     duplicate-insensitive by construction, the setsim_index_compact
     convention). Tombstoned postings are the one content change: the
     rewrite applies the delete horizon PHYSICALLY (batch_id < the
     doc's max tombstone batch -> dropped), reclaiming the retired
-    docs' bytes — which leaves the live-row df count, the only df the
-    r14 index has, unchanged by construction. The tombstone log itself
-    is kept — compacted, now matching nothing — so a late-replayed
-    pre-delete append cannot resurrect a dropped doc; stats negative
-    rows likewise stay (they ARE the live statistics, not masking
-    state)."""
+    docs' bytes. The tombstone log itself is kept — compacted, now
+    matching nothing — so a late-replayed pre-delete append cannot
+    resurrect a dropped doc; df/stats negative rows likewise stay
+    (they ARE the live statistics, not masking state)."""
     import os
 
     from quackml_spark.sources.files import compact_partitioned_dir
@@ -2902,6 +2974,7 @@ def bm25_index_compact(
     subs = [
         ("postings", "tok_bucket", ["tok"],
          (lambda df: _mask_tombstoned(df, dead)) if dead is not None else None),
+        ("df", "tok_bucket", ["tok"], None),
         ("stats_log", None, ["batch_id"], None),
     ]
     if os.path.isdir(f"{path}/tombstones"):
@@ -2923,15 +2996,15 @@ def bm25_index_compact(
     doc="BM25 retrieval from the PERSISTED inverted index, exercising "
     "the full additive lifecycle inside the value check: the even-"
     "doc_id half of the corpus is indexed at build, the odd half is "
-    "APPENDED (new postings + a stats-log row — no existing file "
-    "rewritten), and the standard %% 101 query set is searched "
-    "against the grown index. BM25's statistics are additive over "
-    "disjoint doc batches, so the result is bit-identical to "
+    "APPENDED (new postings + df deltas + a stats-log row — no "
+    "existing file rewritten), and the standard %% 101 query set is "
+    "searched against the grown index. BM25's statistics are additive "
+    "over disjoint doc batches, so the result is bit-identical to "
     "one-shot indexing AND to the corpus-rescanning text_bm25_topk — "
     "the oracle is literally that query's SQL. At search time the "
     "corpus is never rescanned: only probed terms' postings rows "
-    "(tok IN (...) pushed to the tok-sorted scan, df counted from "
-    "the live rows) and the tiny stats log are read.",
+    "(tok IN (...) pushed to the tok-sorted scan), probed df deltas, "
+    "and the tiny stats log are read.",
     oracle=f"""
 WITH {_SQL_BM25_BODY}
 SELECT query_id, doc_id,
