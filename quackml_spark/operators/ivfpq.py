@@ -90,7 +90,14 @@ def ivfpq_index_build(
         ],
         "s int, code int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebook.parquet")
-    assigned = pq_encode(emb, codebook).select(
+    # fan_out before the heavy map-only encode (guide §2.5/§6 — the
+    # CDC lesson): the embeddings scan is byte-sized into 1-4 splits at
+    # bench scale, so the per-row argmin-over-codebook expression ran
+    # on a few cores; a no-op at real scale where the scan already has
+    # >= cores splits
+    from quackml_spark.operators.text import fan_out
+
+    assigned = pq_encode(fan_out(emb), codebook).select(
         "vec_id",
         "codes",
         F.lit(-1).cast("bigint").alias("batch_id"),
@@ -107,6 +114,14 @@ def ivfpq_index_build(
     # emb.select(size(...)).first() here was one more full-plan job per
     # build (r14)
     dim = len(centers[0][1])
+    # n_rows from the WRITTEN lists (encode is row-preserving, so this
+    # IS emb's row count): a bare count over parquet answers from the
+    # file footers — the old emb.count() re-ran the caller's whole
+    # upstream plan once more per build (r14). (An observe() on the
+    # write was tried and reverted: Spark 4.1's ObservationManager is
+    # not serializable and poisons later RDD-boundary queries in the
+    # same session.)
+    n_rows = int(spark.read.parquet(f"{path}/lists").count())
     from quackml_spark.operators._manifest import clear_manifest_cas
 
     # a stale CAS chain from this path's previous life would shadow the
@@ -114,7 +129,7 @@ def ivfpq_index_build(
     clear_manifest_cas(path)
     local_rows(
         spark,
-        [(n_lists, m, k_codes, dim, int(emb.count()), quantizer, seed)],
+        [(n_lists, m, k_codes, dim, n_rows, quantizer, seed)],
         "n_lists int, m int, k_codes int, dim int, n_rows bigint, "
         "quantizer string, seed int",
     ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
@@ -795,7 +810,8 @@ def ivfpq_index_build_residual(
         "s int, code int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebook.parquet")
     coded = pq_encode(assigned, codebook, emb_col="__res").select(
-        "vec_id", "codes", F.lit(-1).cast("bigint").alias("batch_id"), "list_id"
+        "vec_id", "codes",
+        F.lit(-1).cast("bigint").alias("batch_id"), "list_id",
     )
     (
         coded.repartition("list_id")
@@ -804,12 +820,15 @@ def ivfpq_index_build_residual(
         .parquet(f"{path}/lists")
     )
     dim = len(centers[0][1])  # see ivfpq_index_build — no extra job
+    # footer-only count of the written lists, not a source re-scan
+    # (see ivfpq_index_build)
+    n_rows = int(spark.read.parquet(f"{path}/lists").count())
     from quackml_spark.operators._manifest import clear_manifest_cas
 
     clear_manifest_cas(path)  # see ivfpq_index_build
     local_rows(
         spark,
-        [(n_lists, m, k_codes, dim, int(emb.count()), "kmeans-residual", seed)],
+        [(n_lists, m, k_codes, dim, n_rows, "kmeans-residual", seed)],
         "n_lists int, m int, k_codes int, dim int, n_rows bigint, "
         "quantizer string, seed int",
     ).write.mode("overwrite").parquet(f"{path}/manifest.parquet")
