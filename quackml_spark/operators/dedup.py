@@ -841,7 +841,9 @@ def connected_components(
     near-dup mode both run exactly this.
 
     Raises if the graph has not converged within ``max_rounds``
-    (diameter > bound) — silently returning partial labels would keep
+    materialized rounds (each round advances TWO propagation hops —
+    r14 — so the reachable diameter is 2x the bound) — silently
+    returning partial labels would keep
     multiple representatives of one cluster and under-dedup downstream
     (review catch). Lineage is truncated each round — RELIABLY when
     ``spark.sparkContext.setCheckpointDir`` has been called (survives
@@ -911,12 +913,35 @@ def connected_components(
     # throws Task-not-serializable when the subtree carries pandas-UDF
     # stages — curate()'s quality classifier hit it.)
     for _ in range(max_rounds):
+        # TWO propagation hops per materialized round (r14, verdict
+        # item): each round takes the min over the distance-<=2 ball
+        # instead of distance-<=1, so the label frontier advances two
+        # steps per checkpoint+count barrier — same total join work
+        # for a given diameter, HALF the serialization points (the
+        # local wall cost is the per-round barrier, not the joins; at
+        # scale it halves the job-commit overhead the same way).
+        # Correctness: min-propagation is monotone non-increasing per
+        # node, so hop composition converges to the same component-min
+        # fixpoint, and an unchanged 2-hop round implies an unchanged
+        # 1-hop round (no oscillation is possible) — the convergence
+        # probe's meaning is preserved. Both hop joins stay on the
+        # cached hash(d) edge layout; m1 is hash(node)-partitioned
+        # from its groupBy, so the second hop adds no edge exchange.
         nbr = (
             und.join(labels, und.d == labels.node)
             .select(F.col("s").alias("node"), "label")
         )
-        merged = _truncate(
+        m1 = (
             labels.select("node", "label").unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        nbr2 = (
+            und.join(m1, und.d == m1.node)
+            .select(F.col("s").alias("node"), "label")
+        )
+        merged = _truncate(
+            m1.unionByName(nbr2)
             .groupBy("node")
             .agg(F.min("label").alias("__new"))
             .join(labels.select("node", F.col("label").alias("__old")), "node")
