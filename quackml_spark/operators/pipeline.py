@@ -409,6 +409,25 @@ def curate(
             # stay NULL here (fused fills them in from its one job)
             stages.append((stage, None, None))
             if fused:
+                if not preserves_count:
+                    # CHAINED lazy checkpoint (r14): every counted
+                    # frame materializes once and every consumer —
+                    # the next stage, the counting union's branch,
+                    # decontaminate's broadcast build, the returned
+                    # docs — reads the SAME RDD. The r13 shape
+                    # persist()ed the frames at count time instead and
+                    # relied on CacheManager plan-substitution, which
+                    # missed the broadcast subtrees and the racing
+                    # union branches then recomputed the text-heavy
+                    # prefix per branch: measured at sf0.1, the fused
+                    # count ran 31-104 s executor vs 7.7 s for
+                    # sequential counting; with the checkpoint chain
+                    # it is one job and one evaluation per stage
+                    # (RDD block locking serializes concurrent branch
+                    # tasks instead of duplicating the work).
+                    # Count-preserving projections (clean) stay
+                    # unmaterialized — nothing counts them.
+                    nxt = nxt.localCheckpoint(eager=False)
                 fused_frames.append((stage, nxt))
                 if preserves_count:
                     same_count.add(stage)
@@ -724,20 +743,17 @@ def curate(
     if fused and stages:
         from functools import reduce
 
-        # Persist each stage frame for the duration of the ONE counting
-        # job: branch k of the union replays stages 1..k, so without
-        # the cache hint the union does O(k^2) stage evaluations; with
-        # it, later branches read earlier stages' materialized rows.
-        # The LAST frame is consumed by exactly one branch, so caching
-        # it would only add a cache-build pass (r14). All entries are
-        # released right after the collect — the returned docs plan
-        # recomputes lazily, leak-free (the ranked_by lesson from
-        # round 7). Count-preserving stages (same_count) get no union
-        # branch at all; their value is copied from the predecessor.
+        # ONE counting job over the union of the checkpointed stage
+        # frames (see _mark): each branch reads its frame's RDD, the
+        # lazy checkpoints materialize bottom-up inside this job, and
+        # the blocks are freed by the ContextCleaner when the plan is
+        # garbage-collected — no unpersist protocol (the ranked_by
+        # lesson from round 7). Count-preserving stages (same_count)
+        # get no union branch at all; their value is copied from the
+        # predecessor.
         counted = [
             (s, df) for s, df in fused_frames if s not in same_count
         ]
-        cached = [df.persist() for _, df in counted[:-1]]
         union = reduce(
             DataFrame.unionByName,
             [
@@ -745,16 +761,12 @@ def curate(
                 for s, df in [("__input", cur0)] + counted
             ],
         )
-        try:
-            counts = {
-                r["__stage"]: r["n"]
-                for r in union.groupBy("__stage")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-        finally:
-            for df in cached:
-                df.unpersist()
+        counts = {
+            r["__stage"]: r["n"]
+            for r in union.groupBy("__stage")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         # an EMPTY corpus yields no union rows at all — every count 0
         n_prev = counts.get("__input", 0)
         stages = []
