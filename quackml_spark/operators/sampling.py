@@ -76,9 +76,14 @@ def budget_rates(
             F.lit(1).cast("bigint"),
             F.least(
                 F.lit(PPM).cast("bigint"),
-                F.floor(
-                    F.lit(PPM * budget_chars) / F.col("total_chars")
-                ).cast("bigint"),
+                # bigint `div`, not floor(double /) — r14 advice fix:
+                # IEEE double floor diverges from the exact integer
+                # quotient by 1 ppm once the product passes 2^53
+                # (per-source budgets over ~9e9 chars), and curate's
+                # inline budget stage computes the exact Python integer
+                # floor it claims to replicate — the two now agree at
+                # every magnitude.
+                F.expr(f"{PPM * budget_chars} div total_chars"),
             ),
         ).alias("rate_ppm"),
     )
@@ -440,13 +445,17 @@ def dsir_log_weights(
         F.round("lam_raw", 12).cast("decimal(20,12)").alias("lam"),
     )
     # n * lam is exactly lam summed n times (decimal multiply at
-    # (9,0)x(20,12) -> (30,12) is exact, far below precision 38), so
+    # (17,0)x(20,12) -> (38,12) is exact, at precision 38 exactly), so
     # log_w is bit-identical to the per-occurrence sum it replaces.
+    # (17,0), not (9,0) — r14 advice fix: a doc with >= 1e9
+    # occurrences of one bucket overflowed the narrower cast (ANSI
+    # throw / silent null depending on mode); (17,0) carries counts to
+    # 1e17 with the same scale-12 result.
     scored = (
         pf.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
         .agg(
-            F.sum(F.col("n").cast("decimal(9,0)") * F.col("lam"))
+            F.sum(F.col("n").cast("decimal(17,0)") * F.col("lam"))
             .cast("decimal(25,12)")
             .alias("log_w")
         )
