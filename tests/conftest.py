@@ -11,9 +11,10 @@ SF_DIR = os.environ.get("QUACKML_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from quackml_spark.session import get_spark
 
+    cores = os.environ.get("QUACKML_TEST_CPUS", "8")
     s = get_spark(
         app_name="quackml-tests",
-        master="local[4]",
+        master=f"local[{cores}]",
         shuffle_partitions=8,
         extra_conf={"spark.driver.memory": "4g", "spark.sql.warehouse.dir": "/tmp/qml-wh"},
     )

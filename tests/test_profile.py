@@ -98,17 +98,29 @@ def test_exact_quantiles_match_sorted_reference(spark):
     """Property: exact_quantiles == the sorted-list rank definition on
     arbitrary integer multisets — including values past 2^53, where a
     double-division bucketing would silently mis-bucket (the operator
-    uses integer div), negatives, heavy ties, and single-value sets."""
-    from hypothesis import HealthCheck, given, settings
+    uses integer div), negatives, heavy ties, and single-value sets.
+
+    The load-bearing inputs are PINNED @example cases (past-2^53
+    values, negatives, heavy ties, a singleton — each of which caught
+    or would catch a real bug class) so they run every time instead of
+    depending on the random draw; the residual random examples are
+    fewer (r14: each example is ~16 sequential bucket-16 narrowing
+    rounds = ~2-6 s of driver-iterative jobs, and this test was the
+    suite's slowest)."""
+    from hypothesis import HealthCheck, example, given, settings
     from hypothesis import strategies as st
 
     from quackml_spark.operators.profile import exact_quantiles
 
     @settings(
-        max_examples=10,
+        max_examples=4,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
+    @example(vals=[2**62, 2**62 - 1, -(2**62), 2**53 + 1, 2**53 - 1])
+    @example(vals=[-7, -7, -7, 0, 0, 3, 3, 3, 3])
+    @example(vals=[42])
+    @example(vals=[-(2**62)] * 5 + [2**62] * 4)
     @given(
         vals=st.lists(
             st.one_of(
@@ -156,17 +168,29 @@ def test_grouped_exact_quantiles_match_sorted_reference(spark):
     """Per-group selection == per-group sorted-rank definition on
     arbitrary small multisets, including 2^62-scale values (integer-div
     bucketing), single-value groups, and groups of very different
-    sizes/ranges (each narrows independently)."""
-    from hypothesis import HealthCheck, given, settings
+    sizes/ranges (each narrows independently).
+
+    Load-bearing inputs pinned as @example cases, fewer random
+    residuals — the same round-count economics as the ungrouped
+    property test above (r14)."""
+    from hypothesis import HealthCheck, example, given, settings
     from hypothesis import strategies as st
 
     from quackml_spark.operators.profile import grouped_exact_quantiles
 
     @settings(
-        max_examples=8,
+        max_examples=3,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
+    @example(
+        data={
+            "a": [2**62, -(2**62), 2**53 + 1, 0],
+            "b": [5],
+            "c": [-3, -3, -3, 7, 7],
+        }
+    )
+    @example(data={"a": [-(2**62)], "b": list(range(-12, 13))})
     @given(
         data=st.dictionaries(
             st.sampled_from(["a", "b", "c"]),
